@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loader for the driver testdata (TESTDATA.md).
+  *
+  * Each scale-factor directory holds one parquet file per table. Filters and
+  * column projections applied downstream reach the parquet scan via Catalyst
+  * pushdown (verified with `.explain("formatted")` — `PushedFilters` /
+  * `ReadSchema` in the scan node), so reading "the whole table" here is free:
+  * only referenced columns and matching row groups are actually read.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects; read it as raw int64 nanos and convert to a micros timestamp.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+}

@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** SURVEY.md §2.10 declared relational query corpus (Q01–Q18).
+  *
+  * Each query exercises the Spark primitive that one reference-operator row of
+  * SURVEY §2 maps to (reference = Riya17171/ETL-PIPELINE2.0, cited per query),
+  * is deterministic (explicit ORDER BY on a unique key), and has a DuckDB
+  * oracle with IDENTICAL column names (see [[graft.SparkEntry.oracleSql]]).
+  *
+  * Scale notes (the engine targets ~100 TB on a real cluster; local[32] only
+  * verifies correctness):
+  *   - Filters/projections are pushed to the parquet scan (Catalyst).
+  *   - Aggregations use partial (map-side) aggregation for free via groupBy.
+  *   - Dimension-table joins (nation, region) are explicitly broadcast;
+  *     fact-fact joins are left to AQE, which converts to broadcast when the
+  *     runtime size allows and handles skew otherwise.
+  *   - The global count (Q03) is a driver-side `count()` + `lit`, NOT
+  *     `Window.partitionBy()` (which would funnel all rows into one partition).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Q01 — scan + filter + projection (ref: residual text filter,
+    * etl_pipeline.py:104-113). Both predicates reach the parquet scan. */
+  def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q02 — groupBy-count (ref: items_by_type, etl_pipeline.py:402-405). */
+  def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  /** Q03 — global count stamped on every row (ref: total_items,
+    * etl_pipeline.py:269-271). Driver-side count + lit instead of an
+    * unpartitioned window: two jobs, but no single-partition shuffle. */
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val total = e.count()
+    e.select(col("event_id"), lit(total).as("total_items"))
+      .orderBy("event_id")
+      .limit(100)
+  }
+
+  /** Q04 — per-partition ordinal (ref: source_index ordinal, E6,
+    * etl_pipeline.py:169-195). row_number over (event_type, event_id). */
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+    t(s, dir, "events")
+      .select(
+        col("event_type"), col("event_id"),
+        (row_number().over(w) - 1).cast("long").as("ordinal"))
+      .orderBy("event_type", "event_id")
+      .limit(200)
+  }
+
+  /** Q05 — source_index = "{type}_{ordinal}" (ref: etl_pipeline.py:177-194). */
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+    t(s, dir, "events")
+      .select(concat(
+        col("event_type"), lit("_"),
+        (row_number().over(w) - 1).cast("string")).as("source_index"))
+      .orderBy("source_index")
+      .limit(200)
+  }
+
+  /** Q06 — type-precedence sort (ref: normalize regroup N2,
+    * etl_pipeline.py:232-258). */
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    val prec = when(col("event_type") === "click", 0)
+      .when(col("event_type") === "view", 1)
+      .when(col("event_type") === "purchase", 2)
+      .otherwise(3)
+    t(s, dir, "events")
+      .select("event_id", "event_type")
+      .orderBy(prec, col("event_id"))
+      .limit(100)
+  }
+
+  /** Q07 — vertical union with shared schema (ref: normalize concat N3,
+    * etl_pipeline.py:260-264 → unionByName). */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_name").as("name"), col("c_acctbal").as("bal"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_name").as("name"), col("s_acctbal").as("bal"))
+    c.unionByName(sup).orderBy("name", "bal")
+  }
+
+  /** Q08 — distinct (ref: block dedup A6, etl_pipeline.py:79,87-88,102). */
+  def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select("p_brand", "p_type")
+      .distinct()
+      .orderBy("p_brand", "p_type")
+
+  /** Q09 — JSON field extraction (ref: extract_json E2,
+    * etl_pipeline.py:127-137). get_json_object is codegen'd; no UDF. */
+  def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+      .limit(100)
+
+  /** Q10 — whitespace word count (ref: extract_text E4,
+    * etl_pipeline.py:153-159). Pure string expressions, stays inside
+    * whole-stage codegen. */
+  def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .cast("long").as("word_count"))
+      .orderBy("doc_id")
+      .limit(100)
+
+  /** Q11 — substring title + paragraph-length filter (ref: E4 + D4,
+    * etl_pipeline.py:112,157). */
+  def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 5)
+      .select(col("doc_id"), substring(col("text"), 1, 50).as("title"))
+      .orderBy("doc_id")
+      .limit(100)
+
+  /** Q12 — coalesce/nullif coercion (ref: numeric coercion N5,
+    * etl_pipeline.py:279-282). */
+  def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        coalesce(
+          when(col("o_orderpriority") === "", lit(null))
+            .otherwise(col("o_orderpriority")),
+          lit("NONE")).as("pr"))
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  /** Q13 — per-field stats in ONE pass (ref: infer_schema A4,
+    * etl_pipeline.py:197-218): present_in = count(col), nulls derived. */
+  def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("c_acctbal")).as("present_in"),
+        (count(lit(1)) - count(col("c_acctbal"))).as("nulls"))
+
+  /** Q14 — broadcast dim join + agg (SURVEY §2.7). nation is tiny at any
+    * scale factor → explicit broadcast, no shuffle of the fact side's rows
+    * beyond the final groupBy. */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("customers"),
+        round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("n_name")
+  }
+
+  /** Q15 — TPC-H-style multi-join + agg (SURVEY §2.10). nation/region are
+    * broadcast (constant size); lineitem⋈orders⋈customer are key-partitioned
+    * shuffles that AQE may convert to broadcast at small SF. Revenue rounded
+    * per the declared-query contract (§5.6). */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("r_name")
+  }
+
+  /** Q16 — regex detection filter (ref: JSON block detector D2,
+    * etl_pipeline.py:81-90 → rlike). */
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("text").rlike("join.*filter|filter.*join"))
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** Q17 — hourly windowed agg, batch-equivalent of the streaming shape
+    * (SURVEY §2.8). date_trunc + groupBy = tumbling window. */
+  def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("v"))
+      .orderBy("h", "event_type")
+
+  /** Q18 — semi-join (SURVEY §2.7): left_semi avoids materializing the right
+    * side's columns and dedups build-side keys. */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Query map fragment contributed to [[graft.SparkEntry.queries]]. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project" -> (q01 _),
+    "q02_groupby_count" -> (q02 _),
+    "q03_global_count" -> (q03 _),
+    "q04_partition_ordinal" -> (q04 _),
+    "q05_source_index" -> (q05 _),
+    "q06_precedence_sort" -> (q06 _),
+    "q07_union_by_name" -> (q07 _),
+    "q08_distinct" -> (q08 _),
+    "q09_json_extract" -> (q09 _),
+    "q10_word_count" -> (q10 _),
+    "q11_substring_filter" -> (q11 _),
+    "q12_coalesce_cast" -> (q12 _),
+    "q13_field_stats" -> (q13 _),
+    "q14_join_agg" -> (q14 _),
+    "q15_multi_join" -> (q15 _),
+    "q16_regex_detect" -> (q16 _),
+    "q17_hourly_window" -> (q17 _),
+    "q18_semi_join" -> (q18 _)
+  )
+
+  /** DuckDB oracle SQL — column names MUST match the Spark results above. */
+  val oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 30 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_groupby_count" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q03_global_count" ->
+      """SELECT event_id, count(*) OVER () AS total_items FROM events
+        |ORDER BY event_id LIMIT 100""".stripMargin,
+    "q04_partition_ordinal" ->
+      """SELECT event_type, event_id,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS ordinal
+        |FROM events ORDER BY event_type, event_id LIMIT 200""".stripMargin,
+    "q05_source_index" ->
+      """SELECT event_type || '_' ||
+        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1 AS VARCHAR)
+        |  AS source_index
+        |FROM events ORDER BY source_index LIMIT 200""".stripMargin,
+    "q06_precedence_sort" ->
+      """SELECT event_id, event_type FROM events
+        |ORDER BY CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+        |  WHEN 'purchase' THEN 2 ELSE 3 END, event_id LIMIT 100""".stripMargin,
+    "q07_union_by_name" ->
+      """SELECT c_name AS name, c_acctbal AS bal FROM customer
+        |UNION ALL SELECT s_name, s_acctbal FROM supplier
+        |ORDER BY name, bal""".stripMargin,
+    "q08_distinct" ->
+      "SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type",
+    "q09_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+    "q10_word_count" ->
+      """SELECT doc_id,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS word_count
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+    "q11_substring_filter" ->
+      """SELECT doc_id, substr(text, 1, 50) AS title FROM documents
+        |WHERE length(trim(text)) > 5 ORDER BY doc_id LIMIT 100""".stripMargin,
+    "q12_coalesce_cast" ->
+      """SELECT o_orderkey,
+        |  coalesce(CAST(NULLIF(o_orderpriority, '') AS VARCHAR), 'NONE') AS pr
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q13_field_stats" ->
+      """SELECT count(*) AS n, count(c_acctbal) AS present_in,
+        |  count(*) - count(c_acctbal) AS nulls FROM customer""".stripMargin,
+    "q14_join_agg" ->
+      """SELECT n_name, count(*) AS customers, round(sum(c_acctbal), 2) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q15_multi_join" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q16_regex_detect" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(text, 'join.*filter|filter.*join')
+        |ORDER BY doc_id""".stripMargin,
+    "q17_hourly_window" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c,
+        |  round(sum(value), 2) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q18_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
