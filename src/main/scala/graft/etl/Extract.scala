@@ -1,0 +1,90 @@
+package graft.etl
+
+import com.fasterxml.jackson.databind.JsonNode
+
+/** Per-block extraction (SURVEY §2.3 E1–E6).
+  *
+  * Each detected block becomes one record, serialized as a single JSON object
+  * string — the heterogeneous pre-pivot payload representation (SURVEY §1.1).
+  * The Spark pipeline then infers one dynamic schema across all records
+  * (spark.read.json-style) and pivots to the wide frame, which is exactly the
+  * reference's infer_schema + normalize collapse.
+  *
+  * Pure Scala: runs inside a `flatMap` on executors, no driver involvement.
+  */
+object Extract {
+
+  /** One extracted record: kind, per-kind ordinal, and the record payload as
+    * a JSON object string (contains `type` and `source_index`). */
+  final case class Record(kind: String, ordinal: Int, sourceIndex: String, json: String)
+
+  /** Python str.split() semantics: split on any whitespace run, no empties. */
+  private[etl] def wordCount(s: String): Int = {
+    val t = s.trim
+    if (t.isEmpty) 0 else t.split("\\s+").length
+  }
+
+  private val titleRe =
+    java.util.regex.Pattern.compile("<title[^>]*>(.*?)</title>",
+      java.util.regex.Pattern.DOTALL | java.util.regex.Pattern.CASE_INSENSITIVE)
+  private val tagRe = java.util.regex.Pattern.compile("<[^>]+>")
+
+  /** E1 — HTML: title text + word count of the tag-stripped text. Both fields
+    * are later pruned (N1, etl_pipeline.py:226-230); they only feed the
+    * schema-stats artifact, so regex tag-stripping parity is sufficient
+    * (SURVEY §2.3 E1). */
+  private def extractHtml(html: String): JsonNode = {
+    val m = titleRe.matcher(html)
+    val title = if (m.find()) m.group(1) else ""
+    val text = tagRe.matcher(html).replaceAll(" ")
+    val o = Json.mapper.createObjectNode()
+    o.put("type", "html")
+    o.put("title", title)
+    o.put("word_count", wordCount(text))
+    o
+  }
+
+  /** E2 — JSON: parse, flatten (E3), then clobber any user field named
+    * `type` with 'json' (SURVEY D-2; etl_pipeline.py:134 behavior). */
+  private def extractJson(jsonStr: String): JsonNode = {
+    val flat = Json.flatten(Json.parseObject(jsonStr))
+    flat.put("type", "json")
+    flat
+  }
+
+  /** E4 — text: first-50-chars title + whitespace word count. */
+  private def extractText(text: String): JsonNode = {
+    val o = Json.mapper.createObjectNode()
+    o.put("type", "text")
+    o.put("title", if (text.length > 50) text.substring(0, 50) else text)
+    o.put("word_count", wordCount(text))
+    o
+  }
+
+  /** E5 — media: constant record, payload discarded (etl_pipeline.py:161-167). */
+  private def extractMedia(): JsonNode = {
+    val o = Json.mapper.createObjectNode()
+    o.put("type", "media")
+    o.put("title", "Base64 Media")
+    o.put("word_count", 0)
+    o
+  }
+
+  /** E6 — dispatcher: fixed kind order html→json→text→media, per-kind ordinal
+    * `{kind}_{idx}`; `source_index` set last so it clobbers any user field of
+    * that name, as the reference's dict assignment does. */
+  def extractRecords(content: String): Seq[Record] = {
+    val d = Detector.detect(content)
+    def emit(kind: String, payloads: Seq[String], f: String => JsonNode): Seq[Record] =
+      payloads.zipWithIndex.map { case (p, idx) =>
+        val node = f(p).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val si = s"${kind}_$idx"
+        node.put("source_index", si)
+        Record(kind, idx, si, Json.mapper.writeValueAsString(node))
+      }
+    emit("html", d.html, extractHtml) ++
+      emit("json", d.json, extractJson) ++
+      emit("text", d.text, extractText) ++
+      emit("media", d.media, _ => extractMedia())
+  }
+}

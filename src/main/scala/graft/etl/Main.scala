@@ -1,0 +1,89 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point mirroring the reference's main.py surface:
+  *
+  * {{{
+  * runMain graft.etl.Main process [--in inputs] [--out outputs]
+  * runMain graft.etl.Main db      [--in inputs] [--out outputs]   # + append store
+  * runMain graft.etl.Main watch   [--in inputs] [--out outputs]   # streaming
+  * runMain graft.etl.Main serve   [--port 5000]                   # HTTP API
+  * }}}
+  *
+  * Files are processed with per-file isolation (SURVEY D-3: app.py semantics,
+  * not main.py's accidental cross-file accumulation); per-file outputs
+  * overwrite, so after a directory batch the outputs reflect the last file —
+  * the reference's observable last-writer-wins contract (SURVEY §2.1 S5).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("process")
+    val opts = args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val inDir = opts.getOrElse("in", "inputs")
+    val outDir = opts.getOrElse("out", "outputs")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cmd match {
+      case "process" => runBatch(spark, inDir, outDir, useStore = false)
+      case "db" => runBatch(spark, inDir, outDir, useStore = true)
+      case "watch" =>
+        val q = graft.streaming.Watch.start(
+          spark, inDir, outDir, s"$outDir/_checkpoint",
+          useStore = opts.get("store").exists(_.toBoolean))
+        println(s"[watch] watching $inDir (checkpoint at $outDir/_checkpoint); Ctrl+C to stop")
+        q.awaitTermination()
+      case "serve" =>
+        val port = opts.getOrElse("port", "5000").toInt
+        graft.server.Api.start(spark, port)
+        println(s"[serve] listening on :$port (POST /process, GET /health)")
+        Thread.currentThread().join()
+      case other =>
+        System.err.println(s"unknown command: $other (use process|db|watch|serve)")
+        sys.exit(2)
+    }
+    if (cmd == "process" || cmd == "db") spark.stop()
+  }
+
+  /** S2 — directory batch: one pipeline run per file, sequential like the
+    * reference's loop (main.py:99-102) but each run is internally
+    * distributed. */
+  private def runBatch(
+      spark: SparkSession, inDir: String, outDir: String, useStore: Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(Paths.get(inDir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+    if (files.isEmpty) { println(s"[process] no files in $inDir"); return }
+    files.foreach { f =>
+      val start = java.time.Instant.now().toString
+      val ds = Pipeline.readWholeFiles(spark, f.toString)
+      val result = Pipeline.process(spark, ds)
+      if (result.totalItems == 0) {
+        println(s"[process] ${f.getFileName}: no records")
+      } else {
+        Sinks.writeCsvSingleFile(result.frame, s"$outDir/cleaned_output.csv")
+        Sinks.writeSchemaJson(result.fieldStats, s"$outDir/dynamic_schema.json")
+        Sinks.writeMetadataJson(
+          Pipeline.RunMetadata(start, java.time.Instant.now().toString,
+            f.getFileName.toString, result.totalItems, result.itemsByType),
+          s"$outDir/processing_metadata.json")
+        if (useStore) Sinks.appendStore(result, f.getFileName.toString, s"$outDir/store")
+        println(s"[process] ${f.getFileName}: ${result.totalItems} records " +
+          s"(${result.itemsByType.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")})")
+      }
+    }
+  }
+}

@@ -1,0 +1,179 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The Spark assembly of the reference pipeline (SURVEY §2 / §7.1 step 4):
+  *
+  * {{{
+  * wholetext read → flatMap(detect+extract)      // one row per file → N records
+  *   → infer dynamic schema (spark.read.json)    // reference infer_schema A3/A4
+  *   → from_json pivot to the wide frame         // reference normalize N2/N3
+  *   → prune artifacts, stamp total_items,       // N1, A1, N4, N5
+  *     precedence-ordered rows, sorted columns
+  * }}}
+  *
+  * Scale notes: extraction is embarrassingly parallel across files (flatMap,
+  * no shuffle); the dynamic schema needs one extra pass (inference action)
+  * exactly like `spark.read.json`; `total_items` is a driver-side `count()` +
+  * `lit`, never an unpartitioned window; the only shuffles are the tiny
+  * per-key stats aggregation and the final precedence sort.
+  */
+object Pipeline {
+
+  /** One extracted record row: file provenance + kind/ordinal for ordering +
+    * the JSON payload. Internal column names are prefixed to avoid colliding
+    * with user JSON fields. */
+  private final case class RecordRow(
+      _graft_file: String, _graft_kind: String, _graft_ordinal: Int, _graft_json: String)
+
+  /** Per-field stats artifact (reference infer_schema, etl_pipeline.py:197-218).
+    * `types` uses the SURVEY D-4 fixed mapping of Spark types to Python type
+    * names so the artifact stays byte-comparable. */
+  final case class FieldStats(types: Seq[String], nullable: Boolean, presentIn: Long)
+
+  final case class RunMetadata(
+      startTime: String,
+      endTime: String,
+      filename: String,
+      totalItems: Long,
+      itemsByType: Map[String, Long])
+
+  final case class Result(
+      frame: DataFrame,
+      fieldStats: Map[String, FieldStats],
+      itemsByType: Map[String, Long],
+      totalItems: Long)
+
+  private val core = Seq("type", "source_index", "total_items")
+  private val artifacts = Seq("word_count", "title")
+
+  /** S1/S2 — whole-file scan with UTF-8 → Latin-1 fallback
+    * (etl_pipeline.py:41-55). binaryFile source so the fallback decode is
+    * under our control; Latin-1 maps every byte, so decoding never fails. */
+  def readWholeFiles(spark: SparkSession, pathGlob: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) => (path, decodeWithFallback(bytes)) }
+  }
+
+  def decodeWithFallback(bytes: Array[Byte]): String = {
+    import java.nio.charset.{StandardCharsets, CodingErrorAction}
+    try {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(bytes, StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  /** Process a batch of (filename, content) documents into the normalized
+    * wide frame + schema artifact + counts. Per-file isolation (SURVEY D-3:
+    * app.py semantics — no cross-run accumulation). */
+  def process(spark: SparkSession, files: Dataset[(String, String)]): Result = {
+    import spark.implicits._
+
+    val records = files.flatMap { case (file, content) =>
+      Extract.extractRecords(content).map(r =>
+        RecordRow(file, r.kind, r.ordinal, r.json))
+    }.persist()
+
+    val total = records.count()
+    if (total == 0) {
+      records.unpersist()
+      return Result(spark.emptyDataFrame, Map.empty, Map.empty, 0L)
+    }
+
+    // A2 — items_by_type.
+    val itemsByType = records.groupBy($"_graft_kind").count()
+      .as[(String, Long)].collect().toMap
+
+    // A3/A4 — dynamic schema: Spark's native JSON inference over the record
+    // payloads (same two-pass infer-then-apply as spark.read.json).
+    val inferred = spark.read.json(records.select($"_graft_json").as[String]).schema
+
+    val wide = records
+      .withColumn("_graft_rec", from_json($"_graft_json", inferred))
+      .select($"_graft_file", $"_graft_kind", $"_graft_ordinal", $"_graft_json",
+        col("_graft_rec.*"))
+
+    val fieldStats = computeFieldStats(spark, wide, inferred, total)
+
+    // N1 — prune extraction artifacts (AFTER stats, like the reference:
+    // dynamic_schema.json legitimately contains fields the CSV lacks).
+    // A1/N5 — total_items stamped from the driver-side count, as a long.
+    val pruned = wide.drop(artifacts: _*)
+      .drop("total_items") // a user JSON field of that name is overwritten
+      .withColumn("total_items", lit(total))
+
+    // N2/N4 — precedence-ordered rows; core columns first, rest alphabetical.
+    val precedence = when($"_graft_kind" === "html", 0)
+      .when($"_graft_kind" === "json", 1)
+      .when($"_graft_kind" === "text", 2)
+      .otherwise(3)
+    val dataCols = pruned.columns.filterNot(_.startsWith("_graft_")).toSeq
+    val restCols = dataCols.filterNot(core.contains).sorted
+    val frame = pruned
+      .orderBy($"_graft_file", precedence, $"_graft_ordinal")
+      .select((core ++ restCols).map(colToCsvSafe(pruned.schema)): _*)
+
+    Result(frame, fieldStats, itemsByType, total)
+  }
+
+  /** Columns that are always-null JSON fields infer as NullType, which sinks
+    * can't write — surface them as string nulls. */
+  private def colToCsvSafe(schema: StructType)(name: String) =
+    schema.find(_.name == name) match {
+      case Some(f) if f.dataType == NullType => col(name).cast(StringType).as(name)
+      case _ => col(name)
+    }
+
+  /** A4 — per-field stats in two small aggregations:
+    *   - present_in: explode top-level JSON keys → groupBy key → count
+    *     (distinguishes "key absent" from "key present with null value",
+    *     which the pivoted frame alone cannot);
+    *   - non-null value counts: ONE pass of count(col) over all fields.
+    * nullable = key missing somewhere OR an explicit null value exists. */
+  private def computeFieldStats(
+      spark: SparkSession,
+      wide: DataFrame,
+      inferred: StructType,
+      total: Long): Map[String, FieldStats] = {
+    import spark.implicits._
+
+    val presentIn = wide
+      .select(explode(json_object_keys($"_graft_json")).as("k"))
+      .groupBy($"k").count()
+      .as[(String, Long)].collect().toMap
+
+    val fields = inferred.fields.toSeq
+    val countsRow = wide.agg(
+      count(lit(1)).as("_n"),
+      fields.map(f => count(col(f.name)).as(f.name)): _*
+    ).collect()(0)
+
+    fields.map { f =>
+      val present = presentIn.getOrElse(f.name, 0L)
+      val nonNull = countsRow.getAs[Long](f.name)
+      val nullable = present < total || nonNull < present
+      f.name -> FieldStats(Seq(pythonTypeName(f.dataType)), nullable, present)
+    }.toMap
+  }
+
+  /** SURVEY D-4 — fixed Spark-type → Python-type-name mapping. */
+  def pythonTypeName(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => "int"
+    case StringType => "str"
+    case DoubleType | FloatType => "float"
+    case BooleanType => "bool"
+    case _: ArrayType => "list"
+    case NullType => "NoneType"
+    case other => other.simpleString
+  }
+}

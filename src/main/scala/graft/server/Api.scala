@@ -1,0 +1,136 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.etl.{Json, Pipeline}
+
+/** S4/S9 — HTTP API (reference app.py:51-140 + app_simple.py /health).
+  *
+  * `POST /process` takes a raw text body, runs the pipeline on it as a
+  * single-document batch (fresh, isolated — app.py semantics, SURVEY D-3),
+  * and returns `{success, data, types}`:
+  *   - `data`: one JSON object per row; nulls kept (NaN→null), numbers /
+  *     booleans / arrays preserved, everything else stringified
+  *     (app.py:98-135);
+  *   - `types`: per-column UI type from a pure schema walk — `array`,
+  *     `boolean`, `number`, `datetime`, `string` (app.py:79-94 collapses to
+  *     a schema walk on Spark, SURVEY §2.4 A5 — no data pass needed).
+  *
+  * JDK built-in httpserver: no new dependency under the offline build
+  * (SURVEY §7.5). The HTTP layer lives on the driver; only the two Spark
+  * actions (inference + collect) touch executors.
+  */
+object Api {
+
+  /** A5 — column type map from the schema alone. */
+  def columnTypes(df: DataFrame): Map[String, String] =
+    df.schema.fields.map { f =>
+      f.name -> (f.dataType match {
+        case _: ArrayType => "array"
+        case BooleanType => "boolean"
+        case _: NumericType => "number"
+        case TimestampType | DateType => "datetime"
+        case _ => "string"
+      })
+    }.toMap
+
+  /** S9 — row serialization with nulls kept and scalars typed. */
+  def rowsToJson(df: DataFrame): String = {
+    val m = Json.mapper
+    val arr = m.createArrayNode()
+    val fields = df.schema.fields
+    df.collect().foreach { row =>
+      val o = arr.addObject()
+      fields.zipWithIndex.foreach { case (f, i) =>
+        if (row.isNullAt(i)) o.putNull(f.name)
+        else (f.dataType, row.get(i)) match {
+          case (LongType, v: Long) => o.put(f.name, v)
+          case (IntegerType, v: Int) => o.put(f.name, v)
+          case (DoubleType, v: Double) =>
+            if (v.isNaN) o.putNull(f.name) else o.put(f.name, v)
+          case (BooleanType, v: Boolean) => o.put(f.name, v)
+          case (_: ArrayType, v) =>
+            val a = o.putArray(f.name)
+            v.asInstanceOf[scala.collection.Seq[Any]].foreach {
+              case null => a.addNull()
+              case x: Long => a.add(x)
+              case x: Int => a.add(x)
+              case x: Double => a.add(x)
+              case x: Boolean => a.add(x)
+              case x => a.add(x.toString)
+            }
+          case (_, v) => o.put(f.name, v.toString)
+        }
+      }
+    }
+    m.writeValueAsString(arr)
+  }
+
+  def processBody(spark: SparkSession, body: String): String = {
+    import spark.implicits._
+    val result = Pipeline.process(spark, Seq(("request_body.txt", body)).toDS())
+    val m = Json.mapper
+    val root = m.createObjectNode()
+    root.put("success", true)
+    if (result.totalItems == 0) {
+      root.set[com.fasterxml.jackson.databind.JsonNode]("data", m.createArrayNode())
+      root.set[com.fasterxml.jackson.databind.JsonNode]("types", m.createObjectNode())
+    } else {
+      root.set[com.fasterxml.jackson.databind.JsonNode]("data",
+        m.readTree(rowsToJson(result.frame)))
+      val types = root.putObject("types")
+      columnTypes(result.frame).toSeq.sortBy(_._1).foreach { case (k, v) => types.put(k, v) }
+    }
+    m.writeValueAsString(root)
+  }
+
+  /** Start the server on `port`; returns the handle (call `.stop(0)`). */
+  def start(spark: SparkSession, port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    server.createContext("/health", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        respond(ex, 200, """{"status": "ok"}""")
+    })
+
+    server.createContext("/process", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"success": false, "error": "POST required"}""") }
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          if (body.trim.isEmpty) {
+            // parity: reference rejects empty bodies with 400 (app.py:61-62)
+            respond(ex, 400, """{"error": "No data provided"}""")
+            return
+          }
+          val json =
+            try Api.processBody(spark, body)
+            catch {
+              case e: Exception =>
+                s"""{"success": false, "error": ${Json.mapper.writeValueAsString(
+                  Json.mapper.getNodeFactory.textNode(String.valueOf(e.getMessage)))}}"""
+            }
+          respond(ex, 200, json)
+        }
+      }
+    })
+
+    server.setExecutor(null)
+    server.start()
+    server
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+}

@@ -1,0 +1,136 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+
+/** End-to-end golden tests: the reference's canonical fixture
+  * (sample_data.txt) must produce the observed reference output — 27 rows ×
+  * 17 columns, html(3)→json(9)→text(15), total_items=27 — modulo declared
+  * divergences (SURVEY §7.4). Golden values captured by executing the
+  * reference pipeline (FIXTURES.md F1). */
+class PipelineSpec extends SparkSpec {
+
+  private val expectedCols = Seq(
+    "type", "source_index", "total_items", "amount", "budget_category",
+    "completion", "department", "duration_hours", "employee_id", "impact",
+    "maintenance_id", "name", "project", "quarter", "salary", "status",
+    "team_size")
+
+  private lazy val result: Pipeline.Result = {
+    val files = Pipeline.readWholeFiles(spark, "/root/reference/sample_data.txt")
+    Pipeline.process(spark, files)
+  }
+
+  test("F1: sample_data.txt → 27 rows × 17 columns in reference order") {
+    assert(result.frame.columns.toSeq == expectedCols)
+    assert(result.totalItems == 27)
+    assert(result.frame.count() == 27)
+  }
+
+  test("F1: items_by_type = html 3, json 9, text 15") {
+    assert(result.itemsByType == Map("html" -> 3L, "json" -> 9L, "text" -> 15L))
+  }
+
+  test("F1: row order html→json→text with per-kind ordinals") {
+    val si = result.frame.select("source_index")
+      .collect().map(_.getString(0)).toSeq
+    val expected = (0 until 3).map(i => s"html_$i") ++
+      (0 until 9).map(i => s"json_$i") ++ (0 until 15).map(i => s"text_$i")
+    assert(si == expected)
+  }
+
+  test("F1: total_items = 27 stamped on every row as integer") {
+    val vals = result.frame.select("total_items").distinct().collect()
+    assert(vals.map(_.getLong(0)).toSeq == Seq(27L))
+  }
+
+  test("F1: schema artifact has the observed 18 fields incl pruned artifacts") {
+    val expectedStats = Set(
+      "amount", "budget_category", "completion", "department",
+      "duration_hours", "employee_id", "impact", "maintenance_id", "name",
+      "project", "quarter", "salary", "source_index", "status", "team_size",
+      "title", "type", "word_count")
+    assert(result.fieldStats.keySet == expectedStats)
+  }
+
+  test("F1: D-2 type clobber — maintenance record's type is 'json'") {
+    import org.apache.spark.sql.functions.col
+    val m = result.frame.filter(col("maintenance_id").isNotNull).collect()
+    assert(m.length == 1)
+    assert(m(0).getAs[String]("type") == "json")
+  }
+
+  test("F1: field stats semantics (present_in / nullable)") {
+    val st = result.fieldStats
+    // type + source_index present in all 27 records, never null
+    assert(st("type") == Pipeline.FieldStats(Seq("str"), nullable = false, 27))
+    assert(st("source_index").presentIn == 27)
+    // employee_id only on the 3 employee JSON records → nullable because the
+    // reference's nullable check spans ALL records (item.get → None when absent)
+    assert(st("employee_id") == Pipeline.FieldStats(Seq("int"), nullable = true, 3))
+    assert(st("salary").presentIn == 3)
+    // word_count on html + text records (json records don't carry it)
+    assert(st("word_count").presentIn == 18)
+  }
+
+  test("CSV single-file sink round-trips with header") {
+    val out = Files.createTempDirectory("graft_csv").toString + "/cleaned_output.csv"
+    Sinks.writeCsvSingleFile(result.frame, out)
+    assert(Files.exists(Paths.get(out)))
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 27)
+    assert(back.columns.toSeq == expectedCols)
+  }
+
+  test("schema + metadata JSON sinks write valid JSON") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Sinks.writeSchemaJson(result.fieldStats, s"$dir/dynamic_schema.json")
+    Sinks.writeMetadataJson(
+      Pipeline.RunMetadata("t0", "t1", "sample_data.txt", result.totalItems,
+        result.itemsByType),
+      s"$dir/processing_metadata.json")
+    val sch = Json.mapper.readTree(Files.readString(Paths.get(s"$dir/dynamic_schema.json")))
+    assert(sch.get("employee_id").get("present_in").asLong() == 3)
+    val meta = Json.mapper.readTree(Files.readString(Paths.get(s"$dir/processing_metadata.json")))
+    assert(meta.get("total_items").asLong() == 27)
+    assert(meta.get("items_by_type").get("text").asLong() == 15)
+  }
+
+  test("append store is cumulative across runs (S8 semantics)") {
+    val dir = Files.createTempDirectory("graft_store").toString
+    Sinks.appendStore(result, "sample_data.txt", dir)
+    Sinks.appendStore(result, "sample_data.txt", dir)
+    assert(spark.read.parquet(s"$dir/processed_data").count() == 54)
+    assert(spark.read.parquet(s"$dir/schemas").count() == 2)
+  }
+
+  test("latin-1 fallback decode (S1)") {
+    val bytes = Array[Byte](0x63, 0x61, 0x66, 0xE9.toByte) // "café" in latin-1
+    assert(Pipeline.decodeWithFallback(bytes) == "café")
+    val utf8 = "café".getBytes("UTF-8")
+    assert(Pipeline.decodeWithFallback(utf8) == "café")
+  }
+
+  test("empty input → empty result") {
+    import spark.implicits._
+    val r = Pipeline.process(spark, Seq.empty[(String, String)].toDS())
+    assert(r.totalItems == 0 && r.fieldStats.isEmpty)
+  }
+
+  test("F2: products JSON array → 3 json records, 8 schema fields") {
+    import spark.implicits._
+    val products =
+      """[ {"product_name":"Laptop","price":1299.99,"in_stock":true,"categories":["electronics"],"rating":4.5},
+        |  {"product_name":"Mouse","price":29.99,"in_stock":true,"categories":["accessories"],"rating":4.2},
+        |  {"product_name":"Keyboard","price":79.99,"in_stock":false,"categories":["peripherals","input"],"rating":4.3} ]""".stripMargin
+    val r = Pipeline.process(spark, Seq(("products.txt", products)).toDS())
+    assert(r.itemsByType == Map("json" -> 3L))
+    assert(r.frame.columns.toSet == Set("type", "source_index", "total_items",
+      "product_name", "price", "in_stock", "categories", "rating"))
+    // array + boolean types survive into the frame schema
+    import org.apache.spark.sql.types._
+    val sch = r.frame.schema
+    assert(sch("in_stock").dataType == BooleanType)
+    assert(sch("categories").dataType.isInstanceOf[ArrayType])
+  }
+}

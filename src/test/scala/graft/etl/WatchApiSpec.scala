@@ -1,0 +1,92 @@
+package graft.etl
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Streaming watch mode + HTTP API end-to-end tests. */
+class WatchApiSpec extends SparkSpec {
+
+  test("watch mode processes an arriving file and writes all three sinks") {
+    val in = Files.createTempDirectory("graft_watch_in").toString
+    val out = Files.createTempDirectory("graft_watch_out").toString
+    val q = graft.streaming.Watch.start(spark, in, out, s"$out/_cp")
+    try {
+      Files.copy(Paths.get("/root/reference/sample_data.txt"),
+        Paths.get(s"$in/sample_data.txt"))
+      q.processAllAvailable()
+      assert(Files.exists(Paths.get(s"$out/cleaned_output.csv")))
+      assert(Files.exists(Paths.get(s"$out/dynamic_schema.json")))
+      val meta = Json.mapper.readTree(
+        Files.readString(Paths.get(s"$out/processing_metadata.json")))
+      assert(meta.get("total_items").asLong() == 27)
+      assert(meta.get("filename").asText() == "sample_data.txt")
+    } finally q.stop()
+  }
+
+  test("POST /process returns {success, data, types} (F2 products fixture)") {
+    val server = graft.server.Api.start(spark, 0)
+    val port = server.getAddress.getPort
+    try {
+      val body =
+        """{"product_name":"Laptop","price":1299.99,"in_stock":true,"categories":["electronics"],"rating":4.5}
+          |{"product_name":"Mouse","price":29.99,"in_stock":true,"categories":["accessories"],"rating":4.2}""".stripMargin
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/process"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val json = Json.mapper.readTree(resp.body())
+      assert(json.get("success").asBoolean())
+      assert(json.get("data").size() == 2)
+      val types = json.get("types")
+      assert(types.get("categories").asText() == "array")
+      assert(types.get("in_stock").asText() == "boolean")
+      assert(types.get("price").asText() == "number")
+      assert(types.get("product_name").asText() == "string")
+      // numbers survive as numbers, not strings
+      assert(json.get("data").get(0).get("price").isDouble)
+      assert(json.get("data").get(0).get("total_items").asLong() == 2L)
+    } finally server.stop(0)
+  }
+
+  test("GET /health returns ok; non-POST /process is rejected") {
+    val server = graft.server.Api.start(spark, 0)
+    val port = server.getAddress.getPort
+    try {
+      val client = HttpClient.newHttpClient()
+      val health = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() == 200)
+      assert(Json.mapper.readTree(health.body()).get("status").asText() == "ok")
+      val wrong = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/process")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(wrong.statusCode() == 405)
+      // parity with app.py:61-62 — empty body is a 400
+      val empty = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/process"))
+          .POST(HttpRequest.BodyPublishers.ofString("   ")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(empty.statusCode() == 400)
+    } finally server.stop(0)
+  }
+
+  test("POST /process with garbage body still succeeds with text rows") {
+    val server = graft.server.Api.start(spark, 0)
+    val port = server.getAddress.getPort
+    try {
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/process"))
+          .POST(HttpRequest.BodyPublishers.ofString("just some plain prose here")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val json = Json.mapper.readTree(resp.body())
+      assert(json.get("success").asBoolean())
+      assert(json.get("data").size() == 1)
+      assert(json.get("data").get(0).get("type").asText() == "text")
+    } finally server.stop(0)
+  }
+}
