@@ -16,12 +16,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.Relational.q15(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (q01–q18) plus the
+    * LLM-pipeline extension operators (x01–x13). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++ graft.queries.Extensions.queries
 
   /** For each key in `queries`, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → driver records a rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql
+    graft.queries.Relational.oracleSql ++ graft.queries.Extensions.oracleSql
 }

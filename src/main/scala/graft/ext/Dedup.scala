@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four families, in increasing semantic looseness:
+  *   - exact: hash-groupBy on content (or a fingerprint of it);
+  *   - MinHash + LSH: near-dup candidate generation in O(n·perms) + a
+  *     band-bucket self-join — THE scale path for ~100 TB corpora, where any
+  *     O(n²) pairwise comparison is impossible;
+  *   - SimHash: 32-bit locality-sensitive signature, Hamming-close ⇒ similar;
+  *   - n-gram Jaccard: exact pairwise similarity — only for verifying LSH
+  *     candidates or for small bounded subsets.
+  *
+  * Signature computation is pure column expressions (array functions over the
+  * token array — map-side, codegen'd, zero shuffle). Only the LSH bucket join
+  * and the final group-bys shuffle, and those shuffle keys are
+  * high-cardinality hashes, so they partition evenly; identical boilerplate
+  * docs (the classic LSH skew case) should be removed by `exactGroups` first.
+  */
+object Dedup {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles, distinct. Callers must filter docs with fewer
+    * than `n` tokens (the expression yields an empty array only for exactly
+    * size==n-1 … guard with `size(tokens) >= n`). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+  }
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * representative (min id) and the duplicate count.
+    * Scale: single hash-partitioned groupBy; partial aggregation map-side. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup: keep only the representative row per distinct content. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature columns mh0..mh{p-1}: min over shingles of the salted
+    * portable hash. Pure map-side array expressions — no explode, no shuffle.
+    */
+  def minhashColumns(text: Column, numPerms: Int, shingleSize: Int = 3): Seq[Column] = {
+    val sh = shingles(text, shingleSize)
+    (0 until numPerms).map { i =>
+      array_min(transform(sh, s => PortableHash.md5Long(s, s"$i:"))).as(s"mh$i")
+    }
+  }
+
+  /** MinHash + LSH candidate pairs: signatures → bands of `rowsPerBand`
+    * hashes → band-bucket self-join → distinct (a,b) pairs, a < b, verified
+    * with exact token-Jaccard ≥ `threshold`.
+    *
+    * Cost at scale: O(n · perms) signature work, one shuffle on (band,
+    * bucket), and Jaccard verification only on candidates — never O(n²).
+    */
+  def lshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      shingleSize: Int = 3): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms must be divisible by rowsPerBand")
+    val numBands = numPerms / rowsPerBand
+
+    val withSig = docs
+      .filter(size(tokens(col(textCol))) >= shingleSize)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .select((Seq(col("id"), col("text")) ++
+        minhashColumns(col("text"), numPerms, shingleSize)): _*)
+
+    // one row per (doc, band) with the band's bucket key
+    val banded = withSig.select(
+      col("id"), col("text"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",",
+            (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("text"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .distinct()
+
+    // verify with the SAME similarity the signatures approximate — shingle
+    // Jaccard (token Jaccard would pass order-scrambled docs the minhash
+    // never collides on)
+    val ta = shingles(col("text_a"), shingleSize)
+    val tb = shingles(col("text_b"), shingleSize)
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(ta, tb)).cast("double") / size(array_union(ta, tb)))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over distinct tokens with the portable hash: bit b of
+    * the signature is set iff Σ_t (±1 by bit b of hash(t)) > 0.
+    * Pure array expressions — map-side only. */
+  def simhashColumn(text: Column, bits: Int = 32): Column = {
+    val hv = transform(distinctTokens(text), t => PortableHash.md5Long(t))
+    val bitCols = (0 until bits).map { b =>
+      val vote = aggregate(hv, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _).as("simhash")
+  }
+
+  /** Exact pairwise token-Jaccard over a bounded subset — the verification /
+    * small-data path (the scale path is `lshPairs`). O(n²) in the subset
+    * size; callers MUST bound it. */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), distinctTokens(col(textCol)).as("tok"))
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.tok"), col("b.tok"))).cast("double") /
+          size(array_union(col("a.tok"), col("b.tok")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash
+
+/** Text-analysis operators for training-data curation: language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * All pure column expressions (map-side, codegen'd, shuffle-free) — at
+  * 100 TB these run at scan speed as narrow transformations.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram-free heuristic
+    * language ID. Fixed and public — chosen for high frequency in each
+    * language, not tuned to any corpus. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that"),
+    "es" -> Seq("el", "los", "que", "y", "un", "por", "con", "para"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour", "sur"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "我", "他"))
+
+  /** Per-language stopword-hit score columns s_de..s_zh (distinct-token
+    * intersection size). */
+  def langScores(text: Column): Seq[Column] = {
+    val toks = Dedup.distinctTokens(text)
+    stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      size(array_intersect(toks, array(words.map(lit): _*))).cast("long").as(s"s_$lang")
+    }
+  }
+
+  /** argmax language with alphabetical tie-break (deterministic). Operates
+    * on the s_XX columns produced by [[langScores]]. */
+  def predictedLang: Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val m = greatest(langs.map(l => col(s"s_$l")): _*)
+    langs.foldRight(lit("und"): Column) { (l, elseCol) =>
+      when(col(s"s_$l") === m && m > 0, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality-score columns: length, word count, average word length,
+    * stopword ratio (en), and a bounded composite score. All portable
+    * arithmetic (round to 4 decimals where double division is involved). */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val nChars = length(text).cast("long")
+    val nWords = (length(text) - length(translate(text, " ", "")) + 1).cast("long")
+    val enHits = size(array_intersect(
+      Dedup.distinctTokens(text), array(stopwords("en").map(lit): _*)))
+    val avgWordLen = round(length(translate(text, " ", "")).cast("double") / nWords, 4)
+    val stopRatio = round(enHits.cast("double") / nWords, 4)
+    val score = round(
+      least(nWords.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
+        least(stopRatio * lit(10.0), lit(1.0)) * 0.3 +
+        when(avgWordLen.between(3.0, 8.0), 0.2).otherwise(0.0), 4)
+    Seq(nChars.as("n_chars"), nWords.as("n_words"),
+      avgWordLen.as("avg_word_len"), stopRatio.as("stop_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Whitespace token count + a BPE-ish regex token count (letter runs,
+    * single digits, single punctuation marks — the shape a byte-pair
+    * tokenizer's pre-tokenizer uses). */
+  def tokenCountColumns(text: Column): Seq[Column] = Seq(
+    (length(text) - length(translate(text, " ", "")) + 1).cast("long").as("ws_tokens"),
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+      .cast("long").as("bpe_tokens"))
+
+  /** Document fingerprint via the native RollingHash expression. */
+  def fingerprint(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(text)))
+  }
+
+  /** Annotate a documents frame with all text-analysis columns. */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      (docs.columns.map(col).toSeq ++
+        langScores(t) ++ qualityColumns(t) ++ tokenCountColumns(t)): _*)
+  }
+}

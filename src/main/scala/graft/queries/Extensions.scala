@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Declared queries for the LLM-training-data extension operators (the
+  * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
+  * Jaccard / embedding cosine), similarity search (brute-force + IVF),
+  * text analysis (lang-ID / quality / token counts / fingerprint),
+  * multimodal metadata, and sessionization.
+  *
+  * Every query is deterministic and has a DuckDB oracle built on portable
+  * primitives (md5-hex→bigint hashes, double-only float math, explicit
+  * rounding) so the driver can value-check rather than rows-only-check.
+  * O(n²) pairwise queries are bounded to fixed id-subsets — the scale paths
+  * are the LSH/IVF operators, exercised by the same queries' bucketed
+  * variants and by ScalaTest on planted near-duplicates.
+  */
+object Extensions {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** x01 — exact dedup groups via content-hash groupBy. */
+  def x01(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .select("fp", "keep_id", "dup_count")
+      .orderBy("keep_id")
+
+  /** x02 — MinHash signatures (4 portable permutations) over 3-gram word
+    * shingles; map-side array expressions, no shuffle before the sort. */
+  def x02(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .filter(size(Dedup.tokens(col("text"))) >= 3)
+    d.select((col("doc_id") +: Dedup.minhashColumns(col("text"), 4)): _*)
+      .orderBy("doc_id")
+  }
+
+  /** x03 — 32-bit SimHash signature per document. */
+  def x03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), Dedup.simhashColumn(col("text")))
+      .orderBy("doc_id")
+
+  /** x04 — exact n-gram (token) Jaccard near-dup pairs on a bounded subset
+    * (the unbounded path is lshPairs — see DedupSpec). */
+  def x04(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 120), "doc_id", "text",
+        threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jac"))
+      .orderBy("id_a", "id_b")
+
+  /** x05 — embedding-cosine near-dup pairs (double math, bounded subset). */
+  def x05(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 300), threshold = 0.25)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+
+  /** x06 — brute-force cosine top-5 for a small query batch: the exact ANN
+    * baseline (broadcast queries, map-side scoring, top-k window). */
+  def x06(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** x07 — IVF-style bucketed approximate top-3 (sign-pattern buckets over
+    * the leading 8 dims): the scale path for ANN. */
+  def x07(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), k = 3, dims = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** x08 — heuristic language ID: stopword-hit scores + argmax language. */
+  def x08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((col("doc_id") +: TextAnalysis.langScores(col("text"))): _*)
+      .withColumn("predicted", TextAnalysis.predictedLang)
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** x09 — quality scoring: length/word/stopword features + composite. */
+  def x09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*)
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** x10 — token counting: whitespace + BPE-ish regex pre-tokenizer. */
+  def x10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((col("doc_id") +: TextAnalysis.tokenCountColumns(col("text"))): _*)
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** x11 — document fingerprint via the native RollingHash expression
+    * (whole-stage-codegen'd custom Catalyst Expression). */
+  def x11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** x12 — multimodal metadata: binary payload column decoded through the
+    * mapPartitions batch-decoder plumbing (stub decoder — deterministic
+    * fake; the Spark-side schema/partitioning/batching is the real thing). */
+  def x12(s: SparkSession, dir: String): DataFrame = {
+    val payloads = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Multimodal.decodeBatch(payloads, Multimodal.StubDecoder).toDF()
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_bytes"),
+        col("first_byte").cast("long").as("first_byte"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** x13 — sessionization (30-min gap) over the events stream, batch shape:
+    * lag + conditional cumulative sum per user. The streaming equivalent is
+    * flatMapGroupsWithState; this declared query pins the semantics. */
+  def x13(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lagTs = lag(col("ts"), 1).over(w)
+    val newSess = when(
+      lagTs.isNull ||
+        (unix_micros(col("ts")) - unix_micros(lagTs)) > 1800L * 1000000L, 1)
+      .otherwise(0)
+    e.select(col("event_id"), col("user_id"), newSess.as("ns"), col("ts"))
+      .withColumn("session_seq",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .select("event_id", "user_id", "session_seq")
+      .orderBy("event_id")
+      .limit(500)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_dedup_exact" -> (x01 _),
+    "x02_dedup_minhash" -> (x02 _),
+    "x03_dedup_simhash" -> (x03 _),
+    "x04_dedup_jaccard" -> (x04 _),
+    "x05_dedup_embed" -> (x05 _),
+    "x06_ann_brute" -> (x06 _),
+    "x07_ann_ivf" -> (x07 _),
+    "x08_lang_id" -> (x08 _),
+    "x09_quality" -> (x09 _),
+    "x10_token_count" -> (x10 _),
+    "x11_fingerprint" -> (x11 _),
+    "x12_multimodal" -> (x12 _),
+    "x13_sessionize" -> (x13 _)
+  )
+
+  private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
+  private def mh(i: Int) = hex15.format(s"'$i:' || s")
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "x02_dedup_minhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') w FROM documents
+         |  WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) s
+         |  FROM tok)
+         |SELECT doc_id, min(${mh(0)}) AS mh0, min(${mh(1)}) AS mh1,
+         |       min(${mh(2)}) AS mh2, min(${mh(3)}) AS mh3
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x03_dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) tk
+         |  FROM documents WHERE doc_id < 200),
+         |h AS (SELECT doc_id, ${hex15.format("tk")} hv FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END w
+         |  FROM h, (SELECT unnest(range(0, 32)) b) bb(b)),
+         |bsum AS (SELECT doc_id, b, sum(w) sw FROM bits GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  sum(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+         |FROM bsum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x04_dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) tok
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jac
+        |FROM t a, t b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x05_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |    AS cos_sim
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x06_ann_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM q, e WHERE e.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "x07_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+        |     + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+        |     + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+        |     + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+        |     + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "x08_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) tok FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_intersect(tok, ['der','die','das','und','ist','nicht','mit','ein'])) AS BIGINT) AS s_de,
+        |    CAST(len(list_intersect(tok, ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS s_en,
+        |    CAST(len(list_intersect(tok, ['el','los','que','y','un','por','con','para'])) AS BIGINT) AS s_es,
+        |    CAST(len(list_intersect(tok, ['le','les','et','est','une','dans','pour','sur'])) AS BIGINT) AS s_fr,
+        |    CAST(len(list_intersect(tok, ['的','是','不','了','在','人','我','他'])) AS BIGINT) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS predicted
+        |FROM s ORDER BY doc_id LIMIT 300""".stripMargin,
+    "x09_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    length(replace(text, ' ', '')) AS n_nonspace,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS en_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, n_words,
+        |    round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+        |    round(CAST(en_hits AS DOUBLE) / n_words, 4) AS stop_ratio
+        |  FROM f)
+        |SELECT doc_id, n_chars, n_words, avg_word_len, stop_ratio,
+        |  round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.5
+        |    + least(stop_ratio * 10.0, CAST(1.0 AS DOUBLE)) * 0.3
+        |    + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
+        |    AS quality_score
+        |FROM r ORDER BY doc_id LIMIT 300""".stripMargin,
+    "x10_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "x11_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "x12_multimodal" ->
+      """SELECT doc_id, 'stub' AS format,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |  CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS BIGINT) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "x13_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |s AS (
+        |  SELECT event_id, user_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |            > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e)
+        |SELECT event_id, user_id,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM s ORDER BY event_id LIMIT 500""".stripMargin
+  )
+}

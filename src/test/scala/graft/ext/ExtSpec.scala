@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.RollingHash
+
+/** Extension-operator behavior tests (the declared x-queries are value-
+  * checked against DuckDB by the driver; these cover operator semantics the
+  * oracle can't — LSH recall, codegen equivalence, decode plumbing). */
+class ExtSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsFrom(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+
+  test("LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow") // 1-token change
+    val unrelated = "completely different words about spark window functions and shuffles"
+    val docs = docsFrom(Seq(
+      (1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, "another separate document with its own vocabulary entirely here")))
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text",
+      numPerms = 16, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("LSH finds all high-shingle-Jaccard pairs on real-ish data") {
+    val docs = docsFrom(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq)
+    // exact pairwise SHINGLE jaccard (the metric minhash approximates)
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 3).as("tok"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val exact = a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        (size(array_intersect(col("a.tok"), col("b.tok"))).cast("double") /
+          size(array_union(col("a.tok"), col("b.tok")))).as("j"))
+      .filter(col("j") >= 0.9)
+      .select("a.id", "b.id").as[(Long, Long)].collect().toSet
+    // aggressive banding (2 rows/band) → collision prob 1-(1-s²)^8 ≈ 1 at s≥0.9
+    val lsh = Dedup.lshPairs(docs, "doc_id", "text",
+      numPerms = 16, rowsPerBand = 2, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh), s"missing: ${exact.diff(lsh)}")
+  }
+
+  test("exact dedup keeps one representative per duplicated content") {
+    val docs = docsFrom(Seq(
+      (10L, "same text"), (11L, "same text"), (12L, "other text")))
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 12L))
+  }
+
+  test("RollingHash: interpreted eval == codegen == reference Scala loop") {
+    RollingHash.register(spark)
+    val texts = Seq("", "a", "hello world", "Zßé mixed",
+      "the quick brown fox") // incl. empty + non-ASCII
+    def refHash(s: String): Long = {
+      var acc = 0L
+      s.foreach(c => acc = (acc * 31 + c) % 1000000007L)
+      acc
+    }
+    val df = texts.toDF("t")
+    // wholestage codegen path
+    val got = df.select(TextAnalysis.fingerprint(col("t"))).as[Long].collect().toSeq
+    assert(got == texts.map(refHash))
+    // SQL-registered path (and interpreted eval via filter on non-codegen context)
+    df.createOrReplaceTempView("rh_in")
+    val sqlGot = spark.sql("SELECT rolling_hash(t) FROM rh_in").as[Long].collect().toSeq
+    assert(sqlGot == texts.map(refHash))
+  }
+
+  test("multimodal decodeBatch routes payloads through the decoder per partition") {
+    val df = Seq((1L, "abc".getBytes("UTF-8")), (2L, Array.empty[Byte]))
+      .toDF("doc_id", "payload").repartition(2)
+    val out = Multimodal.decodeBatch(df, Multimodal.StubDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).n_bytes == 3 && out(0).first_byte == 'a'.toInt)
+    assert(out(1).n_bytes == 0 && out(1).first_byte == 0)
+    assert(out.forall(_.format == "stub"))
+  }
+
+  test("IVF search returns a subset of brute-force results per query (same bucket)") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 500)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    // every IVF hit must carry the exact brute-force cosine for that pair
+    ivf.foreach { case (q, n, c) =>
+      assert(math.abs(brute(q)(n) - c) < 1e-12)
+    }
+  }
+
+  test("language ID picks the language with most stopword hits") {
+    val docs = docsFrom(Seq(
+      (1L, "the cat and the dog of it is that"),
+      (2L, "der hund und die katze ist nicht mit"),
+      (3L, "xyzzy plugh qwerty"))) // no hits → und
+    val out = docs
+      .select((col("doc_id") +: TextAnalysis.langScores(col("text"))): _*)
+      .withColumn("predicted", TextAnalysis.predictedLang)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+}
