@@ -3,6 +3,9 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.GraftColumnBridge
+
+import graft.functions.DotProduct
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -18,20 +21,25 @@ import org.apache.spark.sql.expressions.Window
   *     assignment is a map-side expression and the join is hash-partitioned
   *     on bucket — the crossproduct never materializes.
   *
-  * All math in double (cast from float) with left-to-right summation, so an
-  * external oracle (DuckDB list_cosine_similarity) reproduces results
-  * bit-for-bit.
+  * Scoring uses the native [[graft.functions.DotProduct]] expression (tight
+  * codegen loop, no higher-order-function interpretation), and norms are
+  * computed ONCE per vector before the join rather than per pair — the
+  * cosine value is bit-identical either way (`sqrt(dot(v,v))` is the same
+  * number wherever it's evaluated), so the DuckDB oracle still matches
+  * exactly. All accumulation in double, left-to-right.
   */
 object Similarity {
 
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
-
-  /** Σ aᵢ·bᵢ via zip_with + aggregate — codegen'd, no UDF. */
+  /** Native codegen'd Σ aᵢ·bᵢ in double (accepts float or double arrays). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Pairwise cosine from pre-joined vector+norm columns. */
+  private def cosFrom(av: Column, an: Column, bv: Column, bn: Column): Column =
+    dot(av, bv) / (an * bn)
 
   /** Sign-pattern bucket code over the first `dims` dimensions (1-based
     * element_at). 2^dims buckets. */
@@ -46,10 +54,12 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosFrom(col("qv"), col("qn"), col("cv"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -62,13 +72,15 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dims: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cv"), signBucket(col(vecCol), dims).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"), signBucket(col(vecCol), dims).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        signBucket(col(vecCol), dims).as("bucket"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        signBucket(col(vecCol), dims).as("bucket"))
+      .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosFrom(col("qv"), col("qn"), col("cv"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -80,12 +92,13 @@ object Similarity {
   def cosinePairs(
       vectors: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
     val a = v.as("a")
     val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        cosFrom(col("a.v"), col("a.n"), col("b.v"), col("b.n")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

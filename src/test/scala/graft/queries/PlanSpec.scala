@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-hygiene tests: the physical plans must keep the properties the
+  * 100 TB design depends on — filter/projection pushdown to the parquet
+  * scan, broadcast joins for dimension tables, no accidental cartesian
+  * products, whole-stage codegen on the hot paths. Asserting on
+  * explain("formatted") output pins these against regressions. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q01: both predicates and the 3-column projection reach the parquet scan") {
+    val p = plan(Relational.q01(spark, sf))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("l_quantity"), "quantity filter not pushed")
+    assert(p.contains("l_returnflag"), "returnflag filter not pushed")
+    // scan must NOT read all 11 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"),
+      s"projection not pruned at scan: $readSchema")
+  }
+
+  test("q15: dimension tables join via broadcast, no cartesian product") {
+    val p = plan(Relational.q15(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join in q15 plan")
+    assert(!p.contains("CartesianProduct"), "cartesian product in q15 plan")
+  }
+
+  test("q14: nation joins as broadcast") {
+    val p = plan(Relational.q14(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("x11: RollingHash participates in whole-stage codegen") {
+    val df = Extensions.x11(spark, sf)
+    val p = plan(df)
+    // the project containing rolling_hash must sit inside a codegen stage:
+    // formatted explain marks codegen'd operators with "* Op" + [codegen id]
+    assert(p.contains("codegen id"), "no codegen stage at all")
+    val projectLine = p.linesIterator.find(_.matches(""".*\*.*Project.*""")).getOrElse("")
+    assert(projectLine.nonEmpty, s"project with rolling_hash not codegen'd:\n$p")
+  }
+
+  test("x06: query side is broadcast; corpus is never shuffled for scoring") {
+    val p = plan(Extensions.x06(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"ANN scoring join is not broadcast-based:\n$p")
+  }
+
+  test("q03: global count uses no unpartitioned window") {
+    val p = plan(Relational.q03(spark, sf))
+    assert(!p.contains("Window"), "q03 should stamp count via lit, not a window")
+  }
+}
