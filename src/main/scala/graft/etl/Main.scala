@@ -10,7 +10,12 @@ import org.apache.spark.sql.SparkSession
   * runMain graft.etl.Main db      [--in inputs] [--out outputs]   # + append store
   * runMain graft.etl.Main watch   [--in inputs] [--out outputs]   # streaming
   * runMain graft.etl.Main serve   [--port 5000]                   # HTTP API
+  * runMain graft.etl.Main sql "SELECT ..." [--data /root/testdata/sf0.001]
   * }}}
+  *
+  * `sql` registers the graft SQL surface — the testdata tables as views plus
+  * the native functions `rolling_hash`, `dot_product` and the table function
+  * `extract_blocks` (LATERAL VIEW) — and prints the query result.
   *
   * Files are processed with per-file isolation (SURVEY D-3: app.py semantics,
   * not main.py's accidental cross-file accumulation); per-file outputs
@@ -51,11 +56,25 @@ object Main {
         graft.server.Api.start(spark, port)
         println(s"[serve] listening on :$port (POST /process, GET /health)")
         Thread.currentThread().join()
+      case "sql" =>
+        val stmt = args.lift(1).getOrElse {
+          System.err.println("usage: sql \"SELECT ...\" [--data <sfDir>]")
+          sys.exit(2)
+        }
+        val dataDir = opts.getOrElse("data", "/root/testdata/sf0.001")
+        graft.functions.RollingHash.register(spark)
+        graft.functions.DotProduct.register(spark)
+        graft.functions.ExtractBlocks.register(spark)
+        graft.Tables.names.foreach { n =>
+          try graft.Tables(spark, dataDir, n).createOrReplaceTempView(n)
+          catch { case _: Exception => () }
+        }
+        spark.sql(stmt.toString).show(100, truncate = false)
       case other =>
-        System.err.println(s"unknown command: $other (use process|db|watch|serve)")
+        System.err.println(s"unknown command: $other (use process|db|watch|serve|sql)")
         sys.exit(2)
     }
-    if (cmd == "process" || cmd == "db") spark.stop()
+    if (cmd == "process" || cmd == "db" || cmd == "sql") spark.stop()
   }
 
   /** S2 — directory batch: one pipeline run per file, sequential like the

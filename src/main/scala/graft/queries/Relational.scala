@@ -222,6 +222,31 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Q19 — intersect (SURVEY §2.7: set ops free in Spark). */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  /** Q20 — except: customers without a >300k order. */
+  def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey").as("ck"))
+      .except(t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("ck")))
+      .orderBy("ck")
+
+  /** Q21 — anti-join: customers without a >250k order. left_anti streams
+    * the probe side and dedups build keys — no NOT-IN correlated rescan. */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 250000)
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
   /** Query map fragment contributed to [[graft.SparkEntry.queries]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project" -> (q01 _),
@@ -241,7 +266,10 @@ object Relational {
     "q15_multi_join" -> (q15 _),
     "q16_regex_detect" -> (q16 _),
     "q17_hourly_window" -> (q17 _),
-    "q18_semi_join" -> (q18 _)
+    "q18_semi_join" -> (q18 _),
+    "q19_intersect" -> (q19 _),
+    "q20_except" -> (q20 _),
+    "q21_anti_join" -> (q21 _)
   )
 
   /** DuckDB oracle SQL — column names MUST match the Spark results above. */
@@ -316,6 +344,17 @@ object Relational {
     "q18_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q19_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+    "q20_except" ->
+      """SELECT c_custkey AS ck FROM customer
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY ck""".stripMargin,
+    "q21_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
         |ORDER BY c_custkey""".stripMargin
   )
 }
