@@ -5,6 +5,7 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.etl.{Json, Pipeline}
@@ -26,6 +27,14 @@ import graft.etl.{Json, Pipeline}
   * actions (inference + collect) touch executors.
   */
 object Api {
+
+  /** N6 — the app_simple stringify-all variant (app_simple.py:86-92):
+    * nulls → empty string, every column cast to string. */
+  def stringifyAll(df: DataFrame): DataFrame = {
+    val stringified = df.select(df.columns.map(c =>
+      col(c).cast(StringType).as(c)): _*)
+    stringified.na.fill("")
+  }
 
   /** A5 — column type map from the schema alone. */
   def columnTypes(df: DataFrame): Map[String, String] =
@@ -71,6 +80,23 @@ object Api {
     m.writeValueAsString(arr)
   }
 
+  /** app_simple.py response shape: everything stringified, plus a summary
+    * {records, columns} instead of the types map (app_simple.py:109-116). */
+  def processBodySimple(spark: SparkSession, body: String): String = {
+    import spark.implicits._
+    val result = Pipeline.process(spark, Seq(("request_body.txt", body)).toDS())
+    val m = Json.mapper
+    val root = m.createObjectNode()
+    root.put("success", true)
+    val frame = if (result.totalItems == 0) result.frame else stringifyAll(result.frame)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("data",
+      if (result.totalItems == 0) m.createArrayNode() else m.readTree(rowsToJson(frame)))
+    val summary = root.putObject("summary")
+    summary.put("records", result.totalItems)
+    summary.put("columns", if (result.totalItems == 0) 0 else frame.columns.length)
+    m.writeValueAsString(root)
+  }
+
   def processBody(spark: SparkSession, body: String): String = {
     import spark.implicits._
     val result = Pipeline.process(spark, Seq(("request_body.txt", body)).toDS())
@@ -96,6 +122,20 @@ object Api {
     server.createContext("/health", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         respond(ex, 200, """{"status": "ok"}""")
+    })
+
+    server.createContext("/process_simple", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (ex.getRequestMethod != "POST") { respond(ex, 405, """{"success": false, "error": "POST required"}""") }
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          if (body.trim.isEmpty) { respond(ex, 400, """{"error": "No data provided"}"""); return }
+          val json =
+            try Api.processBodySimple(spark, body)
+            catch { case e: Exception => s"""{"success": false, "error": "${String.valueOf(e.getMessage).replace("\"", "'")}"}""" }
+          respond(ex, 200, json)
+        }
+      }
     })
 
     server.createContext("/process", new HttpHandler {

@@ -75,6 +75,25 @@ class WatchApiSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("POST /process_simple stringifies everything and returns a summary (N6)") {
+    val server = graft.server.Api.start(spark, 0)
+    val port = server.getAddress.getPort
+    try {
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/process_simple"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"a": 1, "b": true}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val json = Json.mapper.readTree(resp.body())
+      assert(json.get("success").asBoolean())
+      assert(json.get("summary").get("records").asLong() == 1)
+      assert(json.get("summary").get("columns").asLong() == 5)
+      val row = json.get("data").get(0)
+      // N6: numbers and booleans arrive as STRINGS in the simple variant
+      assert(row.get("a").isTextual && row.get("a").asText() == "1")
+      assert(row.get("b").asText() == "true")
+    } finally server.stop(0)
+  }
+
   test("POST /process with garbage body still succeeds with text rows") {
     val server = graft.server.Api.start(spark, 0)
     val port = server.getAddress.getPort
