@@ -99,7 +99,10 @@ object Main {
           Pipeline.RunMetadata(start, java.time.Instant.now().toString,
             f.getFileName.toString, result.totalItems, result.itemsByType),
           s"$outDir/processing_metadata.json")
-        if (useStore) Sinks.appendStore(result, f.getFileName.toString, s"$outDir/store")
+        if (useStore) sys.env.get("GRAFT_JDBC_URL") match {
+          case Some(url) => Sinks.appendStoreJdbc(result, f.getFileName.toString, url)
+          case None => Sinks.appendStore(result, f.getFileName.toString, s"$outDir/store")
+        }
         println(s"[process] ${f.getFileName}: ${result.totalItems} records " +
           s"(${result.itemsByType.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")})")
       }

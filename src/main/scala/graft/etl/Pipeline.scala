@@ -23,10 +23,12 @@ import org.apache.spark.sql.types._
 object Pipeline {
 
   /** One extracted record row: file provenance + kind/ordinal for ordering +
-    * the JSON payload. Internal column names are prefixed to avoid colliding
-    * with user JSON fields. */
-  private final case class RecordRow(
-      _graft_file: String, _graft_kind: String, _graft_ordinal: Int, _graft_json: String)
+    * the JSON payload. Column names are prefixed to avoid colliding with
+    * user JSON fields. Must be PUBLIC: Janino-generated encoder code calls
+    * the accessors, and a private nested class silently drops the whole
+    * stage to interpreted mode ("no applicable method" CompileException). */
+  final case class RecordRow(
+      graft_file: String, graft_kind: String, graft_ordinal: Int, graft_json: String)
 
   /** Per-field stats artifact (reference infer_schema, etl_pipeline.py:197-218).
     * `types` uses the SURVEY D-4 fixed mapping of Spark types to Python type
@@ -91,17 +93,17 @@ object Pipeline {
     }
 
     // A2 — items_by_type.
-    val itemsByType = records.groupBy($"_graft_kind").count()
+    val itemsByType = records.groupBy($"graft_kind").count()
       .as[(String, Long)].collect().toMap
 
     // A3/A4 — dynamic schema: Spark's native JSON inference over the record
     // payloads (same two-pass infer-then-apply as spark.read.json).
-    val inferred = spark.read.json(records.select($"_graft_json").as[String]).schema
+    val inferred = spark.read.json(records.select($"graft_json").as[String]).schema
 
     val wide = records
-      .withColumn("_graft_rec", from_json($"_graft_json", inferred))
-      .select($"_graft_file", $"_graft_kind", $"_graft_ordinal", $"_graft_json",
-        col("_graft_rec.*"))
+      .withColumn("graft_rec", from_json($"graft_json", inferred))
+      .select($"graft_file", $"graft_kind", $"graft_ordinal", $"graft_json",
+        col("graft_rec.*"))
 
     val fieldStats = computeFieldStats(spark, wide, inferred, total)
 
@@ -113,14 +115,15 @@ object Pipeline {
       .withColumn("total_items", lit(total))
 
     // N2/N4 — precedence-ordered rows; core columns first, rest alphabetical.
-    val precedence = when($"_graft_kind" === "html", 0)
-      .when($"_graft_kind" === "json", 1)
-      .when($"_graft_kind" === "text", 2)
+    val precedence = when($"graft_kind" === "html", 0)
+      .when($"graft_kind" === "json", 1)
+      .when($"graft_kind" === "text", 2)
       .otherwise(3)
-    val dataCols = pruned.columns.filterNot(_.startsWith("_graft_")).toSeq
+    val internal = Set("graft_file", "graft_kind", "graft_ordinal", "graft_json")
+    val dataCols = pruned.columns.filterNot(internal.contains).toSeq
     val restCols = dataCols.filterNot(core.contains).sorted
     val frame = pruned
-      .orderBy($"_graft_file", precedence, $"_graft_ordinal")
+      .orderBy($"graft_file", precedence, $"graft_ordinal")
       .select((core ++ restCols).map(colToCsvSafe(pruned.schema)): _*)
 
     Result(frame, fieldStats, itemsByType, total)
@@ -148,7 +151,7 @@ object Pipeline {
     import spark.implicits._
 
     val presentIn = wide
-      .select(explode(json_object_keys($"_graft_json")).as("k"))
+      .select(explode(json_object_keys($"graft_json")).as("k"))
       .groupBy($"k").count()
       .as[(String, Long)].collect().toMap
 

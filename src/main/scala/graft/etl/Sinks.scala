@@ -83,20 +83,76 @@ object Sinks {
         current_timestamp().as("created_at"))
       .write.mode("append").parquet(s"$storeDir/processed_data")
 
-    val schemaJson = {
-      val m = Json.mapper
-      val root = m.createObjectNode()
-      result.fieldStats.toSeq.sortBy(_._1).foreach { case (field, fs) =>
-        val o = root.putObject(field)
-        val arr = o.putArray("type"); fs.types.foreach(arr.add)
-        o.put("nullable", fs.nullable); o.put("present_in", fs.presentIn)
-      }
-      m.writeValueAsString(root)
-    }
-    Seq((filename, schemaJson))
+    Seq((filename, schemaStatsJson(result.fieldStats)))
       .toDF("filename", "schema_json")
       .withColumn("created_at", current_timestamp())
       .write.mode("append").parquet(s"$storeDir/schemas")
+  }
+
+  /** S8 (JDBC variant) — the reference's exact two-table SQL-database shape
+    * on embedded Derby (ships with Spark; sqlite-jdbc does not exist in the
+    * offline jar set — SURVEY §7.5). DDL mirrors etl_pipeline.py:326-344:
+    * autoincrement id + created_at default, rows as JSON strings, append
+    * only. Single-partition writes: an embedded DB is a single-node sink by
+    * nature (the reference's SQLite had a 2 GB cap); the parquet store above
+    * is the scale path.
+    */
+  def appendStoreJdbc(result: Pipeline.Result, filename: String, jdbcUrl: String): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    ensureDerbyTables(jdbcUrl)
+
+    val df = result.frame
+    df.select(
+        lit(filename).as("filename"),
+        col("source_index"),
+        col("type").as("data_type"),
+        to_json(struct(df.columns.map(col): _*)).as("data_json"))
+      .coalesce(1)
+      .write.mode("append").jdbc(jdbcUrl, "processed_data", props)
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schemaJson = schemaStatsJson(result.fieldStats)
+    Seq((filename, schemaJson)).toDF("filename", "schema_json")
+      .coalesce(1)
+      .write.mode("append").jdbc(jdbcUrl, "schemas", props)
+  }
+
+  private def ensureDerbyTables(jdbcUrl: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl + ";create=true")
+    try {
+      val st = conn.createStatement()
+      def createIfMissing(ddl: String): Unit =
+        try st.executeUpdate(ddl)
+        catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
+      createIfMissing(
+        """CREATE TABLE processed_data (
+          |  id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          |  filename VARCHAR(512),
+          |  source_index VARCHAR(64),
+          |  data_type VARCHAR(32),
+          |  data_json CLOB,
+          |  created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP)""".stripMargin)
+      createIfMissing(
+        """CREATE TABLE schemas (
+          |  id INT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          |  filename VARCHAR(512),
+          |  schema_json CLOB,
+          |  created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP)""".stripMargin)
+      st.close()
+    } finally conn.close()
+  }
+
+  private def schemaStatsJson(stats: Map[String, Pipeline.FieldStats]): String = {
+    val m = Json.mapper
+    val root = m.createObjectNode()
+    stats.toSeq.sortBy(_._1).foreach { case (field, fs) =>
+      val o = root.putObject(field)
+      val arr = o.putArray("type"); fs.types.foreach(arr.add)
+      o.put("nullable", fs.nullable); o.put("present_in", fs.presentIn)
+    }
+    m.writeValueAsString(root)
   }
 
   private def writeString(path: String, s: String): Unit = {

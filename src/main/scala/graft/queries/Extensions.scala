@@ -147,7 +147,26 @@ object Extensions {
       .limit(500)
   }
 
+  /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
+    * mixed content (one flat JSON fragment + the text body), run
+    * detect → extract → infer → pivot → normalize, and emit the normalized
+    * wide frame. Each doc yields one json record (doc_id, lang fields) and
+    * one text record; the oracle reconstructs the frame relationally.
+    * Filenames are zero-padded doc_ids so the pipeline's (file, precedence,
+    * ordinal) row order is lexicographically stable. */
+  def e01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = t(s, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("f"),
+        concat(lit("{\"doc_id\": "), col("doc_id"),
+          lit(", \"lang\": \""), col("lang"), lit("\"}\n"), col("text")).as("c"))
+      .as[(String, String)]
+    graft.etl.Pipeline.process(s, files).frame
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_pipeline" -> (e01 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_dedup_minhash" -> (x02 _),
     "x03_dedup_simhash" -> (x03 _),
@@ -167,6 +186,18 @@ object Extensions {
   private def mh(i: Int) = hex15.format(s"'$i:' || s")
 
   val oracleSql: Map[String, String] = Map(
+    "e01_pipeline" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents),
+        |rows_ AS (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS ord, 0 AS prec,
+        |    'json' AS type, 'json_0' AS source_index, doc_id, lang FROM d
+        |  UNION ALL
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 1,
+        |    'text', 'text_0', NULL, NULL
+        |  FROM d WHERE length(trim(text)) > 5)
+        |SELECT type, source_index,
+        |  CAST(count(*) OVER () AS BIGINT) AS total_items, doc_id, lang
+        |FROM rows_ ORDER BY ord, prec""".stripMargin,
     "x01_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

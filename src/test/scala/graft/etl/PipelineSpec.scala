@@ -104,6 +104,22 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/schemas").count() == 2)
   }
 
+  test("Derby JDBC store appends with the reference DDL shape (S8)") {
+    val dbDir = Files.createTempDirectory("graft_derby").toString + "/etl_db"
+    val url = s"jdbc:derby:$dbDir"
+    Sinks.appendStoreJdbc(result, "sample_data.txt", url)
+    Sinks.appendStoreJdbc(result, "sample_data.txt", url)
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val pd = spark.read.jdbc(url, "processed_data", props)
+    assert(pd.count() == 54)
+    // autoincrement id + created_at default populated by the DB
+    assert(pd.columns.toSet ==
+      Set("ID", "FILENAME", "SOURCE_INDEX", "DATA_TYPE", "DATA_JSON", "CREATED_AT"))
+    assert(pd.select("ID").distinct().count() == 54)
+    assert(spark.read.jdbc(url, "schemas", props).count() == 2)
+  }
+
   test("latin-1 fallback decode (S1)") {
     val bytes = Array[Byte](0x63, 0x61, 0x66, 0xE9.toByte) // "café" in latin-1
     assert(Pipeline.decodeWithFallback(bytes) == "café")
