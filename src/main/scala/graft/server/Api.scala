@@ -119,6 +119,16 @@ object Api {
   def start(spark: SparkSession, port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        if (ex.getRequestURI.getPath == "/") {
+          val bytes = WebUi.html.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
+          ex.sendResponseHeaders(200, bytes.length)
+          val os = ex.getResponseBody; os.write(bytes); os.close()
+        } else respond(ex, 404, """{"error": "not found"}""")
+    })
+
     server.createContext("/health", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
         respond(ex, 200, """{"status": "ok"}""")

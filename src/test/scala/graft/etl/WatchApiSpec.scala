@@ -52,6 +52,23 @@ class WatchApiSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("GET / serves the web UI; unknown paths 404") {
+    val server = graft.server.Api.start(spark, 0)
+    val port = server.getAddress.getPort
+    try {
+      val client = HttpClient.newHttpClient()
+      val root = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(root.statusCode() == 200)
+      assert(root.body().contains("graft ETL") && root.body().contains("/process"))
+      val missing = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/nope")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(missing.statusCode() == 404)
+    } finally server.stop(0)
+  }
+
   test("GET /health returns ok; non-POST /process is rejected") {
     val server = graft.server.Api.start(spark, 0)
     val port = server.getAddress.getPort
