@@ -121,12 +121,11 @@ object Api {
 
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =
-        if (ex.getRequestURI.getPath == "/") {
-          val bytes = WebUi.html.getBytes(StandardCharsets.UTF_8)
-          ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
-          ex.sendResponseHeaders(200, bytes.length)
-          val os = ex.getResponseBody; os.write(bytes); os.close()
-        } else respond(ex, 404, """{"error": "not found"}""")
+        if (ex.getRequestURI.getPath != "/")
+          respond(ex, 404, """{"error": "not found"}""")
+        else if (ex.getRequestMethod != "GET" && ex.getRequestMethod != "HEAD")
+          respond(ex, 405, """{"error": "GET required"}""")
+        else respond(ex, 200, WebUi.html, "text/html; charset=utf-8")
     })
 
     server.createContext("/health", new HttpHandler {
@@ -175,9 +174,11 @@ object Api {
     server
   }
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(
+      ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.getResponseHeaders.add("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
     os.write(bytes)

@@ -30,22 +30,34 @@ object WebUi {
       |<script>
       |let rows = [], cols = [];
       |async function run() {
-      |  const r = await fetch('/process', {method: 'POST',
-      |    headers: {'Content-Type': 'text/plain'},
-      |    body: document.getElementById('in').value});
-      |  const j = await r.json();
+      |  // reset previous results so a failed run can't leave stale state
+      |  rows = []; cols = [];
+      |  document.getElementById('schema').innerHTML = '';
+      |  document.getElementById('out').innerHTML = '';
+      |  document.getElementById('exp').disabled = true;
+      |  let j;
+      |  try {
+      |    const r = await fetch('/process', {method: 'POST',
+      |      headers: {'Content-Type': 'text/plain'},
+      |      body: document.getElementById('in').value});
+      |    j = await r.json();
+      |  } catch (e) {
+      |    document.getElementById('out').textContent = 'request failed: ' + e;
+      |    return;
+      |  }
       |  if (!j.success) { document.getElementById('out').textContent = JSON.stringify(j); return; }
-      |  rows = j.data; cols = Object.keys(j.types).sort(
-      |    (a, b) => (pri(a) - pri(b)) || a.localeCompare(b));
+      |  rows = j.data;
+      |  // rows arrive in the server's canonical column order (core first,
+      |  // then alphabetical) — use it rather than re-deriving
+      |  cols = rows.length ? Object.keys(rows[0]) : Object.keys(j.types);
       |  document.getElementById('schema').innerHTML = Object.entries(j.types)
       |    .map(([k, t]) => `<div class="card"><b>${esc(k)}</b>${esc(t)}</div>`).join('');
       |  document.getElementById('out').innerHTML = '<table><tr>' +
       |    cols.map(c => `<th>${esc(c)}</th>`).join('') + '</tr>' +
       |    rows.map(r2 => '<tr>' + cols.map(c =>
       |      `<td>${esc(cell(r2[c]))}</td>`).join('') + '</tr>').join('') + '</table>';
-      |  document.getElementById('exp').disabled = false;
+      |  document.getElementById('exp').disabled = rows.length === 0;
       |}
-      |function pri(c) { return ({type: 0, source_index: 1, total_items: 2})[c] ?? 3; }
       |function cell(v) {
       |  if (v === null || v === undefined) return '';
       |  const s = Array.isArray(v) ? JSON.stringify(v) : String(v);
@@ -56,8 +68,8 @@ object WebUi {
       |function exportCsv() {
       |  const q = v => { if (v === null || v === undefined) return '';
       |    const s = Array.isArray(v) ? JSON.stringify(v) : String(v);
-      |    return /[",\n]/.test(s) ? '"' + s.replace(/"/g, '""') + '"' : s; };
-      |  const csv = [cols.join(',')]
+      |    return /[",\r\n]/.test(s) ? '"' + s.replace(/"/g, '""') + '"' : s; };
+      |  const csv = [cols.map(q).join(',')]
       |    .concat(rows.map(r2 => cols.map(c => q(r2[c])).join(','))).join('\n');
       |  const a = document.createElement('a');
       |  a.href = URL.createObjectURL(new Blob([csv], {type: 'text/csv'}));
