@@ -26,9 +26,18 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("process")
-    val opts = args.drop(1).sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    // flags may be interleaved with positionals (e.g. sql "<stmt>" --data d):
+    // scan for --key value pairs, keep everything else as positionals
+    val rest = args.drop(1)
+    val optPairs = scala.collection.mutable.Map.empty[String, String]
+    val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < rest.length) {
+      if (rest(i).startsWith("--") && i + 1 < rest.length) {
+        optPairs(rest(i).drop(2)) = rest(i + 1); i += 2
+      } else { positional += rest(i); i += 1 }
+    }
+    val opts = optPairs.toMap
     val inDir = opts.getOrElse("in", "inputs")
     val outDir = opts.getOrElse("out", "outputs")
 
@@ -57,7 +66,7 @@ object Main {
         println(s"[serve] listening on :$port (POST /process, GET /health)")
         Thread.currentThread().join()
       case "sql" =>
-        val stmt = args.lift(1).getOrElse {
+        val stmt = positional.headOption.getOrElse {
           System.err.println("usage: sql \"SELECT ...\" [--data <sfDir>]")
           sys.exit(2)
         }
@@ -106,6 +115,7 @@ object Main {
         println(s"[process] ${f.getFileName}: ${result.totalItems} records " +
           s"(${result.itemsByType.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")})")
       }
+      result.cleanup()
     }
   }
 }

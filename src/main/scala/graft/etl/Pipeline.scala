@@ -42,11 +42,15 @@ object Pipeline {
       totalItems: Long,
       itemsByType: Map[String, Long])
 
+  /** `cleanup()` unpersists the cached record dataset backing `frame`; call
+    * it after the frame has been written/collected. Long-running callers
+    * (serve, watch) leak cached blocks per request otherwise. */
   final case class Result(
       frame: DataFrame,
       fieldStats: Map[String, FieldStats],
       itemsByType: Map[String, Long],
-      totalItems: Long)
+      totalItems: Long,
+      cleanup: () => Unit = () => ())
 
   private val core = Seq("type", "source_index", "total_items")
   private val artifacts = Seq("word_count", "title")
@@ -126,15 +130,19 @@ object Pipeline {
       .orderBy($"graft_file", precedence, $"graft_ordinal")
       .select((core ++ restCols).map(colToCsvSafe(pruned.schema)): _*)
 
-    Result(frame, fieldStats, itemsByType, total)
+    Result(frame, fieldStats, itemsByType, total, () => { records.unpersist(); () })
   }
+
+  /** Backtick-quoted column reference: inferred JSON keys may contain dots
+    * (e.g. {"a.b": 1}), which bare col() would parse as nested access. */
+  private def qcol(name: String) = col("`" + name.replace("`", "``") + "`")
 
   /** Columns that are always-null JSON fields infer as NullType, which sinks
     * can't write — surface them as string nulls. */
   private def colToCsvSafe(schema: StructType)(name: String) =
     schema.find(_.name == name) match {
-      case Some(f) if f.dataType == NullType => col(name).cast(StringType).as(name)
-      case _ => col(name)
+      case Some(f) if f.dataType == NullType => qcol(name).cast(StringType).as(name)
+      case _ => qcol(name)
     }
 
   /** A4 — per-field stats in two small aggregations:
@@ -158,7 +166,7 @@ object Pipeline {
     val fields = inferred.fields.toSeq
     val countsRow = wide.agg(
       count(lit(1)).as("_n"),
-      fields.map(f => count(col(f.name)).as(f.name)): _*
+      fields.map(f => count(qcol(f.name)).as(f.name)): _*
     ).collect()(0)
 
     fields.map { f =>

@@ -39,18 +39,9 @@ object Sinks {
 
   /** S6 — dynamic_schema.json: {field → {type, nullable, present_in}},
     * keys sorted for determinism (the reference iterates an unordered set). */
-  def writeSchemaJson(stats: Map[String, Pipeline.FieldStats], outPath: String): Unit = {
-    val m = Json.mapper
-    val root = m.createObjectNode()
-    stats.toSeq.sortBy(_._1).foreach { case (field, fs) =>
-      val o = root.putObject(field)
-      val arr = o.putArray("type")
-      fs.types.foreach(arr.add)
-      o.put("nullable", fs.nullable)
-      o.put("present_in", fs.presentIn)
-    }
-    writeString(outPath, m.writerWithDefaultPrettyPrinter().writeValueAsString(root))
-  }
+  def writeSchemaJson(stats: Map[String, Pipeline.FieldStats], outPath: String): Unit =
+    writeString(outPath, Json.mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(schemaStatsNode(stats)))
 
   /** S7 — processing_metadata.json (etl_pipeline.py:301-306). */
   def writeMetadataJson(meta: Pipeline.RunMetadata, outPath: String): Unit = {
@@ -144,16 +135,19 @@ object Sinks {
     } finally conn.close()
   }
 
-  private def schemaStatsJson(stats: Map[String, Pipeline.FieldStats]): String = {
-    val m = Json.mapper
-    val root = m.createObjectNode()
+  private def schemaStatsNode(
+      stats: Map[String, Pipeline.FieldStats]): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val root = Json.mapper.createObjectNode()
     stats.toSeq.sortBy(_._1).foreach { case (field, fs) =>
       val o = root.putObject(field)
       val arr = o.putArray("type"); fs.types.foreach(arr.add)
       o.put("nullable", fs.nullable); o.put("present_in", fs.presentIn)
     }
-    m.writeValueAsString(root)
+    root
   }
+
+  private def schemaStatsJson(stats: Map[String, Pipeline.FieldStats]): String =
+    Json.mapper.writeValueAsString(schemaStatsNode(stats))
 
   private def writeString(path: String, s: String): Unit = {
     val p = Paths.get(path).toAbsolutePath

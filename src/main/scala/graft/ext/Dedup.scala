@@ -27,14 +27,15 @@ object Dedup {
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
-  /** Word n-gram shingles, distinct. Callers must filter docs with fewer
-    * than `n` tokens (the expression yields an empty array only for exactly
-    * size==n-1 … guard with `size(tokens) >= n`). */
+  /** Word n-gram shingles, distinct. Yields an empty array for docs with
+    * fewer than `n` tokens (sequence(0, negative) would otherwise count
+    * DOWN and feed element_at index 0 — a runtime error). */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
-    array_distinct(transform(
+    val sh = array_distinct(transform(
       sequence(lit(0), size(w) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+    when(size(w) >= n, sh).otherwise(array().cast("array<string>"))
   }
 
   /** Exact dedup groups: one row per distinct content hash with the

@@ -38,9 +38,12 @@ case class RollingHash(
     val s = v.asInstanceOf[UTF8String].toString
     var acc = 0L
     var i = 0
+    // iterate Unicode CODEPOINTS, not UTF-16 units: the oracle (DuckDB
+    // ascii(substr)) sees codepoints, and surrogate pairs would diverge
     while (i < s.length) {
-      acc = (acc * mult + s.charAt(i)) % modulus
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * mult + cp) % modulus
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -49,12 +52,15 @@ case class RollingHash(
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       val acc = ctx.freshName("acc")
       s"""
          |String $s = $c.toString();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * ${mult}L + $s.charAt($i)) % ${modulus}L;
+         |for (int $i = 0; $i < $s.length(); ) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * ${mult}L + $cp) % ${modulus}L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin

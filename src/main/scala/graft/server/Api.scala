@@ -88,30 +88,44 @@ object Api {
     val m = Json.mapper
     val root = m.createObjectNode()
     root.put("success", true)
-    val frame = if (result.totalItems == 0) result.frame else stringifyAll(result.frame)
-    root.set[com.fasterxml.jackson.databind.JsonNode]("data",
-      if (result.totalItems == 0) m.createArrayNode() else m.readTree(rowsToJson(frame)))
-    val summary = root.putObject("summary")
-    summary.put("records", result.totalItems)
-    summary.put("columns", if (result.totalItems == 0) 0 else frame.columns.length)
-    m.writeValueAsString(root)
+    try {
+      val frame = if (result.totalItems == 0) result.frame else stringifyAll(result.frame)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("data",
+        if (result.totalItems == 0) m.createArrayNode() else m.readTree(rowsToJson(frame)))
+      val summary = root.putObject("summary")
+      summary.put("records", result.totalItems)
+      summary.put("columns", if (result.totalItems == 0) 0 else frame.columns.length)
+      m.writeValueAsString(root)
+    } finally result.cleanup()
   }
 
   def processBody(spark: SparkSession, body: String): String = {
     import spark.implicits._
     val result = Pipeline.process(spark, Seq(("request_body.txt", body)).toDS())
+    try {
+      val m = Json.mapper
+      val root = m.createObjectNode()
+      root.put("success", true)
+      if (result.totalItems == 0) {
+        root.set[com.fasterxml.jackson.databind.JsonNode]("data", m.createArrayNode())
+        root.set[com.fasterxml.jackson.databind.JsonNode]("types", m.createObjectNode())
+      } else {
+        root.set[com.fasterxml.jackson.databind.JsonNode]("data",
+          m.readTree(rowsToJson(result.frame)))
+        val types = root.putObject("types")
+        columnTypes(result.frame).toSeq.sortBy(_._1).foreach { case (k, v) => types.put(k, v) }
+      }
+      m.writeValueAsString(root)
+    } finally result.cleanup()
+  }
+
+  /** Error body matching the reference's failure shape (app.py returns
+    * {error, trace} with HTTP 500). Always valid JSON via Jackson. */
+  private def errorJson(e: Exception): String = {
     val m = Json.mapper
     val root = m.createObjectNode()
-    root.put("success", true)
-    if (result.totalItems == 0) {
-      root.set[com.fasterxml.jackson.databind.JsonNode]("data", m.createArrayNode())
-      root.set[com.fasterxml.jackson.databind.JsonNode]("types", m.createObjectNode())
-    } else {
-      root.set[com.fasterxml.jackson.databind.JsonNode]("data",
-        m.readTree(rowsToJson(result.frame)))
-      val types = root.putObject("types")
-      columnTypes(result.frame).toSeq.sortBy(_._1).foreach { case (k, v) => types.put(k, v) }
-    }
+    root.put("error", String.valueOf(e.getMessage))
+    root.put("trace", e.getStackTrace.take(5).mkString("\n"))
     m.writeValueAsString(root)
   }
 
@@ -123,9 +137,15 @@ object Api {
       override def handle(ex: HttpExchange): Unit =
         if (ex.getRequestURI.getPath != "/")
           respond(ex, 404, """{"error": "not found"}""")
-        else if (ex.getRequestMethod != "GET" && ex.getRequestMethod != "HEAD")
-          respond(ex, 405, """{"error": "GET required"}""")
-        else respond(ex, 200, WebUi.html, "text/html; charset=utf-8")
+        else ex.getRequestMethod match {
+          case "GET" => respond(ex, 200, WebUi.html, "text/html; charset=utf-8")
+          case "HEAD" =>
+            // JDK HttpServer rejects a body write on HEAD: headers only
+            ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
+            ex.sendResponseHeaders(200, -1)
+            ex.close()
+          case _ => respond(ex, 405, """{"error": "GET required"}""")
+        }
     })
 
     server.createContext("/health", new HttpHandler {
@@ -139,10 +159,8 @@ object Api {
         else {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           if (body.trim.isEmpty) { respond(ex, 400, """{"error": "No data provided"}"""); return }
-          val json =
-            try Api.processBodySimple(spark, body)
-            catch { case e: Exception => s"""{"success": false, "error": "${String.valueOf(e.getMessage).replace("\"", "'")}"}""" }
-          respond(ex, 200, json)
+          try respond(ex, 200, Api.processBodySimple(spark, body))
+          catch { case e: Exception => respond(ex, 500, errorJson(e)) }
         }
       }
     })
@@ -157,19 +175,16 @@ object Api {
             respond(ex, 400, """{"error": "No data provided"}""")
             return
           }
-          val json =
-            try Api.processBody(spark, body)
-            catch {
-              case e: Exception =>
-                s"""{"success": false, "error": ${Json.mapper.writeValueAsString(
-                  Json.mapper.getNodeFactory.textNode(String.valueOf(e.getMessage)))}}"""
-            }
-          respond(ex, 200, json)
+          // parity: processing failures are HTTP 500 with {error, trace}
+          // (reference app.py returns 500 on pipeline exceptions)
+          try respond(ex, 200, Api.processBody(spark, body))
+          catch { case e: Exception => respond(ex, 500, errorJson(e)) }
         }
       }
     })
 
-    server.setExecutor(null)
+    // a pool so a slow /process can't block /health (liveness probes)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     server
   }

@@ -56,6 +56,7 @@ object Watch {
               s"$outputDir/processing_metadata.json")
             if (useStore) Sinks.appendStore(result, fileNames.mkString(","), s"$outputDir/store")
           }
+          result.cleanup()
         }
         ()
       }

@@ -127,6 +127,16 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.decodeWithFallback(utf8) == "café")
   }
 
+  test("JSON keys containing dots survive the pipeline (quoted column refs)") {
+    import spark.implicits._
+    val r = Pipeline.process(spark, Seq(("d.txt", """{"a.b": 1, "plain": "x"}""")).toDS())
+    assert(r.totalItems == 1)
+    assert(r.frame.columns.contains("a.b"))
+    assert(r.fieldStats("a.b") == Pipeline.FieldStats(Seq("int"), nullable = false, 1))
+    val row = r.frame.collect()(0)
+    assert(row.getAs[Long]("a.b") == 1L)
+  }
+
   test("empty input → empty result") {
     import spark.implicits._
     val r = Pipeline.process(spark, Seq.empty[(String, String)].toDS())
