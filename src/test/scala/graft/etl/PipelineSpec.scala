@@ -127,6 +127,18 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.decodeWithFallback(utf8) == "café")
   }
 
+  test("F2 vs F3: dynamic schema actually varies with input (the reference's one regression contract)") {
+    import spark.implicits._
+    val products = """{"product_name":"Laptop","price":1299.99,"in_stock":true,"categories":["electronics"],"rating":4.5}"""
+    val users = """{"name":"Alice","age":30,"active":true}"""
+    val s1 = Pipeline.process(spark, Seq(("a.txt", products)).toDS()).frame.columns.toSet
+    val s2 = Pipeline.process(spark, Seq(("b.txt", users)).toDS()).frame.columns.toSet
+    // console_test.html:125-133 — "Schema is SAME (BUG)" vs "Schema CHANGED (GOOD)"
+    assert(s1 != s2)
+    assert(s1.contains("product_name") && !s2.contains("product_name"))
+    assert(s2.contains("age") && !s1.contains("age"))
+  }
+
   test("JSON keys containing dots survive the pipeline (quoted column refs)") {
     import spark.implicits._
     val r = Pipeline.process(spark, Seq(("d.txt", """{"a.b": 1, "plain": "x"}""")).toDS())
