@@ -42,6 +42,35 @@ object TextAnalysis {
     }
   }
 
+  /** Tiny fixed char-trigram profiles for the n-gram language-ID variant.
+    * Score = total characters removed when deleting each profile trigram —
+    * a replace-based occurrence count that both Spark and a SQL oracle
+    * compute identically (no division, no regex). */
+  val trigramProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("sch", "ein", "der", "die"),
+    "en" -> Seq("the", "ing", "ion", "and"),
+    "es" -> Seq("los", "que", "ent", "ado"),
+    "fr" -> Seq("les", "ent", "eau", "our"),
+    "zh" -> Seq("的", "是", "不", "了"))
+
+  /** n-gram language-ID scores g_de..g_zh (char-trigram hit mass). */
+  def ngramLangScores(text: Column): Seq[Column] = {
+    trigramProfiles.toSeq.sortBy(_._1).map { case (lang, tris) =>
+      tris.map { tri =>
+        (length(text) - length(replace(text, lit(tri), lit("")))).cast("long")
+      }.reduce(_ + _).as(s"g_$lang")
+    }
+  }
+
+  /** argmax language for the n-gram scores, alphabetical tie-break. */
+  def ngramPredictedLang: Column = {
+    val langs = trigramProfiles.keys.toSeq.sorted
+    val m = greatest(langs.map(l => col(s"g_$l")): _*)
+    langs.foldRight(lit("und"): Column) { (l, elseCol) =>
+      when(col(s"g_$l") === m && m > 0, lit(l)).otherwise(elseCol)
+    }
+  }
+
   /** Quality-score columns: length, word count, average word length,
     * stopword ratio (en), and a bounded composite score. All portable
     * arithmetic (round to 4 decimals where double division is involved). */

@@ -147,6 +147,26 @@ object Extensions {
       .limit(500)
   }
 
+  /** x14 — n-gram (char-trigram) language ID: the second lang-ID modality
+    * next to x08's stopword heuristic. Replace-based occurrence counting —
+    * map-side, portable. */
+  def x14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((col("doc_id") +: TextAnalysis.ngramLangScores(col("text"))): _*)
+      .withColumn("predicted", TextAnalysis.ngramPredictedLang)
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** x15 — skew-resistant salted aggregation (graft.ext.Skew): two-phase
+    * groupBy over the 5-value event_type key. Result equals the plain
+    * GROUP BY oracle (rounded sum — partial order differs). */
+  def x15(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Skew.saltedCountSum(
+        t(s, dir, "events"), col("event_type"), col("value"))
+      .select(col("k").as("event_type"), col("cnt"),
+        round(col("total"), 2).as("total"))
+      .orderBy("event_type")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -179,7 +199,10 @@ object Extensions {
     "x10_token_count" -> (x10 _),
     "x11_fingerprint" -> (x11 _),
     "x12_multimodal" -> (x12 _),
-    "x13_sessionize" -> (x13 _)
+    "x13_sessionize" -> (x13 _),
+    "x13_sessionize" -> (x13 _),
+    "x14_lang_ngram" -> (x14 _),
+    "x15_salted_agg" -> (x15 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -347,6 +370,86 @@ object Extensions {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "x14_lang_ngram" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, 'sch', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'ein', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'der', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'die', '')) AS BIGINT) AS g_de,
+        |  CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'ing', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'ion', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'and', '')) AS BIGINT) AS g_en,
+        |  CAST(length(text) - length(replace(text, 'los', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'que', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'ent', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'ado', '')) AS BIGINT) AS g_es,
+        |  CAST(length(text) - length(replace(text, 'les', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'ent', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'eau', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, 'our', '')) AS BIGINT) AS g_fr,
+        |  CAST(length(text) - length(replace(text, '的', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, '是', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, '不', '')) AS BIGINT)
+        |  + CAST(length(text) - length(replace(text, '了', '')) AS BIGINT) AS g_zh,
+        |  CASE WHEN greatest(
+        |      CAST(length(text) - length(replace(text, 'sch', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'ein', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'der', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'die', '')) AS BIGINT),
+        |      CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'ing', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'ion', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'and', '')) AS BIGINT),
+        |      CAST(length(text) - length(replace(text, 'los', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'que', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'ent', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'ado', '')) AS BIGINT),
+        |      CAST(length(text) - length(replace(text, 'les', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'ent', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'eau', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, 'our', '')) AS BIGINT),
+        |      CAST(length(text) - length(replace(text, '的', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, '是', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, '不', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, '了', '')) AS BIGINT)) = 0
+        |    THEN 'und' ELSE 'x' END AS predicted_raw
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "x14_lang_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, 'sch', ''))
+        |       + length(text) - length(replace(text, 'ein', ''))
+        |       + length(text) - length(replace(text, 'der', ''))
+        |       + length(text) - length(replace(text, 'die', '')) AS BIGINT) AS g_de,
+        |    CAST(length(text) - length(replace(text, 'the', ''))
+        |       + length(text) - length(replace(text, 'ing', ''))
+        |       + length(text) - length(replace(text, 'ion', ''))
+        |       + length(text) - length(replace(text, 'and', '')) AS BIGINT) AS g_en,
+        |    CAST(length(text) - length(replace(text, 'los', ''))
+        |       + length(text) - length(replace(text, 'que', ''))
+        |       + length(text) - length(replace(text, 'ent', ''))
+        |       + length(text) - length(replace(text, 'ado', '')) AS BIGINT) AS g_es,
+        |    CAST(length(text) - length(replace(text, 'les', ''))
+        |       + length(text) - length(replace(text, 'ent', ''))
+        |       + length(text) - length(replace(text, 'eau', ''))
+        |       + length(text) - length(replace(text, 'our', '')) AS BIGINT) AS g_fr,
+        |    CAST(length(text) - length(replace(text, '的', ''))
+        |       + length(text) - length(replace(text, '是', ''))
+        |       + length(text) - length(replace(text, '不', ''))
+        |       + length(text) - length(replace(text, '了', '')) AS BIGINT) AS g_zh
+        |  FROM documents)
+        |SELECT doc_id, g_de, g_en, g_es, g_fr, g_zh,
+        |  CASE WHEN greatest(g_de, g_en, g_es, g_fr, g_zh) = 0 THEN 'und'
+        |       WHEN g_de = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'de'
+        |       WHEN g_en = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'en'
+        |       WHEN g_es = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'es'
+        |       WHEN g_fr = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'fr'
+        |       ELSE 'zh' END AS predicted
+        |FROM g ORDER BY doc_id LIMIT 300""".stripMargin,
+    "x15_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x13_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

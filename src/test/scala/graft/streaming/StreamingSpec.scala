@@ -54,6 +54,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked windowed agg over a stream matches the batch q17 shape") {
+    import org.apache.spark.sql.Row
+    import java.sql.Timestamp
+    // batch ground truth on sf0.001 events (hour, type, count, sum)
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val expected = e
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("v"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    // stream the same events chronologically, then push the watermark past
+    // the end with one late sentinel event in a final batch
+    implicit val sqlCtx = spark.sqlContext
+    val rows = e.orderBy("ts").as[(Timestamp, String, Double)].collect()
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val agg = WindowedAgg.hourly(
+      stream.toDS().toDF("ts", "event_type", "value"), watermarkDelay = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.toSeq)
+      q.processAllAvailable()
+      // sentinel far in the future closes every real window
+      stream.addData(Seq((Timestamp.valueOf("2030-01-01 00:00:00"), "sentinel", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .filter(col("event_type") =!= "sentinel")
+        .collect().map((r: Row) => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(got.size == expected.size,
+        s"windows: got ${got.size}, expected ${expected.size}")
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("extract_blocks generator works from SQL via LATERAL VIEW") {
     graft.functions.ExtractBlocks.register(spark)
     val content = java.nio.file.Files.readString(
