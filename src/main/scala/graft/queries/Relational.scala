@@ -247,6 +247,32 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Q22 — rollup aggregation (subtotals + grand total). Null ordering is
+    * pinned explicitly: Spark defaults nulls-first ASC, DuckDB nulls-last. */
+  def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** Q23 — exact interpolated median per group (percentile, not approx). */
+  def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(round(median(col("o_totalprice")), 2).as("med"))
+      .orderBy("o_orderstatus")
+
+  /** Q24 — correlated scalar subquery (Catalyst decorrelates to an
+    * aggregate + outer join). Expressed through the SQL surface. */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_q24_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_q24_orders")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM graft_q24_orders o WHERE o.o_custkey = c.c_custkey) AS n
+        |FROM graft_q24_customer c ORDER BY c_custkey LIMIT 100""".stripMargin)
+  }
+
   /** Query map fragment contributed to [[graft.SparkEntry.queries]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project" -> (q01 _),
@@ -269,7 +295,10 @@ object Relational {
     "q18_semi_join" -> (q18 _),
     "q19_intersect" -> (q19 _),
     "q20_except" -> (q20 _),
-    "q21_anti_join" -> (q21 _)
+    "q21_anti_join" -> (q21 _),
+    "q22_rollup" -> (q22 _),
+    "q23_median" -> (q23 _),
+    "q24_corr_subquery" -> (q24 _)
   )
 
   /** DuckDB oracle SQL — column names MUST match the Spark results above. */
@@ -355,6 +384,17 @@ object Relational {
     "q21_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q22_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q23_median" ->
+      """SELECT o_orderstatus, round(median(o_totalprice), 2) AS med FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q24_corr_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n
+        |FROM customer c ORDER BY c_custkey LIMIT 100""".stripMargin
   )
 }
