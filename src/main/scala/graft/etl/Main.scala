@@ -79,8 +79,31 @@ object Main {
           catch { case _: Exception => () }
         }
         spark.sql(stmt.toString).show(100, truncate = false)
+      case "outputs" =>
+        // parity with the reference menu's "View outputs" (main.py:124-152)
+        val out = Paths.get(outDir)
+        if (!Files.exists(out)) println(s"no $outDir/ folder found")
+        else {
+          import scala.jdk.CollectionConverters._
+          val fs = Files.list(out).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+          if (fs.isEmpty) println("no output files found; process a file first")
+          else {
+            println("Output files:")
+            fs.sortBy(_.toString).foreach { f =>
+              println(f"   ${f.getFileName} (${Files.size(f) / 1048576.0}%.2f MB)")
+            }
+            val meta = out.resolve("processing_metadata.json")
+            if (Files.exists(meta)) {
+              val m = Json.mapper.readTree(Files.readString(meta))
+              println(s"Latest processing info:")
+              println(s"   - File: ${m.get("filename").asText()}")
+              println(s"   - Items by type: ${m.get("items_by_type")}")
+              println(s"   - Total items: ${m.get("total_items").asLong()}")
+            }
+          }
+        }
       case other =>
-        System.err.println(s"unknown command: $other (use process|db|watch|serve|sql)")
+        System.err.println(s"unknown command: $other (use process|db|watch|serve|sql|outputs)")
         sys.exit(2)
     }
     if (cmd == "process" || cmd == "db" || cmd == "sql") spark.stop()
@@ -92,8 +115,12 @@ object Main {
   private def runBatch(
       spark: SparkSession, inDir: String, outDir: String, useStore: Boolean): Unit = {
     import scala.jdk.CollectionConverters._
-    val files = Files.list(Paths.get(inDir)).iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+    val in = Paths.get(inDir)
+    // --in may name a single file (menu option 3) or a directory (option 1)
+    val files =
+      if (Files.isRegularFile(in)) Seq(in)
+      else Files.list(in).iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
     if (files.isEmpty) { println(s"[process] no files in $inDir"); return }
     files.foreach { f =>
       val start = java.time.Instant.now().toString
