@@ -70,21 +70,30 @@ object Extract {
     o
   }
 
-  /** E6 — dispatcher: fixed kind order html→json→text→media, per-kind ordinal
-    * `{kind}_{idx}`; `source_index` set last so it clobbers any user field of
-    * that name, as the reference's dict assignment does. */
+  /** Extract ONE detected block into its record (E1–E5 dispatch by kind)
+    * with the given per-kind ordinal. `source_index` is set last so it
+    * clobbers any user field of that name, as the reference's dict
+    * assignment does. Used by the whole-file path and by the chunked
+    * large-file path (where ordinals are assigned globally after dedup). */
+  def extractRecord(kind: String, payload: String, ordinal: Int): Record = {
+    val node = (kind match {
+      case "html" => extractHtml(payload)
+      case "json" => extractJson(payload)
+      case "text" => extractText(payload)
+      case _ => extractMedia()
+    }).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val si = s"${kind}_$ordinal"
+    node.put("source_index", si)
+    Record(kind, ordinal, si, Json.mapper.writeValueAsString(node))
+  }
+
+  /** E6 — dispatcher: fixed kind order html→json→text→media, per-kind
+    * ordinals within the document. */
   def extractRecords(content: String): Seq[Record] = {
     val d = Detector.detect(content)
-    def emit(kind: String, payloads: Seq[String], f: String => JsonNode): Seq[Record] =
-      payloads.zipWithIndex.map { case (p, idx) =>
-        val node = f(p).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        val si = s"${kind}_$idx"
-        node.put("source_index", si)
-        Record(kind, idx, si, Json.mapper.writeValueAsString(node))
-      }
-    emit("html", d.html, extractHtml) ++
-      emit("json", d.json, extractJson) ++
-      emit("text", d.text, extractText) ++
-      emit("media", d.media, _ => extractMedia())
+    def emit(kind: String, payloads: Seq[String]): Seq[Record] =
+      payloads.zipWithIndex.map { case (p, idx) => extractRecord(kind, p, idx) }
+    emit("html", d.html) ++ emit("json", d.json) ++
+      emit("text", d.text) ++ emit("media", d.media)
   }
 }

@@ -52,8 +52,10 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     cmd match {
-      case "process" => runBatch(spark, inDir, outDir, useStore = false)
-      case "db" => runBatch(spark, inDir, outDir, useStore = true)
+      case "process" => runBatch(spark, inDir, outDir, useStore = false,
+        chunked = opts.get("chunked").exists(_.toBoolean))
+      case "db" => runBatch(spark, inDir, outDir, useStore = true,
+        chunked = opts.get("chunked").exists(_.toBoolean))
       case "watch" =>
         val q = graft.streaming.Watch.start(
           spark, inDir, outDir, s"$outDir/_checkpoint",
@@ -113,7 +115,8 @@ object Main {
     * reference's loop (main.py:99-102) but each run is internally
     * distributed. */
   private def runBatch(
-      spark: SparkSession, inDir: String, outDir: String, useStore: Boolean): Unit = {
+      spark: SparkSession, inDir: String, outDir: String, useStore: Boolean,
+      chunked: Boolean = false): Unit = {
     import scala.jdk.CollectionConverters._
     val in = Paths.get(inDir)
     // --in may name a single file (menu option 3) or a directory (option 1)
@@ -124,8 +127,9 @@ object Main {
     if (files.isEmpty) { println(s"[process] no files in $inDir"); return }
     files.foreach { f =>
       val start = java.time.Instant.now().toString
-      val ds = Pipeline.readWholeFiles(spark, f.toString)
-      val result = Pipeline.process(spark, ds)
+      val result =
+        if (chunked) Pipeline.processChunkedFile(spark, f.toString)
+        else Pipeline.process(spark, Pipeline.readWholeFiles(spark, f.toString))
       if (result.totalItems == 0) {
         println(s"[process] ${f.getFileName}: no records")
       } else {

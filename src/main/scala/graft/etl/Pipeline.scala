@@ -84,11 +84,104 @@ object Pipeline {
     * app.py semantics — no cross-run accumulation). */
   def process(spark: SparkSession, files: Dataset[(String, String)]): Result = {
     import spark.implicits._
-
     val records = files.flatMap { case (file, content) =>
       Extract.extractRecords(content).map(r =>
         RecordRow(file, r.kind, r.ordinal, r.json))
-    }.persist()
+    }
+    assemble(spark, records)
+  }
+
+  /** One detected block before extraction, with global position (segment id,
+    * intra-segment emission index). Public for encoder codegen. */
+  final case class BlockRow(seg: Long, pos: Int, kind: String, payload: String)
+
+  /** Large-single-file scale path: the whole-file pipeline runs detection on
+    * ONE executor thread per file (wholetext = one row); a multi-GB file
+    * would serialize. This mode splits the file into blank-line-separated
+    * segments with the text source's multi-char lineSep — each segment a
+    * row, scanned in parallel — then restores the whole-file semantics with
+    * distributed window ops: global value-dedup (first occurrence wins) and
+    * global per-kind ordinals in (segment, emission) order.
+    *
+    * Contract (documented divergence from whole-file mode): blocks must not
+    * span a blank-line boundary, and residual-text stripping of a block's
+    * string happens within its own segment only. The reference's own data
+    * model (blank-line-separated blocks) satisfies this.
+    */
+  def processChunkedFile(spark: SparkSession, path: String): Result = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    // monotonically_increasing_id preserves file order: ascending partition
+    // ids follow ascending file-split offsets for a single text file
+    val segs = spark.read.option("lineSep", "\n\n").text(path)
+      .select(monotonically_increasing_id().as("seg"), col("value"))
+
+    val blocks = segs.as[(Long, String)].flatMap { case (seg, content) =>
+      val d = Detector.detect(content)
+      val all = d.html.map(("html", _)) ++ d.json.map(("json", _)) ++
+        d.text.map(("text", _)) ++ d.media.map(("media", _))
+      all.zipWithIndex.map { case ((k, p), i) => BlockRow(seg, i, k, p) }
+    }
+
+    // global value-dedup: high-cardinality (kind, payload) keys partition
+    // evenly, so this window is skew-free
+    val wKP = Window.partitionBy("kind", "payload").orderBy("seg", "pos")
+    val deduped = blocks
+      .withColumn("rn", row_number().over(wKP)).filter(col("rn") === 1)
+      .select(col("seg"), col("pos"), col("kind"), col("payload"))
+
+    // Per-kind ordinals WITHOUT a Window.partitionBy(kind): only 4 kinds, so
+    // that window would funnel ~n/4 rows through one task each. Instead:
+    // parallel range-sort by (seg, pos), then the two-phase zipWithIndex
+    // pattern — per-partition per-kind counts → driver prefix sums →
+    // per-partition offset assignment. Fully parallel at any size.
+    // IMPORTANT: drop to ONE RDD before the two passes. Dataset actions
+    // re-plan per action, and repartitionByRange re-samples its boundaries
+    // on each planning — two Dataset actions would see two different
+    // partitionings and the offsets would be wrong. A single .rdd pins one
+    // physical plan; both jobs reuse its shuffle output.
+    val sortedRdd = deduped
+      .repartitionByRange(col("seg"), col("pos"))
+      .sortWithinPartitions("seg", "pos")
+      .as[BlockRow]
+      .rdd
+
+    val perPartCounts: Array[(Int, Map[String, Long])] =
+      sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        it.foreach(b => m(b.kind) += 1L)
+        Iterator.single((pid, m.toMap))
+      }.collect()
+
+    val offsets: Map[(Int, String), Long] = {
+      val running = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      perPartCounts.sortBy(_._1).flatMap { case (pid, counts) =>
+        counts.toSeq.sortBy(_._1).map { case (kind, n) =>
+          val start = running(kind)
+          running(kind) = start + n
+          (pid, kind) -> start
+        }
+      }.toMap
+    }
+    val offsetsB = spark.sparkContext.broadcast(offsets)
+
+    val recordsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      it.map { b =>
+        val ord = offsetsB.value.getOrElse((pid, b.kind), 0L) + local(b.kind)
+        local(b.kind) += 1L
+        val r = Extract.extractRecord(b.kind, b.payload, ord.toInt)
+        RecordRow(path, r.kind, r.ordinal, r.json)
+      }
+    }
+    assemble(spark, spark.createDataset(recordsRdd))
+  }
+
+  /** Shared downstream: dynamic-schema inference, pivot, stats, normalize. */
+  private def assemble(spark: SparkSession, recordsIn: Dataset[RecordRow]): Result = {
+    import spark.implicits._
+    val records = recordsIn.persist()
 
     val total = records.count()
     if (total == 0) {

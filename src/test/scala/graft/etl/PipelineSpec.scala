@@ -120,6 +120,39 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "schemas", props).count() == 2)
   }
 
+  test("chunked large-file mode equals whole-file mode on the canonical fixture") {
+    val chunked = Pipeline.processChunkedFile(spark, "/root/reference/sample_data.txt")
+    assert(chunked.totalItems == result.totalItems)
+    assert(chunked.itemsByType == result.itemsByType)
+    assert(chunked.frame.columns.toSeq == result.frame.columns.toSeq)
+    val a = result.frame.collect().map(_.toSeq).toSeq
+    val b = chunked.frame.collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("chunked mode: global dedup + consecutive ordinals across many segments") {
+    // synthesize a multi-segment file: repeated JSON blocks (must dedup
+    // globally to one) + unique JSON + text paragraphs
+    val sb = new StringBuilder
+    (0 until 500).foreach { i =>
+      sb.append(s"""{"dup": 1}\n\n""")
+      sb.append(s"""{"uniq": $i}\n\n""")
+      sb.append(s"a text paragraph number $i with content\n\n")
+    }
+    val f = Files.createTempFile("graft_big", ".txt")
+    Files.writeString(f, sb.toString)
+    val r = Pipeline.processChunkedFile(spark, f.toString)
+    // 1 deduped + 500 unique json + 500 text
+    assert(r.itemsByType == Map("json" -> 501L, "text" -> 500L))
+    val si = r.frame.select("source_index").collect().map(_.getString(0)).toSeq
+    val expected = (0 until 501).map(i => s"json_$i") ++ (0 until 500).map(i => s"text_$i")
+    assert(si == expected)
+    // the duplicated block's first occurrence wins the ordinal race
+    import org.apache.spark.sql.functions.col
+    val dupRow = r.frame.filter(col("dup").isNotNull).collect()
+    assert(dupRow.length == 1 && dupRow(0).getAs[String]("source_index") == "json_0")
+  }
+
   test("latin-1 fallback decode (S1)") {
     val bytes = Array[Byte](0x63, 0x61, 0x66, 0xE9.toByte) // "café" in latin-1
     assert(Pipeline.decodeWithFallback(bytes) == "café")
