@@ -66,18 +66,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** IVF-style bucketed top-k: scores only within the query's sign bucket.
-    * Approximate (a true neighbor in another bucket is missed) — the
-    * recall/cost tradeoff knob is `dims`. */
+  /** IVF-style bucketed top-k with multi-probe: each query searches its own
+    * sign bucket AND (when `multiProbe`) every bucket at Hamming distance 1
+    * — the standard recall fix for aggressive bucketing, at (dims+1)× probe
+    * cost. Probe codes are EXPLODED on the (small, broadcast) query side so
+    * the join stays a hash equi-join on bucket — the corpus is never
+    * re-partitioned or nested-loop scanned. Approximate: a true neighbor
+    * further than Hamming-1 away is still missed; `dims` and `multiProbe`
+    * are the recall/cost knobs (recall is measured in ExtSpec). */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dims: Int = 8,
+      multiProbe: Boolean = true,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         signBucket(col(vecCol), dims).as("bucket"))
       .withColumn("cn", norm(col("cv")))
+    val probeCodes =
+      if (multiProbe)
+        array((col("bucket") +: (0 until dims).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+      else array(col("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         signBucket(col(vecCol), dims).as("bucket"))
       .withColumn("qn", norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(probeCodes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosFrom(col("qv"), col("qn"), col("cv"), col("cn")))

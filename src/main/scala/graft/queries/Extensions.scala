@@ -167,6 +167,22 @@ object Extensions {
         round(col("total"), 2).as("total"))
       .orderBy("event_type")
 
+  /** x16 — edit-distance near-dup pairs on title prefixes (bounded subset;
+    * levenshtein is built into both engines). The scale path is still
+    * LSH-style blocking — pairwise edit distance exists as the verification
+    * metric for candidate pairs. */
+  def x16(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 80)
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
+    val a = d.as("a")
+    val b = d.as("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.prefix"), col("b.prefix")).cast("long").as("dist"))
+      .filter(col("dist") <= 17)
+      .orderBy("id_a", "id_b")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -202,7 +218,8 @@ object Extensions {
     "x13_sessionize" -> (x13 _),
     "x13_sessionize" -> (x13 _),
     "x14_lang_ngram" -> (x14 _),
-    "x15_salted_agg" -> (x15 _)
+    "x15_salted_agg" -> (x15 _),
+    "x16_edit_distance" -> (x16 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -300,7 +317,13 @@ object Extensions {
         |     + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
         |     + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
         |  FROM embeddings),
-        |q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < 50),
+        |q0 AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < 50),
+        |q AS (
+        |  SELECT vec_id, v,
+        |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |            xor(bucket, 8), xor(bucket, 16), xor(bucket, 32),
+        |            xor(bucket, 64), xor(bucket, 128)]) AS bucket
+        |  FROM q0),
         |scored AS (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |    list_dot_product(q.v, e.v)
@@ -450,6 +473,15 @@ object Extensions {
     "x15_salted_agg" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x16_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 30) AS prefix
+        |  FROM documents WHERE doc_id < 80)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+        |FROM d a, d b
+        |WHERE a.doc_id < b.doc_id AND levenshtein(a.prefix, b.prefix) <= 17
+        |ORDER BY id_a, id_b""".stripMargin,
     "x13_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

@@ -273,6 +273,15 @@ object Relational {
         |FROM graft_q24_customer c ORDER BY c_custkey LIMIT 100""".stripMargin)
   }
 
+  /** Q25 — date-part extraction + grouping on the order date. */
+  def q25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("y", "m")
+
   /** Query map fragment contributed to [[graft.SparkEntry.queries]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project" -> (q01 _),
@@ -298,7 +307,8 @@ object Relational {
     "q21_anti_join" -> (q21 _),
     "q22_rollup" -> (q22 _),
     "q23_median" -> (q23 _),
-    "q24_corr_subquery" -> (q24 _)
+    "q24_corr_subquery" -> (q24 _),
+    "q25_date_parts" -> (q25 _)
   )
 
   /** DuckDB oracle SQL — column names MUST match the Spark results above. */
@@ -395,6 +405,11 @@ object Relational {
     "q24_corr_subquery" ->
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n
-        |FROM customer c ORDER BY c_custkey LIMIT 100""".stripMargin
+        |FROM customer c ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "q25_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin
   )
 }

@@ -103,6 +103,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF recall@3 vs brute force is quantified and above floor") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 100)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      truth.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / truth.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    info(f"IVF multi-probe recall@3 over ${recalls.size} queries: $meanRecall%.3f")
+    // 8 sign bits + Hamming-1 multi-probe over 64 random dims; single-bucket
+    // probing measured ~0.02 on this corpus — multi-probe must do much better
+    assert(meanRecall > 0.10)
+    // and IVF must never return a neighbor outside the query's bucket —
+    // every hit must also be scored identically to brute force (checked in
+    // the subset test above)
+  }
+
   test("language ID picks the language with most stopword hits") {
     val docs = docsFrom(Seq(
       (1L, "the cat and the dog of it is that"),
