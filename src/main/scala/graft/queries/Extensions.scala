@@ -172,8 +172,12 @@ object Extensions {
     * LSH-style blocking — pairwise edit distance exists as the verification
     * metric for candidate pairs. */
   def x16(s: SparkSession, dir: String): DataFrame = {
+    // ASCII-only guard: DuckDB levenshtein is byte-based, Spark's is
+    // codepoint-based — restricting to ASCII prefixes makes the oracle
+    // equivalence semantic rather than data-dependent
     val d = t(s, dir, "documents").filter(col("doc_id") < 80)
       .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
+      .filter(col("prefix").rlike("^[\\x00-\\x7F]*$"))
     val a = d.as("a")
     val b = d.as("b")
     a.join(b, col("a.doc_id") < col("b.doc_id"))
@@ -215,7 +219,6 @@ object Extensions {
     "x10_token_count" -> (x10 _),
     "x11_fingerprint" -> (x11 _),
     "x12_multimodal" -> (x12 _),
-    "x13_sessionize" -> (x13 _),
     "x13_sessionize" -> (x13 _),
     "x14_lang_ngram" -> (x14 _),
     "x15_salted_agg" -> (x15 _),
@@ -476,7 +479,8 @@ object Extensions {
     "x16_edit_distance" ->
       """WITH d AS (
         |  SELECT doc_id, substr(text, 1, 30) AS prefix
-        |  FROM documents WHERE doc_id < 80)
+        |  FROM documents WHERE doc_id < 80
+        |    AND regexp_matches(substr(text, 1, 30), '^[\x00-\x7F]*$'))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
         |FROM d a, d b

@@ -11,11 +11,8 @@ class PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(df: org.apache.spark.sql.DataFrame): String = {
-    val out = new java.io.ByteArrayOutputStream()
-    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
-    out.toString
-  }
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    graft.Plans.capturePlan(df)
 
   test("q01: both predicates and the 3-column projection reach the parquet scan") {
     val p = plan(Relational.q01(spark, sf))
