@@ -183,15 +183,14 @@ object Pipeline {
     import spark.implicits._
     val records = recordsIn.persist()
 
-    val total = records.count()
+    // A1 + A2 in ONE job: total is the sum of the per-kind counts.
+    val itemsByType = records.groupBy($"graft_kind").count()
+      .as[(String, Long)].collect().toMap
+    val total = itemsByType.values.sum
     if (total == 0) {
       records.unpersist()
       return Result(spark.emptyDataFrame, Map.empty, Map.empty, 0L)
     }
-
-    // A2 — items_by_type.
-    val itemsByType = records.groupBy($"graft_kind").count()
-      .as[(String, Long)].collect().toMap
 
     // A3/A4 — dynamic schema: Spark's native JSON inference over the record
     // payloads (same two-pass infer-then-apply as spark.read.json).
