@@ -54,9 +54,26 @@ def main(sf_dir, out_dir):
             n_fail += 1;  continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}");  n_fail += 1;  continue
+        # The driver hashes raw values, so representation drift (e.g. DuckDB
+        # HUGEINT -> float64 vs Spark int64) fails there. Mirror that: dtypes
+        # must agree after norm, and integer columns compare exactly.
+        mism = [c for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+        if mism:
+            print(f"FAIL {name}: dtype mismatch "
+                  f"{[(c, str(got[c].dtype), str(exp[c].dtype)) for c in mism]}")
+            n_fail += 1;  continue
         try:
-            pd.testing.assert_frame_equal(got, exp, check_dtype=False,
-                                          check_exact=False, rtol=0, atol=1e-9)
+            int_cols = [c for c in got.columns if str(got[c].dtype) in ("int64", "bool")]
+            for c in int_cols:
+                if not got[c].equals(exp[c]):
+                    d = (got[c] != exp[c])
+                    raise AssertionError(
+                        f"integer column {c} differs at {int(d.sum())} rows "
+                        f"(first idx {int(d.idxmax())})")
+            rest = [c for c in got.columns if c not in int_cols]
+            if rest:
+                pd.testing.assert_frame_equal(got[rest], exp[rest], check_dtype=True,
+                                              check_exact=False, rtol=0, atol=1e-9)
             print(f"PASS {name} ({len(got)} rows)");  n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name}: values differ\n  {str(e)[:400]}");  n_fail += 1

@@ -14,7 +14,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,24 +24,36 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
-    // warm-up pass (untimed)
+    // warm-up pass (untimed; failures reported on the timed pass)
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH WARMUP ERROR $name: $e")
+      }
     }
 
-    // timed pass
+    // timed pass — a failing query must be VISIBLE, not a ~0s entry
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH ERROR $name: $e")
+        errors(name) = e.toString
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ").take(200) + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

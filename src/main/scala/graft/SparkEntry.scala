@@ -19,10 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (q01–q18) plus the
     * LLM-pipeline extension operators (x01–x13). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.Extensions.queries
+    graft.queries.StrictMap.disjointUnion(
+      graft.queries.Relational.queries, graft.queries.Extensions.queries)
 
   /** For each key in `queries`, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys → driver records a rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql ++ graft.queries.Extensions.oracleSql
+    graft.queries.StrictMap.disjointUnion(
+      graft.queries.Relational.oracleSql, graft.queries.Extensions.oracleSql)
 }

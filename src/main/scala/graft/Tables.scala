@@ -17,11 +17,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-build-time configs every graft entrypoint applies via
+    * [[configure]]. `nanosAsLong` lives here (not as a per-load
+    * `spark.conf.set`) so concurrent queries never race on session conf:
+    * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; we read it as raw int64 nanos and convert below. */
+  val sessionConfs: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read it as raw int64 nanos and convert to a micros timestamp.
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))

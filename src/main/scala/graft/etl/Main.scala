@@ -41,7 +41,7 @@ object Main {
     val inDir = opts.getOrElse("in", "inputs")
     val outDir = opts.getOrElse("out", "outputs")
 
-    val spark = SparkSession.builder()
+    val spark = graft.Tables.configure(SparkSession.builder())
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .appName("graft-etl")
       .config("spark.sql.shuffle.partitions",

@@ -116,7 +116,11 @@ object Extensions {
     * mapPartitions batch-decoder plumbing (stub decoder — deterministic
     * fake; the Spark-side schema/partitioning/batching is the real thing). */
   def x12(s: SparkSession, dir: String): DataFrame = {
+    // ASCII-first-char guard: StubDecoder reads the first UTF-8 BYTE of the
+    // payload while the DuckDB oracle can only read the first CODEPOINT —
+    // identical only for ASCII leading chars (same guard style as x16).
     val payloads = t(s, dir, "documents")
+      .filter(col("text").rlike("^[\\x00-\\x7F]"))
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     Multimodal.decodeBatch(payloads, Multimodal.StubDecoder).toDF()
       .select(col("doc_id"), col("format"),
@@ -205,7 +209,7 @@ object Extensions {
     graft.etl.Pipeline.process(s, files).frame
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = StrictMap(
     "e01_pipeline" -> (e01 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_dedup_minhash" -> (x02 _),
@@ -228,7 +232,7 @@ object Extensions {
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
   private def mh(i: Int) = hex15.format(s"'$i:' || s")
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = StrictMap(
     "e01_pipeline" ->
       """WITH d AS (SELECT doc_id, lang, text FROM documents),
         |rows_ AS (
@@ -265,7 +269,8 @@ object Extensions {
          |  FROM h, (SELECT unnest(range(0, 32)) b) bb(b)),
          |bsum AS (SELECT doc_id, b, sum(w) sw FROM bits GROUP BY 1, 2)
          |SELECT doc_id,
-         |  sum(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+         |  CAST(sum(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+         |       AS BIGINT) AS simhash
          |FROM bsum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x04_dedup_jaccard" ->
       """WITH t AS (
@@ -395,52 +400,8 @@ object Extensions {
         |  CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
-        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
-    "x14_lang_ngram" ->
-      """SELECT doc_id,
-        |  CAST(length(text) - length(replace(text, 'sch', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'ein', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'der', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'die', '')) AS BIGINT) AS g_de,
-        |  CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'ing', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'ion', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'and', '')) AS BIGINT) AS g_en,
-        |  CAST(length(text) - length(replace(text, 'los', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'que', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'ent', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'ado', '')) AS BIGINT) AS g_es,
-        |  CAST(length(text) - length(replace(text, 'les', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'ent', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'eau', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, 'our', '')) AS BIGINT) AS g_fr,
-        |  CAST(length(text) - length(replace(text, '的', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, '是', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, '不', '')) AS BIGINT)
-        |  + CAST(length(text) - length(replace(text, '了', '')) AS BIGINT) AS g_zh,
-        |  CASE WHEN greatest(
-        |      CAST(length(text) - length(replace(text, 'sch', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'ein', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'der', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'die', '')) AS BIGINT),
-        |      CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'ing', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'ion', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'and', '')) AS BIGINT),
-        |      CAST(length(text) - length(replace(text, 'los', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'que', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'ent', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'ado', '')) AS BIGINT),
-        |      CAST(length(text) - length(replace(text, 'les', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'ent', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'eau', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, 'our', '')) AS BIGINT),
-        |      CAST(length(text) - length(replace(text, '的', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, '是', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, '不', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, '了', '')) AS BIGINT)) = 0
-        |    THEN 'und' ELSE 'x' END AS predicted_raw
-        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+        |FROM documents WHERE regexp_matches(text, '^[\x00-\x7F]')
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
     "x14_lang_ngram" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -283,7 +283,7 @@ object Relational {
       .orderBy("y", "m")
 
   /** Query map fragment contributed to [[graft.SparkEntry.queries]]. */
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = StrictMap(
     "q01_filter_project" -> (q01 _),
     "q02_groupby_count" -> (q02 _),
     "q03_global_count" -> (q03 _),
@@ -312,7 +312,7 @@ object Relational {
   )
 
   /** DuckDB oracle SQL — column names MUST match the Spark results above. */
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = StrictMap(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 30 AND l_returnflag = 'R'
