@@ -124,11 +124,17 @@ object Pipeline {
       all.zipWithIndex.map { case ((k, p), i) => BlockRow(seg, i, k, p) }
     }
 
-    // global value-dedup: high-cardinality (kind, payload) keys partition
-    // evenly, so this window is skew-free
+    // global value-dedup for html/json/media ONLY: the whole-file path
+    // (Detector.detect) dedups those kinds by value but emits every
+    // qualifying text line, duplicates included — so text bypasses the
+    // dedup window. High-cardinality (kind, payload) keys partition
+    // evenly, so the window is skew-free.
     val wKP = Window.partitionBy("kind", "payload").orderBy("seg", "pos")
-    val deduped = blocks
+    val texts = blocks.toDF().filter(col("kind") === "text")
+    val deduped = blocks.toDF().filter(col("kind") =!= "text")
       .withColumn("rn", row_number().over(wKP)).filter(col("rn") === 1)
+      .drop("rn")
+      .unionByName(texts)
       .select(col("seg"), col("pos"), col("kind"), col("payload"))
 
     // Per-kind ordinals WITHOUT a Window.partitionBy(kind): only 4 kinds, so
@@ -226,8 +232,9 @@ object Pipeline {
   }
 
   /** Backtick-quoted column reference: inferred JSON keys may contain dots
-    * (e.g. {"a.b": 1}), which bare col() would parse as nested access. */
-  private def qcol(name: String) = col("`" + name.replace("`", "``") + "`")
+    * (e.g. {"a.b": 1}), which bare col() would parse as nested access.
+    * Public so sinks referencing inferred columns share the same quoting. */
+  def qcol(name: String) = col("`" + name.replace("`", "``") + "`")
 
   /** Columns that are always-null JSON fields infer as NullType, which sinks
     * can't write — surface them as string nulls. */

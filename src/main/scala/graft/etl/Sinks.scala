@@ -21,7 +21,7 @@ object Sinks {
   def writeCsvSingleFile(df: DataFrame, outPath: String): Unit = {
     val stringified = df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
-        case _: ArrayType => acc.withColumn(f.name, to_json(col(f.name)))
+        case _: ArrayType => acc.withColumn(f.name, to_json(Pipeline.qcol(f.name)))
         case _ => acc
       }
     }
@@ -70,7 +70,7 @@ object Sinks {
         lit(filename).as("filename"),
         col("source_index"),
         col("type").as("data_type"),
-        to_json(struct(df.columns.map(col): _*)).as("data_json"),
+        to_json(struct(df.columns.map(Pipeline.qcol): _*)).as("data_json"),
         current_timestamp().as("created_at"))
       .write.mode("append").parquet(s"$storeDir/processed_data")
 
@@ -98,7 +98,7 @@ object Sinks {
         lit(filename).as("filename"),
         col("source_index"),
         col("type").as("data_type"),
-        to_json(struct(df.columns.map(col): _*)).as("data_json"))
+        to_json(struct(df.columns.map(Pipeline.qcol): _*)).as("data_json"))
       .coalesce(1)
       .write.mode("append").jdbc(jdbcUrl, "processed_data", props)
 

@@ -62,20 +62,19 @@ object Dedup {
     }
   }
 
-  /** MinHash + LSH candidate pairs: signatures → bands of `rowsPerBand`
-    * hashes → band-bucket self-join → distinct (a,b) pairs, a < b, verified
-    * with exact token-Jaccard ≥ `threshold`.
+  /** MinHash + LSH band-bucket candidate pairs — the shared blocking step
+    * for [[lshPairs]] (Jaccard verify) and [[editDistanceLshPairs]]
+    * (levenshtein verify). Output: (id_a, id_b, text_a, text_b), a < b,
+    * distinct.
     *
-    * Cost at scale: O(n · perms) signature work, one shuffle on (band,
-    * bucket), and Jaccard verification only on candidates — never O(n²).
-    */
-  def lshPairs(
+    * Cost at scale: O(n · perms) map-side signature work, then ONE shuffle
+    * on the (band, bucket) equi-join key — never O(n²). */
+  def lshCandidates(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       numPerms: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.5,
       shingleSize: Int = 3): DataFrame = {
     require(numPerms % rowsPerBand == 0, "numPerms must be divisible by rowsPerBand")
     val numBands = numPerms / rowsPerBand
@@ -99,24 +98,51 @@ object Dedup {
 
     val a = banded.as("a")
     val b = banded.as("b")
-    val candidates = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.text").as("text_a"), col("b.text").as("text_b"))
       .distinct()
+  }
 
-    // verify with the SAME similarity the signatures approximate — shingle
-    // Jaccard (token Jaccard would pass order-scrambled docs the minhash
-    // never collides on)
+  /** MinHash + LSH near-dup pairs: [[lshCandidates]] verified with exact
+    * shingle-Jaccard ≥ `threshold` — the SAME similarity the signatures
+    * approximate (token Jaccard would pass order-scrambled docs the minhash
+    * never collides on). Jaccard runs only on candidates. */
+  def lshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      shingleSize: Int = 3): DataFrame = {
     val ta = shingles(col("text_a"), shingleSize)
     val tb = shingles(col("text_b"), shingleSize)
-    candidates
+    lshCandidates(docs, idCol, textCol, numPerms, rowsPerBand, shingleSize)
       .withColumn("jaccard",
         size(array_intersect(ta, tb)).cast("double") / size(array_union(ta, tb)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** LSH-blocked edit-distance near-dup pairs: [[lshCandidates]] verified
+    * with levenshtein ≤ `maxDist`. This is the scale path for typo-level
+    * dedup — the O(len²) distance runs ONLY on band-bucket candidates,
+    * never as a cartesian over the corpus. */
+  def editDistanceLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): DataFrame =
+    lshCandidates(docs, idCol, textCol, numPerms, rowsPerBand, shingleSize)
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
 
   /** 32-bit SimHash over distinct tokens with the portable hash: bit b of
     * the signature is set iff Σ_t (±1 by bit b of hash(t)) > 0.

@@ -191,6 +191,26 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
+  /** x17 — THE 100 TB near-dup scale path under the hash gate: MinHash
+    * signatures → band buckets → equi-join candidates → shingle-Jaccard
+    * verify ([[Dedup.lshPairs]]). Unbounded over the documents table — the
+    * whole point is that this operator needs no bound; the oracle
+    * reconstructs every stage from the same portable md5 primitives. */
+  def x17(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** x18 — LSH-blocked edit-distance near-dup (typo-level dedup at scale):
+    * levenshtein runs ONLY on band-bucket candidates, never as a cartesian
+    * ([[Dedup.editDistanceLshPairs]]; contrast the bounded x16). ASCII-only
+    * docs: Spark and DuckDB levenshtein agree codepoint-for-codepoint there. */
+  def x18(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceLshPairs(
+      t(s, dir, "documents").filter(col("text").rlike("^[\\x00-\\x7F]*$")),
+      "doc_id", "text", maxDist = 20)
+      .orderBy("id_a", "id_b")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -206,7 +226,13 @@ object Extensions {
         concat(lit("{\"doc_id\": "), col("doc_id"),
           lit(", \"lang\": \""), col("lang"), lit("\"}\n"), col("text")).as("c"))
       .as[(String, String)]
-    graft.etl.Pipeline.process(s, files).frame
+    // process() runs its eager actions (counts, inference, stats) while the
+    // record dataset is cached; release the cache before handing the lazy
+    // frame to the driver — one recompute on materialization beats leaking
+    // cached blocks per invocation (Bench runs this twice per session).
+    val r = graft.etl.Pipeline.process(s, files)
+    r.cleanup()
+    r.frame
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = StrictMap(
@@ -226,11 +252,44 @@ object Extensions {
     "x13_sessionize" -> (x13 _),
     "x14_lang_ngram" -> (x14 _),
     "x15_salted_agg" -> (x15 _),
-    "x16_edit_distance" -> (x16 _)
+    "x16_edit_distance" -> (x16 _),
+    "x17_dedup_lsh" -> (x17 _),
+    "x18_edit_lsh" -> (x18 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
   private def mh(i: Int) = hex15.format(s"'$i:' || s")
+
+  /** Shared DuckDB scaffolding for the LSH oracles (x17/x18): docs →
+    * distinct 3-shingles → 16 salted-md5 minhash mins → 4 band buckets →
+    * distinct candidate pairs — a stage-by-stage relational reconstruction
+    * of [[Dedup.lshCandidates]]. */
+  private def lshOracleSql(docWhere: String, select: String, where: String): String = {
+    val sig = (0 until 16).map(i => s"min(${mh(i)}) AS mh$i").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"mh${4 * b + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents$docWhere),
+       |tok AS (
+       |  SELECT doc_id, text, string_split(text, ' ') w FROM d
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, text, list_distinct(list_transform(
+       |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shl
+       |  FROM tok),
+       |shu AS (SELECT doc_id, unnest(shl) s FROM sh),
+       |sig AS (SELECT doc_id, $sig FROM shu GROUP BY doc_id),
+       |banded AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b, $select
+       |FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+       |WHERE $where
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = StrictMap(
     "e01_pipeline" ->
@@ -447,6 +506,16 @@ object Extensions {
         |FROM d a, d b
         |WHERE a.doc_id < b.doc_id AND levenshtein(a.prefix, b.prefix) <= 17
         |ORDER BY id_a, id_b""".stripMargin,
+    "x17_dedup_lsh" -> lshOracleSql(
+      docWhere = "",
+      select = """round(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                 |  / len(list_distinct(list_concat(sa.shl, sb.shl))), 4) AS jaccard""".stripMargin,
+      where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin),
+    "x18_edit_lsh" -> lshOracleSql(
+      docWhere = """ WHERE regexp_matches(text, '^[\x00-\x7F]*$')""",
+      select = "CAST(levenshtein(sa.text, sb.text) AS BIGINT) AS dist",
+      where = "levenshtein(sa.text, sb.text) <= 20"),
     "x13_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

@@ -153,6 +153,25 @@ class PipelineSpec extends SparkSpec {
     assert(dupRow.length == 1 && dupRow(0).getAs[String]("source_index") == "json_0")
   }
 
+  test("chunked mode preserves duplicate text lines (whole-file parity)") {
+    // whole-file mode dedups html/json/media by value but NOT text lines —
+    // a file with a repeated separator-ish line must keep every occurrence
+    // in chunked mode too, with identical ordinals.
+    import spark.implicits._
+    val content =
+      "a repeated text line here\n\n{\"k\": 1}\n\n" +
+        "a repeated text line here\n\nanother distinct line x\n\n" +
+        "a repeated text line here\n\n{\"k\": 1}\n"
+    val f = Files.createTempFile("graft_dup_text", ".txt")
+    Files.writeString(f, content)
+    val whole = Pipeline.process(spark, Seq((f.toString, content)).toDS())
+    val chunked = Pipeline.processChunkedFile(spark, f.toString)
+    assert(whole.itemsByType == Map("json" -> 1L, "text" -> 4L))
+    assert(chunked.itemsByType == whole.itemsByType)
+    assert(chunked.frame.collect().map(_.toSeq).toSeq ==
+      whole.frame.collect().map(_.toSeq).toSeq)
+  }
+
   test("latin-1 fallback decode (S1)") {
     val bytes = Array[Byte](0x63, 0x61, 0x66, 0xE9.toByte) // "café" in latin-1
     assert(Pipeline.decodeWithFallback(bytes) == "café")
@@ -180,6 +199,23 @@ class PipelineSpec extends SparkSpec {
     assert(r.fieldStats("a.b") == Pipeline.FieldStats(Seq("int"), nullable = false, 1))
     val row = r.frame.collect()(0)
     assert(row.getAs[Long]("a.b") == 1L)
+  }
+
+  test("sinks handle dotted JSON keys (quoted column refs)") {
+    // a dotted ARRAY column exercises the CSV sink's to_json rewrite and the
+    // store sinks' struct-over-all-columns — both crashed on bare col(name)
+    import spark.implicits._
+    val r = Pipeline.process(spark,
+      Seq(("d2.txt", """{"a.b": [1, 2], "c.d": "y"}""")).toDS())
+    val out = Files.createTempDirectory("graft_dot").toString
+    Sinks.writeCsvSingleFile(r.frame, s"$out/cleaned_output.csv")
+    val back = spark.read.option("header", "true").csv(s"$out/cleaned_output.csv")
+    assert(back.count() == 1)
+    assert(back.columns.contains("a.b") && back.columns.contains("c.d"))
+    Sinks.appendStore(r, "d2.txt", s"$out/store")
+    val dj = spark.read.parquet(s"$out/store/processed_data")
+      .select("data_json").collect()(0).getString(0)
+    assert(dj.contains("\"a.b\"") && dj.contains("\"c.d\""))
   }
 
   test("empty input → empty result") {

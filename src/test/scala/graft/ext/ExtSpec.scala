@@ -50,6 +50,17 @@ class ExtSpec extends SparkSpec {
     assert(exact.subsetOf(lsh), s"missing: ${exact.diff(lsh)}")
   }
 
+  test("LSH-blocked edit distance finds planted typo-dups without a cartesian") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val typo = base.replace("quick", "qwick") // 1-char edit, shingles mostly shared
+    val unrelated = "completely different words about spark window functions and shuffles"
+    val docs = docsFrom(Seq((1L, base), (2L, typo), (3L, unrelated)))
+    val pairs = Dedup.editDistanceLshPairs(docs, "doc_id", "text",
+      maxDist = 3, numPerms = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("exact dedup keeps one representative per duplicated content") {
     val docs = docsFrom(Seq(
       (10L, "same text"), (11L, "same text"), (12L, "other text")))
