@@ -235,8 +235,58 @@ object Extensions {
     r.frame
   }
 
+  /** e02 — the FULL detector surface under the oracle gate: each document's
+    * content carries an HTML block (D1/E1), a flat JSON fragment (D2/E2), a
+    * 72-char base64 run (D3/E5), and the text body (D4/E4). Reference
+    * semantics the oracle mirrors: the base64 run is NOT stripped from the
+    * residual, so it surfaces as BOTH a media record and a text line; html
+    * and media contribute only type/source_index after artifact pruning. */
+  def e02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b64 = "A" * 72 // matches the generic ≥64-char base64 pattern
+    val files = t(s, dir, "documents")
+      .select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("f"),
+        concat(
+          lit("<p>intro paragraph block</p>\n"),
+          lit("{\"doc_id\": "), col("doc_id"),
+          lit(", \"lang\": \""), col("lang"), lit("\"}\n"),
+          lit(b64 + "\n"),
+          col("text")).as("c"))
+      .as[(String, String)]
+    val r = graft.etl.Pipeline.process(s, files)
+    r.cleanup()
+    r.frame
+  }
+
+  /** e03 — chunked large-file mode under the oracle gate: the same corpus as
+    * e01 concatenated into ONE blank-line-separated file, processed with
+    * [[graft.etl.Pipeline.processChunkedFile]] (parallel per-segment
+    * detection + distributed dedup/ordinal reconstruction). The driver-side
+    * collect here is TEST HARNESS ONLY — it synthesizes the input file; the
+    * operator under test reads it back distributed. */
+  def e03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String, String)].collect()
+    val sb = new StringBuilder
+    docs.foreach { case (id, lang, text) =>
+      sb.append(s"""{"doc_id": $id, "lang": "$lang"}\n\n""")
+      sb.append(text).append("\n\n")
+    }
+    val f = java.nio.file.Files.createTempFile("graft_e03_", ".txt")
+    java.nio.file.Files.writeString(f, sb.toString)
+    val r = graft.etl.Pipeline.processChunkedFile(s, f.toString)
+    r.cleanup()
+    r.frame
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = StrictMap(
     "e01_pipeline" -> (e01 _),
+    "e02_detectors" -> (e02 _),
+    "e03_chunked" -> (e03 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_dedup_minhash" -> (x02 _),
     "x03_dedup_simhash" -> (x03 _),
@@ -304,6 +354,44 @@ object Extensions {
         |SELECT type, source_index,
         |  CAST(count(*) OVER () AS BIGINT) AS total_items, doc_id, lang
         |FROM rows_ ORDER BY ord, prec""".stripMargin,
+    "e02_detectors" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents),
+        |rows_ AS (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS ord, 0 AS prec, 0 AS sub,
+        |    'html' AS type, 'html_0' AS source_index,
+        |    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang FROM d
+        |  UNION ALL
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 1, 0,
+        |    'json', 'json_0', doc_id, lang FROM d
+        |  UNION ALL
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 2, 0,
+        |    'text', 'text_0', NULL, NULL FROM d
+        |  UNION ALL
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 2, 1,
+        |    'text', 'text_1', NULL, NULL FROM d WHERE length(trim(text)) > 5
+        |  UNION ALL
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0'), 3, 0,
+        |    'media', 'media_0', NULL, NULL FROM d)
+        |SELECT type, source_index,
+        |  CAST(count(*) OVER () AS BIGINT) AS total_items, doc_id, lang
+        |FROM rows_ ORDER BY ord, prec, sub""".stripMargin,
+    "e03_chunked" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rn
+        |  FROM documents),
+        |tn AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS tno
+        |  FROM d WHERE length(trim(text)) > 5),
+        |rows_ AS (
+        |  SELECT 1 AS prec, rn AS o, 'json' AS type,
+        |    'json_' || rn AS source_index, doc_id, lang FROM d
+        |  UNION ALL
+        |  SELECT 2, tno, 'text', 'text_' || tno,
+        |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) FROM tn)
+        |SELECT type, source_index,
+        |  CAST(count(*) OVER () AS BIGINT) AS total_items, doc_id, lang
+        |FROM rows_ ORDER BY prec, o""".stripMargin,
     "x01_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

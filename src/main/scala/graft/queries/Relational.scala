@@ -54,28 +54,29 @@ object Relational {
       .limit(100)
   }
 
-  /** Q04 — per-partition ordinal (ref: source_index ordinal, E6,
-    * etl_pipeline.py:169-195). row_number over (event_type, event_id). */
-  def q04(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("event_id")
-    t(s, dir, "events")
-      .select(
-        col("event_type"), col("event_id"),
-        (row_number().over(w) - 1).cast("long").as("ordinal"))
+  /** Q04 — per-kind ordinal (ref: source_index ordinal, E6,
+    * etl_pipeline.py:169-195). NOT a `Window.partitionBy(event_type)`:
+    * event_type has ~5 values, so that window funnels n/5 rows through one
+    * task each at scale. [[graft.ext.Ordinals.perKeyOrdinal]] computes the
+    * identical ordinal with a fully parallel two-phase pass. */
+  def q04(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Ordinals.perKeyOrdinal(
+        t(s, dir, "events").select("event_type", "event_id"),
+        "event_type", Seq("event_id"))
       .orderBy("event_type", "event_id")
       .limit(200)
-  }
 
-  /** Q05 — source_index = "{type}_{ordinal}" (ref: etl_pipeline.py:177-194). */
-  def q05(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("event_id")
-    t(s, dir, "events")
+  /** Q05 — source_index = "{type}_{ordinal}" (ref: etl_pipeline.py:177-194).
+    * Same skew-free ordinal as q04. */
+  def q05(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Ordinals.perKeyOrdinal(
+        t(s, dir, "events").select("event_type", "event_id"),
+        "event_type", Seq("event_id"))
       .select(concat(
-        col("event_type"), lit("_"),
-        (row_number().over(w) - 1).cast("string")).as("source_index"))
+        col("event_type"), lit("_"), col("ordinal").cast("string"))
+        .as("source_index"))
       .orderBy("source_index")
       .limit(200)
-  }
 
   /** Q06 — type-precedence sort (ref: normalize regroup N2,
     * etl_pipeline.py:232-258). */

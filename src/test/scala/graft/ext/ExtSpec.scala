@@ -61,6 +61,18 @@ class ExtSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("perKeyOrdinal equals window row_number on skewed keys") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "rare" else "common", i.toLong))
+      .toDF("k", "v").repartition(7)
+    val w = Window.partitionBy("k").orderBy("v")
+    val expect = df.withColumn("ordinal", row_number().over(w).cast("long") - 1)
+      .orderBy("k", "v").collect().toSeq
+    val got = Ordinals.perKeyOrdinal(df, "k", Seq("v"))
+      .orderBy("k", "v").collect().toSeq
+    assert(got == expect)
+  }
+
   test("exact dedup keeps one representative per duplicated content") {
     val docs = docsFrom(Seq(
       (10L, "same text"), (11L, "same text"), (12L, "other text")))

@@ -56,4 +56,15 @@ class PlanSpec extends SparkSpec {
     val p = plan(Relational.q03(spark, sf))
     assert(!p.contains("Window"), "q03 should stamp count via lit, not a window")
   }
+
+  test("q04/q05: per-kind ordinal uses no low-cardinality window partition") {
+    // event_type has ~5 values — a Window.partitionBy(event_type) would
+    // funnel n/5 rows through single tasks at scale; the two-phase ordinal
+    // (Ordinals.perKeyOrdinal) must keep the plan window-free
+    Seq(Relational.q04(spark, sf), Relational.q05(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Window"),
+        s"ordinal query plan contains a Window node:\n$p")
+    }
+  }
 }
