@@ -25,7 +25,9 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   def main(args: Array[String]): Unit = {
-    val cmd = args.headOption.getOrElse("process")
+    // no subcommand → interactive numbered menu, like the reference
+    // (main.py:185-215 falls into the menu loop when argv is empty)
+    val cmd = args.headOption.getOrElse("menu")
     // flags may be interleaved with positionals (e.g. sql "<stmt>" --data d):
     // scan for --key value pairs, keep everything else as positionals
     val rest = args.drop(1)
@@ -81,34 +83,76 @@ object Main {
           catch { case _: Exception => () }
         }
         spark.sql(stmt.toString).show(100, truncate = false)
-      case "outputs" =>
-        // parity with the reference menu's "View outputs" (main.py:124-152)
-        val out = Paths.get(outDir)
-        if (!Files.exists(out)) println(s"no $outDir/ folder found")
-        else {
-          import scala.jdk.CollectionConverters._
-          val fs = Files.list(out).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-          if (fs.isEmpty) println("no output files found; process a file first")
-          else {
-            println("Output files:")
-            fs.sortBy(_.toString).foreach { f =>
-              println(f"   ${f.getFileName} (${Files.size(f) / 1048576.0}%.2f MB)")
-            }
-            val meta = out.resolve("processing_metadata.json")
-            if (Files.exists(meta)) {
-              val m = Json.mapper.readTree(Files.readString(meta))
-              println(s"Latest processing info:")
-              println(s"   - File: ${m.get("filename").asText()}")
-              println(s"   - Items by type: ${m.get("items_by_type")}")
-              println(s"   - Total items: ${m.get("total_items").asLong()}")
-            }
-          }
-        }
+      case "outputs" => viewOutputs(outDir, System.out)
+      case "menu" =>
+        menuLoop(spark, inDir, outDir,
+          new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+          System.out)
       case other =>
-        System.err.println(s"unknown command: $other (use process|db|watch|serve|sql|outputs)")
+        System.err.println(s"unknown command: $other (use process|db|watch|serve|sql|outputs or no arg for the menu)")
         sys.exit(2)
     }
-    if (cmd == "process" || cmd == "db" || cmd == "sql") spark.stop()
+    if (cmd == "process" || cmd == "db" || cmd == "sql" || cmd == "menu") spark.stop()
+  }
+
+  /** Interactive numbered menu (reference main.py:112-123, 185-215): the
+    * same actions as the subcommands, driven by a REPL. `in`/`out` are
+    * injectable so the loop is testable without a TTY; EOF exits. */
+  def menuLoop(
+      spark: SparkSession, inDir: String, outDir: String,
+      in: java.io.BufferedReader, out: java.io.PrintStream): Unit = {
+    var done = false
+    while (!done) {
+      out.println("\n" + "=" * 60)
+      out.println("SIMPLE ETL PIPELINE")
+      out.println("=" * 60)
+      out.println("\nOptions:")
+      out.println(s"1. Process existing files in $inDir/ folder")
+      out.println(s"2. Watch $inDir/ folder for new files (auto-process)")
+      out.println("3. Process a specific file")
+      out.println("4. View outputs")
+      out.println("5. Exit")
+      out.println("-" * 60)
+      out.print("\nEnter your choice (1-5): ")
+      Option(in.readLine()).map(_.trim).getOrElse("5") match {
+        case "1" => runBatch(spark, inDir, outDir, useStore = false)
+        case "2" =>
+          val q = graft.streaming.Watch.start(
+            spark, inDir, outDir, s"$outDir/_checkpoint", useStore = false)
+          out.println(s"[watch] watching $inDir; Ctrl+C to stop")
+          q.awaitTermination()
+        case "3" =>
+          out.print("\nEnter filename to process: ")
+          val f = Option(in.readLine()).map(_.trim).getOrElse("")
+          if (f.isEmpty) out.println("No filename provided")
+          else runBatch(spark, f, outDir, useStore = false)
+        case "4" => viewOutputs(outDir, out)
+        case "5" => out.println("\nGoodbye!"); done = true
+        case _ => out.println("Invalid choice. Please try again.")
+      }
+    }
+  }
+
+  /** "View outputs" (reference main.py:126-155): list output files with
+    * sizes and echo the latest processing metadata. */
+  def viewOutputs(outDir: String, out: java.io.PrintStream): Unit = {
+    val dir = Paths.get(outDir)
+    if (!Files.exists(dir)) { out.println(s"no $outDir/ folder found"); return }
+    import scala.jdk.CollectionConverters._
+    val fs = Files.list(dir).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    if (fs.isEmpty) { out.println("no output files found; process a file first"); return }
+    out.println("Output files:")
+    fs.sortBy(_.toString).foreach { f =>
+      out.println(f"   ${f.getFileName} (${Files.size(f) / 1048576.0}%.2f MB)")
+    }
+    val meta = dir.resolve("processing_metadata.json")
+    if (Files.exists(meta)) {
+      val m = Json.mapper.readTree(Files.readString(meta))
+      out.println(s"Latest processing info:")
+      out.println(s"   - File: ${m.get("filename").asText()}")
+      out.println(s"   - Items by type: ${m.get("items_by_type")}")
+      out.println(s"   - Total items: ${m.get("total_items").asLong()}")
+    }
   }
 
   /** S2 — directory batch: one pipeline run per file, sequential like the
