@@ -22,7 +22,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q01_x,q02_y limits the run (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     // warm-up pass (untimed; failures reported on the timed pass)
     names.foreach { name =>

@@ -52,14 +52,21 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** MinHash signature columns mh0..mh{p-1}: min over shingles of the salted
-    * portable hash. Pure map-side array expressions — no explode, no shuffle.
-    */
+  /** All MinHash signature values as ONE array<long> column, computed in a
+    * single native pass ([[graft.functions.MinHashSig]] — codegen'd, one
+    * split + one shingle walk per row). NULL for docs with fewer than
+    * `shingleSize` tokens. */
+  def minhashSignature(text: Column, numPerms: Int, shingleSize: Int = 3): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.MinHashSig(
+      GraftColumnBridge.expression(text), numPerms, shingleSize))
+  }
+
+  /** MinHash signature columns mh0..mh{p-1} — element_at views over
+    * [[minhashSignature]]. Map-side, no explode, no shuffle. */
   def minhashColumns(text: Column, numPerms: Int, shingleSize: Int = 3): Seq[Column] = {
-    val sh = shingles(text, shingleSize)
-    (0 until numPerms).map { i =>
-      array_min(transform(sh, s => PortableHash.md5Long(s, s"$i:"))).as(s"mh$i")
-    }
+    val sig = minhashSignature(text, numPerms, shingleSize)
+    (0 until numPerms).map(i => element_at(sig, i + 1).as(s"mh$i"))
   }
 
   /** MinHash + LSH band-bucket candidate pairs — the shared blocking step
@@ -79,22 +86,28 @@ object Dedup {
     require(numPerms % rowsPerBand == 0, "numPerms must be divisible by rowsPerBand")
     val numBands = numPerms / rowsPerBand
 
-    val withSig = docs
-      .filter(size(tokens(col(textCol))) >= shingleSize)
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .select((Seq(col("id"), col("text")) ++
-        minhashColumns(col("text"), numPerms, shingleSize)): _*)
+    // widen narrow inputs before the CPU-heavy signature map: a single small
+    // parquet file scans as ONE partition, which would serialize all hashing
+    // on one core. No-op when the input is already at least as wide as the
+    // cluster (the 100 TB case — no extra shuffle there).
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
 
-    // one row per (doc, band) with the band's bucket key
-    val banded = withSig.select(
-      col("id"), col("text"),
-      explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(",",
-            (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
-            .as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("text"), col("bb.band"), col("bb.bucket"))
+    val withSig = wide
+      .filter(size(tokens(col(textCol))) >= shingleSize)
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        minhashSignature(col(textCol), numPerms, shingleSize).as("sig"))
+
+    // one row per (doc, band) with the band's bucket key; the bucket array
+    // references `sig` ONCE so the signature is computed once per row
+    val bucketArr = transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => md5(concat_ws(",", transform(
+        slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+        _.cast("string")))))
+    val banded = withSig
+      .select(col("id"), col("text"), posexplode(bucketArr).as(Seq("band", "bucket")))
 
     val a = banded.as("a")
     val b = banded.as("b")
@@ -109,7 +122,8 @@ object Dedup {
   /** MinHash + LSH near-dup pairs: [[lshCandidates]] verified with exact
     * shingle-Jaccard ≥ `threshold` — the SAME similarity the signatures
     * approximate (token Jaccard would pass order-scrambled docs the minhash
-    * never collides on). Jaccard runs only on candidates. */
+    * never collides on). Jaccard runs only on candidates, via the native
+    * single-pass [[graft.functions.ShingleJaccard]]. */
   def lshPairs(
       docs: DataFrame,
       idCol: String,
@@ -118,11 +132,12 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       shingleSize: Int = 3): DataFrame = {
-    val ta = shingles(col("text_a"), shingleSize)
-    val tb = shingles(col("text_b"), shingleSize)
+    import org.apache.spark.sql.GraftColumnBridge
+    val jac = GraftColumnBridge.column(graft.functions.ShingleJaccard(
+      GraftColumnBridge.expression(col("text_a")),
+      GraftColumnBridge.expression(col("text_b")), shingleSize))
     lshCandidates(docs, idCol, textCol, numPerms, rowsPerBand, shingleSize)
-      .withColumn("jaccard",
-        size(array_intersect(ta, tb)).cast("double") / size(array_union(ta, tb)))
+      .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -61,6 +61,21 @@ class ExtSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("MinHashSig native pass == higher-order reference expression bit-for-bit") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((100000L, "one two"), (100001L, "")).toDF("doc_id", "text"))
+    // the expression MinHashSig replaced, element by element
+    val sh = Dedup.shingles(col("text"), 3)
+    val ref = (0 until 8).map(i =>
+      array_min(transform(sh, s => PortableHash.md5Long(s, s"$i:"))).as(s"mh$i"))
+    val expect = docs.select((col("doc_id") +: ref): _*)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val got = docs.select((col("doc_id") +: Dedup.minhashColumns(col("text"), 8)): _*)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == expect) // incl. short-doc rows: both all-NULL signatures
+  }
+
   test("perKeyOrdinal equals window row_number on skewed keys") {
     import org.apache.spark.sql.expressions.Window
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "rare" else "common", i.toLong))

@@ -57,6 +57,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "q03 should stamp count via lit, not a window")
   }
 
+  test("x17: the minhash signature is computed once per row per join side") {
+    val p = plan(Extensions.x17(spark, sf))
+    val n = "minhash_sig".r.findAllIn(p).size
+    // self-join → the scan subtree appears twice; within each side the
+    // signature expression must appear exactly once (no CollapseProject
+    // duplication re-introducing per-band recomputation)
+    assert(n <= 2, s"minhash_sig appears $n times in the physical plan:\n$p")
+  }
+
   test("q04/q05: per-kind ordinal uses no low-cardinality window partition") {
     // event_type has ~5 values — a Window.partitionBy(event_type) would
     // funnel n/5 rows through single tasks at scale; the two-phase ordinal
