@@ -160,16 +160,13 @@ object Dedup {
       .select("id_a", "id_b", "dist")
 
   /** 32-bit SimHash over distinct tokens with the portable hash: bit b of
-    * the signature is set iff Σ_t (±1 by bit b of hash(t)) > 0.
-    * Pure array expressions — map-side only. */
+    * the signature is set iff Σ_t (±1 by bit b of hash(t)) > 0. Native
+    * single-pass expression ([[graft.functions.SimHashSig]]) — map-side,
+    * codegen'd, corpus-scale. */
   def simhashColumn(text: Column, bits: Int = 32): Column = {
-    val hv = transform(distinctTokens(text), t => PortableHash.md5Long(t))
-    val bitCols = (0 until bits).map { b =>
-      val vote = aggregate(hv, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _).as("simhash")
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.SimHashSig(
+      GraftColumnBridge.expression(text), bits)).as("simhash")
   }
 
   /** Exact pairwise token-Jaccard over a bounded subset — the verification /

@@ -40,9 +40,11 @@ object Extensions {
       .orderBy("doc_id")
   }
 
-  /** x03 — 32-bit SimHash signature per document. */
+  /** x03 — 32-bit SimHash signature per document, unbounded: the native
+    * single-pass expression makes this a full-corpus map, no subset bound
+    * needed. */
   def x03(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").filter(col("doc_id") < 200)
+    t(s, dir, "documents")
       .select(col("doc_id"), Dedup.simhashColumn(col("text")))
       .orderBy("doc_id")
 
@@ -409,7 +411,7 @@ object Extensions {
     "x03_dedup_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) tk
-         |  FROM documents WHERE doc_id < 200),
+         |  FROM documents),
          |h AS (SELECT doc_id, ${hex15.format("tk")} hv FROM tok),
          |bits AS (
          |  SELECT doc_id, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END w

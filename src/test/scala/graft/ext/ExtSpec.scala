@@ -76,6 +76,24 @@ class ExtSpec extends SparkSpec {
     assert(got == expect) // incl. short-doc rows: both all-NULL signatures
   }
 
+  test("SimHashSig native pass == higher-order reference expression bit-for-bit") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((100000L, "one"), (100001L, "")).toDF("doc_id", "text"))
+    // the expression SimHashSig replaced
+    val hv = transform(Dedup.distinctTokens(col("text")), t => PortableHash.md5Long(t))
+    val ref = (0 until 32).map { b =>
+      val vote = aggregate(hv, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val expect = docs.select(col("doc_id"), ref.as("simhash"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val got = docs.select(col("doc_id"), Dedup.simhashColumn(col("text")))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == expect)
+  }
+
   test("perKeyOrdinal equals window row_number on skewed keys") {
     import org.apache.spark.sql.expressions.Window
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "rare" else "common", i.toLong))
