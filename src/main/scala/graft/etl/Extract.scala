@@ -28,15 +28,46 @@ object Extract {
     java.util.regex.Pattern.compile("<title[^>]*>(.*?)</title>",
       java.util.regex.Pattern.DOTALL | java.util.regex.Pattern.CASE_INSENSITIVE)
   private val tagRe = java.util.regex.Pattern.compile("<[^>]+>")
+  private val entityRe =
+    java.util.regex.Pattern.compile("&(#[xX]?[0-9a-fA-F]+|[a-zA-Z]+);")
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ")
 
-  /** E1 — HTML: title text + word count of the tag-stripped text. Both fields
-    * are later pruned (N1, etl_pipeline.py:226-230); they only feed the
-    * schema-stats artifact, so regex tag-stripping parity is sufficient
-    * (SURVEY §2.3 E1). */
+  /** Decode the common HTML entities the way bs4's html.parser surfaces them
+    * in text nodes (named subset + numeric); unknown named entities pass
+    * through unchanged. `&nbsp;` becomes a PLAIN space so the whitespace
+    * word count splits on it like Python's `str.split()` does on U+00A0. */
+  private[etl] def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val m = entityRe.matcher(s)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val e = m.group(1)
+      val rep =
+        try {
+          if (e.startsWith("#x") || e.startsWith("#X"))
+            new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
+          else if (e.startsWith("#"))
+            new String(Character.toChars(e.substring(1).toInt))
+          else namedEntities.getOrElse(e, m.group(0))
+        } catch { case _: Exception => m.group(0) }
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** E1 — HTML: title text + word count of the extracted text. Both fields
+    * are later pruned (N1, etl_pipeline.py:226-230) and only feed the
+    * schema-stats artifact, but the word count mirrors bs4's
+    * `get_text().split()` (etl_pipeline.py:117-124): text nodes concatenate
+    * with NO separator — tags are REMOVED, not replaced by spaces — and
+    * entities are decoded before splitting. */
   private def extractHtml(html: String): JsonNode = {
     val m = titleRe.matcher(html)
-    val title = if (m.find()) m.group(1) else ""
-    val text = tagRe.matcher(html).replaceAll(" ")
+    val title = if (m.find()) decodeEntities(m.group(1)) else ""
+    val text = decodeEntities(tagRe.matcher(html).replaceAll(""))
     val o = Json.mapper.createObjectNode()
     o.put("type", "html")
     o.put("title", title)

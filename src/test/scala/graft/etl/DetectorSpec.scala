@@ -69,6 +69,25 @@ class DetectorSpec extends AnyFunSuite {
     assert(Extract.wordCount(" a  b\t c\n") == 3)
   }
 
+  test("html word_count matches bs4 get_text().split() semantics") {
+    def wc(html: String): Int = {
+      val r = Extract.extractRecord("html", html, 0)
+      Json.parseObject(r.json).get("word_count").asInt()
+    }
+    // bs4 get_text() joins text nodes with NO separator: tags vanish, so
+    // "Title" and "text" fuse into one token across the element boundary
+    assert(wc("<p>Hello <b>World</b></p>") == 2)
+    assert(wc("<div><h1>Title</h1><p>text</p></div>") == 1) // "Titletext"
+    // entities decode before the split; &nbsp; is whitespace to Python
+    assert(wc("<p>a &amp; b</p>") == 3)
+    assert(wc("<p>a&nbsp;b</p>") == 2)
+    assert(wc("<p>x&#65;y</p>") == 1) // "xAy"
+    // title captures decoded entity text
+    val t = Extract.extractRecord("html",
+      "<html><title>My &quot;Page&quot;</title><body>hi</body></html>", 0)
+    assert(Json.parseObject(t.json).get("title").asText() == "My \"Page\"")
+  }
+
   test("flatten: nested dicts join with _, arrays kept as-is") {
     val flat = Json.flatten(Json.parseObject(
       """{"a": {"b": {"c": 1}}, "tags": ["x","y"], "n": 5}"""))

@@ -91,6 +91,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming first-arrival dedup == batch exact dedup on a replayed stream") {
+    import java.sql.Timestamp
+    // corpus with planted duplicates: every 3rd doc repeats an earlier text,
+    // arriving later in event time under a new id
+    val base = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().take(40)
+    val docs = base.zipWithIndex.flatMap { case ((id, text), i) =>
+      val orig = (id, text, new Timestamp(1700000000000L + i * 1000L))
+      if (i % 3 == 0)
+        Seq(orig, (id + 100000L, text, new Timestamp(1700000000000L + (i + 40) * 1000L)))
+      else Seq(orig)
+    }.sortBy(_._3.getTime)
+    // ground truth: the batch operator's representatives (min id per text)
+    val expected = graft.ext.Dedup.exact(
+        docs.map { case (id, text, _) => (id, text) }.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val out = DedupStream.firstArrivals(
+      stream.toDS().toDF("doc_id", "text", "ts"), "ts", "text", horizon = "1 hour")
+    val q = out.writeStream.format("memory").queryName("first_arrivals")
+      .outputMode("append").start()
+    try {
+      docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("first_arrivals")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, // first arrival IS the min id: ts follows id order
+        s"missing=${expected.diff(got).take(5)} extra=${got.diff(expected).take(5)}")
+    } finally q.stop()
+  }
+
   test("extract_blocks generator works from SQL via LATERAL VIEW") {
     graft.functions.ExtractBlocks.register(spark)
     val content = java.nio.file.Files.readString(
