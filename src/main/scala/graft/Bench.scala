@@ -27,9 +27,16 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
+    // Execute the FULL physical plan: Dataset.count() plans a new
+    // count-aggregate over the query, letting Catalyst prune every projected
+    // column and eliminate the final sort — a map-heavy query would
+    // benchmark as a bare scan. toRdd produces the final plan's rows.
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+
     // warm-up pass (untimed; failures reported on the timed pass)
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try run(name)
       catch { case e: Throwable =>
         System.err.println(s"BENCH WARMUP ERROR $name: $e")
       }
@@ -39,7 +46,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try run(name)
       catch { case e: Throwable =>
         System.err.println(s"BENCH ERROR $name: $e")
         errors(name) = e.toString
