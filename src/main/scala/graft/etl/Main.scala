@@ -78,6 +78,9 @@ object Main {
         graft.functions.RollingHash.register(spark)
         graft.functions.DotProduct.register(spark)
         graft.functions.ExtractBlocks.register(spark)
+        graft.functions.MinHashSig.register(spark)
+        graft.functions.ShingleJaccard.register(spark)
+        graft.functions.SimHashSig.register(spark)
         graft.Tables.names.foreach { n =>
           try graft.Tables(spark, dataDir, n).createOrReplaceTempView(n)
           catch { case _: Exception => () }

@@ -106,6 +106,19 @@ class ExtSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("native dedup functions are SQL-registrable and callable") {
+    graft.functions.MinHashSig.register(spark)
+    graft.functions.ShingleJaccard.register(spark)
+    graft.functions.SimHashSig.register(spark)
+    Seq(("a b c d e", "a b c d x")).toDF("s", "t").createOrReplaceTempView("sqlfn_in")
+    val r = spark.sql(
+      """SELECT size(minhash_sig(s, 4, 3)) AS n, shingle_jaccard(s, t, 3) AS j,
+        |       simhash_sig(s, 32) AS h FROM sqlfn_in""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 4)
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0)
+    assert(r.getLong(2) != 0L)
+  }
+
   test("exact dedup keeps one representative per duplicated content") {
     val docs = docsFrom(Seq(
       (10L, "same text"), (11L, "same text"), (12L, "other text")))
