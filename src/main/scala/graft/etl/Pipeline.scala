@@ -114,8 +114,17 @@ object Pipeline {
 
     // monotonically_increasing_id preserves file order: ascending partition
     // ids follow ascending file-split offsets for a single text file
-    val segs = spark.read.option("lineSep", "\n\n").text(path)
+    val segsRaw = spark.read.option("lineSep", "\n\n").text(path)
       .select(monotonically_increasing_id().as("seg"), col("value"))
+
+    // widen narrow reads BEFORE detection: a file under maxPartitionBytes
+    // (128 MB) scans as ONE partition, which would serialize the CPU-heavy
+    // regex detection on a single core. seg ids are assigned below the
+    // exchange, so the round-robin reshuffle cannot perturb them; no-op for
+    // multi-split files (the genuinely-large case).
+    val par = spark.sparkContext.defaultParallelism
+    val segs =
+      if (segsRaw.rdd.getNumPartitions < par) segsRaw.repartition(par) else segsRaw
 
     val blocks = segs.as[(Long, String)].flatMap { case (seg, content) =>
       val d = Detector.detect(content)
