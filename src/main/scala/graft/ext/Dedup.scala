@@ -159,6 +159,50 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
 
+  /** Connected components of a near-dup pair graph via min-label
+    * propagation: every vertex converges to the minimum id reachable from
+    * it, which becomes the cluster representative. This is the step that
+    * turns [[lshPairs]] output into an actual deduplicated corpus.
+    *
+    * Scale: each iteration is one hash-partitioned aggregate + join on the
+    * vertex id; iterations = O(component diameter), and near-dup clusters
+    * are shallow (typically 2-3 hops). Each round `localCheckpoint`s its
+    * labels: lineage stays O(1) instead of growing per iteration, and the
+    * blocks are reclaimed automatically once the frame is unreferenced (no
+    * session-lifetime cache leak). On a real cluster with executor churn,
+    * swap for reliable `checkpoint` with a checkpoint dir. Returns
+    * (id, rep) for every vertex in `pairs` (callers left-join docs and
+    * coalesce to self for singletons).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dl").as("nl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash over distinct tokens with the portable hash: bit b of
     * the signature is set iff Σ_t (±1 by bit b of hash(t)) > 0. Native
     * single-pass expression ([[graft.functions.SimHashSig]]) — map-side,

@@ -213,6 +213,22 @@ object Extensions {
       "doc_id", "text", maxDist = 20)
       .orderBy("id_a", "id_b")
 
+  /** x19 — near-dup clusters → canonical assignment: connected components
+    * over the x17 pair graph ([[Dedup.components]], min-label propagation),
+    * left-joined back so every document gets a representative (itself for
+    * singletons). The final step of corpus-scale dedup: keep rows where
+    * doc_id == rep. */
+  def x19(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text")
+      .select("id_a", "id_b")
+    val comp = Dedup.components(pairs)
+      .select(col("id").as("doc_id"), col("label"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep"))
+      .orderBy("doc_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -306,7 +322,8 @@ object Extensions {
     "x15_salted_agg" -> (x15 _),
     "x16_edit_distance" -> (x16 _),
     "x17_dedup_lsh" -> (x17 _),
-    "x18_edit_lsh" -> (x18 _)
+    "x18_edit_lsh" -> (x18 _),
+    "x19_dedup_components" -> (x19 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -606,6 +623,25 @@ object Extensions {
       docWhere = """ WHERE regexp_matches(text, '^[\x00-\x7F]*$')""",
       select = "CAST(levenshtein(sa.text, sb.text) AS BIGINT) AS dist",
       where = "levenshtein(sa.text, sb.text) <= 20"),
+    "x19_dedup_components" -> {
+      // transitive closure over the x17 pair graph (recursive CTE), then
+      // min reachable id per vertex = the cluster representative
+      val pairs = lshOracleSql(
+        docWhere = "",
+        select = "1 AS one",
+        where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                  |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin)
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairs) tp),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+         |rp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+         |SELECT d.doc_id, CAST(coalesce(rp.rep, d.doc_id) AS BIGINT) AS rep
+         |FROM documents d LEFT JOIN rp USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "x13_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

@@ -106,6 +106,24 @@ class ExtSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("components: chains collapse to the min id, disjoint clusters stay apart") {
+    // chain 1-2, 2-3 (diameter 2) + pair 10-11 + untouched vertex 20-21 pair
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("components: long chain converges within the iteration bound") {
+    val n = 12 // diameter 12 chain: 0-1, 1-2, ... 11-12
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == n + 1)
+  }
+
   test("native dedup functions are SQL-registrable and callable") {
     graft.functions.MinHashSig.register(spark)
     graft.functions.ShingleJaccard.register(spark)
