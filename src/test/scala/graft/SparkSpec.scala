@@ -8,6 +8,8 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Tables.configure(SparkSession.builder())
     .master("local[4]")
     .appName(getClass.getSimpleName)
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
