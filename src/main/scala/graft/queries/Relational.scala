@@ -283,6 +283,32 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
       .orderBy("y", "m")
 
+  /** Q26 — running (cumulative) sum per user in event-time order. The
+    * window partitions by user_id — high-cardinality, so it parallelizes;
+    * contrast q04/q05 where a ~5-value key forces the two-phase ordinal
+    * instead. Explicit ROWS frame so ties behave identically in DuckDB. */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 2).as("run"))
+      .orderBy("event_id")
+      .limit(500)
+  }
+
+  /** Q27 — pivot: one count column per event type (explicit value list, so
+    * the schema is static and no extra distinct-values job runs). */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("user_id")
+      .limit(200)
+
   /** Query map fragment contributed to [[graft.SparkEntry.queries]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = StrictMap(
     "q01_filter_project" -> (q01 _),
@@ -309,7 +335,9 @@ object Relational {
     "q22_rollup" -> (q22 _),
     "q23_median" -> (q23 _),
     "q24_corr_subquery" -> (q24 _),
-    "q25_date_parts" -> (q25 _)
+    "q25_date_parts" -> (q25 _),
+    "q26_running_sum" -> (q26 _),
+    "q27_pivot" -> (q27 _)
   )
 
   /** DuckDB oracle SQL — column names MUST match the Spark results above. */
@@ -411,6 +439,18 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(month(o_orderdate) AS BIGINT) AS m,
         |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "q26_running_sum" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+    "q27_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin
   )
 }
