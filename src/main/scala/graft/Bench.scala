@@ -42,6 +42,12 @@ object Bench {
       }
     }
 
+    // let the warm-up pass's async cleanup (ContextCleaner block removal,
+    // GC of cached/checkpointed data) settle so it doesn't bill the first
+    // timed query — observed as a one-off 5-7 s spike on whatever ran first
+    System.gc()
+    Thread.sleep(2000)
+
     // timed pass — a failing query must be VISIBLE, not a ~0s entry
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
