@@ -16,8 +16,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.Relational.q15(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2 (q01–q18) plus the
-    * LLM-pipeline extension operators (x01–x13). */
+  /** One entry per implemented operator: SURVEY §2.10 relational corpus
+    * (q01–q27), LLM-pipeline extension operators (x01–x19), and the
+    * pipeline end-to-end entries (e01–e03). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.StrictMap.disjointUnion(
       graft.queries.Relational.queries, graft.queries.Extensions.queries)
