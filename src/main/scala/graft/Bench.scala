@@ -61,8 +61,10 @@ object Bench {
     }
 
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ").take(200) + "\""
+      // truncate BEFORE escaping — cutting after could split a 2-char
+      // escape and leave a dangling backslash that breaks the JSON line
+      "\"" + s.take(200).replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }

@@ -147,50 +147,19 @@ object Pipeline {
       .select(col("seg"), col("pos"), col("kind"), col("payload"))
 
     // Per-kind ordinals WITHOUT a Window.partitionBy(kind): only 4 kinds, so
-    // that window would funnel ~n/4 rows through one task each. Instead:
-    // parallel range-sort by (seg, pos), then the two-phase zipWithIndex
-    // pattern — per-partition per-kind counts → driver prefix sums →
-    // per-partition offset assignment. Fully parallel at any size.
-    // IMPORTANT: drop to ONE RDD before the two passes. Dataset actions
-    // re-plan per action, and repartitionByRange re-samples its boundaries
-    // on each planning — two Dataset actions would see two different
-    // partitionings and the offsets would be wrong. A single .rdd pins one
-    // physical plan; both jobs reuse its shuffle output.
-    val sortedRdd = deduped
-      .repartitionByRange(col("seg"), col("pos"))
-      .sortWithinPartitions("seg", "pos")
-      .as[BlockRow]
-      .rdd
-
-    val perPartCounts: Array[(Int, Map[String, Long])] =
-      sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-        it.foreach(b => m(b.kind) += 1L)
-        Iterator.single((pid, m.toMap))
-      }.collect()
-
-    val offsets: Map[(Int, String), Long] = {
-      val running = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-      perPartCounts.sortBy(_._1).flatMap { case (pid, counts) =>
-        counts.toSeq.sortBy(_._1).map { case (kind, n) =>
-          val start = running(kind)
-          running(kind) = start + n
-          (pid, kind) -> start
-        }
-      }.toMap
+    // that window would funnel ~n/4 rows through one task each.
+    // Ordinals.perKeyOrdinal runs the skew-free two-phase pass (parallel
+    // range-sort by (seg, pos), per-partition counts, driver prefix sums,
+    // offset re-walk) — the same operator the declared ordinal queries use.
+    val withOrd = graft.ext.Ordinals
+      .perKeyOrdinal(deduped, "kind", Seq("seg", "pos"))
+      .select(col("kind"), col("payload"), col("ordinal"))
+      .as[(String, String, Long)]
+    val records = withOrd.map { case (kind, payload, ord) =>
+      val r = Extract.extractRecord(kind, payload, ord.toInt)
+      RecordRow(path, r.kind, r.ordinal, r.json)
     }
-    val offsetsB = spark.sparkContext.broadcast(offsets)
-
-    val recordsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-      val local = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-      it.map { b =>
-        val ord = offsetsB.value.getOrElse((pid, b.kind), 0L) + local(b.kind)
-        local(b.kind) += 1L
-        val r = Extract.extractRecord(b.kind, b.payload, ord.toInt)
-        RecordRow(path, r.kind, r.ordinal, r.json)
-      }
-    }
-    assemble(spark, spark.createDataset(recordsRdd))
+    assemble(spark, records)
   }
 
   /** Shared downstream: dynamic-schema inference, pivot, stats, normalize. */

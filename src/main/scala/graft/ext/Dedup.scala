@@ -164,15 +164,17 @@ object Dedup {
     * it, which becomes the cluster representative. This is the step that
     * turns [[lshPairs]] output into an actual deduplicated corpus.
     *
-    * Scale: each iteration is one hash-partitioned aggregate + join on the
-    * vertex id; iterations = O(component diameter), and near-dup clusters
-    * are shallow (typically 2-3 hops). Each round `localCheckpoint`s its
-    * labels: lineage stays O(1) instead of growing per iteration, and the
-    * blocks are reclaimed automatically once the frame is unreferenced (no
-    * session-lifetime cache leak). On a real cluster with executor churn,
-    * swap for reliable `checkpoint` with a checkpoint dir. Returns
-    * (id, rep) for every vertex in `pairs` (callers left-join docs and
-    * coalesce to self for singletons).
+    * Scale: each iteration is a neighbor-min step (one aggregate + join on
+    * the vertex id) followed by a pointer-jumping step (label := label of
+    * label), so convergence is O(log diameter) — 20 iterations covers any
+    * realistic graph, and the loop THROWS if it ever exits unconverged
+    * rather than silently returning wrong representatives. Each round
+    * `localCheckpoint`s its labels: lineage stays O(1) instead of growing
+    * per iteration, and the blocks are reclaimed automatically once the
+    * frame is unreferenced (no session-lifetime cache leak). On a real
+    * cluster with executor churn, swap for reliable `checkpoint` with a
+    * checkpoint dir. Returns (id, rep) for every vertex in `pairs`
+    * (callers left-join docs and coalesce to self for singletons).
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -188,10 +190,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dl")), "dst")
         .groupBy(col("src").as("id")).agg(min("dl").as("nl"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer jumping: follow one more hop through the label table so the
+      // min propagates 2^iter hops, not iter hops (log-diameter convergence)
+      val next = stepped
+        .join(labels.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
       val changed = next
         .join(labels.select(col("id"), col("label").as("prev")), "id")
@@ -200,6 +209,9 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"components() did not converge in $maxIter iterations — " +
+        "component diameter exceeds 2^iterations; raise maxIter")
     labels
   }
 

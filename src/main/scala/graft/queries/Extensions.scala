@@ -294,8 +294,13 @@ object Extensions {
       sb.append(s"""{"doc_id": $id, "lang": "$lang"}\n\n""")
       sb.append(text).append("\n\n")
     }
-    val f = java.nio.file.Files.createTempFile("graft_e03_", ".txt")
+    // one deterministic file per dataset, overwritten each invocation (no
+    // per-call temp accumulation across bench/verify runs) and removed at
+    // JVM exit
+    val f = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_e03_${math.abs(dir.hashCode)}.txt")
     java.nio.file.Files.writeString(f, sb.toString)
+    f.toFile.deleteOnExit()
     val r = graft.etl.Pipeline.processChunkedFile(s, f.toString)
     r.cleanup()
     r.frame

@@ -286,14 +286,18 @@ object Relational {
   /** Q26 — running (cumulative) sum per user in event-time order. The
     * window partitions by user_id — high-cardinality, so it parallelizes;
     * contrast q04/q05 where a ~5-value key forces the two-phase ordinal
-    * instead. Explicit ROWS frame so ties behave identically in DuckDB. */
+    * instead. Explicit ROWS frame so ties behave identically in DuckDB.
+    * The sum accumulates in integer CENTS (value is 2-decimal by
+    * construction): double window sums are order-dependent and engines
+    * accumulate in different orders, so a float sum could round differently
+    * at a .005 boundary; the integer sum is exact in any order. */
   def q26(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(unix_micros(col("ts")), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"),
-        round(sum("value").over(w), 2).as("run"))
+        (sum(round(col("value") * 100).cast("long")).over(w) / lit(100.0)).as("run"))
       .orderBy("event_id")
       .limit(500)
   }
@@ -305,7 +309,9 @@ object Relational {
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "view", "purchase"))
       .agg(count(lit(1)))
-      .na.fill(0)
+      // scope the fill to the pivoted cells: an unscoped fill(0) would also
+      // rewrite a null user_id group to 0 and diverge from the oracle
+      .na.fill(0, Seq("click", "view", "purchase"))
       .orderBy("user_id")
       .limit(200)
 
@@ -442,9 +448,10 @@ object Relational {
         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
     "q26_running_sum" ->
       """SELECT event_id, user_id,
-        |  round(sum(value) OVER (PARTITION BY user_id
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts), event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / CAST(100.0 AS DOUBLE) AS run
         |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
     "q27_pivot" ->
       """SELECT user_id,

@@ -76,6 +76,33 @@ class ExtSpec extends SparkSpec {
     assert(got == expect) // incl. short-doc rows: both all-NULL signatures
   }
 
+  test("ShingleJaccard native pass == higher-order reference expression bit-for-bit") {
+    // pairs incl. identical, disjoint, empty, and sub-shingle-length texts
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().take(12)
+    val pairs = (docs.toSeq ++ Seq((900L, ""), (901L, "one two"), (902L, docs.head._2)))
+      .combinations(2)
+      .collect { case Seq((ia, ta), (ib, tb)) => (ia, ib, ta, tb) }
+      .toSeq.toDF("id_a", "id_b", "text_a", "text_b")
+    val ta = Dedup.shingles(col("text_a"), 3)
+    val tb = Dedup.shingles(col("text_b"), 3)
+    // both-no-shingles pairs are 0/0: under ANSI that throws, so the
+    // reference formulation needs an explicit NULL guard — the native
+    // expression returns NULL there by contract
+    val expect = pairs.select(col("id_a"), col("id_b"),
+        when(size(array_union(ta, tb)) === 0, lit(null).cast("double"))
+          .otherwise(size(array_intersect(ta, tb)).cast("double") /
+            size(array_union(ta, tb))).as("j"))
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val jac = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ShingleJaccard(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text_a")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text_b")), 3))
+    val got = pairs.select(col("id_a"), col("id_b"), jac.as("j"))
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(got == expect) // incl. NULL for the both-no-shingles pair
+  }
+
   test("SimHashSig native pass == higher-order reference expression bit-for-bit") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
