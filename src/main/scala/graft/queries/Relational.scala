@@ -315,6 +315,19 @@ object Relational {
       .orderBy("user_id")
       .limit(200)
 
+  /** Q28 — ordered string aggregation (collect_list → sort → join): the
+    * grouped-concatenation shape (DuckDB string_agg / listagg). Sorting the
+    * collected array makes the result order-deterministic regardless of
+    * task arrival order; lexicographic on the stringified key both sides. */
+  def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_custkey") < 200)
+      .groupBy("o_custkey")
+      .agg(
+        concat_ws(",",
+          array_sort(collect_list(col("o_orderkey").cast("string")))).as("orders_csv"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_custkey")
+
   /** Query map fragment contributed to [[graft.SparkEntry.queries]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = StrictMap(
     "q01_filter_project" -> (q01 _),
@@ -343,7 +356,8 @@ object Relational {
     "q24_corr_subquery" -> (q24 _),
     "q25_date_parts" -> (q25 _),
     "q26_running_sum" -> (q26 _),
-    "q27_pivot" -> (q27 _)
+    "q27_pivot" -> (q27 _),
+    "q28_string_agg" -> (q28 _)
   )
 
   /** DuckDB oracle SQL — column names MUST match the Spark results above. */
@@ -458,6 +472,13 @@ object Relational {
         |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
         |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
-        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin,
+    "q28_string_agg" ->
+      """SELECT o_custkey,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |    ORDER BY CAST(o_orderkey AS VARCHAR)) AS orders_csv,
+        |  count(*) AS cnt
+        |FROM orders WHERE o_custkey < 200
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

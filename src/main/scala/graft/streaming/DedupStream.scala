@@ -34,4 +34,23 @@ object DedupStream {
       .withColumn("fp", md5(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming NEAR-dup suppression keyed by SimHash: a document whose
+    * 32-bit simhash equals an earlier arrival's within the horizon is
+    * dropped. Token-reorder/whitespace variants collide on the signature
+    * (that is SimHash's point), so this catches a class of near-dups exact
+    * fingerprinting misses, at the same O(distinct signatures per horizon)
+    * state — the streaming twin of grouping by
+    * [[graft.ext.Dedup.simhashColumn]]. Hamming-close-but-unequal
+    * signatures still pass; full near-dup clustering stays a batch job
+    * (lshPairs + components). */
+  def simhashFirstArrivals(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      horizon: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("simhash", graft.ext.Dedup.simhashColumn(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("simhash")
 }

@@ -127,6 +127,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming simhash dedup suppresses reordered near-dups, keeps distinct docs") {
+    import java.sql.Timestamp
+    // doc B is a token reordering of doc A → identical simhash (votes are
+    // order-independent over the distinct token set); doc C is unrelated
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "zeta epsilon delta gamma beta alpha"
+    val c = "totally different content with other words"
+    val rows = Seq(
+      (1L, a, new Timestamp(1700000000000L)),
+      (2L, b, new Timestamp(1700000001000L)),
+      (3L, c, new Timestamp(1700000002000L)))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val out = DedupStream.simhashFirstArrivals(
+      stream.toDS().toDF("doc_id", "text", "ts"), "ts", "text", horizon = "1 hour")
+    val q = out.writeStream.format("memory").queryName("simhash_first")
+      .outputMode("append").start()
+    try {
+      rows.foreach { r => stream.addData(r); q.processAllAvailable() }
+      val kept = spark.table("simhash_first")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L)) // reordered near-dup 2 suppressed
+    } finally q.stop()
+  }
+
   test("extract_blocks generator works from SQL via LATERAL VIEW") {
     graft.functions.ExtractBlocks.register(spark)
     val content = java.nio.file.Files.readString(
