@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training-data mixing.
+  *
+  * `df.stat.sampleBy` draws per-row randoms: membership changes across
+  * re-runs, retried tasks, and engines — useless for a dataset recipe that
+  * must be auditable and re-buildable. Here membership is a PURE FUNCTION
+  * of the row id: keep a row iff `md5_60bit(id) mod B < rate(stratum)·B`.
+  * Any engine that can compute md5 reproduces the exact sample (the x20
+  * oracle does, in DuckDB); changing the rate only grows/shrinks the kept
+  * set monotonically (a 10% sample is a subset of a 20% sample), which is
+  * what you want when scaling a data mix up or down.
+  *
+  * Map-side filter, codegen'd, zero shuffle — scan-speed at any size.
+  */
+object Sampling {
+
+  /** Per-stratum deterministic sample: `rates` maps stratum value → keep
+    * fraction in [0, 1]; strata absent from the map use `defaultRate`. */
+  def stratified(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      buckets: Int = 10000): DataFrame = {
+    val bucket = hashBucket(col(idCol), buckets)
+    val rateExpr = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < rateExpr * buckets)
+  }
+
+  /** Uniform deterministic sample at `rate`. */
+  def uniform(df: DataFrame, idCol: String, rate: Double, buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < lit(rate) * buckets)
+
+  /** Portable hash bucket in [0, buckets): DuckDB computes the identical
+    * value as `CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15))
+    * AS BIGINT) % buckets` (the 60-bit hash is non-negative, so % == pmod).
+    */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(PortableHash.md5Long(id.cast("string")), lit(buckets.toLong))
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -229,6 +229,18 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x20 — reproducible stratified sampling for dataset mixing: membership
+    * is a pure function of doc_id ([[Sampling.stratified]]), so the oracle
+    * recomputes the EXACT sample — the property rand()-based sampleBy can
+    * never give a recipe that must be auditable and re-buildable. */
+  def x20(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        rates = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1),
+        defaultRate = 0.05)
+      .orderBy("doc_id")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -328,7 +340,8 @@ object Extensions {
     "x16_edit_distance" -> (x16 _),
     "x17_dedup_lsh" -> (x17 _),
     "x18_edit_lsh" -> (x18 _),
-    "x19_dedup_components" -> (x19 _)
+    "x19_dedup_components" -> (x19 _),
+    "x20_stratified_sample" -> (x20 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -647,6 +660,13 @@ object Extensions {
          |FROM documents d LEFT JOIN rp USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+    "x20_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 10000
+        |  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        |      WHEN 'zh' THEN 0.1 ELSE 0.05 END) * 10000
+        |ORDER BY doc_id""".stripMargin,
     "x13_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

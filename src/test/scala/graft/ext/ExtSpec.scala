@@ -164,6 +164,18 @@ class ExtSpec extends SparkSpec {
     assert(r.getLong(2) != 0L)
   }
 
+  test("deterministic sampling: monotone subsets, stable membership, rough rates") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"))
+    def ids(rate: Double): Set[Long] =
+      Sampling.uniform(docs, "doc_id", rate).select("doc_id").as[Long].collect().toSet
+    val s10 = ids(0.10); val s20 = ids(0.20); val s20again = ids(0.20)
+    assert(s20 == s20again) // pure function of the id — re-runs agree
+    assert(s10.subsetOf(s20)) // scaling the rate only grows the sample
+    val n = docs.count().toDouble
+    assert(math.abs(s20.size / n - 0.20) < 0.10) // rough rate (small corpus)
+  }
+
   test("exact dedup keeps one representative per duplicated content") {
     val docs = docsFrom(Seq(
       (10L, "same text"), (11L, "same text"), (12L, "other text")))
