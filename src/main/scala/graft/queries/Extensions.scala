@@ -241,6 +241,27 @@ object Extensions {
         defaultRate = 0.05)
       .orderBy("doc_id")
 
+  /** x21 — group-wise top-k over a LOW-cardinality key (top-3 quality docs
+    * per language): reuses the skew-free [[graft.ext.Ordinals.perKeyOrdinal]]
+    * instead of a `Window.partitionBy(lang)` (5 values → n/5 rows through
+    * one task each at scale). Descending order via the negated score. At
+    * 100 TB, pre-prune the sort input with a per-group approximate score
+    * threshold (approx_percentile) before the ordinal pass — the ordinal
+    * itself stays parallel either way. */
+  def x21(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select((Seq(col("doc_id"), col("lang")) ++
+        TextAnalysis.qualityColumns(col("text"))): _*)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    graft.ext.Ordinals.perKeyOrdinal(
+        docs.withColumn("neg_q", -col("quality_score")),
+        "lang", Seq("neg_q", "doc_id"))
+      .filter(col("ordinal") < 3)
+      .select(col("lang"), col("doc_id"), col("quality_score"),
+        (col("ordinal") + 1).as("rank"))
+      .orderBy("lang", "rank")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -341,7 +362,8 @@ object Extensions {
     "x17_dedup_lsh" -> (x17 _),
     "x18_edit_lsh" -> (x18 _),
     "x19_dedup_components" -> (x19 _),
-    "x20_stratified_sample" -> (x20 _)
+    "x20_stratified_sample" -> (x20 _),
+    "x21_top_quality" -> (x21 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -566,6 +588,33 @@ object Extensions {
         |    + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
         |    AS quality_score
         |FROM r ORDER BY doc_id LIMIT 300""".stripMargin,
+    "x21_top_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    length(replace(text, ' ', '')) AS n_nonspace,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS en_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+        |    round(CAST(en_hits AS DOUBLE) / n_words, 4) AS stop_ratio, n_words
+        |  FROM f),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.5
+        |      + least(stop_ratio * 10.0, CAST(1.0 AS DOUBLE)) * 0.3
+        |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
+        |      AS quality_score
+        |  FROM r),
+        |rk AS (
+        |  SELECT lang, doc_id, quality_score,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM q)
+        |SELECT lang, doc_id, quality_score, rank FROM rk
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
     "x10_token_count" ->
       """SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
