@@ -71,4 +71,43 @@ object Multimodal {
         it.map { case (id, bytes) => d.decode(id, bytes) }
       }
   }
+
+  /** Byte-level feature vector — the feature-extract stage that follows
+    * decode in a multimodal pipeline (decode → features → embed). These
+    * features are REAL (computed from the payload bytes, no stub): byte
+    * count and class counts a content-type classifier would use. */
+  final case class ByteFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      n_upper: Long,
+      n_digit: Long,
+      n_space: Long,
+      n_non_ascii: Long)
+
+  /** Extract [[ByteFeatures]] per payload via the same once-per-partition
+    * mapPartitions batch shape as [[decodeBatch]]. Narrow map, no shuffle. */
+  def featureBatch(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[ByteFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          var upper = 0L; var digit = 0L; var space = 0L; var nonAscii = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            if (b >= 'A' && b <= 'Z') upper += 1
+            else if (b >= '0' && b <= '9') digit += 1
+            else if (b == ' ') space += 1
+            if (b > 0x7f) nonAscii += 1
+            i += 1
+          }
+          ByteFeatures(id, bytes.length.toLong, upper, digit, space, nonAscii)
+        }
+      }
+  }
 }

@@ -262,6 +262,19 @@ object Extensions {
       .orderBy("lang", "rank")
   }
 
+  /** x22 — the multimodal FEATURE-EXTRACT stage (decode → features → embed):
+    * real byte-class counts from the payload bytes via the mapPartitions
+    * batch shape ([[Multimodal.featureBatch]] — no stub here). UTF-8
+    * continuation bytes are all > 0x7F, so ASCII-class byte counts equal
+    * character counts even for non-ASCII docs — no guard needed, the
+    * oracle reconstructs every feature from the text. */
+  def x22(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featureBatch(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
+      .toDF()
+      .orderBy("doc_id")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -363,7 +376,8 @@ object Extensions {
     "x18_edit_lsh" -> (x18 _),
     "x19_dedup_components" -> (x19 _),
     "x20_stratified_sample" -> (x20 _),
-    "x21_top_quality" -> (x21 _)
+    "x21_top_quality" -> (x21 _),
+    "x22_multimodal_features" -> (x22 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -716,6 +730,18 @@ object Extensions {
         |  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
         |      WHEN 'zh' THEN 0.1 ELSE 0.05 END) * 10000
         |ORDER BY doc_id""".stripMargin,
+    "x22_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+        |    AS BIGINT) AS n_upper,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    AS BIGINT) AS n_digit,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+        |  CAST(octet_length(encode(text))
+        |    - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+        |    AS BIGINT) AS n_non_ascii
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x13_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
