@@ -26,7 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 49 declared queries x 2 bench passes in one JVM: 8g GC-thrashed the
+  // 53 declared queries x 2 bench passes in one JVM: 8g GC-thrashed the
   // tail of the run (individual queries 4x slower than isolated); the box
   // has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
