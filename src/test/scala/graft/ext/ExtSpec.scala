@@ -151,6 +151,66 @@ class ExtSpec extends SparkSpec {
     assert(got.size == n + 1)
   }
 
+  test("native expressions == reference formulations on random unicode strings") {
+    // deterministic pseudo-random corpus: multibyte chars, runs of spaces
+    // (empty tokens), short/empty strings — the edges regex-free rewrites get
+    // wrong first
+    val rnd = new scala.util.Random(42)
+    val chars = "abcdefg αβγ 不是了 ß!0189 _-"
+    def randString: String = {
+      val n = rnd.nextInt(120)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        sb.append(chars(rnd.nextInt(chars.length)))
+        if (rnd.nextInt(6) == 0) sb.append(' ') // extra spaces → empty tokens
+      }
+      sb.toString
+    }
+    val texts = Seq("", " ", "  ", "a", "one two three") ++
+      (0 until 200).map(_ => randString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+
+    // MinHash: native vs HOF
+    val sh = Dedup.shingles(col("text"), 3)
+    val mhRef = (0 until 8).map(i =>
+      array_min(transform(sh, s => PortableHash.md5Long(s, s"$i:"))).as(s"mh$i"))
+    assert(
+      df.select((col("id") +: Dedup.minhashColumns(col("text"), 8)): _*)
+        .orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.select((col("id") +: mhRef): _*)
+        .orderBy("id").collect().map(_.toSeq).toSeq)
+
+    // SimHash: native vs HOF
+    val hv = transform(Dedup.distinctTokens(col("text")), t => PortableHash.md5Long(t))
+    val shRef = (0 until 32).map { b =>
+      val vote = aggregate(hv, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    assert(
+      df.select(col("id"), Dedup.simhashColumn(col("text")))
+        .orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.select(col("id"), shRef.as("simhash"))
+        .orderBy("id").collect().map(_.toSeq).toSeq)
+
+    // ShingleJaccard on consecutive pairs: native vs guarded HOF
+    val pairs = texts.sliding(2).zipWithIndex
+      .collect { case (Seq(a, b), i) => (i.toLong, a, b) }
+      .toSeq.toDF("id", "text_a", "text_b")
+    val ta = Dedup.shingles(col("text_a"), 3)
+    val tb = Dedup.shingles(col("text_b"), 3)
+    val jacRef = when(size(array_union(ta, tb)) === 0, lit(null).cast("double"))
+      .otherwise(size(array_intersect(ta, tb)).cast("double") / size(array_union(ta, tb)))
+    val jacNative = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ShingleJaccard(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text_a")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text_b")), 3))
+    assert(
+      pairs.select(col("id"), jacNative.as("j")).orderBy("id").collect().map(_.toSeq).toSeq ==
+      pairs.select(col("id"), jacRef.as("j")).orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("native dedup functions are SQL-registrable and callable") {
     graft.functions.MinHashSig.register(spark)
     graft.functions.ShingleJaccard.register(spark)
