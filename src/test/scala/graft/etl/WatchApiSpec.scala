@@ -62,6 +62,11 @@ class WatchApiSpec extends SparkSpec {
         HttpResponse.BodyHandlers.ofString())
       assert(root.statusCode() == 200)
       assert(root.body().contains("graft ETL") && root.body().contains("/process"))
+      // S10 — the client-side CSV export ships in the page: the export
+      // handler builds a cleaned_output.csv blob from the rendered table
+      assert(root.body().contains("exportCsv"))
+      assert(root.body().contains("cleaned_output.csv"))
+      assert(root.body().contains("text/csv"))
       val missing = client.send(
         HttpRequest.newBuilder(URI.create(s"http://localhost:$port/nope")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
