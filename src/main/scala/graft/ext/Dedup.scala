@@ -215,6 +215,23 @@ object Dedup {
     labels
   }
 
+  /** The final dedup materialization: keep only the rows of `docs` whose id
+    * IS its cluster representative under [[components]] of `pairs` — the
+    * actual cleaned corpus a pipeline emits. Docs absent from the pair
+    * graph are their own representative and survive.
+    *
+    * Scale: the anti-join key set (non-representative ids) is exactly the
+    * removed duplicates — far smaller than the corpus for realistic dup
+    * rates, so AQE turns this into a broadcast anti-join; the corpus
+    * itself never shuffles. */
+  def keepRepresentatives(
+      docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val nonReps = components(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(nonReps, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash over distinct tokens with the portable hash: bit b of
     * the signature is set iff Σ_t (±1 by bit b of hash(t)) > 0. Native
     * single-pass expression ([[graft.functions.SimHashSig]]) — map-side,

@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * payload columns with a typed metadata struct alongside.
   *
   * The decode step is pluggable ([[BinaryDecoder]]) and runs via
-  * `mapPartitions` so a real decoder (JNI image lib, audio codec) is
-  * instantiated ONCE per partition and fed a stream of payloads — the batch
-  * shape a vectorized decoder wants. Partitioning, schema, and the batch
-  * plumbing are real and tested; the decoder itself is a STUB here
-  * ([[StubDecoder]]): the image/audio libraries are not available in this
-  * build, so it derives deterministic fake metadata from the raw bytes.
-  * Swapping in a real decoder is a one-line change at the call site.
+  * `mapPartitions` so a decoder holding per-partition state (a JNI image
+  * lib, an audio codec) is instantiated ONCE per partition and fed a stream
+  * of payloads — the batch shape a vectorized decoder wants. The default
+  * [[HeaderDecoder]] is a real pure-JVM image header parser: PNG IHDR,
+  * JPEG SOFn marker scan, and GIF logical-screen-descriptor, with a `bin`
+  * fallback for unrecognized payloads. Full pixel decode (beyond the
+  * header metadata a curation pipeline filters on) still belongs to a
+  * codec-library decoder plugged in through the same trait.
   *
   * At 100 TB: payloads should live in their own parquet column (columnar
   * pruning keeps metadata-only queries from reading bytes), partition count
@@ -37,19 +38,77 @@ object Multimodal {
     def decode(id: Long, payload: Array[Byte]): MediaMeta
   }
 
-  /** STUB decoder — deterministic fake metadata derived from the bytes
-    * (length/first byte), standing in for a real image decode. Marked
-    * clearly: replace with a real implementation when codec libs exist. */
-  object StubDecoder extends BinaryDecoder {
+  /** Real image-header parser (no external libraries):
+    *   - PNG — 8-byte signature, then the IHDR chunk's big-endian
+    *     width/height at byte offsets 16/20 (PNG spec §11.2.2; the IHDR
+    *     chunk type is verified, its CRC is not);
+    *   - JPEG — SOI then a marker walk to the first SOFn segment
+    *     (C0–CF minus C4/C8/CC), whose big-endian height/width sit 3/5
+    *     bytes past the segment length (ITU T.81 §B.2.2); stops at SOS;
+    *   - GIF — `GIF87a`/`GIF89a` signature, then the logical screen
+    *     descriptor's little-endian width/height at offsets 6/8.
+    * Unrecognized payloads fall back to format `bin` with 0×0 dimensions —
+    * byte-level stats for them come from [[featureBatch]]. */
+  object HeaderDecoder extends BinaryDecoder {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+    private val pngSig =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def startsWith(b: Array[Byte], sig: Array[Byte]): Boolean =
+      b.length >= sig.length && {
+        var i = 0
+        while (i < sig.length && b(i) == sig(i)) i += 1
+        i == sig.length
+      }
+
+    private def isSof(marker: Int): Boolean =
+      marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+
+    /** (format, width, height); `("bin", 0, 0)` when not a recognized image. */
+    def parse(b: Array[Byte]): (String, Int, Int) = {
+      if (startsWith(b, pngSig) && b.length >= 24 &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+        ("png", be32(b, 16), be32(b, 20))
+      } else if (b.length >= 10 &&
+          b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        ("gif", le16(b, 6), le16(b, 8))
+      } else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+        // marker walk; every non-standalone segment carries a 2-byte length
+        // that includes itself, so the walk is O(#segments), not O(bytes)
+        var i = 2
+        while (i + 3 < b.length) {
+          if (u8(b, i) != 0xff) return ("jpeg", 0, 0) // marker stream broken
+          val marker = u8(b, i + 1)
+          if (marker == 0xff) i += 1 // fill byte
+          else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+          else if (marker == 0xda) return ("jpeg", 0, 0) // entropy data, no SOF seen
+          else {
+            val len = be16(b, i + 2)
+            if (isSof(marker) && i + 8 < b.length)
+              return ("jpeg", be16(b, i + 7), be16(b, i + 5))
+            i += 2 + len
+          }
+        }
+        ("jpeg", 0, 0)
+      } else ("bin", 0, 0)
+    }
+
     override def decode(id: Long, payload: Array[Byte]): MediaMeta = {
-      val first = if (payload.nonEmpty) payload(0) & 0xff else 0
+      val (fmt, w, h) = parse(payload)
       MediaMeta(
         doc_id = id,
-        format = "stub",
-        width = (payload.length % 640).toInt,
-        height = (first * 7) % 480,
+        format = fmt,
+        width = w,
+        height = h,
         n_bytes = payload.length.toLong,
-        first_byte = first)
+        first_byte = if (payload.nonEmpty) payload(0) & 0xff else 0)
     }
   }
 

@@ -27,8 +27,26 @@ import org.apache.spark.sql.types.LongType
   */
 object Ordinals {
 
+  /** Driver-side offset-map size above which [[perKeyOrdinal]] logs a
+    * warning: the map holds one entry per (partition, key) pair, so its size
+    * is O(|keys| × numPartitions). The operator stays correct at any
+    * cardinality, but a high-cardinality key belongs in a plain
+    * `row_number() OVER (PARTITION BY key …)` window (no skew there — many
+    * keys spread across tasks); this operator exists for the LOW-cardinality
+    * case where a window would funnel n/k rows through one task. */
+  val offsetWarnThreshold: Int = 1000000
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Append `outCol` = 0-based ordinal of the row within its `keyCol` group,
-    * ordered by `orderCols` globally. Fully parallel at any key cardinality. */
+    * ordered by `orderCols` globally.
+    *
+    * Intended for LOW-cardinality keys (event types, record kinds): the
+    * driver materializes an offsets map of |keys| × numPartitions entries
+    * (step 2-3 above), so driver memory bounds the usable key cardinality —
+    * ~1 M entries is a few tens of MB. Above [[offsetWarnThreshold]] entries
+    * a warning is logged; for genuinely high-cardinality keys use an
+    * ordinary window, which does not skew there. */
   def perKeyOrdinal(
       df: DataFrame,
       keyCol: String,
@@ -59,13 +77,27 @@ object Ordinals {
         }
       }.toMap
     }
+    if (offsets.size > offsetWarnThreshold)
+      log.warn(s"perKeyOrdinal offsets map has ${offsets.size} (partition, key) " +
+        s"entries — key '$keyCol' looks high-cardinality; a plain window " +
+        "(PARTITION BY key) does not skew at high cardinality and avoids " +
+        "this driver-side map")
     val offsetsB = spark.sparkContext.broadcast(offsets)
 
     val outRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       val local = scala.collection.mutable.Map.empty[Any, Long].withDefaultValue(0L)
       it.map { r =>
         val k = r.get(keyIdx)
-        val ord = offsetsB.value.getOrElse((pid, k), 0L) + local(k)
+        // both jobs must observe the identical physical partitioning (that is
+        // why they share one pinned RDD). If a (pid, key) pair appears here
+        // that the count job never saw, that invariant broke — fail loudly
+        // instead of silently assigning offset 0 (wrong ordinals).
+        val base = offsetsB.value.getOrElse((pid, k),
+          throw new IllegalStateException(
+            s"perKeyOrdinal: no offset for partition $pid, key '$k' — the " +
+              "count job and the assignment job observed different " +
+              "partitionings (partitioning drift on the shared RDD)"))
+        val ord = base + local(k)
         local(k) += 1L
         Row.fromSeq(r.toSeq :+ ord)
       }

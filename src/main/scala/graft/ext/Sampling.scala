@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Per-stratum deterministic sample: `rates` maps stratum value → keep
-    * fraction in [0, 1]; strata absent from the map use `defaultRate`. */
+    * fraction in [0, 1]; strata absent from the map use `defaultRate`.
+    *
+    * The bucket threshold is pre-rounded to an INTEGER on the driver
+    * (`math.round(rate * buckets)`): comparing against the raw double
+    * product would shift the boundary for non-representable rates
+    * (0.1 * 10000 = 1000.0000000000001 admits one extra bucket), making the
+    * effective rate off by 1/buckets from the stated fraction. */
   def stratified(
       df: DataFrame,
       stratumCol: String,
@@ -28,15 +34,17 @@ object Sampling {
       defaultRate: Double = 0.0,
       buckets: Int = 10000): DataFrame = {
     val bucket = hashBucket(col(idCol), buckets)
-    val rateExpr = rates.foldLeft(lit(defaultRate): Column) {
-      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    val thresholdExpr = rates.foldLeft(lit(math.round(defaultRate * buckets)): Column) {
+      case (acc, (k, v)) =>
+        when(col(stratumCol) === k, lit(math.round(v * buckets))).otherwise(acc)
     }
-    df.filter(bucket < rateExpr * buckets)
+    df.filter(bucket < thresholdExpr)
   }
 
-  /** Uniform deterministic sample at `rate`. */
+  /** Uniform deterministic sample at `rate` (integer threshold — see
+    * [[stratified]]). */
   def uniform(df: DataFrame, idCol: String, rate: Double, buckets: Int = 10000): DataFrame =
-    df.filter(hashBucket(col(idCol), buckets) < lit(rate) * buckets)
+    df.filter(hashBucket(col(idCol), buckets) < lit(math.round(rate * buckets)))
 
   /** Portable hash bucket in [0, buckets): DuckDB computes the identical
     * value as `CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15))

@@ -14,12 +14,16 @@ import graft.functions.DotProduct
   *     set, score every corpus vector map-side, shuffle only for the
   *     per-query top-k. O(|corpus| · |queries| · dim) work but perfectly
   *     data-parallel; the right baseline and the correctness oracle.
-  *   - `ivfTopK` — IVF-flavored approximate search: corpus and queries are
-  *     assigned to buckets by the sign pattern of the leading dimensions
-  *     (a fixed, data-independent random-hyperplane LSH in spirit), and
-  *     scoring happens only within the query's bucket. At 100 TB the bucket
+  *   - `ivfTopK` — multi-table random-hyperplane LSH (sign-random-projection)
+  *     approximate search: each of `numTables` hash tables buckets every
+  *     vector by the sign pattern of `dims` fixed ±1 hyperplane projections
+  *     ([[hyperplaneSigns]] — seeded, literal, shared with the x07 oracle),
+  *     and scoring happens only within matching (table, bucket) cells.
+  *     Multiple independent tables are the standard LSH recall lever: a true
+  *     neighbor only needs to collide in ONE table. At 100 TB the bucket
   *     assignment is a map-side expression and the join is hash-partitioned
-  *     on bucket — the crossproduct never materializes.
+  *     on (table, bucket) — the crossproduct never materializes; the corpus
+  *     posting list is ×`numTables`, the classic LSH space-for-recall trade.
   *
   * Scoring uses the native [[graft.functions.DotProduct]] expression (tight
   * codegen loop, no higher-order-function interpretation), and norms are
@@ -41,11 +45,31 @@ object Similarity {
   private def cosFrom(av: Column, an: Column, bv: Column, bn: Column): Column =
     dot(av, bv) / (an * bn)
 
-  /** Sign-pattern bucket code over the first `dims` dimensions (1-based
-    * element_at). 2^dims buckets. */
-  def signBucket(v: Column, dims: Int = 8): Column =
+  /** Fixed ±1 hyperplane coefficients for the LSH tables: `maxTables` ×
+    * `maxDims` planes × 64 vector dimensions, generated ONCE from a seeded
+    * 64-bit LCG (MMIX constants) so they are deterministic, data-independent
+    * literals — the x07 oracle SQL embeds the very same numbers (generated
+    * from this array), so Spark and DuckDB bucket identically. Dense ±1
+    * signs are standard sign-random-projection: for cosine similarity the
+    * collision probability per bit is 1 − θ/π, direction-uniform. */
+  val maxTables = 3
+  val maxDims = 8
+  private[graft] val hyperplaneSigns: Array[Array[Array[Double]]] = {
+    var state = 12345L
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state
+    }
+    Array.fill(maxTables, maxDims, 64)(if (((next() >>> 40) & 1L) == 1L) 1.0 else -1.0)
+  }
+
+  /** Bucket code of `v` in hash table `table`: bit i = sign of the dot
+    * product with literal hyperplane i. Map-side, codegen'd (native
+    * [[graft.functions.DotProduct]] per plane). 2^dims buckets. */
+  def hyperplaneBucket(v: Column, table: Int, dims: Int = maxDims): Column =
     (0 until dims).map { i =>
-      when(element_at(v, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+      val plane = array(hyperplaneSigns(table)(i).map(lit): _*)
+      when(dot(v, plane) > lit(0.0), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Exact top-k neighbors for each query vector.
@@ -66,28 +90,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** IVF-style bucketed top-k with multi-probe: each query searches its own
-    * sign bucket plus every bucket within Hamming distance `probeRadius` —
-    * the standard recall fix for aggressive bucketing. Probe codes are
-    * EXPLODED on the (small, broadcast) query side so the join stays a hash
-    * equi-join on bucket — the corpus is never re-partitioned or
-    * nested-loop scanned.
+  /** Multi-table hyperplane-LSH top-k with multi-probe: each query searches
+    * its own bucket in every table, plus every bucket within Hamming
+    * distance `probeRadius` — a true neighbor is found if it collides in
+    * ANY table. Probe codes are EXPLODED on the (small, broadcast) query
+    * side so the join stays a hash equi-join on (table, bucket) — the
+    * corpus is never re-partitioned or nested-loop scanned; its posting
+    * list is `numTables` rows per vector, built map-side.
     *
-    * `probeRadius` is the recall/cost knob. Measured on the synthetic
-    * sf0.01 embeddings (500 × 64-dim, near-random — a hard case) with
-    * dims=8: radius 0 scans ~0.4% of the corpus, radius 1 (9 probes)
-    * recall@3 ≈ 0.12 at ~4% scanned, radius 2 (37 probes) ≈ 0.35 at ~14%
-    * scanned. Clustered real-world embeddings separate far better; the
-    * ratios here are near the information-theoretic floor for random data.
-    */
+    * `probeRadius` and `numTables` are the recall/cost knobs. Measured on
+    * the synthetic sf0.001 embeddings (500 × 64-dim, near-random — a hard
+    * case) with dims=8: 1 table at radius 1 is recall@3 ≈ 0.13 at ~4%
+    * scanned; 3 tables at radius 1 ≈ 0.34 at ~11% scanned — better than a
+    * coarser single table at the same scan fraction (6 bits ≈ 0.26 at
+    * ~11%). Clustered real-world embeddings separate far better; random
+    * data is the information-theoretic worst case. */
   def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int, dims: Int = 8,
-      probeRadius: Int = 1,
+      corpus: DataFrame, queries: DataFrame, k: Int, dims: Int = maxDims,
+      probeRadius: Int = 1, numTables: Int = maxTables,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1 or 2")
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        signBucket(col(vecCol), dims).as("bucket"))
+    require(dims >= 1 && dims <= maxDims, s"dims must be in [1, $maxDims]")
+    require(numTables >= 1 && numTables <= maxTables,
+      s"numTables must be in [1, $maxTables]")
+
+    def tableBuckets(v: Column): Column =
+      array((0 until numTables).map(l => hyperplaneBucket(v, l, dims)): _*)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        posexplode(tableBuckets(col("cv"))).as(Seq("tbl", "bucket")))
+
     val r1 =
       if (probeRadius >= 1)
         (0 until dims).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
@@ -98,14 +132,20 @@ object Similarity {
           yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
       else Nil
     val probeCodes = array((col("bucket") +: (r1 ++ r2)): _*)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        signBucket(col(vecCol), dims).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "bucket")))
+      .select(col("query_id"), col("qv"), col("qn"), col("tbl"),
         explode(probeCodes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+
+    // a pair can collide in several tables (that is the recall mechanism) —
+    // dedup candidates before ranking; cos is identical across duplicates
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosFrom(col("qv"), col("qn"), col("cv"), col("cn")))
+      .select("query_id", "neighbor_id", "cos")
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -105,6 +105,7 @@ object MinHashSig {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       exprs => MinHashSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+        Registration.literalInt("minhash_sig", "perms", exprs(1)),
+        Registration.literalInt("minhash_sig", "shingle", exprs(2))),
       "built-in")
 }

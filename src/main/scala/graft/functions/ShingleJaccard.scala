@@ -88,6 +88,6 @@ object ShingleJaccard {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_jaccard",
       exprs => ShingleJaccard(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]),
+        Registration.literalInt("shingle_jaccard", "n", exprs(2))),
       "built-in")
 }

@@ -83,6 +83,7 @@ object SimHashSig {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig",
-      exprs => SimHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      exprs => SimHashSig(exprs(0),
+        Registration.literalInt("simhash_sig", "bits", exprs(1))),
       "built-in")
 }

@@ -74,8 +74,10 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
-  /** x07 — IVF-style bucketed approximate top-3 (sign-pattern buckets over
-    * the leading 8 dims): the scale path for ANN. */
+  /** x07 — multi-table random-hyperplane LSH approximate top-3 (3 tables ×
+    * 8 seeded ±1 hyperplanes, Hamming-1 multi-probe): the scale path for
+    * ANN. The oracle reconstructs every stage — including the literal
+    * hyperplane matrix — in SQL. */
   def x07(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), k = 3, dims = 8)
@@ -115,16 +117,18 @@ object Extensions {
       .limit(300)
 
   /** x12 — multimodal metadata: binary payload column decoded through the
-    * mapPartitions batch-decoder plumbing (stub decoder — deterministic
-    * fake; the Spark-side schema/partitioning/batching is the real thing). */
+    * mapPartitions batch-decoder plumbing with the real
+    * [[Multimodal.HeaderDecoder]]. Text payloads exercise the `bin`
+    * fallback branch (no image signature → 0×0 with real byte stats); the
+    * image-parsing branches are gated by x23. */
   def x12(s: SparkSession, dir: String): DataFrame = {
-    // ASCII-first-char guard: StubDecoder reads the first UTF-8 BYTE of the
+    // ASCII-first-char guard: the decoder reads the first UTF-8 BYTE of the
     // payload while the DuckDB oracle can only read the first CODEPOINT —
     // identical only for ASCII leading chars (same guard style as x16).
     val payloads = t(s, dir, "documents")
       .filter(col("text").rlike("^[\\x00-\\x7F]"))
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    Multimodal.decodeBatch(payloads, Multimodal.StubDecoder).toDF()
+    Multimodal.decodeBatch(payloads, Multimodal.HeaderDecoder).toDF()
       .select(col("doc_id"), col("format"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
@@ -275,6 +279,74 @@ object Extensions {
       .toDF()
       .orderBy("doc_id")
 
+  /** Deterministic minimal-but-valid image bytes for the x23 gate: format
+    * cycles by `doc_id % 3`, dimensions derive from doc_id arithmetic the
+    * oracle can recompute, and `doc_id % 50` filler bytes follow the header
+    * so n_bytes varies. Each header is the real wire format —
+    * [[Multimodal.HeaderDecoder]] must actually parse big-endian PNG/JPEG
+    * vs little-endian GIF fields to reproduce the oracle's numbers. */
+  private[queries] def syntheticImage(id: Long): Array[Byte] = {
+    val w = (id % 1000 + 1).toInt
+    val h = (id * 7 % 800 + 1).toInt
+    val filler = (id % 50).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    (id % 3) match {
+      case 0 => // PNG: signature + IHDR chunk (length, type, 13 data, CRC)
+        out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+        out.write(Array[Byte](0, 0, 0, 13))
+        out.write("IHDR".getBytes("US-ASCII"))
+        out.write(Array[Byte]((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte))
+        out.write(Array[Byte]((h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte))
+        out.write(Array[Byte](8, 2, 0, 0, 0)) // bit depth, color, comp, filter, interlace
+        out.write(Array[Byte](0, 0, 0, 0)) // CRC (not validated by the parser)
+      case 1 => // JPEG: SOI + SOF0 (len 11 = 8 + 3·1 component)
+        out.write(Array[Byte](0xff.toByte, 0xd8.toByte))
+        out.write(Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8))
+        out.write(Array[Byte]((h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte))
+        out.write(Array[Byte](1, 1, 0x11, 0)) // ncomp + one component spec
+      case _ => // GIF: signature + logical screen descriptor (little-endian)
+        out.write("GIF89a".getBytes("US-ASCII"))
+        out.write(Array[Byte](w.toByte, (w >> 8).toByte, h.toByte, (h >> 8).toByte))
+        out.write(Array[Byte](0, 0, 0)) // packed, background, aspect
+    }
+    out.write(new Array[Byte](filler))
+    out.toByteArray
+  }
+
+  /** x23 — multimodal image-metadata extraction with the REAL header
+    * parser: payloads are wire-format PNG/JPEG/GIF headers synthesized from
+    * doc_id arithmetic (harness-side, like e03's input synthesis), decoded
+    * distributed through [[Multimodal.decodeBatch]]; the oracle recomputes
+    * every field from the same arithmetic — so a parser that misreads
+    * endianness, offsets, or the SOF walk hash-mismatches immediately. */
+  def x23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, syntheticImage(id)))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeBatch(payloads, Multimodal.HeaderDecoder).toDF()
+      .select(col("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_bytes"),
+        col("first_byte").cast("long").as("first_byte"))
+      .orderBy("doc_id")
+  }
+
+  /** x24 — the deduplicated corpus itself (the operator a pipeline user
+    * actually runs): x19's representative assignment materialized by
+    * keeping only rows whose doc_id IS the cluster representative
+    * ([[Dedup.keepRepresentatives]]). One broadcast-size semi-join over the
+    * (tiny) non-representative id set at any scale — the pair graph is
+    * sparse relative to the corpus. */
+  def x24(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text").select("id_a", "id_b")
+    Dedup.keepRepresentatives(docs, pairs, "doc_id")
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -377,7 +449,9 @@ object Extensions {
     "x19_dedup_components" -> (x19 _),
     "x20_stratified_sample" -> (x20 _),
     "x21_top_quality" -> (x21 _),
-    "x22_multimodal_features" -> (x22 _)
+    "x22_multimodal_features" -> (x22 _),
+    "x23_image_meta" -> (x23 _),
+    "x24_dedup_corpus" -> (x24 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -412,6 +486,73 @@ object Extensions {
        |FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
        |WHERE $where
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB reconstruction of [[Similarity.ivfTopK]] (x07): the literal ±1
+    * hyperplane matrix is EMITTED from [[Similarity.hyperplaneSigns]] — the
+    * same array the Spark expression uses — so both engines bucket with
+    * bit-identical double dot products (±1 coefficients make each product
+    * an exact negation/copy; accumulation is left-to-right double on both
+    * sides). */
+  private def ivfOracleSql: String = {
+    def planeList(tbl: Int, i: Int): String =
+      Similarity.hyperplaneSigns(tbl)(i)
+        .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def bucketExpr(tbl: Int): String =
+      (0 until 8).map(i =>
+        s"(CASE WHEN list_dot_product(v, ${planeList(tbl, i)}) > 0 " +
+          s"THEN ${1L << i} ELSE 0 END)").mkString("\n      + ")
+    val cb = (0 until 3).map(tbl =>
+      s"SELECT vec_id, v, $tbl AS tbl, ${bucketExpr(tbl)} AS bucket FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    val probes = (0 until 8).map(i => s"xor(bucket, ${1L << i})").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+       |  FROM embeddings),
+       |cb AS (
+       |  $cb),
+       |q0 AS (SELECT vec_id, tbl, bucket FROM cb WHERE vec_id < 50),
+       |qp AS (
+       |  SELECT vec_id, tbl, unnest([bucket, $probes]) AS bucket FROM q0),
+       |cand AS (
+       |  SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qp JOIN cb c ON qp.tbl = c.tbl AND qp.bucket = c.bucket
+       |    AND c.vec_id != qp.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_dot_product(qv.v, nv.v)
+       |      / (sqrt(list_dot_product(qv.v, qv.v))
+       |         * sqrt(list_dot_product(nv.v, nv.v))) AS cos
+       |  FROM cand
+       |  JOIN e qv ON qv.vec_id = cand.query_id
+       |  JOIN e nv ON nv.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Shared DuckDB scaffolding for the connected-components oracles
+    * (x19/x24): transitive closure over the x17 pair graph (recursive CTE),
+    * then min reachable id per vertex = the cluster representative, exposed
+    * to `finalSelect` as `rp(doc_id, rep)` next to `documents d`. */
+  private def componentsOracleSql(finalSelect: String): String = {
+    val pairs = lshOracleSql(
+      docWhere = "",
+      select = "1 AS one",
+      where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin)
+    s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairs) tp),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+       |rp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+       |$finalSelect""".stripMargin
   }
 
   val oracleSql: Map[String, String] = StrictMap(
@@ -533,36 +674,7 @@ object Extensions {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "x07_ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
-        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-        |     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
-        |     + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
-        |     + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
-        |     + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
-        |     + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
-        |  FROM embeddings),
-        |q0 AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < 50),
-        |q AS (
-        |  SELECT vec_id, v,
-        |    unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-        |            xor(bucket, 8), xor(bucket, 16), xor(bucket, 32),
-        |            xor(bucket, 64), xor(bucket, 128)]) AS bucket
-        |  FROM q0),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |    list_dot_product(q.v, e.v)
-        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
-        |  FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id != q.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
-        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "x07_ann_ivf" -> ivfOracleSql,
     "x08_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) tok FROM documents),
@@ -642,9 +754,9 @@ object Extensions {
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
     "x12_multimodal" ->
-      """SELECT doc_id, 'stub' AS format,
-        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        |  CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS BIGINT) AS height,
+      """SELECT doc_id, 'bin' AS format,
+        |  CAST(0 AS BIGINT) AS width,
+        |  CAST(0 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents WHERE regexp_matches(text, '^[\x00-\x7F]')
@@ -704,31 +816,32 @@ object Extensions {
       docWhere = """ WHERE regexp_matches(text, '^[\x00-\x7F]*$')""",
       select = "CAST(levenshtein(sa.text, sb.text) AS BIGINT) AS dist",
       where = "levenshtein(sa.text, sb.text) <= 20"),
-    "x19_dedup_components" -> {
-      // transitive closure over the x17 pair graph (recursive CTE), then
-      // min reachable id per vertex = the cluster representative
-      val pairs = lshOracleSql(
-        docWhere = "",
-        select = "1 AS one",
-        where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
-                  |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin)
-      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairs) tp),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-         |reach AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
-         |rp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a)
-         |SELECT d.doc_id, CAST(coalesce(rp.rep, d.doc_id) AS BIGINT) AS rep
-         |FROM documents d LEFT JOIN rp USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "x19_dedup_components" -> componentsOracleSql(
+      """SELECT d.doc_id, CAST(coalesce(rp.rep, d.doc_id) AS BIGINT) AS rep
+        |FROM documents d LEFT JOIN rp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+    "x24_dedup_corpus" -> componentsOracleSql(
+      """SELECT d.doc_id, d.lang, md5(d.text) AS text_md5
+        |FROM documents d LEFT JOIN rp USING (doc_id)
+        |WHERE coalesce(rp.rep, d.doc_id) = d.doc_id
+        |ORDER BY doc_id""".stripMargin),
+    "x23_image_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+        |    AS format,
+        |  CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
+        |  CAST((doc_id * 7) % 800 + 1 AS BIGINT) AS height,
+        |  CAST((CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 15 ELSE 13 END)
+        |    + doc_id % 50 AS BIGINT) AS n_bytes,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 137 WHEN 1 THEN 255 ELSE 71 END
+        |    AS BIGINT) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x20_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |        AS BIGINT) % 10000
-        |  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
-        |      WHEN 'zh' THEN 0.1 ELSE 0.05 END) * 10000
+        |  < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+        |      WHEN 'zh' THEN 1000 ELSE 500 END)
         |ORDER BY doc_id""".stripMargin,
     "x22_multimodal_features" ->
       """SELECT doc_id,

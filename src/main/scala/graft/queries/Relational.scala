@@ -472,7 +472,7 @@ object Relational {
         |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
         |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
         |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
-        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 200""".stripMargin,
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST LIMIT 200""".stripMargin,
     "q28_string_agg" ->
       """SELECT o_custkey,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ','

@@ -266,11 +266,59 @@ class ExtSpec extends SparkSpec {
   test("multimodal decodeBatch routes payloads through the decoder per partition") {
     val df = Seq((1L, "abc".getBytes("UTF-8")), (2L, Array.empty[Byte]))
       .toDF("doc_id", "payload").repartition(2)
-    val out = Multimodal.decodeBatch(df, Multimodal.StubDecoder)
+    val out = Multimodal.decodeBatch(df, Multimodal.HeaderDecoder)
       .collect().sortBy(_.doc_id)
     assert(out(0).n_bytes == 3 && out(0).first_byte == 'a'.toInt)
     assert(out(1).n_bytes == 0 && out(1).first_byte == 0)
-    assert(out.forall(_.format == "stub"))
+    assert(out.forall(_.format == "bin"))
+  }
+
+  test("HeaderDecoder parses real PNG / JPEG / GIF headers, falls back to bin") {
+    import Multimodal.HeaderDecoder.parse
+    // 1×1 PNG header: signature + IHDR (width 1, height 1) — real wire bytes
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // sig
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x58, // width 600 big-endian
+      0, 0, 1, 0xc2, // height 450 big-endian
+      8, 6, 0, 0, 0, 0x7f, 0x1d, 0x2b, 0x83).map(_.toByte)
+    assert(parse(png) == ("png", 600, 450))
+
+    // GIF89a with little-endian logical screen 320×200
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0xc8, 0x00, 0x91, 0x00, 0x00).map(_.toByte)
+    assert(parse(gif) == ("gif", 320, 200))
+
+    // JPEG: SOI, APP0 (JFIF), then SOF0 with height 8, width 16 — the walk
+    // must skip the APP0 segment by its length, not assume SOF first
+    val jpeg = Array(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xc0, 0x00, 0x0b, 8, 0x00, 0x08, 0x00, 0x10, 1, 1, 0x11, 0)
+      .map(_.toByte)
+    assert(parse(jpeg) == ("jpeg", 16, 8))
+
+    // SOF2 (progressive) is a SOF marker too; DHT (C4) is not
+    val prog = Array(0xff, 0xd8,
+      0xff, 0xc4, 0x00, 0x04, 0, 0, // DHT segment — must be skipped
+      0xff, 0xc2, 0x00, 0x0b, 8, 0x01, 0x00, 0x02, 0x00, 1, 1, 0x11, 0)
+      .map(_.toByte)
+    assert(parse(prog) == ("jpeg", 512, 256))
+
+    // unrecognized payloads and truncated signatures fall back to bin
+    assert(parse("plain text".getBytes("UTF-8"))._1 == "bin")
+    assert(parse(Array[Byte]())._1 == "bin")
+    assert(parse("GIF8".getBytes("US-ASCII"))._1 == "bin")
+    assert(parse(Array(0x89, 0x50).map(_.toByte))._1 == "bin")
+  }
+
+  test("x23 synthetic payloads round-trip through the header parser") {
+    Seq(0L, 1L, 2L, 300L, 601L, 1202L, 4999L).foreach { id =>
+      val (fmt, w, h) = Multimodal.HeaderDecoder.parse(
+        graft.queries.Extensions.syntheticImage(id))
+      val expectFmt = (id % 3) match {
+        case 0 => "png"; case 1 => "jpeg"; case _ => "gif"
+      }
+      assert((fmt, w, h) == (expectFmt, (id % 1000 + 1).toInt, (id * 7 % 800 + 1).toInt))
+    }
   }
 
   test("IVF hits carry the exact brute-force cosine per pair") {
@@ -303,9 +351,10 @@ class ExtSpec extends SparkSpec {
     }
     val meanRecall = recalls.sum / recalls.size
     info(f"IVF multi-probe recall@3 over ${recalls.size} queries: $meanRecall%.3f")
-    // 8 sign bits + Hamming-1 multi-probe over 64 random dims; single-bucket
-    // probing measured ~0.02 on this corpus — multi-probe must do much better
-    assert(meanRecall > 0.10)
+    // 3 hash tables × 8 seeded ±1 hyperplanes + Hamming-1 multi-probe over
+    // 64 near-random dims: measured ~0.34 at ~11% of the corpus scanned
+    // (the old single-table axis-sign bucketing measured ~0.13)
+    assert(meanRecall > 0.25)
     // every IVF hit carries the exact brute-force cosine for that pair
     // (checked in the cosine-equality test above); with multi-probe, hits
     // legitimately come from the query's bucket OR any Hamming-1 bucket
