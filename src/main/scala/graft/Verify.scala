@@ -17,7 +17,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q01_x,q02_y limits the dump (dev-loop aid; the
     // driver sets no filter and always dumps the full corpus)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // blank-entry filter: SPARK_GRAFT_ONLY="" (or ",,") means unset, not
+    // "match nothing" — Set("") would silently dump zero queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

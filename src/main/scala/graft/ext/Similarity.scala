@@ -54,13 +54,28 @@ object Similarity {
     * collision probability per bit is 1 − θ/π, direction-uniform. */
   val maxTables = 3
   val maxDims = 8
+
+  /** Vector dimensionality the literal hyperplanes are generated for.
+    * [[graft.functions.DotProduct]] iterates min(length) of its operands,
+    * so a shorter/longer embedding would silently bucket on a truncated
+    * projection — [[ivfTopK]] guards every vector with [[dimChecked]]
+    * instead, failing loudly on a dimension mismatch. */
+  val planeDim = 64
+
+  /** Per-row guard: pass `v` through unchanged iff it has exactly
+    * [[planeDim]] elements, else raise. Map-side `when`, negligible cost. */
+  private def dimChecked(v: Column): Column =
+    when(size(v) === lit(planeDim), v).otherwise(raise_error(concat(
+      lit(s"hyperplane LSH requires $planeDim-dim embeddings; got dim="),
+      size(v).cast("string"))))
+
   private[graft] val hyperplaneSigns: Array[Array[Array[Double]]] = {
     var state = 12345L
     def next(): Long = {
       state = state * 6364136223846793005L + 1442695040888963407L
       state
     }
-    Array.fill(maxTables, maxDims, 64)(if (((next() >>> 40) & 1L) == 1L) 1.0 else -1.0)
+    Array.fill(maxTables, maxDims, planeDim)(if (((next() >>> 40) & 1L) == 1L) 1.0 else -1.0)
   }
 
   /** Bucket code of `v` in hash table `table`: bit i = sign of the dot
@@ -104,7 +119,11 @@ object Similarity {
     * scanned; 3 tables at radius 1 ≈ 0.34 at ~11% scanned — better than a
     * coarser single table at the same scan fraction (6 bits ≈ 0.26 at
     * ~11%). Clustered real-world embeddings separate far better; random
-    * data is the information-theoretic worst case. */
+    * data is the information-theoretic worst case.
+    *
+    * Embeddings must be exactly [[planeDim]]-dimensional — the literal
+    * hyperplanes are fixed at that width, so any other size would project
+    * on a truncated prefix; [[dimChecked]] raises per-row instead. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dims: Int = maxDims,
       probeRadius: Int = 1, numTables: Int = maxTables,
@@ -117,7 +136,8 @@ object Similarity {
     def tableBuckets(v: Column): Column =
       array((0 until numTables).map(l => hyperplaneBucket(v, l, dims)): _*)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        dimChecked(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
       .select(col("neighbor_id"), col("cv"), col("cn"),
         posexplode(tableBuckets(col("cv"))).as(Seq("tbl", "bucket")))
@@ -132,7 +152,8 @@ object Similarity {
           yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
       else Nil
     val probeCodes = array((col("bucket") +: (r1 ++ r2)): _*)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("query_id"),
+        dimChecked(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .select(col("query_id"), col("qv"), col("qn"),
         posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "bucket")))

@@ -125,8 +125,12 @@ object Extensions {
     // ASCII-first-char guard: the decoder reads the first UTF-8 BYTE of the
     // payload while the DuckDB oracle can only read the first CODEPOINT —
     // identical only for ASCII leading chars (same guard style as x16).
+    // GIF8 guard: a text beginning `GIF87a`/`GIF89a` is ASCII-leading yet
+    // decodes as a real GIF header (parsed dims) while this query's oracle
+    // fixes format='bin' — exclude it on BOTH sides (x23 gates that branch).
     val payloads = t(s, dir, "documents")
-      .filter(col("text").rlike("^[\\x00-\\x7F]"))
+      .filter(col("text").rlike("^[\\x00-\\x7F]") &&
+        !col("text").startsWith("GIF8"))
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     Multimodal.decodeBatch(payloads, Multimodal.HeaderDecoder).toDF()
       .select(col("doc_id"), col("format"),
@@ -285,7 +289,7 @@ object Extensions {
     * so n_bytes varies. Each header is the real wire format —
     * [[Multimodal.HeaderDecoder]] must actually parse big-endian PNG/JPEG
     * vs little-endian GIF fields to reproduce the oracle's numbers. */
-  private[queries] def syntheticImage(id: Long): Array[Byte] = {
+  private[graft] def syntheticImage(id: Long): Array[Byte] = {
     val w = (id % 1000 + 1).toInt
     val h = (id * 7 % 800 + 1).toInt
     val filler = (id % 50).toInt
@@ -760,6 +764,7 @@ object Extensions {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents WHERE regexp_matches(text, '^[\x00-\x7F]')
+        |  AND text NOT LIKE 'GIF8%'
         |ORDER BY doc_id LIMIT 300""".stripMargin,
     "x14_lang_ngram" ->
       """WITH g AS (
