@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.types.LongType
 
 /** Parquet table loader for the driver testdata (TESTDATA.md).
@@ -30,8 +30,12 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // `div`, NOT `/`: slash is DOUBLE division, and epoch nanos (~1.7e18)
+    // exceed a double's 53-bit mantissa — the rounded quotient lands ±1 µs
+    // off DuckDB's exact truncation on ~10% of rows. Integer division
+    // truncates exactly like epoch_us(TIMESTAMP_NS).
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

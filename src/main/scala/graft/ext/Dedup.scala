@@ -94,29 +94,36 @@ object Dedup {
     val par = spark.sparkContext.defaultParallelism
     val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
 
-    val withSig = wide
+    val docsKept = wide
       .filter(size(tokens(col(textCol))) >= shingleSize)
-      .select(col(idCol).as("id"), col(textCol).as("text"),
-        minhashSignature(col(textCol), numPerms, shingleSize).as("sig"))
+      .select(col(idCol).as("id"), col(textCol).as("text"))
 
     // one row per (doc, band) with the band's bucket key; the bucket array
-    // references `sig` ONCE so the signature is computed once per row
+    // references `sig` ONCE so the signature is computed once per row.
+    // Only (id, band, bucket) enters the self-join — texts would otherwise
+    // ride the shuffle ×numBands AND ×2 per candidate pair through the
+    // distinct; they are joined back exactly once, after pair dedup.
     val bucketArr = transform(
       sequence(lit(0), lit(numBands - 1)),
       b => md5(concat_ws(",", transform(
         slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
         _.cast("string")))))
-    val banded = withSig
-      .select(col("id"), col("text"), posexplode(bucketArr).as(Seq("band", "bucket")))
+    val banded = docsKept
+      .select(col("id"),
+        minhashSignature(col("text"), numPerms, shingleSize).as("sig"))
+      .select(col("id"), posexplode(bucketArr).as(Seq("band", "bucket")))
 
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    val pairIds = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    pairIds
+      .join(docsKept.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docsKept.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .select("id_a", "id_b", "text_a", "text_b")
   }
 
   /** MinHash + LSH near-dup pairs: [[lshCandidates]] verified with exact
@@ -136,16 +143,27 @@ object Dedup {
     val jac = GraftColumnBridge.column(graft.functions.ShingleJaccard(
       GraftColumnBridge.expression(col("text_a")),
       GraftColumnBridge.expression(col("text_b")), shingleSize))
+    // equality short-circuit: EXACT duplicates dominate real corpora (and
+    // always collide in every band), and their Jaccard is exactly 1.0 —
+    // an O(len) byte compare replaces the shingle walk + set union
     lshCandidates(docs, idCol, textCol, numPerms, rowsPerBand, shingleSize)
-      .withColumn("jaccard", jac)
+      .withColumn("jaccard",
+        when(col("text_a") === col("text_b"), lit(1.0)).otherwise(jac))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** LSH-blocked edit-distance near-dup pairs: [[lshCandidates]] verified
     * with levenshtein ≤ `maxDist`. This is the scale path for typo-level
-    * dedup — the O(len²) distance runs ONLY on band-bucket candidates,
-    * never as a cartesian over the corpus. */
+    * dedup — the distance runs ONLY on band-bucket candidates, never as a
+    * cartesian over the corpus, and each comparison is bounded:
+    *   - byte-equal texts short-circuit to 0 (exact duplicates dominate
+    *     real corpora and collide in EVERY band — without this they'd pay
+    *     the full DP on every identical pair);
+    *   - everything else uses THRESHOLDED levenshtein — the banded
+    *     diagonal DP is O(len·maxDist) rather than O(len²), returns -1 as
+    *     soon as the distance provably exceeds `maxDist` (length gap
+    *     included), and -1 never passes the ≤ maxDist filter. */
   def editDistanceLshPairs(
       docs: DataFrame,
       idCol: String,
@@ -155,8 +173,10 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleSize: Int = 3): DataFrame =
     lshCandidates(docs, idCol, textCol, numPerms, rowsPerBand, shingleSize)
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        when(col("text_a") === col("text_b"), lit(0L)).otherwise(
+          levenshtein(col("text_a"), col("text_b"), maxDist).cast("long")))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
 
   /** Connected components of a near-dup pair graph via min-label

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -351,6 +351,48 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x25 — as-of join (SURVEY north-star: temporal enrichment Spark lacks
+    * natively): each purchase event matched to the SAME user's latest view
+    * at or before it. [[AsOf.joinBackward]] is one key-hash shuffle + an
+    * ordered window — never the O(n²) inequality join Spark would plan
+    * naively. The oracle is DuckDB's own native `ASOF LEFT JOIN`, so the
+    * operator's semantics are pinned to the engine that defines them;
+    * (user_id, ts) is unique in the events table, so the match is total-
+    * order deterministic. */
+  def x25(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+    AsOf.joinBackward(purchases, views, Seq("user_id"), "ts", "ts")
+      .orderBy("event_id")
+  }
+
+  /** x26 — range (interval) join: views per purchase in the preceding hour,
+    * via the binned [[RangeJoin.pointInInterval]] — an equi-join on
+    * (user, hour-bin) with an exact residual filter, never a nested loop.
+    * Zero-match purchases survive through the left join back (count 0). */
+  def x26(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+    val hourUs = 3600L * 1000000L
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (col("us") - hourUs).as("start_us"), col("us").as("end_us"))
+    val matched = RangeJoin.pointInInterval(
+        views, purchases, Seq("user_id"), "us", "start_us", "end_us", hourUs)
+      .groupBy("event_id").agg(count(lit(1)).as("views_1h"))
+    purchases.select("event_id", "user_id")
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("views_1h"), lit(0L)).as("views_1h"))
+      .orderBy("event_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -455,7 +497,9 @@ object Extensions {
     "x21_top_quality" -> (x21 _),
     "x22_multimodal_features" -> (x22 _),
     "x23_image_meta" -> (x23 _),
-    "x24_dedup_corpus" -> (x24 _)
+    "x24_dedup_corpus" -> (x24 _),
+    "x25_asof_join" -> (x25 _),
+    "x26_range_join" -> (x26 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -872,6 +916,23 @@ object Extensions {
         |SELECT event_id, user_id,
         |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |FROM s ORDER BY event_id LIMIT 500""".stripMargin
+        |FROM s ORDER BY event_id LIMIT 500""".stripMargin,
+    // the operator's semantics are pinned to DuckDB's NATIVE ASOF JOIN —
+    // deterministic here because (user_id, ts) is unique per user
+    "x25_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  v.event_id AS view_event_id, v.ts AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "x26_range_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  CAST((SELECT count(*) FROM events v
+        |        WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        |          AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        |          AND epoch_us(v.ts) < epoch_us(p.ts)) AS BIGINT) AS views_1h
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin
   )
 }
