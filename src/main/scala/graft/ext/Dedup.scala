@@ -18,8 +18,11 @@ import org.apache.spark.sql.expressions.Window
   * Signature computation is pure column expressions (array functions over the
   * token array — map-side, codegen'd, zero shuffle). Only the LSH bucket join
   * and the final group-bys shuffle, and those shuffle keys are
-  * high-cardinality hashes, so they partition evenly; identical boilerplate
-  * docs (the classic LSH skew case) should be removed by `exactGroups` first.
+  * high-cardinality hashes, so they partition evenly. Identical boilerplate
+  * docs (the classic LSH skew case) are collapsed to one representative
+  * INSIDE the LSH path ([[collapseExact]]): signatures, banding and
+  * verification run over distinct texts only, and verified rep pairs expand
+  * back to member pairs algebraically (identical texts ⇒ identical scores).
   */
 object Dedup {
 
@@ -69,13 +72,113 @@ object Dedup {
     (0 until numPerms).map(i => element_at(sig, i + 1).as(s"mh$i"))
   }
 
-  /** MinHash + LSH band-bucket candidate pairs — the shared blocking step
-    * for [[lshPairs]] (Jaccard verify) and [[editDistanceLshPairs]]
-    * (levenshtein verify). Output: (id_a, id_b, text_a, text_b), a < b,
-    * distinct.
+  /** Byte-identical texts collapsed to their min-id representative — the
+    * mandatory FIRST step of the LSH path at scale. Exact duplicates are
+    * the dominant duplicate class in real web corpora and always collide in
+    * every band, so without collapsing, a group of k identical docs costs
+    * k²/2 candidate pairs per band in the self-join AND k²/2 verify
+    * evaluations; collapsed, the group costs ONE banded row and zero
+    * verifications. Returns (members: (id, rid), reps: (rid, text)) —
+    * distinct reps ⇒ distinct texts, so no two candidate reps are ever
+    * byte-equal. */
+  private def collapseExact(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): (DataFrame, DataFrame) = {
+    // widen narrow inputs before the CPU-heavy hashing map: a single small
+    // parquet file scans as ONE partition, which would serialize all
+    // hashing on one core. No-op when the input is already at least as wide
+    // as the cluster (the 100 TB case — no extra shuffle there).
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+
+    val kept = wide
+      .filter(size(tokens(col(textCol))) >= shingleSize)
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        md5(col(textCol)).as("fp"))
+    // min(text) over byte-identical members IS the text; partial aggregation
+    // keeps one copy per fp per map task, so texts shuffle once
+    val reps = kept.groupBy(col("fp"))
+      .agg(min(col("id")).as("rid"), min(col("text")).as("text"))
+    val members = kept.select(col("fp"), col("id"))
+      .join(reps.select(col("fp"), col("rid")), "fp")
+      .select(col("id"), col("rid"))
+    (members, reps.select(col("rid"), col("text")))
+  }
+
+  /** Band-bucket candidate pairs among exact-dup REPRESENTATIVES:
+    * (rid_a, rid_b, text_a, text_b), rid_a < rid_b, distinct. Only
+    * (rid, band, bucket) enters the self-join — texts would otherwise ride
+    * the shuffle ×numBands and ×2 per pair through the distinct; they are
+    * joined back once, after pair dedup. */
+  private def repCandidates(
+      reps: DataFrame,
+      numPerms: Int,
+      rowsPerBand: Int,
+      shingleSize: Int): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms must be divisible by rowsPerBand")
+    val numBands = numPerms / rowsPerBand
+
+    // one row per (rep, band) with the band's bucket key; the bucket array
+    // references `sig` ONCE so the signature is computed once per row
+    val bucketArr = transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => md5(concat_ws(",", transform(
+        slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+        _.cast("string")))))
+    val banded = reps
+      .select(col("rid"),
+        minhashSignature(col("text"), numPerms, shingleSize).as("sig"))
+      .select(col("rid"), posexplode(bucketArr).as(Seq("band", "bucket")))
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairIds = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"))
+      .distinct()
+    pairIds
+      .join(reps.select(col("rid").as("rid_a"), col("text").as("text_a")), "rid_a")
+      .join(reps.select(col("rid").as("rid_b"), col("text").as("text_b")), "rid_b")
+      .select("rid_a", "rid_b", "text_a", "text_b")
+  }
+
+  /** Expand verified representative pairs back to MEMBER pairs. Sound
+    * because similarity is a function of the texts alone: every member
+    * carries its rep's exact bytes, so a verified (rep_a, rep_b, value)
+    * holds verbatim for all |A|·|B| member combinations, and every
+    * intra-group pair holds with the perfect score (identical texts).
+    * The |A|·|B| fan-out is inherent to the pairs CONTRACT, not the
+    * algorithm — downstream [[components]] consumers pay it once here
+    * instead of k² times in banding + verification. */
+  private def expandVerified(
+      repPairs: DataFrame, // (rid_a, rid_b, <valueCol>)
+      members: DataFrame,  // (id, rid)
+      valueCol: String,
+      perfect: Column): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rid").as("rid_a"), col("id").as("ida")), "rid_a")
+      .join(members.select(col("rid").as("rid_b"), col("id").as("idb")), "rid_b")
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col(valueCol))
+    val intra = members.select(col("rid"), col("id").as("ida"))
+      .join(members.select(col("rid"), col("id").as("idb")), "rid")
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("id_a"), col("idb").as("id_b"),
+        perfect.as(valueCol))
+    cross.unionByName(intra)
+  }
+
+  /** MinHash + LSH band-bucket candidate pairs — the blocking step of
+    * [[lshPairs]] / [[editDistanceLshPairs]], expanded to member level.
+    * Output: (id_a, id_b, text_a, text_b), a < b, distinct.
     *
-    * Cost at scale: O(n · perms) map-side signature work, then ONE shuffle
-    * on the (band, bucket) equi-join key — never O(n²). */
+    * Cost at scale: O(n · perms) map-side signature work over DISTINCT
+    * texts, then ONE shuffle on the (band, bucket) equi-join key — never
+    * O(n²), and never k²-per-band for exact-duplicate groups (collapsed
+    * first, see [[collapseExact]]). Prefer the verified wrappers: they
+    * verify BEFORE expanding, so dup groups never re-verify. */
   def lshCandidates(
       docs: DataFrame,
       idCol: String,
@@ -83,47 +186,22 @@ object Dedup {
       numPerms: Int = 16,
       rowsPerBand: Int = 4,
       shingleSize: Int = 3): DataFrame = {
-    require(numPerms % rowsPerBand == 0, "numPerms must be divisible by rowsPerBand")
-    val numBands = numPerms / rowsPerBand
-
-    // widen narrow inputs before the CPU-heavy signature map: a single small
-    // parquet file scans as ONE partition, which would serialize all hashing
-    // on one core. No-op when the input is already at least as wide as the
-    // cluster (the 100 TB case — no extra shuffle there).
-    val spark = docs.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-
-    val docsKept = wide
-      .filter(size(tokens(col(textCol))) >= shingleSize)
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-
-    // one row per (doc, band) with the band's bucket key; the bucket array
-    // references `sig` ONCE so the signature is computed once per row.
-    // Only (id, band, bucket) enters the self-join — texts would otherwise
-    // ride the shuffle ×numBands AND ×2 per candidate pair through the
-    // distinct; they are joined back exactly once, after pair dedup.
-    val bucketArr = transform(
-      sequence(lit(0), lit(numBands - 1)),
-      b => md5(concat_ws(",", transform(
-        slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-        _.cast("string")))))
-    val banded = docsKept
-      .select(col("id"),
-        minhashSignature(col("text"), numPerms, shingleSize).as("sig"))
-      .select(col("id"), posexplode(bucketArr).as(Seq("band", "bucket")))
-
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val pairIds = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    pairIds
-      .join(docsKept.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(docsKept.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
-      .select("id_a", "id_b", "text_a", "text_b")
+    val (members, reps) = collapseExact(docs, idCol, textCol, shingleSize)
+    val swap = col("ida") > col("idb") // texts must travel with their ids
+    val cross = repCandidates(reps, numPerms, rowsPerBand, shingleSize)
+      .join(members.select(col("rid").as("rid_a"), col("id").as("ida")), "rid_a")
+      .join(members.select(col("rid").as("rid_b"), col("id").as("idb")), "rid_b")
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        when(swap, col("text_b")).otherwise(col("text_a")).as("text_a"),
+        when(swap, col("text_a")).otherwise(col("text_b")).as("text_b"))
+    val intra = members.select(col("rid"), col("id").as("ida"))
+      .join(members.select(col("rid"), col("id").as("idb")), "rid")
+      .filter(col("ida") < col("idb"))
+      .join(reps, "rid")
+      .select(col("ida").as("id_a"), col("idb").as("id_b"),
+        col("text").as("text_a"), col("text").as("text_b"))
+    cross.unionByName(intra)
   }
 
   /** MinHash + LSH near-dup pairs: [[lshCandidates]] verified with exact
@@ -143,27 +221,29 @@ object Dedup {
     val jac = GraftColumnBridge.column(graft.functions.ShingleJaccard(
       GraftColumnBridge.expression(col("text_a")),
       GraftColumnBridge.expression(col("text_b")), shingleSize))
-    // equality short-circuit: EXACT duplicates dominate real corpora (and
-    // always collide in every band), and their Jaccard is exactly 1.0 —
-    // an O(len) byte compare replaces the shingle walk + set union
-    lshCandidates(docs, idCol, textCol, numPerms, rowsPerBand, shingleSize)
-      .withColumn("jaccard",
-        when(col("text_a") === col("text_b"), lit(1.0)).otherwise(jac))
+    // verify at REP level (distinct texts only — a dup group of k never
+    // pays k² shingle walks), then expand: intra-group pairs are exactly
+    // 1.0 (identical texts), cross-group pairs inherit the rep value
+    val (members, reps) = collapseExact(docs, idCol, textCol, shingleSize)
+    val verified = repCandidates(reps, numPerms, rowsPerBand, shingleSize)
+      .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
+      .select("rid_a", "rid_b", "jaccard")
+    expandVerified(verified, members, "jaccard", lit(1.0))
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** LSH-blocked edit-distance near-dup pairs: [[lshCandidates]] verified
-    * with levenshtein ≤ `maxDist`. This is the scale path for typo-level
-    * dedup — the distance runs ONLY on band-bucket candidates, never as a
-    * cartesian over the corpus, and each comparison is bounded:
-    *   - byte-equal texts short-circuit to 0 (exact duplicates dominate
-    *     real corpora and collide in EVERY band — without this they'd pay
-    *     the full DP on every identical pair);
-    *   - everything else uses THRESHOLDED levenshtein — the banded
-    *     diagonal DP is O(len·maxDist) rather than O(len²), returns -1 as
-    *     soon as the distance provably exceeds `maxDist` (length gap
-    *     included), and -1 never passes the ≤ maxDist filter. */
+  /** LSH-blocked edit-distance near-dup pairs: band-bucket candidates
+    * verified with levenshtein ≤ `maxDist`. This is the scale path for
+    * typo-level dedup — the distance runs ONLY on candidates among DISTINCT
+    * texts, never as a cartesian over the corpus:
+    *   - exact-dup groups are collapsed first ([[collapseExact]]) and
+    *     expanded after verification with dist = 0 — a group of k
+    *     identical docs never pays a single DP evaluation;
+    *   - rep pairs use THRESHOLDED levenshtein — the banded diagonal DP is
+    *     O(len·maxDist) rather than O(len²), returns -1 as soon as the
+    *     distance provably exceeds `maxDist` (length gap included), and -1
+    *     never passes the ≤ maxDist filter. */
   def editDistanceLshPairs(
       docs: DataFrame,
       idCol: String,
@@ -171,13 +251,16 @@ object Dedup {
       maxDist: Int,
       numPerms: Int = 16,
       rowsPerBand: Int = 4,
-      shingleSize: Int = 3): DataFrame =
-    lshCandidates(docs, idCol, textCol, numPerms, rowsPerBand, shingleSize)
+      shingleSize: Int = 3): DataFrame = {
+    val (members, reps) = collapseExact(docs, idCol, textCol, shingleSize)
+    val verified = repCandidates(reps, numPerms, rowsPerBand, shingleSize)
       .withColumn("dist",
-        when(col("text_a") === col("text_b"), lit(0L)).otherwise(
-          levenshtein(col("text_a"), col("text_b"), maxDist).cast("long")))
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("rid_a", "rid_b", "dist")
+    expandVerified(verified, members, "dist", lit(0L))
       .select("id_a", "id_b", "dist")
+  }
 
   /** Connected components of a near-dup pair graph via min-label
     * propagation: every vertex converges to the minimum id reachable from

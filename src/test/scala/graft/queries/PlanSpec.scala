@@ -66,6 +66,20 @@ class PlanSpec extends SparkSpec {
     assert(n <= 2, s"minhash_sig appears $n times in the physical plan:\n$p")
   }
 
+  test("x25: as-of join plans as ONE key shuffle + window, not an inequality join") {
+    val p = plan(Extensions.x25(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of join degenerated to a nested loop:\n$p")
+    assert(p.contains("Window"), "as-of join lost its running-fill window")
+  }
+
+  test("x26: range join is a hash equi-join on (key, bin), never a nested loop") {
+    val p = plan(Extensions.x26(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), s"range join is not a hash equi-join:\n$p")
+  }
+
   test("q04/q05: per-kind ordinal uses no low-cardinality window partition") {
     // event_type has ~5 values — a Window.partitionBy(event_type) would
     // funnel n/5 rows through single tasks at scale; the two-phase ordinal
