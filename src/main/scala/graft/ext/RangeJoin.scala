@@ -57,4 +57,37 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("graft_bin")
   }
+
+  /** Interval-preserving (left-outer on `intervals`) point-in-interval
+    * join: every interval row survives, with the point payload null when no
+    * point falls inside it — so zero-match intervals can't be silently
+    * dropped by callers aggregating per interval (`count(pointCol)` then
+    * counts matches with 0 for empty intervals, no join-back needed).
+    *
+    * Binned-join mechanics can't express this directly (an interval
+    * matched in none of its bins appears in no joined row), so the shape
+    * is: inner binned join, then one hash equi-join of `intervals` against
+    * the matches on the caller-named unique interval identity
+    * `intervalIdCols` — still no nested loop, and the second join is on
+    * the same key family so AQE handles any skew like any equi-join.
+    *
+    * @param intervalIdCols columns that uniquely identify an interval row
+    *                       (e.g. its primary key); duplicated ids would
+    *                       cross-multiply matches
+    */
+  def pointInIntervalLeft(
+      points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+      tsCol: String, startCol: String, endCol: String,
+      binWidth: Long, intervalIdCols: Seq[String]): DataFrame = {
+    require(intervalIdCols.nonEmpty, "intervalIdCols must name the interval identity")
+    val missing = intervalIdCols.filterNot(intervals.columns.contains)
+    require(missing.isEmpty, s"intervalIdCols not in intervals: $missing")
+    val pointPayload =
+      points.columns.filterNot(keyCols.contains).filterNot(intervalIdCols.contains)
+    val inner = pointInInterval(
+      points, intervals, keyCols, tsCol, startCol, endCol, binWidth)
+    intervals.join(
+      inner.select((intervalIdCols ++ pointPayload).map(col): _*),
+      intervalIdCols, "left")
+  }
 }

@@ -55,35 +55,49 @@ object Similarity {
   val maxTables = 3
   val maxDims = 8
 
-  /** Vector dimensionality the literal hyperplanes are generated for.
+  /** Default vector dimensionality (the testdata embeddings' width; the
+    * x07 oracle's literal planes are the `planeDim`-wide instance).
     * [[graft.functions.DotProduct]] iterates min(length) of its operands,
     * so a shorter/longer embedding would silently bucket on a truncated
     * projection — [[ivfTopK]] guards every vector with [[dimChecked]]
     * instead, failing loudly on a dimension mismatch. */
   val planeDim = 64
 
-  /** Per-row guard: pass `v` through unchanged iff it has exactly
-    * [[planeDim]] elements, else raise. Map-side `when`, negligible cost. */
-  private def dimChecked(v: Column): Column =
-    when(size(v) === lit(planeDim), v).otherwise(raise_error(concat(
-      lit(s"hyperplane LSH requires $planeDim-dim embeddings; got dim="),
+  /** Per-row guard: pass `v` through unchanged iff it has exactly `dim`
+    * elements, else raise. Map-side `when`, negligible cost. */
+  private def dimChecked(v: Column, dim: Int): Column =
+    when(size(v) === lit(dim), v).otherwise(raise_error(concat(
+      lit(s"hyperplane LSH requires $dim-dim embeddings; got dim="),
       size(v).cast("string"))))
 
-  private[graft] val hyperplaneSigns: Array[Array[Array[Double]]] = {
-    var state = 12345L
-    def next(): Long = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      state
-    }
-    Array.fill(maxTables, maxDims, planeDim)(if (((next() >>> 40) & 1L) == 1L) 1.0 else -1.0)
-  }
+  /** ±1 hyperplane coefficients for an arbitrary vector width, from the
+    * same seeded LCG stream as the original [[planeDim]]-wide literals —
+    * for `dim == planeDim` the seed is the historical 12345, so the x07
+    * oracle's embedded numbers are reproduced bit-for-bit; other widths
+    * fold the width into the seed for an independent deterministic
+    * stream. Memoized: plane generation is driver-side literal building. */
+  private val signsCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Array[Double]]]]
+  private[graft] def signsFor(dim: Int): Array[Array[Array[Double]]] =
+    signsCache.getOrElseUpdate(dim, {
+      var state = if (dim == planeDim) 12345L else 12345L ^ (dim.toLong * 0x9E3779B97F4A7C15L)
+      def next(): Long = {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        state
+      }
+      Array.fill(maxTables, maxDims, dim)(if (((next() >>> 40) & 1L) == 1L) 1.0 else -1.0)
+    })
+
+  /** The [[planeDim]]-wide planes (x07 oracle SQL embeds these numbers). */
+  private[graft] def hyperplaneSigns: Array[Array[Array[Double]]] = signsFor(planeDim)
 
   /** Bucket code of `v` in hash table `table`: bit i = sign of the dot
     * product with literal hyperplane i. Map-side, codegen'd (native
     * [[graft.functions.DotProduct]] per plane). 2^dims buckets. */
-  def hyperplaneBucket(v: Column, table: Int, dims: Int = maxDims): Column =
+  def hyperplaneBucket(v: Column, table: Int, dims: Int = maxDims,
+      dim: Int = planeDim): Column =
     (0 until dims).map { i =>
-      val plane = array(hyperplaneSigns(table)(i).map(lit): _*)
+      val plane = array(signsFor(dim)(table)(i).map(lit): _*)
       when(dot(v, plane) > lit(0.0), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -121,23 +135,26 @@ object Similarity {
     * ~11%). Clustered real-world embeddings separate far better; random
     * data is the information-theoretic worst case.
     *
-    * Embeddings must be exactly [[planeDim]]-dimensional — the literal
-    * hyperplanes are fixed at that width, so any other size would project
-    * on a truncated prefix; [[dimChecked]] raises per-row instead. */
+    * Embeddings must be exactly `dim`-dimensional (default [[planeDim]],
+    * the testdata width) — the hyperplanes are generated at that width, so
+    * any other size would project on a truncated prefix; [[dimChecked]]
+    * raises per-row instead. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, dims: Int = maxDims,
       probeRadius: Int = 1, numTables: Int = maxTables,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = planeDim): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 2, "probeRadius must be 0, 1 or 2")
     require(dims >= 1 && dims <= maxDims, s"dims must be in [1, $maxDims]")
     require(numTables >= 1 && numTables <= maxTables,
       s"numTables must be in [1, $maxTables]")
+    require(dim >= 1, "dim must be positive")
 
     def tableBuckets(v: Column): Column =
-      array((0 until numTables).map(l => hyperplaneBucket(v, l, dims)): _*)
+      array((0 until numTables).map(l => hyperplaneBucket(v, l, dims, dim)): _*)
 
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        dimChecked(col(vecCol)).as("cv"))
+        dimChecked(col(vecCol), dim).as("cv"))
       .withColumn("cn", norm(col("cv")))
       .select(col("neighbor_id"), col("cv"), col("cn"),
         posexplode(tableBuckets(col("cv"))).as(Seq("tbl", "bucket")))
@@ -153,7 +170,7 @@ object Similarity {
       else Nil
     val probeCodes = array((col("bucket") +: (r1 ++ r2)): _*)
     val q = queries.select(col(idCol).as("query_id"),
-        dimChecked(col(vecCol)).as("qv"))
+        dimChecked(col(vecCol), dim).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .select(col("query_id"), col("qv"), col("qn"),
         posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "bucket")))

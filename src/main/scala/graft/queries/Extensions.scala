@@ -371,9 +371,10 @@ object Extensions {
   }
 
   /** x26 — range (interval) join: views per purchase in the preceding hour,
-    * via the binned [[RangeJoin.pointInInterval]] — an equi-join on
+    * via the binned [[RangeJoin.pointInIntervalLeft]] — an equi-join on
     * (user, hour-bin) with an exact residual filter, never a nested loop.
-    * Zero-match purchases survive through the left join back (count 0). */
+    * The left variant keeps zero-match purchases (null point payload), so
+    * `count(us)` yields 0 for them without a hand-rolled join-back. */
   def x26(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .withColumn("us", unix_micros(col("ts")))
@@ -383,13 +384,44 @@ object Extensions {
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         (col("us") - hourUs).as("start_us"), col("us").as("end_us"))
-    val matched = RangeJoin.pointInInterval(
-        views, purchases, Seq("user_id"), "us", "start_us", "end_us", hourUs)
-      .groupBy("event_id").agg(count(lit(1)).as("views_1h"))
-    purchases.select("event_id", "user_id")
-      .join(matched, Seq("event_id"), "left")
-      .select(col("event_id"), col("user_id"),
-        coalesce(col("views_1h"), lit(0L)).as("views_1h"))
+    RangeJoin.pointInIntervalLeft(
+        views, purchases, Seq("user_id"), "us", "start_us", "end_us", hourUs,
+        intervalIdCols = Seq("event_id"))
+      .groupBy("event_id", "user_id")
+      .agg(count(col("us")).as("views_1h"))
+      .orderBy("event_id")
+  }
+
+  /** x27 — FORWARD as-of join: each view matched to the SAME user's
+    * earliest purchase at or after it (the "next conversion" query).
+    * Same single-shuffle union+window plan as x25, mirrored frame; the
+    * oracle is DuckDB's native `ASOF LEFT JOIN ... ON p.ts >= v.ts`. */
+  def x27(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_event_id"), col("ts").as("purchase_ts"))
+    AsOf.join(views, purchases, Seq("user_id"), "ts", "ts", "forward")
+      .orderBy("event_id")
+  }
+
+  /** x28 — NEAREST as-of join with a tolerance: each purchase matched to
+    * the SAME user's closest click within ±30 minutes (ties → backward).
+    * DuckDB has no native nearest direction, so the oracle runs BOTH
+    * native ASOF directions and reproduces the choose-least-delta /
+    * tolerance arithmetic in plain SQL — pinning exactly the semantics
+    * [[AsOf.join]] computes inside one window. */
+  def x28(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"), col("ts").as("click_ts"))
+    AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts", "nearest",
+        tolerance = Some(expr("INTERVAL 30 MINUTES")))
       .orderBy("event_id")
   }
 
@@ -499,7 +531,9 @@ object Extensions {
     "x23_image_meta" -> (x23 _),
     "x24_dedup_corpus" -> (x24 _),
     "x25_asof_join" -> (x25 _),
-    "x26_range_join" -> (x26 _)
+    "x26_range_join" -> (x26 _),
+    "x27_asof_forward" -> (x27 _),
+    "x28_asof_nearest" -> (x28 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -933,6 +967,47 @@ object Extensions {
         |          AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
         |          AND epoch_us(v.ts) < epoch_us(p.ts)) AS BIGINT) AS views_1h
         |FROM events p WHERE p.event_type = 'purchase'
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    // forward direction pinned to DuckDB's native ASOF with the mirrored
+    // inequality (earliest right row at-or-after the left timestamp)
+    "x27_asof_forward" ->
+      """SELECT v.event_id, v.user_id, v.ts,
+        |  p.event_id AS purchase_event_id, p.ts AS purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id AND p.ts >= v.ts
+        |ORDER BY v.event_id""".stripMargin,
+    // DuckDB has no nearest direction: run BOTH native ASOF directions,
+    // choose least-absolute-delta (tie -> backward), then apply the ±30 min
+    // tolerance — the exact arithmetic AsOf.join computes in one window
+    "x28_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT p.event_id, c.event_id AS bid, c.ts AS bts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.ts <= p.ts),
+        |f AS (SELECT p.event_id, c.event_id AS fid, c.ts AS fts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.ts >= p.ts),
+        |n AS (SELECT p.event_id, p.user_id, p.ts,
+        |        CASE WHEN bid IS NULL THEN fid
+        |             WHEN fid IS NULL THEN bid
+        |             WHEN epoch_us(p.ts) - epoch_us(bts)
+        |                  <= epoch_us(fts) - epoch_us(p.ts) THEN bid
+        |             ELSE fid END AS mid,
+        |        CASE WHEN bid IS NULL THEN fts
+        |             WHEN fid IS NULL THEN bts
+        |             WHEN epoch_us(p.ts) - epoch_us(bts)
+        |                  <= epoch_us(fts) - epoch_us(p.ts) THEN bts
+        |             ELSE fts END AS mts
+        |      FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id))
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN abs(epoch_us(mts) - epoch_us(ts)) <= 1800000000
+        |       THEN mid END AS click_event_id,
+        |  CASE WHEN abs(epoch_us(mts) - epoch_us(ts)) <= 1800000000
+        |       THEN mts END AS click_ts
+        |FROM n ORDER BY event_id""".stripMargin
   )
 }

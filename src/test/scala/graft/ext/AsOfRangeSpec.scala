@@ -40,6 +40,87 @@ class AsOfRangeSpec extends SparkSpec {
     assert(got == (Some(11L), None))
   }
 
+  test("asof forward: earliest at-or-after match, inclusive ties, null when none") {
+    val left = Seq(
+      (1L, "u", 100L), // before two right rows -> earliest (ts=200) wins
+      (2L, "u", 200L), // exactly ON a right ts -> inclusive
+      (3L, "u", 300L), // after every right row -> null
+      (4L, "v", 10L)   // other key: its own timeline
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("u", 50L, "r50"), ("u", 200L, "r200"), ("u", 250L, "r250"),
+      ("v", 70L, "s70")
+    ).toDF("k", "rts", "tag")
+
+    val got = AsOf.join(left, right, Seq("k"), "ts", "rts", "forward")
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "r200", 2L -> "r200", 3L -> null, 4L -> "s70"))
+  }
+
+  test("asof nearest: least absolute delta, ties go backward, one-sided fallbacks") {
+    val left = Seq(
+      (1L, "u", 100L), // back at 90 (d=10), fwd at 130 (d=30) -> back
+      (2L, "u", 120L), // back at 90 (d=30), fwd at 130 (d=10) -> fwd
+      (3L, "u", 110L), // exact tie (d=20 both) -> backward wins
+      (4L, "u", 5L),   // nothing before -> forward fallback
+      (5L, "u", 500L)  // nothing after -> backward fallback
+    ).toDF("id", "k", "ts")
+    val right = Seq(("u", 90L, "r90"), ("u", 130L, "r130"))
+      .toDF("k", "rts", "tag")
+
+    val got = AsOf.join(left, right, Seq("k"), "ts", "rts", "nearest")
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "r90", 2L -> "r130", 3L -> "r90",
+      4L -> "r90", 5L -> "r130"))
+  }
+
+  test("asof tolerance nulls out matches beyond the bound, inclusive at it") {
+    val left = Seq(
+      (1L, "u", 100L), // back match at 90, delta 10 <= 10 -> kept
+      (2L, "u", 105L), // back match at 90, delta 15 > 10 -> nulled
+      (3L, "u", 90L)   // exact hit, delta 0 -> kept
+    ).toDF("id", "k", "ts")
+    val right = Seq(("u", 90L, "r90")).toDF("k", "rts", "tag")
+
+    val got = AsOf.join(left, right, Seq("k"), "ts", "rts", "backward",
+        tolerance = Some(lit(10L)))
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "r90", 2L -> null, 3L -> "r90"))
+
+    // nearest + tolerance: each side's candidate filtered by the SAME bound
+    val l2 = Seq((1L, "u", 100L)).toDF("id", "k", "ts") // back d=10, fwd d=3
+    val r2 = Seq(("u", 90L, "b"), ("u", 103L, "f")).toDF("k", "rts", "tag")
+    val got2 = AsOf.join(l2, r2, Seq("k"), "ts", "rts", "nearest",
+        tolerance = Some(lit(5L)))
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(got2 == Map(1L -> "f"))
+  }
+
+  test("asof stays correct when one key owns half the rows (hot-key skew)") {
+    // "hot" owns 50% of left rows and most right rows; correctness must
+    // not depend on the key distribution (speed mitigations are scaladoc'd)
+    val left = (Seq.tabulate(500)(i => (i.toLong, "hot", (i * 2 + 1).toLong)) ++
+      Seq.tabulate(500)(i => ((1000 + i).toLong, "k" + (i % 50), (i * 2 + 1).toLong)))
+      .toDF("id", "k", "ts")
+    val right = (Seq.tabulate(300)(i => ("hot", (i * 3).toLong, i.toLong)) ++
+      Seq.tabulate(100)(i => ("k" + (i % 50), (i * 5).toLong, (1000 + i).toLong)))
+      .toDF("k", "rts", "tag")
+
+    val got = AsOf.join(left, right, Seq("k"), "ts", "rts", "backward")
+      .select("id", "k", "ts", "tag").as[(Long, String, Long, Option[Long])]
+      .collect()
+    assert(got.length == 1000)
+    // oracle: per-row max right ts <= left ts, computed naively
+    val byKey = Seq.tabulate(300)(i => ("hot", (i * 3).toLong, i.toLong))
+      .++(Seq.tabulate(100)(i => ("k" + (i % 50), (i * 5).toLong, (1000 + i).toLong)))
+      .groupBy(_._1)
+    got.foreach { case (_, k, ts, tag) =>
+      val expect = byKey.getOrElse(k, Nil).filter(_._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(tag == expect, s"key=$k ts=$ts")
+    }
+  }
+
   test("asof rejects payload/left column collisions") {
     val l = Seq((1L, "u", 1L)).toDF("id", "k", "ts")
     val r = Seq(("u", 1L, 2L)).toDF("k", "rts", "id")
@@ -61,6 +142,25 @@ class AsOfRangeSpec extends SparkSpec {
       .select("pid").as[Long].collect().sorted.toSeq
     assert(got == Seq(1L, 2L, 3L)) // 100 in (inclusive), 200 out (exclusive),
                                    // 99 out, other key out, no duplicates
+  }
+
+  test("left range join keeps zero-match intervals with null point payload") {
+    val points = Seq(("u", 100L, 1L), ("u", 150L, 2L)).toDF("k", "ts", "pid")
+    val intervals = Seq(
+      ("u", 100L, 200L, 7L), // matches both points
+      ("u", 300L, 400L, 8L), // matches none -> must survive with nulls
+      ("w", 0L, 1000L, 9L)   // key with no points at all -> survives too
+    ).toDF("k", "s", "e", "iid")
+    val got = RangeJoin.pointInIntervalLeft(
+        points, intervals, Seq("k"), "ts", "s", "e", 60L, Seq("iid"))
+      .select("iid", "pid").as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((7L, Some(1L)), (7L, Some(2L)), (8L, None), (9L, None)))
+    // per-interval count(point) semantics: 0 for empty, no join-back needed
+    val counts = RangeJoin.pointInIntervalLeft(
+        points, intervals, Seq("k"), "ts", "s", "e", 60L, Seq("iid"))
+      .groupBy("iid").agg(count(col("pid")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(7L -> 2L, 8L -> 0L, 9L -> 0L))
   }
 
   test("range join matches the naive theta-join on random data") {

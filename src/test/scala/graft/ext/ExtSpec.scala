@@ -372,6 +372,36 @@ class ExtSpec extends SparkSpec {
     assert(meanRecall2 > meanRecall)
   }
 
+  test("IVF works at non-default dimensionality and rejects mismatched vectors") {
+    // 16-dim embeddings: planes are generated for the observed width from
+    // the width-folded seed; results must still carry exact cosines
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3, dim = 16)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    val byId = vecs.toMap
+    ivf.foreach { case (q, n, c) =>
+      val (a, b) = (byId(q), byId(n))
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, r) => p.toDouble * r.toDouble }.sum
+      val expect = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      assert(math.abs(expect - c) < 1e-6)
+    }
+    // a 64-dim corpus passed with dim=16 must fail loudly, not mis-bucket
+    val emb64 = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val e = intercept[Exception] {
+      Similarity.ivfTopK(emb64, emb64.filter(col("vec_id") < 2), k = 3,
+        dim = 16).count()
+    }
+    assert(e.getMessage.contains("16-dim") ||
+      e.getCause != null && e.getCause.getMessage.contains("16-dim"))
+  }
+
   test("language ID picks the language with most stopword hits") {
     val docs = docsFrom(Seq(
       (1L, "the cat and the dog of it is that"),
