@@ -103,7 +103,17 @@ object Dedup {
     val members = kept.select(col("fp"), col("id"))
       .join(reps.select(col("fp"), col("rid")), "fp")
       .select(col("id"), col("rid"))
-    (members, reps.select(col("rid"), col("text")))
+    // Both frames feed 3+ join branches downstream (banding, two pair
+    // join-backs, intra-group expansion) and Spark does NOT ReusedExchange
+    // them (measured on x17: 24 parquet re-scans, 0 reuse) — without
+    // materialization every branch re-reads the corpus and re-runs the md5
+    // groupBy. Eager localCheckpoint stores each ONCE (memory-and-disk,
+    // spillable) and truncates lineage; at 100 TB these are the distinct
+    // texts + an (id, rid) long pair — far smaller than the corpus a
+    // re-scan would touch. (Executor loss forces a stage rerun in cluster
+    // mode; acceptable for a batch dedup job, same trade [[components]]
+    // already makes for its iteration.)
+    (members.localCheckpoint(), reps.select(col("rid"), col("text")).localCheckpoint())
   }
 
   /** Band-bucket candidate pairs among exact-dup REPRESENTATIVES:
