@@ -235,10 +235,18 @@ object Dedup {
     // pays k² shingle walks), then expand: intra-group pairs are exactly
     // 1.0 (identical texts), cross-group pairs inherit the rep value
     val (members, reps) = collapseExact(docs, idCol, textCol, shingleSize)
+    // materialize the verified pairs BEFORE expanding: `verified` is only a
+    // Project+Filter over joins, so Catalyst otherwise collapses it into
+    // the member-level expansion and the verify expression re-runs per
+    // MEMBER pair (measured on x18: 24.8k member rows x3 evals instead of
+    // ~250 rep rows — 13 s of a 14 s query). The frame is tiny (pairs that
+    // passed the threshold), so the checkpoint is effectively free and
+    // also stops orderBy's range-sampling pass from re-verifying.
     val verified = repCandidates(reps, numPerms, rowsPerBand, shingleSize)
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select("rid_a", "rid_b", "jaccard")
+      .localCheckpoint()
     expandVerified(verified, members, "jaccard", lit(1.0))
       .select("id_a", "id_b", "jaccard")
   }
@@ -263,11 +271,14 @@ object Dedup {
       rowsPerBand: Int = 4,
       shingleSize: Int = 3): DataFrame = {
     val (members, reps) = collapseExact(docs, idCol, textCol, shingleSize)
+    // materialized for the same reason as in [[lshPairs]] — without it the
+    // banded-DP levenshtein runs per MEMBER pair after project collapse
     val verified = repCandidates(reps, numPerms, rowsPerBand, shingleSize)
       .withColumn("dist",
         levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("rid_a", "rid_b", "dist")
+      .localCheckpoint()
     expandVerified(verified, members, "dist", lit(0L))
       .select("id_a", "id_b", "dist")
   }
@@ -370,4 +381,6 @@ object Dedup {
           size(array_union(col("a.tok"), col("b.tok")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+
 }
