@@ -80,6 +80,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin"), s"range join is not a hash equi-join:\n$p")
   }
 
+  test("x27/x28: forward and nearest as-of keep the single-shuffle window plan") {
+    Seq(Extensions.x27(spark, sf), Extensions.x28(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"as-of join degenerated to a nested loop:\n$p")
+      assert(p.contains("Window"), "as-of join lost its running-fill window")
+      // both directions must come from ONE exchange over the union — the
+      // two window frames share partitioning AND ordering
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1,
+        s"as-of union should shuffle once, saw $exchanges hash exchanges:\n$p")
+    }
+  }
+
   test("q04/q05: per-kind ordinal uses no low-cardinality window partition") {
     // event_type has ~5 values — a Window.partitionBy(event_type) would
     // funnel n/5 rows through single tasks at scale; the two-phase ordinal
