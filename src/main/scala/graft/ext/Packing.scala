@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-budget bins (training
+  * batches of ~budget tokens) deterministically, at scan speed.
+  *
+  * The assignment is offset-based: within a shard, documents are laid out
+  * in `orderCol` order and `bin = exclusive-prefix-sum(size) div budget` —
+  * i.e. a document starts in the bin where the running token stream has
+  * reached it. A bin can overflow by at most one document's tail (the
+  * standard streaming-packing approximation); exact first-fit packing is
+  * inherently sequential and cannot run data-parallel.
+  *
+  * Skew: packing partitions by (`shardCols`*, shard) where `shard` is a
+  * portable hash of the id into `numShards` buckets — so a low-cardinality
+  * shard column (e.g. language) never funnels a whole corpus stratum
+  * through one window task. Real pipelines pack per worker shard anyway;
+  * determinism comes from the hash, not the physical partitioning.
+  * Raise `numShards` with the cluster (it bounds parallelism).
+  *
+  * Everything before the per-shard window is map-side; the window
+  * partitions on (shardCols, shard) — cardinality numShards × strata.
+  */
+object Packing {
+
+  /** Bin assignment per document.
+    * @param sizeCol  token/size column (non-negative integer)
+    * @param budget   bin capacity in the same unit
+    * @return input columns + shard + bin (both 0-based)
+    */
+  def packBins(
+      docs: DataFrame, idCol: String, sizeCol: String,
+      shardCols: Seq[String], orderCol: String,
+      budget: Long, numShards: Int = 16): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val sharded = docs.withColumn("shard",
+      Sampling.hashBucket(col(idCol), numShards))
+    val w = Window
+      .partitionBy((shardCols.map(col) :+ col("shard")): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded.withColumn("bin",
+      (coalesce(sum(col(sizeCol)).over(w), lit(0L)).cast("long") / budget)
+        .cast("long"))
+  }
+}

@@ -52,4 +52,33 @@ object Sampling {
     */
   def hashBucket(id: Column, buckets: Int): Column =
     pmod(PortableHash.md5Long(id.cast("string")), lit(buckets.toLong))
+
+  /** Deterministic train/validation/test (or any n-way) split assignment:
+    * the split label is a pure function of the row id, so every engine,
+    * every re-run, and every retried task agrees on the assignment, and
+    * growing one fraction only moves rows across adjacent splits.
+    *
+    * `splits` maps label → fraction; fractions must sum to ≤ 1 (a
+    * remainder falls into `defaultLabel`). Thresholds are cumulative
+    * integer bucket bounds (driver-rounded, see [[stratified]]).
+    * Map-side `when` chain, codegen'd, zero shuffle — scan-speed.
+    */
+  def splitAssign(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      defaultLabel: String = "rest",
+      buckets: Int = 10000): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
+    val bucket = hashBucket(col(idCol), buckets)
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * buckets)
+    }.tail
+    val assign = splits.zip(bounds).foldRight(lit(defaultLabel): Column) {
+      case (((label, _), bound), acc) =>
+        when(bucket < lit(bound), lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{AsOf, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.ext.{AsOf, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -425,6 +425,43 @@ object Extensions {
       .orderBy("event_id")
   }
 
+  /** x29 — TF-IDF top-3 terms per document ([[Tfidf.topTerms]]): the
+    * keyword-extraction primitive of a text pipeline, two map-combined
+    * aggregations + one broadcastable df join + a per-doc window. N is
+    * stamped driver-side (q03 pattern). Ranks tie-break on term, so the
+    * DuckDB reconstruction is value-stable; scores rounded for display. */
+  def x29(s: SparkSession, dir: String): DataFrame =
+    Tfidf.topTerms(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text", 3)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+      .orderBy("doc_id", "rank")
+
+  /** x30 — deterministic train/val/test assignment
+    * ([[Sampling.splitAssign]]): the split label is a pure function of
+    * doc_id (portable md5 bucket), so the exact assignment is re-computable
+    * by any engine — a dataset recipe, not a random draw. Map-side, zero
+    * shuffle. */
+  def x30(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitAssign(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+
+  /** x31 — sequence packing ([[Packing.packBins]]): documents assigned to
+    * 2000-token training bins within (lang, hash-shard) streams via an
+    * exclusive prefix sum — deterministic offset-based packing with no
+    * low-cardinality window partition (the hash shard keeps parallelism at
+    * numShards × strata regardless of how skewed lang is). */
+  def x31(s: SparkSession, dir: String): DataFrame =
+    Packing.packBins(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+            .cast("long").as("tok")),
+        "doc_id", "tok", Seq("lang"), "doc_id", budget = 2000L, numShards = 8)
+      .select(col("doc_id"), col("lang"), col("tok"), col("shard"), col("bin"))
+      .orderBy("doc_id")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -533,7 +570,10 @@ object Extensions {
     "x25_asof_join" -> (x25 _),
     "x26_range_join" -> (x26 _),
     "x27_asof_forward" -> (x27 _),
-    "x28_asof_nearest" -> (x28 _)
+    "x28_asof_nearest" -> (x28 _),
+    "x29_tfidf" -> (x29 _),
+    "x30_split_assign" -> (x30 _),
+    "x31_pack_bins" -> (x31 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1008,6 +1048,52 @@ object Extensions {
         |       THEN mid END AS click_event_id,
         |  CASE WHEN abs(epoch_us(mts) - epoch_us(ts)) <= 1800000000
         |       THEN mts END AS click_ts
-        |FROM n ORDER BY event_id""".stripMargin
+        |FROM n ORDER BY event_id""".stripMargin,
+    // stage-by-stage relational TF-IDF; ties rank by (score desc, term) so
+    // the ordering is engine-stable (a cross-engine score tie implies the
+    // same (tf, df) inputs and hence the same double)
+    "x29_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |        tf.tf * ln(n.n / df.df) AS score
+        |      FROM tf, df, n WHERE tf.term = df.term),
+        |r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rank FROM s)
+        |SELECT doc_id, term, tf, round(score, 4) AS score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // the exact md5-bucket arithmetic of Sampling.splitAssign: cumulative
+    // integer thresholds 8000/9000/10000 over the 60-bit portable hash
+    "x30_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE
+        |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 10000 < 8000 THEN 'train'
+        |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 10000 < 9000 THEN 'val'
+        |    WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 10000 < 10000 THEN 'test'
+        |    ELSE 'rest' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // exclusive prefix sum over (lang, md5-shard) streams, integer-divided
+    // by the bin budget — the offset-based packing Packing.packBins computes
+    "x31_pack_bins" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |         AS BIGINT) AS tok,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, lang, tok, shard,
+        |  CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang, shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) // 2000 AS bin
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -402,6 +402,72 @@ class ExtSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("16-dim"))
   }
 
+  test("TF-IDF: planted corpus scores, df across docs, rank ties on term") {
+    val docs = Seq(
+      (1L, "apple banana apple"),   // tf(apple)=2, tf(banana)=1
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")
+    ).toDF("doc_id", "text")
+    val out = Tfidf.topTerms(docs, "doc_id", "text", 3)
+      .as[(Long, String, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5)).toMap
+    val n = 3.0
+    // doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    val d1 = out(1L)
+    assert(d1.map(t => (t._2, t._3)).toSeq == Seq(("apple", 2L), ("banana", 1L)))
+    assert(math.abs(d1(0)._4 - 2 * math.log(n / 1)) < 1e-12)
+    assert(math.abs(d1(1)._4 - math.log(n / 2)) < 1e-12)
+    // doc 2: banana and cherry both tf=1 df=2 -> equal score, rank by term
+    assert(out(2L).map(_._2).toSeq == Seq("banana", "cherry"))
+    // doc 3: one term, thrice
+    assert(out(3L).map(t => (t._2, t._3)).toSeq == Seq(("cherry", 3L)))
+  }
+
+  test("splitAssign: pure-function labels matching hashBucket thresholds") {
+    val df = spark.range(1000).select(col("id").as("doc_id"))
+    val got = Sampling.splitAssign(df, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 1000)
+    val buckets = df.select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), 10000).as("b"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, label) =>
+      val b = buckets(id)
+      val expect = if (b < 8000) "train" else if (b < 9000) "val" else "test"
+      assert(label == expect, s"id=$id bucket=$b")
+    }
+    // roughly the declared proportions
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 1000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    // remainder label appears when fractions leave headroom
+    val rest = Sampling.splitAssign(df, "doc_id", Seq("train" -> 0.5))
+      .filter(col("split") === "rest").count()
+    assert(rest > 400 && rest < 600)
+  }
+
+  test("packBins: exclusive prefix sum, bins overflow by at most one doc") {
+    val docs = Seq(
+      // one shard-stream worth of sizes (ids hash wherever; budget checks
+      // are per (lang, shard) stream so they hold regardless)
+      (1L, "en", 900L), (2L, "en", 900L), (3L, "en", 900L),
+      (4L, "en", 2500L), // oversized doc gets its own bin boundary behavior
+      (5L, "en", 100L), (6L, "de", 1500L), (7L, "de", 1500L)
+    ).toDF("doc_id", "lang", "tok")
+    val out = Packing.packBins(docs, "doc_id", "tok", Seq("lang"), "doc_id",
+        budget = 2000L, numShards = 1)
+      .select("doc_id", "lang", "tok", "bin")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // numShards=1 -> single stream per lang; exclusive cumsum div 2000:
+    // en: cum 0,900,1800,2700,5200 -> bins 0,0,0,1,2
+    assert(out.filter(_._2 == "en").map(_._4).toSeq == Seq(0L, 0L, 0L, 1L, 2L))
+    // de: cum 0,1500 -> bins 0,0
+    assert(out.filter(_._2 == "de").map(_._4).toSeq == Seq(0L, 0L))
+    // bin ids are dense from 0 within each stream
+    val en = out.filter(_._2 == "en").map(_._4).distinct.sorted
+    assert(en.toSeq == (0L to en.max).toSeq)
+  }
+
   test("language ID picks the language with most stopword hits") {
     val docs = docsFrom(Seq(
       (1L, "the cat and the dog of it is that"),
