@@ -283,28 +283,77 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Edge-count threshold below which [[components]] solves the graph
+    * driver-side (union-find) instead of iterating distributed rounds.
+    * The near-dup pair graph is typically MUCH smaller than the corpus
+    * (it only contains docs that collided in a band AND passed verify);
+    * below this bound the whole edge set is a few MB — one collect + an
+    * in-memory union-find replaces 2–4 distributed iterations of joins,
+    * checkpoints and convergence counts, each a multi-job round trip.
+    * Above it, the log-diameter iterative path runs unchanged. */
+  val smallGraphEdges = 1000000L
+
   /** Connected components of a near-dup pair graph via min-label
     * propagation: every vertex converges to the minimum id reachable from
     * it, which becomes the cluster representative. This is the step that
     * turns [[lshPairs]] output into an actual deduplicated corpus.
     *
-    * Scale: each iteration is a neighbor-min step (one aggregate + join on
-    * the vertex id) followed by a pointer-jumping step (label := label of
-    * label), so convergence is O(log diameter) — 20 iterations covers any
-    * realistic graph, and the loop THROWS if it ever exits unconverged
-    * rather than silently returning wrong representatives. Each round
-    * `localCheckpoint`s its labels: lineage stays O(1) instead of growing
-    * per iteration, and the blocks are reclaimed automatically once the
-    * frame is unreferenced (no session-lifetime cache leak). On a real
-    * cluster with executor churn, swap for reliable `checkpoint` with a
-    * checkpoint dir. Returns (id, rep) for every vertex in `pairs`
+    * Adaptive: if the (distinct) edge set is under [[smallGraphEdges]],
+    * the graph is solved with a driver-side union-find — the collect is
+    * BOUNDED by the threshold (≈16 MB of long pairs at the default), the
+    * result is identical, and the toy-to-moderate case costs one job
+    * instead of per-iteration join+checkpoint+count rounds. A 100 TB
+    * corpus whose dup graph exceeds the bound takes the iterative path.
+    *
+    * Scale (iterative path): each iteration is a neighbor-min step (one
+    * aggregate + join on the vertex id) followed by a pointer-jumping step
+    * (label := label of label), so convergence is O(log diameter) — 20
+    * iterations covers any realistic graph, and the loop THROWS if it ever
+    * exits unconverged rather than silently returning wrong
+    * representatives. Each round `localCheckpoint`s its labels: lineage
+    * stays O(1) instead of growing per iteration, and the blocks are
+    * reclaimed automatically once the frame is unreferenced (no
+    * session-lifetime cache leak). On a real cluster with executor churn,
+    * swap for reliable `checkpoint` with a checkpoint dir. Returns
+    * (id, rep) for every vertex in `pairs`
     * (callers left-join docs and coalesce to self for singletons).
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 20,
+      smallGraphThreshold: Long = smallGraphEdges): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+
+    if (edges.count() <= smallGraphThreshold) {
+      // bounded collect (threshold-guarded): classic union-find with path
+      // halving; the edge list is symmetric so one direction suffices
+      val es = edges.filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) {
+          val p = parent.getOrElse(r, r)
+          parent(r) = parent.getOrElse(p, p) // path halving
+          r = parent.getOrElse(r, r)
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min id wins so the representative is the min label
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val vertices = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      val rows = vertices.map(v => (v, find(v)))
+      import spark.implicits._
+      return rows.toDF("id", "label")
+    }
+
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)

@@ -143,10 +143,26 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("components: both paths agree — union-find vs forced iterative") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.tabulate(300)(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("id_a", "id_b")
+    val small = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val iterative = Dedup.components(pairs, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(small == iterative)
+  }
+
   test("components: long chain converges within the iteration bound") {
     val n = 12 // diameter 12 chain: 0-1, 1-2, ... 11-12
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
-    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    // forced through the ITERATIVE path (threshold 0) to pin log-diameter
+    // convergence inside the 20-round bound
+    val got = Dedup.components(pairs, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
     assert(got.values.toSet == Set(0L))
     assert(got.size == n + 1)
   }
