@@ -415,6 +415,47 @@ object Dedup {
       GraftColumnBridge.expression(text), bits)).as("simhash")
   }
 
+  /** Hamming-banded SimHash near-dup pairs — the SCALE path for SimHash
+    * dedup (x03 computes signatures; this finds the pairs). The 32-bit
+    * signature splits into four 8-bit bands: by pigeonhole, any pair
+    * within Hamming distance 3 agrees on at least one whole band, so
+    * candidates come from an equi-join on (band, byte) — never an O(n²)
+    * signature comparison — and are verified with an exact
+    * `bit_count(xor)`. Same skew hardening as the MinHash chain:
+    * byte-identical texts collapse first ([[collapseExact]]), banding and
+    * verification run over distinct texts, verified rep pairs expand
+    * algebraically (identical texts ⇒ Hamming 0).
+    *
+    * Output: (id_a, id_b, hamming), a < b, distinct. The signature rides
+    * the band join as one long — there is no text shuffle anywhere. */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for Hamming <= 3")
+    val (members, reps) = collapseExact(docs, idCol, textCol, 1)
+    val sigs = reps.select(col("rid"), simhashColumn(col("text")).as("sig"))
+    val banded = sigs.select(col("rid"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 8).bitwiseAND(lit(0xFFL))): _*))
+        .as(Seq("band", "byte")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val verified = a.join(b,
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("rid_a", "rid_b", "hamming")
+      .localCheckpoint() // rep-level verify evaluated once (see lshPairs)
+    expandVerified(verified, members, "hamming", lit(0L))
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact pairwise token-Jaccard over a bounded subset — the verification /
     * small-data path (the scale path is `lshPairs`). O(n²) in the subset
     * size; callers MUST bound it. */

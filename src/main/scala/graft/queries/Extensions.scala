@@ -462,6 +462,17 @@ object Extensions {
       .select(col("doc_id"), col("lang"), col("tok"), col("shard"), col("bin"))
       .orderBy("doc_id")
 
+  /** x32 — Hamming-banded SimHash near-dup pairs ([[Dedup.simhashPairs]]):
+    * the pair-finding scale path for the x03 signatures — a (band, byte)
+    * equi-join by pigeonhole (Hamming ≤ maxHamming ≤ 3 ⇒ one shared 8-bit
+    * band), exact-dup collapse first, bit_count(xor) verify at rep level.
+    * Declared at Hamming ≤ 1 (near-identical): the synthetic docs share a
+    * tight vocabulary, so looser bounds match weakly-similar pairs by the
+    * millions — real dedup uses the tight bound. */
+  def x32(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 1)
+      .orderBy("id_a", "id_b")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -573,7 +584,8 @@ object Extensions {
     "x28_asof_nearest" -> (x28 _),
     "x29_tfidf" -> (x29 _),
     "x30_split_assign" -> (x30 _),
-    "x31_pack_bins" -> (x31 _)
+    "x31_pack_bins" -> (x31 _),
+    "x32_simhash_pairs" -> (x32 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1094,6 +1106,29 @@ object Extensions {
         |  CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang, shard
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0) AS BIGINT) // 2000 AS bin
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // pigeonhole makes the banded operator EXACT for Hamming <= 3, so the
+    // oracle is the exhaustive pair set over the x03 signature CTE — no
+    // banding needed on the oracle side
+    "x32_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) tk
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${hex15.format("tk")} hv FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END w
+         |  FROM h, (SELECT unnest(range(0, 32)) b) bb(b)),
+         |bsum AS (SELECT doc_id, b, sum(w) sw FROM bits GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << b)
+         |             ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bsum GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a, sig b
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

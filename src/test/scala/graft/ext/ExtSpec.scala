@@ -418,6 +418,25 @@ class ExtSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("16-dim"))
   }
 
+  test("simhashPairs == exhaustive Hamming pairs (pigeonhole exactness)") {
+    val docs = docsFrom(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("doc_id") < 80)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+        ++ Seq((900L, "planted duplicate text body"),
+          (901L, "planted duplicate text body"))) // exact dup -> hamming 0
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val sigs = docs.select(col("doc_id"), Dedup.simhashColumn(col("text")))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(banded == brute) // banding loses nothing at Hamming <= 3
+    assert(banded.contains((900L, 901L, 0L)))
+  }
+
   test("TF-IDF: planted corpus scores, df across docs, rank ties on term") {
     val docs = Seq(
       (1L, "apple banana apple"),   // tf(apple)=2, tf(banana)=1
