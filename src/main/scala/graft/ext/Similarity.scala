@@ -190,6 +190,48 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Embedding-cosine near-duplicate PAIRS at scale: bucket every vector
+    * with the same multi-table hyperplane LSH as [[ivfTopK]], generate
+    * candidate pairs only within (table, bucket) cells via a self
+    * equi-join, dedup collisions across tables, verify with the exact
+    * cosine. Approximate by nature (a pair whose vectors collide in no
+    * table is missed — more tables/fewer bits raise recall); every
+    * EMITTED pair carries its true cosine. The x33 oracle reconstructs
+    * the identical bucketing from the same literal planes, so the
+    * approximation itself is value-checked, not just the verify.
+    *
+    * Scale: bucketing is map-side; the join is hash-partitioned on
+    * (table, bucket); vectors ride the posting list ×`numTables` exactly
+    * like the ivfTopK corpus side. No O(n²) anywhere. */
+  def lshCosinePairs(
+      vectors: DataFrame, threshold: Double, dims: Int = maxDims,
+      numTables: Int = maxTables,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = planeDim): DataFrame = {
+    require(dims >= 1 && dims <= maxDims, s"dims must be in [1, $maxDims]")
+    require(numTables >= 1 && numTables <= maxTables,
+      s"numTables must be in [1, $maxTables]")
+    val banded = vectors.select(col(idCol).as("id"),
+        dimChecked(col(vecCol), dim).as("v"))
+      .withColumn("n", norm(col("v")))
+      .select(col("id"), col("v"), col("n"),
+        posexplode(array((0 until numTables).map(t =>
+          hyperplaneBucket(col("v"), t, dims, dim)): _*))
+          .as(Seq("tbl", "bucket")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("a.n").as("na"),
+        col("b.v").as("vb"), col("b.n").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosFrom(col("va"), col("na"), col("vb"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded subset (exact,
     * O(n²) — bound the input; the scale path buckets first like ivfTopK). */
   def cosinePairs(

@@ -473,6 +473,18 @@ object Extensions {
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 1)
       .orderBy("id_a", "id_b")
 
+  /** x33 — LSH-bucketed embedding near-dup pairs
+    * ([[Similarity.lshCosinePairs]]): the SCALE path for embedding-cosine
+    * dedup (x05 is the bounded exact variant) — candidates only within
+    * hyperplane (table, bucket) cells, exact cosine verify. The oracle
+    * reconstructs the identical bucketing from the same literal planes,
+    * value-checking the approximation itself. */
+  def x33(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosinePairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 2000), threshold = 0.15)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -585,7 +597,8 @@ object Extensions {
     "x29_tfidf" -> (x29 _),
     "x30_split_assign" -> (x30 _),
     "x31_pack_bins" -> (x31 _),
-    "x32_simhash_pairs" -> (x32 _)
+    "x32_simhash_pairs" -> (x32 _),
+    "x33_embed_dup_pairs" -> (x33 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -622,13 +635,13 @@ object Extensions {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** DuckDB reconstruction of [[Similarity.ivfTopK]] (x07): the literal ±1
-    * hyperplane matrix is EMITTED from [[Similarity.hyperplaneSigns]] — the
-    * same array the Spark expression uses — so both engines bucket with
-    * bit-identical double dot products (±1 coefficients make each product
-    * an exact negation/copy; accumulation is left-to-right double on both
-    * sides). */
-  private def ivfOracleSql: String = {
+  /** Shared oracle scaffolding for the hyperplane-LSH queries (x07/x33):
+    * the literal ±1 plane matrix is EMITTED from
+    * [[Similarity.hyperplaneSigns]] — the same array the Spark expression
+    * uses — so both engines bucket with bit-identical double dot products
+    * (±1 coefficients make each product an exact negation/copy;
+    * accumulation is left-to-right double on both sides). */
+  private def hyperplaneCbSql: String = {
     def planeList(tbl: Int, i: Int): String =
       Similarity.hyperplaneSigns(tbl)(i)
         .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
@@ -636,9 +649,14 @@ object Extensions {
       (0 until 8).map(i =>
         s"(CASE WHEN list_dot_product(v, ${planeList(tbl, i)}) > 0 " +
           s"THEN ${1L << i} ELSE 0 END)").mkString("\n      + ")
-    val cb = (0 until 3).map(tbl =>
+    (0 until 3).map(tbl =>
       s"SELECT vec_id, v, $tbl AS tbl, ${bucketExpr(tbl)} AS bucket FROM e")
       .mkString("\n  UNION ALL\n  ")
+  }
+
+  /** DuckDB reconstruction of [[Similarity.ivfTopK]] (x07). */
+  private def ivfOracleSql: String = {
+    val cb = hyperplaneCbSql
     val probes = (0 until 8).map(i => s"xor(bucket, ${1L << i})").mkString(", ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
@@ -668,6 +686,30 @@ object Extensions {
        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** DuckDB reconstruction of [[Similarity.lshCosinePairs]] (x33): same
+    * bucketing CTE; candidate pairs are the distinct same-(table, bucket)
+    * id pairs, verified with the exact cosine. */
+  private def lshCosinePairsOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+       |  FROM embeddings WHERE vec_id < 2000),
+       |cb AS (
+       |  $hyperplaneCbSql),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cb a JOIN cb b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    list_dot_product(av.v, bv.v)
+       |      / (sqrt(list_dot_product(av.v, av.v))
+       |         * sqrt(list_dot_product(bv.v, bv.v))) AS cos
+       |  FROM cand
+       |  JOIN e av ON av.vec_id = cand.id_a
+       |  JOIN e bv ON bv.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(cos, 4) AS cos
+       |FROM scored WHERE cos >= 0.15 ORDER BY id_a, id_b""".stripMargin
 
   /** Shared DuckDB scaffolding for the connected-components oracles
     * (x19/x24): transitive closure over the x17 pair graph (recursive CTE),
@@ -809,6 +851,7 @@ object Extensions {
         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "x07_ann_ivf" -> ivfOracleSql,
+    "x33_embed_dup_pairs" -> lshCosinePairsOracleSql,
     "x08_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) tok FROM documents),

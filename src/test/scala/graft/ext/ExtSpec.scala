@@ -437,6 +437,26 @@ class ExtSpec extends SparkSpec {
     assert(banded.contains((900L, 901L, 0L)))
   }
 
+  test("lshCosinePairs: subset of exact pairs, exact cosines, dup vectors found") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 300).select("vec_id", "embedding")
+    // identical vectors always collide in every table (same bucket) — the
+    // recall floor the approximation must never lose
+    val dup = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val all = emb.unionByName(dup)
+    val lsh = Similarity.lshCosinePairs(all, threshold = 0.15)
+      .as[(Long, Long, Double)].collect()
+    val exact = Similarity.cosinePairs(all, threshold = 0.15)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, c) =>
+      assert(math.abs(exact((a, b)) - c) < 1e-12, s"pair ($a,$b)")
+    }
+    assert(lsh.exists { case (a, b, _) => a == 0L && b == 100000L })
+  }
+
   test("TF-IDF: planted corpus scores, df across docs, rank ties on term") {
     val docs = Seq(
       (1L, "apple banana apple"),   // tf(apple)=2, tf(banana)=1
