@@ -47,4 +47,31 @@ object Packing {
       (coalesce(sum(col(sizeCol)).over(w), lit(0L)).cast("long") / budget)
         .cast("long"))
   }
+
+  /** Assemble the packed training sequences: one row per bin with the
+    * documents' text joined in `orderCol` order.
+    *
+    * `collect_list` carries NO ordering guarantee under a shuffle, so the
+    * deterministic assembly is `sort_array(collect_list(struct(order,
+    * text)))` — structs sort by their leading field — then a transform +
+    * concat. One aggregation on the (shardCols, shard, bin) key; the
+    * packed text is assembled exactly once, map-combined like any agg.
+    *
+    * @return shardCols + shard + bin + n_docs + tok_sum + packed_text
+    */
+  def assembleBins(
+      docs: DataFrame, idCol: String, textCol: String, sizeCol: String,
+      shardCols: Seq[String], orderCol: String,
+      budget: Long, numShards: Int = 16, sep: String = " "): DataFrame = {
+    val binned = packBins(docs, idCol, sizeCol, shardCols, orderCol,
+      budget, numShards)
+    val keys = (shardCols :+ "shard" :+ "bin").map(col)
+    binned.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).as("tok_sum"),
+        concat_ws(sep, transform(
+          sort_array(collect_list(struct(col(orderCol), col(textCol)))),
+          s => s.getField(textCol))).as("packed_text"))
+  }
 }

@@ -485,6 +485,22 @@ object Extensions {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
 
+  /** x34 — packed-sequence assembly ([[Packing.assembleBins]]): the
+    * follow-on of x31 — each bin's documents concatenated in doc_id order
+    * into the actual training sequence. Deterministic despite shuffles
+    * (sort_array over structs, not bare collect_list); the oracle compares
+    * an md5 of the packed text, proving byte-identical assembly. */
+  def x34(s: SparkSession, dir: String): DataFrame =
+    Packing.assembleBins(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"),
+          (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+            .cast("long").as("tok")),
+        "doc_id", "text", "tok", Seq("lang"), "doc_id",
+        budget = 2000L, numShards = 8)
+      .select(col("lang"), col("shard"), col("bin"), col("n_docs"),
+        col("tok_sum"), md5(col("packed_text")).as("packed_md5"))
+      .orderBy("lang", "shard", "bin")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -598,7 +614,8 @@ object Extensions {
     "x30_split_assign" -> (x30 _),
     "x31_pack_bins" -> (x31 _),
     "x32_simhash_pairs" -> (x32 _),
-    "x33_embed_dup_pairs" -> (x33 _)
+    "x33_embed_dup_pairs" -> (x33 _),
+    "x34_pack_assemble" -> (x34 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1172,6 +1189,26 @@ object Extensions {
          |FROM sig a, sig b
          |WHERE a.doc_id < b.doc_id
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 1
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    // ordered string_agg == Spark's sort_array(collect_list(struct))
+    // assembly; md5 of the packed text pins byte-identical sequences
+    "x34_pack_assemble" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |         AS BIGINT) AS tok,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, text, tok, shard,
+        |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) // 2000 AS bin
+        |  FROM d)
+        |SELECT lang, shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+        |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS packed_md5
+        |FROM b GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
   )
 }

@@ -523,6 +523,23 @@ class ExtSpec extends SparkSpec {
     assert(en.toSeq == (0L to en.max).toSeq)
   }
 
+  test("assembleBins: packed text is in order-col order regardless of partitioning") {
+    val docs = Seq(
+      (3L, "en", "cc", 900L), (1L, "en", "aa", 900L), (2L, "en", "bb", 900L),
+      (4L, "en", "dd", 100L))
+      .toDF("doc_id", "lang", "text", "tok")
+      .repartition(7) // scramble physical order; assembly must not care
+    val out = Packing.assembleBins(docs, "doc_id", "text", "tok",
+        Seq("lang"), "doc_id", budget = 2000L, numShards = 1)
+      .select("bin", "n_docs", "tok_sum", "packed_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // exclusive cums 0,900,1800,2700 -> bins 0,0,0,1: doc 3 STARTS while
+    // the stream is still under budget (1800 < 2000), overflowing bin 0 by
+    // its tail — the documented streaming-packing approximation
+    assert(out.toSeq == Seq(
+      (0L, 3L, 2700L, "aa bb cc"), (1L, 1L, 100L, "dd")))
+  }
+
   test("language ID picks the language with most stopword hits") {
     val docs = docsFrom(Seq(
       (1L, "the cat and the dog of it is that"),
