@@ -152,6 +152,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless text-pipeline ops run unchanged on a stream == batch results") {
+    // quality scoring, language ID, split assignment and token counting are
+    // pure column expressions — the SAME operator code must work under
+    // readStream with no modification, and agree with the batch run row-wise
+    val base = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().take(30).toSeq
+
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sampling.splitAssign(
+          df.select((col("doc_id") +:
+            (graft.ext.TextAnalysis.langScores(col("text")) ++
+              graft.ext.TextAnalysis.qualityColumns(col("text")))): _*)
+            .withColumn("predicted", graft.ext.TextAnalysis.predictedLang),
+          "doc_id", Seq("train" -> 0.9))
+        .select("doc_id", "predicted", "split")
+
+    val expected = enrich(base.toDF("doc_id", "text")).collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = enrich(stream.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_enrich")
+      .outputMode("append").start()
+    try {
+      base.grouped(10).foreach { chunk =>
+        stream.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(spark.table("stream_enrich").collect().toSet == expected)
+    } finally q.stop()
+  }
+
   test("extract_blocks generator works from SQL via LATERAL VIEW") {
     graft.functions.ExtractBlocks.register(spark)
     val content = java.nio.file.Files.readString(
