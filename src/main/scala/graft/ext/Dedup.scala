@@ -441,16 +441,17 @@ object Dedup {
         .as(Seq("band", "byte")))
     val a = banded.as("a")
     val b = banded.as("b")
+    // verify BEFORE the pair distinct: bit_count is a one-instruction
+    // check, and most band-colliding pairs fail the Hamming bound — the
+    // distinct then shuffles only true pairs instead of every collision
     val verified = a.join(b,
         col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
           col("a.rid") < col("b.rid"))
       .select(col("a.rid").as("rid_a"), col("b.rid").as("rid_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("rid_a", "rid_b", "hamming")
+      .distinct()
       .localCheckpoint() // rep-level verify evaluated once (see lshPairs)
     expandVerified(verified, members, "hamming", lit(0L))
       .select("id_a", "id_b", "hamming")
