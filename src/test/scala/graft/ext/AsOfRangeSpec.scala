@@ -121,6 +121,45 @@ class AsOfRangeSpec extends SparkSpec {
     }
   }
 
+  test("asof all directions match a naive in-memory oracle on random data") {
+    val rnd = new scala.util.Random(23)
+    val left = Seq.tabulate(400)(i =>
+      (i.toLong, "k" + rnd.nextInt(8), rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "ts")
+    val rightRows = Seq.tabulate(150)(i =>
+      ("k" + rnd.nextInt(8), rnd.nextInt(1000).toLong * 2 + 1, i.toLong))
+    val right = rightRows.toDF("k", "rts", "tag")
+    val byKey = rightRows.groupBy(_._1)
+
+    def oracle(k: String, ts: Long, dir: String): Option[Long] = {
+      val rs = byKey.getOrElse(k, Nil)
+      val back = rs.filter(_._2 <= ts).sortBy(r => (r._2, r._3)).lastOption
+      val fwd = rs.filter(_._2 >= ts).sortBy(r => (r._2, r._3)).headOption
+      (dir match {
+        case "backward" => back
+        case "forward" => fwd
+        case "nearest" => (back, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (ts - b._2 <= f._2 - ts) Some(b) else Some(f)
+          case _ => back.orElse(fwd)
+        }
+      }).map(_._3)
+    }
+    // equal-(k, rts) right rows make the pick arbitrary by contract, so
+    // keys containing them are skipped in the assertion below
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val got = AsOf.join(left, right, Seq("k"), "ts", "rts", dir)
+        .select("id", "k", "ts", "tag")
+        .as[(Long, String, Long, Option[Long])].collect()
+      got.foreach { case (_, k, ts, tag) =>
+        val rs = byKey.getOrElse(k, Nil)
+        val uniqueTs = rs.groupBy(_._2).forall(_._2.size == 1)
+        if (uniqueTs) // ambiguous equal-ts right rows excluded by contract
+          assert(tag == oracle(k, ts, dir), s"dir=$dir k=$k ts=$ts")
+      }
+    }
+  }
+
   test("asof rejects payload/left column collisions") {
     val l = Seq((1L, "u", 1L)).toDF("id", "k", "ts")
     val r = Seq(("u", 1L, 2L)).toDF("k", "rts", "id")
