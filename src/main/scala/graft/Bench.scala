@@ -51,6 +51,12 @@ object Bench {
     // timed pass — a failing query must be VISIBLE, not a ~0s entry
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
+      // GC between queries: without it, a heavy-allocation query's garbage
+      // is collected DURING whichever query runs next — observed as 3-5×
+      // one-off inflation on the follower (x29 8.4 s in-run vs 1.6 s
+      // isolated). The pause itself is untimed, so entries measure the
+      // query, not the predecessor's cleanup.
+      System.gc()
       val t0 = System.nanoTime()
       try run(name)
       catch { case e: Throwable =>

@@ -388,18 +388,47 @@ object Dedup {
     labels
   }
 
+  /** Connected components straight from the collapsed LSH chain —
+    * [[components]] over REP-level verified pairs plus an id→rid
+    * membership STAR, never the member-level pair expansion: a dup group
+    * of k contributes k−1 star edges instead of the k²/2 clique edges
+    * that [[lshPairs]]' member contract implies, with IDENTICAL
+    * connectivity (star joins every member to its rep; rep pairs join the
+    * groups), hence identical labels. This is the right input shape for
+    * clustering at 100 TB — the edge set stays O(docs + dup pairs), not
+    * O(Σ group²). Returns (id, label) for every doc in a ≥2 group or a
+    * verified near-dup pair; callers left-join and coalesce to self. */
+  def lshComponents(
+      docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val jac = GraftColumnBridge.column(graft.functions.ShingleJaccard(
+      GraftColumnBridge.expression(col("text_a")),
+      GraftColumnBridge.expression(col("text_b")), shingleSize))
+    val (members, reps) = collapseExact(docs, idCol, textCol, shingleSize)
+    val repPairs = repCandidates(reps, numPerms, rowsPerBand, shingleSize)
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select(col("rid_a").as("id_a"), col("rid_b").as("id_b"))
+      .localCheckpoint() // rep-level verify evaluated once (see lshPairs)
+    val star = members.filter(col("id") =!= col("rid"))
+      .select(col("id").as("id_a"), col("rid").as("id_b"))
+    components(repPairs.unionByName(star))
+  }
+
   /** The final dedup materialization: keep only the rows of `docs` whose id
-    * IS its cluster representative under [[components]] of `pairs` — the
-    * actual cleaned corpus a pipeline emits. Docs absent from the pair
-    * graph are their own representative and survive.
+    * IS its cluster representative under [[lshComponents]] — the actual
+    * cleaned corpus a pipeline emits. Docs absent from the pair graph are
+    * their own representative and survive.
     *
     * Scale: the anti-join key set (non-representative ids) is exactly the
     * removed duplicates — far smaller than the corpus for realistic dup
     * rates, so AQE turns this into a broadcast anti-join; the corpus
     * itself never shuffles. */
   def keepRepresentatives(
-      docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
-    val nonReps = components(pairs)
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nonReps = lshComponents(docs, idCol, textCol)
       .filter(col("label") =!= col("id"))
       .select(col("id").as(idCol))
     docs.join(nonReps, Seq(idCol), "left_anti")
@@ -455,6 +484,46 @@ object Dedup {
       .localCheckpoint() // rep-level verify evaluated once (see lshPairs)
     expandVerified(verified, members, "hamming", lit(0L))
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** REP-level SimHash near-dup pairs with duplicate-group sizes — the
+    * form a 100 TB pipeline actually materializes. [[simhashPairs]]'
+    * member-level contract implies n_a·n_b rows per verified rep pair
+    * (plus k²/2 intra rows per exact-dup group): measured at 50× planted
+    * duplication that is ~10⁹ output rows, 790 s of a 1040 s bench run —
+    * ALL of it redundant, since every member pair is recoverable from
+    * (rep pair, memberships). This variant emits one row per verified
+    * DISTINCT-TEXT pair with both group sizes; downstream clustering
+    * takes rep pairs + membership stars ([[lshComponents]] shape).
+    *
+    * Output: (id_a, id_b, hamming, n_a, n_b) — ids are group
+    * representatives (min id over byte-identical texts), a < b. */
+  def simhashRepPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for Hamming <= 3")
+    val (members, reps) = collapseExact(docs, idCol, textCol, 1)
+    val sigs = reps.select(col("rid"), simhashColumn(col("text")).as("sig"))
+    val banded = sigs.select(col("rid"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 8).bitwiseAND(lit(0xFFL))): _*))
+        .as(Seq("band", "byte")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val verified = a.join(b,
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("id_a"), col("b.rid").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val sizes = members.groupBy(col("rid")).agg(count(lit(1)).as("n"))
+    verified
+      .join(sizes.select(col("rid").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("rid").as("id_b"), col("n").as("n_b")), "id_b")
+      .select("id_a", "id_b", "hamming", "n_a", "n_b")
   }
 
   /** Exact pairwise token-Jaccard over a bounded subset — the verification /

@@ -222,14 +222,14 @@ object Extensions {
       .orderBy("id_a", "id_b")
 
   /** x19 — near-dup clusters → canonical assignment: connected components
-    * over the x17 pair graph ([[Dedup.components]], min-label propagation),
+    * of the near-dup graph ([[Dedup.lshComponents]]: rep-level verified
+    * pairs + membership star edges — O(docs + dup pairs) edges, never the
+    * member-level k² cliques),
     * left-joined back so every document gets a representative (itself for
     * singletons). The final step of corpus-scale dedup: keep rows where
     * doc_id == rep. */
   def x19(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text")
-      .select("id_a", "id_b")
-    val comp = Dedup.components(pairs)
+    val comp = Dedup.lshComponents(t(s, dir, "documents"), "doc_id", "text")
       .select(col("id").as("doc_id"), col("label"))
     t(s, dir, "documents").select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
@@ -345,8 +345,7 @@ object Extensions {
     * sparse relative to the corpus. */
   def x24(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.lshPairs(docs, "doc_id", "text").select("id_a", "id_b")
-    Dedup.keepRepresentatives(docs, pairs, "doc_id")
+    Dedup.keepRepresentatives(docs, "doc_id", "text")
       .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
   }
@@ -462,15 +461,18 @@ object Extensions {
       .select(col("doc_id"), col("lang"), col("tok"), col("shard"), col("bin"))
       .orderBy("doc_id")
 
-  /** x32 — Hamming-banded SimHash near-dup pairs ([[Dedup.simhashPairs]]):
-    * the pair-finding scale path for the x03 signatures — a (band, byte)
-    * equi-join by pigeonhole (Hamming ≤ maxHamming ≤ 3 ⇒ one shared 8-bit
-    * band), exact-dup collapse first, bit_count(xor) verify at rep level.
-    * Declared at Hamming ≤ 1 (near-identical): the synthetic docs share a
-    * tight vocabulary, so looser bounds match weakly-similar pairs by the
-    * millions — real dedup uses the tight bound. */
+  /** x32 — Hamming-banded SimHash near-dup pairs at REP level
+    * ([[Dedup.simhashRepPairs]]): the pair-finding scale path for the x03
+    * signatures — a (band, byte) equi-join by pigeonhole (Hamming ≤ 1 ⇒
+    * shared 8-bit band), exact-dup collapse first, one output row per
+    * DISTINCT-TEXT pair with both group sizes. The member-level contract
+    * ([[Dedup.simhashPairs]], spec-covered) implies n_a·n_b rows per pair —
+    * measured ~10⁹ rows / 790 s at 50× planted duplication, all of it
+    * recoverable from this form. Declared at Hamming ≤ 1 (near-identical):
+    * the synthetic docs share a tight vocabulary, so looser bounds match
+    * weakly-similar pairs by the millions. */
   def x32(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 1)
+    Dedup.simhashRepPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 1)
       .orderBy("id_a", "id_b")
 
   /** x33 — LSH-bucketed embedding near-dup pairs
@@ -1168,26 +1170,31 @@ object Extensions {
         |    0) AS BIGINT) // 2000 AS bin
         |FROM d ORDER BY doc_id""".stripMargin,
     // pigeonhole makes the banded operator EXACT for Hamming <= 3, so the
-    // oracle is the exhaustive pair set over the x03 signature CTE — no
-    // banding needed on the oracle side
+    // oracle is the exhaustive pair set over the x03 signature CTE applied
+    // to DISTINCT texts (min-id rep + group size) — no banding needed
     "x32_simhash_pairs" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) tk
-         |  FROM documents),
-         |h AS (SELECT doc_id, ${hex15.format("tk")} hv FROM tok),
+      s"""WITH g AS (
+         |  SELECT CAST(min(doc_id) AS BIGINT) AS rid,
+         |    CAST(count(*) AS BIGINT) AS n, text
+         |  FROM documents GROUP BY text),
+         |tok AS (
+         |  SELECT rid, unnest(list_distinct(string_split(text, ' '))) tk
+         |  FROM g),
+         |h AS (SELECT rid, ${hex15.format("tk")} hv FROM tok),
          |bits AS (
-         |  SELECT doc_id, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END w
+         |  SELECT rid, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END w
          |  FROM h, (SELECT unnest(range(0, 32)) b) bb(b)),
-         |bsum AS (SELECT doc_id, b, sum(w) sw FROM bits GROUP BY 1, 2),
+         |bsum AS (SELECT rid, b, sum(w) sw FROM bits GROUP BY 1, 2),
          |sig AS (
-         |  SELECT doc_id,
+         |  SELECT rid,
          |    CAST(sum(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << b)
          |             ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bsum GROUP BY doc_id)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sig a, sig b
-         |WHERE a.doc_id < b.doc_id
+         |  FROM bsum GROUP BY rid)
+         |SELECT a.rid AS id_a, b.rid AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+         |  ga.n AS n_a, gb.n AS n_b
+         |FROM sig a, sig b, g ga, g gb
+         |WHERE a.rid < b.rid AND ga.rid = a.rid AND gb.rid = b.rid
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 1
          |ORDER BY id_a, id_b""".stripMargin,
     // ordered string_agg == Spark's sort_array(collect_list(struct))

@@ -156,6 +156,24 @@ class ExtSpec extends SparkSpec {
     assert(small == iterative)
   }
 
+  test("lshComponents (star edges) == components over member-level lshPairs") {
+    // star membership edges + rep pairs must yield IDENTICAL labels to the
+    // k²-clique member expansion — same connectivity, O(k) fewer edges
+    val base = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    // plant exact-dup groups (size 3) and keep the near-dups the corpus has
+    val docs = docsFrom(base ++ base.take(10).flatMap { case (id, text) =>
+      Seq((id + 1000, text), (id + 2000, text))
+    })
+    val viaStars = Dedup.lshComponents(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaCliques = Dedup.components(
+        Dedup.lshPairs(docs, "doc_id", "text").select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == viaCliques)
+  }
+
   test("components: long chain converges within the iteration bound") {
     val n = 12 // diameter 12 chain: 0-1, 1-2, ... 11-12
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
