@@ -51,12 +51,15 @@ object Bench {
     // timed pass — a failing query must be VISIBLE, not a ~0s entry
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
-      // GC between queries: without it, a heavy-allocation query's garbage
-      // is collected DURING whichever query runs next — observed as 3-5×
-      // one-off inflation on the follower (x29 8.4 s in-run vs 1.6 s
-      // isolated). The pause itself is untimed, so entries measure the
-      // query, not the predecessor's cleanup.
+      // GC + settle between queries: without it, a heavy-allocation
+      // query's garbage is collected and its checkpoint/cache blocks are
+      // dropped (async ContextCleaner) DURING whichever query runs next —
+      // observed as 3-9× one-off inflation on the follower (x29 8.4 s
+      // in-run vs 1.6 s isolated; e02 billed e01's eviction at 50×). The
+      // pause is untimed: entries measure the query, not the
+      // predecessor's cleanup.
       System.gc()
+      Thread.sleep(250)
       val t0 = System.nanoTime()
       try run(name)
       catch { case e: Throwable =>

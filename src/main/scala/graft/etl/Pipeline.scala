@@ -206,7 +206,11 @@ object Pipeline {
       .orderBy($"graft_file", precedence, $"graft_ordinal")
       .select((core ++ restCols).map(colToCsvSafe(pruned.schema)): _*)
 
-    Result(frame, fieldStats, itemsByType, total, () => { records.unpersist(); () })
+    Result(frame, fieldStats, itemsByType, total, () => {
+      // blocking: an async drop of a large cache lands on whatever runs
+      // NEXT (measured: e01's cache eviction billed to e02 at 50x) —
+      // cleanup cost belongs to the pipeline that cached the data
+      records.unpersist(blocking = true); () })
   }
 
   /** Backtick-quoted column reference: inferred JSON keys may contain dots
