@@ -90,6 +90,49 @@ object TextAnalysis {
       score.as("quality_score"))
   }
 
+  /** PII-style pattern redaction for training-data cleaning: emails, then
+    * URLs, then standalone long digit runs (phone/account-number shaped),
+    * each replaced with a typed placeholder token. Patterns are
+    * deliberately RE2-compatible (no backrefs/lookarounds), so an external
+    * SQL engine applies the identical ones — the x35 oracle does.
+    * Map-side regexp_replace chain, codegen'd, scan-speed. */
+  val redactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^ ]+" -> "<URL>",
+    "(^|[^0-9])[0-9]{7,}([^0-9]|$)" -> "$1<NUM>$2")
+
+  def redact(text: Column): Column =
+    redactions.foldLeft(text) { case (c, (pattern, token)) =>
+      regexp_replace(c, pattern, token)
+    }
+
+  /** Repeated-n-gram fraction — the Gopher-style repetition quality signal:
+    * share of a document's word n-grams occupied by its single most
+    * frequent n-gram (1.0-ish = boilerplate loops, ~1/n_grams = no
+    * repetition). NON-distinct n-grams by construction (repetition is the
+    * point); NULL for docs shorter than `n` tokens.
+    *
+    * Shape at scale: explode → two map-combined aggregations keyed by
+    * (doc, gram) then (doc) — the same high-cardinality-key shape as
+    * TF-IDF; nothing materializes per document beyond its gram counts. */
+  def repetition(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val w = Dedup.tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    val exploded = docs
+      .filter(size(w) >= n)
+      .select(col(idCol), explode(grams).as("gram"))
+    val counts = exploded.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(max(col("c")).as("top_gram_count"),
+        sum(col("c")).as("n_grams"))
+      .withColumn("rep_fraction",
+        round(col("top_gram_count").cast("double") / col("n_grams"), 4))
+  }
+
   /** Whitespace token count + a BPE-ish regex token count (letter runs,
     * single digits, single punctuation marks — the shape a byte-pair
     * tokenizer's pre-tokenizer uses). */

@@ -503,6 +503,38 @@ object Extensions {
         col("tok_sum"), md5(col("packed_text")).as("packed_md5"))
       .orderBy("lang", "shard", "bin")
 
+  /** x35 — PII-style redaction ([[TextAnalysis.redact]]): emails → URLs →
+    * long digit runs replaced with typed placeholders, as a map-side
+    * regexp_replace chain. Patterns are RE2-compatible so DuckDB applies
+    * the identical ones (with the 'g' flag — Spark replaces all matches,
+    * DuckDB only the first by default). Synthetic PII is planted by
+    * concatenation so the corpus genuinely exercises every pattern. */
+  def x35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://example.org/d/"), col("doc_id"),
+          lit(" ref 123456789 end")).as("raw"))
+      .select(col("doc_id"), md5(TextAnalysis.redact(col("raw"))).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  /** x36 — repeated-n-gram fraction ([[TextAnalysis.repetition]]): the
+    * Gopher-style repetition quality signal (top bigram share per doc).
+    * Docs are made genuinely repetitive by self-concatenation so the
+    * signal is exercised, not constant. */
+  def x36(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        // every doc repeats its own first words: rep_fraction rises with
+        // the planted repetition while natural text stays low
+        concat_ws(" ", col("text"),
+          substring(col("text"), 1, 40),
+          substring(col("text"), 1, 40)).as("body"))
+    TextAnalysis.repetition(docs, "doc_id", "body", n = 2)
+      .orderBy("doc_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -617,7 +649,9 @@ object Extensions {
     "x31_pack_bins" -> (x31 _),
     "x32_simhash_pairs" -> (x32 _),
     "x33_embed_dup_pairs" -> (x33 _),
-    "x34_pack_assemble" -> (x34 _)
+    "x34_pack_assemble" -> (x34 _),
+    "x35_redact" -> (x35 _),
+    "x36_repetition" -> (x36 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1216,6 +1250,41 @@ object Extensions {
         |SELECT lang, shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(tok) AS BIGINT) AS tok_sum,
         |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS packed_md5
-        |FROM b GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
+        |FROM b GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin,
+    // identical RE2-safe patterns, 'g' flag (DuckDB replaces only the
+    // first match by default; Spark replaces all), \1-style backrefs
+    "x35_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com or https://example.org/d/' || doc_id ||
+        |    ' ref 123456789 end' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '(^|[^0-9])[0-9]{7,}([^0-9]|$)', '\1<NUM>\2', 'g')) AS redacted_md5
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    // non-distinct bigrams via ordinal-joined unnested tokens, then the
+    // max-count / total-count per doc — the same two aggregations
+    "x36_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', text, substr(text, 1, 40), substr(text, 1, 40))
+        |      AS body
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(body, ' ') AS toks FROM d),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM tok),
+        |counts AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(max(c) AS BIGINT) AS top_gram_count,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS rep_fraction
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -558,6 +558,34 @@ class ExtSpec extends SparkSpec {
       (0L, 3L, 2700L, "aa bb cc"), (1L, 1L, 100L, "dd")))
   }
 
+  test("redact replaces emails, urls and long digit runs with typed tokens") {
+    val got = Seq(
+      ("mail a.b-c@x-corp.io here", "mail <EMAIL> here"),
+      ("see https://a.io/p?q=1 and http://b.co end",
+        "see <URL> and <URL> end"),
+      ("id 12345678 ok", "id <NUM> ok"),
+      ("short 123456 stays", "short 123456 stays"), // under 7 digits
+      ("both x@y.zz https://z.io 99999999 .", "both <EMAIL> <URL> <NUM> ."))
+      .toDF("raw", "expect")
+      .select(TextAnalysis.redact(col("raw")).as("got"), col("expect"))
+      .as[(String, String)].collect()
+    got.foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("repetition: top-bigram share, null-free, short docs excluded") {
+    val docs = Seq(
+      (1L, "a b a b a b"),     // bigrams: "a b"x3, "b a"x2 -> 3/5
+      (2L, "w x y z"),         // all distinct -> 1/3
+      (3L, "solo")             // < 2 tokens -> excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, "doc_id", "text", n = 2)
+      .select("doc_id", "top_gram_count", "n_grams", "rep_fraction")
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == (1L, 3L, 5L, 0.6))
+    assert(got(2L) == (2L, 1L, 3L, 0.3333))
+  }
+
   test("language ID picks the language with most stopword hits") {
     val docs = docsFrom(Seq(
       (1L, "the cat and the dog of it is that"),
