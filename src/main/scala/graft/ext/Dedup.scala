@@ -526,6 +526,29 @@ object Dedup {
       .select("id_a", "id_b", "hamming", "n_a", "n_b")
   }
 
+  /** Eval-set decontamination: flag every corpus document sharing at least
+    * one word `n`-gram with the (small) eval set — the standard benchmark-
+    * leakage guard of an LLM training pipeline (13-gram overlap in GPT-3's
+    * methodology; `n` is the knob).
+    *
+    * Scale: the eval side is tiny by definition — its distinct shingles
+    * broadcast, and the corpus side is explode → broadcast LEFT SEMI join
+    * → distinct doc ids. The corpus never shuffles its text; per-doc work
+    * is one shingle walk. Returns (idCol, hits) for CONTAMINATED docs
+    * only, hits = number of distinct offending n-grams in the doc. */
+  def contaminatedDocs(
+      docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val evalGrams = evalDocs
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"))
+  }
+
   /** Exact pairwise token-Jaccard over a bounded subset — the verification /
     * small-data path (the scale path is `lshPairs`). O(n²) in the subset
     * size; callers MUST bound it. */

@@ -535,6 +535,21 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x37 — eval-set decontamination ([[Dedup.contaminatedDocs]]): docs
+    * sharing any 3-gram with a small "eval" slice (the last 10 docs) are
+    * flagged with their distinct-offending-gram count — the benchmark-
+    * leakage guard of an LLM pipeline. Eval shingles broadcast; the corpus
+    * explodes into a broadcast semi-join and never shuffles its text.
+    * Planted exact duplicates of eval docs guarantee non-trivial hits. */
+  def x37(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.orderBy(col("doc_id").desc).limit(10)
+      .select("doc_id", "text")
+    Dedup.contaminatedDocs(
+        docs.filter(col("doc_id") < 400), evalSet, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -651,7 +666,8 @@ object Extensions {
     "x33_embed_dup_pairs" -> (x33 _),
     "x34_pack_assemble" -> (x34 _),
     "x35_redact" -> (x35 _),
-    "x36_repetition" -> (x36 _)
+    "x36_repetition" -> (x36 _),
+    "x37_decontaminate" -> (x37 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1285,6 +1301,22 @@ object Extensions {
         |  CAST(max(c) AS BIGINT) AS top_gram_count,
         |  CAST(sum(c) AS BIGINT) AS n_grams,
         |  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS rep_fraction
-        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same word-3-gram construction as the operator (distinct per doc via
+    // the shingle contract), eval = last 10 docs, semi-join + count
+    "x37_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i + 1] || ' ' ||
+        |         string_split(text, ' ')[i + 2]))) AS gram
+        |  FROM documents),
+        |ev AS (SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 10),
+        |evg AS (SELECT DISTINCT gram FROM sh WHERE doc_id IN (SELECT doc_id FROM ev)),
+        |corpus AS (SELECT doc_id, gram FROM sh WHERE doc_id < 400)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS hits
+        |FROM corpus c JOIN evg USING (gram)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   )
 }

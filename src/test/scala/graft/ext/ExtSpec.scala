@@ -586,6 +586,19 @@ class ExtSpec extends SparkSpec {
     assert(got(2L) == (2L, 1L, 3L, 0.3333))
   }
 
+  test("contaminatedDocs flags exactly the docs sharing an n-gram with the eval set") {
+    val docs = docsFrom(Seq(
+      (1L, "alpha beta gamma delta"),      // shares "alpha beta gamma" -> hit
+      (2L, "delta epsilon zeta eta"),      // no 3-gram overlap -> clean
+      (3L, "x y alpha beta gamma z"),      // eval gram embedded mid-doc -> hit
+      (4L, "beta gamma alpha")))           // same words, different order -> clean
+    val evalSet = docsFrom(Seq((100L, "alpha beta gamma theta")))
+    val got = Dedup.contaminatedDocs(docs, evalSet, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == 1L) // one distinct offending gram
+  }
+
   test("language ID picks the language with most stopword hits") {
     val docs = docsFrom(Seq(
       (1L, "the cat and the dog of it is that"),
