@@ -328,12 +328,20 @@ object Dedup {
 
     if (edges.count() <= smallGraphThreshold) {
       // bounded collect (threshold-guarded): classic union-find with path
-      // halving; the edge list is symmetric so one direction suffices
-      val es = edges.filter(col("src") < col("dst"))
-        .select(col("src"), col("dst"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
+      // halving. Ids are collected GENERICALLY (long, int, string — any
+      // orderable Spark type) and compared through their JVM Comparable,
+      // the same ordering `least` uses in the iterative path, so non-Long
+      // id schemas no longer ClassCastException here; the output keeps the
+      // input id type. Vertices come from the UNFILTERED symmetric edge
+      // set — a `src < dst` pre-filter would drop self-pair-only vertices
+      // (id_a == id_b), which the iterative path keeps with themselves as
+      // label; processing each edge in both directions is a no-op for
+      // union-find beyond the first.
+      val all = edges.collect().map(r => (r.get(0), r.get(1)))
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) {
           val p = parent.getOrElse(r, r)
@@ -342,16 +350,20 @@ object Dedup {
         }
         r
       }
-      es.foreach { case (a, b) =>
+      all.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { // min id wins so the representative is the min label
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
         }
       }
-      val vertices = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
-      val rows = vertices.map(v => (v, find(v)))
-      import spark.implicits._
-      return rows.toDF("id", "label")
+      val vertices = all.iterator.map(_._1).toSeq.distinct
+      val idType = edges.schema("src").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("label", idType)))
+      val rows = vertices.map(v => org.apache.spark.sql.Row(v, find(v)))
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(rows.asJava, schema)
     }
 
     var labels = edges.select(col("src").as("id")).distinct()

@@ -43,9 +43,15 @@ object Packing {
       .partitionBy((shardCols.map(col) :+ col("shard")): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    sharded.withColumn("bin",
-      (coalesce(sum(col(sizeCol)).over(w), lit(0L)).cast("long") / budget)
-        .cast("long"))
+    // `div` (SQL integral divide), NOT double `/` + cast: the double path
+    // loses integer precision once the running token sum passes 2^53 —
+    // plausible for a shard of a 100 TB corpus — and then disagrees with
+    // any integer-division consumer (the x31 DuckDB oracle uses `//`)
+    sharded
+      .withColumn("graft_cum",
+        coalesce(sum(col(sizeCol)).over(w), lit(0L)).cast("long"))
+      .withColumn("bin", expr(s"graft_cum div ${budget}L"))
+      .drop("graft_cum")
   }
 
   /** Assemble the packed training sequences: one row per bin with the

@@ -72,9 +72,13 @@ object Sampling {
     val total = splits.map(_._2).sum
     require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
     val bucket = hashBucket(col(idCol), buckets)
-    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
-      acc + math.round(f * buckets)
-    }.tail
+    // round the CUMULATIVE fraction, not each increment: summing per-split
+    // rounded values drifts (3× 1/3 at 10000 buckets → 3333+3333+3333 =
+    // 9999, silently sending bucket 9999 to defaultLabel even though the
+    // fractions sum to 1); the cumulative round pins the last bound to
+    // round(1.0 · buckets) = buckets exactly
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => math.round(c * buckets))
     val assign = splits.zip(bounds).foldRight(lit(defaultLabel): Column) {
       case (((label, _), bound), acc) =>
         when(bucket < lit(bound), lit(label)).otherwise(acc)

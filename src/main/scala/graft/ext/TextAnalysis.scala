@@ -98,8 +98,12 @@ object TextAnalysis {
     * Map-side regexp_replace chain, codegen'd, scan-speed. */
   val redactions: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    // no trailing boundary group: [0-9]{7,} is greedy, so a match already
+    // extends to the end of its digit run, and a trailing ([^0-9]|$) would
+    // CONSUME the separator — leaving the second of two runs split by one
+    // char ("1234567 7654321") unredacted because the scan resumes past it
     "https?://[^ ]+" -> "<URL>",
-    "(^|[^0-9])[0-9]{7,}([^0-9]|$)" -> "$1<NUM>$2")
+    "(^|[^0-9])[0-9]{7,}" -> "$1<NUM>")
 
   def redact(text: Column): Column =
     redactions.foldLeft(text) { case (c, (pattern, token)) =>

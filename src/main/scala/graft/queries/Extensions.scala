@@ -1280,7 +1280,7 @@ object Extensions {
         |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    'https?://[^ ]+', '<URL>', 'g'),
-        |    '(^|[^0-9])[0-9]{7,}([^0-9]|$)', '\1<NUM>\2', 'g')) AS redacted_md5
+        |    '(^|[^0-9])[0-9]{7,}', '\1<NUM>', 'g')) AS redacted_md5
         |FROM raw ORDER BY doc_id""".stripMargin,
     // non-distinct bigrams via ordinal-joined unnested tokens, then the
     // max-count / total-count per doc — the same two aggregations

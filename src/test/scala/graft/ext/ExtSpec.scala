@@ -174,6 +174,37 @@ class ExtSpec extends SparkSpec {
     assert(viaStars == viaCliques)
   }
 
+  test("components: non-Long id types work on the driver union-find path") {
+    // int-typed ids (under the small-graph threshold → driver path)
+    val intPairs = Seq((2, 3), (1, 2), (10, 11)).toDF("id_a", "id_b")
+    val gotInt = Dedup.components(intPairs)
+      .as[(Int, Int)].collect().toMap
+    assert(gotInt == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+    assert(Dedup.components(intPairs).schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // string-typed ids: min label is lexicographic, matching least()
+    val strPairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val gotStr = Dedup.components(strPairs)
+      .as[(String, String)].collect().toMap
+    assert(gotStr == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+    // and both paths agree on string ids
+    val iter = Dedup.components(strPairs, smallGraphThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(gotStr == iter)
+  }
+
+  test("components: self-pair-only vertices survive on both paths") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val small = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val iter = Dedup.components(pairs, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    // vertex 5 only appears in a self-pair; it must still be emitted,
+    // labeled with itself — and identically by both paths
+    assert(small == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    assert(small == iter)
+  }
+
   test("components: long chain converges within the iteration bound") {
     val n = 12 // diameter 12 chain: 0-1, 1-2, ... 11-12
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
@@ -519,6 +550,20 @@ class ExtSpec extends SparkSpec {
     assert(rest > 400 && rest < 600)
   }
 
+  test("splitAssign: fractions summing to 1 leave NO row on the default label") {
+    // 3 × 1/3: per-increment rounding gives bounds 3333/6666/9999 and
+    // silently sends bucket 9999 to 'rest'; cumulative rounding pins the
+    // last bound to exactly `buckets`
+    val df = spark.range(20000).select(col("id").as("doc_id"))
+    val labels = Sampling.splitAssign(df, "doc_id",
+        Seq("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3))
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(!labels.contains("rest"), s"default label leaked: $labels")
+    assert(labels.keySet == Set("a", "b", "c"))
+    assert(labels.values.sum == 20000L)
+  }
+
   test("packBins: exclusive prefix sum, bins overflow by at most one doc") {
     val docs = Seq(
       // one shard-stream worth of sizes (ids hash wherever; budget checks
@@ -539,6 +584,19 @@ class ExtSpec extends SparkSpec {
     // bin ids are dense from 0 within each stream
     val en = out.filter(_._2 == "en").map(_._4).distinct.sorted
     assert(en.toSeq == (0L to en.max).toSeq)
+  }
+
+  test("packBins: bin arithmetic is exact past 2^53 (integer div, not double)") {
+    // exclusive prefix sum for doc 2 is 2^53 + 1 — representable as a
+    // long but NOT as a double (rounds to 2^53); double division by
+    // budget=1 would yield bin 9007199254740992 instead of ...93
+    val big = (1L << 53) + 1L
+    val docs = Seq((1L, "en", big), (2L, "en", 5L)).toDF("doc_id", "lang", "tok")
+    val out = Packing.packBins(docs, "doc_id", "tok", Seq("lang"), "doc_id",
+        budget = 1L, numShards = 1)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == big, s"expected $big, got ${out(2L)}")
   }
 
   test("assembleBins: packed text is in order-col order regardless of partitioning") {
@@ -565,6 +623,10 @@ class ExtSpec extends SparkSpec {
         "see <URL> and <URL> end"),
       ("id 12345678 ok", "id <NUM> ok"),
       ("short 123456 stays", "short 123456 stays"), // under 7 digits
+      // adjacent runs split by ONE separator: a pattern with a trailing
+      // ([^0-9]|$) group would consume the space and skip the second run
+      ("runs 1234567 7654321 end", "runs <NUM> <NUM> end"),
+      ("1111111,2222222,3333333", "<NUM>,<NUM>,<NUM>"),
       ("both x@y.zz https://z.io 99999999 .", "both <EMAIL> <URL> <NUM> ."))
       .toDF("raw", "expect")
       .select(TextAnalysis.redact(col("raw")).as("got"), col("expect"))
