@@ -23,7 +23,12 @@ object Tables {
     * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects; we read it as raw int64 nanos and convert below. */
   val sessionConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true") ++
+      // cluster-durable materialization for the dedup chain (see
+      // graft.ext.Dedup.checkpointDirKey): settable from the contract
+      // mains (Verify/Bench) without a code change
+      sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+        .map(d => graft.ext.Dedup.checkpointDirKey -> d)
 
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }

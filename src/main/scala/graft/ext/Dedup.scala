@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -25,6 +27,34 @@ import org.apache.spark.sql.expressions.Window
   * back to member pairs algebraically (identical texts ⇒ identical scores).
   */
 object Dedup {
+
+  /** Session conf key: when set (non-empty), every materialization point in
+    * the dedup chain uses RELIABLE `checkpoint` into this directory instead
+    * of `localCheckpoint`. `localCheckpoint` stores blocks on executors —
+    * losing one executor loses blocks AND truncated lineage, killing the
+    * job; on a real cluster with churn, point this at durable shared
+    * storage (HDFS/object store) and a 100 TB dedup run survives executor
+    * loss at the cost of one write+read per materialization. Local mode
+    * (and the default) keeps the zero-copy executor-memory path. */
+  val checkpointDirKey = "graft.checkpointDir"
+
+  /** Eager materialization + lineage truncation for a frame feeding
+    * multiple downstream join branches (Spark does not ReusedExchange
+    * across actions). Reliable `checkpoint` when [[checkpointDirKey]] is
+    * configured, `localCheckpoint` otherwise — identical results either
+    * way, only durability differs. */
+  private[ext] def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(checkpointDirKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        // setCheckpointDir appends a unique subdir per call — set once per
+        // context and reuse (a conf change after that needs a new session)
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
 
   def tokens(text: Column): Column = split(text, " ")
 
@@ -107,13 +137,12 @@ object Dedup {
     // join-backs, intra-group expansion) and Spark does NOT ReusedExchange
     // them (measured on x17: 24 parquet re-scans, 0 reuse) — without
     // materialization every branch re-reads the corpus and re-runs the md5
-    // groupBy. Eager localCheckpoint stores each ONCE (memory-and-disk,
+    // groupBy. Eager materialization stores each ONCE (memory-and-disk,
     // spillable) and truncates lineage; at 100 TB these are the distinct
     // texts + an (id, rid) long pair — far smaller than the corpus a
-    // re-scan would touch. (Executor loss forces a stage rerun in cluster
-    // mode; acceptable for a batch dedup job, same trade [[components]]
-    // already makes for its iteration.)
-    (members.localCheckpoint(), reps.select(col("rid"), col("text")).localCheckpoint())
+    // re-scan would touch. Set graft.checkpointDir for a cluster-durable
+    // copy that survives executor loss (see [[materialize]]).
+    (materialize(members), materialize(reps.select(col("rid"), col("text"))))
   }
 
   /** Band-bucket candidate pairs among exact-dup REPRESENTATIVES:
@@ -246,7 +275,7 @@ object Dedup {
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select("rid_a", "rid_b", "jaccard")
-      .localCheckpoint()
+      .pipe(materialize)
     expandVerified(verified, members, "jaccard", lit(1.0))
       .select("id_a", "id_b", "jaccard")
   }
@@ -278,7 +307,7 @@ object Dedup {
         levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("rid_a", "rid_b", "dist")
-      .localCheckpoint()
+      .pipe(materialize)
     expandVerified(verified, members, "dist", lit(0L))
       .select("id_a", "id_b", "dist")
   }
@@ -310,11 +339,12 @@ object Dedup {
     * (label := label of label), so convergence is O(log diameter) — 20
     * iterations covers any realistic graph, and the loop THROWS if it ever
     * exits unconverged rather than silently returning wrong
-    * representatives. Each round `localCheckpoint`s its labels: lineage
+    * representatives. Each round [[materialize]]s its labels: lineage
     * stays O(1) instead of growing per iteration, and the blocks are
     * reclaimed automatically once the frame is unreferenced (no
     * session-lifetime cache leak). On a real cluster with executor churn,
-    * swap for reliable `checkpoint` with a checkpoint dir. Returns
+    * set [[checkpointDirKey]] to durable storage — every materialization
+    * in the chain then survives executor loss. Returns
     * (id, rep) for every vertex in `pairs`
     * (callers left-join docs and coalesce to self for singletons).
     */
@@ -324,7 +354,7 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .pipe(materialize)
 
     if (edges.count() <= smallGraphThreshold) {
       // bounded collect (threshold-guarded): classic union-find with path
@@ -368,7 +398,7 @@ object Dedup {
 
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .pipe(materialize)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -386,7 +416,7 @@ object Dedup {
           Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .pipe(materialize)
       val changed = next
         .join(labels.select(col("id"), col("label").as("prev")), "id")
         .filter(col("label") < col("prev")).count()
@@ -423,7 +453,7 @@ object Dedup {
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select(col("rid_a").as("id_a"), col("rid_b").as("id_b"))
-      .localCheckpoint() // rep-level verify evaluated once (see lshPairs)
+      .pipe(materialize) // rep-level verify evaluated once (see lshPairs)
     val star = members.filter(col("id") =!= col("rid"))
       .select(col("id").as("id_a"), col("rid").as("id_b"))
     components(repPairs.unionByName(star))
@@ -493,7 +523,7 @@ object Dedup {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .localCheckpoint() // rep-level verify evaluated once (see lshPairs)
+      .pipe(materialize) // rep-level verify evaluated once (see lshPairs)
     expandVerified(verified, members, "hamming", lit(0L))
       .select("id_a", "id_b", "hamming")
   }

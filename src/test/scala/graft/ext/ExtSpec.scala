@@ -174,6 +174,33 @@ class ExtSpec extends SparkSpec {
     assert(viaStars == viaCliques)
   }
 
+  test("reliable-checkpoint mode: identical results, durable files written") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = docsFrom(Seq(
+      (1L, base), (2L, base.replace("today", "tomorrow")),
+      (3L, "completely different words about spark window functions here"),
+      (4L, base))) // exact dup of 1 → exercises collapseExact + intra pairs
+    def pairs() = Dedup.lshPairs(docs, "doc_id", "text",
+        numPerms = 16, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    def comps() = Dedup.components(
+        Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b"),
+        smallGraphThreshold = 0) // forced iterative → per-round materialize
+      .as[(Long, Long)].collect().toMap
+    val (localPairs, localComps) = (pairs(), comps())
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.conf.set(Dedup.checkpointDirKey, dir.getAbsolutePath)
+    try {
+      assert(pairs() == localPairs)
+      assert(comps() == localComps)
+      // durability evidence: reliable checkpoint wrote RDD part files
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        Iterator(f) ++ Option(f.listFiles()).iterator.flatten.flatMap(walk)
+      assert(walk(dir).exists(f => f.isFile && f.getName.startsWith("part-")),
+        s"no checkpoint part files under $dir")
+    } finally spark.conf.unset(Dedup.checkpointDirKey)
+  }
+
   test("components: non-Long id types work on the driver union-find path") {
     // int-typed ids (under the small-graph threshold → driver path)
     val intPairs = Seq((2, 3), (1, 2), (10, 11)).toDF("id_a", "id_b")
