@@ -44,11 +44,19 @@ import org.apache.spark.sql.functions._
   *
   * Skew: a single hot key serializes its window partition — inherent to
   * per-key ordered semantics (every as-of implementation sorts the key's
-  * timeline somewhere). Mitigations when one key dominates: split the hot
-  * key's timeline into coarse time slices, run the join per slice with the
-  * previous slice's last right row carried in as a seed row, and union —
-  * the same union+window machinery applies per slice. AsOfRangeSpec pins
-  * correctness under a 50%-hot-key distribution.
+  * timeline somewhere). Mitigation (`numSlices > 1`): each key's timeline
+  * is cut into `numSlices` contiguous time slices and the window partitions
+  * on (key, slice), so a dominant key spreads over `numSlices` tasks. A
+  * slice alone cannot see matches in neighboring slices, so SEED rows are
+  * unioned in per (key, slice): the latest right row of all EARLIER slices
+  * (for backward/nearest) and the earliest right row of all LATER slices
+  * (for forward/nearest) — by construction exactly the rows a window
+  * crossing the slice boundary could have matched, so the salted result is
+  * identical to the unsalted one (AsOfRangeSpec pins this byte-for-byte
+  * under a 50%-hot-key distribution, all directions + tolerance). Slice
+  * boundaries come from per-key min/max over a broadcast bounds frame —
+  * use slicing in the hot-KEY regime (few dominant keys), where that frame
+  * is tiny; high-cardinality well-distributed keys need no salting.
   *
   * The reference has no temporal operator (nothing in etl_pipeline.py joins
   * at all); this is north-star scope for event-log enrichment at 100 TB.
@@ -72,6 +80,10 @@ object AsOf {
     * @param tolerance max |l.ts − r.ts| for a match to count, inclusive —
     *                  an interval literal for timestamp columns (e.g.
     *                  `expr("INTERVAL 1 HOUR")`), a number for numeric ts
+    * @param numSlices hot-key mitigation: > 1 partitions each key's
+    *                  timeline into this many time slices with seed rows
+    *                  carried across slice boundaries (identical result,
+    *                  `numSlices`× the parallelism per key); 1 = off
     * @return left.* + right payload columns (null when no right row exists
     *         in-direction / in-tolerance for the key)
     */
@@ -79,7 +91,9 @@ object AsOf {
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       direction: String = "backward",
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      numSlices: Int = 1): DataFrame = {
+    require(numSlices >= 1, "numSlices must be >= 1")
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got '$direction'")
     val payloadCols = right.columns.filterNot(keyCols.contains).filterNot(_ == rightTs)
@@ -97,10 +111,16 @@ object AsOf {
       .withColumn("graft_ts", col(leftTs))
       .withColumn("graft_side", lit(1))
 
+    val u0 = l.unionByName(r, allowMissingColumns = true)
+    val (u, partCols) =
+      if (numSlices <= 1) (u0, keyCols.map(col))
+      else (salted(u0, keyCols, direction, numSlices),
+        keyCols.map(col) :+ col("graft_slice"))
+
     // One partitioning + one sort serves both directions: RANGE frames
     // treat equal-ts rows as peers, so the current (left) row's frame
     // includes same-timestamp right rows — inclusive bounds for free.
-    val byKey = Window.partitionBy(keyCols.map(col): _*).orderBy(col("graft_ts"))
+    val byKey = Window.partitionBy(partCols: _*).orderBy(col("graft_ts"))
     val wBack = byKey.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = byKey.rangeBetween(Window.currentRow, Window.unboundedFollowing)
     val back = last(col("graft_payload"), ignoreNulls = true).over(wBack)
@@ -129,11 +149,77 @@ object AsOf {
       when(ts <= mts(matched) + tol && mts(matched) <= ts + tol, matched)
     }
 
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn("graft_match", inTol)
+    u.withColumn("graft_match", inTol)
       .filter(col("graft_side") === 1)
       .select(left.columns.map(col) ++
         payloadCols.map(p => col(s"graft_match.$p").as(p)): _*)
+  }
+
+  /** Hot-key time-slice salting over the tagged union frame (see class
+    * doc): assigns `graft_slice` from per-key min/max time bounds and
+    * unions in the boundary-crossing seed rows the sliced windows need.
+    * Identical output to the unsalted path, `numSlices`× the per-key
+    * parallelism; one broadcast of the (tiny) per-key bounds, one window
+    * over keys×slices rows for the seeds — the big frame still shuffles
+    * exactly once, in the caller's (key, slice) window. */
+  private def salted(
+      u0: DataFrame, keyCols: Seq[String],
+      direction: String, numSlices: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    // monotone NUMERIC image of the ts, for slice arithmetic only: slice
+    // boundaries need not be exact, only order-consistent — equal ts must
+    // land in the same slice and later ts never in an earlier slice
+    val tsNum = u0.schema("graft_ts").dataType match {
+      case TimestampType => unix_micros(col("graft_ts")).cast("double")
+      case DateType => unix_date(col("graft_ts")).cast("double")
+      case _ => col("graft_ts").cast("double")
+    }
+    val bounds = u0
+      .select(keyCols.map(col) :+ tsNum.as("graft_tsnum"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(min("graft_tsnum").as("graft_mn"), max("graft_tsnum").as("graft_mx"))
+    val sliced = u0
+      .join(broadcast(bounds), keyCols)
+      .withColumn("graft_slice",
+        when(col("graft_mx") === col("graft_mn"), lit(0))
+          .otherwise(least(
+            floor((tsNum - col("graft_mn")) * numSlices /
+              (col("graft_mx") - col("graft_mn"))),
+            lit(numSlices - 1))).cast("int"))
+      .drop("graft_mn", "graft_mx")
+
+    // seed rows: per (key, slice), the latest right row of all EARLIER
+    // slices and/or the earliest right row of all LATER slices — the only
+    // rows an unsliced window could match across this slice's boundary.
+    // The spine covers every (key, slice) PRESENT in the data (slices with
+    // only left rows still need seeds); all frames here are keys×slices
+    // cardinality — trivial next to the data.
+    val spine = sliced
+      .select(keyCols.map(col) :+ col("graft_slice"): _*).distinct()
+    val rPerSlice = sliced.filter(col("graft_side") === 0)
+      .groupBy(keyCols.map(col) :+ col("graft_slice"): _*)
+      .agg(max_by(col("graft_payload"), col("graft_ts")).as("graft_lastp"),
+        min_by(col("graft_payload"), col("graft_ts")).as("graft_firstp"))
+    val bySlice = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("graft_slice"))
+    val wPrev = bySlice.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = bySlice.rowsBetween(1, Window.unboundedFollowing)
+    val seedsBase = spine.join(rPerSlice, keyCols :+ "graft_slice", "left")
+    def seedRows(seed: Column): DataFrame =
+      seedsBase.withColumn("graft_seed", seed)
+        .filter(col("graft_seed").isNotNull)
+        .select(keyCols.map(col) :+
+          col("graft_seed").getField(MTS).as("graft_ts") :+
+          col("graft_seed").as("graft_payload") :+
+          lit(0).as("graft_side") :+ col("graft_slice"): _*)
+    val prev = seedRows(last(col("graft_lastp"), ignoreNulls = true).over(wPrev))
+    val next = seedRows(first(col("graft_firstp"), ignoreNulls = true).over(wNext))
+    val seeds = direction match {
+      case "backward" => prev
+      case "forward" => next
+      case "nearest" => prev.unionByName(next)
+    }
+    sliced.unionByName(seeds, allowMissingColumns = true)
   }
 
   /** Left-outer backward as-of join (the original entry point; kept as the

@@ -121,6 +121,48 @@ class AsOfRangeSpec extends SparkSpec {
     }
   }
 
+  test("asof salted (numSlices) == unsalted byte-for-byte under 50% hot key") {
+    // same shape as the hot-key test: "hot" owns half of everything; the
+    // salted path must return the IDENTICAL result for every direction,
+    // with and without tolerance, including all-null and boundary rows
+    val left = (Seq.tabulate(500)(i => (i.toLong, "hot", (i * 2 + 1).toLong)) ++
+      Seq.tabulate(500)(i => ((1000 + i).toLong, "k" + (i % 50), (i * 2 + 1).toLong)))
+      .toDF("id", "k", "ts")
+    val right = (Seq.tabulate(300)(i => ("hot", (i * 3).toLong, i.toLong)) ++
+      Seq.tabulate(100)(i => ("k" + (i % 50), (i * 5).toLong, (1000 + i).toLong)))
+      .toDF("k", "rts", "tag")
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(lit(25L)))) {
+      val plain = AsOf.join(left, right, Seq("k"), "ts", "rts", dir, tol)
+        .select("id", "tag").as[(Long, Option[Long])].collect().toMap
+      val salted = AsOf.join(left, right, Seq("k"), "ts", "rts", dir, tol,
+          numSlices = 7)
+        .select("id", "tag").as[(Long, Option[Long])].collect().toMap
+      assert(salted == plain, s"divergence at dir=$dir tol=$tol")
+      assert(salted.size == 1000)
+    }
+  }
+
+  test("asof salted: seed rows cross empty and right-free slices") {
+    // one key, right rows clustered at the START of the timeline, left
+    // probes at the END: with 8 slices the later slices hold no right
+    // rows at all — matches must come entirely from carried seeds
+    val left = Seq.tabulate(20)(i => (i.toLong, "u", (900 + i).toLong))
+      .toDF("id", "k", "ts")
+    val right = Seq(("u", 5L, "early"), ("u", 9L, "late"))
+      .toDF("k", "rts", "tag")
+    val got = AsOf.join(left, right, Seq("k"), "ts", "rts", "backward",
+        None, numSlices = 8)
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(got.size == 20)
+    assert(got.values.forall(_ == "late"))
+    // forward from the far side: nothing at-or-after -> all null
+    val fwd = AsOf.join(left, right, Seq("k"), "ts", "rts", "forward",
+        None, numSlices = 8)
+      .select("id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(fwd.values.forall(_.isEmpty))
+  }
+
   test("asof all directions match a naive in-memory oracle on random data") {
     val rnd = new scala.util.Random(23)
     val left = Seq.tabulate(400)(i =>
