@@ -569,26 +569,54 @@ object Dedup {
   }
 
   /** Eval-set decontamination: flag every corpus document sharing at least
-    * one word `n`-gram with the (small) eval set — the standard benchmark-
-    * leakage guard of an LLM training pipeline (13-gram overlap in GPT-3's
+    * one word `n`-gram with the eval set — the standard benchmark-leakage
+    * guard of an LLM training pipeline (13-gram overlap in GPT-3's
     * methodology; `n` is the knob).
     *
-    * Scale: the eval side is tiny by definition — its distinct shingles
-    * broadcast, and the corpus side is explode → broadcast LEFT SEMI join
-    * → distinct doc ids. The corpus never shuffles its text; per-doc work
-    * is one shingle walk. Returns (idCol, hits) for CONTAMINATED docs
-    * only, hits = number of distinct offending n-grams in the doc. */
+    * Two physical paths, same contract:
+    *   - BROADCAST (small eval set): the eval side's distinct shingles
+    *     broadcast; the corpus side is explode → broadcast LEFT SEMI join
+    *     → per-doc count. The corpus never shuffles anything.
+    *   - SHUFFLE (eval set beyond broadcast — dozens of suites at 13-grams
+    *     outgrow it): both sides project each gram to its portable 60-bit
+    *     md5 hash and shuffle semi-join on that LONG — 8 bytes per gram
+    *     through the wire instead of ~8·n chars of text, distributed on a
+    *     high-cardinality key. A hash collision could over-flag a doc with
+    *     probability ≈ 2⁻⁶⁰ per gram pair — negligible, and deterministic
+    *     (both engines hash identically).
+    *
+    * `broadcastEval`: Some(true)/Some(false) force a path; None (default)
+    * auto-picks by counting the eval side's distinct grams (one job over
+    * the SMALL side only) against `broadcastMaxGrams`.
+    *
+    * Returns (idCol, hits) for CONTAMINATED docs only, hits = number of
+    * distinct offending n-grams in the doc. */
   def contaminatedDocs(
       docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      broadcastEval: Option[Boolean] = None,
+      broadcastMaxGrams: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val evalGrams = evalDocs
       .select(explode(shingles(col(textCol), n)).as("gram"))
       .distinct()
-    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("hits"))
+    val corpusGrams = docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+    val useBroadcast =
+      broadcastEval.getOrElse(evalGrams.count() <= broadcastMaxGrams)
+    val matched =
+      if (useBroadcast)
+        corpusGrams.join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      else {
+        // shuffle_hash over sort-merge: the eval side is the smaller one
+        // and a hash build avoids sorting the exploded corpus grams
+        val evalHashed = evalGrams
+          .select(PortableHash.md5Long(col("gram")).as("graft_gh")).distinct()
+        corpusGrams
+          .select(col(idCol), PortableHash.md5Long(col("gram")).as("graft_gh"))
+          .join(evalHashed.hint("shuffle_hash"), Seq("graft_gh"), "left_semi")
+      }
+    matched.groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
   }
 
   /** Exact pairwise token-Jaccard over a bounded subset — the verification /

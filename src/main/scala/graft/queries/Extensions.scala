@@ -550,6 +550,22 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x38 — decontamination at n = 13 (the GPT-3 methodology's gram size)
+    * through the SHUFFLE fallback ([[Dedup.contaminatedDocs]] with
+    * `broadcastEval = Some(false)`): grams hash to portable 60-bit longs on
+    * both sides and semi-join through a shuffle — the path for eval sets
+    * too large to broadcast (dozens of suites at 13-grams). Eval = every
+    * 37th doc, inside the corpus slice, so hits are guaranteed (a doc
+    * shares all its own 13-grams). ExtSpec pins shuffle == broadcast. */
+  def x38(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") % 37 === 0).select("doc_id", "text")
+    Dedup.contaminatedDocs(
+        docs.filter(col("doc_id") < 400), evalSet, "doc_id", "text",
+        n = 13, broadcastEval = Some(false))
+      .orderBy("doc_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -667,7 +683,8 @@ object Extensions {
     "x34_pack_assemble" -> (x34 _),
     "x35_redact" -> (x35 _),
     "x36_repetition" -> (x36 _),
-    "x37_decontaminate" -> (x37 _)
+    "x37_decontaminate" -> (x37 _),
+    "x38_decontaminate_shuffle" -> (x38 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1314,6 +1331,24 @@ object Extensions {
         |  FROM documents),
         |ev AS (SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 10),
         |evg AS (SELECT DISTINCT gram FROM sh WHERE doc_id IN (SELECT doc_id FROM ev)),
+        |corpus AS (SELECT doc_id, gram FROM sh WHERE doc_id < 400)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS hits
+        |FROM corpus c JOIN evg USING (gram)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // x38: same contract at n = 13 with eval = every 37th doc; the oracle
+    // joins on the exact gram strings — the operator's hashed shuffle path
+    // agrees up to 2^-60 collisions (none at any tested scale)
+    "x38_decontaminate_shuffle" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 11, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+        |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
+        |      t[i+12])))) AS gram
+        |  FROM toks),
+        |evg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 37 = 0),
         |corpus AS (SELECT doc_id, gram FROM sh WHERE doc_id < 400)
         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS hits
         |FROM corpus c JOIN evg USING (gram)

@@ -688,6 +688,29 @@ class ExtSpec extends SparkSpec {
     assert(got(1L) == 1L) // one distinct offending gram
   }
 
+  test("contaminatedDocs: shuffle fallback == broadcast path, n=3 and n=13") {
+    val docs = docsFrom(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq)
+    val evalSet = docs.filter(col("doc_id") % 7 === 0)
+    for (n <- Seq(3, 13)) {
+      val bc = Dedup.contaminatedDocs(docs, evalSet, "doc_id", "text", n,
+          broadcastEval = Some(true))
+        .as[(Long, Long)].collect().toMap
+      val sh = Dedup.contaminatedDocs(docs, evalSet, "doc_id", "text", n,
+          broadcastEval = Some(false))
+        .as[(Long, Long)].collect().toMap
+      assert(bc.nonEmpty) // eval docs inside the corpus flag themselves
+      assert(sh == bc, s"path divergence at n=$n")
+    }
+    // auto mode picks a path without changing the result
+    val auto = Dedup.contaminatedDocs(docs, evalSet, "doc_id", "text", 13)
+      .as[(Long, Long)].collect().toMap
+    val forced = Dedup.contaminatedDocs(docs, evalSet, "doc_id", "text", 13,
+        broadcastEval = Some(false)).as[(Long, Long)].collect().toMap
+    assert(auto == forced)
+  }
+
   test("language ID picks the language with most stopword hits") {
     val docs = docsFrom(Seq(
       (1L, "the cat and the dog of it is that"),
