@@ -3,12 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  * prints ONE JSON line {"metric","value","unit","queries","spread","sf"}.
   *
-  * One untimed warm-up pass precedes the timed pass so the numbers measure
-  * steady-state engine throughput (plans JIT-compiled, code generated,
-  * parquet footers cached) rather than first-iteration JVM warm-up — the
-  * regime a long-running cluster actually operates in.
+  * One untimed warm-up pass precedes the timed passes so the numbers
+  * measure steady-state engine throughput (plans JIT-compiled, code
+  * generated, parquet footers cached) rather than first-iteration JVM
+  * warm-up — the regime a long-running cluster actually operates in. Each
+  * query is then timed SPARK_GRAFT_REPEATS (default 3) times and reported
+  * as the per-query MEDIAN with a (max−min)/median spread, so one noisy
+  * run can neither mask nor mimic a real regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,10 +51,17 @@ object Bench {
     System.gc()
     Thread.sleep(2000)
 
-    // timed pass — a failing query must be VISIBLE, not a ~0s entry
+    // timed pass — a failing query must be VISIBLE, not a ~0s entry.
+    // MEDIAN of `repeats` runs per query: a single sample cannot be told
+    // apart from environment noise (round 6's committed bench ran 1.3×
+    // slower than round 5 on byte-identical code), while the median of 3
+    // absorbs a one-off GC pause / page-cache miss on any single run. The
+    // per-query spread (max−min)/median is reported alongside so a reader
+    // can tell a stable 1.3× regression from a noisy environment.
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = names.map { name =>
-      // GC + settle between queries: without it, a heavy-allocation
+    def timedOnce(name: String): Double = {
+      // GC + settle between runs: without it, a heavy-allocation
       // query's garbage is collected and its checkpoint/cache blocks are
       // dropped (async ContextCleaner) DURING whichever query runs next —
       // observed as 3-9× one-off inflation on the follower (x29 8.4 s
@@ -66,7 +76,17 @@ object Bench {
         System.err.println(s"BENCH ERROR $name: $e")
         errors(name) = e.toString
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val samples = names.map(name => name -> Seq.fill(repeats)(timedOnce(name)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = samples.map { case (n, xs) => n -> median(xs) }
+    val spreads = samples.map { case (n, xs) =>
+      val m = median(xs)
+      n -> (if (m > 0) math.rint((xs.max - xs.min) / m * 1000) / 1000 else 0.0)
     }
 
     def jstr(s: String): String =
@@ -76,10 +96,12 @@ object Bench {
         .replaceAll("[\\n\\r\\t]", " ") + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","note":"per-query median of $repeats timed runs after 1 warm-up; spread=(max-min)/median per query","repeats":$repeats,"queries":$qs,"spread":$sp,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

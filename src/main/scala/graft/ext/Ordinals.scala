@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, percentile_approx}
 import org.apache.spark.sql.types.LongType
 
 /** Skew-free per-key ordinal assignment.
@@ -103,5 +103,43 @@ object Ordinals {
       }
     }
     spark.createDataFrame(outRdd, df.schema.add(outCol, LongType, nullable = false))
+  }
+
+  /** LOSSLESS approximate pre-prune for per-key top-k (ascending by
+    * `scoreCol`): drops rows that provably cannot be among their key's k
+    * smallest, so the sort feeding [[perKeyOrdinal]] (or any exact top-k
+    * pass) sees ~p·n rows per large group instead of n — at 100 TB the
+    * range-sort is the dominant cost and this removes ≥ 99% of its input.
+    *
+    * Safety argument (why the exact result cannot change): per key we take
+    * the approx_percentile sketch value at constant fraction `p` with
+    * accuracy `accuracy`, whose true rank r is guaranteed within n/accuracy
+    * of p·n, so r ≥ p·n − n/accuracy. The filter keeps every row with
+    * score <= that value — all ranks ≤ r plus ties. Whenever
+    * n ≥ k / (p − 1/accuracy) (i.e. p·n − n/accuracy ≥ k), at least the
+    * true top-k survive; SMALLER groups skip the filter entirely via the
+    * per-key count, so no group can ever under-keep. The percentile
+    * fraction must be a literal, which is why the group-size guard (rather
+    * than a per-group fraction) carries the guarantee.
+    *
+    * One tiny aggregate (|keys| rows, broadcast back) + one map-side
+    * filter; no extra shuffle of the big frame. */
+  def approxTopKPrune(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      k: Int,
+      p: Double = 0.001,
+      accuracy: Int = 10000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(p > 1.0 / accuracy && p < 1.0,
+      s"need 1/accuracy < p < 1 for a rank guarantee, got p=$p accuracy=$accuracy")
+    val minN = math.ceil(k / (p - 1.0 / accuracy)).toLong
+    val thresholds = df.groupBy(col(keyCol)).agg(
+      percentile_approx(col(scoreCol), lit(p), lit(accuracy)).as("graft_thr"),
+      count(lit(1)).as("graft_n"))
+    df.join(broadcast(thresholds), Seq(keyCol))
+      .filter(col("graft_n") < minN || col(scoreCol) <= col("graft_thr"))
+      .drop("graft_thr", "graft_n")
   }
 }

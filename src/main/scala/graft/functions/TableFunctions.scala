@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.ext.{AsOf, Dedup, RangeJoin}
+
+/** SQL table-valued-function surface for the north-star whole-plan
+  * operators (as-of join, range join, LSH dedup pairs) — SURVEY §2.9's
+  * "SQL exposure" follow-through, alongside the scalar/generator functions
+  * ([[ExtractBlocks]], [[MinHashSig]], …).
+  *
+  * These operators are whole-plan transforms (shuffle + window / banded
+  * join shapes), not scalar expressions, so the scalar function registry
+  * cannot carry them. Spark's analyzer resolves `FROM f(...)` through the
+  * session [[org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry]]
+  * (the mechanism behind the built-in `range(...)`), whose builders map
+  * argument expressions to a LOGICAL PLAN. Each builder here parses its
+  * literal arguments, looks up the named input views in the session
+  * catalog, runs the SAME DataFrame implementation the Scala API uses, and
+  * returns that Dataset's logical plan — SQL and DataFrame callers execute
+  * byte-identical plans and cannot drift apart.
+  *
+  * {{{
+  * SELECT * FROM asof_join('purchases', 'views', 'user_id', 'ts', 'ts')
+  * SELECT * FROM range_join('views', 'purch', 'user_id', 'us',
+  *                          'start_us', 'end_us', 3600000000, 'event_id')
+  * SELECT * FROM dedup_pairs('documents', 'doc_id', 'text', 0.5)
+  * }}}
+  *
+  * Arguments must be foldable literals (view/column names as strings,
+  * thresholds as numbers) — the builder runs at analysis time, before any
+  * row exists; non-literal arguments raise the standard
+  * `NON_FOLDABLE_ARGUMENT` AnalysisException via [[Registration]].
+  * Multi-column parameters (join keys, interval ids) are comma-separated
+  * inside one string literal.
+  *
+  * The reference has no SQL surface at all (insert-only SQLite,
+  * etl_pipeline.py:352-380); this is north-star scope so analysts can
+  * reach the scale operators from pure SQL.
+  */
+object TableFunctions {
+
+  /** Register all graft table functions on `spark`'s session; idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    reg.createOrReplaceTempFunction(
+      "asof_join", exprs => asofJoin(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "range_join", exprs => rangeJoin(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dedup_pairs", exprs => dedupPairs(spark, exprs), "built-in")
+  }
+
+  /** `asof_join(left, right, keys, left_ts, right_ts [, direction
+    * [, num_slices]])` → [[AsOf.join]] (no tolerance — interval literals
+    * don't survive the literal-argument contract; use the Scala API for
+    * tolerance joins). */
+  private def asofJoin(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "asof_join"
+    requireArity(f, exprs, min = 5, max = 7)
+    val args = new Args(f, exprs)
+    val left = args.table(spark, "left")
+    val right = args.table(spark, "right")
+    val keys = args.names("keys")
+    val leftTs = args.name("left_ts")
+    val rightTs = args.name("right_ts")
+    val direction = if (args.exhausted) "backward" else args.name("direction")
+    val numSlices = if (args.exhausted) 1 else args.int("num_slices")
+    plan(AsOf.join(left, right, keys, leftTs, rightTs, direction,
+      tolerance = None, numSlices = numSlices))
+  }
+
+  /** `range_join(points, intervals, keys, ts, start, end, bin_width
+    * [, interval_ids])` → [[RangeJoin.pointInInterval]]; with the optional
+    * `interval_ids` (comma-separated unique interval identity), the
+    * interval-preserving left variant [[RangeJoin.pointInIntervalLeft]]. */
+  private def rangeJoin(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "range_join"
+    requireArity(f, exprs, min = 7, max = 8)
+    val args = new Args(f, exprs)
+    val points = args.table(spark, "points")
+    val intervals = args.table(spark, "intervals")
+    val keys = args.names("keys")
+    val ts = args.name("ts")
+    val start = args.name("start")
+    val end = args.name("end")
+    val binWidth = args.long("bin_width")
+    plan(
+      if (args.exhausted)
+        RangeJoin.pointInInterval(
+          points, intervals, keys, ts, start, end, binWidth)
+      else
+        RangeJoin.pointInIntervalLeft(
+          points, intervals, keys, ts, start, end, binWidth,
+          intervalIdCols = args.names("interval_ids")))
+  }
+
+  /** `dedup_pairs(table, id, text [, threshold [, num_perms
+    * [, rows_per_band [, shingle_size]]]])` → [[Dedup.lshPairs]] (verified
+    * MinHash+LSH near-duplicate pairs). */
+  private def dedupPairs(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "dedup_pairs"
+    requireArity(f, exprs, min = 3, max = 7)
+    val args = new Args(f, exprs)
+    val docs = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val threshold = if (args.exhausted) 0.5 else args.double("threshold")
+    val numPerms = if (args.exhausted) 16 else args.int("num_perms")
+    val rowsPerBand = if (args.exhausted) 4 else args.int("rows_per_band")
+    val shingleSize = if (args.exhausted) 3 else args.int("shingle_size")
+    plan(Dedup.lshPairs(docs, id, text,
+      numPerms = numPerms, rowsPerBand = rowsPerBand,
+      threshold = threshold, shingleSize = shingleSize))
+  }
+
+  /** The Dataset's UNANALYZED logical plan: the outer query's analyzer
+    * resolves it in the same pass as the enclosing statement, so attribute
+    * ids stay consistent even when one TVF appears twice in a query. */
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  private def requireArity(
+      f: String, exprs: Seq[Expression], min: Int, max: Int): Unit =
+    if (exprs.size < min || exprs.size > max)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$f`",
+          "expectedNum" -> s"between $min and $max",
+          "actualNum" -> exprs.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** Sequential literal-argument reader over a TVF's expression list. */
+  private final class Args(f: String, exprs: Seq[Expression]) {
+    private var i = 0
+    private def next(): Expression = { val e = exprs(i); i += 1; e }
+    def exhausted: Boolean = i >= exprs.size
+    /** A catalog table / temp view named by a string-literal argument. */
+    def table(spark: SparkSession, p: String): DataFrame =
+      spark.table(name(p))
+    /** One identifier (view or column name) from a string literal. */
+    def name(p: String): String = Registration.literalString(f, p, next())
+    /** Comma-separated identifiers from one string literal. */
+    def names(p: String): Seq[String] =
+      Registration.literalString(f, p, next()).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+    def int(p: String): Int = Registration.literalInt(f, p, next())
+    def long(p: String): Long = Registration.literalLong(f, p, next())
+    def double(p: String): Double = Registration.literalDouble(f, p, next())
+  }
+}

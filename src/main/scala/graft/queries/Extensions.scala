@@ -252,18 +252,22 @@ object Extensions {
   /** x21 — group-wise top-k over a LOW-cardinality key (top-3 quality docs
     * per language): reuses the skew-free [[graft.ext.Ordinals.perKeyOrdinal]]
     * instead of a `Window.partitionBy(lang)` (5 values → n/5 rows through
-    * one task each at scale). Descending order via the negated score. At
-    * 100 TB, pre-prune the sort input with a per-group approximate score
-    * threshold (approx_percentile) before the ordinal pass — the ordinal
-    * itself stays parallel either way. */
+    * one task each at scale). Descending order via the negated score. The
+    * sort input is first pre-pruned with the LOSSLESS per-group
+    * approx_percentile threshold ([[graft.ext.Ordinals.approxTopKPrune]]):
+    * groups large enough for the sketch's rank guarantee shed ≥ 99.9% of
+    * their rows before the range sort, small groups pass through untouched
+    * — the exact result is provably unchanged either way (ExtSpec pins
+    * pruned == unpruned on a distribution where the prune is active). */
   def x21(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select((Seq(col("doc_id"), col("lang")) ++
         TextAnalysis.qualityColumns(col("text"))): _*)
       .select(col("doc_id"), col("lang"), col("quality_score"))
-    graft.ext.Ordinals.perKeyOrdinal(
-        docs.withColumn("neg_q", -col("quality_score")),
-        "lang", Seq("neg_q", "doc_id"))
+    val pruned = graft.ext.Ordinals.approxTopKPrune(
+      docs.withColumn("neg_q", -col("quality_score")),
+      "lang", "neg_q", k = 3)
+    graft.ext.Ordinals.perKeyOrdinal(pruned, "lang", Seq("neg_q", "doc_id"))
       .filter(col("ordinal") < 3)
       .select(col("lang"), col("doc_id"), col("quality_score"),
         (col("ordinal") + 1).as("rank"))
@@ -566,6 +570,28 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x39 — the as-of join through the pure-SQL TVF surface
+    * ([[graft.functions.TableFunctions]]): the inputs become temp views and
+    * x25's exact query runs via `spark.sql` ONLY. The `asof_join` builder
+    * returns the same logical plan the Scala API constructs, so this entry
+    * pins SQL/DataFrame parity under the oracle hash (DuckDB's native
+    * `ASOF LEFT JOIN`, as in x25). */
+  def x39(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TableFunctions.register(s)
+    val e = t(s, dir, "events")
+    e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+      .createOrReplaceTempView("x39_purchases")
+    e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_event_id"), col("ts").as("view_ts"))
+      .createOrReplaceTempView("x39_views")
+    s.sql(
+      """SELECT * FROM asof_join(
+        |  'x39_purchases', 'x39_views', 'user_id', 'ts', 'ts', 'backward')
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -684,7 +710,8 @@ object Extensions {
     "x35_redact" -> (x35 _),
     "x36_repetition" -> (x36 _),
     "x37_decontaminate" -> (x37 _),
-    "x38_decontaminate_shuffle" -> (x38 _)
+    "x38_decontaminate_shuffle" -> (x38 _),
+    "x39_asof_sql" -> (x39 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1352,6 +1379,15 @@ object Extensions {
         |corpus AS (SELECT doc_id, gram FROM sh WHERE doc_id < 400)
         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS hits
         |FROM corpus c JOIN evg USING (gram)
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // x39 executes through the SQL TVF surface but computes exactly x25's
+    // backward as-of join — same oracle: DuckDB's NATIVE ASOF JOIN
+    "x39_asof_sql" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  v.event_id AS view_event_id, v.ts AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -724,4 +724,25 @@ class ExtSpec extends SparkSpec {
     assert(out(2L) == "de")
     assert(out(3L) == "und")
   }
+
+  test("approxTopKPrune: lossless while active, inert below the size guard") {
+    // 4000 rows across 2 keys with colliding scores (score = id % 97) so
+    // ties at the kept/dropped boundary are exercised
+    val df = (0L until 4000L).map(i => (s"k${i % 2}", i, (i % 97).toDouble))
+      .toDF("key", "id", "score")
+    // p=0.05, accuracy=1000 → minN = 3/(0.05-0.001) ≈ 62 < 2000 → ACTIVE
+    val pruned = Ordinals.approxTopKPrune(df, "key", "score", k = 3,
+      p = 0.05, accuracy = 1000)
+    assert(pruned.count() < 4000, "prune should drop rows on a large group")
+    def top3(in: org.apache.spark.sql.DataFrame) =
+      Ordinals.perKeyOrdinal(in, "key", Seq("score", "id"))
+        .filter(col("ordinal") < 3)
+        .select("key", "id", "score", "ordinal")
+        .as[(String, Long, Double, Long)].collect().toSet
+    assert(top3(pruned) == top3(df), "pruned top-k must equal exact top-k")
+    // groups below the guard pass through byte-identically
+    val small = (0L until 50L).map(i => ("k", i, i.toDouble)).toDF("key", "id", "score")
+    assert(Ordinals.approxTopKPrune(small, "key", "score", k = 3,
+      p = 0.05, accuracy = 1000).count() == 50)
+  }
 }

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, Row}
+
+import graft.SparkSpec
+import graft.ext.{AsOf, Dedup, RangeJoin}
+
+/** SQL TVF surface ([[TableFunctions]]): every table function must return
+  * byte-identical rows to the Scala DataFrame API it wraps — the builders
+  * literally reuse the DataFrame implementations, and these cases pin that
+  * the plumbing (literal parsing, view lookup, logical-plan splice) does
+  * not perturb the result. */
+class TableFunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def sortedRows(df: DataFrame): Seq[Row] = {
+    val cols = df.columns.sorted.map(org.apache.spark.sql.functions.col)
+    df.select(cols.toIndexedSeq: _*).collect()
+      .toSeq.sortBy(_.toString)
+  }
+
+  private def assertSame(sql: DataFrame, api: DataFrame): Unit = {
+    assert(sql.columns.sorted.toSeq == api.columns.sorted.toSeq)
+    assert(sortedRows(sql) == sortedRows(api))
+  }
+
+  private lazy val registered: Unit = TableFunctions.register(spark)
+
+  private def ready(): Unit = registered
+
+  test("asof_join TVF == AsOf.join, backward default and explicit forward") {
+    ready()
+    val left = Seq((1L, "u", 100L), (2L, "u", 50L), (3L, "u", 10L),
+      (4L, "v", 100L)).toDF("id", "k", "ts")
+    val right = Seq(("u", 50L, "r50"), ("u", 90L, "r90"), ("u", 200L, "r200"),
+      ("v", 70L, "s70")).toDF("k", "rts", "tag")
+    left.createOrReplaceTempView("tvf_l")
+    right.createOrReplaceTempView("tvf_r")
+
+    assertSame(
+      spark.sql("SELECT * FROM asof_join('tvf_l', 'tvf_r', 'k', 'ts', 'rts')"),
+      AsOf.join(left, right, Seq("k"), "ts", "rts"))
+    assertSame(
+      spark.sql(
+        "SELECT * FROM asof_join('tvf_l', 'tvf_r', 'k', 'ts', 'rts', 'forward')"),
+      AsOf.join(left, right, Seq("k"), "ts", "rts", "forward"))
+  }
+
+  test("asof_join TVF: comma-separated multi-column keys and num_slices") {
+    ready()
+    val left = Seq((1L, "u", "a", 100L), (2L, "u", "b", 100L))
+      .toDF("id", "k1", "k2", "ts")
+    val right = Seq(("u", "a", 90L, "ra"), ("u", "b", 60L, "rb"))
+      .toDF("k1", "k2", "rts", "tag")
+    left.createOrReplaceTempView("tvf_ml")
+    right.createOrReplaceTempView("tvf_mr")
+
+    val sql = spark.sql(
+      """SELECT * FROM asof_join(
+        |  'tvf_ml', 'tvf_mr', 'k1, k2', 'ts', 'rts', 'backward', 2)""".stripMargin)
+    assertSame(sql,
+      AsOf.join(left, right, Seq("k1", "k2"), "ts", "rts", numSlices = 2))
+    assert(sql.select("id", "tag").as[(Long, String)].collect().toMap ==
+      Map(1L -> "ra", 2L -> "rb"))
+  }
+
+  test("range_join TVF == pointInInterval; interval_ids arg == left variant") {
+    ready()
+    val points = Seq(("u", 15L, "p15"), ("u", 40L, "p40"), ("v", 15L, "q15"))
+      .toDF("k", "ts", "ptag")
+    val intervals = Seq(("u", 10L, 20L, "i10"), ("u", 100L, 110L, "i100"),
+      ("v", 0L, 50L, "j0")).toDF("k", "lo", "hi", "itag")
+    points.createOrReplaceTempView("tvf_p")
+    intervals.createOrReplaceTempView("tvf_i")
+
+    assertSame(
+      spark.sql(
+        "SELECT * FROM range_join('tvf_p', 'tvf_i', 'k', 'ts', 'lo', 'hi', 16)"),
+      RangeJoin.pointInInterval(
+        points, intervals, Seq("k"), "ts", "lo", "hi", 16L))
+    val leftSql = spark.sql(
+      """SELECT * FROM range_join(
+        |  'tvf_p', 'tvf_i', 'k', 'ts', 'lo', 'hi', 16, 'itag')""".stripMargin)
+    assertSame(leftSql,
+      RangeJoin.pointInIntervalLeft(
+        points, intervals, Seq("k"), "ts", "lo", "hi", 16L, Seq("itag")))
+    // the zero-match interval i100 must survive with a null point payload
+    assert(leftSql.filter($"itag" === "i100" && $"ptag".isNull).count() == 1)
+  }
+
+  test("dedup_pairs TVF == Dedup.lshPairs") {
+    ready()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base), // exact dups
+      (3L, base + " tail"),   // near dup
+      (4L, "completely different words in this distant document body")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tvf_docs")
+
+    assertSame(
+      spark.sql("SELECT * FROM dedup_pairs('tvf_docs', 'doc_id', 'text', 0.5)"),
+      Dedup.lshPairs(docs, "doc_id", "text", threshold = 0.5))
+  }
+
+  test("non-literal and wrong-arity arguments raise AnalysisException") {
+    ready()
+    Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
+    // non-foldable view name
+    val e1 = intercept[AnalysisException](spark.sql(
+      "SELECT * FROM dedup_pairs(id, 'id', 't') ").collect())
+    assert(e1.getCondition != null)
+    // arity below minimum
+    intercept[AnalysisException](spark.sql(
+      "SELECT * FROM asof_join('tvf_bad', 'tvf_bad')").collect())
+    // unknown view name surfaces as an analysis error, not a crash
+    intercept[AnalysisException](spark.sql(
+      "SELECT * FROM asof_join('no_such_view', 'tvf_bad', 'k', 'ts', 'ts')")
+      .collect())
+  }
+}
