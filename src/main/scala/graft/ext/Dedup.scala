@@ -150,25 +150,30 @@ object Dedup {
     * (rid, band, bucket) enters the self-join — texts would otherwise ride
     * the shuffle ×numBands and ×2 per pair through the distinct; they are
     * joined back once, after pair dedup. */
+  /** Per-band bucket keys over a `sig` column: one md5 per band of
+    * `rowsPerBand` signature values. References `sig` ONCE so the
+    * signature is computed once per row. */
+  private def bandBuckets(numPerms: Int, rowsPerBand: Int): Column = {
+    require(numPerms % rowsPerBand == 0, "numPerms must be divisible by rowsPerBand")
+    val numBands = numPerms / rowsPerBand
+    transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => md5(concat_ws(",", transform(
+        slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+        _.cast("string")))))
+  }
+
   private def repCandidates(
       reps: DataFrame,
       numPerms: Int,
       rowsPerBand: Int,
       shingleSize: Int): DataFrame = {
-    require(numPerms % rowsPerBand == 0, "numPerms must be divisible by rowsPerBand")
-    val numBands = numPerms / rowsPerBand
-
-    // one row per (rep, band) with the band's bucket key; the bucket array
-    // references `sig` ONCE so the signature is computed once per row
-    val bucketArr = transform(
-      sequence(lit(0), lit(numBands - 1)),
-      b => md5(concat_ws(",", transform(
-        slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-        _.cast("string")))))
+    // one row per (rep, band) with the band's bucket key
     val banded = reps
       .select(col("rid"),
         minhashSignature(col("text"), numPerms, shingleSize).as("sig"))
-      .select(col("rid"), posexplode(bucketArr).as(Seq("band", "bucket")))
+      .select(col("rid"),
+        posexplode(bandBuckets(numPerms, rowsPerBand)).as(Seq("band", "bucket")))
 
     val a = banded.as("a")
     val b = banded.as("b")
@@ -278,6 +283,111 @@ object Dedup {
       .pipe(materialize)
     expandVerified(verified, members, "jaccard", lit(1.0))
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** INCREMENTAL MinHash+LSH near-dup pairs: a NEW batch of documents
+    * checked against an EXISTING (already-deduplicated) corpus — the way a
+    * production pipeline actually ingests data, where re-deduplicating
+    * 100 TB for each day's arrival is impossible. Returns every
+    * (new_id, old_id, jaccard) with shingle-Jaccard ≥ `threshold`; pairs
+    * WITHIN the corpus or WITHIN the batch are never generated, banded
+    * into the join, or verified — the corpus side contributes only
+    * O(|corpus| · bands) map-side rows to an asymmetric equi-join, never
+    * the quadratic corpus×corpus candidate set [[lshPairs]]'s self-join
+    * would form. Batch-internal dedup is a separate (cheap) [[lshPairs]]
+    * call over the batch alone.
+    *
+    * Shape: exact-collapse over the tagged union (a batch doc byte-equal
+    * to a corpus doc lands in the SAME rep group and surfaces through the
+    * intra-group path with jaccard = 1.0 exactly), band reps once, then
+    * join {reps containing a batch member} against {reps containing a
+    * corpus member} on (band, bucket) — verification runs only on those
+    * cross rep pairs. Ids must be unique across corpus ∪ batch (same
+    * contract as one [[lshPairs]] frame). At steady state the corpus's
+    * banded-signature frame is deterministic and worth persisting between
+    * ingests; this operator recomputes it from the corpus column, which
+    * keeps the API self-contained.
+    *
+    * The reference has no incremental anything (it reprocesses each upload
+    * whole, etl_pipeline.py:239-261); north-star scope. */
+  def incrementalLshPairs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numPerms: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val jac = GraftColumnBridge.column(graft.functions.ShingleJaccard(
+      GraftColumnBridge.expression(col("text_a")),
+      GraftColumnBridge.expression(col("text_b")), shingleSize))
+
+    val tagged = corpus
+      .select(col(idCol).as("id"), col(textCol).as("text"), lit(0).as("side"))
+      .unionByName(batch
+        .select(col(idCol).as("id"), col(textCol).as("text"), lit(1).as("side")))
+    val spark = tagged.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val wide =
+      if (tagged.rdd.getNumPartitions < par) tagged.repartition(par) else tagged
+
+    // side-aware exact collapse (collapseExact, plus per-rep side flags):
+    // has_new/has_old say whether any member of the rep group came from the
+    // batch/corpus — the asymmetric band join keys off them
+    val kept = wide
+      .filter(size(tokens(col("text"))) >= shingleSize)
+      .select(col("id"), col("text"), col("side"), md5(col("text")).as("fp"))
+    val repsAll = kept.groupBy(col("fp"))
+      .agg(min(col("id")).as("rid"), min(col("text")).as("text"),
+        (max(col("side")) === 1).as("has_new"),
+        (min(col("side")) === 0).as("has_old"))
+    val members = kept.select(col("fp"), col("id"), col("side"))
+      .join(repsAll.select(col("fp"), col("rid")), "fp")
+      .select(col("id"), col("rid"), col("side"))
+      .pipe(materialize)
+    val reps = materialize(
+      repsAll.select(col("rid"), col("text"), col("has_new"), col("has_old")))
+
+    // band once, join asymmetrically: only {has_new} × {has_old} meet, so
+    // corpus×corpus (and batch×batch) bucket pairs never exist
+    val banded = reps
+      .select(col("rid"), col("has_new"), col("has_old"),
+        minhashSignature(col("text"), numPerms, shingleSize).as("sig"))
+      .select(col("rid"), col("has_new"), col("has_old"),
+        posexplode(bandBuckets(numPerms, rowsPerBand)).as(Seq("band", "bucket")))
+    val pairIds = banded.filter(col("has_new")).as("a")
+      .join(banded.filter(col("has_old")).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.rid") =!= col("b.rid"))
+      .select(least(col("a.rid"), col("b.rid")).as("rid_a"),
+        greatest(col("a.rid"), col("b.rid")).as("rid_b"))
+      .distinct()
+    val verified = pairIds
+      .join(reps.select(col("rid").as("rid_a"), col("text").as("text_a")), "rid_a")
+      .join(reps.select(col("rid").as("rid_b"), col("text").as("text_b")), "rid_b")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select("rid_a", "rid_b", "jaccard")
+      .pipe(materialize) // same collapse-prevention as in [[lshPairs]]
+
+    // expand to (new_id, old_id): the batch member may live in EITHER rep
+    // of a verified pair, so expand both orientations; a rep group holding
+    // both sides (exact cross-boundary dups) contributes its new×old
+    // member pairs at exactly 1.0. Each (new, old) pair maps to exactly
+    // one (rep(new), rep(old)) combination, so no duplicates arise.
+    val mNew = members.filter(col("side") === 1).select(col("rid"), col("id"))
+    val mOld = members.filter(col("side") === 0).select(col("rid"), col("id"))
+    def orient(ra: String, rb: String): DataFrame = verified
+      .join(mNew.select(col("rid").as(ra), col("id").as("new_id")), ra)
+      .join(mOld.select(col("rid").as(rb), col("id").as("old_id")), rb)
+      .select("new_id", "old_id", "jaccard")
+    val intra = mNew.select(col("rid"), col("id").as("new_id"))
+      .join(mOld.select(col("rid"), col("id").as("old_id")), "rid")
+      .select(col("new_id"), col("old_id"), lit(1.0).as("jaccard"))
+    orient("rid_a", "rid_b").unionByName(orient("rid_b", "rid_a"))
+      .unionByName(intra)
   }
 
   /** LSH-blocked edit-distance near-dup pairs: band-bucket candidates

@@ -592,6 +592,23 @@ object Extensions {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** x40 — incremental dedup: a "new batch" (the last 100 docs) checked
+    * against the "existing corpus" (the first 400) via
+    * [[Dedup.incrementalLshPairs]] — corpus×corpus candidates never form,
+    * the asymmetric band join only meets batch-reps with corpus-reps. The
+    * oracle reconstructs the full LSH relationally (same scaffolding as
+    * x17) and keeps only cross-boundary pairs — identical output by
+    * construction, since banding and verification agree pairwise. */
+  def x40(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.incrementalLshPairs(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text")
+      .select(col("new_id"), col("old_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_id", "old_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -711,7 +728,8 @@ object Extensions {
     "x36_repetition" -> (x36 _),
     "x37_decontaminate" -> (x37 _),
     "x38_decontaminate_shuffle" -> (x38 _),
-    "x39_asof_sql" -> (x39 _)
+    "x39_asof_sql" -> (x39 _),
+    "x40_dedup_incremental" -> (x40 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1388,6 +1406,19 @@ object Extensions {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    // x40: the full relational LSH (x17's scaffolding) filtered to
+    // cross-boundary pairs — the engine's asymmetric band join produces
+    // exactly these pairs without ever forming the corpus-side quadratic
+    "x40_dedup_incremental" ->
+      s"""SELECT id_b AS new_id, id_a AS old_id, jaccard
+         |FROM (${lshOracleSql(
+               docWhere = "",
+               select = """round(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                          |  / len(list_distinct(list_concat(sa.shl, sb.shl))), 4) AS jaccard""".stripMargin,
+               where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                         |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin)})
+         |WHERE id_a < 400 AND id_b >= 400
+         |ORDER BY new_id, old_id""".stripMargin
   )
 }

@@ -725,6 +725,33 @@ class ExtSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("incrementalLshPairs: cross pairs only, exact cross dups at 1.0") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = docsFrom(Seq(
+      (1L, base),
+      (2L, "some corpus document with entirely unrelated vocabulary inside"),
+      (3L, "some corpus document with entirely unrelated vocabulary inside"), // corpus-internal exact dup
+      (4L, "another separate corpus text with its own words entirely here")))
+    val batch = docsFrom(Seq(
+      (10L, base.replace("today", "tomorrow")), // near-dup of corpus 1
+      (11L, base),                              // exact dup of corpus 1
+      (12L, base),                              // batch-internal exact dup of 11
+      (13L, "fresh batch only content sharing nothing with anything else")))
+    val got = Dedup.incrementalLshPairs(corpus, batch, "doc_id", "text",
+        numPerms = 16, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (n, o, j) => (n, o) -> j }.toMap
+    // every new near/exact dup of corpus doc 1 is reported against it...
+    assert(got.keySet == Set((10L, 1L), (11L, 1L), (12L, 1L)))
+    // ...exact cross dups at exactly 1.0, the near-dup strictly below
+    assert(got((11L, 1L)) == 1.0 && got((12L, 1L)) == 1.0)
+    assert(got((10L, 1L)) >= 0.5 && got((10L, 1L)) < 1.0)
+    // corpus-internal pair (2,3) and batch-internal pair (11,12) absent —
+    // checked via the keyset equality above; empty batch → empty result
+    assert(Dedup.incrementalLshPairs(corpus, batch.limit(0), "doc_id", "text")
+      .count() == 0)
+  }
+
   test("approxTopKPrune: lossless while active, inert below the size guard") {
     // 4000 rows across 2 keys with colliding scores (score = id % 97) so
     // ties at the kept/dropped boundary are exercised
