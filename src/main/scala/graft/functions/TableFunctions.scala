@@ -27,6 +27,7 @@ import graft.ext.{AsOf, Dedup, RangeJoin}
   * SELECT * FROM range_join('views', 'purch', 'user_id', 'us',
   *                          'start_us', 'end_us', 3600000000, 'event_id')
   * SELECT * FROM dedup_pairs('documents', 'doc_id', 'text', 0.5)
+  * SELECT * FROM decontaminate('documents', 'eval_suite', 'doc_id', 'text', 13)
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -51,6 +52,8 @@ object TableFunctions {
       "range_join", exprs => rangeJoin(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "dedup_pairs", exprs => dedupPairs(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "decontaminate", exprs => decontaminate(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -114,6 +117,22 @@ object TableFunctions {
     plan(Dedup.lshPairs(docs, id, text,
       numPerms = numPerms, rowsPerBand = rowsPerBand,
       threshold = threshold, shingleSize = shingleSize))
+  }
+
+  /** `decontaminate(corpus, eval, id, text [, n])` →
+    * [[Dedup.contaminatedDocs]]: corpus docs sharing any word n-gram with
+    * the eval table, with their distinct-offending-gram counts
+    * (broadcast/shuffle path auto-selected from the eval gram count). */
+  private def decontaminate(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "decontaminate"
+    requireArity(f, exprs, min = 4, max = 5)
+    val args = new Args(f, exprs)
+    val corpus = args.table(spark, "corpus")
+    val evalDocs = args.table(spark, "eval")
+    val id = args.name("id")
+    val text = args.name("text")
+    val n = if (args.exhausted) 3 else args.int("n")
+    plan(Dedup.contaminatedDocs(corpus, evalDocs, id, text, n = n))
   }
 
   /** The Dataset's UNANALYZED logical plan: the outer query's analyzer

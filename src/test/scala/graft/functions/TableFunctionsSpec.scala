@@ -104,6 +104,23 @@ class TableFunctionsSpec extends SparkSpec {
       Dedup.lshPairs(docs, "doc_id", "text", threshold = 0.5))
   }
 
+  test("decontaminate TVF == Dedup.contaminatedDocs") {
+    ready()
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally clean words nothing shared here"),
+      (3L, "beta gamma delta overlapping fragment text")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "beta gamma delta")).toDF("doc_id", "text")
+    corpus.createOrReplaceTempView("tvf_corpus")
+    evalSet.createOrReplaceTempView("tvf_eval")
+
+    val sql = spark.sql(
+      "SELECT * FROM decontaminate('tvf_corpus', 'tvf_eval', 'doc_id', 'text', 3)")
+    assertSame(sql,
+      graft.ext.Dedup.contaminatedDocs(corpus, evalSet, "doc_id", "text", n = 3))
+    assert(sql.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
