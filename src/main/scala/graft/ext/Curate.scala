@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the composed pipeline a real
+  * LLM-data job runs, assembled from this library's own operators:
+  *
+  *   1. annotate: language-ID + quality scoring ([[TextAnalysis]]) —
+  *      pure map-side column arithmetic, scan-speed, codegen'd;
+  *   2. filter: keep the target language above a quality floor — evaluated
+  *      in the same scan (Catalyst collapses the projection+filter), so
+  *      rejected documents never reach a shuffle;
+  *   3. exact dedup: min-id representative per distinct content
+  *      ([[Dedup.exact]]) — one hash shuffle keyed by content fingerprint;
+  *   4. decontaminate: drop any document sharing a word n-gram with the
+  *      held-out eval set ([[Dedup.contaminatedDocs]], GPT-3-style n=13) —
+  *      broadcast semi-join for normal eval sets, hashed shuffle fallback
+  *      for oversized ones, then an anti-join back to the survivors.
+  *
+  * Operator ORDER is the scale design: the cheap map-side filters run
+  * first so the shuffle-bearing stages (dedup, decontamination) see only
+  * the surviving fraction of the corpus; at 100 TB with a ~30% keep rate
+  * that is a 3× cut on every byte shuffled downstream. The output is the
+  * curated corpus with provenance columns (predicted language, quality
+  * score, token count) so downstream packing/splitting can consume it
+  * without re-scanning text.
+  */
+object Curate {
+
+  /** Curated corpus: docs in `lang` with quality ≥ `minScore`, exact-deduped
+    * (min-id representative), with no word-`contamN`-gram overlap with
+    * `evalDocs`. Returns (idCol, lang_pred, quality_score, tokens) ordered
+    * by nothing — callers order/partition for their sink.
+    */
+  def curate(
+      docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      lang: String = "en", minScore: Double = 0.6,
+      contamN: Int = 13): DataFrame = {
+    val t = col(textCol)
+    val annotated = docs.select(
+        (Seq(col(idCol), t) ++
+          TextAnalysis.langScores(t) ++ TextAnalysis.qualityColumns(t)): _*)
+      .withColumn("lang_pred", TextAnalysis.predictedLang)
+    val kept = annotated
+      .filter(col("lang_pred") === lang && col("quality_score") >= minScore)
+    // deduped feeds BOTH the contamination n-gram scan and the final
+    // anti-join; without materialization the scan→annotate→filter→dedup
+    // chain (including its shuffle) runs twice — materialize() truncates
+    // lineage (reliable checkpoint when graft.checkpointDir is set)
+    val deduped = Dedup.materialize(Dedup.exact(kept, idCol, textCol))
+    val contaminated =
+      Dedup.contaminatedDocs(deduped, evalDocs, idCol, textCol, contamN)
+    deduped
+      .join(contaminated.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col("lang_pred"), col("quality_score"),
+        col("n_words").as("tokens"))
+  }
+}

@@ -232,6 +232,104 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Squared L2 distance expanded as v·v − 2 v·c + c·c — three native
+    * [[DotProduct]] evaluations, each a sequential left-to-right double
+    * accumulation, so an external SQL engine (`list_dot_product`) computes
+    * the bit-identical number from the same operands. */
+  private def sqDist(v: Column, c: Column): Column =
+    dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
+
+  /** Deterministic k-means training for an IVF index: seeds = the `k`
+    * lowest-id vectors, `iters` Lloyd steps. Returns (cid, c) centroid
+    * rows.
+    *
+    * Everything is ONE lazy plan — no driver-side iteration state:
+    *   - assignment is a broadcast of the k-row centroid frame against the
+    *     corpus, argmin via a per-vector window (partitioned by vector id —
+    *     as fine-grained as the data, never a single-partition window);
+    *   - the update is posexplode → groupBy(cid, pos) → avg — map-side
+    *     partial aggregation over (k·dim) cells, then per-centroid array
+    *     re-assembly.
+    *
+    * Cross-engine determinism (the x44 oracle re-derives the centroids
+    * from scratch): per-dimension means are rounded to 6 decimals each
+    * iteration, so accumulation-order noise (~1e-15) cannot propagate into
+    * the next iteration's distance comparisons; argmin ties break by cid.
+    * A centroid whose cell empties drops out on BOTH engines (GROUP BY
+    * emits no row) — the standard small-k hazard, deterministic here. */
+  def kmeansCentroids(
+      corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val seed = vecs.orderBy(col("vid")).limit(k)
+      .select(col("vid").cast("int").as("cid"),
+        transform(col("v"), _.cast("double")).as("c"))
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      assignToCentroids(vecs, cents)
+        .select(col("cid"), posexplode(col("v").cast("array<double>"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("c"))
+    }
+  }
+
+  /** Nearest-centroid assignment: (vid, v, cid). Broadcast k rows, argmin
+    * by (sqDist, cid) via a per-vector window. */
+  private def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("graft_dist"), col("cid"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("graft_dist", sqDist(col("v"), col("c")))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select(col("vid"), col("v"), col("cid"))
+  }
+
+  /** k-means IVF approximate top-k: train [[kmeansCentroids]], assign the
+    * corpus once, probe each query's `nProbe` nearest cells, exact cosine
+    * within the probed cells only. The CLUSTERED-data counterpart of the
+    * hyperplane [[ivfTopK]]: hyperplanes are data-independent (no training
+    * pass), k-means cells adapt to the corpus — the standard FAISS-style
+    * IVF layout, and the shape real embedding corpora want.
+    *
+    * Scale: training touches (corpus × k) map-side with a per-vector
+    * window; the probe join is hash-partitioned on cid with the query side
+    * broadcast (queries × nProbe rows); scored work is the probed cells
+    * only — at scale ~nProbe/k of the corpus per query, never O(n²).
+    * Returns (query_id, neighbor_id, cos, rank ≤ `topK`). */
+  def kmeansIvfTopK(
+      corpus: DataFrame, queries: DataFrame, topK: Int, k: Int = 8,
+      iters: Int = 2, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(corpus, k, iters, idCol, vecCol)
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val assigned = assignToCentroids(vecs, cents)
+      .withColumn("cn", norm(col("v")))
+
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("graft_dist"), col("cid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("graft_dist", sqDist(col("qv"), col("c")))
+      .withColumn("graft_rn", row_number().over(pw))
+      .filter(col("graft_rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cos", cosFrom(col("qv"), col("qn"), col("v"), col("cn")))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded subset (exact,
     * O(n²) — bound the input; the scale path buckets first like ivfTopK). */
   def cosinePairs(

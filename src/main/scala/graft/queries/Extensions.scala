@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{AsOf, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{AsOf, Curate, Dedup, Index, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -609,6 +609,52 @@ object Extensions {
       .orderBy("new_id", "old_id")
   }
 
+  /** x41 — inverted index: term → (document frequency, sorted posting
+    * list) over the full corpus ([[Index.invertedIndex]]). Postings
+    * serialize as a comma-joined string so the artifact hashes identically
+    * across engines. The sharded scale path is spec-pinned (ExtSpec). */
+  def x41(s: SparkSession, dir: String): DataFrame =
+    Index.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("term")
+
+  /** x42 — conjunctive (AND) term search through the posting relation
+    * ([[Index.searchAll]]): docs containing ALL of {dup, vector, window}
+    * ("dup" is the corpus's one rare term), joined back to the corpus for
+    * payload columns. Work is proportional to the query terms' posting
+    * lists, never the corpus. */
+  def x42(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Index.searchAll(docs, "doc_id", "text", Seq("dup", "vector", "window"))
+      .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** x43 — the composed curation pipeline ([[Curate.curate]]): language
+    * filter + quality floor (map-side) → exact dedup (one content-keyed
+    * shuffle) → 13-gram eval-set decontamination (semi-join) → curated
+    * corpus with provenance columns. Eval set = every 37th doc (as x38),
+    * so eval members that survive filtering knock themselves out. */
+  def x43(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curate.curate(docs, docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** x44 — k-means IVF ANN ([[Similarity.kmeansIvfTopK]]): deterministic
+    * Lloyd training (seeds = 8 lowest-id vectors, 2 iterations, means
+    * rounded to 6 dp so accumulation-order noise cannot propagate), then
+    * top-5 exact cosine within each query's 2 nearest cells. The oracle
+    * re-derives the ENTIRE training from scratch relationally — the
+    * clustering itself is value-checked, not just the final scoring. */
+  def x44(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10), topK = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -729,7 +775,11 @@ object Extensions {
     "x37_decontaminate" -> (x37 _),
     "x38_decontaminate_shuffle" -> (x38 _),
     "x39_asof_sql" -> (x39 _),
-    "x40_dedup_incremental" -> (x40 _)
+    "x40_dedup_incremental" -> (x40 _),
+    "x41_inverted_index" -> (x41 _),
+    "x42_term_search" -> (x42 _),
+    "x43_curate" -> (x43 _),
+    "x44_ann_kmeans" -> (x44 _)
   )
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
@@ -1419,6 +1469,152 @@ object Extensions {
                where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
                          |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin)})
          |WHERE id_a < 400 AND id_b >= 400
-         |ORDER BY new_id, old_id""".stripMargin
+         |ORDER BY new_id, old_id""".stripMargin,
+    // x41: postings joined as a string after a NUMERIC sort (string_agg
+    // with ORDER BY doc_id), matching Spark's sort_array-then-stringify
+    "x41_inverted_index" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM p WHERE term <> '' GROUP BY term ORDER BY term""".stripMargin,
+    // x42: the (doc, term) pairs are distinct per doc, so count(*) == 3
+    // is exact conjunctive containment
+    "x42_term_search" ->
+      """WITH p AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched FROM p
+        |  WHERE term IN ('dup', 'vector', 'window')
+        |  GROUP BY doc_id HAVING count(*) = 3)
+        |SELECT m.doc_id, m.n_matched, d.lang, d.n_chars
+        |FROM m JOIN documents d USING (doc_id) ORDER BY m.doc_id""".stripMargin,
+    // x43: the full curation pipeline relationally — x08's lang CASE +
+    // x09's quality formula + keep-min-id dedup + x38's 13-gram shape
+    // against eval = every 37th doc
+    "x43_curate" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    length(replace(text, ' ', '')) AS n_nonspace,
+        |    list_distinct(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, n_words,
+        |    round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+        |    round(CAST(len(list_intersect(tok,
+        |      ['the','and','of','to','in','is','it','that'])) AS DOUBLE) / n_words, 4)
+        |      AS stop_ratio,
+        |    CAST(len(list_intersect(tok, ['der','die','das','und','ist','nicht','mit','ein'])) AS BIGINT) AS s_de,
+        |    CAST(len(list_intersect(tok, ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS s_en,
+        |    CAST(len(list_intersect(tok, ['el','los','que','y','un','por','con','para'])) AS BIGINT) AS s_es,
+        |    CAST(len(list_intersect(tok, ['le','les','et','est','une','dans','pour','sur'])) AS BIGINT) AS s_fr,
+        |    CAST(len(list_intersect(tok, ['的','是','不','了','在','人','我','他'])) AS BIGINT) AS s_zh
+        |  FROM f),
+        |q AS (
+        |  SELECT doc_id, text, n_words,
+        |    round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.5
+        |      + least(stop_ratio * 10.0, CAST(1.0 AS DOUBLE)) * 0.3
+        |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
+        |      AS quality_score,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM s),
+        |kept AS (
+        |  SELECT * FROM q WHERE lang_pred = 'en' AND quality_score >= 0.6),
+        |dd AS (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM kept),
+        |u AS (
+        |  SELECT doc_id, text, lang_pred, quality_score, n_words
+        |  FROM dd WHERE rn = 1),
+        |evt AS (SELECT string_split(text, ' ') AS t FROM documents
+        |        WHERE doc_id % 37 = 0),
+        |evg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 11, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+        |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
+        |      t[i+12])))) AS gram
+        |  FROM evt),
+        |ug AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 11, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+        |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
+        |      t[i+12])))) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM u)),
+        |contam AS (SELECT DISTINCT ug.doc_id FROM ug JOIN evg USING (gram))
+        |SELECT u.doc_id, u.lang_pred, u.quality_score,
+        |  u.n_words AS tokens
+        |FROM u LEFT JOIN contam c ON u.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL ORDER BY u.doc_id""".stripMargin,
+    // x44: the whole k-means derivation re-done relationally — seeds =
+    // 8 lowest ids, 2 Lloyd steps with means rounded to 6 dp (kills
+    // accumulation-order noise), sqdist expanded as v·v − 2 v·c + c·c so
+    // both engines run the same three sequential dot products
+    "x44_ann_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vid, v, cid FROM (
+        |    SELECT e.vec_id AS vid, e.v AS v, c0.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c0.c)
+        |          + list_dot_product(c0.c, c0.c), c0.cid) AS rn
+        |    FROM e, c0) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+        |    SELECT cid, pos, round(avg(x), 6) AS m
+        |    FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a1)
+        |    GROUP BY cid, pos) GROUP BY cid),
+        |a2 AS (
+        |  SELECT vid, v, cid FROM (
+        |    SELECT a.vid, a.v, c1.cid,
+        |      row_number() OVER (PARTITION BY a.vid ORDER BY
+        |        list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, c1.c)
+        |          + list_dot_product(c1.c, c1.c), c1.cid) AS rn
+        |    FROM a1 a, c1) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+        |    SELECT cid, pos, round(avg(x), 6) AS m
+        |    FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a2)
+        |    GROUP BY cid, pos) GROUP BY cid),
+        |af AS (
+        |  SELECT vid, v, cid FROM (
+        |    SELECT e.vec_id AS vid, e.v, c2.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c2.c)
+        |          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
+        |    FROM e, c2) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, cid FROM (
+        |    SELECT e.vec_id AS query_id, e.v AS qv, c2.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c2.c)
+        |          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
+        |    FROM e, c2 WHERE e.vec_id < 10) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.query_id, af.vid AS neighbor_id,
+        |    list_dot_product(p.qv, af.v)
+        |      / (sqrt(list_dot_product(p.qv, p.qv))
+        |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+        |  FROM probes p JOIN af USING (cid) WHERE af.vid != p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

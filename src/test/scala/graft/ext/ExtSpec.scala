@@ -772,4 +772,121 @@ class ExtSpec extends SparkSpec {
     assert(Ordinals.approxTopKPrune(small, "key", "score", k = 3,
       p = 0.05, accuracy = 1000).count() == 50)
   }
+
+  test("invertedIndex: postings sorted, df counts, sharded variant reassembles") {
+    val docs = docsFrom(Seq(
+      (10L, "spark shuffle join"), (2L, "join spark"), (7L, "shuffle only here")))
+    val idx = Index.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(idx("spark") == (2L, "2,10")) // numeric sort, not "10,2" string sort
+    assert(idx("join") == (2L, "2,10"))
+    assert(idx("shuffle") == (2L, "7,10"))
+    assert(idx("only") == (1L, "7"))
+    // df bounds prune the vocabulary
+    assert(Index.invertedIndex(docs, "doc_id", "text", minDf = 2)
+      .select("term").as[String].collect().toSet == Set("spark", "join", "shuffle"))
+    // sharded postings: per-term df sums to the true df; union of shard
+    // postings = unsharded postings
+    val sharded = Index.shardedIndex(docs, "doc_id", "text", shards = 3)
+      .as[(String, Int, Long, String)].collect()
+    val byTerm = sharded.groupBy(_._1)
+    for ((term, rows) <- byTerm) {
+      assert(rows.map(_._3).sum == idx(term)._1, s"df mismatch for $term")
+      val ids = rows.flatMap(_._4.split(",")).map(_.toLong).sorted
+      assert(ids.mkString(",") == idx(term)._2, s"postings mismatch for $term")
+    }
+  }
+
+  test("searchAll: conjunctive semantics, repeated terms count once") {
+    val docs = docsFrom(Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha alpha beta"), (3L, "alpha gamma")))
+    val hits = Index.searchAll(docs, "doc_id", "text", Seq("alpha", "beta"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L)) // doc 2's doubled "alpha" is one match
+    assert(Index.searchAll(docs, "doc_id", "text", Seq("alpha")).count() == 3)
+    assertThrows[IllegalArgumentException](
+      Index.searchAll(docs, "doc_id", "text", Nil))
+  }
+
+  test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
+    // build texts that pass the quality floor: ≥100 words with stopwords
+    val good = (("the and of to in is it that " * 13).trim + " unique")
+    val fancy = good.replace("unique", "other") // second distinct good doc
+    val docs = docsFrom(Seq(
+      (5L, good), (9L, good),          // exact dups → keep 5, drop 9
+      (6L, fancy),
+      (7L, "el los que y un por con para"), // non-en, short → filtered
+      (8L, "tiny")))                        // low quality → filtered
+    // eval carrying the shared 13-word prefix contaminates BOTH good docs
+    // (good and fancy differ only in their last word) → nothing survives
+    val eval = docsFrom(Seq((100L, fancy.split(" ").take(13).mkString(" "))))
+    val out = Curate.curate(docs, eval, "doc_id", "text",
+        lang = "en", minScore = 0.6, contamN = 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.isEmpty, s"prefix-gram eval must drop every survivor, got $out")
+    // disjoint eval → only filtering + dedup act
+    val cleanEval = docsFrom(Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13")))
+    val out2 = Curate.curate(docs, cleanEval, "doc_id", "text",
+        lang = "en", minScore = 0.6, contamN = 13)
+    assert(out2.select("doc_id").as[Long].collect().toSet == Set(5L, 6L))
+    val row = out2.filter(col("doc_id") === 5L).collect().head
+    assert(row.getAs[String]("lang_pred") == "en")
+    assert(row.getAs[Double]("quality_score") >= 0.6)
+    assert(row.getAs[Long]("tokens") == good.split(" ").length.toLong)
+  }
+
+  test("kmeansCentroids: deterministic, centroids are rounded per-dim means") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)),
+      (2L, Array(10.0f, 10.0f)), (3L, Array(10.1f, 10.0f)),
+      (4L, Array(0.0f, 0.1f)), (5L, Array(10.0f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, k = 2, iters = 2)
+      .as[(Int, Array[Double])].collect().toMap
+    // seeds 0 and 1 both sit in the origin cluster; after one assignment
+    // the far cluster captures 2,3,5 under whichever seed is nearer
+    assert(cents.size <= 2)
+    // after iteration 2 the far cell is exactly {v2, v3, v5}
+    val far = cents.values.find(_.head > 5.0).get
+    assert(far sameElements Array(
+      BigDecimal((10.0 + 10.1f.toDouble + 10.0) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal((10.0 + 10.0 + 10.1f.toDouble) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // run-to-run determinism (same plan, same result)
+    val again = Similarity.kmeansCentroids(vecs, k = 2, iters = 2)
+      .as[(Int, Array[Double])].collect().toMap
+    assert(cents.keySet == again.keySet &&
+      cents.forall { case (k, v) => v sameElements again(k) })
+  }
+
+  test("kmeansIvfTopK: neighbors carry exact cosines; recall vs brute force") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivf = Similarity.kmeansIvfTopK(emb, queries, topK = 3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val bruteCos = brute.map(r => (r._1, r._2) -> r._3).toMap
+    // every emitted pair's cosine is the true cosine (verify-exactness)
+    val exactAll = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      .filter(col("query_id") < 10)
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("qv"), col("cv")) /
+          (sqrt(Similarity.dot(col("qv"), col("qv"))) *
+            sqrt(Similarity.dot(col("cv"), col("cv"))))).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ivf.foreach { case (q, n, c) =>
+      assert(math.abs(exactAll((q, n)) - c) < 1e-12) }
+    // recall@3: random 64-dim data is the worst case for any ANN; the
+    // 2-of-8-cells probe scans ~25% — just assert it beats empty and is
+    // quantified (clustered real embeddings separate far better)
+    val hit = ivf.count { case (q, n, _) => bruteCos.contains((q, n)) }
+    info(s"kmeans-IVF recall@3 on random vectors: $hit/${brute.length}")
+    assert(hit >= 1)
+  }
 }
