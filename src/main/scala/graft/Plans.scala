@@ -96,7 +96,29 @@ object Plans {
           "bound). Measured on the sf1 replica (ScaleUp ×10): 50,000 " +
           "documents → 450 sort-input rows (111× reduction; per-lang " +
           "survivors de=100 en=240 es=80 fr=20 zh=10, every group ≥ k=3).",
-        queries.Extensions.x21))
+        queries.Extensions.x21),
+      Entry("x41_inverted_index",
+        "explode → groupBy(term) with map-side partial aggregation on a " +
+          "high-cardinality key; postings sort inside the aggregation " +
+          "buffer. The hot-term hazard (a stopword's postings in ONE " +
+          "buffer) is handled by Index.shardedIndex — (term, id % shards) " +
+          "rows bound every buffer; ExtSpec pins shard-union == unsharded.",
+        queries.Extensions.x41),
+      Entry("x43_curate",
+        "The curation composition: lang-ID + quality scoring collapse " +
+          "into the scan's Project (map-side, codegen'd), so the dedup " +
+          "exchange and the decontamination semi-join see only the " +
+          "surviving fraction. The deduped frame is materialized once — " +
+          "it feeds both the n-gram scan and the final anti-join, and " +
+          "without lineage truncation the dedup shuffle would run twice.",
+        queries.Extensions.x43),
+      Entry("x44_ann_kmeans",
+        "Every centroid-side join is a broadcast of k (or queries×nProbe) " +
+          "rows — the corpus is never shuffled for assignment; argmin " +
+          "windows partition by vector id (as fine-grained as the data); " +
+          "the probed-cell scoring join is a BroadcastHashJoin on cid. " +
+          "No SortMergeJoin, no cartesian anywhere.",
+        queries.Extensions.x44))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative declared queries\n\n")

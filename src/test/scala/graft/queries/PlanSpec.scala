@@ -104,4 +104,28 @@ class PlanSpec extends SparkSpec {
         s"ordinal query plan contains a Window node:\n$p")
     }
   }
+
+  test("x42: conjunctive search is agg-over-filtered-postings, no cartesian") {
+    val p = plan(Extensions.x42(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"search plan has a cartesian:\n$p")
+    assert(p.contains("HashAggregate"), "search lost its posting aggregation")
+  }
+
+  test("x43: decontamination is a broadcast semi-join; survivors anti-join") {
+    val p = plan(Extensions.x43(spark, sf))
+    assert(p.contains("LeftSemi"), s"no semi-join in curate plan:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti-join in curate plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"curate plan has a cartesian:\n$p")
+  }
+
+  test("x44: centroid/probe sides broadcast; corpus never sort-merge-joined") {
+    val p = plan(Extensions.x44(spark, sf))
+    // centroid frame (k rows) rides BroadcastNestedLoopJoin; the probe
+    // join on cid must be a broadcast hash join with the corpus streamed
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"kmeans plan has no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"kmeans corpus side got sort-merge-joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"kmeans plan has a cartesian:\n$p")
+  }
 }
