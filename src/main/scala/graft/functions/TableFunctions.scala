@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-import graft.ext.{AsOf, Dedup, RangeJoin}
+import graft.ext.{AsOf, Curate, Dedup, Index, RangeJoin}
 
 /** SQL table-valued-function surface for the north-star whole-plan
   * operators (as-of join, range join, LSH dedup pairs) — SURVEY §2.9's
@@ -54,6 +54,12 @@ object TableFunctions {
       "dedup_pairs", exprs => dedupPairs(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "decontaminate", exprs => decontaminate(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "curate", exprs => curate(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "search_all", exprs => searchAll(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "inverted_index", exprs => invertedIndex(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -133,6 +139,52 @@ object TableFunctions {
     val text = args.name("text")
     val n = if (args.exhausted) 3 else args.int("n")
     plan(Dedup.contaminatedDocs(corpus, evalDocs, id, text, n = n))
+  }
+
+  /** `curate(corpus, eval, id, text [, lang [, min_score [, n]]])` →
+    * [[Curate.curate]]: the composed curation pipeline (lang filter +
+    * quality floor → exact dedup → eval-set decontamination) from pure
+    * SQL. */
+  private def curate(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "curate"
+    requireArity(f, exprs, min = 4, max = 7)
+    val args = new Args(f, exprs)
+    val corpus = args.table(spark, "corpus")
+    val evalDocs = args.table(spark, "eval")
+    val id = args.name("id")
+    val text = args.name("text")
+    val lang = if (args.exhausted) "en" else args.name("lang")
+    val minScore = if (args.exhausted) 0.6 else args.double("min_score")
+    val n = if (args.exhausted) 13 else args.int("n")
+    plan(Curate.curate(corpus, evalDocs, id, text, lang, minScore, n))
+  }
+
+  /** `search_all(table, id, text, terms)` → [[Index.searchAll]]:
+    * conjunctive term search; `terms` is one comma-separated string
+    * literal. */
+  private def searchAll(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "search_all"
+    requireArity(f, exprs, min = 4, max = 4)
+    val args = new Args(f, exprs)
+    val docs = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val terms = args.names("terms")
+    plan(Index.searchAll(docs, id, text, terms))
+  }
+
+  /** `inverted_index(table, id, text [, min_df [, max_df]])` →
+    * [[Index.invertedIndex]]: term → (df, sorted comma-joined postings). */
+  private def invertedIndex(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "inverted_index"
+    requireArity(f, exprs, min = 3, max = 5)
+    val args = new Args(f, exprs)
+    val docs = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val minDf = if (args.exhausted) 1L else args.long("min_df")
+    val maxDf = if (args.exhausted) Long.MaxValue else args.long("max_df")
+    plan(Index.invertedIndex(docs, id, text, minDf, maxDf))
   }
 
   /** The Dataset's UNANALYZED logical plan: the outer query's analyzer

@@ -121,6 +121,31 @@ class TableFunctionsSpec extends SparkSpec {
     assert(sql.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("curate / search_all / inverted_index TVFs == their Scala APIs") {
+    ready()
+    val good = ("the and of to in is it that " * 13).trim + " unique"
+    val docs = Seq(
+      (5L, good), (9L, good), (6L, good.replace("unique", "other")),
+      (7L, "el los que y un por con para"), (8L, "tiny")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tvf_cdocs")
+    evalSet.createOrReplaceTempView("tvf_ceval")
+
+    assertSame(
+      spark.sql("""SELECT * FROM curate(
+        |  'tvf_cdocs', 'tvf_ceval', 'doc_id', 'text', 'en', 0.6, 13)""".stripMargin),
+      graft.ext.Curate.curate(docs, evalSet, "doc_id", "text", "en", 0.6, 13))
+    assertSame(
+      spark.sql(
+        "SELECT * FROM search_all('tvf_cdocs', 'doc_id', 'text', 'the, unique')"),
+      graft.ext.Index.searchAll(docs, "doc_id", "text", Seq("the", "unique")))
+    assertSame(
+      spark.sql(
+        "SELECT * FROM inverted_index('tvf_cdocs', 'doc_id', 'text', 2)"),
+      graft.ext.Index.invertedIndex(docs, "doc_id", "text", minDf = 2L))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
