@@ -655,6 +655,24 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** x45 — the training-data factory capstone: [[Curate.curate]] →
+    * [[Sampling.splitAssign]] (deterministic hash splits) →
+    * [[Packing.packBins]] (2000-token bins within (split, shard) streams).
+    * One declared plan from raw corpus to packed training bins; every
+    * stage is the already-gated operator, composed. */
+  def x45(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val curated = Curate.curate(docs, docs.filter(col("doc_id") % 37 === 0),
+      "doc_id", "text")
+    val split = Sampling.splitAssign(curated, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    Packing.packBins(split, "doc_id", "tokens", Seq("split"), "doc_id",
+        budget = 2000L, numShards = 4)
+      .select(col("doc_id"), col("split"), col("tokens"), col("shard"),
+        col("bin"))
+      .orderBy("doc_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -779,8 +797,71 @@ object Extensions {
     "x41_inverted_index" -> (x41 _),
     "x42_term_search" -> (x42 _),
     "x43_curate" -> (x43 _),
-    "x44_ann_kmeans" -> (x44 _)
+    "x44_ann_kmeans" -> (x44 _),
+    "x45_curate_pack" -> (x45 _)
   )
+
+  /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
+    * lang-ID scoring → filter → keep-min-id dedup (`u`) → 13-gram eval
+    * contamination (`contam`, eval = every 37th doc). Final selects differ
+    * per query. */
+  private val curateOracleCtes: String =
+    """f AS (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+      |    length(replace(text, ' ', '')) AS n_nonspace,
+      |    list_distinct(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text, n_words,
+      |    round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+      |    round(CAST(len(list_intersect(tok,
+      |      ['the','and','of','to','in','is','it','that'])) AS DOUBLE) / n_words, 4)
+      |      AS stop_ratio,
+      |    CAST(len(list_intersect(tok, ['der','die','das','und','ist','nicht','mit','ein'])) AS BIGINT) AS s_de,
+      |    CAST(len(list_intersect(tok, ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS s_en,
+      |    CAST(len(list_intersect(tok, ['el','los','que','y','un','por','con','para'])) AS BIGINT) AS s_es,
+      |    CAST(len(list_intersect(tok, ['le','les','et','est','une','dans','pour','sur'])) AS BIGINT) AS s_fr,
+      |    CAST(len(list_intersect(tok, ['的','是','不','了','在','人','我','他'])) AS BIGINT) AS s_zh
+      |  FROM f),
+      |q AS (
+      |  SELECT doc_id, text, n_words,
+      |    round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.5
+      |      + least(stop_ratio * 10.0, CAST(1.0 AS DOUBLE)) * 0.3
+      |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
+      |      AS quality_score,
+      |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+      |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |         ELSE 'zh' END AS lang_pred
+      |  FROM s),
+      |kept AS (
+      |  SELECT * FROM q WHERE lang_pred = 'en' AND quality_score >= 0.6),
+      |dd AS (
+      |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM kept),
+      |u AS (
+      |  SELECT doc_id, text, lang_pred, quality_score, n_words
+      |  FROM dd WHERE rn = 1),
+      |evt AS (SELECT string_split(text, ' ') AS t FROM documents
+      |        WHERE doc_id % 37 = 0),
+      |evg AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 11, 1)),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+      |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
+      |      t[i+12])))) AS gram
+      |  FROM evt),
+      |ug AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 11, 1)),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+      |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
+      |      t[i+12])))) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM u)),
+      |contam AS (SELECT DISTINCT ug.doc_id FROM ug JOIN evg USING (gram))""".stripMargin
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
   private def mh(i: Int) = hex15.format(s"'$i:' || s")
@@ -1495,66 +1576,33 @@ object Extensions {
     // x09's quality formula + keep-min-id dedup + x38's 13-gram shape
     // against eval = every 37th doc
     "x43_curate" ->
-      """WITH f AS (
-        |  SELECT doc_id, text,
-        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
-        |    length(replace(text, ' ', '')) AS n_nonspace,
-        |    list_distinct(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, text, n_words,
-        |    round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
-        |    round(CAST(len(list_intersect(tok,
-        |      ['the','and','of','to','in','is','it','that'])) AS DOUBLE) / n_words, 4)
-        |      AS stop_ratio,
-        |    CAST(len(list_intersect(tok, ['der','die','das','und','ist','nicht','mit','ein'])) AS BIGINT) AS s_de,
-        |    CAST(len(list_intersect(tok, ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS s_en,
-        |    CAST(len(list_intersect(tok, ['el','los','que','y','un','por','con','para'])) AS BIGINT) AS s_es,
-        |    CAST(len(list_intersect(tok, ['le','les','et','est','une','dans','pour','sur'])) AS BIGINT) AS s_fr,
-        |    CAST(len(list_intersect(tok, ['的','是','不','了','在','人','我','他'])) AS BIGINT) AS s_zh
-        |  FROM f),
-        |q AS (
-        |  SELECT doc_id, text, n_words,
-        |    round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.5
-        |      + least(stop_ratio * 10.0, CAST(1.0 AS DOUBLE)) * 0.3
-        |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
-        |      AS quality_score,
-        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-        |         ELSE 'zh' END AS lang_pred
-        |  FROM s),
-        |kept AS (
-        |  SELECT * FROM q WHERE lang_pred = 'en' AND quality_score >= 0.6),
-        |dd AS (
-        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        |  FROM kept),
-        |u AS (
-        |  SELECT doc_id, text, lang_pred, quality_score, n_words
-        |  FROM dd WHERE rn = 1),
-        |evt AS (SELECT string_split(text, ' ') AS t FROM documents
-        |        WHERE doc_id % 37 = 0),
-        |evg AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 11, 1)),
-        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
-        |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
-        |      t[i+12])))) AS gram
-        |  FROM evt),
-        |ug AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 11, 1)),
-        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
-        |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
-        |      t[i+12])))) AS gram
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM u)),
-        |contam AS (SELECT DISTINCT ug.doc_id FROM ug JOIN evg USING (gram))
-        |SELECT u.doc_id, u.lang_pred, u.quality_score,
-        |  u.n_words AS tokens
-        |FROM u LEFT JOIN contam c ON u.doc_id = c.doc_id
-        |WHERE c.doc_id IS NULL ORDER BY u.doc_id""".stripMargin,
+      s"""WITH $curateOracleCtes
+         |SELECT u.doc_id, u.lang_pred, u.quality_score,
+         |  u.n_words AS tokens
+         |FROM u LEFT JOIN contam c ON u.doc_id = c.doc_id
+         |WHERE c.doc_id IS NULL ORDER BY u.doc_id""".stripMargin,
+    // x45: the curated survivors split by the x30 hash thresholds, then
+    // packed by the x31 exclusive-prefix-sum bins within (split, shard)
+    "x45_curate_pack" ->
+      s"""WITH $curateOracleCtes,
+         |cur AS (
+         |  SELECT u.doc_id, u.n_words AS tokens
+         |  FROM u LEFT JOIN contam c ON u.doc_id = c.doc_id
+         |  WHERE c.doc_id IS NULL),
+         |sp AS (
+         |  SELECT doc_id, tokens,
+         |    CASE
+         |      WHEN ${hex15.format("CAST(doc_id AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+         |      WHEN ${hex15.format("CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'val'
+         |      WHEN ${hex15.format("CAST(doc_id AS VARCHAR)")} % 10000 < 10000 THEN 'test'
+         |      ELSE 'rest' END AS split,
+         |    ${hex15.format("CAST(doc_id AS VARCHAR)")} % 4 AS shard
+         |  FROM cur)
+         |SELECT doc_id, split, tokens, shard,
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY split, shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) // 2000 AS bin
+         |FROM sp ORDER BY doc_id""".stripMargin,
     // x44: the whole k-means derivation re-done relationally — seeds =
     // 8 lowest ids, 2 Lloyd steps with means rounded to 6 dp (kills
     // accumulation-order noise), sqdist expanded as v·v − 2 v·c + c·c so
