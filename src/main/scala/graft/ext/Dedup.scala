@@ -61,14 +61,24 @@ object Dedup {
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
   /** Word n-gram shingles, distinct. Yields an empty array for docs with
-    * fewer than `n` tokens (sequence(0, negative) would otherwise count
-    * DOWN and feed element_at index 0 — a runtime error). */
+    * fewer than `n` tokens.
+    *
+    * Built with zip_with over shifted slices, NOT element_at inside a
+    * transform lambda: a lambda body re-evaluates captured expressions per
+    * ELEMENT, so element_at(split(text), i+k) costs n full re-splits per
+    * gram — O(n·len²) per document (the known HOF inline blowup; at n=13
+    * it made curation's decontamination stage the corpus bottleneck:
+    * 12.1 s → 1.5 s at sf0.1). zip_with evaluates its operand arrays once
+    * per ROW; concat propagates the null padding of the short side, so the
+    * tail yields nulls — filtered before dedup. */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
-    val sh = array_distinct(transform(
-      sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
-    when(size(w) >= n, sh).otherwise(array().cast("array<string>"))
+    val grams = (1 until n).foldLeft(w) { (acc, k) =>
+      zip_with(acc, slice(w, lit(k + 1), greatest(size(w) - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(w) >= n, array_distinct(filter(grams, _.isNotNull)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact dedup groups: one row per distinct content hash with the
