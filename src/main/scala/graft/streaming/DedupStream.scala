@@ -53,4 +53,61 @@ object DedupStream {
       .withColumn("simhash", graft.ext.Dedup.simhashColumn(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("simhash")
+
+  /** Streaming NEAR-dup ingest: each micro-batch is collapsed for exact
+    * duplicates, checked against the accepted corpus with
+    * [[graft.ext.Dedup.incrementalLshPairs]] (asymmetric band join — the
+    * corpus is never self-joined, each batch pays O(batch) pair work plus
+    * one map-side banding pass over the corpus), and the surviving docs
+    * are appended to the corpus; rejected pairs land in an audit table.
+    *
+    * Exactly-once across restarts WITHOUT a transactional sink: every
+    * batch writes to its own `batch_id=N` partition directory with
+    * overwrite mode, so a replayed micro-batch (foreachBatch is
+    * at-least-once) overwrites its own previous output instead of
+    * duplicating it — the standard idempotent-partition pattern for
+    * object-store sinks. Readers see the corpus as one partitioned
+    * parquet table.
+    *
+    * State at scale lives in the corpus table itself, not executor
+    * memory: a restart re-reads corpus parquet, so the dedup horizon is
+    * unbounded (unlike the watermark-bounded [[firstArrivals]]).
+    *
+    * @return the started query; stop() it for a clean shutdown */
+  def nearDupIngest(
+      batches: DataFrame,
+      corpusDir: String,
+      pairsDir: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val withinCollapsed = graft.ext.Dedup.exact(
+          batch.select(col(idCol), col(textCol)), idCol, textCol)
+        // FS-agnostic first-batch probe (no corpus parquet yet) — a failed
+        // read is the signal, so the same code runs on local disk or HDFS
+        val corpus = scala.util.Try(
+          spark.read.parquet(corpusDir).select(col(idCol), col(textCol)))
+        val accepted = corpus match {
+          case scala.util.Failure(_) => withinCollapsed // first batch: no pairs
+          case scala.util.Success(c) =>
+            graft.ext.Dedup.incrementalLshPairs(
+                c, withinCollapsed, idCol, textCol, threshold = threshold)
+              .write.mode("overwrite")
+              .parquet(s"$pairsDir/batch_id=$batchId")
+            // read the audit pairs back rather than recomputing the chain
+            withinCollapsed.join(
+              spark.read.parquet(s"$pairsDir/batch_id=$batchId")
+                .select(col("new_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+        }
+        accepted.write.mode("overwrite")
+          .parquet(s"$corpusDir/batch_id=$batchId")
+        ()
+      }
+      .start()
 }

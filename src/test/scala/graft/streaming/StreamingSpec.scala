@@ -127,6 +127,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: corpus grows, near/exact dups rejected with audit pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val corpusDir = s"$dir/corpus"
+    val pairsDir = s"$dir/pairs"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = DedupStream.nearDupIngest(
+      stream.toDS().toDF("doc_id", "text"), corpusDir, pairsDir,
+      "doc_id", "text", checkpointDir = s"$dir/ckpt")
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again today"
+      val b = "an entirely different document about spark shuffles and windows here"
+      // batch 0: an exact in-batch duplicate collapses before ingest
+      stream.addData(Seq((1L, a), (2L, a), (3L, b)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpusDir).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 3L))
+      // batch 1: near-dup of a (1-word change), exact dup of b, one fresh doc
+      val a2 = a.replace("today", "tomorrow")
+      val fresh = "completely unrelated vocabulary with many novel words in sequence"
+      stream.addData(Seq((10L, a2), (11L, b), (12L, fresh)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpusDir).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 3L, 12L),
+        "near/exact dups of corpus docs must be rejected, fresh docs accepted")
+      val pairs = spark.read.parquet(pairsDir)
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((10L, 1L)), s"missing near-dup audit pair in $pairs")
+      assert(pairs.contains((11L, 3L)), s"missing exact-dup audit pair in $pairs")
+    } finally q.stop()
+  }
+
   test("streaming simhash dedup suppresses reordered near-dups, keeps distinct docs") {
     import java.sql.Timestamp
     // doc B is a token reordering of doc A → identical simhash (votes are
