@@ -330,6 +330,98 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Product-quantization (PQ) training: the vector space is cut into `m`
+    * contiguous subspaces of `subDim` dimensions and an independent
+    * deterministic k-means (same discipline as [[kmeansCentroids]]: seeds =
+    * the `k` lowest-id vectors' slices, means rounded to 6 dp per
+    * iteration, ties by cid) runs per subspace. Returns (sub, cid, c).
+    *
+    * This is the FAISS-PQ memory layout: a corpus vector compresses to `m`
+    * small codes (here `m` rows of one int — a production sink would pack
+    * them into bytes: m·log₂k bits per vector instead of 4·dim bytes, a
+    * 32× compression at the default geometry). All subspaces train in ONE
+    * plan — the subspace id is just another grouping column, so the
+    * per-subspace k-means runs as one shuffle over (vid, sub) rows, not m
+    * sequential jobs. */
+  def pqCentroids(
+      corpus: DataFrame, m: Int = 8, subDim: Int = 8, k: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subVecs = pqSubVectors(corpus, m, subDim, idCol, vecCol)
+    val seed = pqSubVectors(
+        corpus.orderBy(col(idCol)).limit(k), m, subDim, idCol, vecCol)
+      .select(col("sub"), col("vid").cast("int").as("cid"),
+        col("v").cast("array<double>").as("c"))
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      pqAssign(subVecs, cents)
+        .select(col("sub"), col("cid"),
+          posexplode(col("v").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("mu"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mu")))),
+          _.getField("mu")).as("c"))
+    }
+  }
+
+  /** (vid, sub, v): each vector exploded into its `m` subspace slices —
+    * map-side, one row per (vector, subspace). */
+  private def pqSubVectors(
+      vecs: DataFrame, m: Int, subDim: Int,
+      idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("vid"),
+        explode(array((0 until m).map(s => struct(lit(s).as("sub"),
+          slice(col(vecCol), s * subDim + 1, subDim).as("v"))): _*)).as("e"))
+      .select(col("vid"), col("e.sub").as("sub"), col("e.v").as("v"))
+
+  /** Nearest-centroid assignment per (vector, subspace): (vid, sub, v, cid).
+    * Broadcast m·k centroid rows; argmin by (sqDist, cid) via a window
+    * partitioned by (vid, sub) — as fine-grained as the rows themselves. */
+  private def pqAssign(subVecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vid"), col("sub"))
+      .orderBy(col("graft_dist"), col("cid"))
+    subVecs.join(broadcast(cents), Seq("sub"))
+      .withColumn("graft_dist", sqDist(col("v"), col("c")))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .select(col("vid"), col("sub"), col("v"), col("cid"))
+  }
+
+  /** PQ approximate top-k by asymmetric distance (ADC): the corpus is
+    * represented ONLY by its codes (m small ints per vector); each query
+    * computes an m×k distance table to the trained centroids (tiny,
+    * broadcast), and a candidate's approximate distance is the sum of m
+    * table lookups — never a full-vector scan of the corpus at query time.
+    *
+    * Scale shape: encode = one broadcast-assign pass (m rows/vector);
+    * scoring joins codes⋈table on (sub, cid) — hash equi-join, partial-agg
+    * sum per (query, candidate) — and only the per-query top-k shuffles.
+    * Returns (query_id, neighbor_id, adist, rank ≤ `topK`), ranked by
+    * ascending approximate distance (ties by neighbor id). */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, topK: Int, m: Int = 8,
+      subDim: Int = 8, k: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = pqCentroids(corpus, m, subDim, k, iters, idCol, vecCol)
+    val codes = pqAssign(pqSubVectors(corpus, m, subDim, idCol, vecCol), cents)
+      .select(col("vid").as("neighbor_id"), col("sub"), col("cid"))
+    val qTable = pqSubVectors(queries, m, subDim, idCol, vecCol)
+      .select(col("vid").as("query_id"), col("sub"), col("v"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        sqDist(col("v"), col("c")).as("qd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    codes.join(broadcast(qTable), Seq("sub", "cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("qd")), 4).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded subset (exact,
     * O(n²) — bound the input; the scale path buckets first like ivfTopK). */
   def cosinePairs(

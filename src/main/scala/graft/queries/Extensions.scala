@@ -673,6 +673,18 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x46 — product-quantization ANN ([[Similarity.pqTopK]]): 8 subspaces ×
+    * 16 codes, deterministic per-subspace k-means (seeds = 16 lowest-id
+    * vectors' slices, 2 iterations, 6-dp means), asymmetric-distance
+    * scoring from the m×k query table. The oracle re-derives every
+    * subspace's clustering, the corpus codes AND the ADC sums relationally
+    * — the whole compression pipeline is value-checked. */
+  def x46(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -798,7 +810,8 @@ object Extensions {
     "x42_term_search" -> (x42 _),
     "x43_curate" -> (x43 _),
     "x44_ann_kmeans" -> (x44 _),
-    "x45_curate_pack" -> (x45 _)
+    "x45_curate_pack" -> (x45 _),
+    "x46_ann_pq" -> (x46 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1663,6 +1676,68 @@ object Extensions {
         |      ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x46: the full PQ derivation — per-subspace k-means (the x44 recipe
+    // with `sub` as one more grouping column), corpus codes, and the ADC
+    // distance sums, all re-done relationally; adist rounds BEFORE ranking
+    // on both engines so sum-order noise below 5e-5 cannot flip a rank
+    "x46_ann_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, r.sub, v[r.sub*8+1 : r.sub*8+8] AS vs
+        |  FROM e, range(8) r(sub)),
+        |c0 AS (
+        |  SELECT sub, CAST(vec_id AS INT) AS cid, vs AS c FROM sv
+        |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+        |a1 AS (
+        |  SELECT vec_id, sub, vs, cid FROM (
+        |    SELECT sv.vec_id, sv.sub, sv.vs, c0.cid,
+        |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+        |        list_dot_product(sv.vs, sv.vs) - 2.0 * list_dot_product(sv.vs, c0.c)
+        |          + list_dot_product(c0.c, c0.c), c0.cid) AS rn
+        |    FROM sv JOIN c0 USING (sub)) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT sub, cid, list(mu ORDER BY pos) AS c FROM (
+        |    SELECT sub, cid, pos, round(avg(x), 6) AS mu
+        |    FROM (SELECT sub, cid, unnest(vs) AS x, unnest(range(len(vs))) AS pos FROM a1)
+        |    GROUP BY sub, cid, pos) GROUP BY sub, cid),
+        |a2 AS (
+        |  SELECT vec_id, sub, vs, cid FROM (
+        |    SELECT a.vec_id, a.sub, a.vs, c1.cid,
+        |      row_number() OVER (PARTITION BY a.vec_id, a.sub ORDER BY
+        |        list_dot_product(a.vs, a.vs) - 2.0 * list_dot_product(a.vs, c1.c)
+        |          + list_dot_product(c1.c, c1.c), c1.cid) AS rn
+        |    FROM a1 a JOIN c1 USING (sub)) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT sub, cid, list(mu ORDER BY pos) AS c FROM (
+        |    SELECT sub, cid, pos, round(avg(x), 6) AS mu
+        |    FROM (SELECT sub, cid, unnest(vs) AS x, unnest(range(len(vs))) AS pos FROM a2)
+        |    GROUP BY sub, cid, pos) GROUP BY sub, cid),
+        |af AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT sv.vec_id, sv.sub, c2.cid,
+        |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+        |        list_dot_product(sv.vs, sv.vs) - 2.0 * list_dot_product(sv.vs, c2.c)
+        |          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
+        |    FROM sv JOIN c2 USING (sub)) WHERE rn = 1),
+        |qt AS (
+        |  SELECT sv.vec_id AS query_id, sv.sub, c2.cid,
+        |    list_dot_product(sv.vs, sv.vs) - 2.0 * list_dot_product(sv.vs, c2.c)
+        |      + list_dot_product(c2.c, c2.c) AS qd
+        |  FROM sv JOIN c2 USING (sub) WHERE sv.vec_id < 10),
+        |adc AS (
+        |  SELECT qt.query_id, af.vec_id AS neighbor_id, round(sum(qt.qd), 4) AS adist
+        |  FROM af JOIN qt ON af.sub = qt.sub AND af.cid = qt.cid
+        |    AND af.vec_id != qt.query_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, adist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist, neighbor_id) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, adist, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -858,6 +858,36 @@ class ExtSpec extends SparkSpec {
       cents.forall { case (k, v) => v sameElements again(k) })
   }
 
+  test("pqCentroids: per-subspace rounded means on a handcrafted corpus") {
+    // 4-dim vectors, m=2 subspaces of 2 dims, k=2 codes, 1 Lloyd step;
+    // seeds = vectors 0 and 1
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.4f, 0f, 9f, 10f)),
+      (3L, Array(0.6f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.pqCentroids(vecs, m = 2, subDim = 2, k = 2, iters = 1)
+      .as[(Int, Int, Array[Double])].collect()
+      .map { case (sub, cid, c) => (sub, cid) -> c.toSeq }.toMap
+    assert(cents((0, 0)) == Seq(0.2, 0.0)) // mean of subspace-0 slices of {0,2}
+    assert(cents((0, 1)) == Seq(0.8, 0.0)) // {1,3}
+    assert(cents((1, 0)) == Seq(9.5, 10.0)) // subspace-1 slices of {0,2}
+    assert(cents((1, 1)) == Seq(0.5, 0.0)) // {1,3}
+  }
+
+  test("pqTopK: deterministic full-coverage ADC ranking, adist >= 0") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    def run() = Similarity.pqTopK(emb, queries, topK = 3)
+      .select("query_id", "neighbor_id", "adist", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val a = run()
+    assert(a.length == 5 * 3, "every query must fill its top-k (ADC scores all candidates)")
+    assert(a.forall(_._3 >= 0.0), "squared distances cannot be negative")
+    assert(a.sameElements(run()), "PQ pipeline must be run-to-run deterministic")
+  }
+
   test("kmeansIvfTopK: neighbors carry exact cosines; recall vs brute force") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
