@@ -118,7 +118,14 @@ object Plans {
           "windows partition by vector id (as fine-grained as the data); " +
           "the probed-cell scoring join is a BroadcastHashJoin on cid. " +
           "No SortMergeJoin, no cartesian anywhere.",
-        queries.Extensions.x44))
+        queries.Extensions.x44),
+      Entry("x46_ann_pq",
+        "PQ at scale: training + encoding touch the corpus only through " +
+          "(vid, sub)-windowed broadcast assigns; ADC scoring joins the " +
+          "codes to each query's broadcast m×k distance table on " +
+          "(sub, cid) and partial-aggregates the per-candidate sum — the " +
+          "raw vectors never reach the scoring join.",
+        queries.Extensions.x46))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative declared queries\n\n")

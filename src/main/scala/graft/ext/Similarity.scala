@@ -277,16 +277,18 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: (vid, v, cid). Broadcast k rows, argmin
-    * by (sqDist, cid) via a per-vector window. */
-  private def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(col("graft_dist"), col("cid"))
+    * by (sqDist, cid) as `min(struct(dist, cid, v))` — struct ordering IS
+    * the lexicographic (dist, cid) argmin with the deterministic tie-break
+    * ((dist, cid) is unique per group, so `v` never participates in the
+    * comparison), and unlike a row_number window it partial-aggregates
+    * map-side: the shuffle carries one pre-combined row per vector, not
+    * the ×k candidate expansion. */
+  private def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("graft_dist", sqDist(col("v"), col("c")))
-      .withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1)
-      .select(col("vid"), col("v"), col("cid"))
-  }
+      .groupBy(col("vid"))
+      .agg(min(struct(col("graft_dist"), col("cid"), col("v"))).as("m"))
+      .select(col("vid"), col("m.v").as("v"), col("m.cid").as("cid"))
 
   /** k-means IVF approximate top-k: train [[kmeansCentroids]], assign the
     * corpus once, probe each query's `nProbe` nearest cells, exact cosine
@@ -376,17 +378,15 @@ object Similarity {
       .select(col("vid"), col("e.sub").as("sub"), col("e.v").as("v"))
 
   /** Nearest-centroid assignment per (vector, subspace): (vid, sub, v, cid).
-    * Broadcast m·k centroid rows; argmin by (sqDist, cid) via a window
-    * partitioned by (vid, sub) — as fine-grained as the rows themselves. */
-  private def pqAssign(subVecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vid"), col("sub"))
-      .orderBy(col("graft_dist"), col("cid"))
+    * Broadcast m·k centroid rows; argmin via the same map-side-combined
+    * `min(struct(dist, cid, v))` as [[assignToCentroids]] — the shuffle
+    * carries one row per (vector, subspace), not the ×k expansion. */
+  private def pqAssign(subVecs: DataFrame, cents: DataFrame): DataFrame =
     subVecs.join(broadcast(cents), Seq("sub"))
       .withColumn("graft_dist", sqDist(col("v"), col("c")))
-      .withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1)
-      .select(col("vid"), col("sub"), col("v"), col("cid"))
-  }
+      .groupBy(col("vid"), col("sub"))
+      .agg(min(struct(col("graft_dist"), col("cid"), col("v"))).as("m"))
+      .select(col("vid"), col("sub"), col("m.v").as("v"), col("m.cid").as("cid"))
 
   /** PQ approximate top-k by asymmetric distance (ADC): the corpus is
     * represented ONLY by its codes (m small ints per vector); each query

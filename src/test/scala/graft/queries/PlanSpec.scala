@@ -118,6 +118,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"curate plan has a cartesian:\n$p")
   }
 
+  test("x46: PQ codes join the query table broadcast; no raw-vector scoring join") {
+    val p = plan(Extensions.x46(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"ADC join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"PQ corpus got sort-merge-joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"PQ plan has a cartesian:\n$p")
+  }
+
   test("x44: centroid/probe sides broadcast; corpus never sort-merge-joined") {
     val p = plan(Extensions.x44(spark, sf))
     // centroid frame (k rows) rides BroadcastNestedLoopJoin; the probe
