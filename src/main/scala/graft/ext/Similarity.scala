@@ -302,6 +302,24 @@ object Similarity {
     * broadcast (queries × nProbe rows); scored work is the probed cells
     * only — at scale ~nProbe/k of the corpus per query, never O(n²).
     * Returns (query_id, neighbor_id, cos, rank ≤ `topK`). */
+  /** Each query's `nProbe` nearest centroid cells: (query_id, qv, qn, cid).
+    * The query side is small by construction — a per-query rank window over
+    * queries×k rows is as fine-grained as the data. */
+  private def probeCells(
+      queries: DataFrame, cents: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("graft_dist"), col("cid"))
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .crossJoin(broadcast(cents))
+      .withColumn("graft_dist", sqDist(col("qv"), col("c")))
+      .withColumn("graft_rn", row_number().over(pw))
+      .filter(col("graft_rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+  }
+
   def kmeansIvfTopK(
       corpus: DataFrame, queries: DataFrame, topK: Int, k: Int = 8,
       iters: Int = 2, nProbe: Int = 2,
@@ -310,17 +328,7 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val assigned = assignToCentroids(vecs, cents)
       .withColumn("cn", norm(col("v")))
-
-    val pw = Window.partitionBy(col("query_id"))
-      .orderBy(col("graft_dist"), col("cid"))
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .crossJoin(broadcast(cents))
-      .withColumn("graft_dist", sqDist(col("qv"), col("c")))
-      .withColumn("graft_rn", row_number().over(pw))
-      .filter(col("graft_rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    val probes = probeCells(queries, cents, nProbe, idCol, vecCol)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -399,11 +407,12 @@ object Similarity {
     * sum per (query, candidate) — and only the per-query top-k shuffles.
     * Returns (query_id, neighbor_id, adist, rank ≤ `topK`), ranked by
     * ascending approximate distance (ties by neighbor id). */
-  def pqTopK(
-      corpus: DataFrame, queries: DataFrame, topK: Int, m: Int = 8,
-      subDim: Int = 8, k: Int = 16, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = pqCentroids(corpus, m, subDim, k, iters, idCol, vecCol)
+  /** Corpus codes (neighbor_id, sub, cid) + each query's m×k ADC distance
+    * table (query_id, sub, cid, qd) for the given trained PQ centroids. */
+  private def pqCodesAndTable(
+      corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+      m: Int, subDim: Int,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     val codes = pqAssign(pqSubVectors(corpus, m, subDim, idCol, vecCol), cents)
       .select(col("vid").as("neighbor_id"), col("sub"), col("cid"))
     val qTable = pqSubVectors(queries, m, subDim, idCol, vecCol)
@@ -411,6 +420,38 @@ object Similarity {
       .join(broadcast(cents), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"),
         sqDist(col("v"), col("c")).as("qd"))
+    (codes, qTable)
+  }
+
+  /** ADC ranking of explicit (query, candidate) rows: join each
+    * candidate's m codes (shuffle-hash — the codes side needs no sort and
+    * builds per-partition hash tables), look up the broadcast query table,
+    * sum, round BEFORE ranking (both engines do), rank ascending with id
+    * ties. */
+  private def adcRank(
+      candidates: DataFrame, codes: DataFrame, qTable: DataFrame,
+      topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    candidates
+      .join(codes.hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(broadcast(qTable), Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("qd")), 4).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+  }
+
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, topK: Int, m: Int = 8,
+      subDim: Int = 8, k: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = pqCentroids(corpus, m, subDim, k, iters, idCol, vecCol)
+    val (codes, qTable) = pqCodesAndTable(
+      corpus, queries, cents, m, subDim, idCol, vecCol)
+    // full ADC scores every candidate: no candidate frame needed — the
+    // codes⋈table equi-join on (sub, cid) enumerates them implicitly
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     codes.join(broadcast(qTable), Seq("sub", "cid"))
@@ -420,6 +461,42 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+  }
+
+  /** IVF-PQ: the coarse k-means quantizer ([[kmeansCentroids]]) restricts
+    * candidates to each query's `nProbe` nearest cells, and PQ codes
+    * ([[pqCentroids]]) score them by asymmetric distance — the standard
+    * billion-scale layout (an inverted file of cells whose entries are
+    * compressed codes). vs [[pqTopK]]: scoring work drops from the whole
+    * corpus to ~nProbe/k of it per query; vs [[kmeansIvfTopK]]: the probed
+    * cells are scored from codes, never raw vectors — at scale the raw
+    * embeddings are read ONCE at train/encode time and the query path
+    * touches only (cell id, m codes) per corpus vector.
+    *
+    * This variant quantizes raw vectors (not residuals): candidate
+    * RESTRICTION comes from the coarse cells, candidate ORDER from the
+    * same ADC sums as x46 — so the oracle composes the two derivations
+    * unchanged. Returns (query_id, neighbor_id, adist, rank ≤ `topK`). */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, topK: Int,
+      coarseK: Int = 8, nProbe: Int = 2, m: Int = 8, subDim: Int = 8,
+      pqK: Int = 16, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coarse = kmeansCentroids(corpus, coarseK, iters, idCol, vecCol)
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val cellOf = assignToCentroids(vecs, coarse)
+      .select(col("vid").as("neighbor_id"), col("cid").as("cell"))
+    val probes = probeCells(queries, coarse, nProbe, idCol, vecCol)
+      .select(col("query_id"), col("cid").as("cell"))
+
+    val pqCents = pqCentroids(corpus, m, subDim, pqK, iters, idCol, vecCol)
+    val (codes, qTable) = pqCodesAndTable(
+      corpus, queries, pqCents, m, subDim, idCol, vecCol)
+
+    val candidates = cellOf.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    adcRank(candidates, codes, qTable, topK)
   }
 
   /** Embedding-cosine near-duplicate pairs over a bounded subset (exact,

@@ -685,6 +685,17 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** x47 — IVF-PQ ANN ([[Similarity.ivfPqTopK]]): the x44 coarse quantizer
+    * restricts candidates to 2 probed cells per query, the x46 PQ codes
+    * rank them by ADC — the standard billion-scale layout (inverted file
+    * of cells, entries are compressed codes; raw vectors never touched at
+    * query time). Oracle = the two gated derivations composed. */
+  def x47(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -811,7 +822,8 @@ object Extensions {
     "x43_curate" -> (x43 _),
     "x44_ann_kmeans" -> (x44 _),
     "x45_curate_pack" -> (x45 _),
-    "x46_ann_pq" -> (x46 _)
+    "x46_ann_pq" -> (x46 _),
+    "x47_ann_ivfpq" -> (x47 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -875,6 +887,103 @@ object Extensions {
       |      t[i+12])))) AS gram
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM u)),
       |contam AS (SELECT DISTINCT ug.doc_id FROM ug JOIN evg USING (gram))""".stripMargin
+
+  /** Shared DuckDB scaffolding for the ANN oracles (x44/x46/x47):
+    * double-cast embeddings, the deterministic coarse k-means derivation
+    * (seeds = 8 lowest ids, 2 Lloyd steps, 6-dp means), and the
+    * per-subspace PQ derivation (names s-prefixed so both chains can
+    * coexist in one WITH clause). Text identical to the original tested
+    * oracles — x47 composes the two unchanged. */
+  private val annEmbCte: String =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  private val kmeansTrainCtes: String =
+    """c0 AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
+      |a1 AS (
+      |  SELECT vid, v, cid FROM (
+      |    SELECT e.vec_id AS vid, e.v AS v, c0.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c0.c)
+      |          + list_dot_product(c0.c, c0.c), c0.cid) AS rn
+      |    FROM e, c0) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+      |    SELECT cid, pos, round(avg(x), 6) AS m
+      |    FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a1)
+      |    GROUP BY cid, pos) GROUP BY cid),
+      |a2 AS (
+      |  SELECT vid, v, cid FROM (
+      |    SELECT a.vid, a.v, c1.cid,
+      |      row_number() OVER (PARTITION BY a.vid ORDER BY
+      |        list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, c1.c)
+      |          + list_dot_product(c1.c, c1.c), c1.cid) AS rn
+      |    FROM a1 a, c1) WHERE rn = 1),
+      |c2 AS (
+      |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+      |    SELECT cid, pos, round(avg(x), 6) AS m
+      |    FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a2)
+      |    GROUP BY cid, pos) GROUP BY cid),
+      |af AS (
+      |  SELECT vid, v, cid FROM (
+      |    SELECT e.vec_id AS vid, e.v, c2.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c2.c)
+      |          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
+      |    FROM e, c2) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cid FROM (
+      |    SELECT e.vec_id AS query_id, e.v AS qv, c2.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c2.c)
+      |          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
+      |    FROM e, c2 WHERE e.vec_id < 10) WHERE rn <= 2)""".stripMargin
+
+  private val pqCtes: String =
+    """sv AS (
+      |  SELECT vec_id, r.sub, v[r.sub*8+1 : r.sub*8+8] AS vs
+      |  FROM e, range(8) r(sub)),
+      |sc0 AS (
+      |  SELECT sub, CAST(vec_id AS INT) AS cid, vs AS c FROM sv
+      |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+      |sa1 AS (
+      |  SELECT vec_id, sub, vs, cid FROM (
+      |    SELECT sv.vec_id, sv.sub, sv.vs, sc0.cid,
+      |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+      |        list_dot_product(sv.vs, sv.vs) - 2.0 * list_dot_product(sv.vs, sc0.c)
+      |          + list_dot_product(sc0.c, sc0.c), sc0.cid) AS rn
+      |    FROM sv JOIN sc0 USING (sub)) WHERE rn = 1),
+      |sc1 AS (
+      |  SELECT sub, cid, list(mu ORDER BY pos) AS c FROM (
+      |    SELECT sub, cid, pos, round(avg(x), 6) AS mu
+      |    FROM (SELECT sub, cid, unnest(vs) AS x, unnest(range(len(vs))) AS pos FROM sa1)
+      |    GROUP BY sub, cid, pos) GROUP BY sub, cid),
+      |sa2 AS (
+      |  SELECT vec_id, sub, vs, cid FROM (
+      |    SELECT a.vec_id, a.sub, a.vs, sc1.cid,
+      |      row_number() OVER (PARTITION BY a.vec_id, a.sub ORDER BY
+      |        list_dot_product(a.vs, a.vs) - 2.0 * list_dot_product(a.vs, sc1.c)
+      |          + list_dot_product(sc1.c, sc1.c), sc1.cid) AS rn
+      |    FROM sa1 a JOIN sc1 USING (sub)) WHERE rn = 1),
+      |sc2 AS (
+      |  SELECT sub, cid, list(mu ORDER BY pos) AS c FROM (
+      |    SELECT sub, cid, pos, round(avg(x), 6) AS mu
+      |    FROM (SELECT sub, cid, unnest(vs) AS x, unnest(range(len(vs))) AS pos FROM sa2)
+      |    GROUP BY sub, cid, pos) GROUP BY sub, cid),
+      |saf AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT sv.vec_id, sv.sub, sc2.cid,
+      |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+      |        list_dot_product(sv.vs, sv.vs) - 2.0 * list_dot_product(sv.vs, sc2.c)
+      |          + list_dot_product(sc2.c, sc2.c), sc2.cid) AS rn
+      |    FROM sv JOIN sc2 USING (sub)) WHERE rn = 1),
+      |sqt AS (
+      |  SELECT sv.vec_id AS query_id, sv.sub, sc2.cid,
+      |    list_dot_product(sv.vs, sv.vs) - 2.0 * list_dot_product(sv.vs, sc2.c)
+      |      + list_dot_product(sc2.c, sc2.c) AS qd
+      |  FROM sv JOIN sc2 USING (sub) WHERE sv.vec_id < 10)""".stripMargin
 
   private val hex15 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
   private def mh(i: Int) = hex15.format(s"'$i:' || s")
@@ -1621,123 +1730,64 @@ object Extensions {
     // accumulation-order noise), sqdist expanded as v·v − 2 v·c + c·c so
     // both engines run the same three sequential dot products
     "x44_ann_kmeans" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |c0 AS (
-        |  SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
-        |a1 AS (
-        |  SELECT vid, v, cid FROM (
-        |    SELECT e.vec_id AS vid, e.v AS v, c0.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c0.c)
-        |          + list_dot_product(c0.c, c0.c), c0.cid) AS rn
-        |    FROM e, c0) WHERE rn = 1),
-        |c1 AS (
-        |  SELECT cid, list(m ORDER BY pos) AS c FROM (
-        |    SELECT cid, pos, round(avg(x), 6) AS m
-        |    FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a1)
-        |    GROUP BY cid, pos) GROUP BY cid),
-        |a2 AS (
-        |  SELECT vid, v, cid FROM (
-        |    SELECT a.vid, a.v, c1.cid,
-        |      row_number() OVER (PARTITION BY a.vid ORDER BY
-        |        list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, c1.c)
-        |          + list_dot_product(c1.c, c1.c), c1.cid) AS rn
-        |    FROM a1 a, c1) WHERE rn = 1),
-        |c2 AS (
-        |  SELECT cid, list(m ORDER BY pos) AS c FROM (
-        |    SELECT cid, pos, round(avg(x), 6) AS m
-        |    FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a2)
-        |    GROUP BY cid, pos) GROUP BY cid),
-        |af AS (
-        |  SELECT vid, v, cid FROM (
-        |    SELECT e.vec_id AS vid, e.v, c2.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c2.c)
-        |          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
-        |    FROM e, c2) WHERE rn = 1),
-        |probes AS (
-        |  SELECT query_id, qv, cid FROM (
-        |    SELECT e.vec_id AS query_id, e.v AS qv, c2.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c2.c)
-        |          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
-        |    FROM e, c2 WHERE e.vec_id < 10) WHERE rn <= 2),
-        |scored AS (
-        |  SELECT p.query_id, af.vid AS neighbor_id,
-        |    list_dot_product(p.qv, af.v)
-        |      / (sqrt(list_dot_product(p.qv, p.qv))
-        |         * sqrt(list_dot_product(af.v, af.v))) AS cos
-        |  FROM probes p JOIN af USING (cid) WHERE af.vid != p.query_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $annEmbCte,
+         |$kmeansTrainCtes,
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid) WHERE af.vid != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // x46: the full PQ derivation — per-subspace k-means (the x44 recipe
     // with `sub` as one more grouping column), corpus codes, and the ADC
     // distance sums, all re-done relationally; adist rounds BEFORE ranking
     // on both engines so sum-order noise below 5e-5 cannot flip a rank
     "x46_ann_pq" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |sv AS (
-        |  SELECT vec_id, r.sub, v[r.sub*8+1 : r.sub*8+8] AS vs
-        |  FROM e, range(8) r(sub)),
-        |c0 AS (
-        |  SELECT sub, CAST(vec_id AS INT) AS cid, vs AS c FROM sv
-        |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
-        |a1 AS (
-        |  SELECT vec_id, sub, vs, cid FROM (
-        |    SELECT sv.vec_id, sv.sub, sv.vs, c0.cid,
-        |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
-        |        list_dot_product(sv.vs, sv.vs) - 2.0 * list_dot_product(sv.vs, c0.c)
-        |          + list_dot_product(c0.c, c0.c), c0.cid) AS rn
-        |    FROM sv JOIN c0 USING (sub)) WHERE rn = 1),
-        |c1 AS (
-        |  SELECT sub, cid, list(mu ORDER BY pos) AS c FROM (
-        |    SELECT sub, cid, pos, round(avg(x), 6) AS mu
-        |    FROM (SELECT sub, cid, unnest(vs) AS x, unnest(range(len(vs))) AS pos FROM a1)
-        |    GROUP BY sub, cid, pos) GROUP BY sub, cid),
-        |a2 AS (
-        |  SELECT vec_id, sub, vs, cid FROM (
-        |    SELECT a.vec_id, a.sub, a.vs, c1.cid,
-        |      row_number() OVER (PARTITION BY a.vec_id, a.sub ORDER BY
-        |        list_dot_product(a.vs, a.vs) - 2.0 * list_dot_product(a.vs, c1.c)
-        |          + list_dot_product(c1.c, c1.c), c1.cid) AS rn
-        |    FROM a1 a JOIN c1 USING (sub)) WHERE rn = 1),
-        |c2 AS (
-        |  SELECT sub, cid, list(mu ORDER BY pos) AS c FROM (
-        |    SELECT sub, cid, pos, round(avg(x), 6) AS mu
-        |    FROM (SELECT sub, cid, unnest(vs) AS x, unnest(range(len(vs))) AS pos FROM a2)
-        |    GROUP BY sub, cid, pos) GROUP BY sub, cid),
-        |af AS (
-        |  SELECT vec_id, sub, cid FROM (
-        |    SELECT sv.vec_id, sv.sub, c2.cid,
-        |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
-        |        list_dot_product(sv.vs, sv.vs) - 2.0 * list_dot_product(sv.vs, c2.c)
-        |          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
-        |    FROM sv JOIN c2 USING (sub)) WHERE rn = 1),
-        |qt AS (
-        |  SELECT sv.vec_id AS query_id, sv.sub, c2.cid,
-        |    list_dot_product(sv.vs, sv.vs) - 2.0 * list_dot_product(sv.vs, c2.c)
-        |      + list_dot_product(c2.c, c2.c) AS qd
-        |  FROM sv JOIN c2 USING (sub) WHERE sv.vec_id < 10),
-        |adc AS (
-        |  SELECT qt.query_id, af.vec_id AS neighbor_id, round(sum(qt.qd), 4) AS adist
-        |  FROM af JOIN qt ON af.sub = qt.sub AND af.cid = qt.cid
-        |    AND af.vec_id != qt.query_id
-        |  GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, adist,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adist, neighbor_id) AS rank
-        |  FROM adc)
-        |SELECT query_id, neighbor_id, adist, rank
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      s"""WITH $annEmbCte,
+         |$pqCtes,
+         |adc AS (
+         |  SELECT sqt.query_id, saf.vec_id AS neighbor_id,
+         |    round(sum(sqt.qd), 4) AS adist
+         |  FROM saf JOIN sqt ON saf.sub = sqt.sub AND saf.cid = sqt.cid
+         |    AND saf.vec_id != sqt.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist, neighbor_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, adist, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x47: IVF-PQ — the coarse chain restricts candidates to each query's
+    // probed cells, the PQ chain orders them by ADC; both derivations are
+    // the already-gated x44/x46 CTEs, composed verbatim
+    "x47_ann_ivfpq" ->
+      s"""WITH $annEmbCte,
+         |$kmeansTrainCtes,
+         |$pqCtes,
+         |cand AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id
+         |  FROM af JOIN probes p USING (cid) WHERE af.vid != p.query_id),
+         |adc AS (
+         |  SELECT c.query_id, c.neighbor_id, round(sum(sqt.qd), 4) AS adist
+         |  FROM cand c
+         |  JOIN saf ON saf.vec_id = c.neighbor_id
+         |  JOIN sqt ON sqt.query_id = c.query_id AND sqt.sub = saf.sub
+         |    AND sqt.cid = saf.cid
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist, neighbor_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, adist, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

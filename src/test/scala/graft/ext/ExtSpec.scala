@@ -888,6 +888,24 @@ class ExtSpec extends SparkSpec {
     assert(a.sameElements(run()), "PQ pipeline must be run-to-run deterministic")
   }
 
+  test("ivfPqTopK: cell-restricted candidates score identically to full PQ") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, topK = 3)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Double)].collect()
+    assert(ivfpq.nonEmpty)
+    // full-ADC reference: same PQ training, no cell restriction, huge topK
+    val full = Similarity.pqTopK(emb, queries, topK = 1000)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // IVF only RESTRICTS candidates; every emitted pair must carry the
+    // exact ADC distance the unrestricted scorer assigns it
+    ivfpq.foreach { case (q, n, d) =>
+      assert(full((q, n)) == d, s"adist mismatch for ($q,$n)") }
+  }
+
   test("kmeansIvfTopK: neighbors carry exact cosines; recall vs brute force") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 10)

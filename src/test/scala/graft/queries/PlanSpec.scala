@@ -125,6 +125,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"PQ plan has a cartesian:\n$p")
   }
 
+  test("x47: IVF-PQ keeps every corpus-side join broadcast, no cartesian") {
+    val p = plan(Extensions.x47(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"IVF-PQ joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"IVF-PQ corpus sort-merge-joined:\n$p")
+    assert(!p.contains("CartesianProduct"), s"IVF-PQ plan has a cartesian:\n$p")
+  }
+
   test("x44: centroid/probe sides broadcast; corpus never sort-merge-joined") {
     val p = plan(Extensions.x44(spark, sf))
     // centroid frame (k rows) rides BroadcastNestedLoopJoin; the probe
