@@ -125,7 +125,14 @@ object Plans {
           "codes to each query's broadcast m×k distance table on " +
           "(sub, cid) and partial-aggregates the per-candidate sum — the " +
           "raw vectors never reach the scoring join.",
-        queries.Extensions.x46))
+        queries.Extensions.x46),
+      Entry("x47_ann_ivfpq",
+        "IVF-PQ: probed-cell membership restricts candidates (broadcast " +
+          "probe join), then the candidate⋈codes join is SHUFFLE-HASH " +
+          "(hash build, no sort) and the m×k query table is broadcast — " +
+          "the query path touches cell ids and codes only, never raw " +
+          "vectors; no SortMergeJoin, no cartesian.",
+        queries.Extensions.x47))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative declared queries\n\n")
