@@ -739,6 +739,39 @@ object Dedup {
     matched.groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
   }
 
+  /** Graded contamination SCORE — [[contaminatedDocs]]'s boolean flag,
+    * refined to the fraction of each document's distinct word `n`-grams
+    * that appear in the eval set, so a pipeline can set a tolerance
+    * (e.g. drop > 10% overlap, keep incidental single-gram hits) instead
+    * of the all-or-nothing 1-gram knockout.
+    *
+    * Same physical shape as the broadcast decontamination path: eval
+    * grams deduped and broadcast; the corpus side is explode → broadcast
+    * LEFT join (hit = eval-gram matched) → one per-doc count/sum
+    * aggregation — the corpus shuffles only its (doc, 2 longs) partial
+    * aggregates. Docs with fewer than `n` tokens have no grams and are
+    * absent from the output (nothing to grade).
+    *
+    * Returns (idCol, n_grams, n_hits, contam_frac) with
+    * contam_frac = round(n_hits / n_grams, 4). */
+  def contaminationScore(
+      docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val evalGrams = evalDocs
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .withColumn("graft_hit", lit(1L))
+    docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("graft_hit")), lit(0L)).as("n_hits"))
+      .withColumn("contam_frac",
+        round(col("n_hits").cast("double") / col("n_grams"), 4))
+  }
+
   /** Exact pairwise token-Jaccard over a bounded subset — the verification /
     * small-data path (the scale path is `lshPairs`). O(n²) in the subset
     * size; callers MUST bound it. */

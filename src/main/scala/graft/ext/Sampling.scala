@@ -85,4 +85,44 @@ object Sampling {
     }
     df.withColumn("split", assign)
   }
+
+  /** Quality-ranked token-budget selection: keep the highest-quality
+    * documents whose RUNNING token total (in (qualityCol DESC, idCol ASC)
+    * order) stays within `budget` — the "take the best N tokens" step of a
+    * training-data recipe. Emits the kept rows plus their exact global
+    * running total `cum_tokens`.
+    *
+    * A naive global cumulative sum is `Window.orderBy` with no partition —
+    * one task scans the corpus. This is the two-phase distributed prefix
+    * sum instead: quality is bucketed (`floor(quality·granularity)` — a
+    * monotone function of the sort key, so bucket boundaries respect the
+    * global order), phase 1 aggregates per-bucket token totals (a few
+    * hundred rows — the only unpartitioned window runs over THEM), phase 2
+    * computes the within-bucket running sum with a window PARTITIONED BY
+    * bucket, and the global prefix is bucket-offset + within-bucket sum.
+    * Token counts are integral, so the two-phase total is exactly the
+    * single-scan total (the x49 oracle IS the naive global window, in
+    * DuckDB). Ties inside a bucket order by id; equal quality always lands
+    * in the same bucket, so the phase split never breaks the tie order. */
+  def tokenBudget(
+      df: DataFrame, idCol: String, tokenCol: String, qualityCol: String,
+      budget: Long, granularity: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qb = floor(col(qualityCol) * granularity).cast("long")
+    val withBucket = df.withColumn("graft_qb", qb)
+    val bucketTotals = withBucket.groupBy(col("graft_qb"))
+      .agg(sum(col(tokenCol)).as("graft_bt"))
+    val wb = Window.orderBy(col("graft_qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("graft_off", coalesce(sum(col("graft_bt")).over(wb), lit(0L)))
+      .select(col("graft_qb"), col("graft_off"))
+    val ww = Window.partitionBy(col("graft_qb"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBucket.join(broadcast(offsets), Seq("graft_qb"))
+      .withColumn("cum_tokens", col("graft_off") + sum(col(tokenCol)).over(ww))
+      .filter(col("cum_tokens") <= budget)
+      .drop("graft_qb", "graft_off")
+  }
 }

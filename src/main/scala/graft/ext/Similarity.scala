@@ -499,6 +499,39 @@ object Similarity {
     adcRank(candidates, codes, qTable, topK)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the deterministic coarse
+    * k-means ([[kmeansCentroids]]), then drop every vector whose CLUSTER
+    * contains a lower-id vector with cosine ≥ `threshold` — semantically
+    * redundant documents collapse to their lowest-id exemplar. Returns the
+    * survivors as (idCol, cell).
+    *
+    * The clustering is what bounds the quadratic: pairwise cosine runs only
+    * WITHIN a cell, so pair work is Σ|cell|² instead of corpus² — at scale
+    * `k` is sized so cells stay ~10⁴–10⁵ vectors (the paper clusters LAION
+    * into k≈110k cells). The pair join is hash-partitioned on cid; the
+    * per-cell work is embarrassingly parallel across cells. The assignment
+    * frame feeds the a-side, the b-side and the survivor anti-join, so it
+    * is materialized once ([[Dedup.materialize]] — reliable checkpoint
+    * under `graft.checkpointDir`) rather than re-running the 2-iteration
+    * training lineage three times. */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(corpus, k, iters, idCol, vecCol)
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val assigned = Dedup.materialize(
+      assignToCentroids(vecs, cents).withColumn("n", norm(col("v"))))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val dropped = a.join(b,
+        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
+      .filter(cosFrom(col("a.v"), col("a.n"), col("b.v"), col("b.n")) >= threshold)
+      .select(col("b.vid").as("vid")).distinct()
+    assigned.join(dropped, Seq("vid"), "left_anti")
+      .select(col("vid").as(idCol), col("cid").as("cell"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded subset (exact,
     * O(n²) — bound the input; the scale path buckets first like ivfTopK). */
   def cosinePairs(

@@ -147,6 +147,94 @@ object TextAnalysis {
         round(col("top_gram_count").cast("double") / col("n_grams"), 4))
   }
 
+  /** Feature buckets for the hashed linear classifier. */
+  val clfBuckets = 64
+
+  /** Fixed integer weights in [-1000, 1000] for the [[classifierColumns]]
+    * feature buckets, from a seeded 64-bit LCG (MMIX constants — same
+    * generator discipline as [[Similarity.signsFor]]): deterministic,
+    * data-independent literals that the x51 oracle SQL embeds verbatim, so
+    * both engines score identically. Integer weights make the per-document
+    * sum EXACT (long addition is order-free, unlike float accumulation), so
+    * the only float op is one final division, rounded to 4 dp. */
+  private[graft] lazy val clfWeights: Array[Long] = {
+    var state = 98765L
+    Array.fill(clfBuckets) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 33) % 2001L) - 1000L
+    }
+  }
+
+  /** Hashed-bag-of-words linear quality scorer — the shape of the
+    * fasttext-style model-based quality filters in CCNet/GPT-3-style
+    * pipelines (a linear model over hashed token features), with fixed
+    * public weights standing in for trained ones (training is out of
+    * scope; the SCORING path is what a 100 TB pipeline runs per document).
+    *
+    * Each distinct token hashes to one of [[clfBuckets]] buckets via the
+    * portable 60-bit md5 ([[PortableHash.md5Long]]); the document logit is
+    * the sum of its buckets' integer weights and the score normalizes by
+    * 1000·|tokens|, into [-1, 1]. Evaluated as ONE `aggregate` higher-order
+    * function over the token array — pure map-side expression, zero
+    * shuffle, scan-speed (the weight array is a foldable literal, constant-
+    * folded once, NOT rebuilt per element). Returns (n_feat, w_sum,
+    * clf_score) columns. */
+  def classifierColumns(text: Column): Seq[Column] = {
+    val weights = array(clfWeights.map(lit): _*)
+    val toks = Dedup.distinctTokens(text)
+    val wsum = aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(weights,
+        (pmod(PortableHash.md5Long(t), lit(clfBuckets.toLong)) + 1).cast("int")))
+    val n = size(toks).cast("long")
+    // deliberately UNROUNDED: the quotient of two exact integers is one
+    // IEEE division — bit-identical on any engine — while rounding to k dp
+    // can land on a half-way tie (w_sum/(n·1000) often has a short decimal
+    // expansion) where Spark's HALF_UP and a value-based round disagree
+    Seq(n.as("n_feat"), wsum.as("w_sum"),
+      (wsum.cast("double") / (n.cast("double") * 1000.0)).as("clf_score"))
+  }
+
+  /** Cross-document duplicate-n-gram coverage — the MassiveText/Dolma-style
+    * "duplicate n-gram fraction" signal: for each document, the share of
+    * its word-`n`-gram INSTANCES whose gram also occurs in at least one
+    * OTHER document (so doc-internal repetition alone does not count —
+    * that's [[repetition]]'s job). High coverage flags boilerplate that
+    * exact/near dedup missed because the surrounding page varies.
+    *
+    * Shape at scale: explode → count per (doc, gram) → gram doc-frequency
+    * as a COUNT WINDOW PARTITIONED BY gram over the (doc, gram) rows — one
+    * linear lineage (the gram explosion runs exactly once; PlanSpec pins
+    * it), no self-join, no second scan. The window key is the
+    * high-cardinality gram, so partitions stay fine-grained; a pathological
+    * boilerplate gram shared by millions of docs concentrates its (doc,
+    * gram) rows in one partition — at that point the gram IS the dedup
+    * signal and the upstream exact/near dedup should have fired first.
+    * Docs shorter than `n` tokens have no grams and are absent.
+    * Returns (idCol, n_grams, dup_grams, dup_frac). */
+  def dupNgramCoverage(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Dedup.tokens(col(textCol))
+    val grams = (1 until n).foldLeft(w) { (acc, k) =>
+      zip_with(acc, slice(w, lit(k + 1), greatest(size(w) - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val exploded = docs
+      .filter(size(w) >= n)
+      .select(col(idCol), explode(filter(grams, _.isNotNull)).as("gram"))
+    val perDocGram = exploded.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("graft_c"))
+    val withNd = perDocGram.withColumn("graft_nd",
+      count(lit(1)).over(Window.partitionBy(col("gram"))))
+    withNd
+      .groupBy(col(idCol))
+      .agg(sum(col("graft_c")).as("n_grams"),
+        sum(when(col("graft_nd") >= 2, col("graft_c")).otherwise(0L))
+          .as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double") / col("n_grams"), 4))
+  }
+
   /** Whitespace token count + a BPE-ish regex token count (letter runs,
     * single digits, single punctuation marks — the shape a byte-pair
     * tokenizer's pre-tokenizer uses). */

@@ -696,6 +696,64 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** x48 — SemDeDup semantic deduplication ([[Similarity.semanticDedup]]):
+    * the x44 coarse k-means clusters the corpus, pairwise cosine runs only
+    * WITHIN a cell, and every vector with a lower-id cell-mate at cos ≥
+    * 0.15 is dropped. The oracle composes the gated k-means derivation with
+    * a within-cell pair filter — the clustering AND the drops are
+    * value-checked. */
+  def x48(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.15)
+      .orderBy("vec_id")
+
+  /** x49 — quality-ranked token-budget selection
+    * ([[Sampling.tokenBudget]]): keep the best documents until the running
+    * token total hits the budget. The Spark side is the two-phase bucketed
+    * prefix sum (no unpartitioned data-sized window); the oracle is the
+    * naive single-window global cumulative sum — identical totals because
+    * token counts are integral. */
+  def x49(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val annotated = d.select(
+      (col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*)
+    Sampling.tokenBudget(annotated, "doc_id", "n_words", "quality_score",
+        budget = 20000L)
+      .select("doc_id", "quality_score", "n_words", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** x50 — graded eval-set contamination ([[Dedup.contaminationScore]]):
+    * x37's boolean flag refined to the per-document FRACTION of distinct
+    * 13-grams hit by the eval set (every 37th doc), so a pipeline can set
+    * an overlap tolerance. Same corpus slice as x38. */
+  def x50(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationScore(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") % 37 === 0).select("doc_id", "text"),
+        "doc_id", "text", n = 13)
+      .orderBy("doc_id")
+  }
+
+  /** x51 — hashed-feature linear quality scorer
+    * ([[TextAnalysis.classifierColumns]]): fasttext-shaped model scoring as
+    * one map-side `aggregate` HOF — 64 hashed buckets, fixed integer
+    * weights (embedded verbatim in the oracle), exact long accumulation,
+    * one rounded division. Full corpus, zero shuffle before the sort. */
+  def x51(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((col("doc_id") +: TextAnalysis.classifierColumns(col("text"))): _*)
+      .orderBy("doc_id")
+
+  /** x52 — cross-document duplicate-5-gram coverage
+    * ([[TextAnalysis.dupNgramCoverage]]): the MassiveText-style duplicate
+    * n-gram fraction; the (doc, gram) aggregate exchange is consumed by
+    * both the gram rollup and the coverage join (ReusedExchange,
+    * PlanSpec-pinned). */
+  def x52(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dupNgramCoverage(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -823,7 +881,12 @@ object Extensions {
     "x44_ann_kmeans" -> (x44 _),
     "x45_curate_pack" -> (x45 _),
     "x46_ann_pq" -> (x46 _),
-    "x47_ann_ivfpq" -> (x47 _)
+    "x47_ann_ivfpq" -> (x47 _),
+    "x48_semantic_dedup" -> (x48 _),
+    "x49_token_budget" -> (x49 _),
+    "x50_contam_score" -> (x50 _),
+    "x51_clf_score" -> (x51 _),
+    "x52_dup_ngram" -> (x52 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1788,6 +1851,109 @@ object Extensions {
          |      ORDER BY adist, neighbor_id) AS rank
          |  FROM adc)
          |SELECT query_id, neighbor_id, adist, rank
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // x48: the gated x44 k-means derivation (af = final assignment), then
+    // within-cell pairwise cosine — a vector with any lower-id cell-mate at
+    // cos >= 0.15 is dropped; survivors keep their cell id
+    "x48_semantic_dedup" ->
+      s"""WITH $annEmbCte,
+         |$kmeansTrainCtes,
+         |drops AS (
+         |  SELECT DISTINCT b.vid
+         |  FROM af a JOIN af b ON a.cid = b.cid AND a.vid < b.vid
+         |  WHERE list_dot_product(a.v, b.v)
+         |      / (sqrt(list_dot_product(a.v, a.v))
+         |         * sqrt(list_dot_product(b.v, b.v))) >= 0.15)
+         |SELECT af.vid AS vec_id, af.cid AS cell
+         |FROM af LEFT JOIN drops d ON af.vid = d.vid
+         |WHERE d.vid IS NULL ORDER BY vec_id""".stripMargin,
+    // x49: the oracle is the NAIVE single-window global running sum the
+    // Spark side deliberately avoids — integral token counts make the
+    // two-phase bucketed prefix sum exactly equal
+    "x49_token_budget" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    length(replace(text, ' ', '')) AS n_nonspace,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS en_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+        |    round(CAST(en_hits AS DOUBLE) / n_words, 4) AS stop_ratio
+        |  FROM f),
+        |q AS (
+        |  SELECT doc_id, n_words,
+        |    round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.5
+        |      + least(stop_ratio * 10.0, CAST(1.0 AS DOUBLE)) * 0.3
+        |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
+        |      AS quality_score
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id, quality_score, n_words,
+        |    CAST(sum(n_words) OVER (ORDER BY quality_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, quality_score, n_words, cum_tokens
+        |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
+    // x50: x38's 13-gram scaffolding, LEFT-joined instead of semi-joined so
+    // the per-doc gram total and hit count grade the overlap as a fraction
+    "x50_contam_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 11, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+        |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
+        |      t[i+12])))) AS gram
+        |  FROM toks),
+        |evg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 37 = 0),
+        |corpus AS (SELECT doc_id, gram FROM sh WHERE doc_id < 400)
+        |SELECT c.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(e.gram) AS BIGINT) AS n_hits,
+        |  round(CAST(count(e.gram) AS DOUBLE) / count(*), 4) AS contam_frac
+        |FROM corpus c LEFT JOIN evg e ON c.gram = e.gram
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // x51: the weight list is EMITTED from TextAnalysis.clfWeights — the
+    // same longs the Spark expression folds — and the 60-bit md5 bucket is
+    // the shared portable hash; integer sums are order-free, so the only
+    // float op is the final rounded division
+    "x51_clf_score" -> {
+      val wl = graft.ext.TextAnalysis.clfWeights.mkString("[", ",", "]")
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+         |  FROM documents),
+         |agg AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_feat,
+         |    CAST(list_sum(list_transform(tk, t ->
+         |      ($wl)[CAST(${hex15.format("t")} % 64 AS INT) + 1])) AS BIGINT)
+         |      AS w_sum
+         |  FROM tok)
+         |SELECT doc_id, n_feat, w_sum,
+         |  CAST(w_sum AS DOUBLE) / (n_feat * 1000.0) AS clf_score
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    // x52: non-distinct 5-gram instances -> per-(doc, gram) counts -> gram
+    // doc-frequency; a gram seen in >= 2 docs marks its instances duplicate
+    "x52_dup_ngram" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS gram
+        |  FROM tk WHERE len(t) >= 5),
+        |pdg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |gd AS (SELECT gram, count(*) AS nd FROM pdg GROUP BY gram)
+        |SELECT pdg.doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_grams,
+        |  round(CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |    / sum(c), 4) AS dup_frac
+        |FROM pdg JOIN gd USING (gram)
+        |GROUP BY pdg.doc_id ORDER BY pdg.doc_id""".stripMargin
   )
 }

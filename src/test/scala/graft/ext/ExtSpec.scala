@@ -937,4 +937,95 @@ class ExtSpec extends SparkSpec {
     info(s"kmeans-IVF recall@3 on random vectors: $hit/${brute.length}")
     assert(hit >= 1)
   }
+
+  test("semanticDedup drops the higher-id near-identical vector, keeps the rest") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // plant an exact duplicate of vector 0 under a fresh high id: cos = 1,
+    // same k-means cell by construction → must be dropped; the original
+    // (lower id) must survive
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    val planted = emb.select("vec_id", "embedding")
+      .unionByName(Seq((99999L, v0)).toDF("vec_id", "embedding"))
+    val survivors = Similarity.semanticDedup(planted, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!survivors.contains(99999L), "planted exact dup must be dropped")
+    assert(survivors.contains(0L), "the lower-id original must survive")
+    // every vector is either a survivor or has a lower-id cell-mate at
+    // cos >= threshold — spot-check totals: nothing silently vanishes
+    assert(survivors.size == emb.count(), "only the planted dup drops at 0.999")
+  }
+
+  test("tokenBudget: two-phase bucketed prefix sum == naive global window") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val annotated = docs.select(
+      (col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*)
+    val budget = 15000L
+    val got = Sampling.tokenBudget(annotated, "doc_id", "n_words",
+        "quality_score", budget)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // naive oracle: one unpartitioned window (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val naive = annotated
+      .withColumn("cum", sum(col("n_words")).over(w))
+      .filter(col("cum") <= budget)
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    assert(got.nonEmpty && got.values.max <= budget)
+  }
+
+  test("contaminationScore grades overlap as a fraction; clean docs score 0") {
+    val docs = docsFrom(Seq(
+      (1L, "a b c d e f"), // grams at n=3: 4 total
+      (2L, "a b c x y z"), // shares "a b c" with eval doc 1's prefix? eval below
+      (3L, "p q r s t u"))) // disjoint
+    val eval = docsFrom(Seq((9L, "a b c d zz")))
+    // eval grams (n=3): "a b c", "b c d", "c d zz"
+    val got = Dedup.contaminationScore(docs, eval, "doc_id", "text", n = 3)
+      .select("doc_id", "n_grams", "n_hits").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((4L, 2L))) // "a b c", "b c d" hit; "c d e", "d e f" clean
+    assert(got(2L) == ((4L, 1L))) // only "a b c"
+    assert(got(3L) == ((4L, 0L)))
+  }
+
+  test("classifier score: exact integer logit over hashed buckets, map-side") {
+    val docs = docsFrom(Seq((1L, "alpha beta alpha"), (2L, "alpha beta gamma")))
+    val got = docs.select(
+        (col("doc_id") +: TextAnalysis.classifierColumns(col("text"))): _*)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // recompute expected from the published weights + portable hash
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(15), 16) % 64).toInt
+    }
+    def expect(toks: Seq[String]): (Long, Long, Double) = {
+      val d = toks.distinct
+      val ws = d.map(t => TextAnalysis.clfWeights(bucket(t))).sum
+      (d.size.toLong, ws, ws.toDouble / (d.size * 1000.0))
+    }
+    assert(got(1L) == expect(Seq("alpha", "beta", "alpha")))
+    assert(got(2L) == expect(Seq("alpha", "beta", "gamma")))
+    // plan shape: no exchange — the scorer is a pure map-side expression
+    val plan = docs.select(TextAnalysis.classifierColumns(col("text")): _*)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier must not shuffle:\n$plan")
+  }
+
+  test("dupNgramCoverage: cross-doc grams count, internal-only repeats do not") {
+    val docs = docsFrom(Seq(
+      (1L, "a b c d e"),     // 3 trigram instances at n=3
+      (2L, "a b c q r"),     // shares "a b c" with doc 1
+      (3L, "z z z z z")))    // "z z z" ×3 — internal repeat ONLY
+    val got = TextAnalysis.dupNgramCoverage(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "n_grams", "dup_grams").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, 1L))) // only "a b c" is cross-doc
+    assert(got(2L) == ((3L, 1L)))
+    assert(got(3L) == ((3L, 0L))) // repetition within one doc is not dup
+  }
 }

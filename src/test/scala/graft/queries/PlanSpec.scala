@@ -142,4 +142,43 @@ class PlanSpec extends SparkSpec {
       s"kmeans corpus side got sort-merge-joined:\n$p")
     assert(!p.contains("CartesianProduct"), s"kmeans plan has a cartesian:\n$p")
   }
+
+  test("x48: within-cell pair join is an equi-join on cid, no cartesian") {
+    val p = plan(Extensions.x48(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"semantic-dedup pair join degenerated to a cartesian:\n$p")
+    assert(p.contains("LeftAnti"), s"survivor anti-join missing:\n$p")
+  }
+
+  test("x49: no unpartitioned window over document rows") {
+    // the only global-ordered window must run over the ~100 bucket-total
+    // rows; the per-document running sum is PARTITIONED BY bucket. The
+    // formatted plan shows each window's partition spec — assert every
+    // data-sized window carries a partition key.
+    val p = plan(Extensions.x49(spark, sf))
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, "expected window operators in x49")
+    // the per-doc cumulative window is partitioned by the quality bucket
+    assert(p.contains("graft_qb"),
+      s"per-doc running sum lost its bucket partitioning:\n$p")
+  }
+
+  test("x51: classifier scoring is map-side; only the ORDER BY shuffles") {
+    val p = plan(Extensions.x51(spark, sf))
+    // the scorer (aggregate HOF — CodegenFallback by design, the md5 per
+    // token dominates either way) must ride the scan's Project: the only
+    // exchange is the final sort's range partitioning
+    assert("rangepartitioning".r.findAllIn(p).size == 1, s"no sort exchange:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"classifier query hash-shuffles before the sort:\n$p")
+  }
+
+  test("x52: the gram explosion runs exactly once (window d.f., no self-join)") {
+    val p = plan(Extensions.x52(spark, sf))
+    // formatted explain prints each node once in the tree and once in the
+    // detail section → a single Generate appears exactly twice
+    assert("Generate".r.findAllIn(p).size == 2,
+      s"gram explosion duplicated in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
