@@ -132,7 +132,28 @@ object Plans {
           "(hash build, no sort) and the m×k query table is broadcast — " +
           "the query path touches cell ids and codes only, never raw " +
           "vectors; no SortMergeJoin, no cartesian.",
-        queries.Extensions.x47))
+        queries.Extensions.x47),
+      Entry("x48_semantic_dedup",
+        "SemDeDup: the within-cell pair join is a hash equi-join on the " +
+          "k-means cell id (never a cartesian) — pair work is Σ|cell|², " +
+          "bounded by the clustering; survivors leave via LeftAnti.",
+        queries.Extensions.x48),
+      Entry("x49_token_budget",
+        "Two-phase distributed prefix sum: the only globally-ordered " +
+          "window runs over the ~100 per-bucket totals (broadcast back); " +
+          "the per-document running sum is PARTITIONED BY the quality " +
+          "bucket — no data-sized single-partition window.",
+        queries.Extensions.x49),
+      Entry("x51_clf_score",
+        "Model-based quality scoring at scan speed: the hashed-feature " +
+          "linear scorer is ONE map-side Project on the parquet scan — " +
+          "the only exchange in the plan is the final ORDER BY.",
+        queries.Extensions.x51),
+      Entry("x52_dup_ngram",
+        "Duplicate-n-gram coverage in one linear lineage: explode → " +
+          "(doc, gram) partial+final aggregate → gram-partitioned count " +
+          "window → per-doc rollup; the gram explosion runs exactly once.",
+        queries.Extensions.x52))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative declared queries\n\n")

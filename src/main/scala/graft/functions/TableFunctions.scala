@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-import graft.ext.{AsOf, Curate, Dedup, Index, RangeJoin}
+import graft.ext.{AsOf, Curate, Dedup, Index, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** SQL table-valued-function surface for the north-star whole-plan
   * operators (as-of join, range join, LSH dedup pairs) — SURVEY §2.9's
@@ -28,6 +28,10 @@ import graft.ext.{AsOf, Curate, Dedup, Index, RangeJoin}
   *                          'start_us', 'end_us', 3600000000, 'event_id')
   * SELECT * FROM dedup_pairs('documents', 'doc_id', 'text', 0.5)
   * SELECT * FROM decontaminate('documents', 'eval_suite', 'doc_id', 'text', 13)
+  * SELECT * FROM semantic_dedup('embeddings', 0.95)
+  * SELECT * FROM token_budget('scored_docs', 'doc_id', 'n_words', 'quality_score', 1000000)
+  * SELECT * FROM contamination_score('documents', 'eval_suite', 'doc_id', 'text', 13)
+  * SELECT * FROM dup_ngram_coverage('documents', 'doc_id', 'text', 5)
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -60,6 +64,14 @@ object TableFunctions {
       "search_all", exprs => searchAll(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "inverted_index", exprs => invertedIndex(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "semantic_dedup", exprs => semanticDedup(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_budget", exprs => tokenBudget(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "contamination_score", exprs => contaminationScore(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dup_ngram_coverage", exprs => dupNgramCoverage(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -185,6 +197,65 @@ object TableFunctions {
     val minDf = if (args.exhausted) 1L else args.long("min_df")
     val maxDf = if (args.exhausted) Long.MaxValue else args.long("max_df")
     plan(Index.invertedIndex(docs, id, text, minDf, maxDf))
+  }
+
+  /** `semantic_dedup(table, threshold [, k [, iters [, id [, vec]]]])` →
+    * [[Similarity.semanticDedup]]: SemDeDup survivors (id, cell). */
+  private def semanticDedup(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "semantic_dedup"
+    requireArity(f, exprs, min = 2, max = 6)
+    val args = new Args(f, exprs)
+    val corpus = args.table(spark, "table")
+    val threshold = args.double("threshold")
+    val k = if (args.exhausted) 8 else args.int("k")
+    val iters = if (args.exhausted) 2 else args.int("iters")
+    val id = if (args.exhausted) "vec_id" else args.name("id")
+    val vec = if (args.exhausted) "embedding" else args.name("vec")
+    plan(Similarity.semanticDedup(corpus, threshold, k, iters, id, vec))
+  }
+
+  /** `token_budget(table, id, token_col, quality_col, budget)` →
+    * [[Sampling.tokenBudget]]: quality-ranked selection within a token
+    * budget, with the exact running total. */
+  private def tokenBudget(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "token_budget"
+    requireArity(f, exprs, min = 5, max = 5)
+    val args = new Args(f, exprs)
+    val docs = args.table(spark, "table")
+    val id = args.name("id")
+    val tokenCol = args.name("token_col")
+    val qualityCol = args.name("quality_col")
+    val budget = args.long("budget")
+    plan(Sampling.tokenBudget(docs, id, tokenCol, qualityCol, budget))
+  }
+
+  /** `contamination_score(corpus, eval, id, text [, n])` →
+    * [[Dedup.contaminationScore]]: per-doc fraction of distinct n-grams
+    * hit by the eval set. */
+  private def contaminationScore(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "contamination_score"
+    requireArity(f, exprs, min = 4, max = 5)
+    val args = new Args(f, exprs)
+    val corpus = args.table(spark, "corpus")
+    val evalDocs = args.table(spark, "eval")
+    val id = args.name("id")
+    val text = args.name("text")
+    val n = if (args.exhausted) 13 else args.int("n")
+    plan(Dedup.contaminationScore(corpus, evalDocs, id, text, n))
+  }
+
+  /** `dup_ngram_coverage(table, id, text [, n])` →
+    * [[TextAnalysis.dupNgramCoverage]]: cross-document duplicate-n-gram
+    * instance fraction per document. */
+  private def dupNgramCoverage(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "dup_ngram_coverage"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val docs = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val n = if (args.exhausted) 5 else args.int("n")
+    plan(TextAnalysis.dupNgramCoverage(docs, id, text, n))
   }
 
   /** The Dataset's UNANALYZED logical plan: the outer query's analyzer

@@ -146,6 +146,38 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Index.invertedIndex(docs, "doc_id", "text", minDf = 2L))
   }
 
+  test("semantic_dedup / token_budget / contamination_score / dup_ngram_coverage TVFs == Scala APIs") {
+    ready()
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    emb.createOrReplaceTempView("tvf_emb")
+    assertSame(
+      spark.sql("SELECT * FROM semantic_dedup('tvf_emb', 0.15)"),
+      graft.ext.Similarity.semanticDedup(emb, 0.15))
+
+    val scored = Seq((1L, 100L, 0.9), (2L, 200L, 0.8), (3L, 300L, 0.7),
+      (4L, 400L, 0.6)).toDF("doc_id", "toks", "q")
+    scored.createOrReplaceTempView("tvf_scored")
+    assertSame(
+      spark.sql(
+        "SELECT * FROM token_budget('tvf_scored', 'doc_id', 'toks', 'q', 350)"),
+      graft.ext.Sampling.tokenBudget(scored, "doc_id", "toks", "q", 350L))
+
+    val docs = Seq((1L, "a b c d e f"), (2L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((9L, "a b c d zz")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tvf_sdocs")
+    evalSet.createOrReplaceTempView("tvf_seval")
+    assertSame(
+      spark.sql("""SELECT * FROM contamination_score(
+        |  'tvf_sdocs', 'tvf_seval', 'doc_id', 'text', 3)""".stripMargin),
+      graft.ext.Dedup.contaminationScore(docs, evalSet, "doc_id", "text", 3))
+    assertSame(
+      spark.sql(
+        "SELECT * FROM dup_ngram_coverage('tvf_sdocs', 'doc_id', 'text', 3)"),
+      graft.ext.TextAnalysis.dupNgramCoverage(docs, "doc_id", "text", 3))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
