@@ -80,4 +80,84 @@ object Index {
       .agg(count(lit(1)).as("n_matched")) // pairs are distinct per doc
       .filter(col("n_matched") === terms.length)
   }
+
+  /** Okapi BM25 per-(doc, matched-term) scores — the ranked-retrieval
+    * complement to the boolean [[searchAll]] (Robertson & Spärck Jones /
+    * Robertson et al., TREC-3; the reference has no retrieval layer at all).
+    *
+    *   score(d,t) = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)     = ln((N − df + 0.5) / (df + 0.5) + 1)    (the Lucene form,
+    *                always ≥ 0)
+    *
+    * Shape at scale:
+    *   - the token explode is filtered to the QUERY terms before any
+    *     shuffle, so the tf aggregation's input is the query terms' posting
+    *     lists, never the corpus token stream;
+    *   - `dl` (doc token length) rides map-side as `size(filter(tokens))` —
+    *     no separate per-doc aggregation or join;
+    *   - df is an aggregate of the tiny (doc, term) tf frame and comes back
+    *     as a `broadcast` (≤ |query| rows);
+    *   - N and Σdl are ONE driver-side scalar aggregate over the corpus
+    *     (the q03/A1 literal-stamp pattern — no cross join, no window).
+    *
+    * Cross-engine determinism (the x29 discipline): every float op is
+    * written in the exact order the DuckDB oracle computes it; `k1`/`b`
+    * default to binary-exact 1.25/0.75 so `k1+1` carries no rounding;
+    * avgdl is one IEEE division of two exact longs.
+    */
+  def bm25(
+      docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol),
+      filter(Dedup.tokens(col(textCol)), _ =!= "").as("graft_toks"))
+    val stats = toks.agg(
+      count(lit(1)).as("n"), sum(size(col("graft_toks"))).as("sumdl")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+
+    val tf = toks
+      .select(col(idCol), size(col("graft_toks")).as("dl"),
+        explode(col("graft_toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
+    tf.join(broadcast(df), "term")
+      .select(col(idCol), col("term"),
+        (idf * (col("tf") * lit(k1 + 1.0)) / norm).as("score"))
+  }
+
+  /** Global top-`k` BM25 ranking: per-doc total = ascending-term left fold
+    * of [[bm25]]'s per-term scores (`aggregate` over `sort_array` — the
+    * fold ORDER is pinned, so the double sum is engine-reproducible; a
+    * leading +0.0 is an IEEE no-op, so docs matching a term subset fold
+    * identically everywhere), then rank by (score desc, id asc).
+    *
+    * The ranked frame is docs-matching-≥1-term — posting-list-sized, not
+    * corpus-sized — and is cut to the provable top-k candidates by the
+    * LOSSLESS [[Ordinals.approxTopKPrune]] sketch filter before the final
+    * sort, so no single task ever sorts a hot term's full posting list.
+    * Returns (idCol, score, rank 1..k). */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k: Int, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    val perDoc = bm25(docs, idCol, textCol, terms, k1, b)
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("score")))),
+        lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
+    val pruned = Ordinals.approxTopKPrune(
+      perDoc.withColumn("graft_neg", -col("score"))
+        .withColumn("graft_one", lit(0)),
+      "graft_one", "graft_neg", k)
+    Ordinals.perKeyOrdinal(pruned, "graft_one", Seq("graft_neg", idCol))
+      .filter(col("ordinal") < k)
+      .select(col(idCol), col("score"), (col("ordinal") + 1L).as("rank"))
+  }
 }

@@ -754,6 +754,20 @@ object Extensions {
     TextAnalysis.dupNgramCoverage(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** x53 — Okapi BM25 ranked retrieval ([[Index.bm25TopK]]): global top-10
+    * docs for {dup, vector, window} by the Lucene-form BM25. The explode is
+    * pruned to the query terms before its shuffle (posting-list-sized tf
+    * aggregation), df broadcasts back, N/Σdl are one driver scalar stamp,
+    * and the final ranking runs through the lossless sketch pre-prune +
+    * skew-free ordinal — no corpus-sized window anywhere. The oracle
+    * re-derives every stage, with the per-doc sum pinned to the identical
+    * ascending-term fold order. */
+  def x53(s: SparkSession, dir: String): DataFrame =
+    Index.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("dup", "vector", "window"), k = 10)
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy("rank")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -886,7 +900,8 @@ object Extensions {
     "x49_token_budget" -> (x49 _),
     "x50_contam_score" -> (x50 _),
     "x51_clf_score" -> (x51 _),
-    "x52_dup_ngram" -> (x52 _)
+    "x52_dup_ngram" -> (x52 _),
+    "x53_bm25" -> (x53 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1954,6 +1969,46 @@ object Extensions {
         |  round(CAST(sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS DOUBLE)
         |    / sum(c), 4) AS dup_frac
         |FROM pdg JOIN gd USING (gram)
-        |GROUP BY pdg.doc_id ORDER BY pdg.doc_id""".stripMargin
+        |GROUP BY pdg.doc_id ORDER BY pdg.doc_id""".stripMargin,
+    // x53: full BM25 re-derivation. Float-op order mirrors the Spark
+    // expression token for token (k1=1.25, b=0.75 are binary-exact; k1+1
+    // is the exact literal 2.25); the per-doc sum is the SAME ascending-
+    // term fold ((0+s_dup)+s_vector)+s_window via coalesce — a leading
+    // +0.0 is an IEEE no-op, so term-subset docs agree too
+    "x53_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len(tk)) AS BIGINT) AS sumdl FROM toks),
+        |tr AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tr WHERE term IN ('dup', 'vector', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln((CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * (t.tf * 2.25)
+        |      / (t.tf + 1.25 * (1.0 - 0.75 + 0.75 * t.dl
+        |          / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS sc
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN term = 'dup' THEN sc END) AS s1,
+        |    max(CASE WHEN term = 'vector' THEN sc END) AS s2,
+        |    max(CASE WHEN term = 'window' THEN sc END) AS s3
+        |  FROM scored GROUP BY doc_id),
+        |rk AS (
+        |  SELECT doc_id,
+        |    coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0) AS score,
+        |    row_number() OVER (
+        |      ORDER BY coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0)
+        |        DESC, doc_id) AS rn
+        |  FROM agg)
+        |SELECT doc_id, round(score, 4) AS score, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin
   )
 }

@@ -808,6 +808,35 @@ class ExtSpec extends SparkSpec {
       Index.searchAll(docs, "doc_id", "text", Nil))
   }
 
+  test("bm25: scores match the hand formula; topK folds, ranks, tie-breaks") {
+    val docs = docsFrom(Seq(
+      (1L, "spark spark shuffle join extra"), // tf(spark)=2, dl=5
+      (2L, "spark join"),                     // dl=2, both terms once
+      (3L, "join join join"),                 // dl=3, no 'spark'
+      (4L, "nothing matches here at all"),    // unmatched → absent
+      (5L, "spark join")))                    // exact dup of 2 → tied score
+    val (k1, b) = (1.25, 0.75)
+    val n = 5L; val sumDl = 5L + 2L + 3L + 5L + 2L
+    val avgdl = sumDl.toDouble / n
+    def idf(df: Long) = math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+    def s(tf: Long, df: Long, dl: Long) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val perTerm = Index.bm25(docs, "doc_id", "text", Seq("spark", "join"))
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(perTerm.size == 7) // docs 1,2,5 × both terms + doc 3 × join
+    assert(perTerm((1L, "spark")) == s(2, 3, 5)) // df(spark)=3, df(join)=4
+    assert(perTerm((3L, "join")) == s(3, 4, 3))
+    assert(perTerm((2L, "spark")) == s(1, 3, 2))
+    val top = Index.bm25TopK(docs, "doc_id", "text", Seq("spark", "join"), k = 3)
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(top.map(_._1).toSeq == Seq(2L, 5L, 1L)) // 2 vs 5 tie → id asc
+    assert(top(0)._2 == top(1)._2) // exact duplicate docs tie exactly
+    assert(top(0)._2 == ((0.0 + s(1, 3, 2)) + s(1, 4, 2))) // pinned fold order
+    assertThrows[IllegalArgumentException](
+      Index.bm25(docs, "doc_id", "text", Nil))
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
