@@ -160,4 +160,40 @@ object Index {
       .filter(col("ordinal") < k)
       .select(col(idCol), col("score"), (col("ordinal") + 1L).as("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of two
+    * ranked retrieval lists — the standard hybrid-search combiner for a
+    * lexical ([[bm25TopK]]) and a vector (ANN top-k) ranking:
+    *
+    *   rrf(d) = Σ_lists 1/(kc + rank_list(d)),  absent list ⇒ 0
+    *
+    * Rank positions, not scores, enter the sum, so the two systems need no
+    * score calibration — the whole reason RRF is the default fusion in
+    * production hybrid search.
+    *
+    * Both inputs are top-N lists — BOUNDED BY CONSTRUCTION — so the full
+    * outer join and the final ranking window run over ≤ 2N rows no matter
+    * the corpus size; a global row_number here is not a scale hazard
+    * (unlike a corpus-sized window). Floats: each contribution is one IEEE
+    * division of exact integers, summed in fixed lex-then-vec order
+    * (IEEE + is commutative, so equal rank-pairs tie exactly and fall to
+    * the id asc tie-break).
+    *
+    * @param lex,vec (idCol, rank) frames, rank 1-based
+    * @return top-`k` fused: (idCol, rrf, rank 1..k)
+    */
+  def rrfFuse(
+      lex: DataFrame, vec: DataFrame, idCol: String, k: Int,
+      kc: Double = 60.0): DataFrame = {
+    val a = lex.select(col(idCol), col("rank").as("graft_ra"))
+    val b = vec.select(col(idCol), col("rank").as("graft_rb"))
+    val fused = a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(kc) + col("graft_ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kc) + col("graft_rb")), lit(0.0))).as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

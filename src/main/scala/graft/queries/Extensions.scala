@@ -768,6 +768,25 @@ object Extensions {
       .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
       .orderBy("rank")
 
+  /** x54 — hybrid retrieval via reciprocal-rank fusion ([[Index.rrfFuse]]):
+    * the BM25 lexical top-20 (x53's terms) fused with the exact-cosine
+    * vector top-20 for query vec_id 0 — rank positions only, no score
+    * calibration, the production-default hybrid-search combiner. Both
+    * inputs are bounded top-N lists, so fusion is join-and-rank over ≤ 2N
+    * rows regardless of corpus size. The oracle re-derives BOTH rankings
+    * and the fused sum (fixed lex-then-vec addition order). */
+  def x54(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val lex = Index.bm25TopK(docs, "doc_id", "text",
+      Seq("dup", "vector", "window"), k = 20)
+    val vec = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Index.rrfFuse(lex, vec, "doc_id", k = 10)
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -901,7 +920,8 @@ object Extensions {
     "x50_contam_score" -> (x50 _),
     "x51_clf_score" -> (x51 _),
     "x52_dup_ngram" -> (x52 _),
-    "x53_bm25" -> (x53 _)
+    "x53_bm25" -> (x53 _),
+    "x54_hybrid_rrf" -> (x54 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2009,6 +2029,63 @@ object Extensions {
         |        DESC, doc_id) AS rn
         |  FROM agg)
         |SELECT doc_id, round(score, 4) AS score, CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin,
+    // x54: both rankings re-derived (BM25 = x53's CTE chain at top-20; the
+    // cosine ranking = x06's scoring for query 0), then the RRF sum in the
+    // SAME fixed lex-then-vec order; null-side contributions are 0.0
+    "x54_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len(tk)) AS BIGINT) AS sumdl FROM toks),
+        |tr AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tr WHERE term IN ('dup', 'vector', 'window')
+        |  GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln((CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * (t.tf * 2.25)
+        |      / (t.tf + 1.25 * (1.0 - 0.75 + 0.75 * t.dl
+        |          / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS sc
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN term = 'dup' THEN sc END) AS s1,
+        |    max(CASE WHEN term = 'vector' THEN sc END) AS s2,
+        |    max(CASE WHEN term = 'window' THEN sc END) AS s3
+        |  FROM scored GROUP BY doc_id),
+        |lexr AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0)
+        |      DESC, doc_id) AS ra
+        |  FROM agg),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+        |vs AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM q, e WHERE e.vec_id != q.vec_id),
+        |vecr AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rb
+        |  FROM vs),
+        |fused AS (
+        |  SELECT doc_id,
+        |    coalesce(1.0 / (60.0 + l.ra), 0.0)
+        |      + coalesce(1.0 / (60.0 + v.rb), 0.0) AS rrf
+        |  FROM (SELECT * FROM lexr WHERE ra <= 20) l
+        |  FULL OUTER JOIN (SELECT * FROM vecr WHERE rb <= 20) v USING (doc_id)),
+        |rk AS (
+        |  SELECT doc_id, rrf,
+        |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+        |SELECT doc_id, round(rrf, 6) AS rrf, CAST(rn AS BIGINT) AS rank
         |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin
   )
 }

@@ -837,6 +837,25 @@ class ExtSpec extends SparkSpec {
       Index.bm25(docs, "doc_id", "text", Nil))
   }
 
+  test("rrfFuse: both-list docs outrank single-list; absent side adds zero") {
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val vec = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val out = Index.rrfFuse(lex, vec, "doc_id", k = 10)
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    // doc 20 in both lists wins; singles follow by their own 1/(60+r)
+    assert(out.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(out(0)._2 == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(out(1)._2 == 1.0 / 61.0 + 0.0) // absent vec side contributes 0
+    assert(out(2)._2 == 1.0 / 62.0)
+    // equal rank-pairs tie exactly (IEEE + is commutative) → id asc order
+    val l2 = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val v2 = Seq((1L, 2L), (2L, 1L)).toDF("doc_id", "rank")
+    val tied = Index.rrfFuse(l2, v2, "doc_id", k = 2)
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(tied(0)._2 == tied(1)._2 && tied.map(_._1).toSeq == Seq(1L, 2L))
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
