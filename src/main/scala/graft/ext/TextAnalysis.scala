@@ -235,6 +235,59 @@ object TextAnalysis {
         round(col("dup_grams").cast("double") / col("n_grams"), 4))
   }
 
+  /** Corpus-trained unigram language-model scoring — the CCNet-style
+    * perplexity-proxy quality signal (Wenzek et al., "CCNet", LREC 2020
+    * filter corpora by LM perplexity; a unigram model is its shuffle-
+    * friendly first-order version, and the one that needs no external
+    * model artifact):
+    *
+    *   avg_nll(d) = (1/|d|) Σ_t∈d −ln p(t),   p(t) = count(t) / Σ counts
+    *
+    * Low avg_nll ⇒ the document looks like the corpus (common words in
+    * common proportions); high ⇒ gibberish, rare-token soup, boilerplate
+    * IDs — the canonical "weird text" screen before training.
+    *
+    * Shape at scale:
+    *   - term counts: one `groupBy(term)` over the exploded token stream
+    *     (map-side partial aggregation; stopword-grade hot terms pre-combine
+    *     per task, so the shuffle carries vocabulary-sized data);
+    *   - the corpus token total is ONE driver scalar (literal stamp);
+    *   - the per-doc tf frame joins the vocabulary on term — AQE picks
+    *     broadcast when the vocabulary fits, skew-splits the hot terms when
+    *     it does not;
+    *   - the per-doc sum folds (term, tf·−ln p) structs in ASCENDING TERM
+    *     order (`aggregate` over `sort_array`) — the float accumulation
+    *     order is pinned, so results are engine- and partitioning-
+    *     reproducible (the x53 discipline), then one division by |d|.
+    *
+    * Self-scoring (train == score corpus) guarantees p(t) > 0; to score
+    * against a separate training corpus, pre-aggregate that corpus's
+    * counts and smooth unseen terms before joining.
+    *
+    * @return (idCol, n_tokens, avg_nll) */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val termRows = docs
+      .select(col(idCol),
+        filter(Dedup.tokens(col(textCol)), _ =!= "").as("graft_toks"))
+      .select(col(idCol), size(col("graft_toks")).cast("long").as("n_tokens"),
+        explode(col("graft_toks")).as("term"))
+    val counts = termRows.groupBy(col("term")).agg(count(lit(1)).as("graft_cnt"))
+    val total = counts.agg(sum(col("graft_cnt"))).head().getLong(0)
+
+    val tf = termRows.groupBy(col(idCol), col("n_tokens"), col("term"))
+      .agg(count(lit(1)).as("graft_tf"))
+    val contrib = tf.join(counts, "term")
+      .select(col(idCol), col("n_tokens"), col("term"),
+        (col("graft_tf") * -log(col("graft_cnt") / lit(total.toDouble)))
+          .as("graft_nll"))
+    contrib.groupBy(col(idCol), col("n_tokens"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("graft_nll")))),
+        lit(0.0), (acc, x) => acc + x.getField("graft_nll")).as("graft_sum"))
+      .select(col(idCol), col("n_tokens"),
+        (col("graft_sum") / col("n_tokens")).as("avg_nll"))
+  }
+
   /** Whitespace token count + a BPE-ish regex token count (letter runs,
     * single digits, single punctuation marks — the shape a byte-pair
     * tokenizer's pre-tokenizer uses). */

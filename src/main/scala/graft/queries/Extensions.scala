@@ -787,6 +787,19 @@ object Extensions {
       .orderBy("rank")
   }
 
+  /** x55 — unigram-LM perplexity-proxy quality score
+    * ([[TextAnalysis.unigramNll]]): the corpus trains its own unigram
+    * model, each doc scores mean −ln p(token) — the CCNet-style "does this
+    * look like the corpus" screen. Vocabulary counts are one map-combined
+    * aggregate, the token total is a driver literal, and the per-doc float
+    * sum folds in pinned ascending-term order; the oracle re-derives the
+    * model AND folds the identical order via list_reduce. */
+  def x55(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_nll"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -921,7 +934,8 @@ object Extensions {
     "x51_clf_score" -> (x51 _),
     "x52_dup_ngram" -> (x52 _),
     "x53_bm25" -> (x53 _),
-    "x54_hybrid_rrf" -> (x54 _)
+    "x54_hybrid_rrf" -> (x54 _),
+    "x55_unigram_lm" -> (x55 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2086,6 +2100,33 @@ object Extensions {
         |  SELECT doc_id, rrf,
         |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
         |SELECT doc_id, round(rrf, 6) AS rrf, CAST(rn AS BIGINT) AS rank
-        |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin
+        |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin,
+    // x55: the unigram model re-derived; the per-doc float sum folds the
+    // SAME ascending-term order as the Spark aggregate-over-sort_array
+    // (list(... ORDER BY term) + list_reduce left fold; the prepended 0.0
+    // mirrors the Spark fold's zero and is an IEEE no-op)
+    "x55_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |tr AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, unnest(tk) AS term
+        |  FROM toks),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM tc),
+        |tf AS (
+        |  SELECT doc_id, n_tokens, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tr GROUP BY doc_id, n_tokens, term),
+        |contrib AS (
+        |  SELECT f.doc_id, f.n_tokens, f.term,
+        |    f.tf * (-ln(c.cnt / CAST(s.t AS DOUBLE))) AS nll
+        |  FROM tf f JOIN tc c USING (term) CROSS JOIN tot s),
+        |agg AS (
+        |  SELECT doc_id, n_tokens,
+        |    list_reduce(list_prepend(0.0, list(nll ORDER BY term)),
+        |      (a, b) -> a + b) AS s
+        |  FROM contrib GROUP BY doc_id, n_tokens)
+        |SELECT doc_id, n_tokens, round(s / n_tokens, 4) AS avg_nll
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 }

@@ -856,6 +856,25 @@ class ExtSpec extends SparkSpec {
     assert(tied(0)._2 == tied(1)._2 && tied.map(_._1).toSeq == Seq(1L, 2L))
   }
 
+  test("unigramNll: self-trained model, exact pinned-order fold, per-token mean") {
+    val docs = docsFrom(Seq((1L, "a a b"), (2L, "b c")))
+    val out = TextAnalysis.unigramNll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // counts: a=2 b=2 c=1, total=5
+    def nll(c: Long) = -math.log(c / 5.0)
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == ((0.0 + 2L * nll(2)) + 1L * nll(2)) / 3L) // fold a,b
+    assert(out(2L)._1 == 2L)
+    assert(out(2L)._2 == ((0.0 + 1L * nll(2)) + 1L * nll(1)) / 2L) // fold b,c
+    // common-word doc scores lower than rare-word doc of equal length
+    val mixed = docsFrom(Seq(
+      (1L, "the the the the rare1"), (2L, "the the the the the"),
+      (3L, "zq1 zq2 zq3 zq4 zq5")))
+    val m = TextAnalysis.unigramNll(mixed, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(m(2L) < m(1L) && m(1L) < m(3L))
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
