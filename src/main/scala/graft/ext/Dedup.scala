@@ -739,6 +739,47 @@ object Dedup {
     matched.groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
   }
 
+  /** Decontamination with a BLOOM-FILTER pre-filter — the third physical
+    * path of [[contaminatedDocs]], for the regime where even the shuffle
+    * path hurts: the corpus emits ~|tokens| 13-gram hashes per doc into
+    * the semi-join's exchange, yet almost all of them are clean.
+    *
+    *   1. the eval grams' 60-bit hashes aggregate into one
+    *     `stat.bloomFilter` sketch (a job over the SMALL side only), sized
+    *     for `fpp` at the eval set's true distinct-gram count;
+    *   2. the sketch broadcasts (a few MB for millions of grams) and cuts
+    *     the corpus gram stream MAP-SIDE: clean grams — the overwhelming
+    *     majority — never reach the exchange, so the shuffle carries
+    *     `true hits + fpp·|corpus grams|` rows instead of all of them;
+    *   3. the surviving suspects run the EXACT hash semi-join (the x38
+    *     path), which removes the Bloom false positives.
+    *
+    * The sketch can only over-keep (no false negatives), and step 3 is
+    * exact, so the result is IDENTICAL to both exact paths for any `fpp` —
+    * ExtSpec pins all three paths equal, and the x56 gate runs this path
+    * against the x38 oracle SQL. The filter itself is a `mightContainLong`
+    * UDF — one branchy hash probe per gram; it breaks whole-stage codegen
+    * for its projection but removes ~99% of exchange input, the same trade
+    * Spark's own runtime row-group Bloom pruning makes. */
+  def contaminatedDocsBloom(
+      docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      n: Int = 13, fpp: Double = 0.01): DataFrame = {
+    val evalHashed = materialize(evalDocs
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+      .select(PortableHash.md5Long(col("gram")).as("graft_gh"))
+      .distinct())
+    val nEval = math.max(evalHashed.count(), 1L)
+    val bloom = evalHashed.stat.bloomFilter("graft_gh", nEval, fpp)
+    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    docs
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), PortableHash.md5Long(col("gram")).as("graft_gh"))
+      .filter(mightContain(col("graft_gh")))
+      .join(evalHashed.hint("shuffle_hash"), Seq("graft_gh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+  }
+
   /** Graded contamination SCORE — [[contaminatedDocs]]'s boolean flag,
     * refined to the fraction of each document's distinct word `n`-grams
     * that appear in the eval set, so a pipeline can set a tolerance

@@ -800,6 +800,21 @@ object Extensions {
         round(col("avg_nll"), 4).as("avg_nll"))
       .orderBy("doc_id")
 
+  /** x56 — decontamination through the BLOOM pre-filter path
+    * ([[Dedup.contaminatedDocsBloom]]): the eval grams' hash sketch
+    * broadcasts and drops clean corpus grams map-side before the exact
+    * verify semi-join — shuffle volume shrinks to true hits + fpp·grams.
+    * Same slice and eval set as x38, same oracle SQL: the Bloom filter
+    * admits false positives only, and the exact join removes them, so the
+    * result is identical to both exact paths for ANY fpp. */
+  def x56(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") % 37 === 0).select("doc_id", "text")
+    Dedup.contaminatedDocsBloom(
+        docs.filter(col("doc_id") < 400), evalSet, "doc_id", "text", n = 13)
+      .orderBy("doc_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -935,13 +950,32 @@ object Extensions {
     "x52_dup_ngram" -> (x52 _),
     "x53_bm25" -> (x53 _),
     "x54_hybrid_rrf" -> (x54 _),
-    "x55_unigram_lm" -> (x55 _)
+    "x55_unigram_lm" -> (x55 _),
+    "x56_decontaminate_bloom" -> (x56 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
     * lang-ID scoring → filter → keep-min-id dedup (`u`) → 13-gram eval
     * contamination (`contam`, eval = every 37th doc). Final selects differ
     * per query. */
+  /** Shared n=13 decontamination oracle (x38 exact-shuffle path, x56 Bloom
+    * pre-filter path — both compute this exact relation). */
+  private val decontam13OracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 11, 1)),
+      |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+      |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
+      |      t[i+12])))) AS gram
+      |  FROM toks),
+      |evg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 37 = 0),
+      |corpus AS (SELECT doc_id, gram FROM sh WHERE doc_id < 400)
+      |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS hits
+      |FROM corpus c JOIN evg USING (gram)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   private val curateOracleCtes: String =
     """f AS (
       |  SELECT doc_id, text,
@@ -1748,21 +1782,11 @@ object Extensions {
     // x38: same contract at n = 13 with eval = every 37th doc; the oracle
     // joins on the exact gram strings — the operator's hashed shuffle path
     // agrees up to 2^-60 collisions (none at any tested scale)
-    "x38_decontaminate_shuffle" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 11, 1)),
-        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
-        |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
-        |      t[i+12])))) AS gram
-        |  FROM toks),
-        |evg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 37 = 0),
-        |corpus AS (SELECT doc_id, gram FROM sh WHERE doc_id < 400)
-        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS hits
-        |FROM corpus c JOIN evg USING (gram)
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "x38_decontaminate_shuffle" -> decontam13OracleSql,
+    // x56: the Bloom pre-filter path computes the identical result (the
+    // sketch only over-keeps; the exact semi-join removes its false
+    // positives), so it shares x38's oracle verbatim
+    "x56_decontaminate_bloom" -> decontam13OracleSql,
     // x39 executes through the SQL TVF surface but computes exactly x25's
     // backward as-of join — same oracle: DuckDB's NATIVE ASOF JOIN
     "x39_asof_sql" ->

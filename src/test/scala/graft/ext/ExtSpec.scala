@@ -709,6 +709,13 @@ class ExtSpec extends SparkSpec {
     val forced = Dedup.contaminatedDocs(docs, evalSet, "doc_id", "text", 13,
         broadcastEval = Some(false)).as[(Long, Long)].collect().toMap
     assert(auto == forced)
+    // the Bloom pre-filter path is exact for ANY fpp (over-keep only, then
+    // exact verify) — including a sketch so small it fires constantly
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = Dedup.contaminatedDocsBloom(docs, evalSet, "doc_id", "text",
+          n = 13, fpp = fpp).as[(Long, Long)].collect().toMap
+      assert(bloom == auto, s"bloom path divergence at fpp=$fpp")
+    }
   }
 
   test("language ID picks the language with most stopword hits") {
