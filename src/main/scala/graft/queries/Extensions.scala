@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{AsOf, Curate, Dedup, Index, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{AsOf, Curate, Dedup, Index, Layout, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -815,6 +815,21 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x57 — Z-order (Morton) layout codes ([[Layout.mortonCode]]): the
+    * bit-interleave of (l_partkey, l_suppkey) that [[Layout.cluster]]
+    * range-partitions a write by, so parquet min/max prunes on BOTH keys.
+    * The code is a pure mask/shift/OR expression (codegen'd, no UDF); the
+    * oracle recomputes every bit position arithmetically. The clustered
+    * write itself is spec-tested via per-partition bounding boxes
+    * (partition assignment is sampling-based, so file placement is not
+    * hash-gateable; the CODE is). */
+  def x57(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        Layout.mortonCode(Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
+          .as("zcode"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -951,7 +966,8 @@ object Extensions {
     "x53_bm25" -> (x53 _),
     "x54_hybrid_rrf" -> (x54 _),
     "x55_unigram_lm" -> (x55 _),
-    "x56_decontaminate_bloom" -> (x56 _)
+    "x56_decontaminate_bloom" -> (x56 _),
+    "x57_zorder" -> (x57 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2151,6 +2167,15 @@ object Extensions {
         |      (a, b) -> a + b) AS s
         |  FROM contrib GROUP BY doc_id, n_tokens)
         |SELECT doc_id, n_tokens, round(s / n_tokens, 4) AS avg_nll
-        |FROM agg ORDER BY doc_id""".stripMargin
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // x57: the morton interleave re-derived bit by bit with integer
+    // arithmetic — column j's bit i lands at output position 2i + j
+    "x57_zorder" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    ((((l_partkey & 65535) >> i) & 1) << (2 * i))
+        |      + ((((l_suppkey & 65535) >> i) & 1) << (2 * i + 1))))
+        |    AS BIGINT) AS zcode
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -882,6 +882,30 @@ class ExtSpec extends SparkSpec {
     assert(m(2L) < m(1L) && m(1L) < m(3L))
   }
 
+  test("mortonCode interleaves bits; cluster keeps 2-D bounding boxes tight") {
+    import spark.implicits._
+    val pts = Seq((3L, 1L), (0L, 0L), (65537L, 2L)).toDF("x", "y")
+    val codes = pts
+      .select(col("x"), col("y"),
+        Layout.mortonCode(Seq(col("x"), col("y")), bits = 16).as("z"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(codes((3L, 1L)) == 7L)   // x bits at even positions, y at odd
+    assert(codes((0L, 0L)) == 0L)
+    assert(codes((65537L, 2L)) == 9L) // masked x=1 → pos0; y bit1 → pos3
+    // 32×32 grid clustered into 4 partitions: every partition's 2-D
+    // bounding box must be far smaller than the full square (a 1-D sort
+    // leaves the second dimension at full width)
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val clustered = Layout.cluster(grid, Seq("x", "y"), numPartitions = 4, bits = 5)
+    val boxes = Layout.boundingBoxes(clustered, Seq("x", "y"))
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(boxes.map(_._2).sum == 1024L) // no rows lost
+    val avgArea = boxes.map(b => (b._4 - b._3 + 1) * (b._6 - b._5 + 1)).sum
+      .toDouble / boxes.length
+    assert(avgArea < 32 * 32 / 2.0, s"avg bounding-box area $avgArea")
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
