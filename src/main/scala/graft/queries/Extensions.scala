@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{AsOf, Curate, Dedup, Index, Layout, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{AsOf, Compaction, Curate, Dedup, Index, Layout, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -830,6 +830,20 @@ object Extensions {
           .as("zcode"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** x58 — latest-event-per-user compaction ([[Compaction.latestByKey]]):
+    * the upsert view of the append-only event stream via map-side-combined
+    * `max(struct)` argmax — the exchange carries one pre-collapsed row per
+    * (task, user), never the history, and no key serializes through a
+    * window task. (ts, event_id) is the unique version; the oracle is the
+    * classic row_number-desc window. */
+  def x58(s: SparkSession, dir: String): DataFrame =
+    Compaction.latestByKey(
+        t(s, dir, "events").select("event_id", "ts", "user_id", "event_type", "value"),
+        keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("user_id")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -967,7 +981,8 @@ object Extensions {
     "x54_hybrid_rrf" -> (x54 _),
     "x55_unigram_lm" -> (x55 _),
     "x56_decontaminate_bloom" -> (x56 _),
-    "x57_zorder" -> (x57 _)
+    "x57_zorder" -> (x57 _),
+    "x58_latest_by_key" -> (x58 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2176,6 +2191,17 @@ object Extensions {
         |    ((((l_partkey & 65535) >> i) & 1) << (2 * i))
         |      + ((((l_suppkey & 65535) >> i) & 1) << (2 * i + 1))))
         |    AS BIGINT) AS zcode
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // x58: the compaction contract re-stated as the naive window the
+    // operator replaces — (ts, event_id) is unique per user, so both
+    // derivations pick the identical row
+    "x58_latest_by_key" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts, event_id, event_type, round(value, 4) AS value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

@@ -906,6 +906,22 @@ class ExtSpec extends SparkSpec {
     assert(avgArea < 32 * 32 / 2.0, s"avg bounding-box area $avgArea")
   }
 
+  test("latestByKey: argmax by version cols, payload rides along untouched") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, 10L, 100L, "old"), (1L, 20L, 101L, "new"),
+      (2L, 20L, 102L, "a"), (2L, 20L, 103L, "b"), // ts tie → higher id wins
+      (3L, 5L, 104L, "only")).toDF("k", "ver", "id", "payload")
+    val out = Compaction.latestByKey(hist, Seq("k"), Seq("ver", "id"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 20L, 101L, "new"), (2L, 20L, 103L, "b"), (3L, 5L, 104L, "only")))
+    assert(Compaction.latestByKey(hist, Seq("k"), Seq("ver", "id")).columns.toSeq ==
+      Seq("k", "ver", "id", "payload"))
+    assertThrows[IllegalArgumentException](
+      Compaction.latestByKey(hist, Nil, Seq("ver")))
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
