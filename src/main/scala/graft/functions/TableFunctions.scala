@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-import graft.ext.{AsOf, Curate, Dedup, Index, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.ext.{AsOf, Compaction, Curate, Dedup, Index, Layout, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** SQL table-valued-function surface for the north-star whole-plan
   * operators (as-of join, range join, LSH dedup pairs) — SURVEY §2.9's
@@ -32,6 +32,10 @@ import graft.ext.{AsOf, Curate, Dedup, Index, RangeJoin, Sampling, Similarity, T
   * SELECT * FROM token_budget('scored_docs', 'doc_id', 'n_words', 'quality_score', 1000000)
   * SELECT * FROM contamination_score('documents', 'eval_suite', 'doc_id', 'text', 13)
   * SELECT * FROM dup_ngram_coverage('documents', 'doc_id', 'text', 5)
+  * SELECT * FROM bm25_topk('documents', 'doc_id', 'text', 'dup,vector', 10)
+  * SELECT * FROM unigram_nll('documents', 'doc_id', 'text')
+  * SELECT * FROM latest_by_key('events', 'user_id', 'ts,event_id')
+  * SELECT * FROM zorder_cluster('lineitem', 'l_partkey,l_suppkey', 32)
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -72,6 +76,14 @@ object TableFunctions {
       "contamination_score", exprs => contaminationScore(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "dup_ngram_coverage", exprs => dupNgramCoverage(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bm25_topk", exprs => bm25TopK(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "unigram_nll", exprs => unigramNll(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "latest_by_key", exprs => latestByKey(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "zorder_cluster", exprs => zorderCluster(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -256,6 +268,60 @@ object TableFunctions {
     val text = args.name("text")
     val n = if (args.exhausted) 5 else args.int("n")
     plan(TextAnalysis.dupNgramCoverage(docs, id, text, n))
+  }
+
+  /** `bm25_topk(table, id, text, terms, k)` → [[Index.bm25TopK]]: global
+    * top-k Okapi BM25 ranking; `terms` is one comma-separated string
+    * literal. */
+  private def bm25TopK(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "bm25_topk"
+    requireArity(f, exprs, min = 5, max = 5)
+    val args = new Args(f, exprs)
+    val docs = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val terms = args.names("terms")
+    val k = args.int("k")
+    plan(Index.bm25TopK(docs, id, text, terms, k))
+  }
+
+  /** `unigram_nll(table, id, text)` → [[TextAnalysis.unigramNll]]: the
+    * corpus-trained unigram-LM mean negative log-prob per document. */
+  private def unigramNll(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "unigram_nll"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val docs = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    plan(TextAnalysis.unigramNll(docs, id, text))
+  }
+
+  /** `latest_by_key(table, keys, versions)` → [[Compaction.latestByKey]]:
+    * current-state upsert view; `keys`/`versions` are comma-separated
+    * column lists. */
+  private def latestByKey(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "latest_by_key"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val df = args.table(spark, "table")
+    val keys = args.names("keys")
+    val versions = args.names("versions")
+    plan(Compaction.latestByKey(df, keys, versions))
+  }
+
+  /** `zorder_cluster(table, cols, partitions [, bits])` →
+    * [[Layout.cluster]]: morton-code range clustering for a
+    * multi-dimension-prunable write. */
+  private def zorderCluster(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "zorder_cluster"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val df = args.table(spark, "table")
+    val cols = args.names("cols")
+    val partitions = args.int("partitions")
+    val bits = if (args.exhausted) 16 else args.int("bits")
+    plan(Layout.cluster(df, cols, partitions, bits))
   }
 
   /** The Dataset's UNANALYZED logical plan: the outer query's analyzer

@@ -178,6 +178,33 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.TextAnalysis.dupNgramCoverage(docs, "doc_id", "text", 3))
   }
 
+  test("bm25_topk / unigram_nll / latest_by_key / zorder_cluster TVFs == Scala APIs") {
+    ready()
+    val docs = Seq((1L, "spark spark shuffle join extra"), (2L, "spark join"),
+      (3L, "join join join"), (4L, "none of these"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tvf_bm")
+    assertSame(
+      spark.sql("SELECT * FROM bm25_topk('tvf_bm', 'doc_id', 'text', 'spark,join', 3)"),
+      graft.ext.Index.bm25TopK(docs, "doc_id", "text", Seq("spark", "join"), 3))
+    assertSame(
+      spark.sql("SELECT * FROM unigram_nll('tvf_bm', 'doc_id', 'text')"),
+      graft.ext.TextAnalysis.unigramNll(docs, "doc_id", "text"))
+
+    val hist = Seq((1L, 10L, 100L, "old"), (1L, 20L, 101L, "new"),
+      (2L, 5L, 102L, "only")).toDF("k", "ver", "id", "p")
+    hist.createOrReplaceTempView("tvf_hist")
+    assertSame(
+      spark.sql("SELECT * FROM latest_by_key('tvf_hist', 'k', 'ver,id')"),
+      graft.ext.Compaction.latestByKey(hist, Seq("k"), Seq("ver", "id")))
+
+    val pts = Seq((3L, 1L), (0L, 0L), (7L, 7L)).toDF("x", "y")
+    pts.createOrReplaceTempView("tvf_pts")
+    assertSame(
+      spark.sql("SELECT * FROM zorder_cluster('tvf_pts', 'x,y', 2, 5)"),
+      graft.ext.Layout.cluster(pts, Seq("x", "y"), 2, 5))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
