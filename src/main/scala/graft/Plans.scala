@@ -153,7 +153,35 @@ object Plans {
         "Duplicate-n-gram coverage in one linear lineage: explode → " +
           "(doc, gram) partial+final aggregate → gram-partitioned count " +
           "window → per-doc rollup; the gram explosion runs exactly once.",
-        queries.Extensions.x52))
+        queries.Extensions.x52),
+      Entry("x53_bm25",
+        "BM25: the token explode is filtered to the QUERY terms before the " +
+          "tf exchange (posting-list-sized shuffle, never the corpus token " +
+          "stream); df (≤ |query| rows) joins back as a broadcast; N/Σdl " +
+          "are driver literals. The visible plan root is the skew-free " +
+          "ordinal's pinned RDD (global ranking without an unpartitioned " +
+          "window) — zero Window nodes.",
+        queries.Extensions.x53),
+      Entry("x55_unigram_lm",
+        "Unigram-LM scoring: vocabulary counts partial-aggregate map-side " +
+          "and join back (broadcast while the vocab fits; AQE re-plans " +
+          "when it does not); the corpus token total is a driver literal; " +
+          "the per-doc fold is an ObjectHashAggregate over pinned-order " +
+          "structs — no Window, no cartesian.",
+        queries.Extensions.x55),
+      Entry("x57_zorder",
+        "Z-order codes: the morton interleave is pure mask/shift/OR inside " +
+          "the scan's codegen'd Project — zero joins, zero aggregates, " +
+          "zero windows; the only exchange is the declared ORDER BY " +
+          "(Layout.cluster replaces it with repartitionByRange at write " +
+          "time).",
+        queries.Extensions.x57),
+      Entry("x58_latest_by_key",
+        "Latest-by-key compaction: max(struct) partial-aggregates BEFORE " +
+          "its exchange (SortAggregate partial → shuffle |keys| rows → " +
+          "final) — the shuffle carries one row per (task, key), never the " +
+          "history, and no Window funnels a hot key through one task.",
+        queries.Extensions.x58))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative declared queries\n\n")

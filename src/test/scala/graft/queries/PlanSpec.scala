@@ -173,6 +173,33 @@ class PlanSpec extends SparkSpec {
       s"classifier query hash-shuffles before the sort:\n$p")
   }
 
+  test("x53/x55: retrieval + LM scoring rank without any corpus-sized window") {
+    val p53 = plan(Extensions.x53(spark, sf))
+    assert(!p53.contains("Window"), s"x53 must rank via the ordinal, not a window")
+    assert(!p53.contains("CartesianProduct"))
+    val p55 = plan(Extensions.x55(spark, sf))
+    assert(!p55.contains("Window"), "x55 per-doc fold must be an aggregate")
+    assert(!p55.contains("CartesianProduct"))
+  }
+
+  test("x57: morton codes are a pure map-side Project, no join/agg/window") {
+    val p = plan(Extensions.x57(spark, sf))
+    // the interleave must be shift/mask/OR inside the scan-side Project
+    // (codegen ids are hidden under the unexecuted AQE wrapper, so assert
+    // the expression shape instead)
+    assert(p.contains("shiftleft"), "morton interleave missing from Project")
+    assert(!p.contains("Window") && !p.contains("Join") &&
+      !p.contains("Aggregate"), s"x57 plan grew non-map operators:\n$p")
+  }
+
+  test("x58: compaction partial-aggregates before its exchange, no window") {
+    val p = plan(Extensions.x58(spark, sf))
+    assert(!p.contains("Window"), "latestByKey must not plan a window")
+    // partial + final aggregate pair around the key exchange
+    val aggs = "SortAggregate|HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final aggregates:\n$p")
+  }
+
   test("x52: the gram explosion runs exactly once (window d.f., no self-join)") {
     val p = plan(Extensions.x52(spark, sf))
     // formatted explain prints each node once in the tree and once in the
