@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{AsOf, Compaction, Curate, Dedup, Index, Layout, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{AsOf, Compaction, Curate, Dedup, Index, Layout, Multimodal, Packing, Profile, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -844,6 +844,25 @@ object Extensions {
         round(col("value"), 4).as("value"))
       .orderBy("user_id")
 
+  /** x59 — sketch-based cardinality profiling ([[Profile.sketchDistinct]]):
+    * per-source row counts + HLL++ approximate distinct texts. The gate
+    * hash-checks the sketch's CONTRACT, not its estimate: the declared
+    * output is the exact counts plus the boolean "approx within 3·rsd of
+    * exact", which the oracle asserts as TRUE — HLL++ is deterministic for
+    * a dataset, so this is a stable value check that the map-side-mergeable
+    * profile stays inside its error bound. */
+  def x59(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sketch = Profile.sketchDistinct(d, "source", "text", rsd = 0.05)
+    val exact = d.groupBy(col("source"))
+      .agg(count_distinct(col("text")).as("exact_distinct"))
+    sketch.join(exact, "source")
+      .select(col("source"), col("n_rows"), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.15).as("within_bound"))
+      .orderBy("source")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -982,7 +1001,8 @@ object Extensions {
     "x55_unigram_lm" -> (x55 _),
     "x56_decontaminate_bloom" -> (x56 _),
     "x57_zorder" -> (x57 _),
-    "x58_latest_by_key" -> (x58 _)
+    "x58_latest_by_key" -> (x58 _),
+    "x59_sketch_profile" -> (x59 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2202,6 +2222,14 @@ object Extensions {
         |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, ts, event_id, event_type, round(value, 4) AS value
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // x59: the oracle computes the exact counts and asserts the sketch
+    // bound as literal TRUE — a deterministic HLL++ estimate outside
+    // 3·rsd of exact fails the hash
+    "x59_sketch_profile" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_bound
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -922,6 +922,21 @@ class ExtSpec extends SparkSpec {
       Compaction.latestByKey(hist, Nil, Seq("ver")))
   }
 
+  test("sketchDistinct: HLL estimate within bound of exact on a known corpus") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (s"g${i % 2}", s"v${i % 357}"))
+      .toDF("g", "v")
+    val out = Profile.sketchDistinct(df, "g", "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("g0")._1 == 500L && out("g1")._1 == 500L)
+    // exact distinct per group: g0 holds v_even ∪ {v odd reached via wrap}
+    val exact = (0 until 1000).groupBy(i => i % 2)
+      .map { case (g, is) => s"g$g" -> is.map(_ % 357).distinct.size.toLong }
+    for ((g, (_, approx)) <- out)
+      assert(math.abs(approx - exact(g)) <= exact(g) * 0.15,
+        s"$g: approx $approx vs exact ${exact(g)}")
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
