@@ -32,4 +32,38 @@ object Profile {
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"),
         approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+
+  /** Per-`groupCol` approximate median of `valueCol` via the
+    * approx_percentile sketch (Greenwald–Khanna style; rank guaranteed
+    * within n/`accuracy` of the target): (group, n_rows, approx_median).
+    * Like the distinct sketch, the aggregation is map-side mergeable —
+    * the quantile summary, not the values, goes through the exchange. */
+  def approxMedian(
+      df: DataFrame, groupCol: String, valueCol: String,
+      accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        percentile_approx(col(valueCol), lit(0.5), lit(accuracy))
+          .as("approx_median"))
+
+  /** The x60 gate shape: join [[approxMedian]] back and verify the rank
+    * guarantee AGAINST THE DATA — `within_bound` holds iff some rank of
+    * the returned value lies within n/accuracy (+1 for the floor/ceil
+    * ambiguity) of n/2. Returns (group, n_rows, within_bound). */
+  def medianBoundCheck(
+      df: DataFrame, groupCol: String, valueCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val m = approxMedian(df, groupCol, valueCol, accuracy)
+    val slack = col("n_rows").cast("double") / accuracy + lit(1.0)
+    df.join(broadcast(m), groupCol)
+      .groupBy(col(groupCol), col("n_rows"))
+      .agg(
+        sum(when(col(valueCol) < col("approx_median"), 1L).otherwise(0L))
+          .as("graft_lt"),
+        sum(when(col(valueCol) <= col("approx_median"), 1L).otherwise(0L))
+          .as("graft_le"))
+      .select(col(groupCol), col("n_rows"),
+        ((col("graft_lt") <= col("n_rows") / 2.0 + slack) &&
+          (col("graft_le") >= col("n_rows") / 2.0 - slack)).as("within_bound"))
+  }
 }

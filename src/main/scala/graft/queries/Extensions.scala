@@ -863,6 +863,15 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** x60 — approx-percentile profiling under its rank guarantee
+    * ([[Profile.medianBoundCheck]]): per-language approximate median doc
+    * length, gated like x59 — the declared output is the exact group
+    * counts plus "the returned value's rank is within n/accuracy of n/2",
+    * verified against the data and asserted TRUE by the oracle. */
+  def x60(s: SparkSession, dir: String): DataFrame =
+    Profile.medianBoundCheck(t(s, dir, "documents"), "lang", "n_chars")
+      .orderBy("lang")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1002,7 +1011,8 @@ object Extensions {
     "x56_decontaminate_bloom" -> (x56 _),
     "x57_zorder" -> (x57 _),
     "x58_latest_by_key" -> (x58 _),
-    "x59_sketch_profile" -> (x59 _)
+    "x59_sketch_profile" -> (x59 _),
+    "x60_median_bound" -> (x60 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2230,6 +2240,10 @@ object Extensions {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
         |  TRUE AS within_bound
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // x60: same bound-assertion pattern for the quantile sketch
+    "x60_median_bound" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, TRUE AS within_bound
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

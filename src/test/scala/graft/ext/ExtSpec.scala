@@ -937,6 +937,18 @@ class ExtSpec extends SparkSpec {
         s"$g: approx $approx vs exact ${exact(g)}")
   }
 
+  test("approxMedian/medianBoundCheck: sketch value honors its rank bound") {
+    import spark.implicits._
+    val df = (1 to 101).map(i => ("g", i.toLong)).toDF("g", "v")
+    val m = Profile.approxMedian(df, "g", "v")
+      .as[(String, Long, Long)].collect().head
+    assert(m._2 == 101L)
+    assert(m._3 == 51L) // accuracy >> n ⇒ the sketch is exact: true median
+    val b = Profile.medianBoundCheck(df, "g", "v")
+      .as[(String, Long, Boolean)].collect().head
+    assert(b == (("g", 101L, true)))
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
