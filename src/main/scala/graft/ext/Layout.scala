@@ -62,4 +62,69 @@ object Layout {
       .groupBy(col("graft_pid"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
   }
+
+  /** Quadtree cover of the 2-D box [xmin,xmax]×[ymin,ymax] as morton-code
+    * intervals: every point inside the box has a zcode inside some emitted
+    * range (never the reverse — callers re-apply the exact box filter).
+    * Driver-side recursion over quad cells: a cell fully inside the box
+    * emits its contiguous code range (a morton cell IS a code interval —
+    * the property that makes Z-order prunable), a partly-overlapping cell
+    * splits into 4, and once `maxRanges` is hit the remaining partial
+    * cells emit their covering range instead of splitting (coarser = more
+    * false positives, never false negatives). Adjacent ranges merge.
+    *
+    * This is the READ side of [[cluster]]: `zcode BETWEEN lo AND hi`
+    * predicates hit parquet's zcode min/max (and a range-partitioned
+    * layout's file boundaries), so a selective 2-D box touches the few
+    * files whose code ranges intersect — instead of every file, which is
+    * what the same box predicate over an unclustered layout reads. */
+  def zRangesForBox(
+      xmin: Long, xmax: Long, ymin: Long, ymax: Long,
+      bits: Int = 16, maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(xmin <= xmax && ymin <= ymax, "empty box")
+    val full = (1L << (2 * bits)) - 1
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var budget = maxRanges
+    // cell = morton prefix `code` covering a square of side 2^level
+    def visit(code: Long, level: Int, cx: Long, cy: Long): Unit = {
+      val side = 1L << level
+      val (x0, x1, y0, y1) = (cx, cx + side - 1, cy, cy + side - 1)
+      if (x1 < xmin || x0 > xmax || y1 < ymin || y0 > ymax) return
+      val lo = code << (2 * level)
+      val hi = lo + (1L << (2 * level)) - 1
+      val contained = x0 >= xmin && x1 <= xmax && y0 >= ymin && y1 <= ymax
+      if (contained || level == 0 || budget <= 1) {
+        ranges += ((lo, hi))
+        budget -= 1
+      } else {
+        val h = side >> 1
+        visit(code << 2, level - 1, cx, cy)              // (0,0) quadrant
+        visit((code << 2) | 1, level - 1, cx + h, cy)    // x bit → pos 0
+        visit((code << 2) | 2, level - 1, cx, cy + h)    // y bit → pos 1
+        visit((code << 2) | 3, level - 1, cx + h, cy + h)
+      }
+    }
+    visit(0L, bits, 0L, 0L)
+    require(ranges.nonEmpty && ranges.head._1 >= 0 && ranges.last._2 <= full)
+    // emitted in ascending code order by construction; merge adjacency
+    ranges.foldLeft(List.empty[(Long, Long)]) {
+      case ((alo, ahi) :: rest, (lo, hi)) if lo == ahi + 1 => (alo, hi) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+  }
+
+  /** Exact 2-D box query THROUGH the z-ranges: the range predicates prune
+    * on the clustered code, the residual box filter restores exactness.
+    * Identical rows to the plain box filter on any input (spec-pinned). */
+  def boxQuery(
+      clustered: DataFrame, xCol: String, yCol: String,
+      xmin: Long, xmax: Long, ymin: Long, ymax: Long,
+      bits: Int = 16, codeCol: String = "zcode",
+      maxRanges: Int = 64): DataFrame = {
+    val zpred = zRangesForBox(xmin, xmax, ymin, ymax, bits, maxRanges)
+      .map { case (lo, hi) => col(codeCol).between(lo, hi) }
+      .reduce(_ || _)
+    clustered.filter(zpred)
+      .filter(col(xCol).between(xmin, xmax) && col(yCol).between(ymin, ymax))
+  }
 }

@@ -828,7 +828,10 @@ object Extensions {
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         Layout.mortonCode(Seq(col("l_partkey"), col("l_suppkey")), bits = 16)
           .as("zcode"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // sort on every output column: the synthetic lineitem carries
+      // duplicate (orderkey, linenumber) pairs, and a keyed sort with ties
+      // leaves cross-engine row order unspecified
+      .orderBy("l_orderkey", "l_linenumber", "zcode")
 
   /** x58 — latest-event-per-user compaction ([[Compaction.latestByKey]]):
     * the upsert view of the append-only event stream via map-side-combined
@@ -871,6 +874,25 @@ object Extensions {
   def x60(s: SparkSession, dir: String): DataFrame =
     Profile.medianBoundCheck(t(s, dir, "documents"), "lang", "n_chars")
       .orderBy("lang")
+
+  /** x61 — the z-order READ path ([[Layout.boxQuery]]): a 2-D box filter
+    * executed through the quadtree zcode-range cover over the clustered
+    * frame + the exact residual — identical rows to the plain box
+    * predicate (the oracle), while the range predicates are the ones
+    * parquet min/max pruning and the range-partitioned layout answer
+    * without scanning. Completes x57: write-side clustering AND the reads
+    * it serves. */
+  def x61(s: SparkSession, dir: String): DataFrame = {
+    val clustered = Layout.cluster(
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Seq("l_partkey", "l_suppkey"), numPartitions = 8)
+    Layout.boxQuery(clustered, "l_partkey", "l_suppkey",
+        xmin = 100L, xmax = 900L, ymin = 10L, ymax = 60L)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
 
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
@@ -1012,7 +1034,8 @@ object Extensions {
     "x57_zorder" -> (x57 _),
     "x58_latest_by_key" -> (x58 _),
     "x59_sketch_profile" -> (x59 _),
-    "x60_median_bound" -> (x60 _)
+    "x60_median_bound" -> (x60 _),
+    "x61_zorder_read" -> (x61 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2221,7 +2244,7 @@ object Extensions {
         |    ((((l_partkey & 65535) >> i) & 1) << (2 * i))
         |      + ((((l_suppkey & 65535) >> i) & 1) << (2 * i + 1))))
         |    AS BIGINT) AS zcode
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, zcode""".stripMargin,
     // x58: the compaction contract re-stated as the naive window the
     // operator replaces — (ts, event_id) is unique per user, so both
     // derivations pick the identical row
@@ -2244,6 +2267,13 @@ object Extensions {
     // x60: same bound-assertion pattern for the quantile sketch
     "x60_median_bound" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, TRUE AS within_bound
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // x61: the z-range cover + residual must equal the plain box predicate
+    "x61_zorder_read" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_partkey, l_suppkey
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 900 AND l_suppkey BETWEEN 10 AND 60
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
   )
 }

@@ -949,6 +949,44 @@ class ExtSpec extends SparkSpec {
     assert(b == (("g", 101L, true)))
   }
 
+  test("zRangesForBox covers exactly; boxQuery == plain box filter") {
+    import spark.implicits._
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val (a, b) = (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong)
+      val (c, d) = (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong)
+      val (xmin, xmax, ymin, ymax) =
+        (a min b, a max b, c min d, c max d)
+      val ranges = Layout.zRangesForBox(xmin, xmax, ymin, ymax, bits = 6)
+      // sorted, merged, disjoint
+      assert(ranges.sliding(2).forall {
+        case Seq((_, h1), (l2, _)) => l2 > h1 + 1
+        case _ => true
+      })
+      // complete: every in-box point's code falls in some range
+      for (x <- xmin to xmax; y <- ymin to ymax) {
+        val z = morton(x, y, 6)
+        assert(ranges.exists { case (lo, hi) => z >= lo && z <= hi },
+          s"point ($x,$y) z=$z escapes the cover of [$xmin,$xmax]×[$ymin,$ymax]")
+      }
+    }
+    // boxQuery through the ranges == the plain predicate, incl. a capped
+    // (coarsened) cover
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val clustered = Layout.cluster(grid, Seq("x", "y"), numPartitions = 4, bits = 6)
+    for (cap <- Seq(64, 2)) {
+      val got = Layout.boxQuery(clustered, "x", "y", 5, 40, 17, 23,
+          bits = 6, codeCol = "zcode", maxRanges = cap)
+        .select("x", "y").as[(Long, Long)].collect().toSet
+      val want = (for (x <- 5L to 40L; y <- 17L to 23L) yield (x, y)).toSet
+      assert(got == want, s"cap=$cap")
+    }
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
