@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics — ordered funnels and cohort retention, the
+  * two standard questions a 100 TB event stream gets asked.
+  *
+  * Both are expressed as keyed aggregates and equi-joins only (every
+  * shuffle is on the high-cardinality user key; event-type filters are
+  * map-side and reach the scan), so they hold their shape at any scale —
+  * no per-user windows over full histories, no sequence reassembly.
+  */
+object Behavior {
+
+  /** Ordered funnel: for each user, the earliest strictly-increasing
+    * completion times of `steps` — step i+1 must happen AFTER the user's
+    * earliest step-i time (the standard earliest-completion funnel
+    * semantics). Returns converting users only: (userCol, t1..tk) as epoch
+    * MICROSECONDS (comparisons and outputs pinned to µs so engines with
+    * different native timestamp precisions agree).
+    *
+    * Shape: one filtered aggregate per step, each joined to the previous
+    * frontier on the user key — the frontier only shrinks, so later steps
+    * join ever-smaller sides; AQE broadcasts them when they fit. */
+  def funnel(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val us = unix_micros(col(tsCol))
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(us).as("t1"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (frontier, (step, i)) =>
+      val (prev, cur) = (s"t${i + 1}", s"t${i + 2}")
+      val carried = (1 to i + 1).map(j => col(s"t$j"))
+      events.filter(col(typeCol) === step)
+        .select(col(userCol), us.as("graft_us"))
+        .join(frontier, userCol)
+        .filter(col("graft_us") > col(prev))
+        .groupBy((col(userCol) +: carried): _*)
+        .agg(min(col("graft_us")).as(cur))
+    }
+  }
+
+  /** Daily cohort retention: users grouped by their first-ever event day,
+    * counted distinct per (cohort day, day offset) they were active.
+    * Returns (cohort_day 'yyyy-MM-dd', day_offset, n_users).
+    *
+    * Shape: one user-keyed aggregate for the cohort day, one join back on
+    * the user key, one (cohort, offset) aggregate — count_distinct's
+    * partial aggregation dedups (cohort, offset, user) map-side. */
+  def retention(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    val cohorts = events.groupBy(col(userCol))
+      .agg(min(day).as("graft_cohort"))
+    events.select(col(userCol), day.as("graft_day"))
+      .join(cohorts, userCol)
+      .groupBy(
+        date_format(col("graft_cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("graft_day"), col("graft_cohort")).cast("long")
+          .as("day_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+}

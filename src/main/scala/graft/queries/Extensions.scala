@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{AsOf, Compaction, Curate, Dedup, Index, Layout, Multimodal, Packing, Profile, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Multimodal, Packing, Profile, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -894,6 +894,22 @@ object Extensions {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
 
+  /** x62 — ordered 3-step funnel view→click→purchase
+    * ([[Behavior.funnel]]): earliest strictly-increasing completion times
+    * per user, all comparisons and outputs pinned to epoch microseconds.
+    * Every shuffle is user-keyed; the step frontiers only shrink. */
+  def x62(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  /** x63 — daily cohort retention ([[Behavior.retention]]): distinct
+    * active users per (first-event day, day offset). One user-keyed
+    * aggregate + join + one (cohort, offset) count-distinct. */
+  def x63(s: SparkSession, dir: String): DataFrame =
+    Behavior.retention(t(s, dir, "events"), "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1035,7 +1051,9 @@ object Extensions {
     "x58_latest_by_key" -> (x58 _),
     "x59_sketch_profile" -> (x59 _),
     "x60_median_bound" -> (x60 _),
-    "x61_zorder_read" -> (x61 _)
+    "x61_zorder_read" -> (x61 _),
+    "x62_funnel" -> (x62 _),
+    "x63_retention" -> (x63 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2274,6 +2292,35 @@ object Extensions {
         |  l_partkey, l_suppkey
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 900 AND l_suppkey BETWEEN 10 AND 60
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    // x62: earliest-completion funnel re-derived step by step; epoch_us
+    // pins both engines to the same microsecond timeline
+    "x62_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t1, CAST(min(epoch_us(e.ts)) AS BIGINT) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |  GROUP BY e.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2, CAST(min(epoch_us(e.ts)) AS BIGINT) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        |  GROUP BY e.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1, t2, t3 FROM s3 ORDER BY user_id""".stripMargin,
+    // x63: cohort day = first event day per user; DuckDB date_diff('day')
+    // on DATEs == Spark datediff
+    "x63_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events
+        |  GROUP BY user_id)
+        |SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', c.cohort, CAST(e.ts AS DATE)) AS BIGINT)
+        |    AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
   )
 }

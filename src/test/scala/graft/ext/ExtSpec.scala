@@ -987,6 +987,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("funnel: strictly-ordered earliest completion; out-of-order drops") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(us: Long) = new Timestamp(us / 1000)
+    val events = Seq(
+      // u1 converts: view@1s, click@2s, purchase@3s (plus decoys)
+      (1L, ts(1000000L), "view"), (1L, ts(2000000L), "click"),
+      (1L, ts(500000L), "click"), // click BEFORE first view — must not count
+      (1L, ts(3000000L), "purchase"),
+      // u2: purchase before click → no conversion
+      (2L, ts(1000000L), "view"), (2L, ts(3000000L), "click"),
+      (2L, ts(2000000L), "purchase"),
+      // u3: never clicks
+      (3L, ts(1000000L), "view"), (3L, ts(2000000L), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Behavior.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1000000L, 2000000L, 3000000L)))
+    assertThrows[IllegalArgumentException](
+      Behavior.funnel(events, "user_id", "ts", "event_type", Seq("view")))
+  }
+
+  test("retention: cohort = first day, distinct users per offset") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def d(day: Int, h: Int = 0) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, d(1)), (1L, d(1, 5)), (1L, d(3)),   // cohort 01-01, offsets 0,0,2
+      (2L, d(1)), (2L, d(3)),                   // cohort 01-01, offsets 0,2
+      (3L, d(2)))                               // cohort 01-02, offset 0
+      .toDF("user_id", "ts")
+    val out = Behavior.retention(events, "user_id", "ts")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 2L), ("2024-01-02", 0L, 1L)))
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
