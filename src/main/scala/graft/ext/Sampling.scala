@@ -53,6 +53,67 @@ object Sampling {
   def hashBucket(id: Column, buckets: Int): Column =
     pmod(PortableHash.md5Long(id.cast("string")), lit(buckets.toLong))
 
+  /** Deterministic WEIGHTED sampling without replacement, per group —
+    * Efraimidis–Spirakis (IPL 2006) with the randomness replaced by the
+    * portable hash: each row draws u ∈ (0,1) as a pure function of its id
+    * and ranks by −ln(u)/w ascending; the k best per group are an exact
+    * weight-proportional sample, reproducible on any engine and stable
+    * under retries. The scheme behind auditable "sample long documents
+    * proportionally more" training-mix draws.
+    *
+    * Ranking uses the same skew-free machinery as the group-wise top-k
+    * (x21): lossless sketch pre-prune, then the two-phase ordinal — no
+    * low-cardinality window. Weights must be > 0.
+    *
+    * @return input columns + `sample_rank` (1..k per group) */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    val m = 1048576L // 2^20 hash buckets → u ∈ (0,1) at ~1e-6 resolution
+    val u = (pmod(PortableHash.md5Long(col(idCol).cast("string"), "ws:"),
+      lit(m)) + lit(0.5)) / lit(m.toDouble)
+    val scored = df.withColumn("graft_es", -log(u) / col(weightCol))
+    val pruned = Ordinals.approxTopKPrune(scored, groupCol, "graft_es", k)
+    Ordinals.perKeyOrdinal(pruned, groupCol, Seq("graft_es", idCol))
+      .filter(col("ordinal") < k)
+      .withColumn("sample_rank", col("ordinal") + 1L)
+      .drop("graft_es", "ordinal")
+  }
+
+  /** Deterministic mixture rebalancing: cut each group down so the kept
+    * set matches the `targets` proportions EXACTLY (largest feasible
+    * total), keeping each group's smallest-hash rows — the corpus-mixing
+    * primitive ("50% web, 30% code, 20% books") as an auditable pure
+    * function of the data. Groups absent from `targets` are dropped.
+    *
+    * Driver computes the per-group quotas from one tiny count aggregate
+    * (T = min over groups of count/target, quota = floor(T·target)); rows
+    * then rank by portable hash within their group through the same
+    * skew-free ordinal as [[weightedSample]] and keep rank < quota. */
+  def rebalanceMix(
+      df: DataFrame, idCol: String, groupCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty and positive")
+    val counts = df.filter(col(groupCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("graft_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(targets.keySet.subsetOf(counts.keySet),
+      s"groups with zero rows cannot meet a positive target: " +
+        s"${targets.keySet -- counts.keySet}")
+    val t = targets.map { case (g, p) => counts(g) / p }.min
+    val quota = targets.map { case (g, p) => g -> math.floor(t * p).toLong }
+    val quotaExpr = quota.foldLeft(lit(0L): Column) { case (acc, (g, q)) =>
+      when(col(groupCol) === g, lit(q)).otherwise(acc)
+    }
+    val hashed = df.filter(col(groupCol).isin(targets.keys.toSeq: _*))
+      .withColumn("graft_h",
+        PortableHash.md5Long(col(idCol).cast("string"), "mix:"))
+    Ordinals.perKeyOrdinal(hashed, groupCol, Seq("graft_h", idCol))
+      .filter(col("ordinal") < quotaExpr)
+      .drop("graft_h", "ordinal")
+  }
+
   /** Deterministic train/validation/test (or any n-way) split assignment:
     * the split label is a pure function of the row id, so every engine,
     * every re-run, and every retried task agrees on the assignment, and

@@ -910,6 +910,28 @@ object Extensions {
     Behavior.retention(t(s, dir, "events"), "user_id", "ts")
       .orderBy("cohort_day", "day_offset")
 
+  /** x64 — deterministic weighted sampling ([[Sampling.weightedSample]]):
+    * Efraimidis–Spirakis keys from the portable hash (−ln u / n_chars), 20
+    * per language — longer docs proportionally likelier, every engine and
+    * retry reproduces the identical sample. The oracle re-derives u, the
+    * key, and the per-group ranking. */
+  def x64(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+        "lang", k = 20)
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+      .orderBy("lang", "sample_rank")
+
+  /** x65 — deterministic mixture rebalancing ([[Sampling.rebalanceMix]]):
+    * cut {src0, src1, src2} to an exact 50/30/20 mix at the largest
+    * feasible total, keeping each source's smallest-hash rows. Quotas come
+    * from one tiny count aggregate; membership is a pure function of the
+    * data, re-derived end-to-end by the oracle. */
+  def x65(s: SparkSession, dir: String): DataFrame =
+    Sampling.rebalanceMix(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1053,7 +1075,9 @@ object Extensions {
     "x60_median_bound" -> (x60 _),
     "x61_zorder_read" -> (x61 _),
     "x62_funnel" -> (x62 _),
-    "x63_retention" -> (x63 _)
+    "x63_retention" -> (x63 _),
+    "x64_weighted_sample" -> (x64 _),
+    "x65_rebalance_mix" -> (x65 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2321,6 +2345,45 @@ object Extensions {
         |    AS day_offset,
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM events e JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // x64: u, the E-S key and the ranking re-derived with the shared
+    // portable hash; float-op order mirrors the Spark expression
+    "x64_weighted_sample" -> {
+      val h = hex15.format("'ws:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH u AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    (($h % 1048576) + 0.5) / 1048576.0 AS uu
+         |  FROM documents),
+         |s AS (SELECT lang, doc_id, (-ln(uu)) / n_chars AS es FROM u),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY es, doc_id) AS rk
+         |  FROM s)
+         |SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+         |FROM r WHERE rk <= 20 ORDER BY lang, sample_rank""".stripMargin
+    },
+    // x65: quotas (T = min count/target, floor(T·target)) and the
+    // smallest-hash-first membership re-derived end-to-end
+    "x65_rebalance_mix" -> {
+      val h = hex15.format("'mix:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+         |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+         |t AS (
+         |  SELECT min(CASE source WHEN 'src0' THEN n / 0.5
+         |    WHEN 'src1' THEN n / 0.3 ELSE n / 0.2 END) AS tt FROM c),
+         |q AS (
+         |  SELECT c.source, CAST(floor(t.tt * CASE c.source
+         |    WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END)
+         |    AS BIGINT) AS quota
+         |  FROM c CROSS JOIN t),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rk
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+         |SELECT r.source AS source, r.doc_id AS doc_id
+         |FROM r JOIN q ON r.source = q.source
+         |WHERE r.rk <= q.quota ORDER BY r.source, r.doc_id""".stripMargin
+    }
   )
 }

@@ -1026,6 +1026,42 @@ class ExtSpec extends SparkSpec {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 2L), ("2024-01-02", 0L, 1L)))
   }
 
+  test("weightedSample: E-S keys favor heavy rows; deterministic across runs") {
+    import spark.implicits._
+    // weight 1000 vs 1: heavy rows should dominate a k=5 sample of 10
+    val df = ((1L to 5L).map(i => (i, 1000L)) ++ (6L to 10L).map(i => (i, 1L)))
+      .toDF("id", "w").withColumn("g", lit("all"))
+    val s1 = Sampling.weightedSample(df, "id", "w", "g", k = 5)
+      .select("id", "sample_rank").as[(Long, Long)].collect().sortBy(_._2)
+    val s2 = Sampling.weightedSample(df, "id", "w", "g", k = 5)
+      .select("id", "sample_rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(s1.toSeq == s2.toSeq) // pure function of the data
+    assert(s1.length == 5)
+    assert(s1.count(_._1 <= 5L) >= 4, // heavy ids win ~always
+      s"weighted sample ignored weights: ${s1.toSeq}")
+  }
+
+  test("rebalanceMix: exact target proportions at the largest feasible total") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 130).map(i => (i.toLong, "b")) ++
+      (131 to 140).map(i => (i.toLong, "other"))).toDF("id", "g")
+    val kept = Sampling.rebalanceMix(df, "id", "g",
+        Map("a" -> 0.8, "b" -> 0.2))
+      .select("id", "g").as[(Long, String)].collect()
+    val byG = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // T = min(100/0.8, 30/0.2) = 125 → quotas floor(100), floor(25)
+    assert(byG == Map("a" -> 100, "b" -> 25))
+    assert(!kept.exists(_._2 == "other")) // untargeted groups dropped
+    // rerun identical
+    val again = Sampling.rebalanceMix(df, "id", "g",
+        Map("a" -> 0.8, "b" -> 0.2))
+      .select("id", "g").as[(Long, String)].collect()
+    assert(kept.map(t => t._1 -> t._2).toSet == again.map(t => t._1 -> t._2).toSet)
+    assertThrows[IllegalArgumentException](
+      Sampling.rebalanceMix(df, "id", "g", Map("absent" -> 1.0)))
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
