@@ -181,7 +181,21 @@ object Plans {
           "its exchange (SortAggregate partial → shuffle |keys| rows → " +
           "final) — the shuffle carries one row per (task, key), never the " +
           "history, and no Window funnels a hot key through one task.",
-        queries.Extensions.x58))
+        queries.Extensions.x58),
+      Entry("x61_zorder_read",
+        "The z-order read path: the quadtree cover turns the 2-D box into " +
+          "OR'd `zcode BETWEEN` predicates + the exact residual — all " +
+          "inside the scan-side Filter, which is what parquet min/max " +
+          "pruning and the range-partitioned layout answer per file. No " +
+          "join, no aggregate; one plan-visible exchange (the declared " +
+          "ORDER BY).",
+        queries.Extensions.x61),
+      Entry("x62_funnel",
+        "Ordered funnel: one filtered user-keyed aggregate per step, each " +
+          "joined to the shrinking frontier on the user key — event-type " +
+          "filters reach the scan, every exchange is high-cardinality, and " +
+          "no per-user history window exists anywhere.",
+        queries.Extensions.x62))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative declared queries\n\n")
