@@ -42,6 +42,50 @@ object Behavior {
     }
   }
 
+  /** Event-rate anomaly detection: hourly event counts z-scored against
+    * the trailing `trailing` observed hours; hours with |z| ≥ `minZ` (and
+    * a full trailing window) are flagged — the ops-side spike/drop monitor
+    * over an event stream.
+    *
+    * Determinism: the trailing aggregates are INTEGER sums (count, Σcnt,
+    * Σcnt²) — exact in any order — and the float math is three pinned ops
+    * (mean = s/n; var = q/n − mean·mean; z = (cnt − mean)/√var), so
+    * engines agree bit-for-bit before the final rounding.
+    *
+    * Scale shape: the raw stream collapses to one row per hour in a
+    * map-combined aggregate FIRST; the ordered window then runs over the
+    * tiny hourly rollup (8760 rows/year), not the events — a global window
+    * there is free. Gaps (hours with zero events) are not back-filled;
+    * the trailing window is over OBSERVED hours.
+    *
+    * @return (hour 'yyyy-MM-dd HH:00', n_events, z) for flagged hours */
+  def rateAnomalies(
+      events: DataFrame, tsCol: String,
+      trailing: Int = 24, minZ: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(date_format(date_trunc("hour", col(tsCol)),
+        "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("hour")).rowsBetween(-trailing, -1)
+    val stats = hourly
+      .withColumn("graft_n", count(lit(1)).over(w))
+      .withColumn("graft_s", sum(col("n_events")).over(w))
+      .withColumn("graft_q",
+        sum(col("n_events") * col("n_events")).over(w))
+      .filter(col("graft_n") === trailing)
+    val mean = col("graft_s").cast("double") / col("graft_n")
+    val variance = col("graft_q").cast("double") / col("graft_n") - mean * mean
+    stats
+      .withColumn("graft_var", variance)
+      // var > 0 (bit-identical across engines) rather than a NaN/±inf
+      // z-filter: NaN ordering differs between engines, var doesn't
+      .filter(col("graft_var") > 0.0)
+      .withColumn("graft_z", (col("n_events") - mean) / sqrt(col("graft_var")))
+      .filter(abs(col("graft_z")) >= minZ)
+      .select(col("hour"), col("n_events"), round(col("graft_z"), 4).as("z"))
+  }
+
   /** Daily cohort retention: users grouped by their first-ever event day,
     * counted distinct per (cohort day, day offset) they were active.
     * Returns (cohort_day 'yyyy-MM-dd', day_offset, n_users).

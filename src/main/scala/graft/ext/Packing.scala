@@ -26,6 +26,44 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Sliding context windows over each document's token stream — the
+    * long-document chunking stage of training-data prep (a doc longer
+    * than the model context becomes overlapping windows; stride < window
+    * preserves cross-boundary context).
+    *
+    * Pure map-side generate: tokenize once, explode a
+    * `sequence(0, n_windows−1)` of window ordinals, slice per ordinal —
+    * codegen'd, zero shuffle, output size = Σ ceil(nᵢ/stride) rows. The
+    * window count is integer arithmetic ((n + stride − 1) div stride), so
+    * every engine agrees on the exact chunking. Docs with zero tokens
+    * yield no windows; the final window may be shorter than `window`.
+    *
+    * @return (idCol, window_id, start_token, win_tokens, window_text) */
+  def chunkWindows(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val toks = filter(Dedup.tokens(col(textCol)), _ =!= "")
+    val n = size(toks).cast("long")
+    docs
+      .select(col(idCol), toks.as("graft_toks"), n.as("graft_n"))
+      .filter(col("graft_n") > 0)
+      .select(col(idCol), col("graft_toks"), col("graft_n"),
+        // integer `div`, not double `/` + cast (the packBins lesson: the
+        // double path diverges from integer division past 2^53)
+        explode(sequence(lit(0L),
+          expr(s"(graft_n + ${stride - 1}) div $stride") - lit(1L)))
+          .as("window_id"))
+      .select(col(idCol), col("window_id"),
+        (col("window_id") * stride).as("start_token"),
+        least(lit(window.toLong), col("graft_n") - col("window_id") * stride)
+          .as("win_tokens"),
+        concat_ws(" ", slice(col("graft_toks"),
+          (col("window_id") * stride + 1).cast("int"), lit(window)))
+          .as("window_text"))
+  }
+
   /** Bin assignment per document.
     * @param sizeCol  token/size column (non-negative integer)
     * @param budget   bin capacity in the same unit

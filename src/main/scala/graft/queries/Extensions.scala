@@ -932,6 +932,25 @@ object Extensions {
       .select(col("source"), col("doc_id"))
       .orderBy("source", "doc_id")
 
+  /** x66 — sliding context windows ([[Packing.chunkWindows]]): 100-token
+    * windows at stride 50 over every document — the long-doc chunking
+    * stage of training prep as a pure map-side generate (integer-div
+    * window counts, zero shuffle). The oracle re-slices every window. */
+  def x66(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        window = 100, stride = 50)
+      .orderBy("doc_id", "window_id")
+
+  /** x67 — event-rate anomaly detection ([[Behavior.rateAnomalies]]):
+    * hourly counts z-scored against the trailing 24 observed hours; the
+    * trailing stats are exact integer sums, the float math three pinned
+    * ops, and the flag filter runs on variance (bit-identical) rather
+    * than a NaN-ordering-sensitive z comparison. */
+  def x67(s: SparkSession, dir: String): DataFrame =
+    Behavior.rateAnomalies(t(s, dir, "events"), "ts",
+        trailing = 24, minZ = 2.0)
+      .orderBy("hour")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1077,7 +1096,9 @@ object Extensions {
     "x62_funnel" -> (x62 _),
     "x63_retention" -> (x63 _),
     "x64_weighted_sample" -> (x64 _),
-    "x65_rebalance_mix" -> (x65 _)
+    "x65_rebalance_mix" -> (x65 _),
+    "x66_chunk_windows" -> (x66 _),
+    "x67_rate_anomaly" -> (x67 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2384,6 +2405,47 @@ object Extensions {
          |SELECT r.source AS source, r.doc_id AS doc_id
          |FROM r JOIN q ON r.source = q.source
          |WHERE r.rk <= q.quota ORDER BY r.source, r.doc_id""".stripMargin
-    }
+    },
+    // x66: every window re-sliced; window counts via integer // so both
+    // engines chunk identically
+    "x66_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |w AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks
+        |  WHERE len(tk) > 0),
+        |g AS (SELECT doc_id, tk, n,
+        |  unnest(range(0, (n + 49) // 50)) AS wid FROM w)
+        |SELECT doc_id, CAST(wid AS BIGINT) AS window_id,
+        |  CAST(wid * 50 AS BIGINT) AS start_token,
+        |  CAST(least(100, n - wid * 50) AS BIGINT) AS win_tokens,
+        |  array_to_string(tk[CAST(wid * 50 + 1 AS INT) : CAST(wid * 50 + 100 AS INT)], ' ')
+        |    AS window_text
+        |FROM g ORDER BY doc_id, window_id""".stripMargin,
+    // x67: trailing stats re-derived as exact integer window sums; the
+    // three float ops and the var > 0 guard mirror the Spark expression
+    "x67_rate_anomaly" ->
+      """WITH h AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT hour, n_events,
+        |    count(*) OVER w AS wn,
+        |    CAST(sum(n_events) OVER w AS BIGINT) AS ws,
+        |    CAST(sum(n_events * n_events) OVER w AS BIGINT) AS wq
+        |  FROM h WINDOW w AS (
+        |    ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |v AS (
+        |  SELECT hour, n_events,
+        |    CAST(ws AS DOUBLE) / wn AS m,
+        |    CAST(wq AS DOUBLE) / wn - (CAST(ws AS DOUBLE) / wn)
+        |      * (CAST(ws AS DOUBLE) / wn) AS var
+        |  FROM s WHERE wn = 24),
+        |z AS (
+        |  SELECT hour, n_events, (n_events - m) / sqrt(var) AS zz
+        |  FROM v WHERE var > 0)
+        |SELECT hour, n_events, round(zz, 4) AS z FROM z
+        |WHERE abs(zz) >= 2.0 ORDER BY hour""".stripMargin
   )
 }

@@ -1062,6 +1062,50 @@ class ExtSpec extends SparkSpec {
       Sampling.rebalanceMix(df, "id", "g", Map("absent" -> 1.0)))
   }
 
+  test("chunkWindows: stride coverage, short tail, empty docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 7).map(i => s"t$i").mkString(" ")), // 7 toks, w=4 s=2 → 4 windows
+      (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val out = Packing.chunkWindows(docs, "doc_id", "text", window = 4, stride = 2)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(w => (w._2, w._3, w._4, w._5)).toSeq == Seq(
+      (0L, 0L, 4L, "t1 t2 t3 t4"), (1L, 2L, 4L, "t3 t4 t5 t6"),
+      (2L, 4L, 3L, "t5 t6 t7"), (3L, 6L, 1L, "t7")))
+    assert(out.filter(_._1 == 2L).map(w => (w._2, w._4, w._5)).toSeq ==
+      Seq((0L, 1L, "a")))
+    assert(!out.exists(_._1 == 3L)) // zero tokens → no windows
+    assertThrows[IllegalArgumentException](
+      Packing.chunkWindows(docs, "doc_id", "text", window = 4, stride = 5))
+  }
+
+  test("rateAnomalies: flags the planted spike with the hand z-score") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 24 calm hours at 10 events, then one 30-event spike
+    val rows = (0 until 24).flatMap(h =>
+      (0 until 10).map(i => Timestamp.valueOf(f"2024-02-01 $h%02d:00:${i}%02d"))) ++
+      (0 until 30).map(i => Timestamp.valueOf(f"2024-02-02 00:00:${i}%02d"))
+    val events = rows.map(Tuple1(_)).toDF("ts")
+    val out = Behavior.rateAnomalies(events, "ts", trailing = 24, minZ = 3.0)
+      .as[(String, Long, Double)].collect()
+    // trailing window is all-10s → variance 0 → var>0 guard drops it…
+    assert(out.isEmpty)
+    // …so add one wobble hour to give the window spread
+    val events2 = (events.as[Timestamp].collect().toSeq :+
+      Timestamp.valueOf("2024-02-01 05:30:00")).map(Tuple1(_)).toDF("ts")
+    val out2 = Behavior.rateAnomalies(events2, "ts", trailing = 24, minZ = 3.0)
+      .as[(String, Long, Double)].collect()
+    assert(out2.map(_._1).toSeq == Seq("2024-02-02 00:00"))
+    val (s, q, n) = (10 * 23 + 11, 100 * 23 + 121, 24)
+    val mean = s.toDouble / n
+    val z = (30 - mean) / math.sqrt(q.toDouble / n - mean * mean)
+    assert(out2.head._3 == BigDecimal(z)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out2.head._2 == 30L)
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
