@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-import graft.ext.{AsOf, Compaction, Curate, Dedup, Index, Layout, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Packing, Profile, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** SQL table-valued-function surface for the north-star whole-plan
   * operators (as-of join, range join, LSH dedup pairs) — SURVEY §2.9's
@@ -36,6 +36,12 @@ import graft.ext.{AsOf, Compaction, Curate, Dedup, Index, Layout, RangeJoin, Sam
   * SELECT * FROM unigram_nll('documents', 'doc_id', 'text')
   * SELECT * FROM latest_by_key('events', 'user_id', 'ts,event_id')
   * SELECT * FROM zorder_cluster('lineitem', 'l_partkey,l_suppkey', 32)
+  * SELECT * FROM funnel('events', 'user_id', 'ts', 'event_type', 'view,click,purchase')
+  * SELECT * FROM retention('events', 'user_id', 'ts')
+  * SELECT * FROM rate_anomaly('events', 'ts', 24, 3.0)
+  * SELECT * FROM weighted_sample('documents', 'doc_id', 'n_chars', 'lang', 20)
+  * SELECT * FROM chunk_windows('documents', 'doc_id', 'text', 100, 50)
+  * SELECT * FROM sketch_distinct('documents', 'source', 'text')
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -84,6 +90,18 @@ object TableFunctions {
       "latest_by_key", exprs => latestByKey(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "zorder_cluster", exprs => zorderCluster(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "funnel", exprs => funnel(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "retention", exprs => retention(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rate_anomaly", exprs => rateAnomaly(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "weighted_sample", exprs => weightedSample(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "chunk_windows", exprs => chunkWindows(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sketch_distinct", exprs => sketchDistinct(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -322,6 +340,75 @@ object TableFunctions {
     val partitions = args.int("partitions")
     val bits = if (args.exhausted) 16 else args.int("bits")
     plan(Layout.cluster(df, cols, partitions, bits))
+  }
+
+  /** `funnel(table, user, ts, type, steps)` → [[Behavior.funnel]]: ordered
+    * earliest-completion funnel; `steps` is one comma-separated string. */
+  private def funnel(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "funnel"
+    requireArity(f, exprs, min = 5, max = 5)
+    val args = new Args(f, exprs)
+    val events = args.table(spark, "table")
+    val user = args.name("user")
+    val ts = args.name("ts")
+    val typ = args.name("type")
+    val steps = args.names("steps")
+    plan(Behavior.funnel(events, user, ts, typ, steps))
+  }
+
+  /** `retention(table, user, ts)` → [[Behavior.retention]]. */
+  private def retention(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "retention"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(Behavior.retention(args.table(spark, "table"),
+      args.name("user"), args.name("ts")))
+  }
+
+  /** `rate_anomaly(table, ts [, trailing [, min_z]])` →
+    * [[Behavior.rateAnomalies]]. */
+  private def rateAnomaly(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "rate_anomaly"
+    requireArity(f, exprs, min = 2, max = 4)
+    val args = new Args(f, exprs)
+    val events = args.table(spark, "table")
+    val ts = args.name("ts")
+    val trailing = if (args.exhausted) 24 else args.int("trailing")
+    val minZ = if (args.exhausted) 3.0 else args.double("min_z")
+    plan(Behavior.rateAnomalies(events, ts, trailing, minZ))
+  }
+
+  /** `weighted_sample(table, id, weight, group, k)` →
+    * [[Sampling.weightedSample]]. */
+  private def weightedSample(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "weighted_sample"
+    requireArity(f, exprs, min = 5, max = 5)
+    val args = new Args(f, exprs)
+    plan(Sampling.weightedSample(args.table(spark, "table"), args.name("id"),
+      args.name("weight"), args.name("group"), args.int("k")))
+  }
+
+  /** `chunk_windows(table, id, text, window, stride)` →
+    * [[Packing.chunkWindows]]. */
+  private def chunkWindows(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "chunk_windows"
+    requireArity(f, exprs, min = 5, max = 5)
+    val args = new Args(f, exprs)
+    plan(Packing.chunkWindows(args.table(spark, "table"), args.name("id"),
+      args.name("text"), args.int("window"), args.int("stride")))
+  }
+
+  /** `sketch_distinct(table, group, value [, rsd])` →
+    * [[Profile.sketchDistinct]]. */
+  private def sketchDistinct(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "sketch_distinct"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val df = args.table(spark, "table")
+    val group = args.name("group")
+    val value = args.name("value")
+    val rsd = if (args.exhausted) 0.05 else args.double("rsd")
+    plan(Profile.sketchDistinct(df, group, value, rsd))
   }
 
   /** The Dataset's UNANALYZED logical plan: the outer query's analyzer

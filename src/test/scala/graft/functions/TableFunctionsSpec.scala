@@ -205,6 +205,34 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Layout.cluster(pts, Seq("x", "y"), 2, 5))
   }
 
+  test("funnel / retention / rate_anomaly / weighted_sample / chunk_windows / sketch_distinct TVFs == Scala APIs") {
+    ready()
+    val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    events.createOrReplaceTempView("tvf_ev")
+    assertSame(
+      spark.sql("SELECT * FROM funnel('tvf_ev', 'user_id', 'ts', 'event_type', 'view,click,purchase')"),
+      graft.ext.Behavior.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")))
+    assertSame(
+      spark.sql("SELECT * FROM retention('tvf_ev', 'user_id', 'ts')"),
+      graft.ext.Behavior.retention(events, "user_id", "ts"))
+    assertSame(
+      spark.sql("SELECT * FROM rate_anomaly('tvf_ev', 'ts', 24, 2.0)"),
+      graft.ext.Behavior.rateAnomalies(events, "ts", 24, 2.0))
+
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("tvf_docs8")
+    assertSame(
+      spark.sql("SELECT * FROM weighted_sample('tvf_docs8', 'doc_id', 'n_chars', 'lang', 5)"),
+      graft.ext.Sampling.weightedSample(docs, "doc_id", "n_chars", "lang", 5))
+    assertSame(
+      spark.sql("SELECT * FROM chunk_windows('tvf_docs8', 'doc_id', 'text', 50, 25)"),
+      graft.ext.Packing.chunkWindows(docs, "doc_id", "text", 50, 25))
+    assertSame(
+      spark.sql("SELECT * FROM sketch_distinct('tvf_docs8', 'source', 'text')"),
+      graft.ext.Profile.sketchDistinct(docs, "source", "text"))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
