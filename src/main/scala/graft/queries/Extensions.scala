@@ -951,6 +951,25 @@ object Extensions {
         trailing = 24, minZ = 2.0)
       .orderBy("hour")
 
+  /** x68 — the long-document training-prep capstone: [[Packing.chunkWindows]]
+    * (100-token windows, stride 50) → [[Packing.packBins]] (2000-token
+    * bins over hash shards) as ONE declared plan — raw corpus to packed
+    * context-window batches, every stage the already-gated operator. The
+    * synthetic window id doc_id·1000 + window_id keys the shard hash and
+    * the packing order (windows per doc are bounded ≪ 1000). */
+  def x68(s: SparkSession, dir: String): DataFrame = {
+    val wins = Packing.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        window = 100, stride = 50)
+      .select(col("doc_id"), col("window_id"),
+        (col("doc_id") * 1000L + col("window_id")).as("graft_wid"),
+        col("win_tokens"))
+    Packing.packBins(wins, "graft_wid", "win_tokens", Nil, "graft_wid",
+        budget = 2000L, numShards = 8)
+      .select(col("doc_id"), col("window_id"), col("win_tokens"),
+        col("shard"), col("bin"))
+      .orderBy("doc_id", "window_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1098,7 +1117,8 @@ object Extensions {
     "x64_weighted_sample" -> (x64 _),
     "x65_rebalance_mix" -> (x65 _),
     "x66_chunk_windows" -> (x66 _),
-    "x67_rate_anomaly" -> (x67 _)
+    "x67_rate_anomaly" -> (x67 _),
+    "x68_window_pack" -> (x68 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2446,6 +2466,30 @@ object Extensions {
         |  SELECT hour, n_events, (n_events - m) / sqrt(var) AS zz
         |  FROM v WHERE var > 0)
         |SELECT hour, n_events, round(zz, 4) AS z FROM z
-        |WHERE abs(zz) >= 2.0 ORDER BY hour""".stripMargin
+        |WHERE abs(zz) >= 2.0 ORDER BY hour""".stripMargin,
+    // x68: the x66 window derivation composed with the x31 packing shape
+    // (hash shard of the synthetic window id, exclusive integer prefix sum)
+    "x68_window_pack" -> {
+      val h = hex15.format("CAST(wid2 AS VARCHAR)")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |w AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM toks
+         |  WHERE len(tk) > 0),
+         |g AS (SELECT doc_id, n,
+         |  unnest(range(0, (n + 49) // 50)) AS wid FROM w),
+         |wins AS (
+         |  SELECT doc_id, CAST(wid AS BIGINT) AS window_id,
+         |    doc_id * 1000 + wid AS wid2,
+         |    CAST(least(100, n - wid * 50) AS BIGINT) AS win_tokens
+         |  FROM g),
+         |sh AS (SELECT doc_id, window_id, wid2, win_tokens,
+         |  $h % 8 AS shard FROM wins)
+         |SELECT doc_id, window_id, win_tokens, CAST(shard AS BIGINT) AS shard,
+         |  CAST(COALESCE(SUM(win_tokens) OVER (PARTITION BY shard
+         |    ORDER BY wid2 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) // 2000 AS bin
+         |FROM sh ORDER BY doc_id, window_id""".stripMargin
+    }
   )
 }
