@@ -114,6 +114,11 @@ object Index {
     val stats = toks.agg(
       count(lit(1)).as("n"), sum(size(col("graft_toks"))).as("sumdl")).head()
     val n = stats.getLong(0)
+    if (n == 0L) // empty corpus: empty result, not a null-sum NPE / 0-div
+      return docs.sparkSession.emptyDataFrame
+        .withColumn(idCol, lit(null).cast(docs.schema(idCol).dataType))
+        .withColumn("term", lit(null).cast("string"))
+        .withColumn("score", lit(null).cast("double"))
     val avgdl = stats.getLong(1).toDouble / n
 
     val tf = toks

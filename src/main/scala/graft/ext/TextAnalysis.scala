@@ -272,7 +272,12 @@ object TextAnalysis {
       .select(col(idCol), size(col("graft_toks")).cast("long").as("n_tokens"),
         explode(col("graft_toks")).as("term"))
     val counts = termRows.groupBy(col("term")).agg(count(lit(1)).as("graft_cnt"))
-    val total = counts.agg(sum(col("graft_cnt"))).head().getLong(0)
+    // empty/token-free corpus: sum is null — score nothing rather than NPE
+    val totalRow = counts.agg(sum(col("graft_cnt"))).head()
+    if (totalRow.isNullAt(0)) return termRows
+      .select(col(idCol), col("n_tokens"), lit(null).cast("double").as("avg_nll"))
+      .limit(0)
+    val total = totalRow.getLong(0)
 
     val tf = termRows.groupBy(col(idCol), col("n_tokens"), col("term"))
       .agg(count(lit(1)).as("graft_tf"))

@@ -863,6 +863,14 @@ class ExtSpec extends SparkSpec {
     assert(tied(0)._2 == tied(1)._2 && tied.map(_._1).toSeq == Seq(1L, 2L))
   }
 
+  test("bm25/unigramNll: empty corpus yields empty results, not an NPE") {
+    val none = docsFrom(Nil)
+    assert(Index.bm25(none, "doc_id", "text", Seq("a")).count() == 0L)
+    assert(TextAnalysis.unigramNll(none, "doc_id", "text").count() == 0L)
+    assert(TextAnalysis.unigramNll(none, "doc_id", "text").columns.toSeq ==
+      Seq("doc_id", "n_tokens", "avg_nll"))
+  }
+
   test("unigramNll: self-trained model, exact pinned-order fold, per-token mean") {
     val docs = docsFrom(Seq((1L, "a a b"), (2L, "b c")))
     val out = TextAnalysis.unigramNll(docs, "doc_id", "text")
