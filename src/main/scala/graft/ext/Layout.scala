@@ -121,6 +121,14 @@ object Layout {
       xmin: Long, xmax: Long, ymin: Long, ymax: Long,
       bits: Int = 16, codeCol: String = "zcode",
       maxRanges: Int = 64): DataFrame = {
+    // the box must sit inside the morton domain: beyond 2^bits the codes
+    // come from MASKED coordinates, so an out-of-domain box would pass the
+    // range predicates for the wrong points and silently DROP its own
+    // (false negatives) — refuse loudly instead
+    val side = 1L << bits
+    require(xmin >= 0 && ymin >= 0 && xmax < side && ymax < side,
+      s"box [$xmin,$xmax]×[$ymin,$ymax] exceeds the $bits-bit morton " +
+        s"domain [0, $side) — cluster with more bits or pre-scale the data")
     val zpred = zRangesForBox(xmin, xmax, ymin, ymax, bits, maxRanges)
       .map { case (lo, hi) => col(codeCol).between(lo, hi) }
       .reduce(_ || _)

@@ -95,6 +95,11 @@ object Sampling {
       targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0),
       "targets must be non-empty and positive")
+    require(df.schema(groupCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"rebalanceMix groups on string columns; '$groupCol' is " +
+        s"${df.schema(groupCol).dataType.simpleString} — cast it first " +
+        "(targets are keyed by string)")
     val counts = df.filter(col(groupCol).isin(targets.keys.toSeq: _*))
       .groupBy(col(groupCol)).agg(count(lit(1)).as("graft_n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -993,6 +993,9 @@ class ExtSpec extends SparkSpec {
       val want = (for (x <- 5L to 40L; y <- 17L to 23L) yield (x, y)).toSet
       assert(got == want, s"cap=$cap")
     }
+    // out-of-domain boxes would silently drop masked points → must refuse
+    assertThrows[IllegalArgumentException](
+      Layout.boxQuery(clustered, "x", "y", 5, 70, 0, 10, bits = 6))
   }
 
   test("funnel: strictly-ordered earliest completion; out-of-order drops") {
@@ -1068,6 +1071,10 @@ class ExtSpec extends SparkSpec {
     assert(kept.map(t => t._1 -> t._2).toSet == again.map(t => t._1 -> t._2).toSet)
     assertThrows[IllegalArgumentException](
       Sampling.rebalanceMix(df, "id", "g", Map("absent" -> 1.0)))
+    // int-typed group col must refuse (string-keyed targets), not CCE
+    assertThrows[IllegalArgumentException](
+      Sampling.rebalanceMix(df.withColumn("gi", lit(1)), "id", "gi",
+        Map("1" -> 1.0)))
   }
 
   test("chunkWindows: stride coverage, short tail, empty docs dropped") {
