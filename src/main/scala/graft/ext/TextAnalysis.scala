@@ -293,6 +293,17 @@ object TextAnalysis {
         (col("graft_sum") / col("n_tokens")).as("avg_nll"))
   }
 
+  /** Canonical text normalization — the standard pre-dedup/pre-index
+    * cleanup (lowercase, strip everything outside [a-z0-9 ], collapse
+    * whitespace runs, trim): near-dup detection and retrieval both want
+    * "Hello,  World!" and "hello world" to collide. One codegen'd
+    * expression chain, scan-speed, zero shuffle; both regex dialects
+    * (Java, RE2) treat these patterns identically, so the oracle mirrors
+    * it exactly. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Whitespace token count + a BPE-ish regex token count (letter runs,
     * single digits, single punctuation marks — the shape a byte-pair
     * tokenizer's pre-tokenizer uses). */

@@ -970,6 +970,17 @@ object Extensions {
       .orderBy("doc_id", "window_id")
   }
 
+  /** x69 — canonical text normalization ([[TextAnalysis.normalizeText]]):
+    * lowercase → strip non-[a-z0-9 ] → collapse spaces → trim, plus the
+    * surviving token count — the pre-dedup cleanup at scan speed. */
+  def x69(s: SparkSession, dir: String): DataFrame = {
+    val norm = TextAnalysis.normalizeText(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), norm.as("norm_text"),
+        size(filter(split(norm, " "), _ =!= "")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1118,7 +1129,8 @@ object Extensions {
     "x65_rebalance_mix" -> (x65 _),
     "x66_chunk_windows" -> (x66 _),
     "x67_rate_anomaly" -> (x67 _),
-    "x68_window_pack" -> (x68 _)
+    "x68_window_pack" -> (x68 _),
+    "x69_normalize" -> (x69 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2490,6 +2502,17 @@ object Extensions {
          |    ORDER BY wid2 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |    0) AS BIGINT) // 2000 AS bin
          |FROM sh ORDER BY doc_id, window_id""".stripMargin
-    }
+    },
+    // x69: the same regex chain; both dialects agree on these patterns
+    "x69_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(len(list_filter(string_split(norm_text, ' '), t -> t <> ''))
+        |    AS BIGINT) AS n_tokens
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 }

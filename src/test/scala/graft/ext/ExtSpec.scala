@@ -1121,6 +1121,14 @@ class ExtSpec extends SparkSpec {
     assert(out2.head._2 == 30L)
   }
 
+  test("normalizeText: lowercase, punct strip, whitespace collapse, trim") {
+    import spark.implicits._
+    val out = Seq("  Hello,  WORLD!! 42 ", "a—b\tc", "", "!!!")
+      .toDF("t").select(TextAnalysis.normalizeText(col("t")))
+      .as[String].collect().toSeq
+    assert(out == Seq("hello world 42", "a b c", "", ""))
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
