@@ -46,6 +46,41 @@ object Profile {
         percentile_approx(col(valueCol), lit(0.5), lit(accuracy))
           .as("approx_median"))
 
+  /** Per-source corpus health report — the dashboard a corpus operator
+    * actually watches: volume, exact-dup rate, benchmark-contamination
+    * rate, and mean length per source, in one pass + one semi-join.
+    *
+    * Determinism discipline: every reported fraction derives from INTEGER
+    * aggregates (counts, distinct counts, long word sums) with exactly one
+    * rounded division each — no order-sensitive double accumulation
+    * anywhere, so the report value-checks across engines.
+    *
+    * @return (groupCol, n_docs, n_distinct, dup_frac, n_contaminated,
+    *         contam_frac, avg_words) */
+  def sourceReport(
+      docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, contamN: Int = 13): DataFrame = {
+    val words = (length(col(textCol)) -
+      length(translate(col(textCol), " ", "")) + 1).cast("long")
+    val base = docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col(textCol)).as("n_distinct"),
+      sum(words).as("graft_words"))
+    val contaminated = Dedup.contaminatedDocs(docs, evalDocs, idCol, textCol,
+        n = contamN)
+      .join(docs.select(col(idCol), col(groupCol)), idCol)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("graft_contam"))
+    base.join(contaminated, Seq(groupCol), "left_outer")
+      .select(col(groupCol), col("n_docs"), col("n_distinct"),
+        round((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs"), 4).as("dup_frac"),
+        coalesce(col("graft_contam"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("graft_contam"), lit(0L)).cast("double") /
+          col("n_docs"), 4).as("contam_frac"),
+        round(col("graft_words").cast("double") / col("n_docs"), 2)
+          .as("avg_words"))
+  }
+
   /** The x60 gate shape: join [[approxMedian]] back and verify the rank
     * guarantee AGAINST THE DATA — `within_bound` holds iff some rank of
     * the returned value lies within n/accuracy (+1 for the floor/ceil

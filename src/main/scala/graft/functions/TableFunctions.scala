@@ -102,6 +102,8 @@ object TableFunctions {
       "chunk_windows", exprs => chunkWindows(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "sketch_distinct", exprs => sketchDistinct(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "source_report", exprs => sourceReport(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -409,6 +411,21 @@ object TableFunctions {
     val value = args.name("value")
     val rsd = if (args.exhausted) 0.05 else args.double("rsd")
     plan(Profile.sketchDistinct(df, group, value, rsd))
+  }
+
+  /** `source_report(corpus, eval, id, text, group [, n])` →
+    * [[Profile.sourceReport]]: the per-source corpus health dashboard. */
+  private def sourceReport(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "source_report"
+    requireArity(f, exprs, min = 5, max = 6)
+    val args = new Args(f, exprs)
+    val corpus = args.table(spark, "corpus")
+    val evalDocs = args.table(spark, "eval")
+    val id = args.name("id")
+    val text = args.name("text")
+    val group = args.name("group")
+    val n = if (args.exhausted) 13 else args.int("n")
+    plan(Profile.sourceReport(corpus, evalDocs, id, text, group, n))
   }
 
   /** The Dataset's UNANALYZED logical plan: the outer query's analyzer

@@ -981,6 +981,18 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x70 — per-source corpus health report ([[Profile.sourceReport]]):
+    * volume, exact-dup rate, 13-gram contamination rate (eval = every
+    * 37th doc), mean words — every fraction one rounded division over
+    * integer aggregates, so the dashboard value-checks across engines. */
+  def x70(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Profile.sourceReport(docs,
+        docs.filter(col("doc_id") % 37 === 0).select("doc_id", "text"),
+        "doc_id", "text", "source")
+      .orderBy("source")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1130,7 +1142,8 @@ object Extensions {
     "x66_chunk_windows" -> (x66 _),
     "x67_rate_anomaly" -> (x67 _),
     "x68_window_pack" -> (x68 _),
-    "x69_normalize" -> (x69 _)
+    "x69_normalize" -> (x69 _),
+    "x70_source_report" -> (x70 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2513,6 +2526,38 @@ object Extensions {
         |SELECT doc_id, norm_text,
         |  CAST(len(list_filter(string_split(norm_text, ' '), t -> t <> ''))
         |    AS BIGINT) AS n_tokens
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // x70: integer aggregates + one rounded division per fraction; the
+    // contamination side reuses the x38 13-gram shape with the same eval
+    "x70_source_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 11, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+        |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
+        |      t[i+12])))) AS gram
+        |  FROM toks),
+        |evg AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 37 = 0),
+        |cd AS (SELECT DISTINCT sh.doc_id FROM sh JOIN evg USING (gram)),
+        |contam AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_contam
+        |  FROM cd JOIN documents d USING (doc_id) GROUP BY d.source),
+        |base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |    CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+        |      AS BIGINT) AS words
+        |  FROM documents GROUP BY source)
+        |SELECT b.source, b.n_docs, b.n_distinct,
+        |  round(CAST(b.n_docs - b.n_distinct AS DOUBLE) / b.n_docs, 4)
+        |    AS dup_frac,
+        |  CAST(coalesce(c.n_contam, 0) AS BIGINT) AS n_contaminated,
+        |  round(CAST(coalesce(c.n_contam, 0) AS DOUBLE) / b.n_docs, 4)
+        |    AS contam_frac,
+        |  round(CAST(b.words AS DOUBLE) / b.n_docs, 2) AS avg_words
+        |FROM base b LEFT JOIN contam c ON b.source = c.source
+        |ORDER BY b.source""".stripMargin
   )
 }

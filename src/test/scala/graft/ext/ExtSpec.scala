@@ -1129,6 +1129,26 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq("hello world 42", "a b c", "", ""))
   }
 
+  test("sourceReport: dup/contam fractions from integer aggregates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3"), (2L, "a", "w1 w2 w3"), // exact dup pair
+      (3L, "a", "x1 x2 x3 x4"),
+      (4L, "b", "y1 y2 y3")).toDF("doc_id", "source", "text")
+    val eval = Seq((9L, "x1 x2 x3")).toDF("doc_id", "text")
+    val out = Profile.sourceReport(docs, eval, "doc_id", "text", "source",
+        contamN = 3)
+      .as[(String, Long, Long, Double, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val a = out("a")
+    assert((a._2, a._3, a._4) == ((3L, 2L, 0.3333))) // 3 docs, 1 dup pair
+    assert((a._5, a._6) == ((1L, 0.3333)))           // doc 3 contaminated
+    assert(a._7 == 3.33)                             // (3+3+4)/3 words
+    val b = out("b")
+    assert((b._2, b._3, b._4, b._5, b._6, b._7) ==
+      ((1L, 1L, 0.0, 0L, 0.0, 3.0)))
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")

@@ -231,6 +231,13 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql("SELECT * FROM sketch_distinct('tvf_docs8', 'source', 'text')"),
       graft.ext.Profile.sketchDistinct(docs, "source", "text"))
+
+    val evalSet = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 37 === 0).select("doc_id", "text")
+    evalSet.createOrReplaceTempView("tvf_eval8")
+    assertSame(
+      spark.sql("SELECT * FROM source_report('tvf_docs8', 'tvf_eval8', 'doc_id', 'text', 'source', 13)"),
+      graft.ext.Profile.sourceReport(docs, evalSet, "doc_id", "text", "source", 13))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
