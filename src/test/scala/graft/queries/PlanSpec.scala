@@ -200,6 +200,26 @@ class PlanSpec extends SparkSpec {
     assert(aggs >= 2, s"expected partial+final aggregates:\n$p")
   }
 
+  test("x64/x65: sampling ranks via the skew-free ordinal, zero windows") {
+    assert(!plan(Extensions.x64(spark, sf)).contains("Window"))
+    assert(!plan(Extensions.x65(spark, sf)).contains("Window"))
+  }
+
+  test("x66/x69: chunking and normalization stay map-side (no join/window)") {
+    val p66 = plan(Extensions.x66(spark, sf))
+    assert(!p66.contains("Window") && !p66.contains("Join"), s"x66:\n$p66")
+    assert(p66.contains("Generate"), "x66 lost its explode generate")
+    val p69 = plan(Extensions.x69(spark, sf))
+    assert(!p69.contains("Window") && !p69.contains("Join") &&
+      !p69.contains("Aggregate"), s"x69 grew non-map operators:\n$p69")
+  }
+
+  test("x70: the health report joins contamination as broadcast/hash, no cartesian") {
+    val p = plan(Extensions.x70(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"x70:\n$p")
+  }
+
   test("x52: the gram explosion runs exactly once (window d.f., no self-join)") {
     val p = plan(Extensions.x52(spark, sf))
     // formatted explain prints each node once in the tree and once in the
