@@ -195,7 +195,14 @@ object Plans {
           "joined to the shrinking frontier on the user key — event-type " +
           "filters reach the scan, every exchange is high-cardinality, and " +
           "no per-user history window exists anywhere.",
-        queries.Extensions.x62))
+        queries.Extensions.x62),
+      Entry("x70_source_report",
+        "Corpus health report: the base profile is one map-combined " +
+          "aggregate per source; the contamination side reuses the " +
+          "decontamination semi-join and joins back per-source counts — " +
+          "every fraction is a single division over integer aggregates, " +
+          "no cartesian, no window.",
+        queries.Extensions.x70))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative declared queries\n\n")

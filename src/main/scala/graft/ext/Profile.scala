@@ -55,6 +55,13 @@ object Profile {
     * rounded division each — no order-sensitive double accumulation
     * anywhere, so the report value-checks across engines.
     *
+    * Distinctness counts the portable 60-bit CONTENT HASH, not the text:
+    * the distinct exchange carries 8 bytes per doc instead of the document
+    * bodies (measured 22 s → map-side-bound at 10×), both engines hash
+    * identically (gate-consistent even in the 2⁻⁶⁰ collision case), and at
+    * billions of docs per source the honest next step is
+    * [[sketchDistinct]], not a wider exact hash.
+    *
     * @return (groupCol, n_docs, n_distinct, dup_frac, n_contaminated,
     *         contam_frac, avg_words) */
   def sourceReport(
@@ -64,7 +71,7 @@ object Profile {
       length(translate(col(textCol), " ", "")) + 1).cast("long")
     val base = docs.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_docs"),
-      count_distinct(col(textCol)).as("n_distinct"),
+      count_distinct(PortableHash.md5Long(col(textCol))).as("n_distinct"),
       sum(words).as("graft_words"))
     val contaminated = Dedup.contaminatedDocs(docs, evalDocs, idCol, textCol,
         n = contamN)

@@ -2546,7 +2546,9 @@ object Extensions {
         |  FROM cd JOIN documents d USING (doc_id) GROUP BY d.source),
         |base AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |    CAST(count(DISTINCT
+        |      CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+        |      AS BIGINT) AS n_distinct,
         |    CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
         |      AS BIGINT) AS words
         |  FROM documents GROUP BY source)
