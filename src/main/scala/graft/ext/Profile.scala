@@ -88,6 +88,34 @@ object Profile {
           .as("avg_words"))
   }
 
+  /** Per-group duplicate heavy hitters — "which texts are my worst
+    * duplicate offenders, per source": exact-copy groups of ≥ 2, top-`k`
+    * per group by copy count (exemplar = lowest id). The forensics view a
+    * curation pipeline opens when a source's dup_frac ([[sourceReport]])
+    * spikes.
+    *
+    * Shape: ONE aggregation keyed on (group, 60-bit content hash) — the
+    * exchange carries 8-byte hashes, never text bodies — then the
+    * skew-free top-k (lossless sketch pre-prune + two-phase ordinal; no
+    * low-cardinality window). Returns (groupCol, exemplar_id, n_copies,
+    * rank 1..k). */
+  def topDuplicates(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    val groups = docs
+      .select(col(groupCol), col(idCol),
+        PortableHash.md5Long(col(textCol)).as("graft_h"))
+      .groupBy(col(groupCol), col("graft_h"))
+      .agg(min(col(idCol)).as("exemplar_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+      .withColumn("graft_neg", -col("n_copies").cast("double"))
+    val pruned = Ordinals.approxTopKPrune(groups, groupCol, "graft_neg", k)
+    Ordinals.perKeyOrdinal(pruned, groupCol, Seq("graft_neg", "exemplar_id"))
+      .filter(col("ordinal") < k)
+      .select(col(groupCol), col("exemplar_id"), col("n_copies"),
+        (col("ordinal") + 1L).as("rank"))
+  }
+
   /** The x60 gate shape: join [[approxMedian]] back and verify the rank
     * guarantee AGAINST THE DATA — `within_bound` holds iff some rank of
     * the returned value lies within n/accuracy (+1 for the floor/ceil

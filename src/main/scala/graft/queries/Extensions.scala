@@ -993,6 +993,20 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** x71 — boilerplate-opening heavy hitters ([[Profile.topDuplicates]]
+    * over each doc's 2-token opening): the top-3 most-repeated document
+    * openings per language — the classic "same header pasted everywhere"
+    * curation signal. The aggregation keys on the 60-bit hash of the
+    * opening (8 bytes through the exchange); ranking runs the skew-free
+    * ordinal. Exemplar = lowest doc id. */
+  def x71(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("graft_prefix",
+        array_join(slice(graft.ext.Dedup.tokens(col("text")), 1, 2), " "))
+    Profile.topDuplicates(docs, "doc_id", "graft_prefix", "lang", k = 3)
+      .orderBy("lang", "rank")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1143,7 +1157,8 @@ object Extensions {
     "x67_rate_anomaly" -> (x67 _),
     "x68_window_pack" -> (x68 _),
     "x69_normalize" -> (x69 _),
-    "x70_source_report" -> (x70 _)
+    "x70_source_report" -> (x70 _),
+    "x71_top_duplicates" -> (x71 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2560,6 +2575,24 @@ object Extensions {
         |    AS contam_frac,
         |  round(CAST(b.words AS DOUBLE) / b.n_docs, 2) AS avg_words
         |FROM base b LEFT JOIN contam c ON b.source = c.source
-        |ORDER BY b.source""".stripMargin
+        |ORDER BY b.source""".stripMargin,
+    // x71: copy groups by the 2-token opening (equivalently, by its
+    // injective-within-corpus hash), rank by count desc then exemplar asc
+    "x71_top_duplicates" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    array_to_string((string_split(text, ' '))[1:2], ' ') AS prefix
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, CAST(min(doc_id) AS BIGINT) AS exemplar_id,
+        |    CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM p GROUP BY lang, prefix HAVING count(*) >= 2),
+        |r AS (
+        |  SELECT lang, exemplar_id, n_copies,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_copies DESC, exemplar_id) AS rk
+        |  FROM g)
+        |SELECT lang, exemplar_id, n_copies, CAST(rk AS BIGINT) AS rank
+        |FROM r WHERE rk <= 3 ORDER BY lang, rank""".stripMargin
   )
 }

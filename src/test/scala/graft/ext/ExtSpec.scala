@@ -1149,6 +1149,19 @@ class ExtSpec extends SparkSpec {
       ((1L, 1L, 0.0, 0L, 0.0, 3.0)))
   }
 
+  test("topDuplicates: copy counts, exemplar = min id, singletons dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "a", "dup1"), (2L, "a", "dup1"), (9L, "a", "dup1"), // 3 copies
+      (3L, "a", "dup2"), (4L, "a", "dup2"),                    // 2 copies
+      (6L, "a", "solo"),
+      (7L, "b", "only single texts"), (8L, "b", "another"))
+      .toDF("doc_id", "source", "text")
+    val out = Profile.topDuplicates(docs, "doc_id", "text", "source", k = 3)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(out.toSeq == Seq(("a", 2L, 3L, 1L), ("a", 3L, 2L, 2L)))
+  }
+
   test("curate: lang+quality filter, dedup keeps min id, eval overlap dropped") {
     // build texts that pass the quality floor: ≥100 words with stopwords
     val good = (("the and of to in is it that " * 13).trim + " unique")
