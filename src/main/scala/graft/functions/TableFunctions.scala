@@ -104,6 +104,8 @@ object TableFunctions {
       "sketch_distinct", exprs => sketchDistinct(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "source_report", exprs => sourceReport(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "top_duplicates", exprs => topDuplicates(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -426,6 +428,16 @@ object TableFunctions {
     val group = args.name("group")
     val n = if (args.exhausted) 13 else args.int("n")
     plan(Profile.sourceReport(corpus, evalDocs, id, text, group, n))
+  }
+
+  /** `top_duplicates(table, id, text, group, k)` →
+    * [[Profile.topDuplicates]]: per-group most-copied texts. */
+  private def topDuplicates(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "top_duplicates"
+    requireArity(f, exprs, min = 5, max = 5)
+    val args = new Args(f, exprs)
+    plan(Profile.topDuplicates(args.table(spark, "table"), args.name("id"),
+      args.name("text"), args.name("group"), args.int("k")))
   }
 
   /** The Dataset's UNANALYZED logical plan: the outer query's analyzer

@@ -238,6 +238,13 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql("SELECT * FROM source_report('tvf_docs8', 'tvf_eval8', 'doc_id', 'text', 'source', 13)"),
       graft.ext.Profile.sourceReport(docs, evalSet, "doc_id", "text", "source", 13))
+
+    val dups = Seq((1L, "g", "t1"), (2L, "g", "t1"), (3L, "g", "t2"))
+      .toDF("doc_id", "src", "text")
+    dups.createOrReplaceTempView("tvf_dups")
+    assertSame(
+      spark.sql("SELECT * FROM top_duplicates('tvf_dups', 'doc_id', 'text', 'src', 3)"),
+      graft.ext.Profile.topDuplicates(dups, "doc_id", "text", "src", 3))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
