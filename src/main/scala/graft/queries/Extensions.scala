@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Multimodal, Packing, Profile, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, JsonCols, Layout, Multimodal, Packing, Profile, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -1007,6 +1007,25 @@ object Extensions {
       .orderBy("lang", "rank")
   }
 
+  /** x72 — typed JSON property promotion ([[JsonCols.promote]]): the
+    * events table's `props` JSON column promoted to a typed `k` via one
+    * codegen'd from_json map (schema-on-read; the distributed form of the
+    * reference's per-row infer loop), then per-event-type integer stats
+    * over the promoted field — the "turn the stringly props bag into real
+    * columns" step every event pipeline starts with. */
+  def x72(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val parsed = JsonCols.promote(t(s, dir, "events"), "props",
+      new StructType().add("k", LongType))
+    parsed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("k")).as("n_distinct_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1158,7 +1177,8 @@ object Extensions {
     "x68_window_pack" -> (x68 _),
     "x69_normalize" -> (x69 _),
     "x70_source_report" -> (x70 _),
-    "x71_top_duplicates" -> (x71 _)
+    "x71_top_duplicates" -> (x71 _),
+    "x72_props_promote" -> (x72 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2593,6 +2613,17 @@ object Extensions {
         |      ORDER BY n_copies DESC, exemplar_id) AS rk
         |  FROM g)
         |SELECT lang, exemplar_id, n_copies, CAST(rk AS BIGINT) AS rank
-        |FROM r WHERE rk <= 3 ORDER BY lang, rank""".stripMargin
+        |FROM r WHERE rk <= 3 ORDER BY lang, rank""".stripMargin,
+
+    // x72: the same typed promotion via DuckDB's JSON extraction; all
+    // reported stats are integer aggregates of the promoted field
+    "x72_props_promote" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -1382,4 +1382,28 @@ class ExtSpec extends SparkSpec {
     assert(got(2L) == ((3L, 1L)))
     assert(got(3L) == ((3L, 0L))) // repetition within one doc is not dup
   }
+
+  test("JsonCols: bounded inference + promote types fields; malformed → null") {
+    val df = Seq(
+      (1L, """{"k": 7, "tag": "a"}"""),
+      (2L, """{"k": -3, "tag": "b"}"""),
+      (3L, """not json at all""")).toDF("id", "props")
+    val schema = JsonCols.inferSchema(df, "props", sampleRows = 10)
+    assert(schema.fieldNames.toSet == Set("k", "tag"))
+    assert(schema("k").dataType == org.apache.spark.sql.types.LongType)
+    val out = JsonCols.promote(df, "props", schema)
+    assert(out.columns.toSeq == Seq("id", "k", "tag"))
+    val rows = out.as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((Some(7L), Some("a"))))
+    assert(rows(2L) == ((Some(-3L), Some("b"))))
+    assert(rows(3L) == ((None, None))) // PERMISSIVE: malformed → nulls
+    // promotion is a pure map: no exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"promote must not shuffle:\n$plan")
+    // name collisions are refused, not silently shadowed
+    val e = intercept[IllegalArgumentException](
+      JsonCols.promote(df.withColumn("k", lit(1)), "props", schema))
+    assert(e.getMessage.contains("k"))
+  }
 }
