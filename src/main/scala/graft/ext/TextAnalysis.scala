@@ -318,6 +318,35 @@ object TextAnalysis {
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(text)))
   }
 
+  /** Adjacent-token pair counts — the merge-candidate table a BPE-style
+    * tokenizer trainer builds each round (Sennrich et al. 2016: count all
+    * symbol pairs, merge the most frequent). Counts are MULTISET counts
+    * (within-document repeats count, unlike [[Dedup.shingles]]' distinct
+    * sets), since merge priority is frequency over the whole corpus.
+    *
+    * Scale shape: pair construction is one zip_with over shifted slices
+    * (map-side, codegen'd); the count is a hash aggregation on the pair
+    * string with map-side partial combine, and the top-k is orderBy+limit
+    * — Spark plans TakeOrderedAndProject, which keeps k rows per partition
+    * and merges on the driver: no global sort of the pair vocabulary, no
+    * window. Ties break on the pair string ascending so the merge table is
+    * deterministic across engines and retries.
+    *
+    * @return (pair, n) — the `k` most frequent adjacent pairs */
+  def pairMergeCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val w = tokens(col(textCol))
+    val pairs = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
+  private def tokens(text: Column): Column = Dedup.tokens(text)
+
   /** Annotate a documents frame with all text-analysis columns. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1026,6 +1026,14 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** x73 — BPE-style merge-candidate table
+    * ([[TextAnalysis.pairMergeCounts]]): the 30 most frequent adjacent
+    * token pairs across the corpus, multiset-counted — round one of
+    * tokenizer training. Top-k is TakeOrderedAndProject (k rows per
+    * partition), never a vocabulary-wide sort. */
+  def x73(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pairMergeCounts(t(s, dir, "documents"), "text", k = 30)
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1178,7 +1186,8 @@ object Extensions {
     "x69_normalize" -> (x69 _),
     "x70_source_report" -> (x70 _),
     "x71_top_duplicates" -> (x71 _),
-    "x72_props_promote" -> (x72 _)
+    "x72_props_promote" -> (x72 _),
+    "x73_bpe_pairs" -> (x73 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2624,6 +2633,17 @@ object Extensions {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x73: multiset adjacent-pair counts; deterministic tie-break on the
+    // pair string makes the top-k unambiguous cross-engine
+    "x73_bpe_pairs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (
+        |  SELECT t[u] || ' ' || t[u+1] AS pair
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS u
+        |        FROM toks))
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
   )
 }

@@ -1383,6 +1383,20 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == ((3L, 0L))) // repetition within one doc is not dup
   }
 
+  test("pairMergeCounts: multiset counts, deterministic ties, top-k plan") {
+    val docs = docsFrom(Seq(
+      (1L, "a b a b a"),  // "a b" x2, "b a" x2 — repeats inside one doc count
+      (2L, "a b c"),      // "a b" x1, "b c" x1
+      (3L, "solo")))      // single token → no pairs
+    val got = TextAnalysis.pairMergeCounts(docs, "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 3L), ("b a", 2L), ("b c", 1L)))
+    // top-k must be TakeOrderedAndProject, not a global Sort
+    val plan = TextAnalysis.pairMergeCounts(docs, "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),
