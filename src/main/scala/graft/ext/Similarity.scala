@@ -532,6 +532,50 @@ object Similarity {
       .select(col("vid").as(idCol), col("cid").as("cell"))
   }
 
+  /** Per-dimension [min, max] of an embedding column: posexplode +
+    * groupBy(pos). Partial aggregation collapses every task to `dim` rows
+    * before the exchange — the shuffle carries dim × tasks rows no matter
+    * the corpus size. */
+  def dimRanges(vectors: DataFrame, vecCol: String): DataFrame =
+    vectors.select(posexplode(col(vecCol)).as(Seq("pos", "graft_x")))
+      .groupBy(col("pos"))
+      .agg(min(col("graft_x").cast("double")).as("vmin"),
+        max(col("graft_x").cast("double")).as("vmax"))
+
+  /** Scalar int8 quantization of the embedding column — the ANN STORAGE
+    * scale lever: a 64-dim float32 vector (256 B) becomes 64 uint8 codes
+    * (64 B) plus one shared per-dimension (min, scale) table, the same
+    * asymmetric scalar-quantizer layout FAISS's SQ8 index uses. At 100 TB
+    * of vectors that is 4× less to store, shuffle, and scan for any
+    * code-space distance pass.
+    *
+    * Shape: [[dimRanges]] is one tiny aggregate; its `dim` rows come back
+    * to the driver (bounded by vector WIDTH, never corpus size) and ride
+    * into the encode pass as literal arrays, so encoding is a pure
+    * map-side expression — no join, no shuffle, stays in codegen.
+    *
+    * Determinism: code = clamp(floor((x − min)/scale + 0.5), 0, 255) —
+    * floor(+0.5) instead of round() because engines disagree on
+    * round-half semantics, while this exact op chain is pure IEEE double
+    * arithmetic any engine reproduces bit-for-bit. Constant dimensions
+    * (max == min) encode as 0. */
+  def quantizeInt8(
+      vectors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dims = dimRanges(vectors, vecCol).orderBy("pos").collect()
+    val mins = dims.map(_.getDouble(1)).toSeq
+    val scales = dims.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+    val (minsL, scalesL) = (typedLit(mins), typedLit(scales))
+    val codes = transform(col(vecCol), (x, i) => {
+      val m = element_at(minsL, i + 1)
+      val sc = element_at(scalesL, i + 1)
+      when(sc === 0.0, lit(0)).otherwise(
+        least(lit(255), greatest(lit(0),
+          floor((x.cast("double") - m) / sc + lit(0.5)).cast("int"))))
+    })
+    vectors.select(col(idCol), codes.as("codes"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded subset (exact,
     * O(n²) — bound the input; the scale path buckets first like ivfTopK). */
   def cosinePairs(

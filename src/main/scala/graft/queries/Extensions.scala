@@ -1034,6 +1034,19 @@ object Extensions {
   def x73(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pairMergeCounts(t(s, dir, "documents"), "text", k = 30)
 
+  /** x74 — int8 embedding quantization ([[Similarity.quantizeInt8]]):
+    * FAISS-SQ8-style scalar codes (4× smaller vectors for any code-space
+    * pass), gated through per-vector integer code stats so every code
+    * value feeds the hash via the sum/min/max triple. */
+  def x74(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir, "embeddings"))
+      .select(col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_min(col("codes")).cast("long").as("code_min"),
+        array_max(col("codes")).cast("long").as("code_max"))
+      .orderBy("vec_id")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1187,7 +1200,8 @@ object Extensions {
     "x70_source_report" -> (x70 _),
     "x71_top_duplicates" -> (x71 _),
     "x72_props_promote" -> (x72 _),
-    "x73_bpe_pairs" -> (x73 _)
+    "x73_bpe_pairs" -> (x73 _),
+    "x74_quantize_int8" -> (x74 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2644,6 +2658,29 @@ object Extensions {
         |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS u
         |        FROM toks))
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
-        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
+
+    // x74: identical IEEE op chain — float→double widening, per-dim
+    // min/max, (max-min)/255, clamp(floor((x-min)/scale + 0.5)) — so the
+    // codes are bit-reproducible cross-engine; constant dims encode 0
+    "x74_quantize_int8" ->
+      """WITH x AS (
+        |  SELECT vec_id, u AS pos, CAST(embedding[u] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS u
+        |        FROM embeddings)),
+        |r AS (SELECT pos, min(x) AS vmin, max(x) AS vmax FROM x GROUP BY pos),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN (vmax - vmin) / 255.0 = 0 THEN 0
+        |         ELSE LEAST(255, GREATEST(0, CAST(floor(
+        |           (x - vmin) / ((vmax - vmin) / 255.0) + 0.5) AS INT))) END
+        |      AS code
+        |  FROM x JOIN r USING (pos))
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum(code) AS BIGINT) AS code_sum,
+        |  CAST(min(code) AS BIGINT) AS code_min,
+        |  CAST(max(code) AS BIGINT) AS code_max
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

@@ -1397,6 +1397,26 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("quantizeInt8: exact codes, constant dims → 0, encode is map-side") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 5.0f, 7.0f)),
+      (2L, Seq(10.0f, 5.0f, 3.0f)),
+      (3L, Seq(5.0f, 5.0f, 11.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs)
+      .as[(Long, Seq[Int])].collect().toMap
+    // dim 0: [0,10] scale 10/255; dim 1 constant → 0; dim 2: [3,11] scale 8/255
+    def code(x: Double, lo: Double, hi: Double): Int =
+      math.min(255, math.max(0,
+        math.floor((x - lo) / ((hi - lo) / 255.0) + 0.5).toInt))
+    assert(got(1L) == Seq(code(0, 0, 10), 0, code(7, 3, 11)))
+    assert(got(2L) == Seq(255, 0, code(3, 3, 11)))
+    assert(got(3L) == Seq(code(5, 0, 10), 0, 255))
+    // the encode pass itself must not shuffle: ranges ride in as literals
+    val plan = Similarity.quantizeInt8(vecs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must be map-side:\n$plan")
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),
