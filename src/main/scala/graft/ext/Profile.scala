@@ -116,6 +116,37 @@ object Profile {
         (col("ordinal") + 1L).as("rank"))
   }
 
+  /** Cross-source overlap matrix — for every pair of sources, how many
+    * distinct word `n`-grams appear in BOTH: the mirror-detection view
+    * that tells a corpus operator "source B is mostly a re-crawl of
+    * source A, collapse them before weighting". n = 13 by default, the
+    * same gram width the decontamination chain uses, so "overlap" means
+    * verbatim shared passages rather than shared vocabulary.
+    *
+    * Shape: one aggregation to the distinct (source, 60-bit gram hash)
+    * pairs — 8-byte hashes through the exchange, never gram text — then
+    * a self-equi-join on the hash. Per-hash fan-out is |sources(gram)|²,
+    * bounded by the SOURCE count (tens), not corpus size; the output is
+    * at most sources² rows. Returns (source_a, source_b, n_shared) with
+    * source_a < source_b. */
+  def sourceOverlap(
+      docs: DataFrame, textCol: String, groupCol: String,
+      n: Int = 13): DataFrame = {
+    val sh = docs
+      .select(col(groupCol).as("graft_s"),
+        explode(Dedup.shingles(col(textCol), n)).as("graft_g"))
+      .select(col("graft_s"), PortableHash.md5Long(col("graft_g")).as("graft_h"))
+      .distinct()
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b,
+        col("a.graft_h") === col("b.graft_h") &&
+          col("a.graft_s") < col("b.graft_s"))
+      .groupBy(col("a.graft_s").as("source_a"),
+        col("b.graft_s").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The x60 gate shape: join [[approxMedian]] back and verify the rank
     * guarantee AGAINST THE DATA — `within_bound` holds iff some rank of
     * the returned value lies within n/accuracy (+1 for the floor/ceil

@@ -1047,6 +1047,13 @@ object Extensions {
         array_max(col("codes")).cast("long").as("code_max"))
       .orderBy("vec_id")
 
+  /** x75 — cross-source overlap matrix ([[Profile.sourceOverlap]]):
+    * distinct shared 13-grams per source pair, joined on 8-byte gram
+    * hashes — the "which sources mirror each other" forensics view. */
+  def x75(s: SparkSession, dir: String): DataFrame =
+    Profile.sourceOverlap(t(s, dir, "documents"), "text", "source")
+      .orderBy("source_a", "source_b")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1201,7 +1208,8 @@ object Extensions {
     "x71_top_duplicates" -> (x71 _),
     "x72_props_promote" -> (x72 _),
     "x73_bpe_pairs" -> (x73 _),
-    "x74_quantize_int8" -> (x74 _)
+    "x74_quantize_int8" -> (x74 _),
+    "x75_source_overlap" -> (x75 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2681,6 +2689,26 @@ object Extensions {
         |  CAST(sum(code) AS BIGINT) AS code_sum,
         |  CAST(min(code) AS BIGINT) AS code_min,
         |  CAST(max(code) AS BIGINT) AS code_max
-        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // x75: both engines key on the SAME 60-bit gram hash, so the count is
+    // gate-consistent even in the astronomically-unlikely collision case
+    "x75_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source AS s,
+        |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h
+        |  FROM (
+        |    SELECT source, unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 11, 1)),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+        |        t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
+        |        t[i+12])))) AS gram
+        |    FROM toks))
+        |SELECT a.s AS source_a, b.s AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh a JOIN sh b ON a.h = b.h AND a.s < b.s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

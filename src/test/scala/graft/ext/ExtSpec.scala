@@ -1417,6 +1417,18 @@ class ExtSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"encode must be map-side:\n$plan")
   }
 
+  test("sourceOverlap: counts distinct shared grams once per source pair") {
+    val docs = Seq(
+      (1L, "a b c d e", "s1"),   // grams at n=3: "a b c","b c d","c d e"
+      (2L, "a b c d x", "s2"),   // shares "a b c","b c d" with s1
+      (3L, "a b c q r", "s2"),   // shares "a b c" again — must not double-count
+      (4L, "z y w v u", "s3"))   // no overlap
+      .toDF("doc_id", "text", "source")
+    val got = Profile.sourceOverlap(docs, "text", "source", n = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("s1", "s2", 2L))) // "a b c" + "b c d", counted once
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),
