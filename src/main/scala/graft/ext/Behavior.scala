@@ -86,6 +86,30 @@ object Behavior {
       .select(col("hour"), col("n_events"), round(col("graft_z"), 4).as("z"))
   }
 
+  /** Event-type transition matrix: counts of consecutive (from → to)
+    * event-type pairs within each user's time-ordered stream — the
+    * first-order Markov view of user behavior ("what follows what"), and
+    * the standard input to next-action models and funnel discovery.
+    *
+    * Shape: ONE window, partitioned by the high-cardinality user key (no
+    * global sort, no single-partition window); each user's history sorts
+    * within its partition, then the (from, to) count is a tiny aggregate
+    * with map-side combine. Ordering is pinned to (epoch-µs, idCol) so
+    * same-timestamp ties break identically in any engine. */
+  def transitions(
+      events: DataFrame, userCol: String, tsCol: String, idCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    events.select(col(userCol), col(idCol), col(tsCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Daily cohort retention: users grouped by their first-ever event day,
     * counted distinct per (cohort day, day offset) they were active.
     * Returns (cohort_day 'yyyy-MM-dd', day_offset, n_users).

@@ -1054,6 +1054,14 @@ object Extensions {
     Profile.sourceOverlap(t(s, dir, "documents"), "text", "source")
       .orderBy("source_a", "source_b")
 
+  /** x76 — behavioral transition matrix ([[Behavior.transitions]]): counts
+    * of consecutive event-type pairs per user stream, (ts, id)-tie-pinned —
+    * the first-order Markov "what follows what" view. */
+  def x76(s: SparkSession, dir: String): DataFrame =
+    Behavior.transitions(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1209,7 +1217,8 @@ object Extensions {
     "x72_props_promote" -> (x72 _),
     "x73_bpe_pairs" -> (x73 _),
     "x74_quantize_int8" -> (x74 _),
-    "x75_source_overlap" -> (x75 _)
+    "x75_source_overlap" -> (x75 _),
+    "x76_transitions" -> (x76 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2709,6 +2718,18 @@ object Extensions {
         |SELECT a.s AS source_a, b.s AS source_b,
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM sh a JOIN sh b ON a.h = b.h AND a.s < b.s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x76: same user-partitioned lead window; ordering pinned to
+    // (epoch-µs, event_id) so same-timestamp ties agree cross-engine
+    "x76_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM o WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

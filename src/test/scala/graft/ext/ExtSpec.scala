@@ -1429,6 +1429,25 @@ class ExtSpec extends SparkSpec {
     assert(got == Set(("s1", "s2", 2L))) // "a b c" + "b c d", counted once
   }
 
+  test("transitions: per-user ordering, tie broken by id, no cross-user pair") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts.getTime + s * 1000)
+    val events = Seq(
+      (1L, at(0), 10L, "view"),
+      (2L, at(1), 10L, "cart"),     // user 10: view→cart
+      (3L, at(2), 10L, "purchase"), // user 10: cart→purchase
+      (4L, at(0), 20L, "view"),     // user 20 starts fresh — no cross-user pair
+      (5L, at(5), 20L, "view"),     // user 20: view→view
+      (7L, at(9), 30L, "b"),        // user 30: same ts — id order decides:
+      (6L, at(9), 30L, "a"))        //   a(id 6) → b(id 7)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Behavior.transitions(events, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("view", "cart", 1L), ("cart", "purchase", 1L),
+      ("view", "view", 1L), ("a", "b", 1L)))
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),
