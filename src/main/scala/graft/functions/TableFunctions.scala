@@ -42,6 +42,11 @@ import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Pack
   * SELECT * FROM weighted_sample('documents', 'doc_id', 'n_chars', 'lang', 20)
   * SELECT * FROM chunk_windows('documents', 'doc_id', 'text', 100, 50)
   * SELECT * FROM sketch_distinct('documents', 'source', 'text')
+  * SELECT * FROM source_overlap('documents', 'text', 'source', 13)
+  * SELECT * FROM transitions('events', 'user_id', 'ts', 'event_id', 'event_type')
+  * SELECT * FROM bpe_pairs('documents', 'text', 30)
+  * SELECT * FROM quantize_int8('embeddings')
+  * SELECT * FROM promote_json('events', 'props', 'k BIGINT')
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -106,6 +111,16 @@ object TableFunctions {
       "source_report", exprs => sourceReport(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "top_duplicates", exprs => topDuplicates(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "source_overlap", exprs => sourceOverlap(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "transitions", exprs => transitions(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bpe_pairs", exprs => bpePairs(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "quantize_int8", exprs => quantizeInt8(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "promote_json", exprs => promoteJson(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -438,6 +453,65 @@ object TableFunctions {
     val args = new Args(f, exprs)
     plan(Profile.topDuplicates(args.table(spark, "table"), args.name("id"),
       args.name("text"), args.name("group"), args.int("k")))
+  }
+
+  /** `source_overlap(table, text, group [, n])` → [[Profile.sourceOverlap]]:
+    * distinct shared n-grams per source pair (mirror detection). */
+  private def sourceOverlap(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "source_overlap"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val docs = args.table(spark, "table")
+    val text = args.name("text")
+    val group = args.name("group")
+    val n = if (args.exhausted) 13 else args.int("n")
+    plan(Profile.sourceOverlap(docs, text, group, n))
+  }
+
+  /** `transitions(events, user, ts, id, type)` → [[Behavior.transitions]]:
+    * the per-user consecutive event-type pair counts (Markov view). */
+  private def transitions(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "transitions"
+    requireArity(f, exprs, min = 5, max = 5)
+    val args = new Args(f, exprs)
+    plan(Behavior.transitions(args.table(spark, "events"), args.name("user"),
+      args.name("ts"), args.name("id"), args.name("type")))
+  }
+
+  /** `bpe_pairs(table, text, k)` → [[TextAnalysis.pairMergeCounts]]:
+    * the k most frequent adjacent token pairs (BPE merge candidates). */
+  private def bpePairs(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "bpe_pairs"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(TextAnalysis.pairMergeCounts(args.table(spark, "table"),
+      args.name("text"), args.int("k")))
+  }
+
+  /** `quantize_int8(table [, id [, vec]])` → [[Similarity.quantizeInt8]]:
+    * FAISS-SQ8-style scalar codes for the embedding column. */
+  private def quantizeInt8(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "quantize_int8"
+    requireArity(f, exprs, min = 1, max = 3)
+    val args = new Args(f, exprs)
+    val vectors = args.table(spark, "table")
+    val id = if (args.exhausted) "vec_id" else args.name("id")
+    val vec = if (args.exhausted) "embedding" else args.name("vec")
+    plan(Similarity.quantizeInt8(vectors, id, vec))
+  }
+
+  /** `promote_json(table, col, 'field TYPE, ...')` →
+    * [[graft.ext.JsonCols.promote]] with the schema given as a DDL string
+    * (the literal-friendly schema encoding SQL callers can write). */
+  private def promoteJson(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "promote_json"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val df = args.table(spark, "table")
+    val jsonCol = args.name("col")
+    val ddl = args.name("schema")
+    plan(graft.ext.JsonCols.promote(df, jsonCol,
+      org.apache.spark.sql.types.StructType.fromDDL(ddl)))
   }
 
   /** The Dataset's UNANALYZED logical plan: the outer query's analyzer

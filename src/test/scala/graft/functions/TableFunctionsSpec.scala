@@ -247,6 +247,35 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Profile.topDuplicates(dups, "doc_id", "text", "src", 3))
   }
 
+  test("source_overlap / transitions / bpe_pairs / quantize_int8 / promote_json TVFs == Scala APIs") {
+    ready()
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("tvf_docs9")
+    assertSame(
+      spark.sql("SELECT * FROM source_overlap('tvf_docs9', 'text', 'source', 13)"),
+      graft.ext.Profile.sourceOverlap(docs, "text", "source", 13))
+    assertSame(
+      spark.sql("SELECT * FROM bpe_pairs('tvf_docs9', 'text', 10)"),
+      graft.ext.TextAnalysis.pairMergeCounts(docs, "text", 10))
+
+    val events = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    events.createOrReplaceTempView("tvf_ev9")
+    assertSame(
+      spark.sql("SELECT * FROM transitions('tvf_ev9', 'user_id', 'ts', 'event_id', 'event_type')"),
+      graft.ext.Behavior.transitions(events, "user_id", "ts", "event_id", "event_type"))
+    assertSame(
+      spark.sql("SELECT * FROM promote_json('tvf_ev9', 'props', 'k BIGINT')"),
+      graft.ext.JsonCols.promote(events, "props",
+        new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType)))
+
+    val embs = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    embs.createOrReplaceTempView("tvf_emb9")
+    assertSame(
+      spark.sql("SELECT * FROM quantize_int8('tvf_emb9')"),
+      graft.ext.Similarity.quantizeInt8(embs))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
