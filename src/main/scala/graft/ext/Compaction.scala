@@ -39,4 +39,29 @@ object Compaction {
       .select((keyCols.map(col) ++
         (versionCols ++ payload).map(c => col(s"graft_m.`$c`").as(c))): _*)
   }
+
+  /** Corpus snapshot diff — classify every document id as added / removed
+    * / changed / unchanged between two corpus versions: the audit view a
+    * refresh pipeline publishes ("this crawl added 2M docs, silently
+    * rewrote 40k") before anyone retrains on the new snapshot.
+    *
+    * Shape: each side collapses map-side to (id, 60-bit content hash) —
+    * 8 bytes per doc through the exchange, never text — then ONE
+    * full-outer hash equi-join on the id key and a map-side CASE. Both
+    * sides shuffle-partition on the same id key, so at 100 TB this is two
+    * scans + one co-partitioned join, no residue. */
+  def snapshotDiff(
+      before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val b = before.select(col(idCol),
+      PortableHash.md5Long(col(textCol)).as("graft_hb"))
+    val a = after.select(col(idCol),
+      PortableHash.md5Long(col(textCol)).as("graft_ha"))
+    b.join(a, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("graft_hb").isNull, "added")
+          .when(col("graft_ha").isNull, "removed")
+          .when(col("graft_ha") === col("graft_hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -47,6 +47,7 @@ import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Pack
   * SELECT * FROM bpe_pairs('documents', 'text', 30)
   * SELECT * FROM quantize_int8('embeddings')
   * SELECT * FROM promote_json('events', 'props', 'k BIGINT')
+  * SELECT * FROM snapshot_diff('corpus_v1', 'corpus_v2', 'doc_id', 'text')
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -121,6 +122,8 @@ object TableFunctions {
       "quantize_int8", exprs => quantizeInt8(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "promote_json", exprs => promoteJson(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "snapshot_diff", exprs => snapshotDiff(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -512,6 +515,17 @@ object TableFunctions {
     val ddl = args.name("schema")
     plan(graft.ext.JsonCols.promote(df, jsonCol,
       org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+  }
+
+  /** `snapshot_diff(before, after, id, text)` →
+    * [[Compaction.snapshotDiff]]: added/removed/changed/unchanged audit
+    * between two corpus snapshots. */
+  private def snapshotDiff(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "snapshot_diff"
+    requireArity(f, exprs, min = 4, max = 4)
+    val args = new Args(f, exprs)
+    plan(Compaction.snapshotDiff(args.table(spark, "before"),
+      args.table(spark, "after"), args.name("id"), args.name("text")))
   }
 
   /** The Dataset's UNANALYZED logical plan: the outer query's analyzer

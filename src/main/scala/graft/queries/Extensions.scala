@@ -1062,6 +1062,21 @@ object Extensions {
         "user_id", "ts", "event_id", "event_type")
       .orderBy("from_type", "to_type")
 
+  /** x77 — corpus snapshot diff ([[Compaction.snapshotDiff]]): every doc
+    * classified added / removed / changed / unchanged between a simulated
+    * old snapshot (docs ∤7, original text) and new snapshot (docs ∤3,
+    * text rewritten for ids ≡0 mod 5) — the refresh audit view. */
+  def x77(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val before = docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+    val after = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    Compaction.snapshotDiff(before, after, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1218,7 +1233,8 @@ object Extensions {
     "x73_bpe_pairs" -> (x73 _),
     "x74_quantize_int8" -> (x74 _),
     "x75_source_overlap" -> (x75 _),
-    "x76_transitions" -> (x76 _)
+    "x76_transitions" -> (x76 _),
+    "x77_snapshot_diff" -> (x77 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2730,6 +2746,26 @@ object Extensions {
         |  FROM events)
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
         |FROM o WHERE to_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x77: full-outer USING join coalesces the id in both engines; both
+    // sides compare the SAME 60-bit content hash
+    "x77_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS hb
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |a AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END),
+        |    1, 15)) AS BIGINT) AS ha
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT doc_id,
+        |  CASE WHEN hb IS NULL THEN 'added'
+        |       WHEN ha IS NULL THEN 'removed'
+        |       WHEN ha = hb THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM b FULL OUTER JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1448,6 +1448,17 @@ class ExtSpec extends SparkSpec {
       ("view", "view", 1L), ("a", "b", 1L)))
   }
 
+  test("snapshotDiff: all four statuses classified correctly") {
+    val before = Seq((1L, "same"), (2L, "old body"), (3L, "going away"))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "same"), (2L, "new body"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Compaction.snapshotDiff(before, after, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),

@@ -274,6 +274,14 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql("SELECT * FROM quantize_int8('tvf_emb9')"),
       graft.ext.Similarity.quantizeInt8(embs))
+
+    val before = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val after = Seq((2L, "b2"), (3L, "c")).toDF("doc_id", "text")
+    before.createOrReplaceTempView("tvf_snap_b")
+    after.createOrReplaceTempView("tvf_snap_a")
+    assertSame(
+      spark.sql("SELECT * FROM snapshot_diff('tvf_snap_b', 'tvf_snap_a', 'doc_id', 'text')"),
+      graft.ext.Compaction.snapshotDiff(before, after, "doc_id", "text"))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {

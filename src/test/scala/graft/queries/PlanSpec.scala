@@ -228,4 +228,16 @@ class PlanSpec extends SparkSpec {
       s"gram explosion duplicated in the plan:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("x75: overlap self-join is a hash equi-join on the gram hash, no cartesian") {
+    val p = plan(Extensions.x75(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"x75:\n$p")
+  }
+
+  test("x76: the lead window is partitioned by the user key") {
+    val p = plan(Extensions.x76(spark, sf))
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"x76 window lost its user partitioning:\n$p")
+  }
 }
