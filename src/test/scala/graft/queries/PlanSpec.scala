@@ -229,10 +229,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("x75: overlap self-join is a hash equi-join on the gram hash, no cartesian") {
+  test("x75: ONE corpus scan, no join — set-expansion shape, not self-join") {
     val p = plan(Extensions.x75(spark, sf))
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), s"x75:\n$p")
+    // formatted explain prints each node once in the tree, once in details
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"x75 scans the corpus more than once:\n$p")
+    assert(!p.contains("Join"), s"x75 must not self-join:\n$p")
   }
 
   test("x76: the lead window is partitioned by the user key") {
