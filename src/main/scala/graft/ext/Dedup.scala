@@ -829,5 +829,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** DIRECTIONAL shingle containment pairs — |A∩B| / |A| over `n`-gram
+    * shingle sets: "is document A (mostly) quoted inside document B".
+    * Asymmetric where Jaccard is symmetric — a short doc fully contained
+    * in a long one scores containment 1.0 but tiny Jaccard, which is
+    * exactly the quote/boilerplate-inclusion case Jaccard misses. Emits
+    * BOTH directions (id_a ≠ id_b) that clear `threshold`.
+    *
+    * Exact and O(n²) — bound the input like [[jaccardPairs]]; the scale
+    * path is the same LSH blocking ([[lshPairs]]) with this as the
+    * verify metric. */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      n: Int = 3): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(col("a.sh"))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 
+  /** Degree histogram of a pair graph — (degree, n_nodes) over the
+    * near-dup pair output: the one-glance forensics view that separates
+    * "many isolated dup pairs" (degree 1 dominates) from "one giant
+    * template cluster" (a fat high-degree tail) before any collapse runs.
+    * Both aggregations partial-combine map-side; the second one's input
+    * is |nodes| rows and the output is bounded by the max degree. */
+  def degreeHistogram(
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(col(aCol).as("graft_n"))
+      .unionAll(pairs.select(col(bCol).as("graft_n")))
+      .groupBy(col("graft_n")).agg(count(lit(1)).as("graft_deg"))
+      .groupBy(col("graft_deg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
 }

@@ -1077,6 +1077,26 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x78 — near-dup graph degree histogram ([[Dedup.degreeHistogram]] over
+    * the unbounded x17 LSH pairs): "many isolated pairs vs one template
+    * cluster" at a glance, before any collapse runs. */
+  def x78(s: SparkSession, dir: String): DataFrame =
+    Dedup.degreeHistogram(
+        Dedup.lshPairs(t(s, dir, "documents"), "doc_id", "text"),
+        "id_a", "id_b")
+      .orderBy("degree")
+
+  /** x79 — directional shingle containment pairs
+    * ([[Dedup.containmentPairs]], |A∩B|/|A| ≥ 0.8 on a bounded subset):
+    * the quote/boilerplate-inclusion detector Jaccard is blind to. */
+  def x79(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 600), "doc_id", "text",
+        threshold = 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("id_a", "id_b")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1234,7 +1254,9 @@ object Extensions {
     "x74_quantize_int8" -> (x74 _),
     "x75_source_overlap" -> (x75 _),
     "x76_transitions" -> (x76 _),
-    "x77_snapshot_diff" -> (x77 _)
+    "x77_snapshot_diff" -> (x77 _),
+    "x78_degree_histogram" -> (x78 _),
+    "x79_containment" -> (x79 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2766,6 +2788,46 @@ object Extensions {
         |       WHEN ha = hb THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM b FULL OUTER JOIN a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // x78: the x17 pair relation (same staged reconstruction) wrapped in
+    // endpoint-degree + histogram aggregates
+    "x78_degree_histogram" -> {
+      val pairSql = lshOracleSql(
+        docWhere = "",
+        select = "1 AS one",
+        where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                  |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin)
+      s"""WITH pairs AS (
+         |$pairSql
+         |),
+         |deg AS (
+         |  SELECT n, count(*) AS degree FROM (
+         |    SELECT id_a AS n FROM pairs
+         |    UNION ALL SELECT id_b AS n FROM pairs)
+         |  GROUP BY n)
+         |SELECT CAST(degree AS BIGINT) AS degree,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+    },
+
+    // x79: directional containment |A∩B|/|A| on 3-gram shingle sets;
+    // both directions, same bounded subset discipline as x04/x16
+    "x79_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 600),
+        |tok AS (
+        |  SELECT doc_id, string_split(text, ' ') w FROM d
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) shl
+        |  FROM tok)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+        |    / len(a.shl), 4) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+        |  / len(a.shl) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

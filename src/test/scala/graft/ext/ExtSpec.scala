@@ -1459,6 +1459,25 @@ class ExtSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("containmentPairs: directional — quote detected one way only") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val quote = "alpha beta gamma delta epsilon"   // fully inside `long`
+    val other = "one two three four five six seven"
+    val docs = docsFrom(Seq((1L, long), (2L, quote), (3L, other)))
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L))) // quote ⊂ long; NOT (1,2) — asymmetric
+  }
+
+  test("degreeHistogram: counts both endpoints, histograms degrees") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.degreeHistogram(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    // node 1 has degree 3; nodes 2,3,4,5,6 have degree 1
+    assert(got == Map(3L -> 1L, 1L -> 5L))
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),
