@@ -54,6 +54,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions == batch transition matrix across micro-batches") {
+    import graft.streaming.TransitionStream.{Transition, TypedEvent}
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    // ground truth: the batch operator the x76 oracle gates
+    val expected = graft.ext.Behavior
+      .transitions(e, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long)].collect()
+      .map { case (f, t, n) => (f, t) -> n }.toMap
+
+    val events = e
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, u, ts, ty) => TypedEvent(id, u, ts, ty) }
+      .sortBy(ev => (ev.ts_us, ev.event_id))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TypedEvent]
+    val q = TransitionStream.pairs(stream.toDS())
+      .writeStream.format("memory").queryName("transitions_s")
+      .outputMode("append").start()
+    try {
+      // 3 chronological micro-batches: pairs split across batch
+      // boundaries must still be emitted exactly once via the state
+      events.grouped(events.length / 3 + 1).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("transitions_s").as[Transition].collect()
+        .groupBy(t => (t.from_type, t.to_type))
+        .map { case (k, v) => k -> v.length.toLong }
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("watermarked windowed agg over a stream matches the batch q17 shape") {
     import org.apache.spark.sql.Row
     import java.sql.Timestamp
