@@ -859,6 +859,17 @@ object Dedup {
     * template cluster" (a fat high-degree tail) before any collapse runs.
     * Both aggregations partial-combine map-side; the second one's input
     * is |nodes| rows and the output is bounded by the max degree. */
+  /** Cluster-size histogram over a component assignment — (size,
+    * n_clusters) from a (member → representative) relation: the companion
+    * view to [[degreeHistogram]] AFTER collapse ("how much does dedup
+    * save, and is it one mega-cluster or many small ones"). Two
+    * map-combined aggregates; output bounded by the largest cluster. */
+  def clusterSizeHistogram(
+      assignments: DataFrame, repCol: String): DataFrame =
+    assignments.groupBy(col(repCol)).agg(count(lit(1)).as("graft_sz"))
+      .groupBy(col("graft_sz").as("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   def degreeHistogram(
       pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     pairs.select(col(aCol).as("graft_n"))

@@ -1097,6 +1097,19 @@ object Extensions {
         round(col("containment"), 4).as("containment"))
       .orderBy("id_a", "id_b")
 
+  /** x80 — dup-cluster size histogram ([[Dedup.clusterSizeHistogram]] over
+    * the x19 component assignment, singletons included): "how much does
+    * collapse save, one mega-cluster or many small ones". */
+  def x80(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val comp = Dedup.lshComponents(docs, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("label"))
+    val assigned = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(coalesce(col("label"), col("doc_id")).as("rep"))
+    Dedup.clusterSizeHistogram(assigned, "rep").orderBy("size")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1256,7 +1269,8 @@ object Extensions {
     "x76_transitions" -> (x76 _),
     "x77_snapshot_diff" -> (x77 _),
     "x78_degree_histogram" -> (x78 _),
-    "x79_containment" -> (x79 _)
+    "x79_containment" -> (x79 _),
+    "x80_cluster_sizes" -> (x80 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2828,6 +2842,18 @@ object Extensions {
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
         |  / len(a.shl) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // x80: the x19 component relation (same recursive reconstruction)
+    // wrapped in per-rep size + histogram aggregates
+    "x80_cluster_sizes" -> componentsOracleSql(
+      """SELECT CAST(sz AS BIGINT) AS size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM (
+        |  SELECT rep, count(*) AS sz FROM (
+        |    SELECT coalesce(rp.rep, d.doc_id) AS rep
+        |    FROM documents d LEFT JOIN rp USING (doc_id)) t
+        |  GROUP BY rep) s
+        |GROUP BY sz ORDER BY size""".stripMargin)
   )
 }
