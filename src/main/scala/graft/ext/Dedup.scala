@@ -844,12 +844,20 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val t = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
     val a = t.as("a")
     val b = t.as("b")
-    a.join(b, col("a.id") =!= col("b.id"))
+    // conjunct order matters: |A∩B| ≤ |B|, so containment ≥ t REQUIRES
+    // |B| ≥ t·|A| — a free integer comparison that short-circuits the
+    // per-pair set intersection for every pair it rejects (And evaluates
+    // left-to-right). Prune factor tracks length VARIANCE: ~10% on the
+    // homogeneous synthetic docs, large on real corpora where quote
+    // sources are much shorter than their hosts.
+    a.join(b, col("a.id") =!= col("b.id") &&
+        col("b.sz").cast("double") >= col("a.sz") * lit(threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(col("a.sh"))).as("containment"))
+          col("a.sz")).as("containment"))
       .filter(col("containment") >= threshold)
   }
 

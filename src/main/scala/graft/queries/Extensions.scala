@@ -1110,6 +1110,13 @@ object Extensions {
     Dedup.clusterSizeHistogram(assigned, "rep").orderBy("size")
   }
 
+  /** x81 — key-skew audit ([[graft.ext.Skew.keySkewAudit]]): the 10
+    * heaviest l_partkey values with share and heavy-to-mean ratio — the
+    * "look before you join" report that decides salting vs broadcast. */
+  def x81(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Skew.keySkewAudit(t(s, dir, "lineitem"), "l_partkey", k = 10)
+      .orderBy("rank", "key")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1270,7 +1277,8 @@ object Extensions {
     "x77_snapshot_diff" -> (x77 _),
     "x78_degree_histogram" -> (x78 _),
     "x79_containment" -> (x79 _),
-    "x80_cluster_sizes" -> (x80 _)
+    "x80_cluster_sizes" -> (x80 _),
+    "x81_skew_audit" -> (x81 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2854,6 +2862,20 @@ object Extensions {
         |    SELECT coalesce(rp.rep, d.doc_id) AS rep
         |    FROM documents d LEFT JOIN rp USING (doc_id)) t
         |  GROUP BY rep) s
-        |GROUP BY sz ORDER BY size""".stripMargin)
+        |GROUP BY sz ORDER BY size""".stripMargin),
+
+    // x81: rank ties pinned by (n DESC, key); share and ratio are one
+    // pinned division each over integer aggregates
+    "x81_skew_audit" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+        |s AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c),
+        |r AS (SELECT key, n,
+        |    row_number() OVER (ORDER BY n DESC, key) AS rk FROM c)
+        |SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n,
+        |  CAST(rk AS BIGINT) AS rank,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  round(CAST(n AS DOUBLE) * n_keys / total, 4) AS ratio
+        |FROM r, s WHERE rk <= 10 ORDER BY rank, key""".stripMargin
   )
 }

@@ -1478,6 +1478,19 @@ class ExtSpec extends SparkSpec {
     assert(got == Map(3L -> 1L, 1L -> 5L))
   }
 
+  test("keySkewAudit: hot key ranked first with exact share and ratio") {
+    // key 7 ×6, key 1 ×2, keys 2..5 ×1 each → total 12, n_keys 6, mean 2
+    val rows = Seq.fill(6)(7L) ++ Seq(1L, 1L) ++ Seq(2L, 3L, 4L, 5L)
+    val df = rows.map(k => (k, "x")).toDF("k", "v")
+    val got = graft.ext.Skew.keySkewAudit(df, "k", k = 3)
+      .select("key", "n", "rank", "share", "ratio")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._3)
+    assert(got(0) == ((7L, 6L, 1L, 0.5, 3.0)))     // 6/12, 6*6/12
+    assert(got(1) == ((1L, 2L, 2L, 0.166667, 1.0)))
+    // rank-3 tie between singleton keys breaks on key asc → key 2
+    assert(got(2) == ((2L, 1L, 3L, 0.083333, 0.5)))
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),
