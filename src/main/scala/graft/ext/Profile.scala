@@ -154,6 +154,36 @@ object Profile {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** EXACT per-group median for an INTEGRAL-domain column, without a
+    * global sort: the complement to [[approxMedian]] when the value space
+    * is small (token counts, lengths, scores in 0..k) even though the row
+    * count is astronomical. groupBy (group, value) collapses 100 TB of
+    * rows to one count per distinct value map-side; the ordered windows
+    * then run over that tiny value histogram — thousands of rows per
+    * group, never the data. Median is the LOWER median (smallest v whose
+    * cumulative count reaches ⌈n/2⌉) — pure integer arithmetic, so any
+    * engine agrees exactly. Returns (group, n_rows, median). */
+  def exactIntegralMedian(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("graft_v"))
+      .agg(count(lit(1)).as("graft_c"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("graft_cum", sum(col("graft_c")).over(cum))
+      .withColumn("n_rows", sum(col("graft_c")).over(tot))
+      // `div`, not `/`: Column./ is DOUBLE division (cum ≥ 2.5 would drop
+      // the true lower-median row for even n); div truncates like the
+      // oracle's integer `//`
+      .filter(col("graft_cum") >= expr("(n_rows + 1) div 2"))
+      .groupBy(col(groupCol), col("n_rows"))
+      .agg(min(col("graft_v")).as("median"))
+      .select(col(groupCol), col("n_rows"), col("median"))
+  }
+
   /** The x60 gate shape: join [[approxMedian]] back and verify the rank
     * guarantee AGAINST THE DATA — `within_bound` holds iff some rank of
     * the returned value lies within n/accuracy (+1 for the floor/ceil

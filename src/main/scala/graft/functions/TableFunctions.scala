@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Packing, Profile, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Packing, Profile, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
 
 /** SQL table-valued-function surface for the north-star whole-plan
   * operators (as-of join, range join, LSH dedup pairs) — SURVEY §2.9's
@@ -48,6 +48,11 @@ import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Pack
   * SELECT * FROM quantize_int8('embeddings')
   * SELECT * FROM promote_json('events', 'props', 'k BIGINT')
   * SELECT * FROM snapshot_diff('corpus_v1', 'corpus_v2', 'doc_id', 'text')
+  * SELECT * FROM skew_audit('lineitem', 'l_partkey', 10)
+  * SELECT * FROM degree_histogram('dup_pairs_view', 'id_a', 'id_b')
+  * SELECT * FROM cluster_sizes('component_view', 'rep')
+  * SELECT * FROM containment_pairs('documents', 'doc_id', 'text', 0.8)
+  * SELECT * FROM exact_median('documents', 'source', 'n_chars')
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -124,6 +129,16 @@ object TableFunctions {
       "promote_json", exprs => promoteJson(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "snapshot_diff", exprs => snapshotDiff(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "skew_audit", exprs => skewAudit(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "degree_histogram", exprs => degreeHistogramTvf(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cluster_sizes", exprs => clusterSizesTvf(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "containment_pairs", exprs => containmentPairsTvf(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "exact_median", exprs => exactMedianTvf(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -526,6 +541,59 @@ object TableFunctions {
     val args = new Args(f, exprs)
     plan(Compaction.snapshotDiff(args.table(spark, "before"),
       args.table(spark, "after"), args.name("id"), args.name("text")))
+  }
+
+  /** `skew_audit(table, key, k)` → [[Skew.keySkewAudit]]: the k heaviest
+    * join-key values with share and heavy-to-mean ratio. */
+  private def skewAudit(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "skew_audit"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(Skew.keySkewAudit(args.table(spark, "table"), args.name("key"),
+      args.int("k")))
+  }
+
+  /** `degree_histogram(pairs, a, b)` → [[Dedup.degreeHistogram]]. */
+  private def degreeHistogramTvf(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "degree_histogram"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(Dedup.degreeHistogram(args.table(spark, "pairs"), args.name("a"),
+      args.name("b")))
+  }
+
+  /** `cluster_sizes(assignments, rep)` → [[Dedup.clusterSizeHistogram]]. */
+  private def clusterSizesTvf(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "cluster_sizes"
+    requireArity(f, exprs, min = 2, max = 2)
+    val args = new Args(f, exprs)
+    plan(Dedup.clusterSizeHistogram(args.table(spark, "assignments"),
+      args.name("rep")))
+  }
+
+  /** `containment_pairs(table, id, text, threshold [, n])` →
+    * [[Dedup.containmentPairs]]: directional quote/inclusion detection. */
+  private def containmentPairsTvf(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "containment_pairs"
+    requireArity(f, exprs, min = 4, max = 5)
+    val args = new Args(f, exprs)
+    val docs = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val threshold = args.double("threshold")
+    val n = if (args.exhausted) 3 else args.int("n")
+    plan(Dedup.containmentPairs(docs, id, text, threshold, n))
+  }
+
+  /** `exact_median(table, group, value)` →
+    * [[Profile.exactIntegralMedian]]: exact lower median via the
+    * value-histogram path. */
+  private def exactMedianTvf(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "exact_median"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(Profile.exactIntegralMedian(args.table(spark, "table"),
+      args.name("group"), args.name("value")))
   }
 
   /** The Dataset's UNANALYZED logical plan: the outer query's analyzer

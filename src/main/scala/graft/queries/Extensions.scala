@@ -1117,6 +1117,14 @@ object Extensions {
     graft.ext.Skew.keySkewAudit(t(s, dir, "lineitem"), "l_partkey", k = 10)
       .orderBy("rank", "key")
 
+  /** x82 — exact integral median per source
+    * ([[Profile.exactIntegralMedian]] on n_chars): the value-histogram
+    * path that gives EXACT medians over any row count when the domain is
+    * small — windows run over distinct values, never rows. */
+  def x82(s: SparkSession, dir: String): DataFrame =
+    Profile.exactIntegralMedian(t(s, dir, "documents"), "source", "n_chars")
+      .orderBy("source")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1278,7 +1286,8 @@ object Extensions {
     "x78_degree_histogram" -> (x78 _),
     "x79_containment" -> (x79 _),
     "x80_cluster_sizes" -> (x80 _),
-    "x81_skew_audit" -> (x81 _)
+    "x81_skew_audit" -> (x81 _),
+    "x82_exact_median" -> (x82 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2876,6 +2885,22 @@ object Extensions {
         |  CAST(rk AS BIGINT) AS rank,
         |  round(CAST(n AS DOUBLE) / total, 6) AS share,
         |  round(CAST(n AS DOUBLE) * n_keys / total, 4) AS ratio
-        |FROM r, s WHERE rk <= 10 ORDER BY rank, key""".stripMargin
+        |FROM r, s WHERE rk <= 10 ORDER BY rank, key""".stripMargin,
+
+    // x82: lower median spelled out as the smallest value whose cumulative
+    // count reaches ceil(n/2) — integer arithmetic, engine-agnostic
+    "x82_exact_median" ->
+      """WITH h AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, v, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v) AS cc,
+        |    sum(c) OVER (PARTITION BY source) AS n
+        |  FROM h)
+        |SELECT source, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(min(v) AS BIGINT) AS median
+        |FROM cum WHERE cc >= (n + 1) // 2
+        |GROUP BY source, n ORDER BY source""".stripMargin
   )
 }

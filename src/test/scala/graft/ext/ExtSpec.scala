@@ -1491,6 +1491,17 @@ class ExtSpec extends SparkSpec {
     assert(got(2) == ((2L, 1L, 3L, 0.083333, 0.5)))
   }
 
+  test("exactIntegralMedian: lower median on even counts, exact on odd") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 100L), // even: lower median 2
+      ("b", 5L), ("b", 7L), ("b", 9L),              // odd: 7
+      ("c", 4L))                                    // singleton: 4
+      .toDF("g", "v")
+    val got = Profile.exactIntegralMedian(df, "g", "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("a" -> ((4L, 2L)), "b" -> ((3L, 7L)), "c" -> ((1L, 4L))))
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),

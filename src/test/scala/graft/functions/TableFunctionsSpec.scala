@@ -284,6 +284,38 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Compaction.snapshotDiff(before, after, "doc_id", "text"))
   }
 
+  test("skew_audit / degree_histogram / cluster_sizes / containment_pairs / exact_median TVFs == Scala APIs") {
+    ready()
+    val li = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    li.createOrReplaceTempView("tvf_li10")
+    assertSame(
+      spark.sql("SELECT * FROM skew_audit('tvf_li10', 'l_partkey', 5)"),
+      graft.ext.Skew.keySkewAudit(li, "l_partkey", 5))
+
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    pairs.createOrReplaceTempView("tvf_pairs10")
+    assertSame(
+      spark.sql("SELECT * FROM degree_histogram('tvf_pairs10', 'id_a', 'id_b')"),
+      graft.ext.Dedup.degreeHistogram(pairs, "id_a", "id_b"))
+
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "rep")
+    assign.createOrReplaceTempView("tvf_assign10")
+    assertSame(
+      spark.sql("SELECT * FROM cluster_sizes('tvf_assign10', 'rep')"),
+      graft.ext.Dedup.clusterSizeHistogram(assign, "rep"))
+
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("tvf_docs10")
+    val bounded = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 60)
+    bounded.createOrReplaceTempView("tvf_docs10b")
+    assertSame(
+      spark.sql("SELECT * FROM containment_pairs('tvf_docs10b', 'doc_id', 'text', 0.8)"),
+      graft.ext.Dedup.containmentPairs(bounded, "doc_id", "text", 0.8))
+    assertSame(
+      spark.sql("SELECT * FROM exact_median('tvf_docs10', 'source', 'n_chars')"),
+      graft.ext.Profile.exactIntegralMedian(docs, "source", "n_chars"))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
