@@ -184,6 +184,36 @@ object Profile {
       .select(col(groupCol), col("n_rows"), col("median"))
   }
 
+  /** EXACT per-group quartile report for an integral-domain column —
+    * (n_rows, p25, p50, p75, vmax) from the same one-pass value histogram
+    * as [[exactIntegralMedian]]: the length-distribution dashboard
+    * (median doc length, IQR, ceiling) with EXACT answers at any row
+    * count. Each quantile is the smallest value whose cumulative count
+    * reaches ⌈q·n⌉; q ∈ {1/4, 1/2, 3/4} are BINARY-EXACT fractions, so
+    * q·n is the same number under double (Spark) and decimal (DuckDB)
+    * arithmetic and the ceil boundary cannot diverge between engines. */
+  def exactIntegralQuartiles(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("graft_v"))
+      .agg(count(lit(1)).as("graft_c"))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    def q(frac: Double): org.apache.spark.sql.Column =
+      min(when(col("graft_cum") >=
+        ceil(lit(frac) * col("n_rows")), col("graft_v")))
+    hist
+      .withColumn("graft_cum", sum(col("graft_c")).over(cum))
+      .withColumn("n_rows", sum(col("graft_c")).over(tot))
+      .groupBy(col(groupCol), col("n_rows"))
+      .agg(q(0.25).as("p25"), q(0.5).as("p50"), q(0.75).as("p75"),
+        max(col("graft_v")).as("vmax"))
+      .select(col(groupCol), col("n_rows"), col("p25"), col("p50"),
+        col("p75"), col("vmax"))
+  }
+
   /** The x60 gate shape: join [[approxMedian]] back and verify the rank
     * guarantee AGAINST THE DATA — `within_bound` holds iff some rank of
     * the returned value lies within n/accuracy (+1 for the floor/ceil

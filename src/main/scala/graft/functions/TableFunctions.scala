@@ -53,6 +53,7 @@ import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Pack
   * SELECT * FROM cluster_sizes('component_view', 'rep')
   * SELECT * FROM containment_pairs('documents', 'doc_id', 'text', 0.8)
   * SELECT * FROM exact_median('documents', 'source', 'n_chars')
+  * SELECT * FROM exact_quartiles('documents', 'lang', 'n_chars')
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -139,6 +140,8 @@ object TableFunctions {
       "containment_pairs", exprs => containmentPairsTvf(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "exact_median", exprs => exactMedianTvf(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "exact_quartiles", exprs => exactQuartilesTvf(spark, exprs), "built-in")
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction
@@ -593,6 +596,16 @@ object TableFunctions {
     requireArity(f, exprs, min = 3, max = 3)
     val args = new Args(f, exprs)
     plan(Profile.exactIntegralMedian(args.table(spark, "table"),
+      args.name("group"), args.name("value")))
+  }
+
+  /** `exact_quartiles(table, group, value)` →
+    * [[Profile.exactIntegralQuartiles]]: exact p25/p50/p75/max report. */
+  private def exactQuartilesTvf(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "exact_quartiles"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(Profile.exactIntegralQuartiles(args.table(spark, "table"),
       args.name("group"), args.name("value")))
   }
 

@@ -1125,6 +1125,13 @@ object Extensions {
     Profile.exactIntegralMedian(t(s, dir, "documents"), "source", "n_chars")
       .orderBy("source")
 
+  /** x83 — exact length-distribution quartiles per language
+    * ([[Profile.exactIntegralQuartiles]] on n_chars): median/IQR/ceiling
+    * with exact answers from the one-pass value histogram. */
+  def x83(s: SparkSession, dir: String): DataFrame =
+    Profile.exactIntegralQuartiles(t(s, dir, "documents"), "lang", "n_chars")
+      .orderBy("lang")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1287,7 +1294,8 @@ object Extensions {
     "x79_containment" -> (x79 _),
     "x80_cluster_sizes" -> (x80 _),
     "x81_skew_audit" -> (x81 _),
-    "x82_exact_median" -> (x82 _)
+    "x82_exact_median" -> (x82 _),
+    "x83_quartiles" -> (x83 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2901,6 +2909,24 @@ object Extensions {
         |SELECT source, CAST(n AS BIGINT) AS n_rows,
         |  CAST(min(v) AS BIGINT) AS median
         |FROM cum WHERE cc >= (n + 1) // 2
-        |GROUP BY source, n ORDER BY source""".stripMargin
+        |GROUP BY source, n ORDER BY source""".stripMargin,
+
+    // x83: quantile boundaries at binary-exact fractions, so DuckDB's
+    // decimal multiply and Spark's double multiply agree exactly
+    "x83_quartiles" ->
+      """WITH h AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc,
+        |    sum(c) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT lang, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cc >= ceil(0.25 * n) THEN v END) AS BIGINT) AS p25,
+        |  CAST(min(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cc >= ceil(0.75 * n) THEN v END) AS BIGINT) AS p75,
+        |  CAST(max(v) AS BIGINT) AS vmax
+        |FROM cum GROUP BY lang, n ORDER BY lang""".stripMargin
   )
 }

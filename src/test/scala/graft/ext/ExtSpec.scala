@@ -1502,6 +1502,17 @@ class ExtSpec extends SparkSpec {
     assert(got == Map("a" -> ((4L, 2L)), "b" -> ((3L, 7L)), "c" -> ((1L, 4L))))
   }
 
+  test("exactIntegralQuartiles: boundaries land on exact ranks") {
+    // group a: values 1..8 → n=8, ranks: p25 at cum≥2 → 2, p50 at cum≥4
+    // → 4, p75 at cum≥6 → 6, max 8
+    val df = ((1L to 8L).map(v => ("a", v)) :+ (("b", 42L))).toDF("g", "v")
+    val got = Profile.exactIntegralQuartiles(df, "g", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("a") == ((8L, 2L, 4L, 6L, 8L)))
+    assert(got("b") == ((1L, 42L, 42L, 42L, 42L)))
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),

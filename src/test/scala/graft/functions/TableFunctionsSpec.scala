@@ -314,6 +314,9 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql("SELECT * FROM exact_median('tvf_docs10', 'source', 'n_chars')"),
       graft.ext.Profile.exactIntegralMedian(docs, "source", "n_chars"))
+    assertSame(
+      spark.sql("SELECT * FROM exact_quartiles('tvf_docs10', 'lang', 'n_chars')"),
+      graft.ext.Profile.exactIntegralQuartiles(docs, "lang", "n_chars"))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
