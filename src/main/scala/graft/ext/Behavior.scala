@@ -110,6 +110,36 @@ object Behavior {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Rolling `windowDays`-day active users (WAU-style): for every
+    * observed day, the count of DISTINCT users active in the trailing
+    * window ending that day.
+    *
+    * SQL's "COUNT(DISTINCT) OVER (RANGE ...)" doesn't exist in any
+    * engine for a reason — a distinct set can't ride a sliding frame. The
+    * scale shape instead: collapse events to distinct (day, user) rows
+    * map-side, EXPLODE each into its `windowDays` member windows (a pure
+    * map: ×7 of an already-tiny relation), and count-distinct per window
+    * day — partial aggregation dedups (window, user) before the exchange.
+    * Windows with no earlier data are still emitted (they count whatever
+    * the partial trailing window holds), and days beyond the last
+    * observed day are dropped. Returns (day 'yyyy-MM-dd', n_active). */
+  def rollingActiveUsers(
+      events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    val dayUser = events
+      .select(to_date(col(tsCol)).as("graft_day"), col(userCol).as("graft_u"))
+      .distinct()
+    val maxDay = dayUser.agg(max(col("graft_day"))).collect()(0).getDate(0)
+    dayUser
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("graft_k"),
+        col("graft_day"), col("graft_u"))
+      .select(date_add(col("graft_day"), col("graft_k")).as("graft_w"),
+        col("graft_u"))
+      .filter(col("graft_w") <= lit(maxDay))
+      .groupBy(date_format(col("graft_w"), "yyyy-MM-dd").as("day"))
+      .agg(count_distinct(col("graft_u")).as("n_active"))
+  }
+
   /** Daily cohort retention: users grouped by their first-ever event day,
     * counted distinct per (cohort day, day offset) they were active.
     * Returns (cohort_day 'yyyy-MM-dd', day_offset, n_users).

@@ -1132,6 +1132,13 @@ object Extensions {
     Profile.exactIntegralQuartiles(t(s, dir, "documents"), "lang", "n_chars")
       .orderBy("lang")
 
+  /** x84 — rolling 7-day active users ([[Behavior.rollingActiveUsers]]):
+    * WAU per day via distinct (day, user) × window-membership explode —
+    * the sliding count-distinct no engine's window frame can express. */
+  def x84(s: SparkSession, dir: String): DataFrame =
+    Behavior.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts")
+      .orderBy("day")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1295,7 +1302,8 @@ object Extensions {
     "x80_cluster_sizes" -> (x80 _),
     "x81_skew_audit" -> (x81 _),
     "x82_exact_median" -> (x82 _),
-    "x83_quartiles" -> (x83 _)
+    "x83_quartiles" -> (x83 _),
+    "x84_rolling_active" -> (x84 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2927,6 +2935,20 @@ object Extensions {
         |  CAST(min(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS BIGINT) AS p50,
         |  CAST(min(CASE WHEN cc >= ceil(0.75 * n) THEN v END) AS BIGINT) AS p75,
         |  CAST(max(v) AS BIGINT) AS vmax
-        |FROM cum GROUP BY lang, n ORDER BY lang""".stripMargin
+        |FROM cum GROUP BY lang, n ORDER BY lang""".stripMargin,
+
+    // x84: distinct (day, user) exploded to its 7 member windows; both
+    // engines truncate days in the pinned UTC session zone
+    "x84_rolling_active" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events),
+        |mx AS (SELECT max(d) AS md FROM du),
+        |w AS (
+        |  SELECT d + CAST(k AS INT) AS wd, u
+        |  FROM du, generate_series(0, 6) t(k))
+        |SELECT strftime(wd, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_active
+        |FROM w, mx WHERE wd <= md
+        |GROUP BY 1 ORDER BY day""".stripMargin
   )
 }

@@ -1513,6 +1513,25 @@ class ExtSpec extends SparkSpec {
     assert(got("b") == ((1L, 42L, 42L, 42L, 42L)))
   }
 
+  test("rollingActiveUsers: trailing window counts distinct users once") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val events = Seq(
+      (1L, ts(1), 100L), (2L, ts(1), 100L), // user 100 twice on day 1
+      (3L, ts(2), 200L),
+      (4L, ts(9), 100L))                    // day 9: outside day-2's window
+      .toDF("event_id", "ts", "user_id")
+    val got = Behavior.rollingActiveUsers(events, "user_id", "ts", windowDays = 7)
+      .as[(String, Long)].collect().toMap
+    // day 1: {100}; day 2: {100, 200}; ...; day 7: {100,200};
+    // day 8: {200} (day-1 aged out); day 9: {100}
+    assert(got("2024-01-01") == 1L)
+    assert(got("2024-01-02") == 2L)
+    assert(got("2024-01-07") == 2L)
+    assert(got("2024-01-08") == 1L)
+    assert(got("2024-01-09") == 1L)
+    assert(got.size == 9)
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),
