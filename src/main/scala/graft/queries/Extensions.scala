@@ -1139,6 +1139,24 @@ object Extensions {
     Behavior.rollingActiveUsers(t(s, dir, "events"), "user_id", "ts")
       .orderBy("day")
 
+  /** x85 — engagement cadence: EXACT quartiles of the inter-event gap
+    * (whole seconds) per event type — the x76 lead-window shape feeding
+    * [[Profile.exactIntegralQuartiles]]'s value-histogram path; gaps are
+    * integral so the whole report is exact at any scale. */
+  def x85(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("graft_us"), col("event_id"))
+    val gaps = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("graft_us"))
+      .withColumn("graft_nus", lead(col("graft_us"), 1).over(w))
+      .filter(col("graft_nus").isNotNull)
+      .select(col("event_type"),
+        expr("(graft_nus - graft_us) div 1000000").as("graft_gap"))
+    Profile.exactIntegralQuartiles(gaps, "event_type", "graft_gap")
+      .orderBy("event_type")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1303,7 +1321,8 @@ object Extensions {
     "x81_skew_audit" -> (x81 _),
     "x82_exact_median" -> (x82 _),
     "x83_quartiles" -> (x83 _),
-    "x84_rolling_active" -> (x84 _)
+    "x84_rolling_active" -> (x84 _),
+    "x85_gap_cadence" -> (x85 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2949,6 +2968,30 @@ object Extensions {
         |SELECT strftime(wd, '%Y-%m-%d') AS day,
         |  CAST(count(DISTINCT u) AS BIGINT) AS n_active
         |FROM w, mx WHERE wd <= md
-        |GROUP BY 1 ORDER BY day""".stripMargin
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // x85: the x76 lead window feeding the x83 histogram-quartile chain;
+    // gaps truncated to whole seconds with integer division both sides
+    "x85_gap_cadence" ->
+      """WITH o AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nus
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, (nus - us) // 1000000 AS v
+        |  FROM o WHERE nus IS NOT NULL),
+        |h AS (SELECT event_type, v, count(*) AS c FROM g GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, v, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cc,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cc >= ceil(0.25 * n) THEN v END) AS BIGINT) AS p25,
+        |  CAST(min(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cc >= ceil(0.75 * n) THEN v END) AS BIGINT) AS p75,
+        |  CAST(max(v) AS BIGINT) AS vmax
+        |FROM cum GROUP BY event_type, n ORDER BY event_type""".stripMargin
   )
 }
