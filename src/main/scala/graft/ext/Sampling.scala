@@ -119,6 +119,27 @@ object Sampling {
       .drop("graft_h", "ordinal")
   }
 
+  /** LEAKAGE-FREE deterministic split: assign every document the split of
+    * its near-dup CLUSTER representative, so two near-duplicates can never
+    * land in train and test at once — the eval-integrity property a plain
+    * per-doc hash split ([[splitAssign]]) silently violates whenever the
+    * corpus still contains near-dups (and at 100 TB it always does).
+    *
+    * Composes [[Dedup.lshComponents]] (rep per clustered doc; singletons
+    * are their own rep) with the same hash-bucket assignment, keyed on the
+    * REP id. Returns (idCol, rep, split). */
+  def leakageFreeSplit(
+      docs: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)],
+      defaultLabel: String = "rest"): DataFrame = {
+    val comp = Dedup.lshComponents(docs, idCol, textCol)
+      .select(col("id").as(idCol), col("label"))
+    val assigned = docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("rep"))
+    splitAssign(assigned, "rep", splits, defaultLabel)
+  }
+
   /** Deterministic train/validation/test (or any n-way) split assignment:
     * the split label is a pure function of the row id, so every engine,
     * every re-run, and every retried task agrees on the assignment, and

@@ -1157,6 +1157,15 @@ object Extensions {
       .orderBy("event_type")
   }
 
+  /** x86 — leakage-free train/val/test split
+    * ([[Sampling.leakageFreeSplit]]): split assignment keyed on the
+    * near-dup cluster rep, so near-duplicates never straddle train and
+    * test — the eval-integrity upgrade over the per-doc x30 split. */
+  def x86(s: SparkSession, dir: String): DataFrame =
+    Sampling.leakageFreeSplit(t(s, dir, "documents"), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1322,7 +1331,8 @@ object Extensions {
     "x82_exact_median" -> (x82 _),
     "x83_quartiles" -> (x83 _),
     "x84_rolling_active" -> (x84 _),
-    "x85_gap_cadence" -> (x85 _)
+    "x85_gap_cadence" -> (x85 _),
+    "x86_leakage_free_split" -> (x86 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2992,6 +3002,21 @@ object Extensions {
         |  CAST(min(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS BIGINT) AS p50,
         |  CAST(min(CASE WHEN cc >= ceil(0.75 * n) THEN v END) AS BIGINT) AS p75,
         |  CAST(max(v) AS BIGINT) AS vmax
-        |FROM cum GROUP BY event_type, n ORDER BY event_type""".stripMargin
+        |FROM cum GROUP BY event_type, n ORDER BY event_type""".stripMargin,
+
+    // x86: the x19 component relation, split by the REP's hash bucket —
+    // same md5 bucketing as the x30 oracle, keyed on rep instead of doc
+    "x86_leakage_free_split" -> componentsOracleSql(
+      """SELECT doc_id, rep,
+        |  CASE
+        |    WHEN CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 10000 < 8000 THEN 'train'
+        |    WHEN CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 10000 < 9000 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM (
+        |  SELECT d.doc_id, CAST(coalesce(rp.rep, d.doc_id) AS BIGINT) AS rep
+        |  FROM documents d LEFT JOIN rp USING (doc_id)) t
+        |ORDER BY doc_id""".stripMargin)
   )
 }

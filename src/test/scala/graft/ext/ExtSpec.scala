@@ -1532,6 +1532,21 @@ class ExtSpec extends SparkSpec {
     assert(got.size == 9)
   }
 
+  test("leakageFreeSplit: near-duplicates always share a split") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    val docs = docsFrom(Seq((1L, base), (2L, nearDup),
+      (3L, "completely different words about spark window functions here"),
+      (4L, "another separate document with its own vocabulary entirely now")))
+    val got = Sampling.leakageFreeSplit(docs, "doc_id", "text",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 4)
+    assert(got(1L)._1 == got(2L)._1, "near-dups must share a rep")
+    assert(got(1L)._2 == got(2L)._2, "near-dups must share a split")
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),
