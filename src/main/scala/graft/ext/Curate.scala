@@ -56,4 +56,32 @@ object Curate {
       .select(col(idCol), col("lang_pred"), col("quality_score"),
         col("n_words").as("tokens"))
   }
+
+  /** Quality-aware exemplar selection: per near-dup CLUSTER, keep the
+    * HIGHEST-quality member (ties → lowest id) instead of the arbitrary
+    * min-id rep plain dedup keeps — when a page exists as a clean copy
+    * and a boilerplate-wrapped copy, collapse should keep the clean one.
+    *
+    * Shape: [[Dedup.lshComponents]] labels the clusters; the selection is
+    * ONE `max(struct(quality, −id))` aggregate — struct ordering makes the
+    * max the argmax, and it PARTIAL-aggregates map-side (the [[Compaction]]
+    * trick), so the exchange carries one candidate per (task, cluster),
+    * never the membership. Returns (rep, keep_id, quality_score,
+    * n_members) — filter n_members ≥ 2 for the collapse-only view. */
+  def keepBest(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val comp = Dedup.lshComponents(docs, idCol, textCol)
+      .select(col("id").as(idCol), col("label"))
+    val q = docs.select(col(idCol),
+      TextAnalysis.qualityColumns(col(textCol)).last)
+    q.join(comp, Seq(idCol), "left")
+      .select(coalesce(col("label"), col(idCol)).as("rep"), col(idCol),
+        col("quality_score"))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_score").as("q"),
+          (-col(idCol)).as("negid"))).as("graft_m"))
+      .select(col("rep"), (-col("graft_m.negid")).as("keep_id"),
+        col("graft_m.q").as("quality_score"), col("n_members"))
+  }
 }

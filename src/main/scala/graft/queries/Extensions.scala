@@ -1166,6 +1166,13 @@ object Extensions {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .orderBy("doc_id")
 
+  /** x87 — quality-aware exemplar selection ([[Curate.keepBest]]): per
+    * near-dup cluster, keep the highest-quality member via one map-combined
+    * argmax aggregate — collapse keeps the clean copy, not the min-id. */
+  def x87(s: SparkSession, dir: String): DataFrame =
+    Curate.keepBest(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("rep")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1332,7 +1339,8 @@ object Extensions {
     "x83_quartiles" -> (x83 _),
     "x84_rolling_active" -> (x84 _),
     "x85_gap_cadence" -> (x85 _),
-    "x86_leakage_free_split" -> (x86 _)
+    "x86_leakage_free_split" -> (x86 _),
+    "x87_keep_best" -> (x87 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -3017,6 +3025,39 @@ object Extensions {
         |FROM (
         |  SELECT d.doc_id, CAST(coalesce(rp.rep, d.doc_id) AS BIGINT) AS rep
         |  FROM documents d LEFT JOIN rp USING (doc_id)) t
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // x87: the component relation joined to the inline quality derivation;
+    // argmax spelled as row_number over (quality DESC, doc_id)
+    "x87_keep_best" -> componentsOracleSql(
+      """SELECT rep, keep_id, quality_score, n_members FROM (
+        |  SELECT rep, doc_id AS keep_id, quality_score,
+        |    row_number() OVER (PARTITION BY rep
+        |      ORDER BY quality_score DESC, doc_id) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS n_members
+        |  FROM (
+        |    SELECT CAST(coalesce(rp.rep, d.doc_id) AS BIGINT) AS rep,
+        |      d.doc_id, q.quality_score
+        |    FROM documents d LEFT JOIN rp USING (doc_id)
+        |    JOIN (
+        |      SELECT doc_id,
+        |        round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE),
+        |            CAST(1.0 AS DOUBLE)) * 0.5
+        |          + least(round(CAST(en_hits AS DOUBLE) / n_words, 4) * 10.0,
+        |            CAST(1.0 AS DOUBLE)) * 0.3
+        |          + CASE WHEN round(CAST(n_nonspace AS DOUBLE) / n_words, 4)
+        |                 BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
+        |          AS quality_score
+        |      FROM (
+        |        SELECT doc_id,
+        |          CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |               AS BIGINT) AS n_words,
+        |          length(replace(text, ' ', '')) AS n_nonspace,
+        |          CAST(len(list_intersect(
+        |            list_distinct(string_split(text, ' ')),
+        |            ['the','and','of','to','in','is','it','that']))
+        |            AS BIGINT) AS en_hits
+        |        FROM documents) f) q USING (doc_id)) t) s
+        |WHERE rk = 1 ORDER BY rep""".stripMargin)
   )
 }

@@ -1547,6 +1547,24 @@ class ExtSpec extends SparkSpec {
     assert(got(1L)._2 == got(2L)._2, "near-dups must share a split")
   }
 
+  test("keepBest: collapse keeps the higher-quality near-dup, not min id") {
+    // doc 1 short (low quality), doc 2 near-dup but much longer (higher
+    // quality via the n_words/100 term); unrelated doc 3 is a singleton
+    val core = "the quick brown fox jumps over the lazy dog again and again"
+    val longTail = (1 to 60).map(i => "extra").mkString(" ")
+    val docs = docsFrom(Seq(
+      (1L, core + " today"),
+      (2L, core + " today " + longTail),
+      (3L, "completely different words about spark window functions here")))
+    val got = Curate.keepBest(docs, "doc_id", "text")
+      .select("rep", "keep_id", "n_members")
+      .as[(Long, Long, Long)].collect().toSet
+    val cluster = got.find(_._3 == 2L)
+    assert(cluster.isDefined, s"no 2-member cluster in $got")
+    assert(cluster.get._2 == 2L, s"keep_id should be the longer doc 2: $got")
+    assert(got.exists(r => r._3 == 1L && r._2 == 3L)) // singleton keeps itself
+  }
+
   test("JsonCols: bounded inference + promote types fields; malformed → null") {
     val df = Seq(
       (1L, """{"k": 7, "tag": "a"}"""),
