@@ -18,12 +18,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Session-build-time configs every graft entrypoint applies via
-    * [[configure]]. `nanosAsLong` lives here (not as a per-load
-    * `spark.conf.set`) so concurrent queries never race on session conf:
-    * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; we read it as raw int64 nanos and convert below. */
+    * [[configure]]. Both confs live here (not as per-load
+    * `spark.conf.set`) so concurrent queries never race on session conf.
+    * The driver's testdata generator has shipped events.ts as parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * `nanosAsLong` reads it as raw int64 nanos, converted below) and as
+    * timestamp[us] without the isAdjustedToUTC flag (which Spark 4 infers
+    * as TIMESTAMP_NTZ — disabled below); with both confs the loader
+    * accepts either generation and always yields TIMESTAMP (UTC). */
   val sessionConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true") ++
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // testdata timestamps are parquet timestamp[us] WITHOUT the
+      // isAdjustedToUTC flag; by default Spark 4 infers those as
+      // TIMESTAMP_NTZ, which unix_micros()/window functions reject.
+      // Read them as TIMESTAMP (session tz is pinned to UTC by every
+      // entrypoint, so the instant semantics match DuckDB's naive read).
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false") ++
       // cluster-durable materialization for the dedup chain (see
       // graft.ext.Dedup.checkpointDirKey): settable from the contract
       // mains (Verify/Bench) without a code change

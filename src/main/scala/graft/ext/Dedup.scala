@@ -400,6 +400,168 @@ object Dedup {
       .unionByName(intra)
   }
 
+  /** PERSISTED corpus LSH state — the steady-state companion to
+    * [[incrementalLshPairs]]. That operator recomputes the corpus's
+    * minhash signatures on every ingest: an O(corpus) shingle-walk ×
+    * numPerms CPU pass per batch, which at 100 TB dwarfs the batch
+    * itself. This pair of functions moves the corpus side to parquet,
+    * computed ONCE per document ever:
+    *
+    *   - `dir/reps`:    (fp, rid, text)     — distinct texts + min-id rep
+    *   - `dir/members`: (id, rid)           — every doc's rep assignment
+    *   - `dir/bands`:   (rid, band, bucket) — banded minhash signatures
+    *
+    * [[appendLshState]] creates or extends the state (a doc byte-equal to
+    * an existing corpus doc joins the existing rep group — the anti-join
+    * on fp is a column-pruned scan of one string column, the only
+    * corpus-sized touch, and it reads two narrow columns, never texts).
+    * [[incrementalLshPairsFromState]] then answers each ingest from the
+    * state: per-batch signature COMPUTE is O(batch); the corpus
+    * contributes a narrow columnar scan of precomputed
+    * (rid, band, bucket) rows into the asymmetric band join.
+    *
+    * Replay safety (streaming foreachBatch is at-least-once): pass
+    * `batchTag` and each append lands in its own `batch_id=N` partition
+    * with overwrite — a replayed batch overwrites its previous append
+    * instead of duplicating it, the same idempotent-partition pattern
+    * [[graft.streaming.DedupStream.nearDupIngest]] uses for the corpus
+    * itself. Do not mix tagged and untagged appends in one state dir
+    * (partition discovery needs a uniform layout).
+    *
+    * Ids must be unique across the whole corpus ∪ every batch (same
+    * contract as [[incrementalLshPairs]]). */
+  def appendLshState(
+      docs: DataFrame, idCol: String, textCol: String, dir: String,
+      numPerms: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
+      batchTag: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val kept = materialize(wide
+      .filter(size(tokens(col(textCol))) >= shingleSize)
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        md5(col(textCol)).as("fp")))
+    // on replay, the batch's own previous append must not make its fps
+    // look pre-existing (that would empty the reps/bands overwrite and
+    // lose the group's signatures)
+    val existing = scala.util.Try(spark.read.parquet(s"$dir/reps"))
+      .toOption.map { r =>
+        batchTag.filter(_ => r.columns.contains("batch_id"))
+          .map(t => r.filter(col("batch_id") =!= t)).getOrElse(r)
+          .select(col("fp"), col("rid"))
+      }
+    val groups = kept.groupBy(col("fp"))
+      .agg(min(col("id")).as("rid"), min(col("text")).as("text"))
+    val newGroups = materialize(existing match {
+      case Some(e) => groups.join(e.select("fp"), Seq("fp"), "left_anti")
+      case None => groups
+    })
+    val ridOf = existing match {
+      case Some(e) => e.unionByName(newGroups.select(col("fp"), col("rid")))
+      case None => newGroups.select(col("fp"), col("rid"))
+    }
+    def out(table: String): (String, String) = batchTag match {
+      case Some(t) => (s"$dir/$table/batch_id=$t", "overwrite")
+      case None => (s"$dir/$table", "append")
+    }
+    def write(df: DataFrame, table: String): Unit = {
+      val (path, mode) = out(table)
+      df.write.mode(mode).parquet(path)
+    }
+    write(kept.select(col("fp"), col("id")).join(ridOf, "fp")
+      .select(col("id"), col("rid")), "members")
+    write(newGroups.select(col("fp"), col("rid"), col("text")), "reps")
+    write(newGroups
+      .select(col("rid"),
+        minhashSignature(col("text"), numPerms, shingleSize).as("sig"))
+      .select(col("rid"),
+        posexplode(bandBuckets(numPerms, rowsPerBand)).as(Seq("band", "bucket"))),
+      "bands")
+  }
+
+  /** [[incrementalLshPairs]] answered from a persisted corpus state
+    * ([[appendLshState]]) instead of the corpus text column — identical
+    * output (pinned by ExtSpec), but the corpus's signatures are never
+    * recomputed: the batch is collapsed/signed fresh (O(batch) compute),
+    * batch fps already present in the corpus ride their existing rep's
+    * persisted bands, and the band join streams the state's narrow
+    * (rid, band, bucket) rows against the batch's. Verification joins
+    * corpus texts back only for the candidate reps that survived
+    * blocking. */
+  def incrementalLshPairsFromState(
+      stateDir: String, batch: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val jac = GraftColumnBridge.column(graft.functions.ShingleJaccard(
+      GraftColumnBridge.expression(col("text_a")),
+      GraftColumnBridge.expression(col("text_b")), shingleSize))
+    val spark = batch.sparkSession
+    val corpusReps = spark.read.parquet(s"$stateDir/reps")
+      .select(col("fp"), col("rid"), col("text"))
+    val corpusMembers = spark.read.parquet(s"$stateDir/members")
+      .select(col("id"), col("rid"))
+    val corpusBands = spark.read.parquet(s"$stateDir/bands")
+      .select(col("rid"), col("band"), col("bucket"))
+
+    val par = spark.sparkContext.defaultParallelism
+    val wide = if (batch.rdd.getNumPartitions < par) batch.repartition(par) else batch
+    val kept = materialize(wide
+      .filter(size(tokens(col(textCol))) >= shingleSize)
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        md5(col(textCol)).as("fp")))
+    val groups = kept.groupBy(col("fp"))
+      .agg(min(col("id")).as("brid"), min(col("text")).as("text"))
+    // batch fps byte-equal to a corpus doc: reuse the corpus rep (and its
+    // persisted bands); genuinely new fps get signed fresh
+    val known = materialize(
+      groups.join(corpusReps.select(col("fp"), col("rid")), "fp"))
+    val newGroups = materialize(
+      groups.join(corpusReps.select("fp"), Seq("fp"), "left_anti"))
+
+    val newBands = newGroups
+      .select(col("brid").as("arid"),
+        minhashSignature(col("text"), numPerms, shingleSize).as("sig"))
+      .select(col("arid"),
+        posexplode(bandBuckets(numPerms, rowsPerBand)).as(Seq("band", "bucket")))
+    val knownBands = corpusBands
+      .join(known.select(col("rid")), "rid")
+      .select(col("rid").as("arid"), col("band"), col("bucket"))
+    // directed (batch-rep, corpus-rep) candidates — corpus×corpus bucket
+    // pairs never form, same asymmetry as incrementalLshPairs
+    val pairRids = newBands.unionByName(knownBands)
+      .join(corpusBands
+        .select(col("rid").as("crid"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("arid") =!= col("crid"))
+      .select(col("arid"), col("crid"))
+      .distinct()
+    val aTexts = newGroups.select(col("brid").as("arid"), col("text"))
+      .unionByName(known.select(col("rid").as("arid"), col("text")))
+    val verified = materialize(pairRids
+      .join(aTexts.select(col("arid"), col("text").as("text_a")), "arid")
+      .join(corpusReps.select(col("rid").as("crid"), col("text").as("text_b")),
+        "crid")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select(col("arid"), col("crid"), col("jaccard")))
+
+    val batchRepOf = newGroups.select(col("fp"), col("brid").as("arid"))
+      .unionByName(known.select(col("fp"), col("rid").as("arid")))
+    val mNew = kept.select(col("fp"), col("id"))
+      .join(batchRepOf, "fp").select(col("arid"), col("id"))
+    val cross = verified
+      .join(mNew.select(col("arid"), col("id").as("new_id")), "arid")
+      .join(corpusMembers.select(col("rid").as("crid"), col("id").as("old_id")),
+        "crid")
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+    val intra = kept.select(col("fp"), col("id").as("new_id"))
+      .join(known.select(col("fp"), col("rid")), "fp")
+      .join(corpusMembers.select(col("rid"), col("id").as("old_id")), "rid")
+      .select(col("new_id"), col("old_id"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
   /** LSH-blocked edit-distance near-dup pairs: band-bucket candidates
     * verified with levenshtein ≤ `maxDist`. This is the scale path for
     * typo-level dedup — the distance runs ONLY on candidates among DISTINCT
@@ -836,28 +998,60 @@ object Dedup {
     * exactly the quote/boilerplate-inclusion case Jaccard misses. Emits
     * BOTH directions (id_a ≠ id_b) that clear `threshold`.
     *
-    * Exact and O(n²) — bound the input like [[jaccardPairs]]; the scale
-    * path is the same LSH blocking ([[lshPairs]]) with this as the
-    * verify metric. */
+    * EXACT output, sub-quadratic plan — prefix filtering (the PPJoin
+    * family, Xiao et al., WWW'08), specialized to the asymmetric
+    * containment predicate:
+    *
+    *   |A∩B|/|A| ≥ t  requires  |A∩B| ≥ ⌈t·|A|⌉, so if B misses ALL of
+    *   the p = ⌊(1−t)·|A|⌋+1 smallest elements of A (under any global
+    *   total order), then |A∩B| ≤ |A|−p < t·|A| — pigeonhole. Hence every
+    *   qualifying pair shares at least one of A's p-element PREFIX.
+    *
+    * Blocking is therefore an EQUI-join: the A side explodes only its
+    * prefix (⌊(1−t)·|A|⌋+1 hashes ≈ 20% of shingles at t=0.8), the B side
+    * explodes all its shingle hashes (containment is one-directional — B
+    * can match A's prefix anywhere in B, so B cannot be prefix-pruned).
+    * Both sides are linear in corpus shingle mass; candidates are bounded
+    * by ACTUAL shared-shingle pairs, never n². xxhash64 supplies the
+    * total order (hash collisions only ADD candidates — the exact verify
+    * removes them; they can never drop a qualifying pair, because a
+    * shared shingle's hash always matches itself). The length filter
+    * |B| ≥ t·|A| rides the blocking join. Survivors are verified with one
+    * exact set intersection per DISTINCT candidate pair.
+    *
+    * At 100×: explode ~linear, equi-join hash-partitioned on shingle
+    * hashes (high-cardinality; AQE handles residual hot-gram skew),
+    * verify proportional to true-ish pairs. The old all-pairs `id≠id`
+    * self-join this replaces died at exactly that scale-up. */
   def containmentPairs(
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
       n: Int = 3): DataFrame = {
-    val t = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sz", size(col("sh")))
-    val a = t.as("a")
-    val b = t.as("b")
-    // conjunct order matters: |A∩B| ≤ |B|, so containment ≥ t REQUIRES
-    // |B| ≥ t·|A| — a free integer comparison that short-circuits the
-    // per-pair set intersection for every pair it rejects (And evaluates
-    // left-to-right). Prune factor tracks length VARIANCE: ~10% on the
-    // homogeneous synthetic docs, large on real corpora where quote
-    // sources are much shorter than their hosts.
-    a.join(b, col("a.id") =!= col("b.id") &&
-        col("b.sz").cast("double") >= col("a.sz") * lit(threshold))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          col("a.sz")).as("containment"))
+    val t = materialize(
+      docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sz", size(col("sh"))))
+    val hashed = t.withColumn(
+      "hs", array_sort(transform(col("sh"), h => xxhash64(h))))
+    val prefLen = (floor(lit(1.0 - threshold) * col("sz")) + 1).cast("int")
+    val aSide = hashed
+      .select(col("id").as("id_a"), col("sz").as("sz_a"),
+        explode(slice(col("hs"), lit(1), prefLen)).as("h"))
+    val bSide = hashed
+      .select(col("id").as("id_b"), col("sz").as("sz_b"),
+        explode(col("hs")).as("h"))
+    // |A∩B| ≤ |B|, so containment ≥ t additionally REQUIRES |B| ≥ t·|A| —
+    // a free integer cut applied while the candidate set is still narrow.
+    val candidates = aSide.join(bSide, "h")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b").cast("double") >= col("sz_a") * lit(threshold))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(t.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(t.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          col("sz_a")).as("containment"))
       .filter(col("containment") >= threshold)
   }
 

@@ -507,18 +507,28 @@ object Similarity {
     * survivors as (idCol, cell).
     *
     * The clustering is what bounds the quadratic: pairwise cosine runs only
-    * WITHIN a cell, so pair work is Σ|cell|² instead of corpus² — at scale
-    * `k` is sized so cells stay ~10⁴–10⁵ vectors (the paper clusters LAION
-    * into k≈110k cells). The pair join is hash-partitioned on cid; the
-    * per-cell work is embarrassingly parallel across cells. The assignment
-    * frame feeds the a-side, the b-side and the survivor anti-join, so it
-    * is materialized once ([[Dedup.materialize]] — reliable checkpoint
-    * under `graft.checkpointDir`) rather than re-running the 2-iteration
+    * WITHIN a cell, so pair work is Σ|cell|² instead of corpus² — but ONLY
+    * if cell size is held constant as the corpus grows. A fixed `k` makes
+    * cells O(n) and the within-cell join O(n²/k) — the quadratic sneaks
+    * back in. So the effective cell count is derived from the data:
+    * kEff = max(k, ⌈n / cellTarget⌉) from one corpus count (the count is
+    * O(scan), reused nowhere else — at 100× the corpus, kEff grows 100×
+    * and expected cell size stays ≈`cellTarget`, keeping within-cell pair
+    * work LINEAR in n: Σ|cell|² ≈ n·cellTarget. The paper clusters LAION
+    * into k≈110k cells for the same reason.) The pair join is
+    * hash-partitioned on cid; the per-cell work is embarrassingly parallel
+    * across cells. The assignment frame feeds the a-side, the b-side and
+    * the survivor anti-join, so it is materialized once
+    * ([[Dedup.materialize]] — reliable checkpoint under
+    * `graft.checkpointDir`) rather than re-running the 2-iteration
     * training lineage three times. */
   def semanticDedup(
       corpus: DataFrame, threshold: Double, k: Int = 8, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = kmeansCentroids(corpus, k, iters, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellTarget: Int = 1024): DataFrame = {
+    val kEff = math.max(k,
+      ((corpus.count() + cellTarget - 1) / cellTarget).toInt)
+    val cents = kmeansCentroids(corpus, kEff, iters, idCol, vecCol)
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val assigned = Dedup.materialize(
       assignToCentroids(vecs, cents).withColumn("n", norm(col("v"))))

@@ -237,6 +237,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"x75 must not self-join:\n$p")
   }
 
+  test("x79: containment blocks on an equi-join — the all-pairs id≠id join is gone") {
+    val p = plan(Extensions.x79(spark, sf))
+    // the pre-round-9 plan was a.join(b, a.id =!= b.id && ...) — an
+    // inequality-only condition Spark can only execute as a nested-loop /
+    // cartesian. Prefix filtering turns blocking into a hash equi-join on
+    // the shingle-hash column; nothing nested-loop-shaped may remain.
+    assert(!p.contains("CartesianProduct"),
+      s"containment blocking degenerated to a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"containment blocking degenerated to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), s"containment blocking is not a hash join:\n$p")
+  }
+
   test("x76: the lead window is partitioned by the user key") {
     val p = plan(Extensions.x76(spark, sf))
     assert(p.contains("windowspecdefinition(user_id"),

@@ -28,7 +28,7 @@ class QueryMapSpec extends AnyFunSuite {
     assert(shared.isEmpty, s"shared keys: $shared")
   }
 
-  test("corpus shape matches the documented inventory (q01-q28, x01-x56, e01-e03)") {
+  test("corpus shape matches the documented inventory (q01-q28, x01-x87, e01-e03)") {
     val q = graft.SparkEntry.queries.keySet
     def series(prefix: String, n: Int): Set[String] =
       (1 to n).map(i => f"$prefix$i%02d_").toSet
