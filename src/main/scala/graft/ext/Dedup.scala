@@ -2,7 +2,7 @@ package graft.ext
 
 import scala.util.chaining._
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -428,6 +428,26 @@ object Dedup {
     * itself. Do not mix tagged and untagged appends in one state dir
     * (partition discovery needs a uniform layout).
     *
+    * Failure posture: the three table writes are separate jobs, not one
+    * atomic commit. They run bands → reps → members, ordered so a crash
+    * mid-append can only leave DANGLING state, never lying state: bands
+    * whose rid is absent from reps produce blocking candidates that the
+    * verification join (inner on reps) discards — wasted work, never a
+    * wrong or silently-dropped pair. A failed UNTAGGED append should be
+    * re-run with the same batch: fps whose rep/members landed are skipped
+    * (anti-join), fps that didn't are re-created (worst case duplicate
+    * band rows, absorbed by the candidate `distinct()`). Tagged mode needs
+    * no re-run discipline — the replayed batch overwrites its own
+    * partition whole. Untagged appends that are abandoned (never re-run)
+    * leave the batch's docs out of the corpus state — not failure-safe.
+    *
+    * The signature parameters (numPerms, rowsPerBand, shingleSize) are
+    * persisted to `dir/_meta` on first append and VALIDATED on every
+    * later append and read — signatures computed under different
+    * parameters silently produce empty or incomplete band joins, so a
+    * mismatch fails fast instead. (Underscore-prefixed, so parquet
+    * discovery of the data tables never sees it.)
+    *
     * Ids must be unique across the whole corpus ∪ every batch (same
     * contract as [[incrementalLshPairs]]). */
   def appendLshState(
@@ -435,6 +455,8 @@ object Dedup {
       numPerms: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
       batchTag: Option[Long] = None): Unit = {
     val spark = docs.sparkSession
+    checkLshMeta(spark, dir, numPerms, rowsPerBand, shingleSize,
+      writeIfAbsent = true)
     val par = spark.sparkContext.defaultParallelism
     val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val kept = materialize(wide
@@ -460,6 +482,11 @@ object Dedup {
       case Some(e) => e.unionByName(newGroups.select(col("fp"), col("rid")))
       case None => newGroups.select(col("fp"), col("rid"))
     }
+    // pinned (eager checkpoint) BEFORE any write: memberRows reads the
+    // CURRENT dir/reps through `ridOf`; materializing first means the
+    // later reps append can't leak into its own scan. O(batch) rows.
+    val memberRows = materialize(kept.select(col("fp"), col("id"))
+      .join(ridOf, "fp").select(col("id"), col("rid")))
     def out(table: String): (String, String) = batchTag match {
       case Some(t) => (s"$dir/$table/batch_id=$t", "overwrite")
       case None => (s"$dir/$table", "append")
@@ -468,15 +495,45 @@ object Dedup {
       val (path, mode) = out(table)
       df.write.mode(mode).parquet(path)
     }
-    write(kept.select(col("fp"), col("id")).join(ridOf, "fp")
-      .select(col("id"), col("rid")), "members")
-    write(newGroups.select(col("fp"), col("rid"), col("text")), "reps")
     write(newGroups
       .select(col("rid"),
         minhashSignature(col("text"), numPerms, shingleSize).as("sig"))
       .select(col("rid"),
         posexplode(bandBuckets(numPerms, rowsPerBand)).as(Seq("band", "bucket"))),
       "bands")
+    write(newGroups.select(col("fp"), col("rid"), col("text")), "reps")
+    write(memberRows, "members")
+  }
+
+  /** Validate (and on first contact optionally persist) an LSH state
+    * dir's signature parameters. A state whose bands were computed under
+    * different (numPerms, rowsPerBand, shingleSize) doesn't ERROR against
+    * a differently-parameterized query — the band join simply finds
+    * nothing (or too little) and near-dups are silently missed. So the
+    * parameters travel with the state and a mismatch throws. Absent meta
+    * (a pre-parameter state dir) validates vacuously. */
+  private def checkLshMeta(
+      spark: SparkSession, dir: String, numPerms: Int, rowsPerBand: Int,
+      shingleSize: Int, writeIfAbsent: Boolean): Unit = {
+    val path = s"$dir/_meta"
+    scala.util.Try(
+        spark.read.schema("num_perms LONG, rows_per_band LONG, shingle_size LONG")
+          .json(path).head()).toOption match {
+      case Some(m) =>
+        val stored = (m.getLong(0).toInt, m.getLong(1).toInt, m.getLong(2).toInt)
+        require(stored == ((numPerms, rowsPerBand, shingleSize)),
+          s"LSH state at $dir was built with (numPerms, rowsPerBand, " +
+            s"shingleSize) = $stored but was called with " +
+            s"(${numPerms}, ${rowsPerBand}, ${shingleSize}); mismatched " +
+            "signature parameters silently miss near-dup pairs. Use the " +
+            "stored parameters or rebuild the state.")
+      case None if writeIfAbsent =>
+        import spark.implicits._
+        Seq((numPerms.toLong, rowsPerBand.toLong, shingleSize.toLong))
+          .toDF("num_perms", "rows_per_band", "shingle_size")
+          .coalesce(1).write.mode("overwrite").json(path)
+      case None => ()
+    }
   }
 
   /** [[incrementalLshPairs]] answered from a persisted corpus state
@@ -497,6 +554,11 @@ object Dedup {
       GraftColumnBridge.expression(col("text_a")),
       GraftColumnBridge.expression(col("text_b")), shingleSize))
     val spark = batch.sparkSession
+    // the batch's fresh signatures must be computed under the SAME
+    // parameters as the state's persisted bands, or the band join finds
+    // nothing — fail fast on mismatch instead (see checkLshMeta)
+    checkLshMeta(spark, stateDir, numPerms, rowsPerBand, shingleSize,
+      writeIfAbsent = false)
     val corpusReps = spark.read.parquet(s"$stateDir/reps")
       .select(col("fp"), col("rid"), col("text"))
     val corpusMembers = spark.read.parquet(s"$stateDir/members")

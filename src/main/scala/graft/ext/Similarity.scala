@@ -510,12 +510,17 @@ object Similarity {
     * WITHIN a cell, so pair work is Σ|cell|² instead of corpus² — but ONLY
     * if cell size is held constant as the corpus grows. A fixed `k` makes
     * cells O(n) and the within-cell join O(n²/k) — the quadratic sneaks
-    * back in. So the effective cell count is derived from the data:
-    * kEff = max(k, ⌈n / cellTarget⌉) from one corpus count (the count is
-    * O(scan), reused nowhere else — at 100× the corpus, kEff grows 100×
-    * and expected cell size stays ≈`cellTarget`, keeping within-cell pair
-    * work LINEAR in n: Σ|cell|² ≈ n·cellTarget. The paper clusters LAION
-    * into k≈110k cells for the same reason.) The pair join is
+    * back in. So by default (`k = 0` = auto) the effective cell count is
+    * derived from the data: kEff = max(8, ⌈n / cellTarget⌉) from one
+    * corpus count (the count is O(scan), reused nowhere else — at 100×
+    * the corpus, kEff grows 100× and expected cell size stays
+    * ≈`cellTarget`, keeping within-cell pair work LINEAR in n:
+    * Σ|cell|² ≈ n·cellTarget. The paper clusters LAION into k≈110k cells
+    * for the same reason.) A caller-supplied `k > 0` is honored EXACTLY —
+    * never silently overridden — so callers that pin the clustering
+    * geometry (a value-pinned oracle, a reproduction of the paper's k)
+    * get the k they asked for; the auto default is the scale posture.
+    * The pair join is
     * hash-partitioned on cid; the per-cell work is embarrassingly parallel
     * across cells. The assignment frame feeds the a-side, the b-side and
     * the survivor anti-join, so it is materialized once
@@ -523,11 +528,12 @@ object Similarity {
     * `graft.checkpointDir`) rather than re-running the 2-iteration
     * training lineage three times. */
   def semanticDedup(
-      corpus: DataFrame, threshold: Double, k: Int = 8, iters: Int = 2,
+      corpus: DataFrame, threshold: Double, k: Int = 0, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellTarget: Int = 1024): DataFrame = {
-    val kEff = math.max(k,
-      ((corpus.count() + cellTarget - 1) / cellTarget).toInt)
+    val kEff =
+      if (k > 0) k
+      else math.max(8, ((corpus.count() + cellTarget - 1) / cellTarget).toInt)
     val cents = kmeansCentroids(corpus, kEff, iters, idCol, vecCol)
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val assigned = Dedup.materialize(

@@ -270,14 +270,16 @@ object TableFunctions {
   }
 
   /** `semantic_dedup(table, threshold [, k [, iters [, id [, vec]]]])` →
-    * [[Similarity.semanticDedup]]: SemDeDup survivors (id, cell). */
+    * [[Similarity.semanticDedup]]: SemDeDup survivors (id, cell). An
+    * explicit `k` is honored exactly; omitted (or 0) auto-scales the cell
+    * count from the corpus size. */
   private def semanticDedup(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
     val f = "semantic_dedup"
     requireArity(f, exprs, min = 2, max = 6)
     val args = new Args(f, exprs)
     val corpus = args.table(spark, "table")
     val threshold = args.double("threshold")
-    val k = if (args.exhausted) 8 else args.int("k")
+    val k = if (args.exhausted) 0 else args.int("k")
     val iters = if (args.exhausted) 2 else args.int("iters")
     val id = if (args.exhausted) "vec_id" else args.name("id")
     val vec = if (args.exhausted) "embedding" else args.name("vec")

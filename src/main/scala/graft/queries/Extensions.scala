@@ -701,9 +701,13 @@ object Extensions {
     * WITHIN a cell, and every vector with a lower-id cell-mate at cos ≥
     * 0.15 is dropped. The oracle composes the gated k-means derivation with
     * a within-cell pair filter — the clustering AND the drops are
-    * value-checked. */
+    * value-checked. `k = 8` is passed EXPLICITLY: the oracle's k-means CTE
+    * chain hard-codes 8 seeds, so the gate pins the 8-cell geometry at any
+    * sf (the library default k=0 auto-scales the cell count with the
+    * corpus — correct at 100 TB, but it would diverge from this pinned
+    * oracle once n > 8·cellTarget). */
   def x48(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.15)
+    Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.15, k = 8)
       .orderBy("vec_id")
 
   /** x49 — quality-ranked token-budget selection

@@ -759,6 +759,61 @@ class ExtSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("incrementalLshPairsFromState: output parity with incrementalLshPairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshstate")
+      .toFile.getAbsolutePath
+    val corpus1 = docsFrom(Seq(
+      (1L, base),
+      (2L, "some corpus document with entirely unrelated vocabulary inside")))
+    // second append contains an exact dup of corpus doc 1 (a KNOWN fp —
+    // must join the existing rep group, not mint a new one)
+    val corpus2 = docsFrom(Seq(
+      (3L, base),
+      (4L, "another separate corpus text with its own words entirely here")))
+    Dedup.appendLshState(corpus1, "doc_id", "text", s"$dir/state",
+      numPerms = 16, rowsPerBand = 2)
+    Dedup.appendLshState(corpus2, "doc_id", "text", s"$dir/state",
+      numPerms = 16, rowsPerBand = 2)
+    val corpus = corpus1.unionByName(corpus2)
+    val batch = docsFrom(Seq(
+      (10L, base.replace("today", "tomorrow")), // near-dup of 1 and 3
+      (11L, base),                              // exact dup (known fp) → intra path
+      (13L, "fresh batch only content sharing nothing with anything else")))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val expect = asSet(Dedup.incrementalLshPairs(corpus, batch,
+      "doc_id", "text", numPerms = 16, rowsPerBand = 2, threshold = 0.5))
+    val got = asSet(Dedup.incrementalLshPairsFromState(s"$dir/state", batch,
+      "doc_id", "text", numPerms = 16, rowsPerBand = 2, threshold = 0.5))
+    assert(got == expect, s"state path diverged: only-state=${got.diff(expect)}" +
+      s" only-recompute=${expect.diff(got)}")
+    assert(expect.contains((11L, 1L, 1.0)) && expect.contains((11L, 3L, 1.0)))
+
+    // tagged mode: a REPLAYED append overwrites its own partition instead
+    // of duplicating it — same parity after corpus2 is appended twice
+    Dedup.appendLshState(corpus1, "doc_id", "text", s"$dir/tagged",
+      numPerms = 16, rowsPerBand = 2, batchTag = Some(1L))
+    Dedup.appendLshState(corpus2, "doc_id", "text", s"$dir/tagged",
+      numPerms = 16, rowsPerBand = 2, batchTag = Some(2L))
+    Dedup.appendLshState(corpus2, "doc_id", "text", s"$dir/tagged",
+      numPerms = 16, rowsPerBand = 2, batchTag = Some(2L)) // at-least-once replay
+    val gotTagged = asSet(Dedup.incrementalLshPairsFromState(s"$dir/tagged",
+      batch, "doc_id", "text", numPerms = 16, rowsPerBand = 2, threshold = 0.5))
+    assert(gotTagged == expect)
+
+    // signature parameters travel with the state: mismatched append/read
+    // fails fast instead of silently missing pairs
+    intercept[IllegalArgumentException] {
+      Dedup.appendLshState(corpus2, "doc_id", "text", s"$dir/state",
+        numPerms = 16, rowsPerBand = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalLshPairsFromState(s"$dir/state", batch,
+        "doc_id", "text", numPerms = 8, rowsPerBand = 2, threshold = 0.5)
+    }
+  }
+
   test("approxTopKPrune: lossless while active, inert below the size guard") {
     // 4000 rows across 2 keys with colliding scores (score = id % 97) so
     // ties at the kept/dropped boundary are exercised
