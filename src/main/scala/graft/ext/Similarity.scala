@@ -499,6 +499,31 @@ object Similarity {
     adcRank(candidates, codes, qTable, topK)
   }
 
+  /** Recall@k audit of an ANN result against its exact ground truth: per
+    * query, the fraction of the true top-k the approximate index actually
+    * returned. Hash-gated determinism (x06/x07/x44/x46/x47) proves an ANN
+    * variant reproduces its OWN derivation; it says nothing about
+    * retrieval QUALITY — an index that probes the wrong cells is
+    * deterministic and useless. This closes that gap the same way the
+    * sketch profiles do (x59/x60): compute the exact reference on a
+    * bounded slice, assert the approximation clears a pinned bound.
+    *
+    * Both inputs are (query_id, neighbor_id) frames; `truth` comes from
+    * [[bruteForceTopK]] over a SAMPLED query batch — the exact pass is
+    * O(|queries|·|corpus|), affordable precisely because the audit runs
+    * on a few dozen probes, not the corpus. The join is a left-semi on
+    * (query_id, neighbor_id) + two partial-agg counts: per-query work,
+    * no corpus shuffle beyond what the two inputs already did. */
+  def recallAtK(ann: DataFrame, truth: DataFrame): DataFrame = {
+    val hits = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_truth"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus with the deterministic coarse
     * k-means ([[kmeansCentroids]]), then drop every vector whose CLUSTER

@@ -54,6 +54,7 @@ import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Pack
   * SELECT * FROM containment_pairs('documents', 'doc_id', 'text', 0.8)
   * SELECT * FROM exact_median('documents', 'source', 'n_chars')
   * SELECT * FROM exact_quartiles('documents', 'lang', 'n_chars')
+  * SELECT * FROM recall_at_k('ann_result_view', 'brute_truth_view')
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -130,6 +131,8 @@ object TableFunctions {
       "promote_json", exprs => promoteJson(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "snapshot_diff", exprs => snapshotDiff(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "recall_at_k", exprs => recallAtK(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "skew_audit", exprs => skewAudit(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
@@ -546,6 +549,17 @@ object TableFunctions {
     val args = new Args(f, exprs)
     plan(Compaction.snapshotDiff(args.table(spark, "before"),
       args.table(spark, "after"), args.name("id"), args.name("text")))
+  }
+
+  /** `recall_at_k(ann_table, truth_table)` → [[Similarity.recallAtK]]:
+    * per-query recall of an ANN result against its exact ground truth —
+    * both tables are (query_id, neighbor_id) result sets. */
+  private def recallAtK(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "recall_at_k"
+    requireArity(f, exprs, min = 2, max = 2)
+    val args = new Args(f, exprs)
+    plan(Similarity.recallAtK(args.table(spark, "ann"),
+      args.table(spark, "truth")))
   }
 
   /** `skew_audit(table, key, k)` → [[Skew.keySkewAudit]]: the k heaviest

@@ -1177,6 +1177,38 @@ object Extensions {
     Curate.keepBest(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("rep")
 
+  /** x88 — ANN recall audit ([[Similarity.recallAtK]]): IVF-PQ top-10 vs
+    * the exact brute-force top-10 over a 20-query probe batch, at x47's
+    * production parameters. The other ANN gates (x06/x07/x44/x46/x47) pin
+    * determinism — this one pins retrieval QUALITY, x59/x60-style: the
+    * oracle recomputes the exact side (per-query truth size + 10th-best
+    * cosine from the brute ranking) and asserts the audit bound TRUE.
+    * The bound is a floor on the MEAN recall@10 across the probe batch
+    * (≥ 0.1), not per query: the synthetic embeddings are near-uniform —
+    * the worst case for a 16-centroid/8-dim-subspace product quantizer —
+    * so measured per-query recall ranges 0.0–0.6 (means 0.34/0.30/0.21
+    * at sf0.001/0.01/0.1, nProbe=2 of 8 cells; nProbe=4 moves the means
+    * < 0.03 — distortion-, not probe-, limited). The gate exists to catch
+    * a BROKEN index — wrong cells probed, garbled codes → recall ≈ k/n
+    * (0.005 at sf0.1), 20–40× below the floor — not to certify
+    * production recall on adversarially uniform vectors. */
+  def x88(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(emb, probes, k = 10)
+    val ann = Similarity.ivfPqTopK(emb, probes, topK = 10)
+    val audit = Similarity.recallAtK(
+      ann.select("query_id", "neighbor_id"),
+      truth.select("query_id", "neighbor_id"))
+    audit
+      .join(truth.groupBy(col("query_id"))
+        .agg(round(min(col("cos")), 4).as("kth_cos")), "query_id")
+      .crossJoin(audit.agg((avg(col("recall")) >= 0.1).as("mean_recall_ok")))
+      .select(col("query_id"), col("n_truth"), col("kth_cos"),
+        col("mean_recall_ok"))
+      .orderBy("query_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1344,7 +1376,8 @@ object Extensions {
     "x84_rolling_active" -> (x84 _),
     "x85_gap_cadence" -> (x85 _),
     "x86_leakage_free_split" -> (x86 _),
-    "x87_keep_best" -> (x87 _)
+    "x87_keep_best" -> (x87 _),
+    "x88_ann_recall" -> (x88 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -3062,6 +3095,28 @@ object Extensions {
         |            ['the','and','of','to','in','is','it','that']))
         |            AS BIGINT) AS en_hits
         |        FROM documents) f) q USING (doc_id)) t) s
-        |WHERE rk = 1 ORDER BY rep""".stripMargin)
+        |WHERE rk = 1 ORDER BY rep""".stripMargin),
+
+    // x88: the oracle recomputes the EXACT side of the audit (the brute
+    // top-10 per probe query: its size and its 10th-best cosine) and
+    // asserts the pinned recall floor, TRUE per query — the x59/x60
+    // bound-gate pattern applied to retrieval quality
+    "x88_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM q, e WHERE e.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth,
+        |  round(min(cos), 4) AS kth_cos, TRUE AS mean_recall_ok
+        |FROM ranked WHERE rank <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin
   )
 }

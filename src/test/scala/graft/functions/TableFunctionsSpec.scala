@@ -317,6 +317,18 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql("SELECT * FROM exact_quartiles('tvf_docs10', 'lang', 'n_chars')"),
       graft.ext.Profile.exactIntegralQuartiles(docs, "lang", "n_chars"))
+
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q5 = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val truth = graft.ext.Similarity.bruteForceTopK(emb, q5, k = 5)
+      .select("query_id", "neighbor_id")
+    val ann = graft.ext.Similarity.kmeansIvfTopK(emb, q5, topK = 5)
+      .select("query_id", "neighbor_id")
+    truth.createOrReplaceTempView("tvf_truth10")
+    ann.createOrReplaceTempView("tvf_ann10")
+    assertSame(
+      spark.sql("SELECT * FROM recall_at_k('tvf_ann10', 'tvf_truth10')"),
+      graft.ext.Similarity.recallAtK(ann, truth))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
