@@ -1037,12 +1037,36 @@ object Dedup {
         round(col("n_hits").cast("double") / col("n_grams"), 4))
   }
 
+  /** Upper bound on input rows the exact O(n²) pair operators accept
+    * before refusing. 20k rows ⇒ ≤2×10⁸ candidate pairs — the edge of
+    * single-stage feasibility; anything larger belongs to the banded /
+    * bucketed scale twins. Override per call when a verification pass
+    * genuinely needs more (and knows what it is paying). */
+  val maxExactPairRows = 20000L
+
+  /** The shared refusal for the exact-twin operators ([[jaccardPairs]],
+    * [[Similarity.cosinePairs]]): an unbounded input would silently start
+    * an n² self-join that at corpus scale never finishes — fail fast and
+    * name the scale path instead. Costs one count() of an input that was
+    * about to be self-joined anyway. */
+  private[ext] def requireExactBounded(
+      df: DataFrame, op: String, twin: String, maxRows: Long): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$op is the EXACT O(n²) twin — $n input rows exceed the $maxRows-row " +
+        s"bound (≈${n * n / 2} candidate pairs). Use the scale path ($twin) " +
+        "for full corpora, or raise maxRows deliberately for a bounded " +
+        "verification subset.")
+  }
+
   /** Exact pairwise token-Jaccard over a bounded subset — the verification /
     * small-data path (the scale path is `lshPairs`). O(n²) in the subset
-    * size; callers MUST bound it. */
+    * size; inputs beyond `maxRows` are refused. */
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = maxExactPairRows): DataFrame = {
+    requireExactBounded(docs, "jaccardPairs",
+      "Dedup.lshPairs banded MinHash + exact verify", maxRows)
     val t = docs.select(col(idCol).as("id"), distinctTokens(col(textCol)).as("tok"))
     val a = t.as("a")
     val b = t.as("b")

@@ -618,10 +618,16 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs over a bounded subset (exact,
-    * O(n²) — bound the input; the scale path buckets first like ivfTopK). */
+    * O(n²); the scale path buckets first — [[lshCosinePairs]]). Inputs
+    * beyond `maxRows` are refused rather than silently starting a
+    * corpus² self-join ([[Dedup.requireExactBounded]]). */
   def cosinePairs(
       vectors: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRows: Long = Dedup.maxExactPairRows): DataFrame = {
+    Dedup.requireExactBounded(vectors, "cosinePairs",
+      "Similarity.lshCosinePairs (hyperplane-bucketed) or semanticDedup",
+      maxRows)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
     val a = v.as("a")

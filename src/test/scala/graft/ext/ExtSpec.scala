@@ -759,6 +759,22 @@ class ExtSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("exact-twin pair operators refuse unbounded input, naming the scale path") {
+    val big = spark.range(20001).select(col("id"), lit("a b c d").as("text"))
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.jaccardPairs(big, "id", "text", 0.5).count())
+    assert(e1.getMessage.contains("lshPairs"))
+    val bigVec = spark.range(20001).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(2.0f)).as("embedding"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.cosinePairs(bigVec, 0.5).count())
+    assert(e2.getMessage.contains("lshCosinePairs"))
+    // bounded subsets still flow; the bound is overridable deliberately
+    assert(Dedup.jaccardPairs(big.limit(3), "id", "text", 0.0).count() == 3)
+    intercept[IllegalArgumentException](
+      Dedup.jaccardPairs(big.limit(5), "id", "text", 0.0, maxRows = 4L))
+  }
+
   test("incrementalLshPairsFromState: output parity with incrementalLshPairs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val dir = java.nio.file.Files.createTempDirectory("graft-lshstate")
