@@ -101,7 +101,14 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","note":"per-query median of $repeats timed runs after 1 warm-up; spread=(max-min)/median per query","repeats":$repeats,"queries":$qs,"spread":$sp,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"per-query median of $repeats timed runs after 1 warm-up; spread=(max-min)/median per query","repeats":$repeats,"queries":$qs,"spread":$sp,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver keeps only a truncated tail of stdout in its committed
+    // artifact; ALSO write the whole line to a parseable file so per-query
+    // numbers survive into the round evidence (BENCH_full_r{N}.json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_latest.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1037,6 +1037,46 @@ object Dedup {
         round(col("n_hits").cast("double") / col("n_grams"), 4))
   }
 
+  /** Per-EVAL-doc contamination attribution — the transpose of
+    * [[contaminationScore]]: that one scores each CORPUS doc by how much
+    * eval material it carries (the removal signal); this one reports, for
+    * each eval item, how burned it is and WHO burned it — the distinct
+    * count of corpus docs sharing an `n`-gram, the distinct shared grams,
+    * and the heaviest contaminating source (argmax by distinct docs, ties
+    * to the lexicographically greatest source — the max(struct) order).
+    * An eval item absent from the output is clean; the benchmark owner
+    * reads this, not the corpus curator.
+    *
+    * Plan: eval grams (small by construction — an eval suite, not a
+    * corpus) broadcast against the corpus's gram explode, so the corpus
+    * is never shuffled to find hits; only HIT rows (eval_id, gram,
+    * doc_id, source) reach the two downstream aggregates. The hit frame
+    * feeds both (per-eval totals, per-source argmax), so it is
+    * materialized once rather than re-running the corpus explode. */
+  def contaminationAttribution(
+      docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val evalGrams = evalDocs
+      .select(col(idCol).as("eval_id"),
+        explode(shingles(col(textCol), n)).as("gram"))
+    val hits = materialize(docs
+      .select(col(idCol).as("cdoc_id"), col(srcCol).as("graft_src"),
+        explode(shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram"))
+    val perEval = hits.groupBy(col("eval_id"))
+      .agg(count_distinct(col("gram")).as("n_hit_grams"),
+        count_distinct(col("cdoc_id")).as("n_contaminating_docs"))
+    val topSource = hits
+      .groupBy(col("eval_id"), col("graft_src"))
+      .agg(count_distinct(col("cdoc_id")).as("graft_n"))
+      .groupBy(col("eval_id"))
+      .agg(max(struct(col("graft_n"), col("graft_src"))).as("t"))
+      .select(col("eval_id"), col("t.graft_src").as("top_source"),
+        col("t.graft_n").as("top_source_docs"))
+    perEval.join(topSource, "eval_id")
+  }
+
   /** Upper bound on input rows the exact O(n²) pair operators accept
     * before refusing. 20k rows ⇒ ≤2×10⁸ candidate pairs — the edge of
     * single-stage feasibility; anything larger belongs to the banded /

@@ -573,6 +573,40 @@ object Similarity {
       .select(col("vid").as(idCol), col("cid").as("cell"))
   }
 
+  /** Per-group embedding profile — the embedding-space health check a
+    * training pipeline runs per source/domain/label before mixing: for
+    * each group, the member count, mean squared norm, CENTROID norm, and
+    * dispersion (mean squared distance to the group centroid). Collapsed
+    * embeddings (a broken encoder emitting near-constant vectors, a
+    * source whose documents all embed alike) show up as dispersion → 0;
+    * un-normalized drift shows up in mean_sq_norm.
+    *
+    * Dispersion never touches pairwise distances: by the bias-variance
+    * identity E‖v − c‖² = E‖v‖² − ‖c‖² (c the group mean), it falls out
+    * of two aggregates. The plan is ONE posexplode → (group, pos) partial
+    * agg — the shuffle carries groups × dim rows regardless of corpus
+    * size — plus a groups-sized reduce; no join, no second corpus scan
+    * (the squared-norm mean rides the same per-dimension aggregate as
+    * Σ E[x²] over dims). */
+  def groupProfile(
+      vectors: DataFrame, groupCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n"), avg(col("x")).as("mean_x"),
+        avg(col("x") * col("x")).as("mean_x2"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n_vecs"),
+        round(sum(col("mean_x2")), 4).as("mean_sq_norm"),
+        round(sqrt(sum(col("mean_x") * col("mean_x"))), 4).as("centroid_norm"),
+        round(sum(col("mean_x2")) - sum(col("mean_x") * col("mean_x")), 4)
+          .as("dispersion"))
+      .select(col("grp").as(groupCol), col("n_vecs"), col("mean_sq_norm"),
+        col("centroid_norm"), col("dispersion"))
+
   /** Per-dimension [min, max] of an embedding column: posexplode +
     * groupBy(pos). Partial aggregation collapses every task to `dim` rows
     * before the exchange — the shuffle carries dim × tasks rows no matter

@@ -1209,6 +1209,58 @@ object Extensions {
       .orderBy("query_id")
   }
 
+  /** x89 — incremental dedup answered from PERSISTED corpus state
+    * ([[Dedup.appendLshState]] ×2 + [[Dedup.incrementalLshPairsFromState]]):
+    * x40's exact relation, but the corpus's signatures come from parquet
+    * state built in two tagged appends — the steady-state ingest shape
+    * where per-batch cost is O(batch), never O(corpus) recompute. Same
+    * oracle as x40 (the state path is output-identical by construction;
+    * ExtSpec pins the parity, this pins the VALUES). The state dir is a
+    * fresh temp dir per invocation — the output depends only on the
+    * data. */
+  def x89(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x89_state").toFile.getAbsolutePath
+    Dedup.appendLshState(docs.filter(col("doc_id") < 200), "doc_id", "text",
+      state, batchTag = Some(1L))
+    Dedup.appendLshState(
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+      "doc_id", "text", state, batchTag = Some(2L))
+    Dedup.incrementalLshPairsFromState(state,
+        docs.filter(col("doc_id") >= 400), "doc_id", "text")
+      .select(col("new_id"), col("old_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_id", "old_id")
+  }
+
+  /** x90 — per-group embedding profile ([[Similarity.groupProfile]]) over
+    * the label column: count, mean squared norm, centroid norm, and
+    * dispersion via the bias-variance identity E‖v−c‖² = E‖v‖² − ‖c‖² —
+    * no pairwise pass, one posexplode aggregate. The oracle recomputes
+    * the per-dimension means with a generate_series × list_extract
+    * unnest. */
+  def x90(s: SparkSession, dir: String): DataFrame =
+    Similarity.groupProfile(t(s, dir, "embeddings"), "label")
+      .withColumn("label", col("label").cast("long"))
+      .orderBy("label")
+
+  /** x91 — per-eval-doc contamination attribution
+    * ([[Dedup.contaminationAttribution]]): for each eval item (every 37th
+    * doc — the x43/x45 eval convention), the distinct 13-grams it shares
+    * with the training corpus, the distinct corpus docs sharing them, and
+    * the heaviest contaminating source. x37/x38/x56 REMOVE contaminated
+    * corpus docs; this is the report the eval owner reads to decide which
+    * eval items are burned. */
+  def x91(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationAttribution(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", "source")
+      .orderBy("eval_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1377,7 +1429,10 @@ object Extensions {
     "x85_gap_cadence" -> (x85 _),
     "x86_leakage_free_split" -> (x86 _),
     "x87_keep_best" -> (x87 _),
-    "x88_ann_recall" -> (x88 _)
+    "x88_ann_recall" -> (x88 _),
+    "x89_dedup_from_state" -> (x89 _),
+    "x90_embedding_profile" -> (x90 _),
+    "x91_contam_attribution" -> (x91 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1386,6 +1441,19 @@ object Extensions {
     * per query. */
   /** Shared n=13 decontamination oracle (x38 exact-shuffle path, x56 Bloom
     * pre-filter path — both compute this exact relation). */
+  /** Shared x40/x89 oracle: the full relational LSH filtered to
+    * cross-boundary (corpus < 400 ≤ batch) pairs. */
+  private lazy val incrementalDedupOracleSql: String =
+    s"""SELECT id_b AS new_id, id_a AS old_id, jaccard
+       |FROM (${lshOracleSql(
+             docWhere = "",
+             select = """round(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                        |  / len(list_distinct(list_concat(sa.shl, sb.shl))), 4) AS jaccard""".stripMargin,
+             where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                       |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin)})
+       |WHERE id_a < 400 AND id_b >= 400
+       |ORDER BY new_id, old_id""".stripMargin
+
   private val decontam13OracleSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
       |  FROM documents),
@@ -2225,16 +2293,10 @@ object Extensions {
     // x40: the full relational LSH (x17's scaffolding) filtered to
     // cross-boundary pairs — the engine's asymmetric band join produces
     // exactly these pairs without ever forming the corpus-side quadratic
-    "x40_dedup_incremental" ->
-      s"""SELECT id_b AS new_id, id_a AS old_id, jaccard
-         |FROM (${lshOracleSql(
-               docWhere = "",
-               select = """round(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
-                          |  / len(list_distinct(list_concat(sa.shl, sb.shl))), 4) AS jaccard""".stripMargin,
-               where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
-                         |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin)})
-         |WHERE id_a < 400 AND id_b >= 400
-         |ORDER BY new_id, old_id""".stripMargin,
+    "x40_dedup_incremental" -> incrementalDedupOracleSql,
+    // x89: the state-backed path computes x40's exact relation (corpus
+    // signatures from parquet instead of recompute) — same oracle
+    "x89_dedup_from_state" -> incrementalDedupOracleSql,
     // x41: postings joined as a string after a NUMERIC sort (string_agg
     // with ORDER BY doc_id), matching Spark's sort_array-then-stringify
     "x41_inverted_index" ->
@@ -3117,6 +3179,67 @@ object Extensions {
         |  FROM scored)
         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth,
         |  round(min(cos), 4) AS kth_cos, TRUE AS mean_recall_ok
-        |FROM ranked WHERE rank <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin
+        |FROM ranked WHERE rank <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    // x90: per-dimension means via generate_series × 1-based list index,
+    // then the same two-level reduce (E||v||^2 − ||c||^2 identity)
+    "x90_embedding_profile" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label, g.i AS pos, v[CAST(g.i AS INT)] AS x
+        |  FROM e, generate_series(1, 64) AS g(i)),
+        |p AS (
+        |  SELECT label, pos, count(*) AS n, avg(x) AS mean_x,
+        |    avg(x * x) AS mean_x2
+        |  FROM d GROUP BY label, pos)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+        |  round(sum(mean_x2), 4) AS mean_sq_norm,
+        |  round(sqrt(sum(mean_x * mean_x)), 4) AS centroid_norm,
+        |  round(sum(mean_x2) - sum(mean_x * mean_x), 4) AS dispersion
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
+
+    // x91: eval-side 13-gram attribution; argmax spelled as row_number
+    // over (n DESC, source DESC) to mirror Spark's max(struct) tie order
+    "x91_contam_attribution" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 11, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+        |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9], t[i+10], t[i+11],
+        |      t[i+12])))) AS gram
+        |  FROM toks),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM sh WHERE doc_id % 37 = 0),
+        |corpus AS (
+        |  SELECT doc_id AS cdoc_id, source, gram FROM sh WHERE doc_id % 37 != 0),
+        |hits AS (
+        |  SELECT ev.eval_id, c.cdoc_id, c.source
+        |  FROM corpus c JOIN ev USING (gram)),
+        |hits_g AS (
+        |  SELECT ev.eval_id, c.gram FROM corpus c JOIN ev USING (gram)),
+        |per_eval AS (
+        |  SELECT h.eval_id,
+        |    CAST(count(DISTINCT h.cdoc_id) AS BIGINT) AS n_contaminating_docs
+        |  FROM hits h GROUP BY h.eval_id),
+        |per_gram AS (
+        |  SELECT eval_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hit_grams
+        |  FROM hits_g GROUP BY eval_id),
+        |per_src AS (
+        |  SELECT eval_id, source, count(DISTINCT cdoc_id) AS n
+        |  FROM hits GROUP BY eval_id, source),
+        |top AS (
+        |  SELECT eval_id, source AS top_source, CAST(n AS BIGINT) AS top_source_docs
+        |  FROM (
+        |    SELECT eval_id, source, n, row_number() OVER (
+        |      PARTITION BY eval_id ORDER BY n DESC, source DESC) AS rk
+        |    FROM per_src) WHERE rk = 1)
+        |SELECT eval_id, n_hit_grams, n_contaminating_docs, top_source,
+        |  top_source_docs
+        |FROM per_eval JOIN per_gram USING (eval_id) JOIN top USING (eval_id)
+        |ORDER BY eval_id""".stripMargin
   )
 }
