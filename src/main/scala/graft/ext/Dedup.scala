@@ -1181,6 +1181,31 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Cross-group flow matrix of a pair relation: aggregate near-dup (or
+    * any) pairs by their endpoints' group attribute — (group_a, group_b,
+    * n_pairs, avg of `valCol`), group pair order-normalized with
+    * least/greatest so (A,B) and (B,A) land in one cell. THE provenance
+    * question on a multi-source corpus: which sources copy from each
+    * other (off-diagonal mass = mirrors / shared upstream), which
+    * self-duplicate (diagonal mass = crawl artifacts).
+    *
+    * The pair relation is the DEDUP OUTPUT — orders of magnitude smaller
+    * than the corpus — so the two id→group lookup joins hash-join on ids
+    * and the matrix aggregate's output is bounded by |groups|²; the
+    * corpus text is never touched. */
+  def pairGroupMatrix(
+      pairs: DataFrame, aCol: String, bCol: String, valCol: String,
+      docs: DataFrame, idCol: String, grpCol: String): DataFrame = {
+    val lookup = docs.select(col(idCol), col(grpCol))
+    pairs
+      .join(lookup.select(col(idCol).as(aCol), col(grpCol).as("graft_ga")), aCol)
+      .join(lookup.select(col(idCol).as(bCol), col(grpCol).as("graft_gb")), bCol)
+      .groupBy(least(col("graft_ga"), col("graft_gb")).as("group_a"),
+        greatest(col("graft_ga"), col("graft_gb")).as("group_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col(valCol)), 4).as("avg_sim"))
+  }
+
   /** Degree histogram of a pair graph — (degree, n_nodes) over the
     * near-dup pair output: the one-glance forensics view that separates
     * "many isolated dup pairs" (degree 1 dominates) from "one giant

@@ -1261,6 +1261,23 @@ object Extensions {
       .orderBy("eval_id")
   }
 
+  /** x92 — cross-source near-dup flow matrix ([[Dedup.pairGroupMatrix]]
+    * over x17's LSH pair relation): which sources duplicate each other
+    * (off-diagonal = mirrors / shared upstream) vs self-duplicate
+    * (diagonal = crawl artifacts), with pair counts and mean jaccard.
+    * The matrix is an aggregation of the DEDUP OUTPUT — the corpus is
+    * touched only by the pair derivation the x17 gate already pins. */
+  def x92(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    Dedup.pairGroupMatrix(pairs, "id_a", "id_b", "jaccard",
+        docs, "doc_id", "source")
+      .select(col("group_a").as("source_a"), col("group_b").as("source_b"),
+        col("n_pairs"), col("avg_sim").as("avg_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1432,7 +1449,8 @@ object Extensions {
     "x88_ann_recall" -> (x88 _),
     "x89_dedup_from_state" -> (x89 _),
     "x90_embedding_profile" -> (x90 _),
-    "x91_contam_attribution" -> (x91 _)
+    "x91_contam_attribution" -> (x91 _),
+    "x92_source_dup_matrix" -> (x92 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1441,6 +1459,15 @@ object Extensions {
     * per query. */
   /** Shared n=13 decontamination oracle (x38 exact-shuffle path, x56 Bloom
     * pre-filter path — both compute this exact relation). */
+  /** Shared x17/x92 oracle: the full relational LSH pair set with
+    * rounded shingle-jaccard at threshold 0.5. */
+  private lazy val lshJaccardOracleSql: String = lshOracleSql(
+    docWhere = "",
+    select = """round(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+               |  / len(list_distinct(list_concat(sa.shl, sb.shl))), 4) AS jaccard""".stripMargin,
+    where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+              |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin)
+
   /** Shared x40/x89 oracle: the full relational LSH filtered to
     * cross-boundary (corpus < 400 ≤ batch) pairs. */
   private lazy val incrementalDedupOracleSql: String =
@@ -2008,12 +2035,7 @@ object Extensions {
         |FROM d a, d b
         |WHERE a.doc_id < b.doc_id AND levenshtein(a.prefix, b.prefix) <= 17
         |ORDER BY id_a, id_b""".stripMargin,
-    "x17_dedup_lsh" -> lshOracleSql(
-      docWhere = "",
-      select = """round(CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
-                 |  / len(list_distinct(list_concat(sa.shl, sb.shl))), 4) AS jaccard""".stripMargin,
-      where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
-                |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin),
+    "x17_dedup_lsh" -> lshJaccardOracleSql,
     "x18_edit_lsh" -> lshOracleSql(
       docWhere = """ WHERE regexp_matches(text, '^[\x00-\x7F]*$')""",
       select = "CAST(levenshtein(sa.text, sb.text) AS BIGINT) AS dist",
@@ -3240,6 +3262,21 @@ object Extensions {
         |SELECT eval_id, n_hit_grams, n_contaminating_docs, top_source,
         |  top_source_docs
         |FROM per_eval JOIN per_gram USING (eval_id) JOIN top USING (eval_id)
-        |ORDER BY eval_id""".stripMargin
+        |ORDER BY eval_id""".stripMargin,
+
+    // x92: x17's pair relation wrapped as a CTE, endpoints joined to their
+    // sources, order-normalized with least/greatest
+    "x92_source_dup_matrix" ->
+      s"""WITH pairs AS (
+         |$lshJaccardOracleSql
+         |)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(jaccard), 4) AS avg_jaccard
+         |FROM pairs p
+         |JOIN documents da ON p.id_a = da.doc_id
+         |JOIN documents db ON p.id_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
