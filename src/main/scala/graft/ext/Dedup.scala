@@ -1053,17 +1053,29 @@ object Dedup {
     * doc_id, source) reach the two downstream aggregates. The hit frame
     * feeds both (per-eval totals, per-source argmax), so it is
     * materialized once rather than re-running the corpus explode. */
-  def contaminationAttribution(
+  /** The (gram, cdoc_id, graft_src, eval_id) hit relation behind
+    * [[contaminationAttribution]] — split out so its plan shape (eval
+    * grams BROADCAST against the corpus explode; the corpus is never
+    * shuffled to find hits) is assertable before the checkpoint that
+    * [[contaminationAttribution]] adds hides it (PlanSpec). */
+  private[graft] def contaminationHits(
       docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
-      srcCol: String, n: Int = 13): DataFrame = {
+      srcCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val evalGrams = evalDocs
       .select(col(idCol).as("eval_id"),
         explode(shingles(col(textCol), n)).as("gram"))
-    val hits = materialize(docs
+    docs
       .select(col(idCol).as("cdoc_id"), col(srcCol).as("graft_src"),
         explode(shingles(col(textCol), n)).as("gram"))
-      .join(broadcast(evalGrams), "gram"))
+      .join(broadcast(evalGrams), "gram")
+  }
+
+  def contaminationAttribution(
+      docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, n: Int = 13): DataFrame = {
+    val hits = materialize(
+      contaminationHits(docs, evalDocs, idCol, textCol, srcCol, n))
     val perEval = hits.groupBy(col("eval_id"))
       .agg(count_distinct(col("gram")).as("n_hit_grams"),
         count_distinct(col("cdoc_id")).as("n_contaminating_docs"))

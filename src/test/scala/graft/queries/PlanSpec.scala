@@ -255,4 +255,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(user_id"),
       s"x76 window lost its user partitioning:\n$p")
   }
+
+  test("x90: embedding profile is one explode + hash aggregates, no join/window") {
+    val p = plan(Extensions.x90(spark, sf))
+    assert(!p.contains("Join"), s"x90 grew a join:\n$p")
+    assert(!p.contains("Window"), s"x90 grew a window:\n$p")
+    // one generate (posexplode), partial-aggregated before any exchange
+    assert(p.linesIterator.count(_.contains("Generate")) <= 2,
+      s"x90 explodes more than once:\n$p")
+    assert(p.contains("partial_"), s"x90 lost map-side partial aggregation:\n$p")
+  }
+
+  test("x91: eval grams broadcast against the corpus explode, no shuffle join") {
+    // the hit derivation (pre-checkpoint — the checkpoint in the full
+    // operator truncates the visible lineage)
+    val docs = graft.Tables(spark, sf, "documents")
+    val hp = plan(graft.ext.Dedup.contaminationHits(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 0),
+      "doc_id", "text", "source", 13))
+    assert(hp.contains("BroadcastHashJoin"),
+      s"x91 contamination hit join is not broadcast:\n$hp")
+    // the full operator's downstream joins stay equi
+    val p = plan(Extensions.x91(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"x91 degenerated to a non-equi join:\n$p")
+  }
+
+  test("x92: the matrix aggregates the pair relation; no cartesian anywhere") {
+    val p = plan(Extensions.x92(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"x92 grew a cartesian:\n$p")
+    assert(p.contains("HashJoin"), s"x92 source lookup is not a hash join:\n$p")
+  }
 }
