@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, JsonCols, Layout, Multimodal, Packing, Profile, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, JsonCols, Layout, Multimodal, Packing, Profile, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -1278,6 +1278,20 @@ object Extensions {
       .orderBy("source_a", "source_b")
   }
 
+  /** x93 — distributed BPE merge training ([[Bpe.trainMerges]]): four
+    * full train iterations — corpus-wide pair count → pinned argmax →
+    * greedy left-to-right re-encode — with later iterations counting
+    * pairs over the symbols earlier ones merged. The oracle unrolls the
+    * same four iterations as chained CTEs (pair counts on
+    * chr(1)-separated keys — the separator sorts below every token byte,
+    * so its ORDER BY matches Spark's (n DESC, a, b); re-encode via
+    * list_reduce with the first element as the seed accumulator, the
+    * same greedy fold). Every row of the output depends on all four
+    * corpus passes. */
+  def x93(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainMerges(t(s, dir, "documents"), "text", numMerges = 4)
+      .orderBy("step")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1450,7 +1464,8 @@ object Extensions {
     "x89_dedup_from_state" -> (x89 _),
     "x90_embedding_profile" -> (x90 _),
     "x91_contam_attribution" -> (x91 _),
-    "x92_source_dup_matrix" -> (x92 _)
+    "x92_source_dup_matrix" -> (x92 _),
+    "x93_bpe_train" -> (x93 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1459,6 +1474,43 @@ object Extensions {
     * per query. */
   /** Shared n=13 decontamination oracle (x38 exact-shuffle path, x56 Bloom
     * pre-filter path — both compute this exact relation). */
+  /** DuckDB reconstruction of [[Bpe.trainMerges]] (x93): `n` unrolled
+    * iterations of pair-count → argmax → list_reduce re-encode. Pair keys
+    * join left/right with chr(1) (sorts below every token byte ⇒ the
+    * single-key ORDER BY equals Spark's (n DESC, a, b) tie order); the
+    * fold seeds the accumulator with the first singleton element, which
+    * matches Spark's empty-seed fold because the first symbol can never
+    * satisfy the tail-merge guard. */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val iters = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    j -> t[CAST(j AS INT)] || chr(1) || t[CAST(j AS INT) + 1])) AS p
+         |  FROM it${i - 1}),
+         |m$i AS (
+         |  SELECT string_split(p, chr(1))[1] AS pa,
+         |    string_split(p, chr(1))[2] AS pb, n
+         |  FROM (SELECT p, CAST(count(*) AS BIGINT) AS n FROM p$i
+         |        GROUP BY p ORDER BY n DESC, p LIMIT 1)),
+         |it$i AS (
+         |  SELECT list_reduce(list_transform(t, x -> [x]), (acc, x) ->
+         |    CASE WHEN len(acc) > 0 AND acc[-1] = m$i.pa AND x[1] = m$i.pb
+         |         THEN list_concat(list_slice(acc, 1, len(acc) - 1),
+         |           [m$i.pa || '+' || m$i.pb])
+         |         ELSE list_concat(acc, x) END) AS t
+         |  FROM it${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to numMerges).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, pa AS "left", pb AS "right", n FROM m$i""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH it0 AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |$iters
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+
   /** Shared x17/x92 oracle: the full relational LSH pair set with
     * rounded shingle-jaccard at threshold 0.5. */
   private lazy val lshJaccardOracleSql: String = lshOracleSql(
@@ -3277,6 +3329,9 @@ object Extensions {
          |FROM pairs p
          |JOIN documents da ON p.id_a = da.doc_id
          |JOIN documents db ON p.id_b = db.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x93: four unrolled train iterations (see bpeOracleSql)
+    "x93_bpe_train" -> bpeOracleSql(4)
   )
 }

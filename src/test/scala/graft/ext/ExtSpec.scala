@@ -759,6 +759,36 @@ class ExtSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("BPE: greedy left-to-right merges, hierarchical symbols, encode parity") {
+    val docs = docsFrom(Seq(
+      (1L, "a a a b a b"),
+      (2L, "a b a b c"),
+      (3L, "c c a b")))
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 3)
+      .as[(Long, String, String, Long)].collect().toList
+    // (a,b) occurs 5 times — most frequent; merged symbol a+b then pairs
+    // hierarchically in later iterations
+    assert(merges.head._2 == "a" && merges.head._3 == "b" &&
+      merges.head._4 == 5L, s"first merge wrong: $merges")
+    assert(merges.map(_._1) == List(1L, 2L, 3L))
+    // later merges operate on merged symbols, not raw tokens
+    assert(merges.tail.exists(m =>
+      m._2.contains("+") || m._3.contains("+")), s"no hierarchical merge: $merges")
+    // greedy left-to-right: "a a a b" with (a,b) → [a, a, a+b] (no overlap)
+    val enc = Bpe.encode(docsFrom(Seq((1L, "a a a b a b"))), "text",
+        Seq(("a", "b")))
+      .select("symbols").as[Seq[String]].head()
+    assert(enc == Seq("a", "a", "a+b", "a+b"), s"fold wrong: $enc")
+    // encode with the trained list reproduces training's final state
+    val trained = merges.map(m => (m._2, m._3))
+    val total = Bpe.encode(docs, "text", trained)
+      .select(size(col("symbols")).cast("long").as("n")).as[Long].collect().sum
+    assert(total < 15L, s"merges did not shrink the corpus: $total")
+    // exhaustion: a corpus with no repeated pair stops early
+    assert(Bpe.trainMerges(docsFrom(Seq((1L, "x y"))), "text", 5)
+      .count() <= 5L)
+  }
+
   test("exact-twin pair operators refuse unbounded input, naming the scale path") {
     val big = spark.range(20001).select(col("id"), lit("a b c d").as("text"))
     val e1 = intercept[IllegalArgumentException](
