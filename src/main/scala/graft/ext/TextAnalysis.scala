@@ -345,6 +345,40 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary coverage / OOV-rate report: build the top-`vocabSize`
+    * token vocabulary by corpus frequency (ties pinned: count desc, token
+    * asc), then report per group how much of its token MASS the
+    * vocabulary covers — the tokenizer-design question ("is 32k enough,
+    * and for WHICH sources does it break") asked before committing a
+    * vocab size. A domain whose oov_rate is an outlier will fragment into
+    * byte-fallback tokens and train poorly.
+    *
+    * Two corpus scans by design: one to count the vocabulary, one to
+    * measure coverage. The alternative — materializing the exploded
+    * token relation to scan once — writes something LARGER than the
+    * corpus; re-exploding is a map-side re-derivation and strictly
+    * cheaper. The vocabulary itself is top-k via orderBy+limit
+    * (TakeOrderedAndProject — k rows per partition, no global sort) and
+    * joins back as a broadcast membership probe, so the coverage pass
+    * never shuffles the corpus — only the per-group totals move. */
+  def vocabCoverage(
+      docs: DataFrame, textCol: String, grpCol: String,
+      vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    def toks = docs.select(col(grpCol).as("grp"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("graft_n"))
+      .orderBy(col("graft_n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("graft_in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("graft_in")), lit(0L)).as("n_in_vocab"))
+      .select(col("grp").as(grpCol), col("n_tokens"), col("n_in_vocab"),
+        round(lit(1.0) - col("n_in_vocab").cast("double") / col("n_tokens"), 4)
+          .as("oov_rate"))
+  }
+
   private def tokens(text: Column): Column = Dedup.tokens(text)
 
   /** Annotate a documents frame with all text-analysis columns. */

@@ -1292,6 +1292,17 @@ object Extensions {
     Bpe.trainMerges(t(s, dir, "documents"), "text", numMerges = 4)
       .orderBy("step")
 
+  /** x94 — vocabulary coverage / OOV-rate report
+    * ([[TextAnalysis.vocabCoverage]]): the top-50 corpus vocabulary's
+    * coverage of each source's token mass — the "is this vocab size
+    * enough, and for which domains does it break" report run before
+    * committing a tokenizer. Vocabulary ties pinned (count desc, token
+    * asc); coverage probes membership via broadcast, so only per-source
+    * totals shuffle. */
+  def x94(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", "source", 50)
+      .orderBy("source")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1465,7 +1476,8 @@ object Extensions {
     "x90_embedding_profile" -> (x90 _),
     "x91_contam_attribution" -> (x91 _),
     "x92_source_dup_matrix" -> (x92 _),
-    "x93_bpe_train" -> (x93 _)
+    "x93_bpe_train" -> (x93 _),
+    "x94_vocab_coverage" -> (x94 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -3332,6 +3344,24 @@ object Extensions {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // x93: four unrolled train iterations (see bpeOracleSql)
-    "x93_bpe_train" -> bpeOracleSql(4)
+    "x93_bpe_train" -> bpeOracleSql(4),
+
+    // x94: top-50 vocab by (count DESC, token ASC), left-join membership,
+    // per-source mass coverage
+    "x94_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS n FROM toks
+        |    GROUP BY tok ORDER BY n DESC, tok LIMIT 50)),
+        |j AS (
+        |  SELECT t.grp, CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS inv
+        |  FROM toks t LEFT JOIN vocab v USING (tok))
+        |SELECT grp AS source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(inv) AS BIGINT) AS n_in_vocab,
+        |  round(1.0 - CAST(sum(inv) AS DOUBLE) / count(*), 4) AS oov_rate
+        |FROM j GROUP BY grp ORDER BY source""".stripMargin
   )
 }
