@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Packing, Profile, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, Layout, Packing, Profile, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
 
 /** SQL table-valued-function surface for the north-star whole-plan
   * operators (as-of join, range join, LSH dedup pairs) — SURVEY §2.9's
@@ -55,6 +55,11 @@ import graft.ext.{AsOf, Behavior, Compaction, Curate, Dedup, Index, Layout, Pack
   * SELECT * FROM exact_median('documents', 'source', 'n_chars')
   * SELECT * FROM exact_quartiles('documents', 'lang', 'n_chars')
   * SELECT * FROM recall_at_k('ann_result_view', 'brute_truth_view')
+  * SELECT * FROM embedding_profile('embeddings', 'label')
+  * SELECT * FROM contam_attribution('corpus', 'eval_suite', 'doc_id', 'text', 'source', 13)
+  * SELECT * FROM pair_group_matrix('dup_pairs', 'id_a', 'id_b', 'jaccard', 'documents', 'doc_id', 'source')
+  * SELECT * FROM bpe_train('documents', 'text', 8)
+  * SELECT * FROM vocab_coverage('documents', 'text', 'source', 32000)
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -145,6 +150,78 @@ object TableFunctions {
       "exact_median", exprs => exactMedianTvf(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "exact_quartiles", exprs => exactQuartilesTvf(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "embedding_profile", exprs => embeddingProfile(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "contam_attribution", exprs => contamAttribution(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pair_group_matrix", exprs => pairGroupMatrix(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bpe_train", exprs => bpeTrain(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "vocab_coverage", exprs => vocabCoverage(spark, exprs), "built-in")
+  }
+
+  /** `embedding_profile(table, group [, id [, vec]])` →
+    * [[Similarity.groupProfile]]: per-group centroid/dispersion health. */
+  private def embeddingProfile(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "embedding_profile"
+    requireArity(f, exprs, min = 2, max = 4)
+    val args = new Args(f, exprs)
+    val tbl = args.table(spark, "table")
+    val grp = args.name("group")
+    val id = if (args.exhausted) "vec_id" else args.name("id")
+    val vec = if (args.exhausted) "embedding" else args.name("vec")
+    plan(Similarity.groupProfile(tbl, grp, id, vec))
+  }
+
+  /** `contam_attribution(corpus, eval, id, text, source [, n])` →
+    * [[Dedup.contaminationAttribution]]: per-eval-doc burn report. */
+  private def contamAttribution(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "contam_attribution"
+    requireArity(f, exprs, min = 5, max = 6)
+    val args = new Args(f, exprs)
+    val corpus = args.table(spark, "corpus")
+    val eval = args.table(spark, "eval")
+    val id = args.name("id")
+    val text = args.name("text")
+    val src = args.name("source")
+    val n = if (args.exhausted) 13 else args.int("n")
+    plan(Dedup.contaminationAttribution(corpus, eval, id, text, src, n))
+  }
+
+  /** `pair_group_matrix(pairs, a, b, val, docs, id, group)` →
+    * [[Dedup.pairGroupMatrix]]: cross-group flow matrix of a pair set. */
+  private def pairGroupMatrix(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "pair_group_matrix"
+    requireArity(f, exprs, min = 7, max = 7)
+    val args = new Args(f, exprs)
+    val pairs = args.table(spark, "pairs")
+    val a = args.name("a")
+    val b = args.name("b")
+    val v = args.name("val")
+    val docs = args.table(spark, "docs")
+    plan(Dedup.pairGroupMatrix(pairs, a, b, v, docs,
+      args.name("id"), args.name("group")))
+  }
+
+  /** `bpe_train(table, text, n_merges)` → [[Bpe.trainMerges]]. */
+  private def bpeTrain(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "bpe_train"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(Bpe.trainMerges(args.table(spark, "table"), args.name("text"),
+      args.int("n_merges")))
+  }
+
+  /** `vocab_coverage(table, text, group, vocab_size)` →
+    * [[TextAnalysis.vocabCoverage]]: per-group OOV-rate report. */
+  private def vocabCoverage(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "vocab_coverage"
+    requireArity(f, exprs, min = 4, max = 4)
+    val args = new Args(f, exprs)
+    plan(TextAnalysis.vocabCoverage(args.table(spark, "table"),
+      args.name("text"), args.name("group"), args.int("vocab_size")))
   }
 
   /** `asof_join(left, right, keys, left_ts, right_ts [, direction

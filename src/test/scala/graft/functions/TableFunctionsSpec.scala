@@ -331,6 +331,40 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Similarity.recallAtK(ann, truth))
   }
 
+  test("round-10 TVFs (embedding_profile/contam_attribution/pair_group_matrix/bpe_train/vocab_coverage) == Scala APIs") {
+    ready()
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.createOrReplaceTempView("tvf_emb10")
+    assertSame(
+      spark.sql("SELECT * FROM embedding_profile('tvf_emb10', 'label')"),
+      graft.ext.Similarity.groupProfile(emb, "label"))
+
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 =!= 0)
+    val ev = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 0)
+    corpus.createOrReplaceTempView("tvf_corpus10")
+    ev.createOrReplaceTempView("tvf_eval10")
+    assertSame(
+      spark.sql("SELECT * FROM contam_attribution('tvf_corpus10', 'tvf_eval10', 'doc_id', 'text', 'source', 13)"),
+      graft.ext.Dedup.contaminationAttribution(corpus, ev, "doc_id", "text", "source"))
+
+    val pairs = graft.ext.Dedup.lshPairs(docs, "doc_id", "text")
+    pairs.createOrReplaceTempView("tvf_lshpairs10")
+    docs.createOrReplaceTempView("tvf_alldocs10")
+    assertSame(
+      spark.sql("SELECT * FROM pair_group_matrix('tvf_lshpairs10', 'id_a', 'id_b', 'jaccard', 'tvf_alldocs10', 'doc_id', 'source')"),
+      graft.ext.Dedup.pairGroupMatrix(pairs, "id_a", "id_b", "jaccard",
+        docs, "doc_id", "source"))
+
+    assertSame(
+      spark.sql("SELECT * FROM bpe_train('tvf_alldocs10', 'text', 2)"),
+      graft.ext.Bpe.trainMerges(docs, "text", 2))
+
+    assertSame(
+      spark.sql("SELECT * FROM vocab_coverage('tvf_alldocs10', 'text', 'source', 20)"),
+      graft.ext.TextAnalysis.vocabCoverage(docs, "text", "source", 20))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
