@@ -1193,6 +1193,33 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Dedup-aware data accounting: per group, how many tokens the corpus
+    * claims vs how many SURVIVE exact deduplication — the "how much
+    * training data do we actually have" report. tokens_total counts every
+    * copy; tokens_effective counts each distinct text once (within its
+    * group — a text shared by two sources counts once per source, since
+    * cross-source exemplar attribution is a policy choice this report
+    * doesn't make); dup_waste is the fraction of claimed mass that is
+    * duplicate copies. Two stacked integer aggregations on
+    * (group, content-hash) — the texts themselves never shuffle, only
+    * 16-byte fingerprints and counts. */
+  def effectiveTokens(
+      docs: DataFrame, textCol: String, grpCol: String): DataFrame =
+    docs
+      .select(col(grpCol).as("grp"), md5(col(textCol)).as("fp"),
+        size(tokens(col(textCol))).cast("long").as("graft_tok"))
+      .groupBy(col("grp"), col("fp"))
+      .agg(count(lit(1)).as("graft_n"), max(col("graft_tok")).as("graft_tok"))
+      .groupBy(col("grp"))
+      .agg(sum(col("graft_n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("graft_n") * col("graft_tok")).as("tokens_total"),
+        sum(col("graft_tok")).as("tokens_effective"))
+      .select(col("grp").as(grpCol), col("n_docs"), col("n_unique"),
+        col("tokens_total"), col("tokens_effective"),
+        round(lit(1.0) - col("tokens_effective").cast("double") /
+          col("tokens_total"), 4).as("dup_waste"))
+
   /** Cross-group flow matrix of a pair relation: aggregate near-dup (or
     * any) pairs by their endpoints' group attribute — (group_a, group_b,
     * n_pairs, avg of `valCol`), group pair order-normalized with

@@ -92,6 +92,44 @@ object Packing {
       .drop("graft_cum")
   }
 
+  /** Packing-efficiency report over a [[packBins]] output: per group, the
+    * bin count, packed token mass, and the mean/min/max per-bin fill
+    * against `budget` — the utilization check run after packing ("how
+    * much context-window capacity does this sharding waste"). A fill
+    * above 1.0 is a bin whose last document overflowed the budget (the
+    * greedy cumulative assignment closes a bin only after it fills);
+    * chronically low min_fill means too many shards for the group's
+    * volume. Two stacked aggregations, both map-side combined; output is
+    * |groups| rows, intermediate is |bins|. */
+  def binEfficiency(
+      binned: DataFrame, groupCols: Seq[String], sizeCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val perBin = binned
+      .groupBy((groupCols.map(col) :+ col("shard") :+ col("bin")): _*)
+      .agg(sum(col(sizeCol)).as("graft_used"))
+    perBin.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("graft_used")).as("used_tokens"),
+        min(col("graft_used")).as("graft_min"),
+        max(col("graft_used")).as("graft_max"))
+      .select((groupCols.map(col) ++ Seq(
+        col("n_bins"), col("used_tokens"),
+        // ratio of integer TOTALS (not avg of per-bin ratios), rounded
+        // with floor(x*10^4 + 0.5): the inputs are exact integers so the
+        // quotient double is bit-identical on any engine, and the floor
+        // spelling rounds the DOUBLE itself — Spark's round() re-reads
+        // the shortest decimal (0.25525 -> 0.2553) while C-family
+        // round() sees the binary value (-> 0.2552); floor agrees
+        // everywhere (the x74 quantization lesson)
+        fourDp(col("used_tokens").cast("double") /
+          (col("n_bins") * lit(budget))).as("mean_fill"),
+        fourDp(col("graft_min").cast("double") / budget).as("min_fill"),
+        fourDp(col("graft_max").cast("double") / budget).as("max_fill"))): _*)
+  }
+
+  private def fourDp(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
   /** Assemble the packed training sequences: one row per bin with the
     * documents' text joined in `orderCol` order.
     *

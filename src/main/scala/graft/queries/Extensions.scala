@@ -1303,6 +1303,29 @@ object Extensions {
     TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", "source", 50)
       .orderBy("source")
 
+  /** x95 — packing-efficiency report ([[Packing.binEfficiency]]) over
+    * x31's per-language packing: bins, packed mass, mean/min/max fill per
+    * language — the capacity-waste check run after any packing stage.
+    * The oracle recomputes x31's bin relation and stacks the same two
+    * aggregations. */
+  def x95(s: SparkSession, dir: String): DataFrame = {
+    val binned = Packing.packBins(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .cast("long").as("tok")),
+      "doc_id", "tok", Seq("lang"), "doc_id", budget = 2000L, numShards = 8)
+    Packing.binEfficiency(binned, Seq("lang"), "tok", budget = 2000L)
+      .orderBy("lang")
+  }
+
+  /** x96 — dedup-aware data accounting ([[Dedup.effectiveTokens]]): per
+    * source, claimed vs surviving-after-exact-dedup token mass and the
+    * duplicate-waste fraction — the first number a curation run reports.
+    * Integer aggregates on (source, md5) only; one rounded division. */
+  def x96(s: SparkSession, dir: String): DataFrame =
+    Dedup.effectiveTokens(t(s, dir, "documents"), "text", "source")
+      .orderBy("source")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1477,7 +1500,9 @@ object Extensions {
     "x91_contam_attribution" -> (x91 _),
     "x92_source_dup_matrix" -> (x92 _),
     "x93_bpe_train" -> (x93 _),
-    "x94_vocab_coverage" -> (x94 _)
+    "x94_vocab_coverage" -> (x94 _),
+    "x95_pack_efficiency" -> (x95 _),
+    "x96_effective_tokens" -> (x96 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -3362,6 +3387,46 @@ object Extensions {
         |SELECT grp AS source, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(inv) AS BIGINT) AS n_in_vocab,
         |  round(1.0 - CAST(sum(inv) AS DOUBLE) / count(*), 4) AS oov_rate
-        |FROM j GROUP BY grp ORDER BY source""".stripMargin
+        |FROM j GROUP BY grp ORDER BY source""".stripMargin,
+
+    // x95: x31's bin relation + the same two stacked aggregations
+    "x95_pack_efficiency" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |         AS BIGINT) AS tok,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |binned AS (
+        |  SELECT lang, shard, tok,
+        |    CAST(COALESCE(SUM(tok) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) // 2000 AS bin
+        |  FROM d),
+        |per_bin AS (
+        |  SELECT lang, shard, bin, sum(tok) AS used
+        |  FROM binned GROUP BY lang, shard, bin)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(used) AS BIGINT) AS used_tokens,
+        |  floor(CAST(sum(used) AS DOUBLE) / (count(*) * 2000) * 10000 + 0.5)
+        |    / 10000 AS mean_fill,
+        |  floor(min(used) / 2000.0 * 10000 + 0.5) / 10000 AS min_fill,
+        |  floor(max(used) / 2000.0 * 10000 + 0.5) / 10000 AS max_fill
+        |FROM per_bin GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // x96: (source, md5) copy counts, then integer rollup + one division
+    "x96_effective_tokens" ->
+      """WITH g AS (
+        |  SELECT source AS grp, md5(text) AS fp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(len(string_split(text, ' '))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT grp AS source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(n * tok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(tok) AS BIGINT) AS tokens_effective,
+        |  round(1.0 - CAST(sum(tok) AS DOUBLE) / sum(n * tok), 4) AS dup_waste
+        |FROM g GROUP BY grp ORDER BY source""".stripMargin
   )
 }

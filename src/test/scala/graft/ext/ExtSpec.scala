@@ -789,6 +789,29 @@ class ExtSpec extends SparkSpec {
       .count() <= 5L)
   }
 
+  test("binEfficiency: per-group bin stats; overflow bins report fill > 1.0") {
+    // one shard, budget 10: docs 6,6,12,3 → cum 0,6,12,24 → bins 0,0,1,2
+    // bin0 used 12 (overflow: closed only after filling), bin1 12, bin2 3
+    val docs = Seq((1L, "g", 6L), (2L, "g", 6L), (3L, "g", 12L), (4L, "g", 3L))
+      .toDF("id", "grp", "tok")
+    val binned = Packing.packBins(docs, "id", "tok", Seq("grp"), "id",
+      budget = 10L, numShards = 1)
+    val r = Packing.binEfficiency(binned, Seq("grp"), "tok", budget = 10L)
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(r == (("g", 3L, 27L, 0.9, 0.3, 1.2)), s"got $r")
+  }
+
+  test("effectiveTokens: duplicate copies counted in total, once in effective") {
+    val docs = docsFrom(Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), // 3 copies, 3 tokens
+      (4L, "x y")))                                 // unique, 2 tokens
+      .withColumn("source", lit("s1"))
+    val r = Dedup.effectiveTokens(docs, "text", "source")
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    // total = 3*3 + 2 = 11; effective = 3 + 2 = 5; waste = 1 - 5/11
+    assert(r == (("s1", 4L, 2L, 11L, 5L, 0.5455)), s"got $r")
+  }
+
   test("exact-twin pair operators refuse unbounded input, naming the scale path") {
     val big = spark.range(20001).select(col("id"), lit("a b c d").as("text"))
     val e1 = intercept[IllegalArgumentException](
