@@ -548,7 +548,7 @@ object Dedup {
   def incrementalLshPairsFromState(
       stateDir: String, batch: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3, excludeTag: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val jac = GraftColumnBridge.column(graft.functions.ShingleJaccard(
       GraftColumnBridge.expression(col("text_a")),
@@ -559,11 +559,19 @@ object Dedup {
     // nothing — fail fast on mismatch instead (see checkLshMeta)
     checkLshMeta(spark, stateDir, numPerms, rowsPerBand, shingleSize,
       writeIfAbsent = false)
-    val corpusReps = spark.read.parquet(s"$stateDir/reps")
-      .select(col("fp"), col("rid"), col("text"))
-    val corpusMembers = spark.read.parquet(s"$stateDir/members")
-      .select(col("id"), col("rid"))
-    val corpusBands = spark.read.parquet(s"$stateDir/bands")
+    // excludeTag: under at-least-once replay a batch may already have
+    // APPENDED itself (tag = batchId) before the query is re-answered; if
+    // its own rows count as "the corpus", every replayed doc matches
+    // itself and gets rejected — so reads drop that tag's partition (the
+    // same rule appendLshState applies to its fp anti-join)
+    def readState(table: String): DataFrame = {
+      val t = spark.read.parquet(s"$stateDir/$table")
+      excludeTag.filter(_ => t.columns.contains("batch_id"))
+        .map(tag => t.filter(col("batch_id") =!= tag)).getOrElse(t)
+    }
+    val corpusReps = readState("reps").select(col("fp"), col("rid"), col("text"))
+    val corpusMembers = readState("members").select(col("id"), col("rid"))
+    val corpusBands = readState("bands")
       .select(col("rid"), col("band"), col("bucket"))
 
     val par = spark.sparkContext.defaultParallelism

@@ -110,4 +110,60 @@ object DedupStream {
         ()
       }
       .start()
+
+  /** [[nearDupIngest]] answered from PERSISTED LSH state instead of the
+    * corpus text column — the steady-state shape: [[nearDupIngest]]
+    * re-signs the whole corpus every micro-batch (an O(corpus) CPU pass
+    * that at 100 TB dwarfs each batch), while this variant keeps the
+    * corpus as [[graft.ext.Dedup.appendLshState]] parquet (reps, members,
+    * banded signatures — each document signed ONCE ever) and answers each
+    * batch with [[graft.ext.Dedup.incrementalLshPairsFromState]]: per-batch
+    * cost is O(batch) signature compute plus a narrow columnar scan of
+    * precomputed bands. The state dir IS the corpus (reps carry the
+    * accepted texts; members the accepted ids).
+    *
+    * Replay safety composes from the two state primitives: pair reads
+    * exclude the batch's own `batch_id=N` partition (a replayed batch
+    * must not match ITSELF and self-reject — `excludeTag`), and the
+    * tagged append overwrites its own partitions. A replayed batch
+    * therefore recomputes the same accepted set and overwrites it in
+    * place — exactly-once output from at-least-once execution, no
+    * transactional sink. */
+  def nearDupIngestFromState(
+      batches: DataFrame,
+      stateDir: String,
+      pairsDir: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val withinCollapsed = graft.ext.Dedup.exact(
+          batch.select(col(idCol), col(textCol)), idCol, textCol)
+        val stateExists = scala.util.Try {
+          val r = spark.read.parquet(s"$stateDir/reps")
+          (if (r.columns.contains("batch_id"))
+            r.filter(col("batch_id") =!= batchId) else r).head(1)
+        }.toOption.exists(_.nonEmpty)
+        val accepted =
+          if (!stateExists) withinCollapsed // first batch: nothing to match
+          else {
+            graft.ext.Dedup.incrementalLshPairsFromState(
+                stateDir, withinCollapsed, idCol, textCol,
+                threshold = threshold, excludeTag = Some(batchId))
+              .write.mode("overwrite")
+              .parquet(s"$pairsDir/batch_id=$batchId")
+            withinCollapsed.join(
+              spark.read.parquet(s"$pairsDir/batch_id=$batchId")
+                .select(col("new_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+          }
+        graft.ext.Dedup.appendLshState(accepted, idCol, textCol, stateDir,
+          batchTag = Some(batchId))
+        ()
+      }
+      .start()
 }

@@ -193,6 +193,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest from persisted state: same acceptance, O(batch) per batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_state").toString
+    val stateDir = s"$dir/state"
+    val pairsDir = s"$dir/pairs"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = DedupStream.nearDupIngestFromState(
+      stream.toDS().toDF("doc_id", "text"), stateDir, pairsDir,
+      "doc_id", "text", checkpointDir = s"$dir/ckpt")
+    def acceptedIds: Set[Long] = spark.read.parquet(s"$stateDir/members")
+      .select("id").as[Long].collect().toSet
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again today"
+      val b = "an entirely different document about spark shuffles and windows here"
+      // batch 0: an exact in-batch duplicate collapses before ingest
+      stream.addData(Seq((1L, a), (2L, a), (3L, b)))
+      q.processAllAvailable()
+      assert(acceptedIds == Set(1L, 3L))
+      // batch 1: near-dup of a, exact dup of b, one fresh doc — the match
+      // runs against persisted bands, not recomputed corpus signatures
+      val a2 = a.replace("today", "tomorrow")
+      val fresh = "completely unrelated vocabulary with many novel words in sequence"
+      stream.addData(Seq((10L, a2), (11L, b), (12L, fresh)))
+      q.processAllAvailable()
+      assert(acceptedIds == Set(1L, 3L, 12L),
+        "near/exact dups of the state corpus must be rejected, fresh docs accepted")
+      val pairs = spark.read.parquet(pairsDir)
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((10L, 1L)), s"missing near-dup audit pair in $pairs")
+      assert(pairs.contains((11L, 3L)), s"missing exact-dup audit pair in $pairs")
+      // the accepted corpus is reconstructable from the state itself
+      assert(spark.read.parquet(s"$stateDir/reps").select("text")
+        .as[String].collect().toSet == Set(a, b, fresh))
+    } finally q.stop()
+
+    // at-least-once replay: re-running batch 1's work against a state that
+    // already holds its own tagged append must reproduce (not destroy) the
+    // acceptance — the excludeTag read path
+    val batch1 = Seq((10L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (11L, "an entirely different document about spark shuffles and windows here"),
+      (12L, "completely unrelated vocabulary with many novel words in sequence"))
+      .toDF("doc_id", "text")
+    val replayPairs = graft.ext.Dedup.incrementalLshPairsFromState(
+        stateDir, graft.ext.Dedup.exact(batch1, "doc_id", "text"),
+        "doc_id", "text", excludeTag = Some(1L))
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(replayPairs.map(_._1) == Set(10L, 11L),
+      s"replay must re-reject exactly the original dups: $replayPairs")
+    graft.ext.Dedup.appendLshState(
+      graft.ext.Dedup.exact(batch1, "doc_id", "text")
+        .join(replayPairs.map(_._1).toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti"),
+      "doc_id", "text", stateDir, batchTag = Some(1L))
+    assert(acceptedIds == Set(1L, 3L, 12L), "replay overwrote, not duplicated")
+  }
+
   test("streaming simhash dedup suppresses reordered near-dups, keeps distinct docs") {
     import java.sql.Timestamp
     // doc B is a token reordering of doc A → identical simhash (votes are
