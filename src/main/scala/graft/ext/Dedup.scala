@@ -1061,40 +1061,70 @@ object Dedup {
     * doc_id, source) reach the two downstream aggregates. The hit frame
     * feeds both (per-eval totals, per-source argmax), so it is
     * materialized once rather than re-running the corpus explode. */
-  /** The (gram, cdoc_id, graft_src, eval_id) hit relation behind
-    * [[contaminationAttribution]] — split out so its plan shape (eval
-    * grams BROADCAST against the corpus explode; the corpus is never
-    * shuffled to find hits) is assertable before the checkpoint that
-    * [[contaminationAttribution]] adds hides it (PlanSpec). */
-  private[graft] def contaminationHits(
-      docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
-      srcCol: String, n: Int): DataFrame = {
+  /** The REP-LEVEL (gram, cfp, efp) hit relation behind
+    * [[contaminationAttribution]] — split out so its plan shape (eval rep
+    * grams BROADCAST against the corpus rep explode) is assertable before
+    * the checkpoint that [[contaminationAttribution]] adds hides it
+    * (PlanSpec). */
+  private[graft] def contaminationRepHits(
+      corpusRepTexts: DataFrame, evalRepTexts: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val evalGrams = evalDocs
-      .select(col(idCol).as("eval_id"),
-        explode(shingles(col(textCol), n)).as("gram"))
-    docs
-      .select(col(idCol).as("cdoc_id"), col(srcCol).as("graft_src"),
-        explode(shingles(col(textCol), n)).as("gram"))
-      .join(broadcast(evalGrams), "gram")
+    val cGrams = corpusRepTexts
+      .select(col("cfp"), explode(shingles(col("ctext"), n)).as("gram"))
+    val eGrams = evalRepTexts
+      .select(col("efp"), explode(shingles(col("etext"), n)).as("gram"))
+    cGrams.join(broadcast(eGrams), "gram")
   }
 
+  /** Computed at REP level: byte-equal copies share identical gram sets,
+    * so the gram join runs once per DISTINCT text on each side and copy
+    * counts expand algebraically afterwards. The naive per-copy join's
+    * hit relation is Σ_gram n_eval(gram)·n_corpus(gram) — on a corpus
+    * with k-fold duplicate groups (exactly what dedup corpora look like)
+    * that grows k² and measured 3.2 s → 139 s from 1× to 50× replicas;
+    * the rep-level relation is distinct²-bounded and stays flat. Output
+    * is identical: "distinct contaminating docs" sums rep copy counts
+    * (every copy of a rep shares ≥1 gram iff the rep does), and
+    * byte-equal eval docs receive identical rows via the final member
+    * join-back. */
   def contaminationAttribution(
       docs: DataFrame, evalDocs: DataFrame, idCol: String, textCol: String,
       srcCol: String, n: Int = 13): DataFrame = {
-    val hits = materialize(
-      contaminationHits(docs, evalDocs, idCol, textCol, srcCol, n))
-    val perEval = hits.groupBy(col("eval_id"))
-      .agg(count_distinct(col("gram")).as("n_hit_grams"),
-        count_distinct(col("cdoc_id")).as("n_contaminating_docs"))
-    val topSource = hits
-      .groupBy(col("eval_id"), col("graft_src"))
-      .agg(count_distinct(col("cdoc_id")).as("graft_n"))
-      .groupBy(col("eval_id"))
+    // (cfp, source, copies) — a distinct text may ship from many sources
+    val corpusReps = materialize(docs
+      .select(md5(col(textCol)).as("cfp"), col(textCol).as("ctext"),
+        col(srcCol).as("graft_src"))
+      .groupBy(col("cfp"), col("graft_src"))
+      .agg(count(lit(1)).as("n_copies"), min(col("ctext")).as("ctext")))
+    val corpusRepTexts = corpusReps.groupBy(col("cfp"))
+      .agg(min(col("ctext")).as("ctext"))
+    val evalMembers = materialize(evalDocs
+      .select(col(idCol).as("eval_id"), md5(col(textCol)).as("efp"),
+        col(textCol).as("etext")))
+    val evalRepTexts = evalMembers.groupBy(col("efp"))
+      .agg(min(col("etext")).as("etext"))
+    val hitsRep = materialize(
+      contaminationRepHits(corpusRepTexts, evalRepTexts, n))
+
+    val perGram = hitsRep.groupBy(col("efp"))
+      .agg(count_distinct(col("gram")).as("n_hit_grams"))
+    val repPairs = hitsRep.select(col("efp"), col("cfp")).distinct()
+    val perSrcCounts = repPairs
+      .join(corpusReps.select(col("cfp"), col("graft_src"), col("n_copies")),
+        "cfp")
+      .groupBy(col("efp"), col("graft_src"))
+      .agg(sum(col("n_copies")).as("graft_n"))
+    val perEval = perSrcCounts.groupBy(col("efp"))
+      .agg(sum(col("graft_n")).as("n_contaminating_docs"))
+    val topSource = perSrcCounts.groupBy(col("efp"))
       .agg(max(struct(col("graft_n"), col("graft_src"))).as("t"))
-      .select(col("eval_id"), col("t.graft_src").as("top_source"),
+      .select(col("efp"), col("t.graft_src").as("top_source"),
         col("t.graft_n").as("top_source_docs"))
-    perEval.join(topSource, "eval_id")
+    evalMembers.select(col("eval_id"), col("efp"))
+      .join(perGram, "efp").join(perEval, "efp").join(topSource, "efp")
+      .select(col("eval_id"), col("n_hit_grams"),
+        col("n_contaminating_docs"), col("top_source"),
+        col("top_source_docs"))
   }
 
   /** Upper bound on input rows the exact O(n²) pair operators accept
@@ -1201,6 +1231,44 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** 4-dp rounding spelled as floor(x·10⁴ + 0.5): rounds the DOUBLE
+    * itself, so engines agree on values like 0.25525 whose shortest
+    * decimal reads as a midpoint while the binary value sits below it —
+    * Spark's round() goes through the shortest-decimal BigDecimal
+    * (→ …53) where C-family round() sees the binary double (→ …52).
+    * Non-negative inputs only (floor ≠ round for negatives). */
+  private[ext] def round4(c: Column): Column =
+    floor(c * 10000 + 0.5) / 10000
+
+  /** Per-document n-gram NOVELTY — the share of a doc's distinct n-grams
+    * whose FIRST appearance (by ascending doc id — ingestion order) is
+    * this document: "how much genuinely new content does this doc add to
+    * everything before it". Boilerplate and near-copies score → 0 even
+    * when no single earlier doc is similar enough for pair-dedup to
+    * catch — the mass is spread across MANY predecessors; novelty is the
+    * curation signal for that long tail, and doubles as a
+    * curriculum/data-valuation ordering.
+    *
+    * Plan: one gram explode feeds a (gram → min id) aggregate; the join
+    * back to the exploded grams is gram-partitioned on both sides (the
+    * aggregate output is already hash-partitioned on gram), then one
+    * per-doc count pair. Work is proportional to corpus gram mass — the
+    * same inverted-layout cost every gram operator here pays — with no
+    * pairwise comparison anywhere. */
+  def noveltyScore(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    def grams = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col("id")).as("graft_first"))
+    grams.join(first, "gram")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("graft_first") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        round4(col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** Dedup-aware data accounting: per group, how many tokens the corpus
     * claims vs how many SURVIVE exact deduplication — the "how much
     * training data do we actually have" report. tokens_total counts every
@@ -1225,8 +1293,10 @@ object Dedup {
         sum(col("graft_tok")).as("tokens_effective"))
       .select(col("grp").as(grpCol), col("n_docs"), col("n_unique"),
         col("tokens_total"), col("tokens_effective"),
-        round(lit(1.0) - col("tokens_effective").cast("double") /
-          col("tokens_total"), 4).as("dup_waste"))
+        // round4, not round(): the ratio of exact integers is the same
+        // double on every engine, but round() midpoint semantics differ
+        round4(lit(1.0) - col("tokens_effective").cast("double") /
+          col("tokens_total")).as("dup_waste"))
 
   /** Cross-group flow matrix of a pair relation: aggregate near-dup (or
     * any) pairs by their endpoints' group attribute — (group_a, group_b,

@@ -375,8 +375,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         coalesce(sum(col("graft_in")), lit(0L)).as("n_in_vocab"))
       .select(col("grp").as(grpCol), col("n_tokens"), col("n_in_vocab"),
-        round(lit(1.0) - col("n_in_vocab").cast("double") / col("n_tokens"), 4)
-          .as("oov_rate"))
+        // Dedup.round4, not round(): integer-ratio doubles are identical
+        // cross-engine, round() midpoint semantics are not
+        Dedup.round4(lit(1.0) - col("n_in_vocab").cast("double") /
+          col("n_tokens")).as("oov_rate"))
   }
 
   private def tokens(text: Column): Column = Dedup.tokens(text)

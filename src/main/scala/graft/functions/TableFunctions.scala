@@ -60,6 +60,7 @@ import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, Layout,
   * SELECT * FROM pair_group_matrix('dup_pairs', 'id_a', 'id_b', 'jaccard', 'documents', 'doc_id', 'source')
   * SELECT * FROM bpe_train('documents', 'text', 8)
   * SELECT * FROM vocab_coverage('documents', 'text', 'source', 32000)
+  * SELECT * FROM effective_tokens('documents', 'text', 'source')
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -160,6 +161,18 @@ object TableFunctions {
       "bpe_train", exprs => bpeTrain(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "vocab_coverage", exprs => vocabCoverage(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "effective_tokens", exprs => effectiveTokens(spark, exprs), "built-in")
+  }
+
+  /** `effective_tokens(table, text, group)` → [[Dedup.effectiveTokens]]:
+    * per-group claimed vs post-exact-dedup token mass. */
+  private def effectiveTokens(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "effective_tokens"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(Dedup.effectiveTokens(args.table(spark, "table"),
+      args.name("text"), args.name("group")))
   }
 
   /** `embedding_profile(table, group [, id [, vec]])` →

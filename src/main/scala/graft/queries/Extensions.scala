@@ -1326,6 +1326,16 @@ object Extensions {
     Dedup.effectiveTokens(t(s, dir, "documents"), "text", "source")
       .orderBy("source")
 
+  /** x97 — per-document 3-gram novelty ([[Dedup.noveltyScore]]): the
+    * share of each doc's distinct grams first seen (by ascending id) in
+    * that doc — the long-tail curation signal pair-dedup misses when a
+    * doc's content is spread across many predecessors. Inverted layout:
+    * gram → min-id aggregate joined back gram-partitioned, no pairwise
+    * work. */
+  def x97(s: SparkSession, dir: String): DataFrame =
+    Dedup.noveltyScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1502,7 +1512,8 @@ object Extensions {
     "x93_bpe_train" -> (x93 _),
     "x94_vocab_coverage" -> (x94 _),
     "x95_pack_efficiency" -> (x95 _),
-    "x96_effective_tokens" -> (x96 _)
+    "x96_effective_tokens" -> (x96 _),
+    "x97_novelty" -> (x97 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -3386,7 +3397,8 @@ object Extensions {
         |  FROM toks t LEFT JOIN vocab v USING (tok))
         |SELECT grp AS source, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(sum(inv) AS BIGINT) AS n_in_vocab,
-        |  round(1.0 - CAST(sum(inv) AS DOUBLE) / count(*), 4) AS oov_rate
+        |  floor((1.0 - CAST(sum(inv) AS DOUBLE) / count(*)) * 10000 + 0.5)
+        |    / 10000 AS oov_rate
         |FROM j GROUP BY grp ORDER BY source""".stripMargin,
 
     // x95: x31's bin relation + the same two stacked aggregations
@@ -3426,7 +3438,27 @@ object Extensions {
         |  CAST(count(*) AS BIGINT) AS n_unique,
         |  CAST(sum(n * tok) AS BIGINT) AS tokens_total,
         |  CAST(sum(tok) AS BIGINT) AS tokens_effective,
-        |  round(1.0 - CAST(sum(tok) AS DOUBLE) / sum(n * tok), 4) AS dup_waste
-        |FROM g GROUP BY grp ORDER BY source""".stripMargin
+        |  floor((1.0 - CAST(sum(tok) AS DOUBLE) / sum(n * tok)) * 10000 + 0.5)
+        |    / 10000 AS dup_waste
+        |FROM g GROUP BY grp ORDER BY source""".stripMargin,
+
+    // x97: gram -> min(doc_id) first-appearance relation joined back,
+    // per-doc novel share with the portable floor rounding
+    "x97_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+        |  FROM toks),
+        |first AS (SELECT gram, min(doc_id) AS first_id FROM sh GROUP BY gram)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_novel,
+        |  floor(CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS novelty
+        |FROM sh s JOIN first f USING (gram)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
 }

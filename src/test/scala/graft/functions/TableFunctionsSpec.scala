@@ -363,6 +363,10 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql("SELECT * FROM vocab_coverage('tvf_alldocs10', 'text', 'source', 20)"),
       graft.ext.TextAnalysis.vocabCoverage(docs, "text", "source", 20))
+
+    assertSame(
+      spark.sql("SELECT * FROM effective_tokens('tvf_alldocs10', 'text', 'source')"),
+      graft.ext.Dedup.effectiveTokens(docs, "text", "source"))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {

@@ -266,14 +266,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"x90 lost map-side partial aggregation:\n$p")
   }
 
-  test("x91: eval grams broadcast against the corpus explode, no shuffle join") {
-    // the hit derivation (pre-checkpoint — the checkpoint in the full
-    // operator truncates the visible lineage)
+  test("x91: eval rep grams broadcast against the corpus rep explode") {
+    // the rep-level hit derivation (pre-checkpoint — the checkpoint in
+    // the full operator truncates the visible lineage)
+    import org.apache.spark.sql.functions.{col, md5, min}
     val docs = graft.Tables(spark, sf, "documents")
-    val hp = plan(graft.ext.Dedup.contaminationHits(
-      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 =!= 0),
-      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 0),
-      "doc_id", "text", "source", 13))
+    val cReps = docs.filter(col("doc_id") % 37 =!= 0)
+      .groupBy(md5(col("text")).as("cfp")).agg(min(col("text")).as("ctext"))
+    val eReps = docs.filter(col("doc_id") % 37 === 0)
+      .groupBy(md5(col("text")).as("efp")).agg(min(col("text")).as("etext"))
+    val hp = plan(graft.ext.Dedup.contaminationRepHits(cReps, eReps, 13))
     assert(hp.contains("BroadcastHashJoin"),
       s"x91 contamination hit join is not broadcast:\n$hp")
     // the full operator's downstream joins stay equi
@@ -286,5 +288,22 @@ class PlanSpec extends SparkSpec {
     val p = plan(Extensions.x92(spark, sf))
     assert(!p.contains("CartesianProduct"), s"x92 grew a cartesian:\n$p")
     assert(p.contains("HashJoin"), s"x92 source lookup is not a hash join:\n$p")
+  }
+
+  test("x94: vocab membership probes via broadcast; only group totals shuffle") {
+    val p = plan(Extensions.x94(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"x94 vocab membership is not a broadcast probe:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"x94 vocabulary top-k fell back to a global sort:\n$p")
+  }
+
+  test("x95/x96: report aggregates partial-combine; no join, no cartesian") {
+    val p95 = plan(Extensions.x95(spark, sf))
+    assert(!p95.contains("CartesianProduct") && !p95.contains("SortMergeJoin"),
+      s"x95 grew a join:\n$p95")
+    val p96 = plan(Extensions.x96(spark, sf))
+    assert(!p96.contains("Join"), s"x96 grew a join:\n$p96")
+    assert(p96.contains("partial_"), s"x96 lost map-side partial agg:\n$p96")
   }
 }
