@@ -789,6 +789,67 @@ class ExtSpec extends SparkSpec {
       .count() <= 5L)
   }
 
+  test("groupProfile: collapsed group has ~zero dispersion, spread group does not") {
+    val collapsed = (1L to 10L).map(i => (i, Seq(1.0f, 2.0f, 3.0f), "flat"))
+    val spread = Seq(
+      (11L, Seq(1.0f, 0.0f, 0.0f), "mixed"),
+      (12L, Seq(0.0f, 1.0f, 0.0f), "mixed"),
+      (13L, Seq(0.0f, 0.0f, 1.0f), "mixed"))
+    val vecs = (collapsed ++ spread).toDF("vec_id", "embedding", "label")
+    val out = Similarity.groupProfile(vecs, "label")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val flat = out("flat")
+    assert(flat._2 == 10L && flat._5 == 0.0, s"collapsed group: $flat")
+    assert(flat._3 == 14.0 && math.abs(flat._4 - math.sqrt(14.0)) < 1e-3)
+    val mixed = out("mixed")
+    // unit basis vectors: E||v||^2 = 1, centroid = (1/3,1/3,1/3),
+    // ||c||^2 = 1/3 -> dispersion = 2/3
+    assert(mixed._5 == 0.6667, s"spread group: $mixed")
+  }
+
+  test("noveltyScore: duplicate adds nothing; first doc is fully novel") {
+    val docs = docsFrom(Seq(
+      (1L, "a b c d e"),       // all grams first here
+      (2L, "a b c d e"),       // exact copy -> novelty 0
+      (3L, "a b c x y z"),     // gram 'a b c' seen; the rest new
+      (4L, "p q")))            // too short for 3-grams -> absent
+    val out = Dedup.noveltyScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 3L, 1.0)))
+    assert(out(2L) == ((2L, 3L, 0L, 0.0)))
+    assert(out(3L)._2 == 4L && out(3L)._3 == 3L && out(3L)._4 == 0.75)
+    assert(!out.contains(4L))
+  }
+
+  test("contaminationAttribution: copies counted per doc, rep-level tie order") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13", "sA"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13", "sA"), // copy, same source
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13", "sB"), // copy, other source
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13", "sB")  // clean
+    ).toDF("doc_id", "text", "source")
+    val ev = Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13", "ev"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.contaminationAttribution(corpus, ev, "doc_id", "text",
+        "source").as[(Long, Long, Long, String, Long)].head()
+    // 1 shared gram; 3 contaminating DOCS (copies count); top source by
+    // distinct docs is sA (2) over sB (1)
+    assert(out == ((100L, 1L, 3L, "sA", 2L)), s"got $out")
+  }
+
+  test("vocabCoverage: coverage of the top-k mass, OOV for the tail") {
+    val docs = Seq(
+      (1L, "a a a b", "g1"),   // 'a' dominates
+      (2L, "a b c d", "g2"))   // half its mass is tail
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.vocabCoverage(docs, "text", "source", vocabSize = 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // vocab = {a (4), b (2)}; g1: 4/4 in vocab; g2: 2/4
+    assert(out("g1") == (("g1", 4L, 4L, 0.0)))
+    assert(out("g2") == (("g2", 4L, 2L, 0.5)))
+  }
+
   test("binEfficiency: per-group bin stats; overflow bins report fill > 1.0") {
     // one shard, budget 10: docs 6,6,12,3 → cum 0,6,12,24 → bins 0,0,1,2
     // bin0 used 12 (overflow: closed only after filling), bin1 12, bin2 3
