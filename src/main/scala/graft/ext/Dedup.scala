@@ -1323,6 +1323,44 @@ object Dedup {
         round(avg(col(valCol)), 4).as("avg_sim"))
   }
 
+  /** Transitivity audit of a near-dup pair graph: edges, wedges
+    * (2-paths), triangles, and the global clustering coefficient
+    * 3·triangles/wedges — ONE row. A trustworthy similarity relation is
+    * highly transitive (A≈B ≈C ⇒ A≈C at a slightly lower threshold);
+    * transitivity far below ~0.5 means the pair threshold is admitting
+    * accidental collisions, and near 1.0 with a fat wedge count means
+    * clean clusters — the one-glance "should I trust the collapse"
+    * check run before [[components]] commits to cluster reps.
+    *
+    * Wedges are Σ d(d−1)/2 over vertex degrees (integer arithmetic,
+    * exact); triangles enumerate through two vertex-keyed equi-joins over
+    * the (min,max)-oriented edge list — candidate count is Σ d², fine for
+    * the SPARSE graphs dedup produces (the pair relation is orders of
+    * magnitude smaller than the corpus; a graph dense enough to hurt
+    * here has a dup-rate problem the audit exists to expose). */
+  def transitivityAudit(
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = materialize(pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("graft_d"))
+    val wedges = deg.agg(sum(
+      expr("graft_d * (graft_d - 1) div 2")).as("n_wedges"))
+    val tri = edges.as("ab")
+      .join(edges.select(col("a").as("b"), col("b").as("c")).as("bc"), "b")
+      .join(edges.select(col("a"), col("b").as("c")).as("ac"), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges).crossJoin(tri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round4(lit(3.0) * col("n_triangles") / col("n_wedges")))
+          .otherwise(lit(0.0)).as("transitivity"))
+  }
+
   /** Degree histogram of a pair graph — (degree, n_nodes) over the
     * near-dup pair output: the one-glance forensics view that separates
     * "many isolated dup pairs" (degree 1 dominates) from "one giant

@@ -67,6 +67,40 @@ object Index {
           transform(sort_array(collect_list(col(idCol))), _.cast("string")),
           ",").as("postings"))
 
+  /** EXACT phrase search through the positional posting relation — the
+    * retrieval capability term-level indexes can't express ("key agg" as
+    * adjacent words, not co-occurrence anywhere in the doc). Each phrase
+    * term's postings are reduced to candidate START positions
+    * (pos − term-offset) and the terms intersect on (doc, start): a
+    * surviving start is a position where every phrase word appears at its
+    * exact offset. Returns (idCol, n_occurrences, first_pos) per matching
+    * doc (first_pos 0-based).
+    *
+    * Scale shape: each join input is ONE term's postings — filtered
+    * BEFORE any shuffle, so work is proportional to the query terms'
+    * posting lists, never the corpus (the searchAll discipline, with
+    * positions). The chain of (doc, start) equi-joins reuses one
+    * partitioning; n−1 co-partitioned joins for an n-word phrase. A
+    * corpus-wide positional INDEX is deliberately not materialized here —
+    * at 100 TB you persist [[invertedIndex]]-style posting tables and
+    * point this relation at them; the derivation is identical. */
+  def phraseSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val postings = docs.select(col(idCol).as("graft_id"),
+      posexplode(Dedup.tokens(col(textCol))).as(Seq("graft_pos", "graft_term")))
+    val starts = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("graft_term") === t)
+        .select(col("graft_id"), (col("graft_pos") - i).as("graft_start"))
+    }
+    starts.reduce(_.join(_, Seq("graft_id", "graft_start")))
+      .groupBy(col("graft_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("graft_start")).cast("long").as("first_pos"))
+      .select(col("graft_id").as(idCol), col("n_occurrences"), col("first_pos"))
+  }
+
   /** Docs containing ALL `terms` (conjunctive search), with the matched
     * term count as evidence. Output: (idCol, n_matched) — callers join back
     * to the corpus for payload columns. */

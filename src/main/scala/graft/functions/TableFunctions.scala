@@ -61,6 +61,8 @@ import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, Layout,
   * SELECT * FROM bpe_train('documents', 'text', 8)
   * SELECT * FROM vocab_coverage('documents', 'text', 'source', 32000)
   * SELECT * FROM effective_tokens('documents', 'text', 'source')
+  * SELECT * FROM phrase_search('documents', 'doc_id', 'text', 'key agg')
+  * SELECT * FROM dup_transitivity('dup_pairs_view', 'id_a', 'id_b')
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -163,6 +165,33 @@ object TableFunctions {
       "vocab_coverage", exprs => vocabCoverage(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "effective_tokens", exprs => effectiveTokens(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "phrase_search", exprs => phraseSearch(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dup_transitivity", exprs => dupTransitivity(spark, exprs), "built-in")
+  }
+
+  /** `phrase_search(table, id, text, 'w1 w2 ...')` →
+    * [[Index.phraseSearch]]: exact adjacent-phrase retrieval. */
+  private def phraseSearch(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "phrase_search"
+    requireArity(f, exprs, min = 4, max = 4)
+    val args = new Args(f, exprs)
+    val tbl = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val phrase = args.name("phrase").split("\\s+").toSeq.filter(_.nonEmpty)
+    plan(Index.phraseSearch(tbl, id, text, phrase))
+  }
+
+  /** `dup_transitivity(pairs_table, a, b)` → [[Dedup.transitivityAudit]]:
+    * edges/wedges/triangles/clustering coefficient of a pair graph. */
+  private def dupTransitivity(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "dup_transitivity"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(Dedup.transitivityAudit(args.table(spark, "pairs"),
+      args.name("a"), args.name("b")))
   }
 
   /** `effective_tokens(table, text, group)` → [[Dedup.effectiveTokens]]:

@@ -1336,6 +1336,29 @@ object Extensions {
     Dedup.noveltyScore(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** x98 — exact phrase search ([[Index.phraseSearch]]): all documents
+    * containing the adjacent words "key agg", with occurrence count and
+    * first position — the positional-postings capability term search
+    * (x42) can't express. Work ∝ the two terms' posting lists; the
+    * (doc, start) intersection is a co-partitioned equi-join. */
+  def x98(s: SparkSession, dir: String): DataFrame =
+    Index.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("key", "agg"))
+      .orderBy("doc_id")
+
+  /** x99 — near-dup graph transitivity audit
+    * ([[Dedup.transitivityAudit]]) over x17's pair relation: edges,
+    * wedges, triangles, global clustering coefficient — the "should I
+    * trust the collapse" check before components commits to reps. All
+    * counts integer-exact; the coefficient uses the portable floor
+    * rounding. */
+  def x99(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.transitivityAudit(
+      Dedup.lshPairs(docs, "doc_id", "text").select("id_a", "id_b"),
+      "id_a", "id_b")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1513,7 +1536,9 @@ object Extensions {
     "x94_vocab_coverage" -> (x94 _),
     "x95_pack_efficiency" -> (x95 _),
     "x96_effective_tokens" -> (x96 _),
-    "x97_novelty" -> (x97 _)
+    "x97_novelty" -> (x97 _),
+    "x98_phrase_search" -> (x98 _),
+    "x99_dup_transitivity" -> (x99 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -3441,6 +3466,48 @@ object Extensions {
         |  floor((1.0 - CAST(sum(tok) AS DOUBLE) / sum(n * tok)) * 10000 + 0.5)
         |    / 10000 AS dup_waste
         |FROM g GROUP BY grp ORDER BY source""".stripMargin,
+
+    // x98: positional postings per phrase term reduced to candidate
+    // starts (pos - offset), intersected on (doc, start)
+    "x98_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (
+        |  SELECT doc_id, s.pos, s.term FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |      i -> {'pos': i - 1, 'term': w[CAST(i AS INT)]})) AS s
+        |    FROM toks) u),
+        |s0 AS (SELECT doc_id, pos AS start FROM p WHERE term = 'key'),
+        |s1 AS (SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'agg')
+        |SELECT s0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(s0.start) AS BIGINT) AS first_pos
+        |FROM s0 JOIN s1 USING (doc_id, start)
+        |GROUP BY s0.doc_id ORDER BY s0.doc_id""".stripMargin,
+
+    // x99: x17's pair relation as edges; wedges from integer degree
+    // arithmetic, triangles via the two vertex-keyed joins
+    "x99_dup_transitivity" ->
+      s"""WITH pairs AS (
+         |$lshJaccardOracleSql
+         |),
+         |edges AS (
+         |  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+         |  FROM pairs WHERE id_a != id_b),
+         |deg AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+         |  GROUP BY v),
+         |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM edges ab
+         |  JOIN (SELECT a AS b, b AS c FROM edges) bc USING (b)
+         |  JOIN (SELECT a, b AS c FROM edges) ac USING (a, c)),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+         |SELECT n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0
+         |    THEN floor(3.0 * n_triangles / n_wedges * 10000 + 0.5) / 10000
+         |    ELSE 0.0 END AS transitivity
+         |FROM e, w, tri""".stripMargin,
 
     // x97: gram -> min(doc_id) first-appearance relation joined back,
     // per-doc novel share with the portable floor rounding

@@ -850,6 +850,35 @@ class ExtSpec extends SparkSpec {
     assert(out("g2") == (("g2", 4L, 2L, 0.5)))
   }
 
+  test("phraseSearch: adjacency required, overlaps counted, positions exact") {
+    val docs = docsFrom(Seq(
+      (1L, "key agg row key agg"),   // two occurrences
+      (2L, "key row agg"),           // co-occur but not adjacent
+      (3L, "agg key"),               // reversed
+      (4L, "a key agg b")))          // one, offset 1
+    val out = graft.ext.Index.phraseSearch(docs, "doc_id", "text",
+        Seq("key", "agg"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 0L)))
+    assert(out(4L) == ((4L, 1L, 1L)))
+    assert(!out.contains(2L) && !out.contains(3L))
+    // 3-term phrase chains the intersection once more
+    val tri = graft.ext.Index.phraseSearch(
+        docsFrom(Seq((1L, "x key agg row y"))), "doc_id", "text",
+        Seq("key", "agg", "row"))
+      .as[(Long, Long, Long)].head()
+    assert(tri == ((1L, 1L, 1L)))
+  }
+
+  test("transitivityAudit: triangle closes, open wedge does not") {
+    // triangle {1,2,3} + pendant 3-4: edges 4, wedges C(2,2)*... degrees:
+    // 1:2, 2:2, 3:3, 4:1 -> wedges 1+1+3+0 = 5; triangles 1; t = 3/5
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.transitivityAudit(pairs, "id_a", "id_b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r == ((4L, 5L, 1L, 0.6)), s"got $r")
+  }
+
   test("binEfficiency: per-group bin stats; overflow bins report fill > 1.0") {
     // one shard, budget 10: docs 6,6,12,3 → cum 0,6,12,24 → bins 0,0,1,2
     // bin0 used 12 (overflow: closed only after filling), bin1 12, bin2 3
