@@ -1319,8 +1319,15 @@ object Dedup {
       .join(lookup.select(col(idCol).as(bCol), col(grpCol).as("graft_gb")), bCol)
       .groupBy(least(col("graft_ga"), col("graft_gb")).as("group_a"),
         greatest(col("graft_ga"), col("graft_gb")).as("group_b"))
+      // avg_sim is the mean of the 4-dp-QUANTIZED similarities: quantize
+      // each value to an integer (floor(v·10⁴+0.5)), sum as longs — exact
+      // in any summation order, unlike avg(double) whose last-ulp result
+      // depends on the engine's accumulation order — then one division
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col(valCol)), 4).as("avg_sim"))
+        sum(floor(col(valCol) * 10000 + 0.5).cast("long")).as("graft_q"))
+      .select(col("group_a"), col("group_b"), col("n_pairs"),
+        round4(col("graft_q").cast("double") / (col("n_pairs") * 10000))
+          .as("avg_sim"))
   }
 
   /** Transitivity audit of a near-dup pair graph: edges, wedges

@@ -3398,7 +3398,9 @@ object Extensions {
          |SELECT least(da.source, db.source) AS source_a,
          |  greatest(da.source, db.source) AS source_b,
          |  CAST(count(*) AS BIGINT) AS n_pairs,
-         |  round(avg(jaccard), 4) AS avg_jaccard
+         |  floor(CAST(sum(CAST(floor(jaccard * 10000 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / (count(*) * 10000) * 10000 + 0.5) / 10000
+         |    AS avg_jaccard
          |FROM pairs p
          |JOIN documents da ON p.id_a = da.doc_id
          |JOIN documents db ON p.id_b = db.doc_id
