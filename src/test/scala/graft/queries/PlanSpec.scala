@@ -298,6 +298,20 @@ class PlanSpec extends SparkSpec {
       s"x94 vocabulary top-k fell back to a global sort:\n$p")
   }
 
+  test("x97/x98: gram/posting work is equi-join shaped, no cartesian, no window") {
+    val p97 = plan(Extensions.x97(spark, sf))
+    assert(!p97.contains("CartesianProduct") && !p97.contains("Window"),
+      s"x97 grew a cartesian/window:\n$p97")
+    val p98 = plan(Extensions.x98(spark, sf))
+    assert(!p98.contains("CartesianProduct") &&
+      !p98.contains("BroadcastNestedLoopJoin"),
+      s"x98 phrase intersection degenerated:\n$p98")
+    // each phrase term's postings are filtered BEFORE the join: the plan
+    // must push the term equality into the scan-side filters
+    assert(p98.contains("key") && p98.contains("agg"),
+      s"x98 lost its term pre-filters:\n$p98")
+  }
+
   test("x95/x96: report aggregates partial-combine; no join, no cartesian") {
     val p95 = plan(Extensions.x95(spark, sf))
     assert(!p95.contains("CartesianProduct") && !p95.contains("SortMergeJoin"),
