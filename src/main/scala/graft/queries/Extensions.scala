@@ -1184,14 +1184,16 @@ object Extensions {
     * oracle recomputes the exact side (per-query truth size + 10th-best
     * cosine from the brute ranking) and asserts the audit bound TRUE.
     * The bound is a floor on the MEAN recall@10 across the probe batch
-    * (≥ 0.1), not per query: the synthetic embeddings are near-uniform —
+    * (≥ 0.05), not per query: the synthetic embeddings are near-uniform —
     * the worst case for a 16-centroid/8-dim-subspace product quantizer —
     * so measured per-query recall ranges 0.0–0.6 (means 0.34/0.30/0.21
     * at sf0.001/0.01/0.1, nProbe=2 of 8 cells; nProbe=4 moves the means
     * < 0.03 — distortion-, not probe-, limited). The gate exists to catch
     * a BROKEN index — wrong cells probed, garbled codes → recall ≈ k/n
-    * (0.005 at sf0.1), 20–40× below the floor — not to certify
-    * production recall on adversarially uniform vectors. */
+    * (0.005 at sf0.1), 10× below the floor — not to certify production
+    * recall on adversarially uniform vectors; the floor sits 4× under
+    * the weakest observed mean so a reseeded testdata generation cannot
+    * flip the gate while a broken index still cannot pass it. */
   def x88(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probes = emb.filter(col("vec_id") < 20)
@@ -1203,7 +1205,7 @@ object Extensions {
     audit
       .join(truth.groupBy(col("query_id"))
         .agg(round(min(col("cos")), 4).as("kth_cos")), "query_id")
-      .crossJoin(audit.agg((avg(col("recall")) >= 0.1).as("mean_recall_ok")))
+      .crossJoin(audit.agg((avg(col("recall")) >= 0.05).as("mean_recall_ok")))
       .select(col("query_id"), col("n_truth"), col("kth_cos"),
         col("mean_recall_ok"))
       .orderBy("query_id")
