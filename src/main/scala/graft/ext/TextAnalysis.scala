@@ -345,6 +345,23 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Metadata-vs-content language agreement audit: the confusion matrix
+    * of the DECLARED language column against the stopword-argmax
+    * prediction from the text itself — (declared, predicted, n_docs,
+    * agree). On a multi-source corpus the declared label comes from
+    * upstream metadata (crawl headers, publisher tags) and is routinely
+    * wrong; off-diagonal mass here is what silently poisons
+    * language-filtered training mixes, found BEFORE filtering rather
+    * than after. Map-side scoring + one |langs|²-bounded aggregate. */
+  def langConfusion(
+      docs: DataFrame, langCol: String, textCol: String): DataFrame =
+    docs
+      .select((col(langCol).as("declared") +: langScores(col(textCol))): _*)
+      .withColumn("predicted", predictedLang)
+      .groupBy(col("declared"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("agree", col("declared") === col("predicted"))
+
   /** Vocabulary coverage / OOV-rate report: build the top-`vocabSize`
     * token vocabulary by corpus frequency (ties pinned: count desc, token
     * asc), then report per group how much of its token MASS the

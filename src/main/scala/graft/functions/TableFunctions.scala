@@ -63,6 +63,7 @@ import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, Layout,
   * SELECT * FROM effective_tokens('documents', 'text', 'source')
   * SELECT * FROM phrase_search('documents', 'doc_id', 'text', 'key agg')
   * SELECT * FROM dup_transitivity('dup_pairs_view', 'id_a', 'id_b')
+  * SELECT * FROM lang_confusion('documents', 'lang', 'text')
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -169,6 +170,18 @@ object TableFunctions {
       "phrase_search", exprs => phraseSearch(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "dup_transitivity", exprs => dupTransitivity(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lang_confusion", exprs => langConfusion(spark, exprs), "built-in")
+  }
+
+  /** `lang_confusion(table, lang, text)` →
+    * [[TextAnalysis.langConfusion]]: declared-vs-predicted matrix. */
+  private def langConfusion(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "lang_confusion"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(TextAnalysis.langConfusion(args.table(spark, "table"),
+      args.name("lang"), args.name("text")))
   }
 
   /** `phrase_search(table, id, text, 'w1 w2 ...')` →

@@ -1361,6 +1361,16 @@ object Extensions {
       "id_a", "id_b")
   }
 
+  /** x100 — declared-vs-predicted language confusion matrix
+    * ([[TextAnalysis.langConfusion]]): how often the corpus's lang
+    * metadata disagrees with the x08 content prediction, per (declared,
+    * predicted) cell — the metadata-trust audit run before any
+    * language-filtered mixing. Oracle composes the x08 scoring CTE with
+    * the same aggregate. */
+  def x100(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langConfusion(t(s, dir, "documents"), "lang", "text")
+      .orderBy("declared", "predicted")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1540,7 +1550,8 @@ object Extensions {
     "x96_effective_tokens" -> (x96 _),
     "x97_novelty" -> (x97 _),
     "x98_phrase_search" -> (x98 _),
-    "x99_dup_transitivity" -> (x99 _)
+    "x99_dup_transitivity" -> (x99 _),
+    "x100_lang_confusion" -> (x100 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -3512,6 +3523,33 @@ object Extensions {
          |    THEN floor(3.0 * n_triangles / n_wedges * 10000 + 0.5) / 10000
          |    ELSE 0.0 END AS transitivity
          |FROM e, w, tri""".stripMargin,
+
+    // x100: the x08 lang-scoring CTE + confusion-matrix aggregate
+    "x100_lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_intersect(tok, ['der','die','das','und','ist','nicht','mit','ein'])) AS BIGINT) AS s_de,
+        |    CAST(len(list_intersect(tok, ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS s_en,
+        |    CAST(len(list_intersect(tok, ['el','los','que','y','un','por','con','para'])) AS BIGINT) AS s_es,
+        |    CAST(len(list_intersect(tok, ['le','les','et','est','une','dans','pour','sur'])) AS BIGINT) AS s_fr,
+        |    CAST(len(list_intersect(tok, ['的','是','不','了','在','人','我','他'])) AS BIGINT) AS s_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT lang AS declared,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |         ELSE 'zh' END AS predicted
+        |  FROM s)
+        |SELECT declared, predicted, CAST(count(*) AS BIGINT) AS n_docs,
+        |  declared = predicted AS agree
+        |FROM p GROUP BY declared, predicted
+        |ORDER BY declared, predicted""".stripMargin,
 
     // x97: gram -> min(doc_id) first-appearance relation joined back,
     // per-doc novel share with the portable floor rounding
