@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * count desc, then left/right symbol ascending — deterministic across
   * engines and retries), (3) re-encode every document by greedily merging
   * that pair left-to-right, then repeat on the merged symbols. Merged
-  * symbols are written `left+right`, so later iterations count pairs OVER
-  * merged symbols — the hierarchical vocabulary BPE exists for.
+  * symbols are joined with [[mergeJoin]] (U+0002), so later iterations
+  * count pairs OVER merged symbols — the hierarchical vocabulary BPE exists for.
   *
   * Scale shape per iteration: the pair count is a map-side zip_with over
   * shifted slices + a hash aggregate with partial combine (x73's shape —
@@ -42,13 +42,23 @@ object Bpe {
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       (a, b) => struct(a.as("a"), b.as("b")))
 
-  /** Greedy left-to-right application of ONE merge (a, b) → "a+b": fold
-    * the token array, replacing the accumulator tail when it ends with
-    * `a` and the incoming symbol is `b`. A replaced tail cannot re-merge
-    * (the fold moves on), giving the standard non-overlapping
-    * left-to-right semantics: a a a b → a a (a+b). */
+  /** Joiner inside merged symbols: U+0002, a control character that
+    * cannot appear in whitespace-tokenized text — a printable joiner
+    * (e.g. '+') would make a literal corpus token like "a+b" collide
+    * with the merged symbol of the pair (a, b), conflating pair counts
+    * on code/math corpora. Distinct from the U+0001 the ORACLE uses to
+    * key (left, right) pairs, so merged symbols never confuse the
+    * oracle's pair-key split, and still above U+0001 so the oracle's
+    * single-key ORDER BY keeps matching the (n, left, right) order. */
+  val mergeJoin = "\u0002"
+
+  /** Greedy left-to-right application of ONE merge (a, b) → a⟨U+0002⟩b:
+    * fold the token array, replacing the accumulator tail when it ends
+    * with `a` and the incoming symbol is `b`. A replaced tail cannot
+    * re-merge (the fold moves on), giving the standard non-overlapping
+    * left-to-right semantics: a a a b → a a (a·b). */
   private def applyMerge(toks: Column, a: String, b: String): Column = {
-    val merged = a + "+" + b
+    val merged = a + mergeJoin + b
     aggregate(toks, typedLit(Seq.empty[String]), (acc, x) =>
       when(size(acc) > 0 &&
           element_at(acc, -1) === lit(a) && x === lit(b),
@@ -58,8 +68,9 @@ object Bpe {
 
   /** Train `numMerges` BPE merges over `textCol`'s whitespace tokens.
     * Returns (step, left, right, n) — the merge table in training order,
-    * n the pair's corpus count at selection time. Stops early if the
-    * corpus runs out of repeated pairs. */
+    * n the pair's corpus count at selection time. Stops early once no
+    * pair occurs at least twice — a frequency-1 merge compresses nothing
+    * and no BPE trainer emits one. */
   def trainMerges(
       docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -78,7 +89,7 @@ object Bpe {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      if (top.isEmpty || top(0).getLong(2) < 2) exhausted = true
       else {
         val (a, b, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))

@@ -43,7 +43,7 @@ object Dedup {
     * across actions). Reliable `checkpoint` when [[checkpointDirKey]] is
     * configured, `localCheckpoint` otherwise — identical results either
     * way, only durability differs. */
-  private[ext] def materialize(df: DataFrame): DataFrame = {
+  private[graft] def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(checkpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
@@ -459,8 +459,12 @@ object Dedup {
       writeIfAbsent = true)
     val par = spark.sparkContext.defaultParallelism
     val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    // NO short-doc filter here: the state IS the corpus (reps carry every
+    // accepted text, members every accepted id), so docs below the
+    // shingle size are retained in reps/members — they simply get no
+    // bands (un-shingleable ⇒ un-bandable), which matches the pair
+    // operators' contract of never pairing them
     val kept = materialize(wide
-      .filter(size(tokens(col(textCol))) >= shingleSize)
       .select(col(idCol).as("id"), col(textCol).as("text"),
         md5(col(textCol)).as("fp")))
     // on replay, the batch's own previous append must not make its fps
@@ -498,6 +502,10 @@ object Dedup {
     write(newGroups
       .select(col("rid"),
         minhashSignature(col("text"), numPerms, shingleSize).as("sig"))
+      // a null signature (short doc) must NOT band: slice(null) feeds
+      // concat_ws as an empty string and every short doc would collide
+      // on md5("") in every band
+      .filter(col("sig").isNotNull)
       .select(col("rid"),
         posexplode(bandBuckets(numPerms, rowsPerBand)).as(Seq("band", "bucket"))),
       "bands")
@@ -516,10 +524,24 @@ object Dedup {
       spark: SparkSession, dir: String, numPerms: Int, rowsPerBand: Int,
       shingleSize: Int, writeIfAbsent: Boolean): Unit = {
     val path = s"$dir/_meta"
-    scala.util.Try(
+    // only PATH-NOT-FOUND means "no meta yet"; any other failure (FS
+    // error, permissions) must propagate — swallowing it would let a
+    // mismatched-parameter call through, the exact silent pair miss this
+    // file exists to prevent
+    val row =
+      try Some(
         spark.read.schema("num_perms LONG, rows_per_band LONG, shingle_size LONG")
-          .json(path).head()).toOption match {
+          .json(path).head())
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+        case _: java.util.NoSuchElementException => None // empty dir
+      }
+    row match {
       case Some(m) =>
+        require(!m.anyNull,
+          s"LSH state meta at $path is corrupt (missing fields) — " +
+            "rebuild the state or restore the _meta file")
         val stored = (m.getLong(0).toInt, m.getLong(1).toInt, m.getLong(2).toInt)
         require(stored == ((numPerms, rowsPerBand, shingleSize)),
           s"LSH state at $dir was built with (numPerms, rowsPerBand, " +

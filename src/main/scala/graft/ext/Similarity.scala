@@ -600,9 +600,10 @@ object Similarity {
         avg(col("x") * col("x")).as("mean_x2"))
       .groupBy(col("grp"))
       .agg(max(col("n")).as("n_vecs"),
-        round(sum(col("mean_x2")), 4).as("mean_sq_norm"),
-        round(sqrt(sum(col("mean_x") * col("mean_x"))), 4).as("centroid_norm"),
-        round(sum(col("mean_x2")) - sum(col("mean_x") * col("mean_x")), 4)
+        Dedup.round4(sum(col("mean_x2"))).as("mean_sq_norm"),
+        Dedup.round4(sqrt(sum(col("mean_x") * col("mean_x"))))
+          .as("centroid_norm"),
+        Dedup.round4(sum(col("mean_x2")) - sum(col("mean_x") * col("mean_x")))
           .as("dispersion"))
       .select(col("grp").as(groupCol), col("n_vecs"), col("mean_sq_norm"),
         col("centroid_norm"), col("dispersion"))

@@ -1197,11 +1197,16 @@ object Extensions {
   def x88(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probes = emb.filter(col("vec_id") < 20)
-    val truth = Similarity.bruteForceTopK(emb, probes, k = 10)
+    // both feed multiple downstream branches (hits, truth sizes, kth_cos
+    // / the mean and the per-query rows) — materialized so the brute
+    // corpus pass and the IVF-PQ training lineage run once, not per
+    // branch (Spark does not ReusedExchange across an agg+crossJoin DAG)
+    val truth = Dedup.materialize(
+      Similarity.bruteForceTopK(emb, probes, k = 10))
     val ann = Similarity.ivfPqTopK(emb, probes, topK = 10)
-    val audit = Similarity.recallAtK(
+    val audit = Dedup.materialize(Similarity.recallAtK(
       ann.select("query_id", "neighbor_id"),
-      truth.select("query_id", "neighbor_id"))
+      truth.select("query_id", "neighbor_id")))
     audit
       .join(truth.groupBy(col("query_id"))
         .agg(round(min(col("cos")), 4).as("kth_cos")), "query_id")
@@ -1219,7 +1224,11 @@ object Extensions {
     * oracle as x40 (the state path is output-identical by construction;
     * ExtSpec pins the parity, this pins the VALUES). The state dir is a
     * fresh temp dir per invocation — the output depends only on the
-    * data. */
+    * data — and is left for the OS tmp cleaner (the driver wipes /tmp
+    * between rounds; a run leaves a few MB per invocation). The timed
+    * bench cost of x89 deliberately INCLUDES the two state-building
+    * appends: the gate measures the whole steady-state ingest shape,
+    * not just the final read. */
   def x89(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val state = java.nio.file.Files
@@ -1582,7 +1591,7 @@ object Extensions {
          |  SELECT list_reduce(list_transform(t, x -> [x]), (acc, x) ->
          |    CASE WHEN len(acc) > 0 AND acc[-1] = m$i.pa AND x[1] = m$i.pb
          |         THEN list_concat(list_slice(acc, 1, len(acc) - 1),
-         |           [m$i.pa || '+' || m$i.pb])
+         |           [m$i.pa || chr(2) || m$i.pb])
          |         ELSE list_concat(acc, x) END) AS t
          |  FROM it${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
@@ -3356,9 +3365,11 @@ object Extensions {
         |    avg(x * x) AS mean_x2
         |  FROM d GROUP BY label, pos)
         |SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
-        |  round(sum(mean_x2), 4) AS mean_sq_norm,
-        |  round(sqrt(sum(mean_x * mean_x)), 4) AS centroid_norm,
-        |  round(sum(mean_x2) - sum(mean_x * mean_x), 4) AS dispersion
+        |  floor(sum(mean_x2) * 10000 + 0.5) / 10000 AS mean_sq_norm,
+        |  floor(sqrt(sum(mean_x * mean_x)) * 10000 + 0.5) / 10000
+        |    AS centroid_norm,
+        |  floor((sum(mean_x2) - sum(mean_x * mean_x)) * 10000 + 0.5) / 10000
+        |    AS dispersion
         |FROM p GROUP BY label ORDER BY label""".stripMargin,
 
     // x91: eval-side 13-gram attribution; argmax spelled as row_number

@@ -770,23 +770,27 @@ class ExtSpec extends SparkSpec {
     // hierarchically in later iterations
     assert(merges.head._2 == "a" && merges.head._3 == "b" &&
       merges.head._4 == 5L, s"first merge wrong: $merges")
-    assert(merges.map(_._1) == List(1L, 2L, 3L))
+    // merge 2 is (a·b, a·b) at n=2; after it no pair repeats, so the
+    // n>=2 stop rule ends training at 2 of the 3 requested merges
+    assert(merges.map(_._1) == List(1L, 2L))
+    assert(merges.forall(_._4 >= 2L), s"frequency-1 merge emitted: $merges")
     // later merges operate on merged symbols, not raw tokens
     assert(merges.tail.exists(m =>
-      m._2.contains("+") || m._3.contains("+")), s"no hierarchical merge: $merges")
+      m._2.contains(Bpe.mergeJoin) || m._3.contains(Bpe.mergeJoin)),
+      s"no hierarchical merge: $merges")
     // greedy left-to-right: "a a a b" with (a,b) → [a, a, a+b] (no overlap)
     val enc = Bpe.encode(docsFrom(Seq((1L, "a a a b a b"))), "text",
         Seq(("a", "b")))
       .select("symbols").as[Seq[String]].head()
-    assert(enc == Seq("a", "a", "a+b", "a+b"), s"fold wrong: $enc")
+    assert(enc == Seq("a", "a", s"a${Bpe.mergeJoin}b", s"a${Bpe.mergeJoin}b"),
+      s"fold wrong: $enc")
     // encode with the trained list reproduces training's final state
     val trained = merges.map(m => (m._2, m._3))
     val total = Bpe.encode(docs, "text", trained)
       .select(size(col("symbols")).cast("long").as("n")).as[Long].collect().sum
     assert(total < 15L, s"merges did not shrink the corpus: $total")
-    // exhaustion: a corpus with no repeated pair stops early
-    assert(Bpe.trainMerges(docsFrom(Seq((1L, "x y"))), "text", 5)
-      .count() <= 5L)
+    // exhaustion: a corpus with no REPEATED pair trains zero merges
+    assert(Bpe.trainMerges(docsFrom(Seq((1L, "x y"))), "text", 5).count() == 0L)
   }
 
   test("groupProfile: collapsed group has ~zero dispersion, spread group does not") {

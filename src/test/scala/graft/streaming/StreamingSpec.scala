@@ -207,25 +207,34 @@ class StreamingSpec extends SparkSpec {
     try {
       val a = "the quick brown fox jumps over the lazy dog again and again today"
       val b = "an entirely different document about spark shuffles and windows here"
-      // batch 0: an exact in-batch duplicate collapses before ingest
-      stream.addData(Seq((1L, a), (2L, a), (3L, b)))
+      val short = "hi there" // below shingle size: un-bandable, still corpus
+      // batch 0: an exact in-batch duplicate collapses before ingest; the
+      // short doc must be RETAINED in the state (the state IS the corpus)
+      // even though it can never band
+      stream.addData(Seq((1L, a), (2L, a), (3L, b), (4L, short)))
       q.processAllAvailable()
-      assert(acceptedIds == Set(1L, 3L))
+      assert(acceptedIds == Set(1L, 3L, 4L))
       // batch 1: near-dup of a, exact dup of b, one fresh doc — the match
       // runs against persisted bands, not recomputed corpus signatures
       val a2 = a.replace("today", "tomorrow")
       val fresh = "completely unrelated vocabulary with many novel words in sequence"
       stream.addData(Seq((10L, a2), (11L, b), (12L, fresh)))
       q.processAllAvailable()
-      assert(acceptedIds == Set(1L, 3L, 12L),
+      assert(acceptedIds == Set(1L, 3L, 4L, 12L),
         "near/exact dups of the state corpus must be rejected, fresh docs accepted")
       val pairs = spark.read.parquet(pairsDir)
         .select("new_id", "old_id").as[(Long, Long)].collect().toSet
       assert(pairs.contains((10L, 1L)), s"missing near-dup audit pair in $pairs")
       assert(pairs.contains((11L, 3L)), s"missing exact-dup audit pair in $pairs")
-      // the accepted corpus is reconstructable from the state itself
+      // the accepted corpus — including the un-bandable short doc — is
+      // reconstructable from the state itself
       assert(spark.read.parquet(s"$stateDir/reps").select("text")
-        .as[String].collect().toSet == Set(a, b, fresh))
+        .as[String].collect().toSet == Set(a, b, short, fresh))
+      // ...and short docs contribute no band rows (a null signature must
+      // not collide everything on md5(""))
+      val bandRids = spark.read.parquet(s"$stateDir/bands")
+        .select("rid").as[Long].collect().toSet
+      assert(!bandRids.contains(4L), "short doc must not band")
     } finally q.stop()
 
     // at-least-once replay: re-running batch 1's work against a state that
@@ -245,7 +254,7 @@ class StreamingSpec extends SparkSpec {
       graft.ext.Dedup.exact(batch1, "doc_id", "text")
         .join(replayPairs.map(_._1).toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti"),
       "doc_id", "text", stateDir, batchTag = Some(1L))
-    assert(acceptedIds == Set(1L, 3L, 12L), "replay overwrote, not duplicated")
+    assert(acceptedIds == Set(1L, 3L, 4L, 12L), "replay overwrote, not duplicated")
   }
 
   test("streaming simhash dedup suppresses reordered near-dups, keeps distinct docs") {
