@@ -104,6 +104,180 @@ object Bpe {
         col("right"), col("n"))
   }
 
+  /** [[trainMerges]] on a deterministic hash-sample of the corpus — the
+    * production-scale training path: at 100 TB no BPE trainer touches
+    * every document (the pair statistics of a few hundred thousand docs
+    * pin the same merge list), so the corpus is thinned FIRST with the
+    * engine's portable hash sample ([[Sampling.uniform]] — pure function
+    * of the id, reproducible on any engine and under retries) and the
+    * merge loop runs on the sample: per-merge cost is O(sample),
+    * independent of corpus size. The full corpus is then encoded ONCE
+    * with [[encode]] (map-side, no shuffle) — merge training never pays
+    * a corpus-wide pass at all.
+    *
+    * Same output contract as [[trainMerges]]; the x101 gate pins the
+    * sampled trainer's merge list against a DuckDB oracle over the same
+    * hash-sample. */
+  def trainMergesSampled(
+      docs: DataFrame, textCol: String, idCol: String, numMerges: Int,
+      sampleRate: Double, buckets: Int = 10000): DataFrame = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    trainMerges(
+      Sampling.uniform(docs.select(col(idCol), col(textCol)), idCol,
+        sampleRate, buckets),
+      textCol, numMerges)
+  }
+
+  /** In-memory trainer over a bounded sample — the path for PRODUCTION
+    * vocabulary sizes. [[trainMerges]] (and [[trainMergesSampled]]) run
+    * one Spark job chain per merge; at 32k merges the driver-side job
+    * scheduling alone dominates, however small the sample. Real trainers
+    * run the loop in memory: this collects at most `maxDocs` documents
+    * (deterministic hash-order prefix — a pure function of the ids, NOT
+    * arrival order) and trains with INCREMENTAL pair-count maintenance —
+    * each merge re-encodes only the documents that contain the chosen
+    * pair (tracked by a pair→docs index) and adjusts counts by the local
+    * diff, so per-merge cost is proportional to the affected text, not
+    * the sample. Semantics are bit-identical to [[trainMerges]] (same
+    * greedy left-to-right fold, same (count desc, left, right) tie
+    * order, same stop-below-2 rule) — pinned by ExtSpec parity on the
+    * same input.
+    *
+    * The driver holds `maxDocs` token arrays — cap it to the driver's
+    * memory (the default 100k docs of ~1k tokens is well under a GB). */
+  def trainMergesLocal(
+      docs: DataFrame, textCol: String, idCol: String, numMerges: Int,
+      maxDocs: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(maxDocs >= 1 && maxDocs <= 2000000,
+      "maxDocs bounds the driver-side sample; keep it under 2M docs")
+    // deterministic bounded sample: order by the portable hash of the id
+    // (ties by id) and take the prefix — reproducible regardless of
+    // partitioning, and unbiased unlike a partition-order limit
+    val sample: Array[Array[String]] = docs
+      .select(col(idCol).cast("string").as("gid"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .orderBy(graft.ext.PortableHash.md5Long(col("gid")), col("gid"))
+      .limit(maxDocs)
+      .select(col("toks"))
+      .collect()
+      .map(_.getSeq[String](0).toArray)
+    localBpe(spark, sample, numMerges)
+  }
+
+  /** Unsigned byte-wise UTF-8 comparison — the ordering Spark's string
+    * sort (UTF8String) and DuckDB both use. Scala's String.compareTo
+    * orders by UTF-16 code units, which disagrees for supplementary
+    * characters; the tie-break must match [[trainMerges]] exactly. */
+  private def utf8Cmp(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** The incremental in-memory merge loop behind [[trainMergesLocal]].
+    *
+    * Data structures: a pair→count map, a pair→docs index (`where`, a
+    * superset — stale docs are harmless, re-encode is a no-op on them),
+    * and a lazy-deletion max-heap for the argmax. Invariant: every pair
+    * in `counts` has a heap entry with stored n ≥ its current count —
+    * increments push the exact new value; decrements leave the old
+    * (higher) entry, which pops first, fails the staleness check, and
+    * re-pushes the corrected value. The first VALID pop is therefore the
+    * true (n desc, left, right) argmax. Per-merge cost ∝ the text of the
+    * docs containing the merged pair, never the sample. */
+  private def localBpe(
+      spark: org.apache.spark.sql.SparkSession,
+      docsIn: Array[Array[String]], numMerges: Int): DataFrame = {
+    import scala.collection.mutable
+    val docs = docsIn.clone()
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // max-heap: larger n first; ties by UTF-8-ascending (left, right)
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val byN = java.lang.Long.compare(x._1, y._1)
+        if (byN != 0) byN
+        else {
+          val byA = utf8Cmp(y._2, x._2) // smaller string = higher priority
+          if (byA != 0) byA else utf8Cmp(y._3, x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    def addDoc(i: Int, sign: Long, push: Boolean): Unit = {
+      val t = docs(i)
+      var j = 0
+      while (j < t.length - 1) {
+        val p = (t(j), t(j + 1))
+        val n = counts.getOrElse(p, 0L) + sign
+        if (n == 0L) counts.remove(p) else counts.update(p, n)
+        if (sign > 0) {
+          where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+          if (push) heap.enqueue((n, p._1, p._2))
+        }
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < docs.length) { addDoc(i, 1L, push = false); i += 1 }
+    counts.foreach { case ((a, b), n) => heap.enqueue((n, a, b)) }
+    // same greedy left-to-right fold as [[applyMerge]]
+    def reencode(t: Array[String], a: String, b: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < t.length) {
+        if (out.nonEmpty && out.last == a && t(j) == b) {
+          out(out.length - 1) = a + mergeJoin + b
+        } else out += t(j)
+        j += 1
+      }
+      out.toArray
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      // pop to the first non-stale entry, re-pushing corrected values
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val (n, a, b) = heap.dequeue()
+        counts.get((a, b)) match {
+          case Some(cur) if cur == n => top = Some((n, a, b))
+          case Some(cur) if cur >= 2 => heap.enqueue((cur, a, b))
+          case _ => () // gone or below the merge floor — drop
+        }
+      }
+      top match {
+        case Some((n, a, b)) if n >= 2 =>
+          merges += ((step, a, b, n))
+          // re-encode ONLY the docs containing (a, b); counts by local diff
+          where.getOrElse((a, b), mutable.BitSet.empty).toArray.foreach { d =>
+            addDoc(d, -1L, push = false)
+            docs(d) = reencode(docs(d), a, b)
+            addDoc(d, 1L, push = true)
+          }
+          where.remove((a, b))
+          step += 1
+        case _ => exhausted = true
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "left", "right", "n")
+      .select(col("step").cast("long").as("step"), col("left"),
+        col("right"), col("n"))
+  }
+
   /** Re-encode `textCol` with an already-trained merge list, in training
     * order — the APPLY side of [[trainMerges]] for encoding new corpora
     * with a fixed tokenizer. Merges are applied as chained folds (one per

@@ -1376,8 +1376,11 @@ object Dedup {
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("graft_d"))
-    val wedges = deg.agg(sum(
-      expr("graft_d * (graft_d - 1) div 2")).as("n_wedges"))
+    // coalesce: sum over the zero-row degree relation (empty graph) is
+    // NULL, which a typed non-nullable Long read would NPE on — the empty
+    // graph's wedge count is 0, fully typed
+    val wedges = deg.agg(coalesce(sum(
+      expr("graft_d * (graft_d - 1) div 2")), lit(0L)).as("n_wedges"))
     val tri = edges.as("ab")
       .join(edges.select(col("a").as("b"), col("b").as("c")).as("bc"), "b")
       .join(edges.select(col("a"), col("b").as("c")).as("ac"), Seq("a", "c"))

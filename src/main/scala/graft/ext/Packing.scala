@@ -122,13 +122,11 @@ object Packing {
         // the shortest decimal (0.25525 -> 0.2553) while C-family
         // round() sees the binary value (-> 0.2552); floor agrees
         // everywhere (the x74 quantization lesson)
-        fourDp(col("used_tokens").cast("double") /
+        Dedup.round4(col("used_tokens").cast("double") /
           (col("n_bins") * lit(budget))).as("mean_fill"),
-        fourDp(col("graft_min").cast("double") / budget).as("min_fill"),
-        fourDp(col("graft_max").cast("double") / budget).as("max_fill"))): _*)
+        Dedup.round4(col("graft_min").cast("double") / budget).as("min_fill"),
+        Dedup.round4(col("graft_max").cast("double") / budget).as("max_fill"))): _*)
   }
-
-  private def fourDp(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
   /** Assemble the packed training sequences: one row per bin with the
     * documents' text joined in `orderCol` order.

@@ -1184,16 +1184,18 @@ object Extensions {
     * oracle recomputes the exact side (per-query truth size + 10th-best
     * cosine from the brute ranking) and asserts the audit bound TRUE.
     * The bound is a floor on the MEAN recall@10 across the probe batch
-    * (≥ 0.05), not per query: the synthetic embeddings are near-uniform —
+    * (≥ 0.1), not per query: the synthetic embeddings are near-uniform —
     * the worst case for a 16-centroid/8-dim-subspace product quantizer —
     * so measured per-query recall ranges 0.0–0.6 (means 0.34/0.30/0.21
     * at sf0.001/0.01/0.1, nProbe=2 of 8 cells; nProbe=4 moves the means
     * < 0.03 — distortion-, not probe-, limited). The gate exists to catch
     * a BROKEN index — wrong cells probed, garbled codes → recall ≈ k/n
-    * (0.005 at sf0.1), 10× below the floor — not to certify production
-    * recall on adversarially uniform vectors; the floor sits 4× under
-    * the weakest observed mean so a reseeded testdata generation cannot
-    * flip the gate while a broken index still cannot pass it. */
+    * (0.005 at sf0.1), 20× below the floor — not to certify production
+    * recall on adversarially uniform vectors; the floor is the weakest
+    * observed mean ÷ 2, headroom enough that a reseeded testdata
+    * generation cannot flip the gate while a broken index still cannot
+    * pass it. The QUALITY claim lives in x102, which runs the same audit
+    * on a clustered fixture where recall ≈ 1.0 and gates at 0.8. */
   def x88(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probes = emb.filter(col("vec_id") < 20)
@@ -1210,7 +1212,7 @@ object Extensions {
     audit
       .join(truth.groupBy(col("query_id"))
         .agg(round(min(col("cos")), 4).as("kth_cos")), "query_id")
-      .crossJoin(audit.agg((avg(col("recall")) >= 0.05).as("mean_recall_ok")))
+      .crossJoin(audit.agg((avg(col("recall")) >= 0.1).as("mean_recall_ok")))
       .select(col("query_id"), col("n_truth"), col("kth_cos"),
         col("mean_recall_ok"))
       .orderBy("query_id")
@@ -1379,6 +1381,59 @@ object Extensions {
   def x100(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langConfusion(t(s, dir, "documents"), "lang", "text")
       .orderBy("declared", "predicted")
+
+  /** x101 — SAMPLED BPE training ([[Bpe.trainMergesSampled]]): the same
+    * four train iterations as x93, but over the deterministic 25 %
+    * hash-sample of the corpus — the production path where per-merge
+    * cost is O(sample), independent of corpus size. The oracle is x93's
+    * unrolled CTE chain with it0 restricted by the identical portable
+    * hash predicate, so the gate pins that the sampled trainer's merge
+    * list is exactly the full trainer's semantics applied to the sample
+    * (NOT merely similar to the full corpus's list). */
+  def x101(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainMergesSampled(t(s, dir, "documents"), "text", "doc_id",
+        numMerges = 4, sampleRate = 0.25)
+      .orderBy("step")
+
+  /** x102 — ANN recall audit on CLUSTERED embeddings
+    * ([[Similarity.kmeansIvfTopK]] vs brute truth): x88's audit shape,
+    * but over a deterministic mixture fixture where a recall claim MEANS
+    * something. x88 runs on the testdata's near-uniform vectors — the
+    * honest worst case, gated only as a broken-index tripwire; this
+    * fixture derives 8 well-separated clusters from the same vec_ids
+    * (center 4.0 on every 8th dimension by vec_id % 8, ± 0.25 portable-
+    * hash jitter per dimension — both engines recompute identical
+    * doubles), where each query's true top-10 lies inside its own
+    * cluster, the k-means seeds (the 8 lowest-id vectors) land one per
+    * cluster, and a correctly-probing IVF recalls ≈ 1.0. The gate pins
+    * mean recall@10 ≥ 0.8 — tight enough that probing the wrong cells
+    * or garbling the assignment fails, with measured headroom ≈ 1.0. */
+  def x102(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val emb = t(s, dir, "embeddings").select(col("vec_id"))
+      .withColumn("embedding", transform(sequence(lit(1), lit(dims)), j =>
+        when(pmod(col("vec_id"), lit(8)) === pmod(j - 1, lit(8)), lit(4.0))
+          .otherwise(lit(0.0))
+          + (pmod(graft.ext.PortableHash.md5Long(
+                concat(col("vec_id").cast("string"), lit(":"), j.cast("string"))),
+              lit(1000L)).cast("double") / 1000.0 - 0.5) * 0.5))
+    val probes = emb.filter(col("vec_id") < 20)
+    // both feed multiple branches (x88's materialization rationale)
+    val truth = Dedup.materialize(
+      Similarity.bruteForceTopK(emb, probes, k = 10))
+    val ann = Similarity.kmeansIvfTopK(emb, probes, topK = 10,
+      k = 8, iters = 2, nProbe = 2)
+    val audit = Dedup.materialize(Similarity.recallAtK(
+      ann.select("query_id", "neighbor_id"),
+      truth.select("query_id", "neighbor_id")))
+    audit
+      .join(truth.groupBy(col("query_id"))
+        .agg(round(min(col("cos")), 4).as("kth_cos")), "query_id")
+      .crossJoin(audit.agg((avg(col("recall")) >= 0.8).as("mean_recall_ok")))
+      .select(col("query_id"), col("n_truth"), col("kth_cos"),
+        col("mean_recall_ok"))
+      .orderBy("query_id")
+  }
 
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
@@ -1560,7 +1615,9 @@ object Extensions {
     "x97_novelty" -> (x97 _),
     "x98_phrase_search" -> (x98 _),
     "x99_dup_transitivity" -> (x99 _),
-    "x100_lang_confusion" -> (x100 _)
+    "x100_lang_confusion" -> (x100 _),
+    "x101_bpe_train_sampled" -> (x101 _),
+    "x102_ann_recall_clustered" -> (x102 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1576,7 +1633,7 @@ object Extensions {
     * fold seeds the accumulator with the first singleton element, which
     * matches Spark's empty-seed fold because the first symbol can never
     * satisfy the tail-merge guard. */
-  private def bpeOracleSql(numMerges: Int): String = {
+  private def bpeOracleSql(numMerges: Int, docWhere: String = ""): String = {
     val iters = (1 to numMerges).map { i =>
       s"""p$i AS (
          |  SELECT unnest(list_transform(range(1, len(t)),
@@ -1600,7 +1657,7 @@ object Extensions {
       .mkString("\nUNION ALL\n")
     s"""WITH it0 AS (
        |  SELECT string_split(text, ' ') AS t FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 2),
+       |  WHERE len(string_split(text, ' ')) >= 2$docWhere),
        |$iters
        |$union
        |ORDER BY step""".stripMargin
@@ -3522,7 +3579,7 @@ object Extensions {
          |  SELECT v, count(*) AS d FROM (
          |    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
          |  GROUP BY v),
-         |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |w AS (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges FROM deg),
          |tri AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
          |  FROM edges ab
@@ -3579,6 +3636,39 @@ object Extensions {
         |  floor(CAST(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
         |      AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS novelty
         |FROM sh s JOIN first f USING (gram)
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // x101: x93's unrolled train chain over the 25 % portable-hash sample
+    // (identical predicate to Sampling.uniform's 60-bit md5 bucket)
+    "x101_bpe_train_sampled" -> bpeOracleSql(4, docWhere =
+      """
+        |    AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 10000 < 2500""".stripMargin),
+
+    // x102: the oracle rebuilds the SAME clustered fixture (center 4.0 on
+    // every 8th dim by vec_id % 8, portable-hash jitter — identical IEEE
+    // doubles on both engines), recomputes the exact brute top-10 side,
+    // and asserts the 0.8 mean-recall floor TRUE (x88's bound-gate shape)
+    "x102_ann_recall_clustered" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(range(1, 65), j ->
+        |    CASE WHEN vec_id % 8 = (j - 1) % 8 THEN 4.0 ELSE 0.0 END
+        |    + ((CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR),
+        |          ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 1000)
+        |        / 1000.0 - 0.5) * 0.5) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM q, e WHERE e.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth,
+        |  round(min(cos), 4) AS kth_cos, TRUE AS mean_recall_ok
+        |FROM ranked WHERE rank <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin
   )
 }

@@ -793,6 +793,88 @@ class ExtSpec extends SparkSpec {
     assert(Bpe.trainMerges(docsFrom(Seq((1L, "x y"))), "text", 5).count() == 0L)
   }
 
+  test("BPE: local trainer parity with the distributed trainer (incl. UTF-8 tie order)") {
+    // a corpus with hierarchy, ties, and the UTF-16-vs-UTF-8 ordering trap:
+    // U+1F600 (UTF-16 surrogates sort LOW, UTF-8 bytes sort HIGH) vs
+    // U+FFFD — a tie between pairs led by these two must break the same
+    // way in both trainers (Spark compares UTF-8 bytes)
+    val docs = docsFrom(Seq(
+      (1L, "a a a b a b"),
+      (2L, "a b a b c"),
+      (3L, "c c a b"),
+      (4L, "😀 x 😀 x"),
+      (5L, "� x � x"),
+      (6L, "longer mixed document with repeated repeated tokens tokens"),
+      (7L, "longer mixed document with other content entirely")))
+    val dist = Bpe.trainMerges(docs, "text", numMerges = 8)
+      .as[(Long, String, String, Long)].collect().toList
+    val local = Bpe.trainMergesLocal(docs, "text", "doc_id", numMerges = 8,
+        maxDocs = 100)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(local == dist, s"local $local != distributed $dist")
+    assert(dist.nonEmpty)
+    // the tie pair led by U+FFFD (smaller in UTF-8) trains before the
+    // emoji-led pair — pin the order so a UTF-16 comparator would fail
+    val fi = dist.indexWhere(_._2 == "�")
+    val ei = dist.indexWhere(_._2 == "😀")
+    assert(fi >= 0 && ei >= 0 && fi < ei,
+      s"UTF-8 tie order not respected: $dist")
+  }
+
+  test("BPE: sampled trainer = full trainer on the hash-sample; bounded local sample") {
+    val docs = docsFrom((1L to 40L).map(i =>
+      (i, s"tok${i % 5} tok${i % 7} tok${i % 5} tok${i % 3} shared shared")))
+    // rate 1.0 keeps everything — identical to the full trainer
+    val full = Bpe.trainMerges(docs, "text", 4)
+      .as[(Long, String, String, Long)].collect().toList
+    val all = Bpe.trainMergesSampled(docs, "text", "doc_id", 4, sampleRate = 1.0)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(all == full)
+    // rate 0.3 trains exactly the full semantics applied to the sample
+    val sampled = Bpe.trainMergesSampled(docs, "text", "doc_id", 4, sampleRate = 0.3)
+      .as[(Long, String, String, Long)].collect().toList
+    val manual = Bpe.trainMerges(
+        Sampling.uniform(docs, "doc_id", 0.3), "text", 4)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(sampled == manual && sampled.nonEmpty)
+    // maxDocs bounds the local trainer's sample deterministically: the
+    // hash-order prefix is a pure function of the ids, so two calls agree
+    val a = Bpe.trainMergesLocal(docs, "text", "doc_id", 4, maxDocs = 10)
+      .as[(Long, String, String, Long)].collect().toList
+    val b = Bpe.trainMergesLocal(docs, "text", "doc_id", 4, maxDocs = 10)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("transitivityAudit: empty pair graph is fully typed zeros") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val row = Dedup.transitivityAudit(empty, "id_a", "id_b")
+      .as[(Long, Long, Long, Double)].head()
+    assert(row == ((0L, 0L, 0L, 0.0)), s"empty graph row: $row")
+  }
+
+  test("kmeansIvfTopK: near-perfect recall on clustered embeddings (x102 headroom)") {
+    // the x102 fixture geometry at 200 vectors: 8 well-separated clusters,
+    // jitter small vs center — measures the REAL mean recall so the gate's
+    // 0.8 floor is known to carry ~0.2 headroom
+    val emb = spark.range(0, 200).select(col("id").as("vec_id"))
+      .withColumn("embedding", transform(sequence(lit(1), lit(64)), j =>
+        when(pmod(col("vec_id"), lit(8)) === pmod(j - 1, lit(8)), lit(4.0))
+          .otherwise(lit(0.0))
+          + (pmod(PortableHash.md5Long(
+                concat(col("vec_id").cast("string"), lit(":"), j.cast("string"))),
+              lit(1000L)).cast("double") / 1000.0 - 0.5) * 0.5))
+    val probes = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(emb, probes, k = 10)
+    val ann = Similarity.kmeansIvfTopK(emb, probes, topK = 10,
+      k = 8, iters = 2, nProbe = 2)
+    val mean = Similarity.recallAtK(
+        ann.select("query_id", "neighbor_id"),
+        truth.select("query_id", "neighbor_id"))
+      .agg(avg(col("recall"))).as[Double].head()
+    assert(mean >= 0.95, s"clustered recall@10 mean $mean below 0.95")
+  }
+
   test("groupProfile: collapsed group has ~zero dispersion, spread group does not") {
     val collapsed = (1L to 10L).map(i => (i, Seq(1.0f, 2.0f, 3.0f), "flat"))
     val spread = Seq(
