@@ -434,12 +434,18 @@ object Dedup {
     * whose rid is absent from reps produce blocking candidates that the
     * verification join (inner on reps) discards — wasted work, never a
     * wrong or silently-dropped pair. A failed UNTAGGED append should be
-    * re-run with the same batch: fps whose rep/members landed are skipped
-    * (anti-join), fps that didn't are re-created (worst case duplicate
-    * band rows, absorbed by the candidate `distinct()`). Tagged mode needs
-    * no re-run discipline — the replayed batch overwrites its own
-    * partition whole. Untagged appends that are abandoned (never re-run)
-    * leave the batch's docs out of the corpus state — not failure-safe.
+    * re-run with the same batch, and the re-run is fully idempotent:
+    * reps whose fp landed are skipped (fp anti-join), member rows whose
+    * (id, rid) landed are skipped (anti-join against the members table —
+    * so a retry after the members job committed, e.g. a driver crash
+    * after commit or an orchestrator blind retry, appends nothing twice),
+    * and re-created band rows are absorbed by the candidate `distinct()`.
+    * The members anti-join scans the members table once per UNTAGGED
+    * append — steady-state ingest should use tagged mode, which needs no
+    * re-run discipline at all (the replayed batch overwrites its own
+    * partition whole) and pays no such scan. Untagged appends that are
+    * abandoned (never re-run) leave the batch's docs out of the corpus
+    * state — not failure-safe.
     *
     * The signature parameters (numPerms, rowsPerBand, shingleSize) are
     * persisted to `dir/_meta` on first append and VALIDATED on every
@@ -487,10 +493,20 @@ object Dedup {
       case None => newGroups.select(col("fp"), col("rid"))
     }
     // pinned (eager checkpoint) BEFORE any write: memberRows reads the
-    // CURRENT dir/reps through `ridOf`; materializing first means the
-    // later reps append can't leak into its own scan. O(batch) rows.
-    val memberRows = materialize(kept.select(col("fp"), col("id"))
-      .join(ridOf, "fp").select(col("id"), col("rid")))
+    // CURRENT dir/reps through `ridOf` (and, untagged, dir/members);
+    // materializing first means the later appends can't leak into their
+    // own scans. O(batch) rows.
+    val memberRowsAll = kept.select(col("fp"), col("id"))
+      .join(ridOf, "fp").select(col("id"), col("rid"))
+    val memberRows = materialize(batchTag match {
+      case Some(_) => memberRowsAll // partition overwrite is idempotent
+      case None => scala.util.Try(
+          spark.read.parquet(s"$dir/members").select(col("id"), col("rid")))
+        .toOption match {
+          case Some(m) => memberRowsAll.join(m, Seq("id", "rid"), "left_anti")
+          case None => memberRowsAll
+        }
+    })
     def out(table: String): (String, String) = batchTag match {
       case Some(t) => (s"$dir/$table/batch_id=$t", "overwrite")
       case None => (s"$dir/$table", "append")
@@ -555,6 +571,63 @@ object Dedup {
           .toDF("num_perms", "rows_per_band", "shingle_size")
           .coalesce(1).write.mode("overwrite").json(path)
       case None => ()
+    }
+  }
+
+  /** Compact an [[appendLshState]] state dir in place — the maintenance
+    * job for steady-state ingest: every append lands one small parquet
+    * file-set per table, so thousands of batches produce the classic
+    * small-file problem (listing cost, tiny row groups, per-file open
+    * overhead on every read). This rewrites each table (`bands`, `reps`,
+    * `members`) into ~`targetBytes`-sized files, preserving the
+    * `batch_id=N` partition layout of tagged states (so replay-overwrite
+    * semantics survive compaction) and the `_meta` parameter file
+    * untouched. Bands and members are `distinct()`-ed during the rewrite
+    * — absorbing any historical duplicate rows from pre-idempotency
+    * untagged re-runs; the pair output is provably unchanged (bands feed
+    * a candidate `distinct()`, members are unique per (id, rid) in a
+    * healthy state — ExtSpec pins pair parity before/after).
+    *
+    * Swap discipline (parquet dirs can't be replaced atomically on HDFS
+    * -likes): write to `<table>__compact_tmp`, rename the live table to
+    * `<table>__compact_bak`, rename tmp into place, drop the backup. A
+    * crash between the two renames leaves the backup intact — recover by
+    * renaming it back. Like any compaction, run it OFFLINE: concurrent
+    * appends or reads during the swap see a missing table. */
+  def compactLshState(
+      spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    Seq("bands", "reps", "members").foreach { table =>
+      val path = new org.apache.hadoop.fs.Path(dir, table)
+      val fs = path.getFileSystem(hconf)
+      if (fs.exists(path)) {
+        val df = spark.read.parquet(path.toString)
+        val tagged = df.columns.contains("batch_id")
+        val clean = table match {
+          case "reps" => df
+          case _ => df.distinct()
+        }
+        val nFiles = math.max(1, math.ceil(
+          fs.getContentSummary(path).getLength.toDouble / targetBytes).toInt)
+        // tagged: hash-cluster by batch so each partition dir gets ONE
+        // file (parquet is splittable — a big backfill batch still reads
+        // in parallel); untagged: plain round-robin to nFiles
+        val sized =
+          if (tagged) clean.repartition(nFiles, col("batch_id"))
+          else clean.repartition(nFiles)
+        val tmp = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_tmp")
+        val bak = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_bak")
+        fs.delete(tmp, true); fs.delete(bak, true)
+        val w = sized.write.mode("overwrite")
+        (if (tagged) w.partitionBy("batch_id") else w).parquet(tmp.toString)
+        require(fs.rename(path, bak), s"compact: cannot move $path aside")
+        if (!fs.rename(tmp, path)) {
+          fs.rename(bak, path) // restore the live table before failing
+          throw new IllegalStateException(s"compact: cannot swap in $tmp")
+        }
+        fs.delete(bak, true)
+      }
     }
   }
 

@@ -81,7 +81,8 @@ object DedupStream {
       idCol: String,
       textCol: String,
       checkpointDir: String,
-      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.5,
+      shingleSize: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -95,8 +96,21 @@ object DedupStream {
         val accepted = corpus match {
           case scala.util.Failure(_) => withinCollapsed // first batch: no pairs
           case scala.util.Success(c) =>
+            // docs below the shingle size never enter the LSH pair path
+            // (it filters both sides), so their cross-batch EXACT dups are
+            // caught here by content fingerprint and audited at 1.0 — the
+            // same jaccard an in-band exact dup reports
+            val shortDups = withinCollapsed
+              .filter(size(graft.ext.Dedup.tokens(col(textCol))) < shingleSize)
+              .withColumn("graft_fp", md5(col(textCol)))
+              .join(c.select(md5(col(textCol)).as("graft_fp"),
+                col(idCol).as("old_id")), "graft_fp")
+              .select(col(idCol).as("new_id"), col("old_id"),
+                lit(1.0).as("jaccard"))
             graft.ext.Dedup.incrementalLshPairs(
-                c, withinCollapsed, idCol, textCol, threshold = threshold)
+                c, withinCollapsed, idCol, textCol, threshold = threshold,
+                shingleSize = shingleSize)
+              .unionByName(shortDups)
               .write.mode("overwrite")
               .parquet(s"$pairsDir/batch_id=$batchId")
             // read the audit pairs back rather than recomputing the chain
@@ -136,24 +150,45 @@ object DedupStream {
       idCol: String,
       textCol: String,
       checkpointDir: String,
-      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.5,
+      shingleSize: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
     batches.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val withinCollapsed = graft.ext.Dedup.exact(
           batch.select(col(idCol), col(textCol)), idCol, textCol)
-        val stateExists = scala.util.Try {
-          val r = spark.read.parquet(s"$stateDir/reps")
-          (if (r.columns.contains("batch_id"))
-            r.filter(col("batch_id") =!= batchId) else r).head(1)
-        }.toOption.exists(_.nonEmpty)
+        // replay-safe state reads: drop the batch's own partition, same
+        // rule as the pair operator's excludeTag
+        def readState(table: String): Option[DataFrame] = scala.util.Try {
+          val t = spark.read.parquet(s"$stateDir/$table")
+          if (t.columns.contains("batch_id"))
+            t.filter(col("batch_id") =!= batchId) else t
+        }.toOption
+        val stateExists =
+          readState("reps").exists(_.head(1).nonEmpty)
         val accepted =
           if (!stateExists) withinCollapsed // first batch: nothing to match
           else {
+            // the state retains short docs in reps/members (the state IS
+            // the corpus) but the LSH pair path filters them on both
+            // sides — so their cross-batch EXACT dups are caught here by
+            // fingerprint against the reps and audited at 1.0 against
+            // every accepted member of the matching group
+            val reps = readState("reps").get
+            val members = readState("members").get
+            val shortDups = withinCollapsed
+              .filter(size(graft.ext.Dedup.tokens(col(textCol))) < shingleSize)
+              .withColumn("fp", md5(col(textCol)))
+              .join(reps.select(col("fp"), col("rid")), "fp")
+              .join(members.select(col("rid"), col("id").as("old_id")), "rid")
+              .select(col(idCol).as("new_id"), col("old_id"),
+                lit(1.0).as("jaccard"))
             graft.ext.Dedup.incrementalLshPairsFromState(
                 stateDir, withinCollapsed, idCol, textCol,
-                threshold = threshold, excludeTag = Some(batchId))
+                threshold = threshold, shingleSize = shingleSize,
+                excludeTag = Some(batchId))
+              .unionByName(shortDups)
               .write.mode("overwrite")
               .parquet(s"$pairsDir/batch_id=$batchId")
             withinCollapsed.join(
@@ -162,7 +197,7 @@ object DedupStream {
               Seq(idCol), "left_anti")
           }
         graft.ext.Dedup.appendLshState(accepted, idCol, textCol, stateDir,
-          batchTag = Some(batchId))
+          shingleSize = shingleSize, batchTag = Some(batchId))
         ()
       }
       .start()

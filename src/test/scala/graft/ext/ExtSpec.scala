@@ -1059,6 +1059,90 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("appendLshState untagged: blind re-run is fully idempotent (no duplicate members or pairs)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshretry")
+      .toFile.getAbsolutePath
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = docsFrom(Seq(
+      (1L, base), (2L, base), // exact dups share one rep, two members
+      (3L, "some corpus document with entirely unrelated vocabulary inside")))
+    Dedup.appendLshState(corpus, "doc_id", "text", dir,
+      numPerms = 16, rowsPerBand = 2)
+    val members1 = spark.read.parquet(s"$dir/members")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // an orchestrator blind retry re-runs the SAME batch untagged — every
+    // table must come out row-identical where it matters: members exactly
+    // (pair expansion reads them), reps exactly (fp anti-join)
+    Dedup.appendLshState(corpus, "doc_id", "text", dir,
+      numPerms = 16, rowsPerBand = 2)
+    val members2 = spark.read.parquet(s"$dir/members")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(members2 == members1, "re-run duplicated member rows")
+    assert(spark.read.parquet(s"$dir/reps").count() == 2)
+    // pair OUTPUT carries no duplicated rows either
+    val batch = docsFrom(Seq((10L, base)))
+    val pairs = Dedup.incrementalLshPairsFromState(dir, batch,
+        "doc_id", "text", numPerms = 16, rowsPerBand = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.size == pairs.toSet.size, s"duplicate pair rows: $pairs")
+    assert(pairs.toSet == Set((10L, 1L, 1.0), (10L, 2L, 1.0)))
+  }
+
+  test("compactLshState: pair parity, fewer files, _meta and tagged layout preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshcompact")
+      .toFile.getAbsolutePath
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    def fileCount(sub: String): Int = {
+      val d = new java.io.File(s"$dir/$sub")
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(d)
+    }
+    // many small UNTAGGED appends → many small file-sets
+    (0 until 4).foreach { i =>
+      Dedup.appendLshState(docsFrom(Seq(
+        (i * 10L, base.replace("today", s"day$i")),
+        (i * 10L + 1, s"unrelated content number $i with its own distinct words"))),
+        "doc_id", "text", s"$dir/u", numPerms = 16, rowsPerBand = 2)
+    }
+    val batch = docsFrom(Seq((100L, base.replace("today", "day0"))))
+    def pairsOf(state: String) = Dedup.incrementalLshPairsFromState(state,
+        batch, "doc_id", "text", numPerms = 16, rowsPerBand = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val before = pairsOf(s"$dir/u")
+    val filesBefore = fileCount("u")
+    Dedup.compactLshState(spark, s"$dir/u")
+    assert(fileCount("u") < filesBefore,
+      s"compaction did not shrink the file count ($filesBefore)")
+    assert(pairsOf(s"$dir/u") == before, "compaction changed pair output")
+    // _meta survives: mismatched params still fail fast, matched append works
+    intercept[IllegalArgumentException] {
+      Dedup.appendLshState(docsFrom(Seq((200L, "x y z w"))), "doc_id",
+        "text", s"$dir/u", numPerms = 16, rowsPerBand = 4)
+    }
+    Dedup.appendLshState(docsFrom(Seq(
+      (201L, "yet another wholly distinct document with brand new words"))),
+      "doc_id", "text", s"$dir/u", numPerms = 16, rowsPerBand = 2)
+
+    // TAGGED state: compaction must preserve the batch_id layout so a
+    // replayed batch still overwrites its own partition
+    Dedup.appendLshState(docsFrom(Seq((1L, base),
+      (2L, "some corpus document with entirely unrelated vocabulary inside"))),
+      "doc_id", "text", s"$dir/t", numPerms = 16, rowsPerBand = 2,
+      batchTag = Some(1L))
+    val b2 = docsFrom(Seq((3L, base.replace("today", "tomorrow"))))
+    Dedup.appendLshState(b2, "doc_id", "text", s"$dir/t",
+      numPerms = 16, rowsPerBand = 2, batchTag = Some(2L))
+    val tBefore = pairsOf(s"$dir/t")
+    Dedup.compactLshState(spark, s"$dir/t")
+    assert(pairsOf(s"$dir/t") == tBefore, "tagged compaction changed pairs")
+    Dedup.appendLshState(b2, "doc_id", "text", s"$dir/t",
+      numPerms = 16, rowsPerBand = 2, batchTag = Some(2L)) // replay
+    assert(pairsOf(s"$dir/t") == tBefore, "replay after compaction duplicated")
+    assert(spark.read.parquet(s"$dir/t/members").count() == 3)
+  }
+
   test("approxTopKPrune: lossless while active, inert below the size guard") {
     // 4000 rows across 2 keys with colliding scores (score = id % 97) so
     // ties at the kept/dropped boundary are exercised

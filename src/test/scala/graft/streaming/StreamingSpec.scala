@@ -173,23 +173,27 @@ class StreamingSpec extends SparkSpec {
     try {
       val a = "the quick brown fox jumps over the lazy dog again and again today"
       val b = "an entirely different document about spark shuffles and windows here"
+      val short = "hi there" // below shingle size — invisible to the LSH path
       // batch 0: an exact in-batch duplicate collapses before ingest
-      stream.addData(Seq((1L, a), (2L, a), (3L, b)))
+      stream.addData(Seq((1L, a), (2L, a), (3L, b), (4L, short)))
       q.processAllAvailable()
       assert(spark.read.parquet(corpusDir).select("doc_id")
-        .as[Long].collect().toSet == Set(1L, 3L))
-      // batch 1: near-dup of a (1-word change), exact dup of b, one fresh doc
+        .as[Long].collect().toSet == Set(1L, 3L, 4L))
+      // batch 1: near-dup of a (1-word change), exact dup of b, an exact
+      // dup of the SHORT doc (caught by fingerprint, not LSH), one fresh doc
       val a2 = a.replace("today", "tomorrow")
       val fresh = "completely unrelated vocabulary with many novel words in sequence"
-      stream.addData(Seq((10L, a2), (11L, b), (12L, fresh)))
+      stream.addData(Seq((10L, a2), (11L, b), (12L, fresh), (13L, short)))
       q.processAllAvailable()
       assert(spark.read.parquet(corpusDir).select("doc_id")
-        .as[Long].collect().toSet == Set(1L, 3L, 12L),
+        .as[Long].collect().toSet == Set(1L, 3L, 4L, 12L),
         "near/exact dups of corpus docs must be rejected, fresh docs accepted")
       val pairs = spark.read.parquet(pairsDir)
         .select("new_id", "old_id").as[(Long, Long)].collect().toSet
       assert(pairs.contains((10L, 1L)), s"missing near-dup audit pair in $pairs")
       assert(pairs.contains((11L, 3L)), s"missing exact-dup audit pair in $pairs")
+      assert(pairs.contains((13L, 4L)),
+        s"missing short-doc exact-dup audit pair in $pairs")
     } finally q.stop()
   }
 
@@ -235,6 +239,19 @@ class StreamingSpec extends SparkSpec {
       val bandRids = spark.read.parquet(s"$stateDir/bands")
         .select("rid").as[Long].collect().toSet
       assert(!bandRids.contains(4L), "short doc must not band")
+      // batch 2: an exact re-arrival of the ACCEPTED short doc — the LSH
+      // pair path filters short docs on both sides, so the fingerprint
+      // check against the state's reps must reject it (with an audit row)
+      // while a fresh doc in the same batch is accepted
+      val fresh2 = "another brand new document holding plenty of distinct words"
+      stream.addData(Seq((20L, short), (21L, fresh2)))
+      q.processAllAvailable()
+      assert(acceptedIds == Set(1L, 3L, 4L, 12L, 21L),
+        "cross-batch short-doc exact dup must be rejected by fingerprint")
+      val pairs2 = spark.read.parquet(pairsDir)
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+      assert(pairs2.contains((20L, 4L)),
+        s"missing short-doc exact-dup audit pair in $pairs2")
     } finally q.stop()
 
     // at-least-once replay: re-running batch 1's work against a state that
@@ -254,7 +271,8 @@ class StreamingSpec extends SparkSpec {
       graft.ext.Dedup.exact(batch1, "doc_id", "text")
         .join(replayPairs.map(_._1).toSeq.toDF("doc_id"), Seq("doc_id"), "left_anti"),
       "doc_id", "text", stateDir, batchTag = Some(1L))
-    assert(acceptedIds == Set(1L, 3L, 4L, 12L), "replay overwrote, not duplicated")
+    assert(acceptedIds == Set(1L, 3L, 4L, 12L, 21L),
+      "replay overwrote, not duplicated")
   }
 
   test("streaming simhash dedup suppresses reordered near-dups, keeps distinct docs") {
