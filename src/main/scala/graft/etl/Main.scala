@@ -176,7 +176,7 @@ object Main {
       val start = java.time.Instant.now().toString
       val result =
         if (chunked) Pipeline.processChunkedFile(spark, f.toString)
-        else Pipeline.process(spark, Pipeline.readWholeFiles(spark, f.toString))
+        else Pipeline.processFile(spark, f.toString) // auto-chunks oversized files
       if (result.totalItems == 0) {
         println(s"[process] ${f.getFileName}: no records")
       } else {

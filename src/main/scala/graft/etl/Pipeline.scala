@@ -91,6 +91,33 @@ object Pipeline {
     assemble(spark, records)
   }
 
+  /** Size threshold (bytes) above which [[processFile]] routes a single
+    * file to [[processChunkedFile]]. Default 256 MiB: far below the 2 GiB
+    * JVM string ceiling a wholetext read would hit, and past the point
+    * where one-row-per-file serializes detection on a single core. */
+  val chunkThresholdKey = "spark.graft.chunkThresholdBytes"
+  private val chunkThresholdDefault: Long = 256L << 20
+
+  /** Process ONE file, auto-routing by size: whole-file semantics below
+    * the [[chunkThresholdKey]] threshold, [[processChunkedFile]] at or
+    * above it. The wholetext path materializes the entire file as one
+    * row — a multi-GB file serializes detection on one executor thread
+    * and a > 2 GiB file breaks the JVM string limit — so oversized files
+    * take the segment-parallel path instead (same output for the
+    * blank-line-separated data model; divergence contract documented on
+    * [[processChunkedFile]]). The size probe uses the Hadoop FileSystem
+    * of the path, so routing works on HDFS/object stores, not just local
+    * disk. */
+  def processFile(spark: SparkSession, path: String): Result = {
+    val threshold = spark.conf.getOption(chunkThresholdKey)
+      .map(_.toLong).getOrElse(chunkThresholdDefault)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val size = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(p).getLen
+    if (size >= threshold) processChunkedFile(spark, path)
+    else process(spark, readWholeFiles(spark, path))
+  }
+
   /** One detected block before extraction, with global position (segment id,
     * intra-segment emission index). Public for encoder codegen. */
   final case class BlockRow(seg: Long, pos: Int, kind: String, payload: String)

@@ -172,6 +172,35 @@ class PipelineSpec extends SparkSpec {
       whole.frame.collect().map(_.toSeq).toSeq)
   }
 
+  test("processFile auto-routes by size threshold with identical output") {
+    // canonical fixture: the two paths agree, so below-threshold routing
+    // (default 256 MiB) must reproduce the whole-file result exactly...
+    val auto = Pipeline.processFile(spark, "/root/reference/sample_data.txt")
+    assert(auto.frame.collect().map(_.toSeq).toSeq ==
+      result.frame.collect().map(_.toSeq).toSeq)
+    assert(auto.itemsByType == result.itemsByType)
+    // ...and above-threshold routing provably takes the CHUNKED path: an
+    // html block spanning a blank line diverges between the modes (the
+    // documented chunked-mode contract), so the route is observable
+    import spark.implicits._
+    val spanning = "<div>top half\n\nbottom half</div>\n\nplain text line\n"
+    val f = Files.createTempFile("graft_route", ".txt")
+    Files.writeString(f, spanning)
+    val whole = Pipeline.process(spark, Seq((f.toString, spanning)).toDS())
+    val chunked = Pipeline.processChunkedFile(spark, f.toString)
+    assert(whole.itemsByType != chunked.itemsByType,
+      "fixture no longer distinguishes the two paths — rebuild it")
+    spark.conf.set(Pipeline.chunkThresholdKey, "1")
+    try {
+      val routed = Pipeline.processFile(spark, f.toString)
+      assert(routed.itemsByType == chunked.itemsByType,
+        "oversized file did not take the chunked path")
+    } finally spark.conf.unset(Pipeline.chunkThresholdKey)
+    // back to default: the same file takes the whole-file path again
+    val small = Pipeline.processFile(spark, f.toString)
+    assert(small.itemsByType == whole.itemsByType)
+  }
+
   test("latin-1 fallback decode (S1)") {
     val bytes = Array[Byte](0x63, 0x61, 0x66, 0xE9.toByte) // "café" in latin-1
     assert(Pipeline.decodeWithFallback(bytes) == "café")
