@@ -109,6 +109,14 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_latest.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
+    // and a medians-only companion ({query: sec} + total, nothing else) —
+    // small enough to survive any artifact truncation and diff cleanly
+    // across rounds
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out.replaceAll("\\.json$", "") + "_medians.json"),
+      (compact + "\n").getBytes("UTF-8"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

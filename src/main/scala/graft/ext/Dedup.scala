@@ -71,13 +71,23 @@ object Dedup {
     * 12.1 s → 1.5 s at sf0.1). zip_with evaluates its operand arrays once
     * per ROW; concat propagates the null padding of the short side, so the
     * tail yields nulls — filtered before dedup. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(positionalGrams(text, n))
+
+  /** Word n-grams in POSITION ORDER (no dedup): element i is the gram
+    * starting at token i, so `posexplode` over this array yields
+    * (0-based start, gram) pairs — the layout span-level operators need
+    * ([[duplicateSpans]]). Same zip_with construction as [[shingles]]
+    * (one token walk per row, no per-element re-split); the filter drops
+    * only the TAIL nulls from the short-side padding, so positions stay
+    * aligned with token offsets. */
+  private[graft] def positionalGrams(text: Column, n: Int): Column = {
     val w = tokens(text)
     val grams = (1 until n).foldLeft(w) { (acc, k) =>
       zip_with(acc, slice(w, lit(k + 1), greatest(size(w) - k, lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
-    when(size(w) >= n, array_distinct(filter(grams, _.isNotNull)))
+    when(size(w) >= n, filter(grams, _.isNotNull))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -1392,6 +1402,62 @@ object Dedup {
         // double on every engine, but round() midpoint semantics differ
         round4(lit(1.0) - col("tokens_effective").cast("double") /
           col("tokens_total")).as("dup_waste"))
+
+  /** SUBSTRING-level duplication: maximal token spans made of `minLen`-gram
+    * windows whose gram text occurs MORE THAN ONCE anywhere in the corpus
+    * (including repeats inside one document) — the span-granular
+    * complement of document-level dedup, after Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" (ACL 2022): boilerplate
+    * headers, license blocks, and quoted passages duplicate long
+    * substrings across documents that are nowhere near whole-document
+    * duplicates, and training repeatedly on those spans is what the paper
+    * measures as harmful. The exact method there is a corpus-wide suffix
+    * array; the distributable equivalent used here is fixed-length gram
+    * fingerprinting: a token span is flagged iff it is covered by
+    * length-`minLen` windows that each appear ≥ 2 times, which marks
+    * exactly the spans of pairwise-repeated content of length ≥ minLen
+    * (a suffix array additionally distinguishes WHERE the other copy is —
+    * not needed to excise the span).
+    *
+    * Output: one row per maximal flagged span — (doc_id, span_start,
+    * span_end inclusive 0-based token offsets, span_tokens, n_grams =
+    * number of duplicated windows merged into the span). Downstream
+    * removal is a per-doc slice on these offsets; summing span_tokens
+    * against total tokens gives the corpus dup-substring mass.
+    *
+    * Plan at scale: one positional-gram explode (map-side, one token walk
+    * per row via [[positionalGrams]]); the occurrence count groups by the
+    * gram's 16-byte md5 so the shuffle carries fingerprints + integer
+    * positions, never gram text; hit positions merge into maximal spans
+    * with a window PARTITIONED BY doc (keyed, never global — two hits
+    * merge iff their starts differ by ≤ minLen, i.e. the windows overlap
+    * or touch). Work ∝ corpus gram mass, the same inverted-layout cost
+    * every gram operator here pays; no pairwise comparison anywhere. */
+  def duplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 10): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        posexplode(positionalGrams(col(textCol), minLen))
+          .as(Seq("start", "gram")))
+      .select(col("id"), col("start"), md5(col("gram")).as("gfp"))
+    val dup = grams.groupBy(col("gfp"))
+      .agg(count(lit(1)).as("graft_c")).filter(col("graft_c") >= 2)
+      .select("gfp")
+    val hits = grams.join(dup, "gfp").select("id", "start")
+    val byDoc = Window.partitionBy("id").orderBy("start")
+    hits
+      .withColumn("graft_brk",
+        when(col("start") - lag(col("start"), 1).over(byDoc) > minLen, 1)
+          .otherwise(0))
+      .withColumn("graft_island", sum(col("graft_brk")).over(byDoc))
+      .groupBy(col("id"), col("graft_island"))
+      .agg(min(col("start")).cast("long").as("span_start"),
+        (max(col("start")) + (minLen - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+  }
 
   /** Cross-group flow matrix of a pair relation: aggregate near-dup (or
     * any) pairs by their endpoints' group attribute — (group_a, group_b,

@@ -119,6 +119,57 @@ object Sampling {
       .drop("graft_h", "ordinal")
   }
 
+  /** TEMPERATURE-scaled mixture weights: the standard multilingual /
+    * multi-source rebalancing rule (Devlin et al., mBERT exponentiated
+    * smoothing; Conneau & Lample, XLM §3.1; also the "alpha sampling" in
+    * GPT-3's data mixing) — sample source i with probability
+    * p_i ∝ c_i^alpha instead of its raw token share c_i/Σc, flattening
+    * the head so low-resource sources are not drowned out (alpha = 1
+    * keeps natural proportions; alpha = 0 is uniform; 0.5–0.7 is the
+    * published sweet spot). Returns per group: doc/token counts, the raw
+    * and temperature share, and `up_weight` = share_temp / share_raw —
+    * the per-source sampling multiplier a mixing job feeds to
+    * [[weightedSample]] (> 1 ⇒ upsample, < 1 ⇒ downsample).
+    *
+    * Determinism across engines: c_i^alpha is quantized to integer
+    * micro-units BEFORE the cross-group sum (floor(·×1e6) as long), so
+    * both shares are ratios of exact integers — immune to float summation
+    * order, which Spark's partial aggregation does not fix (the same
+    * integer-quantized-sum discipline as the pair-matrix means). With the
+    * default alpha = 0.5 the power is sqrt — correctly rounded per
+    * IEEE 754 on every engine, so the quantized units are bit-identical
+    * everywhere; other alphas go through pow(), whose last-ulp behavior
+    * is libm-specific (fine in production, but the value-hash oracle pins
+    * the sqrt path).
+    *
+    * Plan: one hash-partitioned groupBy for the counts (partial
+    * aggregation map-side), one broadcast of the 1-row totals —
+    * |groups|-bounded everywhere, scan-speed at any corpus size. */
+  def temperatureMix(
+      docs: DataFrame, textCol: String, grpCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val counts = docs
+      .select(col(grpCol).as("grp"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_tok")).as("tokens"))
+    val scaled =
+      if (alpha == 0.5) sqrt(col("tokens").cast("double"))
+      else pow(col("tokens").cast("double"), alpha)
+    val withQ = counts
+      .withColumn("graft_paq", floor(scaled * 1e6).cast("long"))
+    val totals = withQ.agg(
+      sum(col("tokens")).as("graft_tott"), sum(col("graft_paq")).as("graft_totp"))
+    val shareRaw = col("tokens").cast("double") / col("graft_tott")
+    val shareTemp = col("graft_paq").cast("double") / col("graft_totp")
+    withQ.crossJoin(broadcast(totals))
+      .select(col("grp").as(grpCol), col("n_docs"), col("tokens"),
+        Dedup.round4(shareRaw).as("share_raw"),
+        Dedup.round4(shareTemp).as("share_temp"),
+        Dedup.round4(shareTemp / shareRaw).as("up_weight"))
+  }
+
   /** LEAKAGE-FREE deterministic split: assign every document the split of
     * its near-dup CLUSTER representative, so two near-duplicates can never
     * land in train and test at once — the eval-integrity property a plain

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.GraftColumnBridge
@@ -114,6 +114,43 @@ object Similarity {
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosFrom(col("qv"), col("qn"), col("cv"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** HARD-NEGATIVE mining for contrastive / reranker training: per query,
+    * the top-k most similar corpus vectors INSIDE a cosine band
+    * [floor, dupCeil) — the "hard but not false" negatives. The ceiling
+    * excises near-duplicates of the query (which would be false
+    * negatives: training against a positive labeled negative is the
+    * classic contrastive-learning poison — cf. RocketQA/ANCE denoised
+    * hard-negative selection); the floor drops easy random negatives that
+    * contribute no gradient. Compose with a near-dup pair relation
+    * ([[graft.ext.Dedup.lshPairs]] on the texts) when duplicate structure
+    * is known rather than thresholdable.
+    *
+    * Same plan as [[bruteForceTopK]]: queries broadcast, corpus scored
+    * map-side in one scan, per-query top-k via a window PARTITIONED BY
+    * query (keyed, never global). The band filter runs BEFORE the window,
+    * so rank work is band-bounded. For corpus-scale query sets, run the
+    * same band through [[ivfPqTopK]]'s candidate restriction instead of
+    * the exhaustive scan — this exact variant is the audit / small-batch
+    * path. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      floor: Double = 0.15, dupCeil: Double = 0.35,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(floor < dupCeil, s"empty band: floor=$floor >= dupCeil=$dupCeil")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosFrom(col("qv"), col("qn"), col("cv"), col("cn")))
+      .filter(col("cos") >= floor && col("cos") < dupCeil)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
@@ -338,6 +375,134 @@ object Similarity {
       .select(col("query_id"), col("vid").as("neighbor_id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  /** PERSISTED IVF index state: the ANN counterpart of
+    * [[graft.ext.Dedup.appendLshState]], closing the same steady-state
+    * gap — [[kmeansIvfTopK]] re-trains centroids and re-assigns the whole
+    * corpus on every call (an O(corpus) pass that at 100 TB dwarfs any
+    * query batch), while a maintained index assigns each vector ONCE ever.
+    *
+    * First append TRAINS the [[kmeansCentroids]] on that batch and
+    * persists them to `dir/centroids` (k-means centroids drift slowly;
+    * training on the first representative batch and freezing is the
+    * standard FAISS production posture — retrain = rebuild the dir).
+    * Every append assigns its vectors to the FROZEN centroids (broadcast
+    * k rows, one map-side argmin pass — per-batch cost O(batch)) and
+    * appends (cid, vid, v, cn) rows to `dir/cells`. Queries
+    * ([[ivfTopKFromState]]) then probe `nProbe` cells as a narrow
+    * columnar scan of precomputed assignments.
+    *
+    * Replay/crash posture mirrors the LSH state: pass `batchTag` and the
+    * append lands in its own `batch_id=N` partition with overwrite (an
+    * at-least-once orchestrator re-running a batch overwrites rather than
+    * duplicates); untagged appends are for one-shot builds. The index
+    * parameters (k, iters, dim) persist to `dir/_meta` on first append
+    * and are VALIDATED on every later append — a batch assigned under
+    * different geometry would silently corrupt every subsequent probe.
+    * Ids must be unique across all appended batches. */
+  def appendIvfState(
+      vecs: DataFrame, dir: String, k: Int = 8, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchTag: Option[Long] = None): Unit = {
+    val spark = vecs.sparkSession
+    val cents = scala.util.Try(spark.read.parquet(s"$dir/centroids"))
+      .toOption match {
+      case Some(c) =>
+        checkIvfMeta(spark, dir, k, iters, writeIfAbsent = false)
+        c
+      case None =>
+        checkIvfMeta(spark, dir, k, iters, writeIfAbsent = true)
+        kmeansCentroids(vecs, k, iters, idCol, vecCol)
+          .write.mode("overwrite").parquet(s"$dir/centroids")
+        spark.read.parquet(s"$dir/centroids")
+    }
+    val rows = vecs.select(col(idCol).as("vid"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val assignedAll = rows
+      .crossJoin(broadcast(cents))
+      .withColumn("graft_dist", sqDist(col("v"), col("c")))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("graft_dist"), col("cid"), col("v"))).as("m"))
+      .select(col("m.cid").as("cid"), col("vid"), col("m.v").as("v"))
+      .withColumn("cn", norm(col("v")))
+    // untagged re-run idempotency (same discipline as the LSH members
+    // table): a blind retry after a partial or complete append skips vids
+    // already in the state instead of duplicating them. Tagged appends
+    // need no scan — the partition overwrite is idempotent by itself.
+    val out = batchTag match {
+      case Some(_) => assignedAll
+      case None => scala.util.Try(
+          spark.read.parquet(s"$dir/cells").select(col("vid")))
+        .toOption match {
+          case Some(existing) =>
+            graft.ext.Dedup.materialize(
+              assignedAll.join(existing, Seq("vid"), "left_anti"))
+          case None => assignedAll
+        }
+    }
+    batchTag match {
+      case Some(t) =>
+        out.write.mode("overwrite").parquet(s"$dir/cells/batch_id=$t")
+      case None => out.write.mode("append").parquet(s"$dir/cells")
+    }
+  }
+
+  /** [[kmeansIvfTopK]]'s probe phase answered from [[appendIvfState]]
+    * parquet — per-query cost is the probed cells only, with zero
+    * training or corpus-assignment work at query time. Output-identical
+    * to [[kmeansIvfTopK]] when the state was built in one append of the
+    * same corpus (spec-pinned); with incremental appends, identical to
+    * assigning every batch against the first batch's centroids. */
+  def ivfTopKFromState(
+      spark: SparkSession, dir: String, queries: DataFrame, topK: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select("cid", "vid", "v", "cn")
+    val probes = probeCells(queries, cents, nProbe, idCol, vecCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cos", cosFrom(col("qv"), col("qn"), col("v"), col("cn")))
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Validate (or persist on first contact) an IVF state dir's index
+    * parameters — same fail-fast discipline as the LSH `_meta`:
+    * assignments computed under different (k, iters) probe wrong cells
+    * SILENTLY (recall collapses, nothing errors), so a mismatch throws. */
+  private def checkIvfMeta(
+      spark: SparkSession, dir: String, k: Int, iters: Int,
+      writeIfAbsent: Boolean): Unit = {
+    val path = s"$dir/_meta"
+    val row =
+      try Some(spark.read.schema("k LONG, iters LONG").json(path).head())
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+        case _: java.util.NoSuchElementException => None
+      }
+    row match {
+      case Some(m) =>
+        require(!m.anyNull,
+          s"IVF state meta at $path is corrupt — rebuild the state dir")
+        val stored = (m.getLong(0).toInt, m.getLong(1).toInt)
+        require(stored == ((k, iters)),
+          s"IVF state at $dir was built with (k, iters) = $stored but was " +
+            s"called with (${k}, ${iters}); mismatched index geometry " +
+            "probes the wrong cells silently. Use the stored parameters " +
+            "or rebuild the state.")
+      case None if writeIfAbsent =>
+        import spark.implicits._
+        Seq((k.toLong, iters.toLong)).toDF("k", "iters")
+          .coalesce(1).write.mode("overwrite").json(path)
+      case None => ()
+    }
   }
 
   /** Product-quantization (PQ) training: the vector space is cut into `m`

@@ -64,6 +64,10 @@ import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, Layout,
   * SELECT * FROM phrase_search('documents', 'doc_id', 'text', 'key agg')
   * SELECT * FROM dup_transitivity('dup_pairs_view', 'id_a', 'id_b')
   * SELECT * FROM lang_confusion('documents', 'lang', 'text')
+  * SELECT * FROM dup_spans('documents', 'doc_id', 'text', 10)
+  * SELECT * FROM temperature_mix('documents', 'text', 'source', 0.5)
+  * SELECT * FROM hard_negatives('embeddings', 'probe_view', 'vec_id', 'embedding', 5, 0.15, 0.35)
+  * SELECT * FROM ann_from_state('/indexes/corpus_ivf', 'probe_view', 'vec_id', 'embedding', 10, 2)
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -172,6 +176,72 @@ object TableFunctions {
       "dup_transitivity", exprs => dupTransitivity(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "lang_confusion", exprs => langConfusion(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dup_spans", exprs => dupSpans(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "temperature_mix", exprs => temperatureMix(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hard_negatives", exprs => hardNegatives(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ann_from_state", exprs => annFromState(spark, exprs), "built-in")
+  }
+
+  /** `dup_spans(table, id, text, minLen)` → [[Dedup.duplicateSpans]]:
+    * maximal duplicated-substring token spans (Lee et al. span dedup). */
+  private def dupSpans(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "dup_spans"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val tbl = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val minLen = if (args.exhausted) 10 else args.int("min_len")
+    plan(Dedup.duplicateSpans(tbl, id, text, minLen))
+  }
+
+  /** `temperature_mix(table, text, group[, alpha])` →
+    * [[Sampling.temperatureMix]]: alpha-scaled source sampling weights. */
+  private def temperatureMix(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "temperature_mix"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val tbl = args.table(spark, "table")
+    val text = args.name("text")
+    val grp = args.name("group")
+    val alpha = if (args.exhausted) 0.5 else args.double("alpha")
+    plan(Sampling.temperatureMix(tbl, text, grp, alpha))
+  }
+
+  /** `hard_negatives(corpus, queries, id, vec, k[, floor, dup_ceil])` →
+    * [[Similarity.hardNegatives]]: banded non-duplicate nearest
+    * neighbors for contrastive training. */
+  private def hardNegatives(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "hard_negatives"
+    requireArity(f, exprs, min = 5, max = 7)
+    val args = new Args(f, exprs)
+    val corpus = args.table(spark, "corpus")
+    val queries = args.table(spark, "queries")
+    val id = args.name("id")
+    val vec = args.name("vec")
+    val k = args.int("k")
+    val floor = if (args.exhausted) 0.15 else args.double("floor")
+    val ceil = if (args.exhausted) 0.35 else args.double("dup_ceil")
+    plan(Similarity.hardNegatives(corpus, queries, k, floor, ceil, id, vec))
+  }
+
+  /** `ann_from_state('dir', queries, id, vec, topk[, nprobe])` →
+    * [[Similarity.ivfTopKFromState]]: probe a persisted IVF index. */
+  private def annFromState(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "ann_from_state"
+    requireArity(f, exprs, min = 5, max = 6)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val queries = args.table(spark, "queries")
+    val id = args.name("id")
+    val vec = args.name("vec")
+    val topK = args.int("topk")
+    val nProbe = if (args.exhausted) 2 else args.int("nprobe")
+    plan(Similarity.ivfTopKFromState(spark, dir, queries, topK, nProbe, id, vec))
   }
 
   /** `lang_confusion(table, lang, text)` →

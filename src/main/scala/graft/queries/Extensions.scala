@@ -1435,6 +1435,67 @@ object Extensions {
       .orderBy("query_id")
   }
 
+  /** x103 — duplicate SUBSTRING spans ([[Dedup.duplicateSpans]]):
+    * maximal token spans covered by 10-gram windows repeated anywhere in
+    * the corpus — span-granular dedup after Lee et al. (ACL 2022), the
+    * distributable gram-fingerprint equivalent of their suffix-array
+    * method. One gram explode, fingerprint-only shuffle, per-doc keyed
+    * window merge. */
+  def x103(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        minLen = 10)
+      .orderBy("doc_id", "span_start")
+
+  /** x104 — temperature-scaled mixture weights
+    * ([[Sampling.temperatureMix]], alpha = 0.5 via exact sqrt): per
+    * source, raw vs exponentiated token share and the resulting
+    * up/down-sampling multiplier — the standard low-resource-source
+    * flattening rule (mBERT/XLM alpha sampling). |groups|-bounded;
+    * shares are ratios of integer-quantized sums, so the value hash is
+    * engine-portable. */
+  def x104(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(t(s, dir, "documents"), "text", "source",
+        alpha = 0.5)
+      .orderBy("source")
+
+  /** x105 — hard-negative mining ([[Similarity.hardNegatives]]): per
+    * probe query, top-5 corpus vectors inside the cosine band
+    * [0.15, 0.35) — nearest non-near-duplicate neighbors, the denoised
+    * negative set contrastive training wants. Broadcast probes, one
+    * corpus scan, band filter before the per-query ranking window. */
+  def x105(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** x106 — ANN answered from PERSISTED IVF state
+    * ([[Similarity.appendIvfState]] ×2 + [[Similarity.ivfTopKFromState]]):
+    * x44's kmeans-IVF retrieval, but centroids train on the FIRST batch
+    * (vec_id < 250) and persist; the second batch assigns to the frozen
+    * centroids — the steady-state index-maintenance shape where each
+    * vector is assigned once ever and query cost is the probed cells
+    * only. The oracle re-derives the k-means on the first-batch corpus
+    * and assigns ALL vectors to it — exactly the state semantics. Temp
+    * state dir per invocation (x89's rationale: output depends only on
+    * the data; the driver wipes /tmp between rounds). */
+  def x106(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x106_state").toFile.getAbsolutePath
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 250), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 250), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.ivfTopKFromState(s, state, emb.filter(col("vec_id") < 10),
+        topK = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1617,7 +1678,11 @@ object Extensions {
     "x99_dup_transitivity" -> (x99 _),
     "x100_lang_confusion" -> (x100 _),
     "x101_bpe_train_sampled" -> (x101 _),
-    "x102_ann_recall_clustered" -> (x102 _)
+    "x102_ann_recall_clustered" -> (x102 _),
+    "x103_dup_spans" -> (x103 _),
+    "x104_temperature_mix" -> (x104 _),
+    "x105_hard_negatives" -> (x105 _),
+    "x106_ann_from_state" -> (x106 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1770,16 +1835,22 @@ object Extensions {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings)""".stripMargin
 
-  private val kmeansTrainCtes: String =
-    """c0 AS (
-      |  SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e ORDER BY vec_id LIMIT 8),
+  /** k-means training CTE chain (seeds = 8 lowest ids, 2 Lloyd steps,
+    * 6-dp means). `src` names the TRAINING corpus CTE (default the whole
+    * `e`); the final `af` assignment and `probes` always run over all of
+    * `e` — which is exactly the [[Similarity.appendIvfState]] contract:
+    * centroids train on the first batch, every batch assigns to them. */
+  private def kmeansTrainCtes(src: String = "e"): String = {
+    val a1From = if (src == "e") "e" else s"$src e"
+    s"""c0 AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, v AS c FROM $src ORDER BY vec_id LIMIT 8),
       |a1 AS (
       |  SELECT vid, v, cid FROM (
       |    SELECT e.vec_id AS vid, e.v AS v, c0.cid,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c0.c)
       |          + list_dot_product(c0.c, c0.c), c0.cid) AS rn
-      |    FROM e, c0) WHERE rn = 1),
+      |    FROM $a1From, c0) WHERE rn = 1),
       |c1 AS (
       |  SELECT cid, list(m ORDER BY pos) AS c FROM (
       |    SELECT cid, pos, round(avg(x), 6) AS m
@@ -1811,6 +1882,7 @@ object Extensions {
       |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c2.c)
       |          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
       |    FROM e, c2 WHERE e.vec_id < 10) WHERE rn <= 2)""".stripMargin
+  }
 
   private val pqCtes: String =
     """sv AS (
@@ -2581,7 +2653,7 @@ object Extensions {
     // both engines run the same three sequential dot products
     "x44_ann_kmeans" ->
       s"""WITH $annEmbCte,
-         |$kmeansTrainCtes,
+         |${kmeansTrainCtes()},
          |scored AS (
          |  SELECT p.query_id, af.vid AS neighbor_id,
          |    list_dot_product(p.qv, af.v)
@@ -2620,7 +2692,7 @@ object Extensions {
     // the already-gated x44/x46 CTEs, composed verbatim
     "x47_ann_ivfpq" ->
       s"""WITH $annEmbCte,
-         |$kmeansTrainCtes,
+         |${kmeansTrainCtes()},
          |$pqCtes,
          |cand AS (
          |  SELECT p.query_id, af.vid AS neighbor_id
@@ -2644,7 +2716,7 @@ object Extensions {
     // cos >= 0.15 is dropped; survivors keep their cell id
     "x48_semantic_dedup" ->
       s"""WITH $annEmbCte,
-         |$kmeansTrainCtes,
+         |${kmeansTrainCtes()},
          |drops AS (
          |  SELECT DISTINCT b.vid
          |  FROM af a JOIN af b ON a.cid = b.cid AND a.vid < b.vid
@@ -3669,6 +3741,105 @@ object Extensions {
         |  FROM scored)
         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth,
         |  round(min(cos), 4) AS kth_cos, TRUE AS mean_recall_ok
-        |FROM ranked WHERE rank <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin
+        |FROM ranked WHERE rank <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    // x103: positional 10-grams via zipped unnests (DuckDB zips parallel
+    // unnests), duplicated-gram hits merged into maximal spans with the
+    // same gaps-and-islands windows the Spark plan runs per doc. lag's
+    // NULL first row compares NULL > 10 -> NULL -> CASE falls to 0, the
+    // same start-of-doc behavior as Spark's otherwise(0)
+    "x103_dup_spans" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, len(t) - 9)) AS start,
+        |    unnest(list_transform(range(0, len(t) - 9),
+        |      i -> array_to_string(t[i+1:i+10], ' '))) AS gram
+        |  FROM tk WHERE len(t) >= 10),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |h AS (SELECT doc_id, start FROM g JOIN dup USING (gram)),
+        |m AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN start - lag(start)
+        |        OVER (PARTITION BY doc_id ORDER BY start) > 10
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM h),
+        |i AS (
+        |  SELECT doc_id, start,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(min(start) AS BIGINT) AS span_start,
+        |  CAST(max(start) + 9 AS BIGINT) AS span_end,
+        |  CAST(max(start) + 9 - min(start) + 1 AS BIGINT) AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // x104: alpha = 0.5 exponentiation via sqrt (IEEE correctly rounded
+    // on both engines), quantized to integer micro-units BEFORE the
+    // cross-group sums so both shares are exact-integer ratios; round4 =
+    // the portable floor rounding
+    "x104_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS paq FROM c),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tott,
+        |    CAST(sum(paq) AS BIGINT) AS totp FROM q)
+        |SELECT source, n_docs, tokens,
+        |  floor(CAST(tokens AS DOUBLE) / tott * 10000 + 0.5) / 10000
+        |    AS share_raw,
+        |  floor(CAST(paq AS DOUBLE) / totp * 10000 + 0.5) / 10000
+        |    AS share_temp,
+        |  floor((CAST(paq AS DOUBLE) / totp) / (CAST(tokens AS DOUBLE) / tott)
+        |      * 10000 + 0.5) / 10000 AS up_weight
+        |FROM q, tot ORDER BY source""".stripMargin,
+
+    // x105: x06's exact cosine chain with the hard-negative band filter
+    // [0.15, 0.35) applied before ranking — float op order identical to
+    // the Spark expression, so the unrounded band predicate agrees
+    "x105_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+        |  FROM q, e WHERE e.vec_id != q.vec_id),
+        |banded AS (SELECT * FROM scored WHERE cos >= 0.15 AND cos < 0.35),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM banded)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // x106: x44's retrieval chain with the k-means TRAINED ON THE FIRST
+    // BATCH only (tr = vec_id < 250) — the persisted-state contract:
+    // frozen first-batch centroids, every vector assigned to them (the
+    // chain's af/probes stages already run over all of e)
+    "x106_ann_from_state" ->
+      s"""WITH $annEmbCte,
+         |tr AS (SELECT * FROM e WHERE vec_id < 250),
+         |${kmeansTrainCtes("tr")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid) WHERE af.vid != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

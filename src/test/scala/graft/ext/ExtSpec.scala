@@ -1972,4 +1972,131 @@ class ExtSpec extends SparkSpec {
       JsonCols.promote(df.withColumn("k", lit(1)), "props", schema))
     assert(e.getMessage.contains("k"))
   }
+
+  test("duplicateSpans: merges overlapping dup windows, splits distant ones") {
+    // Shared 4-token run "p q r s" at doc1 pos 2 and doc2 pos 0, plus a
+    // second shared run "x y z w" far enough away in doc1 to be its own
+    // span (gap > minLen). minLen = 3 grams.
+    val docs = docsFrom(Seq(
+      (1L, "a b p q r s c d e f g h x y z w"),
+      (2L, "p q r s m n o t u v w2 x y z w")))
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", minLen = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc1: "p q r s" spans tokens 2..5 (grams at 2,3); "x y z w" 12..15
+    // doc2: "p q r s" at 0..3; "x y z w" at 11..14
+    assert(got == Seq(
+      (1L, 2L, 5L, 4L, 2L), (1L, 12L, 15L, 4L, 2L),
+      (2L, 0L, 3L, 4L, 2L), (2L, 11L, 14L, 4L, 2L)))
+    // within-doc repetition alone also flags (corpus count >= 2): both
+    // occurrences of "r1 r2 r3" become their own span (gap 4 > minLen 3)
+    val self = Dedup.duplicateSpans(
+        docsFrom(Seq((7L, "r1 r2 r3 k r1 r2 r3"))), "doc_id", "text",
+        minLen = 3)
+      .orderBy("span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(self == Seq((7L, 0L, 2L, 3L, 1L), (7L, 4L, 6L, 3L, 1L)))
+    // a corpus with no duplicated grams emits nothing
+    val none = Dedup.duplicateSpans(
+      docsFrom(Seq((1L, "all tokens here unique once"),
+        (2L, "and nothing shared across docs"))),
+      "doc_id", "text", minLen = 3)
+    assert(none.count() == 0)
+  }
+
+  test("temperatureMix: sqrt flattening upweights the small source") {
+    // src big: 2 docs x 8 tokens = 16; src small: 1 doc x 4 tokens = 4
+    val docs = Seq(
+      (1L, "t t t t t t t t", "big"),
+      (2L, "t t t t t t t t", "big"),
+      (3L, "t t t t", "small")).toDF("doc_id", "text", "source")
+    val got = Sampling.temperatureMix(docs, "text", "source", alpha = 0.5)
+      .orderBy("source")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    // sqrt(16)=4e6 units, sqrt(4)=2e6 → temp shares 2/3 and 1/3
+    // raw shares 16/20=0.8 and 4/20=0.2
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("big", 2L, 16L), ("small", 1L, 4L)))
+    val big = got(0); val small = got(1)
+    assert(big._4 == 0.8 && small._4 == 0.2)
+    assert(big._5 == 0.6667 && small._5 == 0.3333)
+    assert(big._6 == 0.8333)   // 2/3 / 0.8
+    assert(small._6 == 1.6667) // 1/3 / 0.2 — the small source upsamples
+    // alpha=1 keeps natural proportions: up_weight = 1 everywhere
+    val id = Sampling.temperatureMix(docs, "text", "source", alpha = 1.0)
+      .select("up_weight").as[Double].collect().toSeq
+    assert(id == Seq(1.0, 1.0))
+  }
+
+  test("hardNegatives: band excludes near-dups and easy negatives") {
+    // query 0; corpus engineered so cos(0,1)≈1 (near-dup), cos(0,2)
+    // in-band, cos(0,3) below floor, cos(0,4) in-band lower
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.01f, 0.0f)),          // near-dup: cos ≈ 1
+      (2L, Seq(0.3f, 1.0f, 0.0f)),            // cos ≈ 0.287 — in band
+      (3L, Seq(0.0f, 1.0f, 0.0f)),            // cos = 0 — below floor
+      (4L, Seq(0.2f, 1.0f, 0.0f))             // cos ≈ 0.196 — in band
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(
+        vecs, vecs.filter(col("vec_id") === 0L), k = 5,
+        floor = 0.15, dupCeil = 0.35)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((0L, 2L, 1), (0L, 4L, 2)))
+    // widening the ceiling readmits the near-dup at rank 1
+    val wide = Similarity.hardNegatives(
+        vecs, vecs.filter(col("vec_id") === 0L), k = 5,
+        floor = 0.15, dupCeil = 1.1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(wide == Seq(1L, 2L, 4L))
+    val e = intercept[IllegalArgumentException](
+      Similarity.hardNegatives(vecs, vecs, k = 1, floor = 0.5, dupCeil = 0.4))
+    assert(e.getMessage.contains("band"))
+  }
+
+  test("appendIvfState: single-append state answers identically to kmeansIvfTopK") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_state").toFile.getAbsolutePath
+    Similarity.appendIvfState(emb, dir, k = 8, iters = 2)
+    val fromState = Similarity
+      .ivfTopKFromState(spark, dir, queries, topK = 5, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val direct = Similarity.kmeansIvfTopK(emb, queries, topK = 5,
+        k = 8, iters = 2, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fromState == direct && fromState.nonEmpty)
+    // geometry mismatch fails fast instead of probing wrong cells
+    val e = intercept[IllegalArgumentException](
+      Similarity.appendIvfState(emb, dir, k = 4, iters = 2))
+    assert(e.getMessage.contains("geometry"))
+  }
+
+  test("appendIvfState: untagged re-run appends nothing twice; tagged overwrites") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val b1 = emb.filter(col("vec_id") < 100)
+    val b2 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_retry").toFile.getAbsolutePath
+    Similarity.appendIvfState(b1, dir, k = 4, iters = 1)
+    Similarity.appendIvfState(b2, dir, k = 4, iters = 1)
+    val n = spark.read.parquet(s"$dir/cells").count()
+    // blind untagged retry of batch 2 (orchestrator re-run after commit)
+    Similarity.appendIvfState(b2, dir, k = 4, iters = 1)
+    assert(spark.read.parquet(s"$dir/cells").count() == n)
+    assert(n == 200)
+    // tagged replay overwrites its own partition whole
+    val tdir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_tag").toFile.getAbsolutePath
+    Similarity.appendIvfState(b1, tdir, k = 4, iters = 1, batchTag = Some(1L))
+    Similarity.appendIvfState(b2, tdir, k = 4, iters = 1, batchTag = Some(2L))
+    Similarity.appendIvfState(b2, tdir, k = 4, iters = 1, batchTag = Some(2L))
+    assert(spark.read.parquet(s"$tdir/cells").count() == 200)
+  }
 }

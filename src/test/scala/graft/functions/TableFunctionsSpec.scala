@@ -369,6 +369,33 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Dedup.effectiveTokens(docs, "text", "source"))
   }
 
+  test("round-11 TVFs (dup_spans/temperature_mix/hard_negatives/ann_from_state) == Scala APIs") {
+    ready()
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("tvf_docs11")
+    assertSame(
+      spark.sql("SELECT * FROM dup_spans('tvf_docs11', 'doc_id', 'text', 10)"),
+      graft.ext.Dedup.duplicateSpans(docs, "doc_id", "text", 10))
+    assertSame(
+      spark.sql("SELECT * FROM temperature_mix('tvf_docs11', 'text', 'source', 0.5)"),
+      graft.ext.Sampling.temperatureMix(docs, "text", "source", 0.5))
+
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val q5 = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    emb.createOrReplaceTempView("tvf_emb11")
+    q5.createOrReplaceTempView("tvf_probe11")
+    assertSame(
+      spark.sql("SELECT * FROM hard_negatives('tvf_emb11', 'tvf_probe11', 'vec_id', 'embedding', 5, 0.15, 0.35)"),
+      graft.ext.Similarity.hardNegatives(emb, q5, 5, 0.15, 0.35))
+
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_tvf_ivf").toFile.getAbsolutePath
+    graft.ext.Similarity.appendIvfState(emb, state, k = 8, iters = 2)
+    assertSame(
+      spark.sql(s"SELECT * FROM ann_from_state('$state', 'tvf_probe11', 'vec_id', 'embedding', 5, 2)"),
+      graft.ext.Similarity.ivfTopKFromState(spark, state, q5, 5, 2))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
