@@ -320,4 +320,46 @@ class PlanSpec extends SparkSpec {
     assert(!p96.contains("Join"), s"x96 grew a join:\n$p96")
     assert(p96.contains("partial_"), s"x96 lost map-side partial agg:\n$p96")
   }
+
+  test("x103: dup-gram hits join on fingerprints; the span window is doc-keyed") {
+    val p = plan(Extensions.x103(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"x103 span detection degenerated to a non-equi join:\n$p")
+    // island merge must be the per-doc keyed window, never an
+    // unpartitioned global sort-window
+    val winLine = p.linesIterator.filter(_.contains("Window"))
+      .mkString("\n")
+    assert(!winLine.contains("partitionBy=[]"),
+      s"x103 window lost its doc partitioning:\n$winLine")
+  }
+
+  test("x104: group totals broadcast back; no window, no cartesian blowup") {
+    val p = plan(Extensions.x104(spark, sf))
+    assert(!p.contains("Window"), s"x104 grew a window:\n$p")
+    // the 1-row totals attach via a broadcast join (a 1-row cross join is
+    // broadcast-nested-loop by construction — bounded, not quadratic)
+    assert(p.contains("Broadcast"), s"x104 totals are not broadcast:\n$p")
+  }
+
+  test("x105: probe batch is broadcast; corpus never shuffles for scoring") {
+    val p = plan(Extensions.x105(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"x105 scoring join is not broadcast-based:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"x105 shuffled the corpus for scoring:\n$p")
+  }
+
+  test("ivfTopKFromState: probes broadcast against the cells scan") {
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plan_ivf").toFile.getAbsolutePath
+    graft.ext.Similarity.appendIvfState(emb, dir, k = 4, iters = 1)
+    val p = plan(graft.ext.Similarity.ivfTopKFromState(
+      spark, dir, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      topK = 3, nProbe = 2))
+    assert(p.contains("BroadcastHashJoin"),
+      s"state probe join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"state probe grew a cartesian:\n$p")
+  }
 }
