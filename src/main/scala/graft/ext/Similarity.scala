@@ -472,6 +472,39 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Incremental EMBEDDING near-dup pairs against the persisted IVF
+    * state — the vector-space counterpart of
+    * [[graft.ext.Dedup.incrementalLshPairsFromState]], and the
+    * steady-state shape of SemDeDup ([[semanticDedup]]): an arriving
+    * batch is checked against the full accepted corpus without ever
+    * scoring it exhaustively. Each batch vector probes its `nProbe`
+    * nearest cells and scores ONLY the state vectors in those cells
+    * (cells partition the state, so pairs are unique by construction);
+    * a pair (new_id, old_id, cos ≥ threshold) means the new vector
+    * near-duplicates an accepted one — reject or collapse it. Per-batch
+    * cost: one broadcast-argmin probe pass + the probed cells' rows —
+    * ~nProbe/k of the corpus per batch vector, never O(corpus × batch).
+    *
+    * Same recall posture as IVF retrieval: a true near-dup in an
+    * un-probed cell is missed (the cell boundary hazard every IVF accept
+    * gate has); raise nProbe for a tighter gate. Ids must be unique
+    * across state ∪ batch. */
+  def nearDupPairsFromState(
+      spark: SparkSession, dir: String, batch: DataFrame, threshold: Double,
+      nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select("cid", "vid", "v", "cn")
+    val probes = probeCells(batch, cents, nProbe, idCol, vecCol)
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cos", cosFrom(col("qv"), col("qn"), col("v"), col("cn")))
+      .filter(col("cos") >= threshold)
+      .select(col("query_id").as("new_id"), col("vid").as("old_id"),
+        col("cos"))
+  }
+
   /** Validate (or persist on first contact) an IVF state dir's index
     * parameters — same fail-fast discipline as the LSH `_meta`:
     * assignments computed under different (k, iters) probe wrong cells

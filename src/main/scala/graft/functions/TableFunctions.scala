@@ -68,6 +68,7 @@ import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, Layout,
   * SELECT * FROM temperature_mix('documents', 'text', 'source', 0.5)
   * SELECT * FROM hard_negatives('embeddings', 'probe_view', 'vec_id', 'embedding', 5, 0.15, 0.35)
   * SELECT * FROM ann_from_state('/indexes/corpus_ivf', 'probe_view', 'vec_id', 'embedding', 10, 2)
+  * SELECT * FROM ann_state_pairs('/indexes/corpus_ivf', 'batch_view', 'vec_id', 'embedding', 0.9, 2)
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -184,6 +185,25 @@ object TableFunctions {
       "hard_negatives", exprs => hardNegatives(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "ann_from_state", exprs => annFromState(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
+  }
+
+  /** `ann_state_pairs('dir', batch, id, vec, threshold[, nprobe])` →
+    * [[Similarity.nearDupPairsFromState]]: incremental embedding
+    * near-dup pairs against a persisted IVF index. */
+  private def annStatePairs(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "ann_state_pairs"
+    requireArity(f, exprs, min = 5, max = 6)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val batch = args.table(spark, "batch")
+    val id = args.name("id")
+    val vec = args.name("vec")
+    val threshold = args.double("threshold")
+    val nProbe = if (args.exhausted) 2 else args.int("nprobe")
+    plan(Similarity.nearDupPairsFromState(
+      spark, dir, batch, threshold, nProbe, id, vec))
   }
 
   /** `dup_spans(table, id, text, minLen)` → [[Dedup.duplicateSpans]]:

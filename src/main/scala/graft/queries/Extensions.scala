@@ -1496,6 +1496,30 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** x107 — incremental embedding near-dup pairs from PERSISTED IVF state
+    * ([[Similarity.nearDupPairsFromState]]): the steady-state SemDeDup
+    * accept gate — a 100-vector batch (vec_id ∈ [400, 500)) probes its 2
+    * nearest cells of the state built from vec_id < 400 (centroids
+    * trained on the first 250), scoring only the probed cells' state
+    * vectors. Pairs at cos ≥ 0.3. The oracle re-derives the first-batch
+    * k-means, assigns the state vectors, probes the batch, and scores
+    * the identical cell-restricted pairs. */
+  def x107(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x107_state").toFile.getAbsolutePath
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 250), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(
+      emb.filter(col("vec_id") >= 250 && col("vec_id") < 400), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.nearDupPairsFromState(s, state,
+        emb.filter(col("vec_id") >= 400 && col("vec_id") < 500),
+        threshold = 0.3, nProbe = 2)
+      .select(col("new_id"), col("old_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("new_id", "old_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1682,7 +1706,8 @@ object Extensions {
     "x103_dup_spans" -> (x103 _),
     "x104_temperature_mix" -> (x104 _),
     "x105_hard_negatives" -> (x105 _),
-    "x106_ann_from_state" -> (x106 _)
+    "x106_ann_from_state" -> (x106 _),
+    "x107_vector_dup_from_state" -> (x107 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1840,7 +1865,8 @@ object Extensions {
     * `e`); the final `af` assignment and `probes` always run over all of
     * `e` — which is exactly the [[Similarity.appendIvfState]] contract:
     * centroids train on the first batch, every batch assigns to them. */
-  private def kmeansTrainCtes(src: String = "e"): String = {
+  private def kmeansTrainCtes(src: String = "e",
+      probeWhere: String = "e.vec_id < 10", nProbe: Int = 2): String = {
     val a1From = if (src == "e") "e" else s"$src e"
     s"""c0 AS (
       |  SELECT CAST(vec_id AS INT) AS cid, v AS c FROM $src ORDER BY vec_id LIMIT 8),
@@ -1881,7 +1907,7 @@ object Extensions {
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c2.c)
       |          + list_dot_product(c2.c, c2.c), c2.cid) AS rn
-      |    FROM e, c2 WHERE e.vec_id < 10) WHERE rn <= 2)""".stripMargin
+      |    FROM e, c2 WHERE $probeWhere) WHERE rn <= $nProbe)""".stripMargin
   }
 
   private val pqCtes: String =
@@ -3840,6 +3866,25 @@ object Extensions {
          |      ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // x107: first-batch k-means (tr = vec_id < 250), state = assignments
+    // of vec_id < 400 (the af stage filtered), probe batch = vec_id in
+    // [400, 500) probing 2 cells; pairs are cell-restricted and unique
+    // because cells partition the state
+    "x107_vector_dup_from_state" ->
+      s"""WITH $annEmbCte,
+         |tr AS (SELECT * FROM e WHERE vec_id < 250),
+         |${kmeansTrainCtes("tr",
+            probeWhere = "e.vec_id >= 400 AND e.vec_id < 500", nProbe = 2)},
+         |st AS (SELECT vid, v, cid FROM af WHERE vid < 400),
+         |scored AS (
+         |  SELECT p.query_id AS new_id, s.vid AS old_id,
+         |    list_dot_product(p.qv, s.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(s.v, s.v))) AS cos
+         |  FROM probes p JOIN st s USING (cid) WHERE s.vid != p.query_id)
+         |SELECT new_id, old_id, round(cos, 4) AS cos_sim
+         |FROM scored WHERE cos >= 0.3 ORDER BY new_id, old_id""".stripMargin
   )
 }

@@ -2099,4 +2099,25 @@ class ExtSpec extends SparkSpec {
     Similarity.appendIvfState(b2, tdir, k = 4, iters = 1, batchTag = Some(2L))
     assert(spark.read.parquet(s"$tdir/cells").count() == 200)
   }
+
+  test("nearDupPairsFromState: catches a planted near-dup, pairs stay cell-bounded") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val state = emb.filter(col("vec_id") < 400)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_pairs").toFile.getAbsolutePath
+    Similarity.appendIvfState(state, dir, k = 8, iters = 2)
+    // plant: batch vector 9000 = state vector 7's embedding (cos = 1)
+    val planted = emb.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", lit(9000L))
+    val got = Similarity
+      .nearDupPairsFromState(spark, dir, planted, threshold = 0.99)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((9000L, 7L)))
+    // every returned pair must come from a probed cell of the state: the
+    // pair relation against a high threshold excludes everything else
+    val none = Similarity.nearDupPairsFromState(
+      spark, dir, emb.filter(col("vec_id") >= 450), threshold = 0.999)
+    assert(none.count() == 0)
+  }
 }

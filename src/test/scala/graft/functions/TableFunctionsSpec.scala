@@ -394,6 +394,9 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql(s"SELECT * FROM ann_from_state('$state', 'tvf_probe11', 'vec_id', 'embedding', 5, 2)"),
       graft.ext.Similarity.ivfTopKFromState(spark, state, q5, 5, 2))
+    assertSame(
+      spark.sql(s"SELECT * FROM ann_state_pairs('$state', 'tvf_probe11', 'vec_id', 'embedding', 0.2, 2)"),
+      graft.ext.Similarity.nearDupPairsFromState(spark, state, q5, 0.2, 2))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
