@@ -492,9 +492,15 @@ object Similarity {
   def nearDupPairsFromState(
       spark: SparkSession, dir: String, batch: DataFrame, threshold: Double,
       nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeTag: Option[Long] = None): DataFrame = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = spark.read.parquet(s"$dir/cells")
+    // excludeTag: a replayed tagged batch must not match ITSELF in the
+    // state and self-reject — same replay rule as the LSH pair reads
+    val cellsRaw = spark.read.parquet(s"$dir/cells")
+    val cells = excludeTag
+      .filter(_ => cellsRaw.columns.contains("batch_id"))
+      .map(t => cellsRaw.filter(col("batch_id") =!= t)).getOrElse(cellsRaw)
       .select("cid", "vid", "v", "cn")
     val probes = probeCells(batch, cents, nProbe, idCol, vecCol)
     cells.join(broadcast(probes), Seq("cid"))

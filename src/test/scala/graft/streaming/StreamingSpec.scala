@@ -275,6 +275,52 @@ class StreamingSpec extends SparkSpec {
       "replay overwrote, not duplicated")
   }
 
+  test("streaming vector ingest vs IVF state: near-dups rejected, replay overwrites") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_ingest").toString
+    val stateDir = s"$dir/state"
+    val pairsDir = s"$dir/pairs"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStream.vectorDedupIngest(
+      stream.toDS().toDF("vec_id", "embedding"), stateDir, pairsDir,
+      "vec_id", "embedding", checkpointDir = s"$dir/ckpt",
+      threshold = 0.9, k = 2, iters = 1, nProbe = 2)
+    def acceptedIds: Set[Long] = spark.read.parquet(s"$stateDir/cells")
+      .select("vid").as[Long].collect().toSet
+    val v1 = Seq(1f, 0f, 0f, 0f)
+    val v3 = Seq(0f, 0f, 1f, 0f)
+    try {
+      // batch 0: trains the index; the byte-identical vector collapses
+      stream.addData(Seq((1L, v1), (2L, v1), (3L, v3)))
+      q.processAllAvailable()
+      assert(acceptedIds == Set(1L, 3L))
+      // batch 1: near-dup of v1 (cos ≈ 0.994) rejected with an audit
+      // pair; an orthogonal fresh vector accepted
+      val near1 = Seq(0.9f, 0.1f, 0f, 0f)
+      val fresh = Seq(0f, 1f, 0f, 0f)
+      stream.addData(Seq((10L, near1), (11L, fresh)))
+      q.processAllAvailable()
+      assert(acceptedIds == Set(1L, 3L, 11L))
+      val pairs = spark.read.parquet(pairsDir)
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((10L, 1L)), s"missing audit pair in $pairs")
+    } finally q.stop()
+    // at-least-once replay of batch 1: the excludeTag read must re-reject
+    // exactly vector 10 (not self-reject 11 against its own append)
+    import org.apache.spark.sql.functions.col
+    val batch1 = Seq((10L, Seq(0.9f, 0.1f, 0f, 0f)), (11L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val replay = graft.ext.Similarity.nearDupPairsFromState(
+        spark, stateDir, batch1, threshold = 0.9, nProbe = 2,
+        excludeTag = Some(1L))
+      .select("new_id").as[Long].collect().toSet
+    assert(replay == Set(10L), s"replay must re-reject exactly 10: $replay")
+    graft.ext.Similarity.appendIvfState(
+      batch1.filter(col("vec_id") =!= 10L), stateDir, k = 2, iters = 1,
+      batchTag = Some(1L))
+    assert(acceptedIds == Set(1L, 3L, 11L), "replay overwrote, not duplicated")
+  }
+
   test("streaming simhash dedup suppresses reordered near-dups, keeps distinct docs") {
     import java.sql.Timestamp
     // doc B is a token reordering of doc A → identical simhash (votes are
