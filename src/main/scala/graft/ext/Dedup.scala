@@ -1422,8 +1422,13 @@ object Dedup {
     * Output: one row per maximal flagged span — (doc_id, span_start,
     * span_end inclusive 0-based token offsets, span_tokens, n_grams =
     * number of duplicated windows merged into the span). Downstream
-    * removal is a per-doc slice on these offsets; summing span_tokens
-    * against total tokens gives the corpus dup-substring mass.
+    * removal is a per-doc slice on these offsets ([[removeSpans]]);
+    * summing span_tokens against total tokens gives the corpus
+    * dup-substring mass. With `keepFirst` the corpus-FIRST occurrence
+    * (lexicographic (id, start)) of each duplicated gram is exempt, so
+    * excising the flagged spans retains exactly one copy of every
+    * duplicated substring — the paper's retain-one policy; the default
+    * flags every occurrence (the audit view).
     *
     * Plan at scale: one positional-gram explode (map-side, one token walk
     * per row via [[positionalGrams]]); the occurrence count groups by the
@@ -1435,15 +1440,28 @@ object Dedup {
     * every gram operator here pays; no pairwise comparison anywhere. */
   def duplicateSpans(
       docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 10): DataFrame = {
+      minLen: Int = 10, keepFirst: Boolean = false): DataFrame = {
     val grams = docs.select(col(idCol).as("id"),
         posexplode(positionalGrams(col(textCol), minLen))
           .as(Seq("start", "gram")))
       .select(col("id"), col("start"), md5(col("gram")).as("gfp"))
+    // one aggregate carries both the occurrence count and the corpus-first
+    // instance (lexicographic (id, start) via struct min) — keepFirst
+    // costs no extra shuffle
     val dup = grams.groupBy(col("gfp"))
-      .agg(count(lit(1)).as("graft_c")).filter(col("graft_c") >= 2)
-      .select("gfp")
-    val hits = grams.join(dup, "gfp").select("id", "start")
+      .agg(count(lit(1)).as("graft_c"),
+        min(struct(col("id"), col("start"))).as("graft_first"))
+      .filter(col("graft_c") >= 2)
+      .select("gfp", "graft_first")
+    val hitsAll = grams.join(dup, "gfp")
+    // keepFirst: the FIRST corpus occurrence of each duplicated gram is
+    // not a hit — its span survives excision, later copies are flagged
+    // (the retain-one-copy policy; default flags every occurrence, the
+    // audit view)
+    val hits = (if (keepFirst)
+        hitsAll.filter(col("id") =!= col("graft_first.id") ||
+          col("start") =!= col("graft_first.start"))
+      else hitsAll).select("id", "start")
     val byDoc = Window.partitionBy("id").orderBy("start")
     hits
       .withColumn("graft_brk",
@@ -1457,6 +1475,49 @@ object Dedup {
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_grams"))
+  }
+
+  /** Excise [[duplicateSpans]] spans from the corpus: per document, drop
+    * every token whose 0-based offset falls inside one of the doc's
+    * spans and re-assemble the remainder. Composed with
+    * `duplicateSpans(keepFirst = true)` this IS substring-level dedup
+    * with the retain-one-copy policy (Lee et al.'s ExactSubstr
+    * deduplication): the first corpus occurrence survives, every later
+    * copy of the repeated region is cut.
+    *
+    * Returns every input document: (idCol, n_tokens, n_removed,
+    * text_clean) — text_clean = "" when a doc was entirely duplicated
+    * substrings.
+    *
+    * Plan: the spans aggregate to one small array per affected doc
+    * (span count per doc is bounded by doc length / minLen), ONE hash
+    * equi-join attaches them to the corpus (left — clean docs pass
+    * through untouched), and the excision itself is a map-side
+    * higher-order filter over the token array (per-token work ∝ the
+    * doc's span count; the captured span array is an attribute, not a
+    * re-evaluated expression). Texts shuffle never; spans (integer
+    * pairs) shuffle once. */
+  def removeSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("graft_spans"))
+    docs.join(sp, Seq(idCol), "left")
+      .select(col(idCol), tokens(col(textCol)).as("graft_t"),
+        coalesce(col("graft_spans"),
+          array().cast("array<struct<span_start:long,span_end:long>>"))
+          .as("graft_spans"))
+      .select(col(idCol),
+        size(col("graft_t")).cast("long").as("n_tokens"),
+        filter(col("graft_t"), (_, i) =>
+          !exists(col("graft_spans"), s =>
+            i.cast("long") >= s.getField("span_start") &&
+              i.cast("long") <= s.getField("span_end"))).as("graft_kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("graft_kept"))).cast("long")
+          .as("n_removed"),
+        concat_ws(" ", col("graft_kept")).as("text_clean"))
   }
 
   /** Cross-group flow matrix of a pair relation: aggregate near-dup (or

@@ -187,6 +187,23 @@ object TableFunctions {
       "ann_from_state", exprs => annFromState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "substring_dedup", exprs => substringDedup(spark, exprs), "built-in")
+  }
+
+  /** `substring_dedup(table, id, text[, min_len])` →
+    * [[Dedup.removeSpans]] over `duplicateSpans(keepFirst = true)`: the
+    * cleaned corpus with non-first copies of repeated regions excised. */
+  private def substringDedup(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "substring_dedup"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val tbl = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val minLen = if (args.exhausted) 10 else args.int("min_len")
+    plan(Dedup.removeSpans(tbl, id, text,
+      Dedup.duplicateSpans(tbl, id, text, minLen, keepFirst = true)))
   }
 
   /** `ann_state_pairs('dir', batch, id, vec, threshold[, nprobe])` →

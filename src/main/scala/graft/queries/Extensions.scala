@@ -1520,6 +1520,20 @@ object Extensions {
       .orderBy("new_id", "old_id")
   }
 
+  /** x108 — substring-level dedup applied ([[Dedup.duplicateSpans]]
+    * keepFirst + [[Dedup.removeSpans]]): the cleaned corpus — every doc
+    * with the non-first copies of corpus-repeated ≥10-token regions
+    * excised and the survivors re-assembled, plus the removal
+    * accounting. The Lee et al. retain-one-copy policy end-to-end; the
+    * gate hashes the full cleaned text of every document. */
+  def x108(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.removeSpans(docs, "doc_id", "text",
+        Dedup.duplicateSpans(docs, "doc_id", "text", minLen = 10,
+          keepFirst = true))
+      .orderBy("doc_id")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1707,7 +1721,8 @@ object Extensions {
     "x104_temperature_mix" -> (x104 _),
     "x105_hard_negatives" -> (x105 _),
     "x106_ann_from_state" -> (x106 _),
-    "x107_vector_dup_from_state" -> (x107 _)
+    "x107_vector_dup_from_state" -> (x107 _),
+    "x108_substring_dedup" -> (x108 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -3885,6 +3900,55 @@ object Extensions {
          |         * sqrt(list_dot_product(s.v, s.v))) AS cos
          |  FROM probes p JOIN st s USING (cid) WHERE s.vid != p.query_id)
          |SELECT new_id, old_id, round(cos, 4) AS cos_sim
-         |FROM scored WHERE cos >= 0.3 ORDER BY new_id, old_id""".stripMargin
+         |FROM scored WHERE cos >= 0.3 ORDER BY new_id, old_id""".stripMargin,
+
+    // x108: x103's gram/island chain but only NON-FIRST occurrences of a
+    // duplicated gram flag (rn > 1 over (doc, start) order = the Spark
+    // min-struct exemption), then token-level anti-join against the
+    // merged spans and ordered re-assembly; count(kept.tok) is 0 for a
+    // fully-excised doc (string_agg NULL -> ''), matching concat_ws("")
+    "x108_substring_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, len(t) - 9)) AS start,
+        |    unnest(list_transform(range(0, len(t) - 9),
+        |      i -> array_to_string(t[i+1:i+10], ' '))) AS gram
+        |  FROM tk WHERE len(t) >= 10),
+        |r AS (
+        |  SELECT doc_id, start,
+        |    count(*) OVER (PARTITION BY gram) AS c,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+        |  FROM g),
+        |h AS (SELECT doc_id, start FROM r WHERE c >= 2 AND rn > 1),
+        |m AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN start - lag(start)
+        |        OVER (PARTITION BY doc_id ORDER BY start) > 10
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM h),
+        |i AS (
+        |  SELECT doc_id, start,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+        |  FROM m),
+        |sp AS (
+        |  SELECT doc_id, min(start) AS s0, max(start) + 9 AS s1
+        |  FROM i GROUP BY doc_id, island),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+        |  FROM tk),
+        |kept AS (
+        |  SELECT tok.doc_id, pos, tok
+        |  FROM tok LEFT JOIN sp
+        |    ON tok.doc_id = sp.doc_id AND pos BETWEEN sp.s0 AND sp.s1
+        |  WHERE sp.doc_id IS NULL)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk.t) - count(kept.tok) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(kept.tok, ' ' ORDER BY kept.pos), '')
+        |    AS text_clean
+        |FROM tk LEFT JOIN kept USING (doc_id)
+        |GROUP BY tk.doc_id, len(tk.t)
+        |ORDER BY tk.doc_id""".stripMargin
   )
 }

@@ -2004,6 +2004,31 @@ class ExtSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("duplicateSpans keepFirst + removeSpans: retain-one-copy excision") {
+    // doc1 holds the first occurrence of the repeated run "p1..p4";
+    // doc2 repeats it and must lose exactly that region; doc3 is a
+    // byte-identical copy of doc2 and loses EVERYTHING (all its grams
+    // are non-first)
+    val d2 = "p1 p2 p3 p4 z1 z2 z3"
+    val docs = docsFrom(Seq(
+      (1L, "a b p1 p2 p3 p4 c d"),
+      (2L, d2),
+      (3L, d2)))
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", minLen = 3,
+      keepFirst = true)
+    val got = Dedup.removeSpans(docs, "doc_id", "text", spans)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 0L, "a b p1 p2 p3 p4 c d"),   // first copy untouched
+      (2L, 7L, 4L, "z1 z2 z3"),              // repeated run excised
+      (3L, 7L, 7L, "")))                     // full duplicate -> empty
+    // default (audit) mode flags BOTH occurrences; keepFirst exempts one
+    val audit = Dedup.duplicateSpans(docs, "doc_id", "text", minLen = 3)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(audit == Seq(1L, 2L, 3L))
+  }
+
   test("temperatureMix: sqrt flattening upweights the small source") {
     // src big: 2 docs x 8 tokens = 16; src small: 1 doc x 4 tokens = 4
     val docs = Seq(

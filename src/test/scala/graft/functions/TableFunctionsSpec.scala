@@ -397,6 +397,11 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql(s"SELECT * FROM ann_state_pairs('$state', 'tvf_probe11', 'vec_id', 'embedding', 0.2, 2)"),
       graft.ext.Similarity.nearDupPairsFromState(spark, state, q5, 0.2, 2))
+    assertSame(
+      spark.sql("SELECT * FROM substring_dedup('tvf_docs11', 'doc_id', 'text', 10)"),
+      graft.ext.Dedup.removeSpans(docs, "doc_id", "text",
+        graft.ext.Dedup.duplicateSpans(docs, "doc_id", "text", 10,
+          keepFirst = true)))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {

@@ -350,6 +350,13 @@ class PlanSpec extends SparkSpec {
       s"x105 shuffled the corpus for scoring:\n$p")
   }
 
+  test("x108: excision is one keyed spans join + map-side HOF, no cartesian") {
+    val p = plan(Extensions.x108(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"x108 excision degenerated to a non-equi join:\n$p")
+  }
+
   test("ivfTopKFromState: probes broadcast against the cells scan") {
     val emb = graft.Tables(spark, sf, "embeddings")
     val dir = java.nio.file.Files
