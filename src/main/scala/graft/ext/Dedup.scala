@@ -606,18 +606,28 @@ object Dedup {
     * appends or reads during the swap see a missing table. */
   def compactLshState(
       spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Unit = {
+      targetBytes: Long = 128L << 20): Unit =
+    compactStateTables(spark, dir,
+      Seq("bands" -> true, "reps" -> false, "members" -> true), targetBytes)
+
+  /** Shared state-dir compaction engine ([[compactLshState]],
+    * [[Similarity.compactIvfState]], [[Profile.compactStatsState]]):
+    * rewrite each `(table, dedup?)` into ~targetBytes files with the
+    * backup-swap rename discipline documented on [[compactLshState]].
+    * `dedup = true` distinct()s rows during the rewrite (for tables
+    * where historical duplicates are absorbable); row CONTENT is
+    * otherwise preserved exactly — only the file layout changes. */
+  private[ext] def compactStateTables(
+      spark: SparkSession, dir: String, tables: Seq[(String, Boolean)],
+      targetBytes: Long): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
-    Seq("bands", "reps", "members").foreach { table =>
+    tables.foreach { case (table, dedup) =>
       val path = new org.apache.hadoop.fs.Path(dir, table)
       val fs = path.getFileSystem(hconf)
       if (fs.exists(path)) {
         val df = spark.read.parquet(path.toString)
         val tagged = df.columns.contains("batch_id")
-        val clean = table match {
-          case "reps" => df
-          case _ => df.distinct()
-        }
+        val clean = if (dedup) df.distinct() else df
         val nFiles = math.max(1, math.ceil(
           fs.getContentSummary(path).getLength.toDouble / targetBytes).toInt)
         // tagged: hash-cluster by batch so each partition dir gets ONE

@@ -234,4 +234,60 @@ object Profile {
         ((col("graft_lt") <= col("n_rows") / 2.0 + slack) &&
           (col("graft_le") >= col("n_rows") / 2.0 - slack)).as("within_bound"))
   }
+
+  /** PERSISTED corpus-accounting state — the third state pillar next to
+    * the LSH text state and the IVF vector state: per-source composition
+    * statistics (doc count, token mass, distinct-content cardinality)
+    * maintained incrementally so the growing corpus is NEVER rescanned.
+    * Counts are exact integer sums; the distinct-content estimate is a
+    * Datasketches HLL sketch (`hll_sketch_agg` over the content md5),
+    * which is the part a naive design gets wrong: per-batch exact
+    * distinct counts cannot be ADDED across batches (the same document
+    * re-appearing in ten batches would count ten times), while HLL
+    * registers union commutatively (register-wise max) — any batch
+    * order, any partitioning, same estimate. Each append writes one
+    * pre-aggregated row per source in the batch (a few KB of sketch per
+    * row); [[statsReport]] folds the whole history with `hll_union_agg`.
+    *
+    * Same replay discipline as the other states: tagged appends land in
+    * `batch_id=N` partitions with overwrite (at-least-once orchestrators
+    * re-run safely); untagged appends are for one-shot builds. */
+  def appendStatsState(
+      batch: DataFrame, dir: String, textCol: String, grpCol: String,
+      batchTag: Option[Long] = None): Unit = {
+    val rows = batch
+      .select(col(grpCol).as("grp"), md5(col(textCol)).as("graft_fp"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_tok")).as("tokens"),
+        hll_sketch_agg(col("graft_fp")).as("fp_sketch"))
+    batchTag match {
+      case Some(t) =>
+        rows.write.mode("overwrite").parquet(s"$dir/stats/batch_id=$t")
+      case None => rows.write.mode("append").parquet(s"$dir/stats")
+    }
+  }
+
+  /** Fold an [[appendStatsState]] dir into the per-source composition
+    * report: (grp, n_docs, tokens, distinct_est). Cost ∝ sources ×
+    * batches — independent of corpus size. The estimate carries the
+    * standard HLL error (~1.6 % RSE at the default lgK = 12, and EXACT
+    * below the sparse-mode threshold); gate it against a bound, not a
+    * value (the x59/x109 discipline). */
+  def statsReport(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/stats")
+      .groupBy(col("grp"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens"),
+        round(hll_sketch_estimate(hll_union_agg(col("fp_sketch"))))
+          .cast("long").as("distinct_est"))
+
+  /** Small-file maintenance for an [[appendStatsState]] dir — rows (one
+    * per source per batch, sketches included) are preserved exactly;
+    * only the file layout compacts. Offline, backup-swap discipline
+    * (see [[graft.ext.Dedup.compactLshState]]). */
+  def compactStatsState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Unit =
+    Dedup.compactStateTables(spark, dir, Seq("stats" -> false), targetBytes)
 }

@@ -511,6 +511,20 @@ object Similarity {
         col("cos"))
   }
 
+  /** Compact an [[appendIvfState]] dir in place — the same steady-state
+    * small-file maintenance as [[graft.ext.Dedup.compactLshState]]
+    * (every append lands one small file-set under `cells`): rewrites
+    * `cells` (and the k-row `centroids`) into ~targetBytes files,
+    * preserving tagged `batch_id=N` partition layout and `_meta`. No
+    * dedup pass — cell rows are unique by construction (untagged appends
+    * anti-join, tagged appends overwrite). Run OFFLINE (see the swap
+    * discipline notes on the LSH twin). */
+  def compactIvfState(
+      spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Unit =
+    graft.ext.Dedup.compactStateTables(spark, dir,
+      Seq("centroids" -> false, "cells" -> false), targetBytes)
+
   /** Validate (or persist on first contact) an IVF state dir's index
     * parameters — same fail-fast discipline as the LSH `_meta`:
     * assignments computed under different (k, iters) probe wrong cells

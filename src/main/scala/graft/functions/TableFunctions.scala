@@ -69,6 +69,8 @@ import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, Layout,
   * SELECT * FROM hard_negatives('embeddings', 'probe_view', 'vec_id', 'embedding', 5, 0.15, 0.35)
   * SELECT * FROM ann_from_state('/indexes/corpus_ivf', 'probe_view', 'vec_id', 'embedding', 10, 2)
   * SELECT * FROM ann_state_pairs('/indexes/corpus_ivf', 'batch_view', 'vec_id', 'embedding', 0.9, 2)
+  * SELECT * FROM substring_dedup('documents', 'doc_id', 'text', 10)
+  * SELECT * FROM stats_report('/state/corpus_stats')
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -189,6 +191,17 @@ object TableFunctions {
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "substring_dedup", exprs => substringDedup(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "stats_report", exprs => statsReport(spark, exprs), "built-in")
+  }
+
+  /** `stats_report('dir')` → [[Profile.statsReport]]: fold a persisted
+    * corpus-stats state into the per-source composition report. */
+  private def statsReport(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "stats_report"
+    requireArity(f, exprs, min = 1, max = 1)
+    val args = new Args(f, exprs)
+    plan(Profile.statsReport(spark, args.name("dir")))
   }
 
   /** `substring_dedup(table, id, text[, min_len])` →

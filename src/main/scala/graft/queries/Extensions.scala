@@ -1534,6 +1534,38 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x109 — incremental corpus accounting from PERSISTED stats state
+    * ([[Profile.appendStatsState]] ×3 + [[Profile.statsReport]]): the
+    * composition report (per-source docs / token mass / distinct
+    * content) answered from per-batch mergeable aggregates — exact
+    * integer sums plus a Datasketches HLL union for the
+    * cannot-just-add-across-batches distinct count. The gate pins the
+    * exact counts by value and the HLL estimate by its error bound
+    * (x59's discipline: the bound is the contract, not the estimate). */
+  def x109(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x109_state").toFile.getAbsolutePath
+    Profile.appendStatsState(docs.filter(col("doc_id") < 150),
+      state, "text", "source", Some(1L))
+    Profile.appendStatsState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      state, "text", "source", Some(2L))
+    Profile.appendStatsState(docs.filter(col("doc_id") >= 300),
+      state, "text", "source", Some(3L))
+    val exact = docs.groupBy(col("source"))
+      .agg(count_distinct(md5(col("text"))).as("n_unique"))
+    Profile.statsReport(s, state)
+      .withColumnRenamed("grp", "source")
+      .join(exact, "source")
+      .select(col("source"), col("n_docs"), col("tokens"), col("n_unique"),
+        (abs(col("distinct_est").cast("double") -
+            col("n_unique").cast("double")) <=
+          col("n_unique").cast("double") * 0.05 + lit(1.0))
+          .as("est_within_bound"))
+      .orderBy("source")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1722,7 +1754,8 @@ object Extensions {
     "x105_hard_negatives" -> (x105 _),
     "x106_ann_from_state" -> (x106 _),
     "x107_vector_dup_from_state" -> (x107 _),
-    "x108_substring_dedup" -> (x108 _)
+    "x108_substring_dedup" -> (x108 _),
+    "x109_stats_from_state" -> (x109 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -3949,6 +3982,17 @@ object Extensions {
         |    AS text_clean
         |FROM tk LEFT JOIN kept USING (doc_id)
         |GROUP BY tk.doc_id, len(tk.t)
-        |ORDER BY tk.doc_id""".stripMargin
+        |ORDER BY tk.doc_id""".stripMargin,
+
+    // x109: counts and token sums exact; the distinct-content estimate is
+    // pinned only through its bound (the engine computes the boolean
+    // honestly against the exact join side; at this cardinality the HLL
+    // is in sparse mode and exact, so TRUE has wide margin)
+    "x109_stats_from_state" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  TRUE AS est_within_bound
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

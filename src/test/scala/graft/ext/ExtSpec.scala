@@ -2125,6 +2125,76 @@ class ExtSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tdir/cells").count() == 200)
   }
 
+  test("compactIvfState / compactStatsState: results identical, fewer files") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact").toFile.getAbsolutePath
+    (0 until 5).foreach { i =>
+      Similarity.appendIvfState(
+        emb.filter(col("vec_id") >= i * 40 && col("vec_id") < (i + 1) * 40),
+        dir, k = 4, iters = 1, batchTag = Some(i.toLong))
+    }
+    val q = emb.filter(col("vec_id") < 3)
+    def result = Similarity.ivfTopKFromState(spark, dir, q, topK = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    def nFiles(path: String) = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(path))
+    }
+    val before = result
+    Similarity.compactIvfState(spark, dir)
+    // tagged layouts keep one file-set per batch_id partition (replay
+    // semantics survive); the result is byte-identical
+    assert(result == before && before.nonEmpty)
+    // replay overwrite still works after compaction (partition layout kept)
+    Similarity.appendIvfState(
+      emb.filter(col("vec_id") >= 160 && col("vec_id") < 200),
+      dir, k = 4, iters = 1, batchTag = Some(4L))
+    assert(result == before)
+
+    // untagged appends accumulate files at the table root — THE small-file
+    // case compaction exists for: report identical, file count collapses
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft_stats_compact").toFile.getAbsolutePath
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    (0 until 4).foreach { i =>
+      Profile.appendStatsState(
+        docs.filter(col("doc_id") % 4 === i), sdir, "text", "source")
+    }
+    val rep = Profile.statsReport(spark, sdir).orderBy("grp")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val filesBefore = nFiles(s"$sdir/stats")
+    assert(filesBefore >= 4, s"expected >=4 append file-sets: $filesBefore")
+    Profile.compactStatsState(spark, sdir)
+    assert(nFiles(s"$sdir/stats") < filesBefore,
+      s"${nFiles(s"$sdir/stats")} vs $filesBefore")
+    assert(Profile.statsReport(spark, sdir).orderBy("grp")
+      .as[(String, Long, Long, Long)].collect().toSeq == rep)
+  }
+
+  test("appendStatsState: cross-batch distinct unions, replay overwrites") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stats_state").toFile.getAbsolutePath
+    val b1 = Seq((1L, "alpha beta", "s"), (2L, "gamma delta", "s"),
+      (3L, "epsilon", "t")).toDF("doc_id", "text", "source")
+    // batch 2 re-ships doc 1's CONTENT under a new id — per-batch exact
+    // distinct counts would add to 3 for source s; the sketch union must
+    // still say 2
+    val b2 = Seq((10L, "alpha beta", "s")).toDF("doc_id", "text", "source")
+    Profile.appendStatsState(b1, dir, "text", "source", Some(1L))
+    Profile.appendStatsState(b2, dir, "text", "source", Some(2L))
+    def report = Profile.statsReport(spark, dir).orderBy("grp")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(report == Seq(("s", 3L, 6L, 2L), ("t", 1L, 1L, 1L)))
+    // tagged replay of batch 2 overwrites its partition - nothing doubles
+    Profile.appendStatsState(b2, dir, "text", "source", Some(2L))
+    assert(report == Seq(("s", 3L, 6L, 2L), ("t", 1L, 1L, 1L)))
+  }
+
   test("nearDupPairsFromState: catches a planted near-dup, pairs stay cell-bounded") {
     import graft.Tables
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")

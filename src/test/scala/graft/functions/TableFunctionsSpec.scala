@@ -402,6 +402,13 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Dedup.removeSpans(docs, "doc_id", "text",
         graft.ext.Dedup.duplicateSpans(docs, "doc_id", "text", 10,
           keepFirst = true)))
+
+    val stats = java.nio.file.Files
+      .createTempDirectory("graft_tvf_stats").toFile.getAbsolutePath
+    graft.ext.Profile.appendStatsState(docs, stats, "text", "source")
+    assertSame(
+      spark.sql(s"SELECT * FROM stats_report('$stats')"),
+      graft.ext.Profile.statsReport(spark, stats))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
