@@ -202,7 +202,27 @@ object Plans {
           "decontamination semi-join and joins back per-source counts — " +
           "every fraction is a single division over integer aggregates, " +
           "no cartesian, no window.",
-        queries.Extensions.x70))
+        queries.Extensions.x70),
+      Entry("x103_dup_spans",
+        "Substring-dedup spans: the occurrence count groups by the gram's " +
+          "16-byte md5 (the shuffle carries fingerprints + integer " +
+          "positions, never gram text); hits re-join on the fingerprint " +
+          "equi-key and the island merge is a Window PARTITIONED BY doc — " +
+          "keyed, never global.",
+        queries.Extensions.x103),
+      Entry("x106_ann_from_state",
+        "ANN from persisted IVF state: the cells scan is a narrow " +
+          "columnar read of precomputed assignments, probes broadcast " +
+          "(BroadcastHashJoin on cid), and only the per-query top-k " +
+          "window shuffles — zero training or corpus-assignment work at " +
+          "query time.",
+        queries.Extensions.x106),
+      Entry("x108_substring_dedup",
+        "Retain-one-copy excision: spans aggregate to one small array " +
+          "per affected doc, ONE keyed left join attaches them (clean " +
+          "docs pass through), and the token filter is a map-side " +
+          "higher-order function — texts never shuffle.",
+        queries.Extensions.x108))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative declared queries\n\n")

@@ -161,8 +161,17 @@ object Index {
       .filter(col("term").isin(terms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25ScoreTf(tf, idCol, n, avgdl, k1, b)
+  }
 
+  /** Per-term BM25 scoring over a prepared tf relation (id, dl, term, tf)
+    * plus the corpus constants — ONE expression tree shared by the batch
+    * path ([[bm25]]) and the persisted-state path ([[bm25TopKFromState]]),
+    * so both produce bit-identical doubles. */
+  private def bm25ScoreTf(
+      tf: DataFrame, idCol: String, n: Long, avgdl: Double,
+      k1: Double, b: Double): DataFrame = {
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
     val norm = col("tf") + lit(k1) *
@@ -185,8 +194,15 @@ object Index {
     * Returns (idCol, score, rank 1..k). */
   def bm25TopK(
       docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
-      k: Int, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
-    val perDoc = bm25(docs, idCol, textCol, terms, k1, b)
+      k: Int, k1: Double = 1.25, b: Double = 0.75): DataFrame =
+    bm25FoldRank(bm25(docs, idCol, textCol, terms, k1, b), idCol, k)
+
+  /** The pinned-order per-doc fold + lossless top-k cut of a per-term
+    * score relation — shared tail of [[bm25TopK]] and
+    * [[bm25TopKFromState]]. */
+  private def bm25FoldRank(
+      perTerm: DataFrame, idCol: String, k: Int): DataFrame = {
+    val perDoc = perTerm
       .groupBy(col(idCol))
       .agg(aggregate(
         sort_array(collect_list(struct(col("term"), col("score")))),
@@ -198,6 +214,93 @@ object Index {
     Ordinals.perKeyOrdinal(pruned, "graft_one", Seq("graft_neg", idCol))
       .filter(col("ordinal") < k)
       .select(col(idCol), col("score"), (col("ordinal") + 1L).as("rank"))
+  }
+
+  /** Scala twin of [[PortableHash.md5Long]] for DRIVER-side term-bucket
+    * computation (query-time partition pruning needs the bucket of each
+    * query term before any plan exists). */
+  private[ext] def termBucket(term: String, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  /** PERSISTED search-index state — the fourth state pillar: the posting
+    * relation (id, dl, term, tf) maintained incrementally so BM25 / term
+    * lookup never re-tokenizes the corpus. Postings land PARTITIONED BY a
+    * 60-bit-md5 term bucket (default 64), which is what makes query-time
+    * cost right at scale: a query's terms map to a handful of buckets and
+    * the read is PARTITION-PRUNED to those directories — a term lookup
+    * touches ~|terms|/64 of the index files, never scans it. A `totals`
+    * table accumulates per-batch (n_docs, sum_dl) so the BM25 corpus
+    * constants need no corpus pass either (exact integer sums — they
+    * cannot drift the way per-batch averages would).
+    *
+    * Same replay discipline as every state here: tagged appends overwrite
+    * their own `batch_id=N` partitions; ids must be unique across
+    * batches (cross-batch df is then exactly the per-term row count).
+    * Maintenance: [[graft.ext.Dedup.compactStateTables]] discipline
+    * applies; compaction preserves the bucket layout. */
+  def appendPostingsState(
+      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      buckets: Int = 64, batchTag: Option[Long] = None): Unit = {
+    val toks = batch.select(col(idCol).as("id"),
+      filter(Dedup.tokens(col(textCol)), _ =!= "").as("graft_toks"))
+    val totals = toks.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("graft_toks"))), lit(0L)).as("sum_dl"))
+    val tf = toks
+      .select(col("id"), size(col("graft_toks")).as("dl"),
+        explode(col("graft_toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(PortableHash.md5Long(col("term")), lit(buckets.toLong))
+          .cast("int"))
+    batchTag match {
+      case Some(t) =>
+        tf.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/postings/batch_id=$t")
+        totals.write.mode("overwrite").parquet(s"$dir/totals/batch_id=$t")
+      case None =>
+        tf.write.mode("append").partitionBy("bucket")
+          .parquet(s"$dir/postings")
+        totals.write.mode("append").parquet(s"$dir/totals")
+    }
+  }
+
+  /** [[bm25TopK]] answered from [[appendPostingsState]] parquet —
+    * output-identical to the batch path over the same corpus (ExtSpec
+    * pins it; x110 pins the values on x53's oracle): the tf rows come
+    * from a partition-pruned read of the query terms' buckets, the
+    * corpus constants from the totals table, and the scoring/fold/rank
+    * tail is the SAME code. Query cost ∝ the query terms' posting lists
+    * plus a |batches|-row totals read — the corpus text is never
+    * touched. */
+  def bm25TopKFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], k: Int, buckets: Int = 64,
+      idCol: String = "id", k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tstats = spark.read.parquet(s"$dir/totals")
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    val n = tstats.getLong(0)
+    val avgdl = tstats.getLong(1).toDouble / n
+    val tf = postingsRead(spark, dir, terms, buckets)
+      .select(col("id").as(idCol), col("dl"), col("term"), col("tf"))
+    bm25FoldRank(bm25ScoreTf(tf, idCol, n, avgdl, k1, b), idCol, k)
+  }
+
+  /** The partition-pruned postings read (exposed for the plan pin: the
+    * final ranked frame's lineage truncates at the ordinal
+    * materialization, so the scan must be asserted on THIS stage). */
+  private[ext] def postingsRead(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], buckets: Int): DataFrame = {
+    val wanted = terms.map(termBucket(_, buckets)).distinct
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isInCollection(wanted))
+      .filter(col("term").isin(terms: _*))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of two

@@ -71,6 +71,7 @@ import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, Layout,
   * SELECT * FROM ann_state_pairs('/indexes/corpus_ivf', 'batch_view', 'vec_id', 'embedding', 0.9, 2)
   * SELECT * FROM substring_dedup('documents', 'doc_id', 'text', 10)
   * SELECT * FROM stats_report('/state/corpus_stats')
+  * SELECT * FROM bm25_from_state('/state/postings', 'doc_id', 'spark shuffle', 10)
   * }}}
   *
   * Arguments must be foldable literals (view/column names as strings,
@@ -193,6 +194,22 @@ object TableFunctions {
       "substring_dedup", exprs => substringDedup(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "stats_report", exprs => statsReport(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bm25_from_state", exprs => bm25FromState(spark, exprs), "built-in")
+  }
+
+  /** `bm25_from_state('dir', 'id', 'w1 w2 ...', k)` →
+    * [[Index.bm25TopKFromState]]: BM25 top-k from a persisted postings
+    * state (term-bucket partition-pruned read). */
+  private def bm25FromState(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "bm25_from_state"
+    requireArity(f, exprs, min = 4, max = 4)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val id = args.name("id")
+    val terms = args.name("terms").split("\\s+").toSeq.filter(_.nonEmpty)
+    val k = args.int("k")
+    plan(Index.bm25TopKFromState(spark, dir, terms, k, idCol = id))
   }
 
   /** `stats_report('dir')` → [[Profile.statsReport]]: fold a persisted

@@ -1566,6 +1566,28 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** x110 — BM25 retrieval from PERSISTED postings state
+    * ([[Index.appendPostingsState]] ×2 + [[Index.bm25TopKFromState]]):
+    * x53's exact ranking, but the tf rows come from a term-bucket
+    * PARTITION-PRUNED read of an incrementally-built posting store and
+    * the corpus constants from accumulated totals — the search-index
+    * maintenance shape where the corpus text is never re-tokenized at
+    * query time. Same oracle as x53 (the state path is output-identical
+    * by construction; ExtSpec pins the parity, this pins the VALUES). */
+  def x110(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x110_state").toFile.getAbsolutePath
+    Index.appendPostingsState(docs.filter(col("doc_id") < 250),
+      state, "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 250),
+      state, "doc_id", "text", batchTag = Some(2L))
+    Index.bm25TopKFromState(s, state, Seq("dup", "vector", "window"),
+        k = 10, idCol = "doc_id")
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1755,7 +1777,8 @@ object Extensions {
     "x106_ann_from_state" -> (x106 _),
     "x107_vector_dup_from_state" -> (x107 _),
     "x108_substring_dedup" -> (x108 _),
-    "x109_stats_from_state" -> (x109 _)
+    "x109_stats_from_state" -> (x109 _),
+    "x110_bm25_from_state" -> (x110 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1903,6 +1926,44 @@ object Extensions {
     * per-subspace PQ derivation (names s-prefixed so both chains can
     * coexist in one WITH clause). Text identical to the original tested
     * oracles — x47 composes the two unchanged. */
+  /** Shared BM25 top-10 oracle (x53 batch path; x110 computes the
+    * identical relation from persisted postings state). */
+  private val bm25TopKOracleSql: String =
+    """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+          |  FROM documents),
+          |stats AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(len(tk)) AS BIGINT) AS sumdl FROM toks),
+          |tr AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
+          |tf AS (
+          |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM tr WHERE term IN ('dup', 'vector', 'window')
+          |  GROUP BY doc_id, dl, term),
+          |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+          |scored AS (
+          |  SELECT t.doc_id, t.term,
+          |    ln((CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+          |      * (t.tf * 2.25)
+          |      / (t.tf + 1.25 * (1.0 - 0.75 + 0.75 * t.dl
+          |          / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS sc
+          |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s),
+          |agg AS (
+          |  SELECT doc_id,
+          |    max(CASE WHEN term = 'dup' THEN sc END) AS s1,
+          |    max(CASE WHEN term = 'vector' THEN sc END) AS s2,
+          |    max(CASE WHEN term = 'window' THEN sc END) AS s3
+          |  FROM scored GROUP BY doc_id),
+          |rk AS (
+          |  SELECT doc_id,
+          |    coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0) AS score,
+          |    row_number() OVER (
+          |      ORDER BY coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0)
+          |        DESC, doc_id) AS rn
+          |  FROM agg)
+          |SELECT doc_id, round(score, 4) AS score, CAST(rn AS BIGINT) AS rank
+          |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin
+
   private val annEmbCte: String =
     """e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2893,41 +2954,7 @@ object Extensions {
     // is the exact literal 2.25); the per-doc sum is the SAME ascending-
     // term fold ((0+s_dup)+s_vector)+s_window via coalesce — a leading
     // +0.0 is an IEEE no-op, so term-subset docs agree too
-    "x53_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-        |  FROM documents),
-        |stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(len(tk)) AS BIGINT) AS sumdl FROM toks),
-        |tr AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
-        |tf AS (
-        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM tr WHERE term IN ('dup', 'vector', 'window')
-        |  GROUP BY doc_id, dl, term),
-        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-        |scored AS (
-        |  SELECT t.doc_id, t.term,
-        |    ln((CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
-        |      * (t.tf * 2.25)
-        |      / (t.tf + 1.25 * (1.0 - 0.75 + 0.75 * t.dl
-        |          / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS sc
-        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s),
-        |agg AS (
-        |  SELECT doc_id,
-        |    max(CASE WHEN term = 'dup' THEN sc END) AS s1,
-        |    max(CASE WHEN term = 'vector' THEN sc END) AS s2,
-        |    max(CASE WHEN term = 'window' THEN sc END) AS s3
-        |  FROM scored GROUP BY doc_id),
-        |rk AS (
-        |  SELECT doc_id,
-        |    coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0) AS score,
-        |    row_number() OVER (
-        |      ORDER BY coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0)
-        |        DESC, doc_id) AS rn
-        |  FROM agg)
-        |SELECT doc_id, round(score, 4) AS score, CAST(rn AS BIGINT) AS rank
-        |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin,
+    "x53_bm25" -> bm25TopKOracleSql,
     // x54: both rankings re-derived (BM25 = x53's CTE chain at top-20; the
     // cosine ranking = x06's scoring for query 0), then the RRF sum in the
     // SAME fixed lex-then-vec order; null-side contributions are 0.0
@@ -3983,6 +4010,10 @@ object Extensions {
         |FROM tk LEFT JOIN kept USING (doc_id)
         |GROUP BY tk.doc_id, len(tk.t)
         |ORDER BY tk.doc_id""".stripMargin,
+
+    // x110: the state-backed BM25 computes x53's exact relation (postings
+    // from parquet instead of re-tokenization) — same oracle
+    "x110_bm25_from_state" -> bm25TopKOracleSql,
 
     // x109: counts and token sums exact; the distinct-content estimate is
     // pinned only through its bound (the engine computes the boolean

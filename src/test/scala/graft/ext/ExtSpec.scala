@@ -2176,6 +2176,41 @@ class ExtSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq == rep)
   }
 
+  test("bm25TopKFromState: parity with batch bm25TopK; reads prune to term buckets") {
+    import graft.Tables
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_postings_state").toFile.getAbsolutePath
+    Index.appendPostingsState(docs.filter(col("doc_id") < 250),
+      dir, "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 250),
+      dir, "doc_id", "text", batchTag = Some(2L))
+    val terms = Seq("dup", "vector", "window")
+    val fromState = Index
+      .bm25TopKFromState(spark, dir, terms, k = 10, idCol = "doc_id")
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Long)].collect().toSet
+    val direct = Index.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(fromState == direct && fromState.nonEmpty)
+    // the postings read must PRUNE to the query terms' bucket partitions
+    // (pinned on the read stage — the ranked frame's lineage truncates at
+    // the ordinal materialization and never shows the scan)
+    val plan = graft.Plans.capturePlan(
+      Index.postingsRead(spark, dir, terms, buckets = 64))
+    val scanLine = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanLine.contains("bucket"),
+      s"postings scan is not bucket-pruned:\n$plan")
+    // tagged replay overwrite: re-appending batch 2 changes nothing
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 250),
+      dir, "doc_id", "text", batchTag = Some(2L))
+    assert(Index.bm25TopKFromState(spark, dir, terms, k = 10, idCol = "doc_id")
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Long)].collect().toSet == direct)
+  }
+
   test("appendStatsState: cross-batch distinct unions, replay overwrites") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stats_state").toFile.getAbsolutePath

@@ -409,6 +409,14 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql(s"SELECT * FROM stats_report('$stats')"),
       graft.ext.Profile.statsReport(spark, stats))
+
+    val postings = java.nio.file.Files
+      .createTempDirectory("graft_tvf_postings").toFile.getAbsolutePath
+    graft.ext.Index.appendPostingsState(docs, postings, "doc_id", "text")
+    assertSame(
+      spark.sql(s"SELECT * FROM bm25_from_state('$postings', 'doc_id', 'dup vector window', 10)"),
+      graft.ext.Index.bm25TopKFromState(spark, postings,
+        Seq("dup", "vector", "window"), 10, idCol = "doc_id"))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
