@@ -170,6 +170,62 @@ object Sampling {
         Dedup.round4(shareTemp / shareRaw).as("up_weight"))
   }
 
+  /** Assemble the final training MIX to a token budget:
+    * [[temperatureMix]]'s flattened shares turned into per-source token
+    * budgets (floor(share_temp · totalTokens)), then filled per source in
+    * deterministic hash order — the last step of a data recipe, where
+    * "sample source i with probability p_i" becomes an auditable,
+    * re-buildable document list. Returns the kept rows:
+    * (grpCol, idCol, tokens, cum_tokens) — a doc is kept iff the tokens
+    * BEFORE it in its source's hash order leave budget headroom (so each
+    * source overshoots by at most one document, never undershoots while
+    * docs remain).
+    *
+    * Scale shape: the per-source running total is the two-phase
+    * distributed prefix sum ([[tokenBudget]]'s discipline, partitioned
+    * one level deeper): the 60-bit hash's top 8 bits form a bucket that
+    * is MONOTONE in the hash order, phase 1 aggregates (source, bucket)
+    * token totals (|sources|·256 rows — the offset window runs over
+    * those), phase 2 windows WITHIN (source, bucket). No corpus-sized
+    * partition ever funnels through one task, and the integer totals
+    * make the two-phase sum exactly the naive one (the oracle IS the
+    * naive per-source window, in DuckDB). */
+  def temperatureSample(
+      docs: DataFrame, idCol: String, textCol: String, grpCol: String,
+      totalTokens: Long, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalTokens > 0, s"totalTokens must be positive: $totalTokens")
+    val shares = temperatureMix(docs, textCol, grpCol, alpha)
+      .select(col(grpCol).cast("string"), col("share_temp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val budgetExpr = shares.foldLeft(lit(0L): Column) { case (acc, (g, s)) =>
+      when(col(grpCol) === g,
+        lit(math.floor(s * totalTokens).toLong)).otherwise(acc)
+    }
+    val base = docs
+      .select(col(grpCol), col(idCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("tokens"))
+      .withColumn("graft_h",
+        PortableHash.md5Long(col(idCol).cast("string"), "tsamp:"))
+      .withColumn("graft_hb", (col("graft_h") / lit(1L << 52)).cast("long"))
+    val bucketTotals = base.groupBy(col(grpCol), col("graft_hb"))
+      .agg(sum(col("tokens")).as("graft_bt"))
+    val wOff = Window.partitionBy(col(grpCol)).orderBy(col("graft_hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("graft_off",
+        coalesce(sum(col("graft_bt")).over(wOff), lit(0L)))
+      .select(col(grpCol), col("graft_hb"), col("graft_off"))
+    val wIn = Window.partitionBy(col(grpCol), col("graft_hb"))
+      .orderBy(col("graft_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(offsets, Seq(grpCol, "graft_hb"))
+      .withColumn("graft_cum", col("graft_off") + sum(col("tokens")).over(wIn))
+      .filter(col("graft_cum") - col("tokens") < budgetExpr)
+      .select(col(grpCol), col(idCol), col("tokens"),
+        col("graft_cum").as("cum_tokens"))
+  }
+
   /** LEAKAGE-FREE deterministic split: assign every document the split of
     * its near-dup CLUSTER representative, so two near-duplicates can never
     * land in train and test at once — the eval-integrity property a plain

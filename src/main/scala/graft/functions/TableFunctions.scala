@@ -196,6 +196,24 @@ object TableFunctions {
       "stats_report", exprs => statsReport(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "bm25_from_state", exprs => bm25FromState(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "temperature_sample", exprs => temperatureSample(spark, exprs), "built-in")
+  }
+
+  /** `temperature_sample(table, id, text, group, total_tokens[, alpha])` →
+    * [[Sampling.temperatureSample]]: fill per-source token budgets from
+    * alpha-flattened shares in deterministic hash order. */
+  private def temperatureSample(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "temperature_sample"
+    requireArity(f, exprs, min = 5, max = 6)
+    val args = new Args(f, exprs)
+    val tbl = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val grp = args.name("group")
+    val total = args.long("total_tokens")
+    val alpha = if (args.exhausted) 0.5 else args.double("alpha")
+    plan(Sampling.temperatureSample(tbl, id, text, grp, total, alpha))
   }
 
   /** `bm25_from_state('dir', 'id', 'w1 w2 ...', k)` →

@@ -1588,6 +1588,18 @@ object Extensions {
       .orderBy("rank")
   }
 
+  /** x111 — training-mix assembly to a token budget
+    * ([[Sampling.temperatureSample]]): x104's temperature-flattened
+    * shares turned into per-source budgets (floor(share · 5000)) and
+    * filled per source in deterministic hash order via the two-phase
+    * prefix sum — the final "build the mix" step, fully auditable and
+    * engine-reproducible. The oracle is the naive per-source running
+    * window over the same portable hash. */
+  def x111(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(t(s, dir, "documents"), "doc_id", "text",
+        "source", totalTokens = 5000L)
+      .orderBy("source", "cum_tokens")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1778,7 +1790,8 @@ object Extensions {
     "x107_vector_dup_from_state" -> (x107 _),
     "x108_substring_dedup" -> (x108 _),
     "x109_stats_from_state" -> (x109 _),
-    "x110_bm25_from_state" -> (x110 _)
+    "x110_bm25_from_state" -> (x110 _),
+    "x111_temperature_sample" -> (x111 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -4014,6 +4027,38 @@ object Extensions {
     // x110: the state-backed BM25 computes x53's exact relation (postings
     // from parquet instead of re-tokenization) — same oracle
     "x110_bm25_from_state" -> bm25TopKOracleSql,
+
+    // x111: per-source budgets from the x104 share chain (floor(share ·
+    // 5000) — the rounded share makes the budget engine-identical), fill
+    // = the NAIVE per-source running window over the portable hash (the
+    // Spark side's two-phase prefix sum totals the same integers)
+    "x111_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS paq FROM c),
+        |tot AS (SELECT CAST(sum(paq) AS BIGINT) AS totp FROM q),
+        |b AS (SELECT source,
+        |  CAST(floor(floor(CAST(paq AS DOUBLE) / totp * 10000 + 0.5)
+        |    / 10000 * 5000) AS BIGINT) AS budget
+        |  FROM q, tot),
+        |d AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        |  CAST(concat('0x', substr(md5(concat('tsamp:',
+        |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |cum AS (
+        |  SELECT source, doc_id, tokens,
+        |    sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM d)
+        |SELECT cum.source, doc_id, tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM cum JOIN b USING (source)
+        |WHERE cum_tokens - tokens < budget
+        |ORDER BY source, cum_tokens""".stripMargin,
 
     // x109: counts and token sums exact; the distinct-content estimate is
     // pinned only through its bound (the engine computes the boolean

@@ -2004,6 +2004,32 @@ class ExtSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("temperatureSample: fills each source's budget, overshoots at most one doc") {
+    val docs = (1L to 40L).map { i =>
+      val src = if (i <= 30) "big" else "small"
+      (i, Seq.fill(10)("t").mkString(" "), src) // 10 tokens each
+    }.toDF("doc_id", "text", "source")
+    // tokens: big 300, small 100 → sqrt units 17320508/10000000 →
+    // shares ≈ 0.6339/0.3661 → budgets floor(·200) = 126/73
+    val got = Sampling.temperatureSample(docs, "doc_id", "text", "source",
+        totalTokens = 200L)
+      .as[(String, Long, Long, Long)].collect()
+    val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // budget 126 → 13 docs × 10 = 130 (one-doc overshoot); 73 → 80
+    assert(bySrc == Map("big" -> 130L, "small" -> 80L), s"$bySrc")
+    // deterministic: same call, same rows
+    val again = Sampling.temperatureSample(docs, "doc_id", "text", "source",
+        totalTokens = 200L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
+    // per-source cum_tokens is the exact prefix sum of the kept order
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).scanLeft(0L)(_ + _).tail.toSeq ==
+        sorted.map(_._4).toSeq)
+    }
+  }
+
   test("duplicateSpans keepFirst + removeSpans: retain-one-copy excision") {
     // doc1 holds the first occurrence of the repeated run "p1..p4";
     // doc2 repeats it and must lose exactly that region; doc3 is a

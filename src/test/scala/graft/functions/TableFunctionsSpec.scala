@@ -417,6 +417,11 @@ class TableFunctionsSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM bm25_from_state('$postings', 'doc_id', 'dup vector window', 10)"),
       graft.ext.Index.bm25TopKFromState(spark, postings,
         Seq("dup", "vector", "window"), 10, idCol = "doc_id"))
+
+    assertSame(
+      spark.sql("SELECT * FROM temperature_sample('tvf_docs11', 'doc_id', 'text', 'source', 5000)"),
+      graft.ext.Sampling.temperatureSample(docs, "doc_id", "text", "source",
+        5000L))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
