@@ -611,15 +611,20 @@ object Dedup {
       Seq("bands" -> true, "reps" -> false, "members" -> true), targetBytes)
 
   /** Shared state-dir compaction engine ([[compactLshState]],
-    * [[Similarity.compactIvfState]], [[Profile.compactStatsState]]):
-    * rewrite each `(table, dedup?)` into ~targetBytes files with the
-    * backup-swap rename discipline documented on [[compactLshState]].
-    * `dedup = true` distinct()s rows during the rewrite (for tables
-    * where historical duplicates are absorbable); row CONTENT is
-    * otherwise preserved exactly — only the file layout changes. */
+    * [[Similarity.compactIvfState]], [[Profile.compactStatsState]],
+    * [[Index.compactPostingsState]]): rewrite each `(table, dedup?)`
+    * into ~targetBytes files with the backup-swap rename discipline
+    * documented on [[compactLshState]]. `dedup = true` distinct()s rows
+    * during the rewrite (for tables where historical duplicates are
+    * absorbable); row CONTENT is otherwise preserved exactly — only the
+    * file layout changes. `extraPartitionCols` names partition levels
+    * BELOW batch_id that the rewrite must preserve (e.g. the postings
+    * state's term bucket — flattening it would silently turn
+    * partition-pruned lookups into full-index scans). */
   private[ext] def compactStateTables(
       spark: SparkSession, dir: String, tables: Seq[(String, Boolean)],
-      targetBytes: Long): Unit = {
+      targetBytes: Long,
+      extraPartitionCols: Seq[String] = Nil): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     tables.foreach { case (table, dedup) =>
       val path = new org.apache.hadoop.fs.Path(dir, table)
@@ -632,15 +637,22 @@ object Dedup {
           fs.getContentSummary(path).getLength.toDouble / targetBytes).toInt)
         // tagged: hash-cluster by batch so each partition dir gets ONE
         // file (parquet is splittable — a big backfill batch still reads
-        // in parallel); untagged: plain round-robin to nFiles
+        // in parallel); untagged: plain round-robin to nFiles (but always
+        // cluster by the extra partition levels so each preserved
+        // partition dir gets whole files, not nFiles slivers)
+        val partCols =
+          (if (tagged) Seq("batch_id") else Nil) ++
+            extraPartitionCols.filter(clean.columns.contains)
         val sized =
-          if (tagged) clean.repartition(nFiles, col("batch_id"))
+          if (partCols.nonEmpty)
+            clean.repartition(nFiles, partCols.map(col): _*)
           else clean.repartition(nFiles)
         val tmp = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_tmp")
         val bak = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_bak")
         fs.delete(tmp, true); fs.delete(bak, true)
         val w = sized.write.mode("overwrite")
-        (if (tagged) w.partitionBy("batch_id") else w).parquet(tmp.toString)
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .parquet(tmp.toString)
         require(fs.rename(path, bak), s"compact: cannot move $path aside")
         if (!fs.rename(tmp, path)) {
           fs.rename(bak, path) // restore the live table before failing
@@ -1435,10 +1447,18 @@ object Dedup {
     * removal is a per-doc slice on these offsets ([[removeSpans]]);
     * summing span_tokens against total tokens gives the corpus
     * dup-substring mass. With `keepFirst` the corpus-FIRST occurrence
-    * (lexicographic (id, start)) of each duplicated gram is exempt, so
-    * excising the flagged spans retains exactly one copy of every
-    * duplicated substring — the paper's retain-one policy; the default
-    * flags every occurrence (the audit view).
+    * (lexicographic (id, start)) of each duplicated gram is exempt from
+    * FLAGGING — the paper's retain-one intent; the default flags every
+    * occurrence (the audit view). CAVEAT: the exemption is per-GRAM, and
+    * spans merge per-doc, so when two DISTINCT duplicated regions
+    * overlap, a span anchored on one region's non-first grams can still
+    * cover (and excise) tokens of the other region's exempt first
+    * occurrence — content covered only by exempt grams always survives,
+    * but a gram's first occurrence inside a larger excised neighborhood
+    * does not. Exact one-copy retention under arbitrary overlap needs
+    * suffix-array bookkeeping this fixed-window method deliberately
+    * trades away; iterating spans→excise to a fixpoint converges if the
+    * stronger guarantee is needed.
     *
     * Plan at scale: one positional-gram explode (map-side, one token walk
     * per row via [[positionalGrams]]); the occurrence count groups by the
@@ -1490,10 +1510,12 @@ object Dedup {
   /** Excise [[duplicateSpans]] spans from the corpus: per document, drop
     * every token whose 0-based offset falls inside one of the doc's
     * spans and re-assemble the remainder. Composed with
-    * `duplicateSpans(keepFirst = true)` this IS substring-level dedup
-    * with the retain-one-copy policy (Lee et al.'s ExactSubstr
-    * deduplication): the first corpus occurrence survives, every later
-    * copy of the repeated region is cut.
+    * `duplicateSpans(keepFirst = true)` this is substring-level dedup in
+    * the spirit of Lee et al.'s ExactSubstr deduplication: first corpus
+    * occurrences are exempt from flagging, later copies of repeated
+    * regions are cut — subject to the per-gram exemption caveat
+    * documented on [[duplicateSpans]] (overlapping distinct duplicated
+    * regions can excise tokens of an exempt first occurrence).
     *
     * Returns every input document: (idCol, n_tokens, n_removed,
     * text_clean) — text_clean = "" when a doc was entirely duplicated

@@ -237,11 +237,19 @@ object Index {
     * constants need no corpus pass either (exact integer sums — they
     * cannot drift the way per-batch averages would).
     *
-    * Same replay discipline as every state here: tagged appends overwrite
-    * their own `batch_id=N` partitions; ids must be unique across
-    * batches (cross-batch df is then exactly the per-term row count).
-    * Maintenance: [[graft.ext.Dedup.compactStateTables]] discipline
-    * applies; compaction preserves the bucket layout. */
+    * Failure/replay posture: TAGGED appends are the production mode —
+    * both tables land in the batch's own `batch_id=N` partitions with
+    * overwrite, so an at-least-once orchestrator re-running a batch
+    * overwrites rather than double-counts, and a partial failure is
+    * recovered by re-running the same tagged batch. UNTAGGED appends are
+    * for one-shot builds and are NOT retry- or crash-safe: the totals
+    * table is an aggregate (there is no per-row identity to anti-join
+    * on), so a blind re-run double-counts n/sum_dl and duplicates tf
+    * rows — on any failure, wipe the dir and rebuild. Ids must be unique
+    * across batches (cross-batch df is then exactly the per-term row
+    * count). Maintenance: [[compactPostingsState]] (NOT the generic
+    * table compaction, which would flatten the bucket layout and turn
+    * the pruned lookup into a full-index scan). */
   def appendPostingsState(
       batch: DataFrame, dir: String, idCol: String, textCol: String,
       buckets: Int = 64, batchTag: Option[Long] = None): Unit = {
@@ -268,6 +276,18 @@ object Index {
         totals.write.mode("append").parquet(s"$dir/totals")
     }
   }
+
+  /** Small-file maintenance for an [[appendPostingsState]] dir —
+    * rewrites both tables preserving the (batch_id, bucket) partition
+    * layout (the bucket level is what keeps query reads pruned), rows
+    * preserved exactly. Offline, backup-swap discipline
+    * ([[graft.ext.Dedup.compactLshState]]). */
+  def compactPostingsState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Unit =
+    Dedup.compactStateTables(spark, dir,
+      Seq("postings" -> false, "totals" -> false), targetBytes,
+      extraPartitionCols = Seq("bucket"))
 
   /** [[bm25TopK]] answered from [[appendPostingsState]] parquet —
     * output-identical to the batch path over the same corpus (ExtSpec

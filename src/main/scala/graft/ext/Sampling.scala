@@ -132,33 +132,40 @@ object Sampling {
     * [[weightedSample]] (> 1 ⇒ upsample, < 1 ⇒ downsample).
     *
     * Determinism across engines: c_i^alpha is quantized to integer
-    * micro-units BEFORE the cross-group sum (floor(·×1e6) as long), so
-    * both shares are ratios of exact integers — immune to float summation
-    * order, which Spark's partial aggregation does not fix (the same
-    * integer-quantized-sum discipline as the pair-matrix means). With the
-    * default alpha = 0.5 the power is sqrt — correctly rounded per
-    * IEEE 754 on every engine, so the quantized units are bit-identical
-    * everywhere; other alphas go through pow(), whose last-ulp behavior
-    * is libm-specific (fine in production, but the value-hash oracle pins
-    * the sqrt path).
+    * units BEFORE the cross-group sum, so both shares are ratios of
+    * exact integers — immune to float summation order, which Spark's
+    * partial aggregation does not fix (the same integer-quantized-sum
+    * discipline as the pair-matrix means). The quantization is RELATIVE
+    * to the largest group — floor((c_i/c_max)^alpha · 1e12) — so the
+    * units can never overflow a long no matter the token scale (an
+    * absolute ·1e6 quantization of tokens^alpha wraps negative at
+    * trillion-token sources for alpha near 1, silently corrupting every
+    * share; the ratio is ≤ 1e12 per group, safe for millions of
+    * groups). With the default alpha = 0.5 the power is sqrt —
+    * correctly rounded per IEEE 754 on every engine, so the quantized
+    * units are bit-identical everywhere; other alphas go through pow(),
+    * whose last-ulp behavior is libm-specific (fine in production, but
+    * the value-hash oracle pins the sqrt path).
     *
-    * Plan: one hash-partitioned groupBy for the counts (partial
-    * aggregation map-side), one broadcast of the 1-row totals —
-    * |groups|-bounded everywhere, scan-speed at any corpus size. */
+    * Plan: ONE hash-partitioned corpus groupBy for the counts (partial
+    * aggregation map-side), materialized so the max-group peek and the
+    * totals branch read the tiny |groups|-row frame, not the corpus. */
   def temperatureMix(
       docs: DataFrame, textCol: String, grpCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
-    val counts = docs
+    val counts = Dedup.materialize(docs
       .select(col(grpCol).as("grp"),
         size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))
       .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("graft_tok")).as("tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_tok")).as("tokens")))
+    val tmax = counts.agg(max(col("tokens"))).head().getLong(0)
+    val ratio = col("tokens").cast("double") / lit(tmax.toDouble)
     val scaled =
-      if (alpha == 0.5) sqrt(col("tokens").cast("double"))
-      else pow(col("tokens").cast("double"), alpha)
+      if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, alpha)
     val withQ = counts
-      .withColumn("graft_paq", floor(scaled * 1e6).cast("long"))
+      .withColumn("graft_paq", floor(scaled * 1e12).cast("long"))
     val totals = withQ.agg(
       sum(col("tokens")).as("graft_tott"), sum(col("graft_paq")).as("graft_totp"))
     val shareRaw = col("tokens").cast("double") / col("graft_tott")
@@ -189,7 +196,12 @@ object Sampling {
     * those), phase 2 windows WITHIN (source, bucket). No corpus-sized
     * partition ever funnels through one task, and the integer totals
     * make the two-phase sum exactly the naive one (the oracle IS the
-    * naive per-source window, in DuckDB). */
+    * naive per-source window, in DuckDB). Cost note: the corpus is
+    * tokenized twice — once in the share aggregation (whose result must
+    * reach the driver to become codegen'd budget literals) and once in
+    * the fill pass; the same deliberate two-pass shape as
+    * [[tokenBudget]]'s stats peek, chosen over caching a corpus-sized
+    * tokenized frame. */
   def temperatureSample(
       docs: DataFrame, idCol: String, textCol: String, grpCol: String,
       totalTokens: Long, alpha: Double = 0.5): DataFrame = {

@@ -406,25 +406,31 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       batchTag: Option[Long] = None): Unit = {
     val spark = vecs.sparkSession
+    // an EMPTY first batch must not train: empty centroids would freeze a
+    // zero-cell geometry and every later append would silently index
+    // nothing (streaming sources routinely deliver empty first
+    // micro-batches). Peek one row; an empty batch with no trained
+    // centroids is a no-op, an empty batch against trained centroids
+    // appends nothing (harmless either way).
+    val batchRow = vecs.select(col(vecCol)).head(1)
     val cents = scala.util.Try(spark.read.parquet(s"$dir/centroids"))
-      .toOption match {
+      .toOption.filter(_.head(1).nonEmpty) match {
       case Some(c) =>
-        checkIvfMeta(spark, dir, k, iters, writeIfAbsent = false)
+        checkIvfMeta(spark, dir, k, iters, dimOf(batchRow),
+          writeIfAbsent = false)
         c
       case None =>
-        checkIvfMeta(spark, dir, k, iters, writeIfAbsent = true)
+        if (batchRow.isEmpty) return // nothing to train on, nothing to add
+        checkIvfMeta(spark, dir, k, iters, dimOf(batchRow),
+          writeIfAbsent = true)
         kmeansCentroids(vecs, k, iters, idCol, vecCol)
           .write.mode("overwrite").parquet(s"$dir/centroids")
         spark.read.parquet(s"$dir/centroids")
     }
     val rows = vecs.select(col(idCol).as("vid"),
       transform(col(vecCol), _.cast("double")).as("v"))
-    val assignedAll = rows
-      .crossJoin(broadcast(cents))
-      .withColumn("graft_dist", sqDist(col("v"), col("c")))
-      .groupBy(col("vid"))
-      .agg(min(struct(col("graft_dist"), col("cid"), col("v"))).as("m"))
-      .select(col("m.cid").as("cid"), col("vid"), col("m.v").as("v"))
+    val assignedAll = assignToCentroids(rows, cents)
+      .select(col("cid"), col("vid"), col("v"))
       .withColumn("cn", norm(col("v")))
     // untagged re-run idempotency (same discipline as the LSH members
     // table): a blind retry after a partial or complete append skips vids
@@ -458,6 +464,7 @@ object Similarity {
       spark: SparkSession, dir: String, queries: DataFrame, topK: Int,
       nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    checkQueryDim(spark, dir, queries, vecCol)
     val cents = spark.read.parquet(s"$dir/centroids")
     val cells = spark.read.parquet(s"$dir/cells")
       .select("cid", "vid", "v", "cn")
@@ -494,6 +501,7 @@ object Similarity {
       nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeTag: Option[Long] = None): DataFrame = {
+    checkQueryDim(spark, dir, queries = batch, vecCol = vecCol)
     val cents = spark.read.parquet(s"$dir/centroids")
     // excludeTag: a replayed tagged batch must not match ITSELF in the
     // state and self-reject — same replay rule as the LSH pair reads
@@ -525,16 +533,52 @@ object Similarity {
     graft.ext.Dedup.compactStateTables(spark, dir,
       Seq("centroids" -> false, "cells" -> false), targetBytes)
 
+  /** Embedding width of a one-row driver peek; -1 when the batch is
+    * empty (callers then skip the dim validation — there is nothing
+    * whose width could mismatch). */
+  private def dimOf(rows: Array[org.apache.spark.sql.Row]): Int =
+    if (rows.isEmpty) -1 else rows.head.getSeq[Any](0).length
+
+  /** Query-side width guard: probe vectors of a different width than the
+    * indexed embeddings would truncate silently in the dot products
+    * (wrong cells probed, garbage cosines) — fail fast instead. States
+    * without a dim in `_meta` validate vacuously. */
+  private def checkQueryDim(
+      spark: SparkSession, dir: String, queries: DataFrame,
+      vecCol: String): Unit = {
+    val d = dimOf(queries.select(col(vecCol)).head(1))
+    if (d >= 0) {
+      val meta =
+        try Some(spark.read.schema("dim LONG").json(s"$dir/_meta").head())
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" => None
+          case _: java.util.NoSuchElementException => None
+        }
+      meta.filter(!_.isNullAt(0)).foreach { m =>
+        require(m.getLong(0).toInt == d,
+          s"IVF state at $dir indexes ${m.getLong(0)}-dim embeddings but " +
+            s"the query batch is ${d}-dim; mixed widths truncate the dot " +
+            "products silently. Re-embed the queries or rebuild the state.")
+      }
+    }
+  }
+
   /** Validate (or persist on first contact) an IVF state dir's index
     * parameters — same fail-fast discipline as the LSH `_meta`:
     * assignments computed under different (k, iters) probe wrong cells
-    * SILENTLY (recall collapses, nothing errors), so a mismatch throws. */
+    * SILENTLY, and a batch of a DIFFERENT embedding width corrupts the
+    * index even more silently (the dot products truncate to the shorter
+    * operand — wrong cells, garbage cosines, no error anywhere), so
+    * both mismatches throw. `dim = -1` skips the width check (empty
+    * batch — nothing to measure). */
   private def checkIvfMeta(
-      spark: SparkSession, dir: String, k: Int, iters: Int,
+      spark: SparkSession, dir: String, k: Int, iters: Int, dim: Int,
       writeIfAbsent: Boolean): Unit = {
     val path = s"$dir/_meta"
     val row =
-      try Some(spark.read.schema("k LONG, iters LONG").json(path).head())
+      try Some(
+        spark.read.schema("k LONG, iters LONG, dim LONG").json(path).head())
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" => None
@@ -550,9 +594,13 @@ object Similarity {
             s"called with (${k}, ${iters}); mismatched index geometry " +
             "probes the wrong cells silently. Use the stored parameters " +
             "or rebuild the state.")
+        require(dim < 0 || m.getLong(2).toInt == dim,
+          s"IVF state at $dir indexes ${m.getLong(2)}-dim embeddings but " +
+            s"this batch is ${dim}-dim; mixed widths truncate the dot " +
+            "products silently. Re-embed or rebuild the state.")
       case None if writeIfAbsent =>
         import spark.implicits._
-        Seq((k.toLong, iters.toLong)).toDF("k", "iters")
+        Seq((k.toLong, iters.toLong, dim.toLong)).toDF("k", "iters", "dim")
           .coalesce(1).write.mode("overwrite").json(path)
       case None => ()
     }

@@ -1524,8 +1524,10 @@ object Extensions {
     * keepFirst + [[Dedup.removeSpans]]): the cleaned corpus — every doc
     * with the non-first copies of corpus-repeated ≥10-token regions
     * excised and the survivors re-assembled, plus the removal
-    * accounting. The Lee et al. retain-one-copy policy end-to-end; the
-    * gate hashes the full cleaned text of every document. */
+    * accounting. Lee et al.'s retain-one intent end-to-end (per-gram
+    * first-occurrence exemption — see the overlap caveat on
+    * duplicateSpans); the gate hashes the full cleaned text of every
+    * document. */
   def x108(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Dedup.removeSpans(docs, "doc_id", "text",
@@ -3892,15 +3894,17 @@ object Extensions {
         |ORDER BY doc_id, span_start""".stripMargin,
 
     // x104: alpha = 0.5 exponentiation via sqrt (IEEE correctly rounded
-    // on both engines), quantized to integer micro-units BEFORE the
-    // cross-group sums so both shares are exact-integer ratios; round4 =
-    // the portable floor rounding
+    // on both engines), quantized RELATIVE to the max group (overflow-
+    // safe at any token scale) to integer units BEFORE the cross-group
+    // sums so both shares are exact-integer ratios; round4 = the
+    // portable floor rounding
     "x104_temperature_mix" ->
       """WITH c AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
         |  FROM documents GROUP BY source),
-        |q AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1e6)
+        |q AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)
+        |      / (SELECT CAST(max(tokens) AS DOUBLE) FROM c)) * 1e12)
         |    AS BIGINT) AS paq FROM c),
         |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tott,
         |    CAST(sum(paq) AS BIGINT) AS totp FROM q)
@@ -4037,7 +4041,8 @@ object Extensions {
         |  SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
         |  FROM documents GROUP BY source),
-        |q AS (SELECT source, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1e6)
+        |q AS (SELECT source, CAST(floor(sqrt(CAST(tokens AS DOUBLE)
+        |      / (SELECT CAST(max(tokens) AS DOUBLE) FROM c)) * 1e12)
         |    AS BIGINT) AS paq FROM c),
         |tot AS (SELECT CAST(sum(paq) AS BIGINT) AS totp FROM q),
         |b AS (SELECT source,

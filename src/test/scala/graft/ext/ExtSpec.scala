@@ -2053,6 +2053,24 @@ class ExtSpec extends SparkSpec {
     val audit = Dedup.duplicateSpans(docs, "doc_id", "text", minLen = 3)
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(audit == Seq(1L, 2L, 3L))
+
+    // documented caveat (scaladoc on duplicateSpans): the exemption is
+    // per-GRAM — when two distinct duplicated regions overlap, a span
+    // anchored on one region's non-first grams may excise tokens of the
+    // other's exempt first occurrence. Here 'b c d' first occurs in doc1
+    // and 'a b c' first occurs in doc2; doc2's span [1..3] (from its
+    // non-first 'b c d') consumes the exempt 'a b c' tokens.
+    val overlap = docsFrom(Seq(
+      (1L, "b c d"), (2L, "a b c d"), (3L, "a b c d")))
+    val cleaned = Dedup.removeSpans(overlap, "doc_id", "text",
+        Dedup.duplicateSpans(overlap, "doc_id", "text", minLen = 3,
+          keepFirst = true))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(cleaned == Seq(
+      (1L, 3L, 0L, "b c d"),  // exempt-only content always survives
+      (2L, 4L, 3L, "a"),      // 'a b c' first occurrence consumed (caveat)
+      (3L, 4L, 4L, "")))
   }
 
   test("temperatureMix: sqrt flattening upweights the small source") {
@@ -2064,8 +2082,8 @@ class ExtSpec extends SparkSpec {
     val got = Sampling.temperatureMix(docs, "text", "source", alpha = 0.5)
       .orderBy("source")
       .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
-    // sqrt(16)=4e6 units, sqrt(4)=2e6 → temp shares 2/3 and 1/3
-    // raw shares 16/20=0.8 and 4/20=0.2
+    // relative units: sqrt(16/16)=1e12, sqrt(4/16)=5e11 → temp shares
+    // 2/3 and 1/3; raw shares 16/20=0.8 and 4/20=0.2
     assert(got.map(r => (r._1, r._2, r._3)) ==
       Seq(("big", 2L, 16L), ("small", 1L, 4L)))
     val big = got(0); val small = got(1)
@@ -2126,6 +2144,37 @@ class ExtSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Similarity.appendIvfState(emb, dir, k = 4, iters = 2))
     assert(e.getMessage.contains("geometry"))
+    // embedding-width mismatch fails fast on append AND on query — a
+    // different-width batch would truncate the dot products silently
+    val narrow = Seq((9999L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val ed = intercept[IllegalArgumentException](
+      Similarity.appendIvfState(narrow, dir, k = 8, iters = 2))
+    assert(ed.getMessage.contains("dim"))
+    val eq = intercept[IllegalArgumentException](
+      Similarity.ivfTopKFromState(spark, dir, narrow, topK = 3))
+    assert(eq.getMessage.contains("dim"))
+  }
+
+  test("appendIvfState: empty first batch does not train/brick the state") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_empty").toFile.getAbsolutePath
+    // empty first batch: no-op — no frozen zero-cell geometry
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 0), dir,
+      k = 4, iters = 1, batchTag = Some(0L))
+    assert(!new java.io.File(s"$dir/centroids").exists())
+    // the next non-empty batch trains normally and the state works
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 100), dir,
+      k = 4, iters = 1, batchTag = Some(1L))
+    val got = Similarity.ivfTopKFromState(spark, dir,
+      emb.filter(col("vec_id") < 2), topK = 3)
+    assert(got.count() > 0)
+    // an empty LATER batch against trained centroids is also harmless
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 0), dir,
+      k = 4, iters = 1, batchTag = Some(2L))
+    assert(spark.read.parquet(s"$dir/cells").count() == 100)
   }
 
   test("appendIvfState: untagged re-run appends nothing twice; tagged overwrites") {
@@ -2235,6 +2284,17 @@ class ExtSpec extends SparkSpec {
     assert(Index.bm25TopKFromState(spark, dir, terms, k = 10, idCol = "doc_id")
       .select("doc_id", "score", "rank")
       .as[(Long, Double, Long)].collect().toSet == direct)
+    // compaction preserves BOTH the answers and the bucket partition
+    // layout (the pruned-read property)
+    Index.compactPostingsState(spark, dir)
+    assert(Index.bm25TopKFromState(spark, dir, terms, k = 10, idCol = "doc_id")
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Long)].collect().toSet == direct)
+    val planAfter = graft.Plans.capturePlan(
+      Index.postingsRead(spark, dir, terms, buckets = 64))
+    assert(planAfter.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString.contains("bucket"),
+      s"compaction flattened the bucket layout:\n$planAfter")
   }
 
   test("appendStatsState: cross-batch distinct unions, replay overwrites") {
