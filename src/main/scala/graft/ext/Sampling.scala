@@ -238,6 +238,31 @@ object Sampling {
         col("graft_cum").as("cum_tokens"))
   }
 
+  /** Split-LEAKAGE audit: join a near-dup pair relation against a split
+    * assignment and count pairs per (split, split) cell — the eval-
+    * integrity check run before trusting any train/test split. A pair in
+    * an off-diagonal cell (`leaks = true`) is a near-duplicate straddling
+    * two splits: its test half is effectively training data and every
+    * metric computed on it is inflated. [[leakageFreeSplit]] produces
+    * zero leaking cells BY CONSTRUCTION (both endpoints of a pair share
+    * their cluster rep, hence their split); a naive per-doc hash split
+    * ([[splitAssign]]) leaks roughly the cross-fraction of the pair
+    * mass — this audit is the measurement that justifies the rep-keyed
+    * split. Two hash joins on the (bounded) pair relation; |splits|²
+    * output. */
+  def splitLeakageAudit(
+      pairs: DataFrame, assign: DataFrame, idCol: String,
+      splitCol: String = "split"): DataFrame = {
+    val a = assign.select(col(idCol).as("id_a"), col(splitCol).as("graft_sa"))
+    val b = assign.select(col(idCol).as("id_b"), col(splitCol).as("graft_sb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(a, "id_a").join(b, "id_b")
+      .groupBy(least(col("graft_sa"), col("graft_sb")).as("split_a"),
+        greatest(col("graft_sa"), col("graft_sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_a") =!= col("split_b"))
+  }
+
   /** LEAKAGE-FREE deterministic split: assign every document the split of
     * its near-dup CLUSTER representative, so two near-duplicates can never
     * land in train and test at once — the eval-integrity property a plain

@@ -198,6 +198,22 @@ object TableFunctions {
       "bm25_from_state", exprs => bm25FromState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "temperature_sample", exprs => temperatureSample(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "split_leakage", exprs => splitLeakage(spark, exprs), "built-in")
+  }
+
+  /** `split_leakage(pairs, assign, id[, split])` →
+    * [[Sampling.splitLeakageAudit]]: near-dup pairs per (split, split)
+    * cell — the eval-integrity audit. */
+  private def splitLeakage(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "split_leakage"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val pairs = args.table(spark, "pairs")
+    val assign = args.table(spark, "assign")
+    val id = args.name("id")
+    val splitCol = if (args.exhausted) "split" else args.name("split")
+    plan(Sampling.splitLeakageAudit(pairs, assign, id, splitCol))
   }
 
   /** `temperature_sample(table, id, text, group, total_tokens[, alpha])` →

@@ -1602,6 +1602,31 @@ object Extensions {
         "source", totalTokens = 5000L)
       .orderBy("source", "cum_tokens")
 
+  /** x112 — split-leakage audit ([[Sampling.splitLeakageAudit]]): the
+    * x17 near-dup pair relation counted per (split, split) cell under
+    * BOTH split policies — the naive per-doc hash split (leaks: a
+    * near-dup pair straddling train/test inflates every eval metric)
+    * and the cluster-rep split (zero leaking cells by construction).
+    * The measurement that justifies x86. The oracle re-derives pairs,
+    * the recursive-CTE components, both split assignments, and the
+    * same audit joins. */
+  def x112(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.materialize(Dedup.lshPairs(docs, "doc_id", "text"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val naive = Sampling.splitAssign(docs, "doc_id", splits)
+      .select(col("doc_id"), col("split"))
+    val safe = Sampling.leakageFreeSplit(docs, "doc_id", "text", splits)
+      .select(col("doc_id"), col("split"))
+    Sampling.splitLeakageAudit(pairs, naive, "doc_id")
+      .withColumn("method", lit("naive_hash"))
+      .unionByName(Sampling.splitLeakageAudit(pairs, safe, "doc_id")
+        .withColumn("method", lit("cluster_rep")))
+      .select(col("method"), col("split_a"), col("split_b"),
+        col("n_pairs"), col("leaks"))
+      .orderBy("method", "split_a", "split_b")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1793,7 +1818,8 @@ object Extensions {
     "x108_substring_dedup" -> (x108 _),
     "x109_stats_from_state" -> (x109 _),
     "x110_bm25_from_state" -> (x110 _),
-    "x111_temperature_sample" -> (x111 _)
+    "x111_temperature_sample" -> (x111 _),
+    "x112_split_leakage" -> (x112 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -4031,6 +4057,40 @@ object Extensions {
     // x110: the state-backed BM25 computes x53's exact relation (postings
     // from parquet instead of re-tokenization) — same oracle
     "x110_bm25_from_state" -> bm25TopKOracleSql,
+
+    // x112: componentsOracleSql exposes the pair relation `p` AND the
+    // doc→rep map `rp`; both split CASEs reuse the x30/x86 md5 buckets,
+    // and the audit is the same two joins + least/greatest cell grouping
+    "x112_split_leakage" -> componentsOracleSql(
+      s""", naive AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${hex15.format("CAST(doc_id AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+         |         WHEN ${hex15.format("CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |safe AS (
+         |  SELECT t.doc_id,
+         |    CASE WHEN ${hex15.format("CAST(rep AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+         |         WHEN ${hex15.format("CAST(rep AS VARCHAR)")} % 10000 < 9000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT d.doc_id, CAST(coalesce(rp.rep, d.doc_id) AS BIGINT) AS rep
+         |        FROM documents d LEFT JOIN rp USING (doc_id)) t),
+         |au AS (
+         |  SELECT 'naive_hash' AS method, least(a.split, b.split) AS split_a,
+         |    greatest(a.split, b.split) AS split_b,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM p JOIN naive a ON p.id_a = a.doc_id
+         |         JOIN naive b ON p.id_b = b.doc_id
+         |  GROUP BY 2, 3
+         |  UNION ALL
+         |  SELECT 'cluster_rep', least(a.split, b.split),
+         |    greatest(a.split, b.split), CAST(count(*) AS BIGINT)
+         |  FROM p JOIN safe a ON p.id_a = a.doc_id
+         |         JOIN safe b ON p.id_b = b.doc_id
+         |  GROUP BY 2, 3)
+         |SELECT method, split_a, split_b, n_pairs,
+         |  split_a <> split_b AS leaks
+         |FROM au ORDER BY method, split_a, split_b""".stripMargin),
 
     // x111: per-source budgets from the x104 share chain (floor(share ·
     // 5000) — the rounded share makes the budget engine-identical), fill

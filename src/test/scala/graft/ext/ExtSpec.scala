@@ -2004,6 +2004,31 @@ class ExtSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("splitLeakageAudit: rep-keyed split never leaks; cells are order-normalized") {
+    // hand-built pair relation + assignments: pair (1,2) straddles
+    // train/test under 'naive'; the rep-keyed assignment puts both in
+    // train
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val naive = Seq((1L, "train"), (2L, "test"), (3L, "val"), (4L, "val"))
+      .toDF("doc_id", "split")
+    val audit = Sampling.splitLeakageAudit(pairs, naive, "doc_id")
+      .orderBy("split_a", "split_b")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(audit == Seq(("test", "train", 1L, true), ("val", "val", 1L, false)))
+    // the leakage-free split on a planted near-dup corpus: every pair's
+    // endpoints share the rep, so the audit has ZERO leaking cells while
+    // the pair relation is non-empty
+    import graft.Tables
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val realPairs = Dedup.lshPairs(docs, "doc_id", "text")
+    assert(realPairs.count() > 0)
+    val safe = Sampling.leakageFreeSplit(docs, "doc_id", "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val leaking = Sampling.splitLeakageAudit(realPairs, safe, "doc_id")
+      .filter(col("leaks"))
+    assert(leaking.count() == 0)
+  }
+
   test("temperatureSample: fills each source's budget, overshoots at most one doc") {
     val docs = (1L to 40L).map { i =>
       val src = if (i <= 30) "big" else "small"

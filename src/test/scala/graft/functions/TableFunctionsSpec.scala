@@ -422,6 +422,15 @@ class TableFunctionsSpec extends SparkSpec {
       spark.sql("SELECT * FROM temperature_sample('tvf_docs11', 'doc_id', 'text', 'source', 5000)"),
       graft.ext.Sampling.temperatureSample(docs, "doc_id", "text", "source",
         5000L))
+
+    val lshPairs = graft.ext.Dedup.lshPairs(docs, "doc_id", "text")
+    val assign = graft.ext.Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2)).select("doc_id", "split")
+    lshPairs.createOrReplaceTempView("tvf_pairs11")
+    assign.createOrReplaceTempView("tvf_assign11")
+    assertSame(
+      spark.sql("SELECT * FROM split_leakage('tvf_pairs11', 'tvf_assign11', 'doc_id')"),
+      graft.ext.Sampling.splitLeakageAudit(lshPairs, assign, "doc_id"))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
