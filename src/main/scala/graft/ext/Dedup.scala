@@ -1552,6 +1552,43 @@ object Dedup {
         concat_ws(" ", col("graft_kept")).as("text_clean"))
   }
 
+  /** Dedup-threshold SWEEP: how many near-dup pairs (and how many
+    * distinct documents) the banded LSH index surfaces at each candidate
+    * similarity threshold — the knob-tuning report run BEFORE committing
+    * a corpus to one threshold, where the real question is "how much
+    * does the removal rate move if I tighten from 0.7 to 0.8". One
+    * banded pass at the LOOSEST threshold; each tighter threshold is a
+    * filter over the same (bounded, near-dup-sized) pair relation — the
+    * corpus is never re-signed per threshold. Counts are pairs the
+    * banded index SURFACES at this (numPerms, rowsPerBand) geometry —
+    * the operational dedup rate, which at low thresholds is a recall
+    * floor of the exact pairwise count (banding recall falls with
+    * similarity; that is the measured quantity, not a defect).
+    * Returns (threshold, n_pairs ≥ t, n_docs touched by a pair ≥ t). */
+  def thresholdSweep(
+      docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double] = (3 to 9).map(_ / 10.0)): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = materialize(
+      lshPairs(docs, idCol, textCol, threshold = thresholds.min))
+    val t = thresholds.toDF("threshold")
+    val pc = pairs.crossJoin(broadcast(t))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val ends = pairs.select(col("id_a").as("graft_id"), col("jaccard"))
+      .unionByName(pairs.select(col("id_b").as("graft_id"), col("jaccard")))
+    val dc = ends.crossJoin(broadcast(t))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count_distinct(col("graft_id")).as("n_docs"))
+    t.join(pc, Seq("threshold"), "left").join(dc, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Cross-group flow matrix of a pair relation: aggregate near-dup (or
     * any) pairs by their endpoints' group attribute — (group_a, group_b,
     * n_pairs, avg of `valCol`), group pair order-normalized with

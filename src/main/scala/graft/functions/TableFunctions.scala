@@ -200,6 +200,18 @@ object TableFunctions {
       "temperature_sample", exprs => temperatureSample(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "split_leakage", exprs => splitLeakage(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "threshold_sweep", exprs => thresholdSweep(spark, exprs), "built-in")
+  }
+
+  /** `threshold_sweep(table, id, text)` → [[Dedup.thresholdSweep]]:
+    * pairs/docs surfaced per dedup threshold from one banded pass. */
+  private def thresholdSweep(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "threshold_sweep"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    plan(Dedup.thresholdSweep(args.table(spark, "table"),
+      args.name("id"), args.name("text")))
   }
 
   /** `split_leakage(pairs, assign, id[, split])` →

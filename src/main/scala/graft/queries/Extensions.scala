@@ -1627,6 +1627,16 @@ object Extensions {
       .orderBy("method", "split_a", "split_b")
   }
 
+  /** x113 — dedup-threshold sweep ([[Dedup.thresholdSweep]]): pairs and
+    * touched docs the banded index surfaces at thresholds 0.3–0.9, from
+    * ONE banded pass at 0.3 — the knob-tuning report behind choosing a
+    * dedup threshold. The oracle re-derives the banded candidates with
+    * the exact-jaccard filter at 0.3 and applies the same per-threshold
+    * comparisons. */
+  def x113(s: SparkSession, dir: String): DataFrame =
+    Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("threshold")
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1819,7 +1829,8 @@ object Extensions {
     "x109_stats_from_state" -> (x109 _),
     "x110_bm25_from_state" -> (x110 _),
     "x111_temperature_sample" -> (x111 _),
-    "x112_split_leakage" -> (x112 _)
+    "x112_split_leakage" -> (x112 _),
+    "x113_threshold_sweep" -> (x113 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -4057,6 +4068,35 @@ object Extensions {
     // x110: the state-backed BM25 computes x53's exact relation (postings
     // from parquet instead of re-tokenization) — same oracle
     "x110_bm25_from_state" -> bm25TopKOracleSql,
+
+    // x113: the banded pair relation at 0.3 (same stage-by-stage band
+    // reconstruction as x17's oracle, unrounded jaccard), then the same
+    // per-threshold comparisons; zero-pair thresholds survive via the
+    // LEFT JOINs
+    "x113_threshold_sweep" -> {
+      val pr = lshOracleSql(
+        docWhere = "",
+        select = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                   |  / len(list_distinct(list_concat(sa.shl, sb.shl))) AS jaccard""".stripMargin,
+        where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+                  |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.3""".stripMargin)
+      s"""WITH pr AS ($pr),
+         |t AS (SELECT CAST(x AS DOUBLE) AS threshold FROM (VALUES (0.3),
+         |  (0.4), (0.5), (0.6), (0.7), (0.8), (0.9)) v(x)),
+         |pc AS (
+         |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM t JOIN pr ON pr.jaccard >= t.threshold GROUP BY threshold),
+         |dc AS (
+         |  SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+         |  FROM t JOIN (
+         |    SELECT id_a AS id, jaccard FROM pr
+         |    UNION ALL SELECT id_b, jaccard FROM pr) e
+         |    ON e.jaccard >= t.threshold GROUP BY threshold)
+         |SELECT t.threshold, coalesce(pc.n_pairs, 0) AS n_pairs,
+         |  coalesce(dc.n_docs, 0) AS n_docs
+         |FROM t LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
+         |ORDER BY t.threshold""".stripMargin
+    },
 
     // x112: componentsOracleSql exposes the pair relation `p` AND the
     // doc→rep map `rp`; both split CASEs reuse the x30/x86 md5 buckets,

@@ -2004,6 +2004,28 @@ class ExtSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("thresholdSweep: monotone counts from one pass, zero-pair bins kept") {
+    // exact duplicates always pair (jaccard = 1.0, band collision
+    // guaranteed) — deterministic unlike a mid-similarity pair, whose
+    // banded recall is probabilistic by design
+    val dup = "the same document body repeated verbatim across two ids"
+    val got = Dedup.thresholdSweep(
+        docsFrom(Seq((1L, dup), (2L, dup),
+          (3L, "an unrelated document with its own vocabulary entirely"))),
+        "doc_id", "text", thresholds = Seq(0.3, 0.5, 0.9))
+      .orderBy("threshold")
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(got == Seq((0.3, 1L, 2L), (0.5, 1L, 2L), (0.9, 1L, 2L)))
+    // a pair-free corpus keeps every threshold row, zero-filled
+    val none = Dedup.thresholdSweep(
+        docsFrom(Seq((1L, "alpha beta gamma delta epsilon"),
+          (2L, "zeta eta theta iota kappa"))),
+        "doc_id", "text", thresholds = Seq(0.3, 0.9))
+      .orderBy("threshold")
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(none == Seq((0.3, 0L, 0L), (0.9, 0L, 0L)))
+  }
+
   test("splitLeakageAudit: rep-keyed split never leaks; cells are order-normalized") {
     // hand-built pair relation + assignments: pair (1,2) straddles
     // train/test under 'naive'; the rep-keyed assignment puts both in

@@ -431,6 +431,10 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql("SELECT * FROM split_leakage('tvf_pairs11', 'tvf_assign11', 'doc_id')"),
       graft.ext.Sampling.splitLeakageAudit(lshPairs, assign, "doc_id"))
+
+    assertSame(
+      spark.sql("SELECT * FROM threshold_sweep('tvf_docs11', 'doc_id', 'text')"),
+      graft.ext.Dedup.thresholdSweep(docs, "doc_id", "text"))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {

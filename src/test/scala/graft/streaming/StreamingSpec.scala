@@ -321,6 +321,38 @@ class StreamingSpec extends SparkSpec {
     assert(acceptedIds == Set(1L, 3L, 11L), "replay overwrote, not duplicated")
   }
 
+  test("streaming postings ingest: state answers == batch BM25 over the history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_ingest").toString
+    val stateDir = s"$dir/state"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = IndexStream.postingsIngest(
+      stream.toDS().toDF("doc_id", "text"), stateDir,
+      "doc_id", "text", checkpointDir = s"$dir/ckpt")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val (b1, b2) = (docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250))
+    try {
+      stream.addData(b1.select("doc_id", "text").as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.select("doc_id", "text").as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("dup", "vector", "window")
+    val fromState = graft.ext.Index
+      .bm25TopKFromState(spark, stateDir, terms, k = 10, idCol = "doc_id")
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Long)].collect().toSet
+    val direct = graft.ext.Index
+      .bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(fromState == direct && fromState.nonEmpty)
+    // each micro-batch landed as its own tagged partition set
+    assert(new java.io.File(s"$stateDir/postings/batch_id=0").exists())
+    assert(new java.io.File(s"$stateDir/postings/batch_id=1").exists())
+  }
+
   test("streaming simhash dedup suppresses reordered near-dups, keeps distinct docs") {
     import java.sql.Timestamp
     // doc B is a token reordering of doc A → identical simhash (votes are
