@@ -304,6 +304,8 @@ object Index {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val tstats = spark.read.parquet(s"$dir/totals")
       .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    require(!tstats.isNullAt(0) && tstats.getLong(0) > 0L,
+      s"postings state at $dir holds no documents — append a batch first")
     val n = tstats.getLong(0)
     val avgdl = tstats.getLong(1).toDouble / n
     val tf = postingsRead(spark, dir, terms, buckets)
