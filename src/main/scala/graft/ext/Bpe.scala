@@ -75,8 +75,10 @@ object Bpe {
       docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     require(numMerges >= 1 && numMerges <= 64,
-      "numMerges must be in [1, 64] — the training loop runs one corpus " +
-        "pass per merge; train large vocabularies on a sampled corpus")
+      "numMerges must be in [1, 64] — this loop (and trainMergesSampled, " +
+        "which wraps it) runs one Spark job chain per merge; production " +
+        "vocabulary sizes (32k+) belong to trainMergesLocal, whose " +
+        "in-memory incremental loop has no per-merge job cost")
     var state = Dedup.materialize(
       docs.select(Dedup.tokens(col(textCol)).as("toks"))
         .filter(size(col("toks")) >= 2))
@@ -156,11 +158,32 @@ object Bpe {
     // deterministic bounded sample: order by the portable hash of the id
     // (ties by id) and take the prefix — reproducible regardless of
     // partitioning, and unbiased unlike a partition-order limit
-    val sample: Array[Array[String]] = docs
+    // hash-cutoff PRE-FILTER before the sort: orderBy(...).limit over the
+    // whole corpus plans a full range-partitioned sort that shuffles
+    // every token array just to discard all but the prefix. The prefix
+    // is "the maxDocs lowest 60-bit hashes", so keeping only hashes
+    // under a conservative cutoff (4× the needed fraction) shrinks the
+    // sort input by orders of magnitude while provably CONTAINING the
+    // true prefix; if the corpus is small (or the margin ever
+    // under-captures), fall back to the exact full sort — the selected
+    // prefix is identical either way.
+    val base = docs
       .select(col(idCol).cast("string").as("gid"),
         Dedup.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .orderBy(graft.ext.PortableHash.md5Long(col("gid")), col("gid"))
+      .withColumn("graft_h", graft.ext.PortableHash.md5Long(col("gid")))
+    val n = base.count()
+    val pool =
+      if (n <= maxDocs.toLong * 4) base
+      else {
+        val cutoff = ((1L << 60).toDouble *
+          math.min(1.0, 4.0 * maxDocs / n)).toLong
+        val filtered = base.filter(col("graft_h") < cutoff)
+        if (filtered.count() >= math.min(maxDocs.toLong, n)) filtered
+        else base // extreme hash skew: exact path (never observed)
+      }
+    val sample: Array[Array[String]] = pool
+      .orderBy(col("graft_h"), col("gid"))
       .limit(maxDocs)
       .select(col("toks"))
       .collect()

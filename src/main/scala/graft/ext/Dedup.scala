@@ -328,6 +328,17 @@ object Dedup {
     * ingests; this operator recomputes it from the corpus column, which
     * keeps the API self-contained.
     *
+    * LIMITATION (both incremental variants): documents below
+    * `shingleSize` tokens are dropped before the exact-fp collapse, so a
+    * byte-identical SHORT duplicate of a corpus doc emits no pair here —
+    * the streaming ingests close this with an explicit fingerprint
+    * check against the corpus/reps
+    * ([[graft.streaming.DedupStream.nearDupIngest]] and the state
+    * variant); batch callers that care about sub-shingle docs should
+    * anti-join the batch's `md5(text)` against the corpus the same way.
+    * Folding that check into this operator (filter only the BANDING
+    * stage, not the collapse) is the cleaner long-term shape.
+    *
     * The reference has no incremental anything (it reprocesses each upload
     * whole, etl_pipeline.py:239-261); north-star scope. */
   def incrementalLshPairs(
@@ -473,6 +484,27 @@ object Dedup {
     val spark = docs.sparkSession
     checkLshMeta(spark, dir, numPerms, rowsPerBand, shingleSize,
       writeIfAbsent = true)
+    // consistency guard: bands/members without reps (or a __compact_bak
+    // leftover) is a compaction-crash remnant, NOT a fresh dir — treating
+    // it as empty would rebuild reps from this batch alone and every
+    // later pair read would silently miss the old corpus. Fail with the
+    // recovery step instead.
+    locally {
+      val hconf = spark.sessionState.newHadoopConf()
+      def p(name: String) = new org.apache.hadoop.fs.Path(dir, name)
+      val fs = p("reps").getFileSystem(hconf)
+      Seq("bands", "reps", "members").foreach { t =>
+        require(!fs.exists(p(s"${t}__compact_bak")),
+          s"found $dir/${t}__compact_bak — a compaction crashed mid-swap; " +
+            "restore it before appending")
+      }
+      require(fs.exists(p("reps")) ||
+          (!fs.exists(p("members")) && !fs.exists(p("bands"))),
+        s"LSH state at $dir has bands/members but no reps table — " +
+          "likely a compaction or restore accident; repair the dir " +
+          "before appending (a fresh-corpus rebuild here would silently " +
+          "orphan the existing membership)")
+    }
     val par = spark.sparkContext.defaultParallelism
     val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     // NO short-doc filter here: the state IS the corpus (reps carry every
@@ -626,6 +658,17 @@ object Dedup {
       targetBytes: Long,
       extraPartitionCols: Seq[String] = Nil): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
+    // a leftover backup means a previous compaction crashed BETWEEN its
+    // two renames — the live table may be the stale tmp or missing
+    // entirely; compacting (or appending) over that silently corrupts.
+    // Fail fast with the recovery step instead.
+    tables.foreach { case (table, _) =>
+      val bak = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_bak")
+      val fs = bak.getFileSystem(hconf)
+      require(!fs.exists(bak),
+        s"found $bak — a previous compaction crashed mid-swap; restore it " +
+          s"over $dir/$table (verify contents first) before compacting again")
+    }
     tables.foreach { case (table, dedup) =>
       val path = new org.apache.hadoop.fs.Path(dir, table)
       val fs = path.getFileSystem(hconf)

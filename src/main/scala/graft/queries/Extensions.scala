@@ -1211,7 +1211,11 @@ object Extensions {
       truth.select("query_id", "neighbor_id")))
     audit
       .join(truth.groupBy(col("query_id"))
-        .agg(round(min(col("cos")), 4).as("kth_cos")), "query_id")
+        // floor spelling, not round(): kth_cos crosses the engine
+        // boundary, and Spark/DuckDB round() diverge on shortest-decimal
+        // midpoints (the documented 0.25525 class)
+        .agg((floor(min(col("cos")) * 10000 + lit(0.5)) / 10000)
+          .as("kth_cos")), "query_id")
       .crossJoin(audit.agg((avg(col("recall")) >= 0.1).as("mean_recall_ok")))
       .select(col("query_id"), col("n_truth"), col("kth_cos"),
         col("mean_recall_ok"))
@@ -1428,7 +1432,8 @@ object Extensions {
       truth.select("query_id", "neighbor_id")))
     audit
       .join(truth.groupBy(col("query_id"))
-        .agg(round(min(col("cos")), 4).as("kth_cos")), "query_id")
+        .agg((floor(min(col("cos")) * 10000 + lit(0.5)) / 10000)
+          .as("kth_cos")), "query_id")
       .crossJoin(audit.agg((avg(col("recall")) >= 0.8).as("mean_recall_ok")))
       .select(col("query_id"), col("n_truth"), col("kth_cos"),
         col("mean_recall_ok"))
@@ -3629,7 +3634,7 @@ object Extensions {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth,
-        |  round(min(cos), 4) AS kth_cos, TRUE AS mean_recall_ok
+        |  floor(min(cos) * 10000 + 0.5) / 10000 AS kth_cos, TRUE AS mean_recall_ok
         |FROM ranked WHERE rank <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     // x90: per-dimension means via generate_series × 1-based list index,
@@ -3893,7 +3898,7 @@ object Extensions {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth,
-        |  round(min(cos), 4) AS kth_cos, TRUE AS mean_recall_ok
+        |  floor(min(cos) * 10000 + 0.5) / 10000 AS kth_cos, TRUE AS mean_recall_ok
         |FROM ranked WHERE rank <= 10 GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     // x103: positional 10-grams via zipped unnests (DuckDB zips parallel

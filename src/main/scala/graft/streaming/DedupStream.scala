@@ -90,9 +90,20 @@ object DedupStream {
         val withinCollapsed = graft.ext.Dedup.exact(
           batch.select(col(idCol), col(textCol)), idCol, textCol)
         // FS-agnostic first-batch probe (no corpus parquet yet) — a failed
-        // read is the signal, so the same code runs on local disk or HDFS
-        val corpus = scala.util.Try(
-          spark.read.parquet(corpusDir).select(col(idCol), col(textCol)))
+        // read is the signal, so the same code runs on local disk or HDFS.
+        // REPLAY SAFETY: drop the batch's OWN batch_id partition from the
+        // corpus read — a replayed batch (at-least-once foreachBatch, e.g.
+        // a crash between the corpus write and the checkpoint commit)
+        // would otherwise match every doc against its prior-attempt self
+        // (same id, jaccard 1.0), reject them all, and overwrite the
+        // partition EMPTY — permanent loss. Same excludeTag rule as the
+        // state-backed twin.
+        val corpus = scala.util.Try {
+          val c0 = spark.read.parquet(corpusDir)
+          (if (c0.columns.contains("batch_id"))
+             c0.filter(col("batch_id") =!= batchId)
+           else c0).select(col(idCol), col(textCol))
+        }
         val accepted = corpus match {
           case scala.util.Failure(_) => withinCollapsed // first batch: no pairs
           case scala.util.Success(c) =>
@@ -159,12 +170,20 @@ object DedupStream {
         val withinCollapsed = graft.ext.Dedup.exact(
           batch.select(col(idCol), col(textCol)), idCol, textCol)
         // replay-safe state reads: drop the batch's own partition, same
-        // rule as the pair operator's excludeTag
-        def readState(table: String): Option[DataFrame] = scala.util.Try {
-          val t = spark.read.parquet(s"$stateDir/$table")
-          if (t.columns.contains("batch_id"))
-            t.filter(col("batch_id") =!= batchId) else t
-        }.toOption
+        // rule as the pair operator's excludeTag. Only PATH-NOT-FOUND
+        // means "no state yet" — any other failure (FS flake, a
+        // compaction's rename window) must CRASH the batch rather than
+        // silently flip it into first-batch mode, which would accept
+        // every cross-batch duplicate into the state permanently.
+        def readState(table: String): Option[DataFrame] =
+          try {
+            val t = spark.read.parquet(s"$stateDir/$table")
+            Some(if (t.columns.contains("batch_id"))
+              t.filter(col("batch_id") =!= batchId) else t)
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => None
+          }
         val stateExists =
           readState("reps").exists(_.head(1).nonEmpty)
         val accepted =
@@ -175,8 +194,13 @@ object DedupStream {
             // sides — so their cross-batch EXACT dups are caught here by
             // fingerprint against the reps and audited at 1.0 against
             // every accepted member of the matching group
-            val reps = readState("reps").get
-            val members = readState("members").get
+            def stateTable(name: String): DataFrame =
+              readState(name).getOrElse(throw new IllegalStateException(
+                s"LSH state at $stateDir has reps but no $name table — " +
+                  "likely a compaction crash window; restore the " +
+                  s"${name}__compact_bak backup before resuming ingest"))
+            val reps = stateTable("reps")
+            val members = stateTable("members")
             val shortDups = withinCollapsed
               .filter(size(graft.ext.Dedup.tokens(col(textCol))) < shingleSize)
               .withColumn("fp", md5(col(textCol)))

@@ -195,6 +195,31 @@ class StreamingSpec extends SparkSpec {
       assert(pairs.contains((13L, 4L)),
         s"missing short-doc exact-dup audit pair in $pairs")
     } finally q.stop()
+    // replay semantics: the ingest reads the corpus EXCLUDING the batch's
+    // own partition, so a replayed batch must reproduce (not self-reject
+    // and wipe) its accepted set. Re-derive batch 1's acceptance the way
+    // the replayed lambda would and compare against what batch 1's
+    // partition actually holds.
+    val corpusMinus1 = spark.read.parquet(corpusDir)
+      .filter(col("batch_id") =!= 1L).select("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (11L, "an entirely different document about spark shuffles and windows here"),
+      (12L, "completely unrelated vocabulary with many novel words in sequence"),
+      (13L, "hi there")).toDF("doc_id", "text")
+    val replayRejected = graft.ext.Dedup.incrementalLshPairs(
+        corpusMinus1, batch1, "doc_id", "text")
+      .select("new_id").as[Long].collect().toSet ++
+      batch1.filter(org.apache.spark.sql.functions.length(col("text")) < 20)
+        .join(corpusMinus1.withColumn("graft_fp", md5(col("text")))
+          .select("graft_fp"),
+          md5(batch1("text")) === col("graft_fp"))
+        .select("doc_id").as[Long].collect().toSet
+    val partition1 = spark.read.parquet(s"$corpusDir/batch_id=1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(partition1 == Set(10L, 11L, 12L, 13L) -- replayRejected,
+      s"replay would not reproduce partition 1: $partition1 vs rejected $replayRejected")
+    assert(partition1 == Set(12L), "batch 1 must have accepted exactly doc 12")
   }
 
   test("streaming near-dup ingest from persisted state: same acceptance, O(batch) per batch") {
