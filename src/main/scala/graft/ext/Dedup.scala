@@ -518,8 +518,11 @@ object Dedup {
     // on replay, the batch's own previous append must not make its fps
     // look pre-existing (that would empty the reps/bands overwrite and
     // lose the group's signatures)
-    val existing = scala.util.Try(spark.read.parquet(s"$dir/reps"))
-      .toOption.map { r =>
+    // PATH_NOT_FOUND-only: a transient failure reading the reps table must
+    // crash the append, not masquerade as a fresh dir (which would re-sign
+    // every batch fp as "new" and duplicate reps/bands for existing groups)
+    val existing = StateIO.readIfExists(spark, s"$dir/reps")
+      .map { r =>
         batchTag.filter(_ => r.columns.contains("batch_id"))
           .map(t => r.filter(col("batch_id") =!= t)).getOrElse(r)
           .select(col("fp"), col("rid"))
@@ -542,10 +545,12 @@ object Dedup {
       .join(ridOf, "fp").select(col("id"), col("rid"))
     val memberRows = materialize(batchTag match {
       case Some(_) => memberRowsAll // partition overwrite is idempotent
-      case None => scala.util.Try(
-          spark.read.parquet(s"$dir/members").select(col("id"), col("rid")))
-        .toOption match {
-          case Some(m) => memberRowsAll.join(m, Seq("id", "rid"), "left_anti")
+      case None =>
+        // same PATH_NOT_FOUND-only rule: a swallowed members-read failure
+        // would skip the retry anti-join and duplicate member rows
+        StateIO.readIfExists(spark, s"$dir/members") match {
+          case Some(m) => memberRowsAll.join(
+            m.select(col("id"), col("rid")), Seq("id", "rid"), "left_anti")
           case None => memberRowsAll
         }
     })

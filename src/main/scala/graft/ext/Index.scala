@@ -253,6 +253,8 @@ object Index {
   def appendPostingsState(
       batch: DataFrame, dir: String, idCol: String, textCol: String,
       buckets: Int = 64, batchTag: Option[Long] = None): Unit = {
+    StateIO.checkNoCompactRemnants(batch.sparkSession, dir,
+      Seq("postings", "totals"))
     val toks = batch.select(col(idCol).as("id"),
       filter(Dedup.tokens(col(textCol)), _ =!= "").as("graft_toks"))
     val totals = toks.agg(count(lit(1)).as("n_docs"),

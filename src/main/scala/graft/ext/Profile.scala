@@ -255,6 +255,7 @@ object Profile {
   def appendStatsState(
       batch: DataFrame, dir: String, textCol: String, grpCol: String,
       batchTag: Option[Long] = None): Unit = {
+    StateIO.checkNoCompactRemnants(batch.sparkSession, dir, Seq("stats"))
     val rows = batch
       .select(col(grpCol).as("grp"), md5(col(textCol)).as("graft_fp"),
         size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))

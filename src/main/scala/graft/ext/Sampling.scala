@@ -159,7 +159,15 @@ object Sampling {
         size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_docs"), sum(col("graft_tok")).as("tokens")))
-    val tmax = counts.agg(max(col("tokens"))).head().getLong(0)
+    // an empty corpus yields a null max (head() would NPE on getLong) and
+    // an all-null-token corpus a null/zero one — either way ratio = 0/0 =
+    // NaN quantized to null units, silently corrupting every downstream
+    // share. Fail with a clear message instead.
+    val maxRow = counts.agg(max(col("tokens"))).head()
+    require(!maxRow.isNullAt(0) && maxRow.getLong(0) > 0L,
+      "temperatureMix: no group has a positive token count (empty corpus " +
+        "or all-null texts) — shares are undefined")
+    val tmax = maxRow.getLong(0)
     val ratio = col("tokens").cast("double") / lit(tmax.toDouble)
     val scaled =
       if (alpha == 0.5) sqrt(ratio)
@@ -277,6 +285,31 @@ object Sampling {
       splits: Seq[(String, Double)],
       defaultLabel: String = "rest"): DataFrame = {
     val comp = Dedup.lshComponents(docs, idCol, textCol)
+      .select(col("id").as(idCol), col("label"))
+    val assigned = docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("rep"))
+    splitAssign(assigned, "rep", splits, defaultLabel)
+  }
+
+  /** [[leakageFreeSplit]] when the caller ALREADY holds the near-dup pair
+    * relation (the audit pattern: [[splitLeakageAudit]] needs the pairs
+    * anyway, and [[Dedup.lshPairs]]' signature pass is the expensive
+    * stage) — derives the cluster reps with [[Dedup.components]] directly
+    * from the materialized pairs instead of re-shingling and re-signing
+    * the corpus a second time through [[Dedup.lshComponents]].
+    *
+    * Identical assignment to [[leakageFreeSplit]] over the same corpus:
+    * [[Dedup.lshPairs]] emits an intra-group pair for every exact-dup
+    * group and a member-level pair for every verified rep pair, so
+    * components over them have exactly [[Dedup.lshComponents]]'
+    * connectivity, and both label a component with its least member id
+    * (spec-pinned). Returns (idCol, rep, split). */
+  def leakageFreeSplitFromPairs(
+      docs: DataFrame, pairs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)],
+      defaultLabel: String = "rest"): DataFrame = {
+    val comp = Dedup.components(pairs.select(col("id_a"), col("id_b")))
       .select(col("id").as(idCol), col("label"))
     val assigned = docs.select(col(idCol))
       .join(comp, Seq(idCol), "left")

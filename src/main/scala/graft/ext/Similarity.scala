@@ -413,8 +413,22 @@ object Similarity {
     // centroids is a no-op, an empty batch against trained centroids
     // appends nothing (harmless either way).
     val batchRow = vecs.select(col(vecCol)).head(1)
-    val cents = scala.util.Try(spark.read.parquet(s"$dir/centroids"))
-      .toOption.filter(_.head(1).nonEmpty) match {
+    // only PATH_NOT_FOUND means "no centroids yet" — a transient FS error
+    // or corrupt footer here must CRASH the append, not silently retrain
+    // k-means on this batch and overwrite dir/centroids (which would
+    // invalidate every existing cell assignment: all later probes would
+    // read the wrong cells). Compaction remnants likewise fail fast: a
+    // cells table without live non-empty centroids is a crash window, not
+    // a fresh dir.
+    StateIO.checkNoCompactRemnants(spark, dir, Seq("centroids", "cells"))
+    val centsOpt = StateIO.readIfExists(spark, s"$dir/centroids")
+      .filter(_.head(1).nonEmpty)
+    require(centsOpt.nonEmpty || !StateIO.pathExists(spark, s"$dir/cells"),
+      s"IVF state at $dir has a cells table but no (non-empty) centroids " +
+        "table — likely a compaction or restore accident; repair the dir " +
+        "before appending (retraining here would orphan every existing " +
+        "cell assignment)")
+    val cents = centsOpt match {
       case Some(c) =>
         checkIvfMeta(spark, dir, k, iters, dimOf(batchRow),
           writeIfAbsent = false)
@@ -438,12 +452,14 @@ object Similarity {
     // need no scan — the partition overwrite is idempotent by itself.
     val out = batchTag match {
       case Some(_) => assignedAll
-      case None => scala.util.Try(
-          spark.read.parquet(s"$dir/cells").select(col("vid")))
-        .toOption match {
+      case None =>
+        // same PATH_NOT_FOUND-only rule: a swallowed read failure here
+        // would skip the anti-join and land duplicate vids in the state
+        StateIO.readIfExists(spark, s"$dir/cells") match {
           case Some(existing) =>
             graft.ext.Dedup.materialize(
-              assignedAll.join(existing, Seq("vid"), "left_anti"))
+              assignedAll.join(existing.select(col("vid")),
+                Seq("vid"), "left_anti"))
           case None => assignedAll
         }
     }
@@ -532,6 +548,76 @@ object Similarity {
       targetBytes: Long = 128L << 20): Unit =
     graft.ext.Dedup.compactStateTables(spark, dir,
       Seq("centroids" -> false, "cells" -> false), targetBytes)
+
+  /** IVF-state DRIFT audit — the measurement the frozen-centroid posture
+    * ([[appendIvfState]] trains on the first batch and never retrains)
+    * is missing on its own: as appended batches drift away from the
+    * first batch's distribution, cells go stale and imbalanced, and
+    * [[ivfTopKFromState]] recall decays SILENTLY (an IVF index never
+    * errors — it just probes the wrong cells). Run this after appends,
+    * on a schedule, or before trusting the index for an accept gate.
+    *
+    * Two measurements in one report, both over the PERSISTED state (no
+    * recompute of the index under audit):
+    *
+    *  - **recall-from-state**: exact brute-force top-`topK` truth over
+    *    the state's own vectors for a small probe batch, compared with
+    *    the state's probed answer ([[recallAtK]]) — `mean_recall_ok`
+    *    gates the mean at `recallFloor` (the x88/x102 audit shape,
+    *    pointed at the maintained index instead of a fresh build).
+    *  - **cell-occupancy skew**: per nonempty cell, its vector count,
+    *    corpus share, and ratio to the mean nonempty cell
+    *    (`heavy_to_mean` — the x81 skew-audit shape over the state's
+    *    cell column). A drifted ingest piles new vectors into few cells;
+    *    `cell_overloaded` flags cells above `occupancyCeil`× the mean.
+    *
+    * `retrain_recommended` = recall floor broken OR any cell overloaded —
+    * the documented retrain trigger: rebuild the state dir (retrain =
+    * rebuild is the [[appendIvfState]] contract). Shares and ratios are
+    * ratios of exact integers under the portable rounding, so the report
+    * value-hashes identically on any engine re-deriving the assignment.
+    *
+    * Cost: occupancy is one |cells|-row aggregate over a narrow column;
+    * the truth pass is O(|probes| · |state|) by design (the audit's
+    * point — run it on a few dozen probes, the x102 rationale). */
+  def ivfStateAudit(
+      spark: SparkSession, dir: String, queries: DataFrame,
+      topK: Int = 10, nProbe: Int = 2,
+      recallFloor: Double = 0.8, occupancyCeil: Double = 4.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = spark.read.parquet(s"$dir/cells")
+    val occ = graft.ext.Dedup.materialize(
+      cells.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs")))
+    val totals = occ.agg(sum(col("n_vecs")).as("graft_tot"),
+      count(lit(1)).as("graft_cells"))
+    val corpus = cells.select(col("vid").as(idCol), col("v").as(vecCol))
+    val truth = graft.ext.Dedup.materialize(
+      bruteForceTopK(corpus, queries, topK, idCol, vecCol))
+    val ann = ivfTopKFromState(spark, dir, queries, topK, nProbe,
+      idCol, vecCol)
+    val rec = recallAtK(ann.select("query_id", "neighbor_id"),
+      truth.select("query_id", "neighbor_id"))
+    val gate = rec.agg(
+      (avg(col("recall")) >= lit(recallFloor)).as("mean_recall_ok"))
+    // overload compares exact integers scaled once by the ceil — no
+    // accumulated float error can flip the boolean between engines
+    val overloaded = col("n_vecs").cast("double") * col("graft_cells") >
+      lit(occupancyCeil) * col("graft_tot").cast("double")
+    val perCell = occ.crossJoin(broadcast(totals)).crossJoin(broadcast(gate))
+      .withColumn("share", graft.ext.Dedup.round4(
+        col("n_vecs").cast("double") / col("graft_tot")))
+      .withColumn("heavy_to_mean", graft.ext.Dedup.round4(
+        col("n_vecs").cast("double") * col("graft_cells") / col("graft_tot")))
+      .withColumn("cell_overloaded", overloaded)
+    val anyOver = perCell.agg(
+      (sum(when(col("cell_overloaded"), 1L).otherwise(0L)) > 0L)
+        .as("graft_any_over"))
+    perCell.crossJoin(broadcast(anyOver))
+      .select(col("cid"), col("n_vecs"), col("share"), col("heavy_to_mean"),
+        col("cell_overloaded"), col("mean_recall_ok"),
+        (col("graft_any_over") || !col("mean_recall_ok"))
+          .as("retrain_recommended"))
+  }
 
   /** Embedding width of a one-row driver peek; -1 when the batch is
     * empty (callers then skip the dim validation — there is nothing

@@ -1614,14 +1614,17 @@ object Extensions {
     * and the cluster-rep split (zero leaking cells by construction).
     * The measurement that justifies x86. The oracle re-derives pairs,
     * the recursive-CTE components, both split assignments, and the
-    * same audit joins. */
+    * same audit joins. Single-signature-pass: the materialized pair
+    * relation feeds BOTH the audit joins and the cluster-rep split
+    * ([[Sampling.leakageFreeSplitFromPairs]]) — the corpus is shingled
+    * and signed exactly once (PlanSpec-pinned). */
   def x112(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = Dedup.materialize(Dedup.lshPairs(docs, "doc_id", "text"))
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val naive = Sampling.splitAssign(docs, "doc_id", splits)
       .select(col("doc_id"), col("split"))
-    val safe = Sampling.leakageFreeSplit(docs, "doc_id", "text", splits)
+    val safe = Sampling.leakageFreeSplitFromPairs(docs, pairs, "doc_id", splits)
       .select(col("doc_id"), col("split"))
     Sampling.splitLeakageAudit(pairs, naive, "doc_id")
       .withColumn("method", lit("naive_hash"))

@@ -60,9 +60,13 @@ object AnnStream {
           .filter(col("graft_rn") === 1).drop("graft_rn", "graft_fp")
         // gate on CELLS, not centroids: a crash between the centroid and
         // cell writes leaves a trained-but-empty index — treat as first
-        // batch (appendIvfState will reuse the frozen centroids)
-        val stateExists = scala.util.Try(
-          spark.read.parquet(s"$stateDir/cells")).toOption
+        // batch (appendIvfState will reuse the frozen centroids). Only
+        // PATH_NOT_FOUND counts as "no state yet": any other read failure
+        // must CRASH the micro-batch so replay retries it — skipping the
+        // near-dup gate would append the batch whole, permanently
+        // accepting cross-batch duplicates into the IVF state.
+        val stateExists = graft.ext.StateIO
+          .readIfExists(spark, s"$stateDir/cells")
           .exists(_.head(1).nonEmpty)
         val accepted =
           if (!stateExists) collapsed

@@ -89,8 +89,12 @@ object DedupStream {
         val spark = batch.sparkSession
         val withinCollapsed = graft.ext.Dedup.exact(
           batch.select(col(idCol), col(textCol)), idCol, textCol)
-        // FS-agnostic first-batch probe (no corpus parquet yet) — a failed
-        // read is the signal, so the same code runs on local disk or HDFS.
+        // FS-agnostic first-batch probe (no corpus parquet yet). Only
+        // PATH_NOT_FOUND means "no corpus yet" — any other read failure
+        // (FS flake, corrupt footer) must CRASH the batch so at-least-once
+        // replay retries it; flipping into first-batch mode would accept
+        // the whole batch with ZERO cross-batch dedup, permanently
+        // polluting the corpus (same rule as the state-backed twin below).
         // REPLAY SAFETY: drop the batch's OWN batch_id partition from the
         // corpus read — a replayed batch (at-least-once foreachBatch, e.g.
         // a crash between the corpus write and the checkpoint commit)
@@ -98,15 +102,15 @@ object DedupStream {
         // (same id, jaccard 1.0), reject them all, and overwrite the
         // partition EMPTY — permanent loss. Same excludeTag rule as the
         // state-backed twin.
-        val corpus = scala.util.Try {
-          val c0 = spark.read.parquet(corpusDir)
-          (if (c0.columns.contains("batch_id"))
-             c0.filter(col("batch_id") =!= batchId)
-           else c0).select(col(idCol), col(textCol))
-        }
+        val corpus = graft.ext.StateIO.readIfExists(spark, corpusDir)
+          .map { c0 =>
+            (if (c0.columns.contains("batch_id"))
+               c0.filter(col("batch_id") =!= batchId)
+             else c0).select(col(idCol), col(textCol))
+          }
         val accepted = corpus match {
-          case scala.util.Failure(_) => withinCollapsed // first batch: no pairs
-          case scala.util.Success(c) =>
+          case None => withinCollapsed // first batch: no pairs
+          case Some(c) =>
             // docs below the shingle size never enter the LSH pair path
             // (it filters both sides), so their cross-batch EXACT dups are
             // caught here by content fingerprint and audited at 1.0 — the

@@ -2383,4 +2383,88 @@ class ExtSpec extends SparkSpec {
       spark, dir, emb.filter(col("vec_id") >= 450), threshold = 0.999)
     assert(none.count() == 0)
   }
+
+  test("leakageFreeSplitFromPairs assigns identically to leakageFreeSplit") {
+    // the single-signature-pass variant must reproduce the recompute
+    // path's assignment exactly (lshPairs' member pairs carry the same
+    // connectivity + min-id labels as lshComponents' rep pairs + star)
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val fromDocs = Sampling
+      .leakageFreeSplit(docs, "doc_id", "text", splits)
+      .select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect().toSet
+    val pairs = Dedup.lshPairs(docs, "doc_id", "text")
+    val fromPairs = Sampling
+      .leakageFreeSplitFromPairs(docs, pairs, "doc_id", splits)
+      .select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect().toSet
+    assert(fromPairs == fromDocs)
+    assert(fromDocs.nonEmpty)
+  }
+
+  test("state appends fail fast on compaction remnants and orphaned tables") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 50)
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_guard_$tag").toFile.getAbsolutePath
+    // IVF: a __compact_bak leftover means a compaction crashed mid-swap
+    locally {
+      val dir = tmp("ivf_bak")
+      Similarity.appendIvfState(emb, dir, k = 4, iters = 1)
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(dir, "centroids__compact_bak"))
+      val e = intercept[IllegalArgumentException](
+        Similarity.appendIvfState(emb, dir, k = 4, iters = 1))
+      assert(e.getMessage.contains("compact_bak"))
+    }
+    // IVF: cells without live centroids must refuse to retrain
+    locally {
+      val dir = tmp("ivf_orphan")
+      Similarity.appendIvfState(emb, dir, k = 4, iters = 1)
+      val cpath = java.nio.file.Paths.get(dir, "centroids")
+      val moved = java.nio.file.Paths.get(dir, "centroids_gone")
+      java.nio.file.Files.move(cpath, moved)
+      val e = intercept[IllegalArgumentException](
+        Similarity.appendIvfState(emb, dir, k = 4, iters = 1))
+      assert(e.getMessage.contains("no (non-empty) centroids"))
+    }
+    // postings + stats: the same __compact_bak guard
+    locally {
+      val dir = tmp("postings_bak")
+      Index.appendPostingsState(docs, dir, "doc_id", "text")
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(dir, "totals__compact_bak"))
+      val e = intercept[IllegalArgumentException](
+        Index.appendPostingsState(docs, dir, "doc_id", "text"))
+      assert(e.getMessage.contains("compact_bak"))
+    }
+    locally {
+      val dir = tmp("stats_bak")
+      Profile.appendStatsState(docs, dir, "text", "doc_id")
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(dir, "stats__compact_bak"))
+      val e = intercept[IllegalArgumentException](
+        Profile.appendStatsState(docs, dir, "text", "doc_id"))
+      assert(e.getMessage.contains("compact_bak"))
+    }
+  }
+
+  test("temperatureMix rejects empty and all-null corpora with clear errors") {
+    val empty = docsFrom(Nil).withColumn("source", lit("a"))
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.temperatureMix(empty, "text", "source").collect())
+    assert(e1.getMessage.contains("positive token count"))
+    val nulls = docsFrom(Seq((1L, "x"), (2L, "y")))
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("source",
+        when(col("doc_id") === 1L, "a").otherwise("b"))
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.temperatureMix(nulls, "text", "source").collect())
+    assert(e2.getMessage.contains("positive token count"))
+  }
 }

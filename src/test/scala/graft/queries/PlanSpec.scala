@@ -369,4 +369,19 @@ class PlanSpec extends SparkSpec {
       s"state probe join is not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"state probe grew a cartesian:\n$p")
   }
+
+  test("x112: the corpus is shingled and signed exactly once") {
+    // the materialized pair relation feeds BOTH the audit joins and the
+    // cluster-rep split (leakageFreeSplitFromPairs) — so the final plan
+    // must contain ZERO signature stages: the only minhash pass lives
+    // inside the already-materialized pairs frame. A second occurrence
+    // means leakageFreeSplit regressed to re-signing the corpus.
+    val p = plan(Extensions.x112(spark, sf))
+    val n = "minhash_sig".r.findAllIn(p).size
+    assert(n == 0,
+      s"x112 re-signs the corpus ($n minhash_sig stages in the plan):\n$p")
+    val m = "shingle".r.findAllIn(p).size
+    assert(m == 0,
+      s"x112 re-shingles the corpus ($m shingle stages in the plan):\n$p")
+  }
 }
