@@ -314,4 +314,19 @@ object Bpe {
     }
     docs.withColumn("symbols", encoded)
   }
+
+  /** TOKENIZER-denominated token count: the number of symbols `text`
+    * encodes to under a trained merge list — the unit training budgets
+    * are actually written in (a 100 B-token budget means TOKENIZER
+    * tokens, not whitespace words). With an empty merge list this is the
+    * whitespace count, so budget operators take it as an optional
+    * upgrade: [[graft.ext.Sampling.temperatureMix]]/`temperatureSample`
+    * accept a `merges` list, and [[graft.ext.Sampling.tokenBudget]] /
+    * `Packing.packBins` take any precomputed count column — pass
+    * `size(encode(...).symbols)`. Map-side fold per merge, no shuffle. */
+  def encodedSize(text: Column, merges: Seq[(String, String)]): Column =
+    if (merges.isEmpty) size(Dedup.tokens(text))
+    else size(merges.foldLeft(Dedup.tokens(text)) {
+      case (c, (a, b)) => applyMerge(c, a, b)
+    })
 }

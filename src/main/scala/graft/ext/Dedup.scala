@@ -493,7 +493,7 @@ object Dedup {
       val hconf = spark.sessionState.newHadoopConf()
       def p(name: String) = new org.apache.hadoop.fs.Path(dir, name)
       val fs = p("reps").getFileSystem(hconf)
-      Seq("bands", "reps", "members").foreach { t =>
+      Seq("bands", "reps", "members", "tombstones").foreach { t =>
         require(!fs.exists(p(s"${t}__compact_bak")),
           s"found $dir/${t}__compact_bak — a compaction crashed mid-swap; " +
             "restore it before appending")
@@ -643,9 +643,75 @@ object Dedup {
     * appends or reads during the swap see a missing table. */
   def compactLshState(
       spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Unit =
+      targetBytes: Long = 128L << 20): Unit = {
+    // apply tombstones ([[deleteFromLshState]]) physically during the
+    // rewrite: deleted member rows drop, and reps/bands of groups with NO
+    // surviving member drop with them. The tombstones table is KEPT
+    // (compacted): re-applying a tombstone to already-gone rows is a
+    // no-op, so reads stay correct through a crash at any point, and the
+    // never-reuse-a-deleted-id contract keeps needing it. The
+    // surviving-rid set is materialized from the LIVE tables BEFORE any
+    // swap so every table's rewrite sees the same consistent snapshot.
+    val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+      .map(_.select(col("id")))
+    val survivingRids = tombs.map { tb =>
+      materialize(spark.read.parquet(s"$dir/members")
+        .join(tb, Seq("id"), "left_anti").select(col("rid")).distinct())
+    }
+    val dropMembers: DataFrame => DataFrame = df => tombs match {
+      case Some(tb) => df.join(tb, Seq("id"), "left_anti")
+      case None => df
+    }
+    val dropDeadRids: DataFrame => DataFrame = df => survivingRids match {
+      case Some(sr) => df.join(sr, Seq("rid"), "left_semi")
+      case None => df
+    }
     compactStateTables(spark, dir,
-      Seq("bands" -> true, "reps" -> false, "members" -> true), targetBytes)
+      Seq("bands" -> true, "reps" -> false, "members" -> true,
+        "tombstones" -> true), targetBytes,
+      transforms = Map("members" -> dropMembers, "reps" -> dropDeadRids,
+        "bands" -> dropDeadRids))
+  }
+
+  /** DELETE documents from an [[appendLshState]] dir — the tombstone path
+    * for the text-LSH pillar: the engine's own curation (substring
+    * excision, decontamination, collapse) REMOVES documents, and without
+    * deletes their stale signatures keep matching (and rejecting) new
+    * arrivals until a full state rebuild. O(|ids|) write, no state table
+    * is read or rewritten here:
+    *
+    *  - `tombstones` gains the deleted ids; every read
+    *    ([[incrementalLshPairsFromState]], the streaming ingest) drops
+    *    deleted members and — via a surviving-member semi-join — the
+    *    reps of fully-deleted groups, so a new byte-identical document
+    *    signs fresh instead of matching a ghost.
+    *  - [[compactLshState]] later applies tombstones physically.
+    *
+    * Replay/retry: tagged deletes land in their own `delete_id=N`
+    * partition with overwrite (at-least-once safe); untagged deletes
+    * anti-join already-tombstoned ids so a blind re-run is a no-op.
+    *
+    * Contract: a deleted id must NEVER be re-appended later — the
+    * tombstone filters it forever (ids are unique across the state's
+    * lifetime, the same contract the pair operators already carry). */
+  def deleteFromLshState(
+      spark: SparkSession, dir: String, ids: DataFrame, idCol: String,
+      deleteTag: Option[Long] = None): Unit = {
+    StateIO.checkNoCompactRemnants(spark, dir,
+      Seq("bands", "reps", "members", "tombstones"))
+    val del = ids.select(col(idCol).as("id")).distinct()
+    deleteTag match {
+      case Some(t) => // partition overwrite is idempotent by itself
+        del.write.mode("overwrite").parquet(s"$dir/tombstones/delete_id=$t")
+      case None =>
+        val fresh = StateIO.readIfExists(spark, s"$dir/tombstones") match {
+          case Some(tb) => materialize(
+            del.join(tb.select(col("id")), Seq("id"), "left_anti"))
+          case None => del
+        }
+        fresh.write.mode("append").parquet(s"$dir/tombstones")
+    }
+  }
 
   /** Shared state-dir compaction engine ([[compactLshState]],
     * [[Similarity.compactIvfState]], [[Profile.compactStatsState]],
@@ -654,14 +720,20 @@ object Dedup {
     * documented on [[compactLshState]]. `dedup = true` distinct()s rows
     * during the rewrite (for tables where historical duplicates are
     * absorbable); row CONTENT is otherwise preserved exactly — only the
-    * file layout changes. `extraPartitionCols` names partition levels
-    * BELOW batch_id that the rewrite must preserve (e.g. the postings
-    * state's term bucket — flattening it would silently turn
-    * partition-pruned lookups into full-index scans). */
+    * file layout changes — unless the table has an entry in `transforms`
+    * (the tombstone-application hook: the delete paths rewrite
+    * postings/docs/members WITHOUT the deleted rows here). Both the
+    * `batch_id` (appends) and `delete_id` (tombstone batches) partition
+    * layouts are preserved so replay-overwrite semantics survive
+    * compaction. `extraPartitionCols` names partition levels BELOW those
+    * that the rewrite must preserve (e.g. the postings state's term
+    * bucket — flattening it would silently turn partition-pruned lookups
+    * into full-index scans). */
   private[ext] def compactStateTables(
       spark: SparkSession, dir: String, tables: Seq[(String, Boolean)],
       targetBytes: Long,
-      extraPartitionCols: Seq[String] = Nil): Unit = {
+      extraPartitionCols: Seq[String] = Nil,
+      transforms: Map[String, DataFrame => DataFrame] = Map.empty): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     // a leftover backup means a previous compaction crashed BETWEEN its
     // two renames — the live table may be the stale tmp or missing
@@ -679,8 +751,8 @@ object Dedup {
       val fs = path.getFileSystem(hconf)
       if (fs.exists(path)) {
         val df = spark.read.parquet(path.toString)
-        val tagged = df.columns.contains("batch_id")
-        val clean = if (dedup) df.distinct() else df
+        val deduped = if (dedup) df.distinct() else df
+        val clean = transforms.get(table).map(_(deduped)).getOrElse(deduped)
         val nFiles = math.max(1, math.ceil(
           fs.getContentSummary(path).getLength.toDouble / targetBytes).toInt)
         // tagged: hash-cluster by batch so each partition dir gets ONE
@@ -689,7 +761,7 @@ object Dedup {
         // cluster by the extra partition levels so each preserved
         // partition dir gets whole files, not nFiles slivers)
         val partCols =
-          (if (tagged) Seq("batch_id") else Nil) ++
+          Seq("batch_id", "delete_id").filter(clean.columns.contains) ++
             extraPartitionCols.filter(clean.columns.contains)
         val sized =
           if (partCols.nonEmpty)
@@ -744,8 +816,25 @@ object Dedup {
       excludeTag.filter(_ => t.columns.contains("batch_id"))
         .map(tag => t.filter(col("batch_id") =!= tag)).getOrElse(t)
     }
-    val corpusReps = readState("reps").select(col("fp"), col("rid"), col("text"))
-    val corpusMembers = readState("members").select(col("id"), col("rid"))
+    // tombstones ([[deleteFromLshState]]): deleted members stop pairing
+    // immediately, and a group whose members are ALL deleted stops
+    // band-matching (its rep is dropped via the surviving-member
+    // semi-join) — a new byte-identical doc then signs fresh instead of
+    // matching a ghost. Small anti-join until compaction applies them.
+    val tombs = StateIO.readIfExists(spark, s"$stateDir/tombstones")
+      .map(_.select(col("id")))
+    val corpusMembersAll = readState("members").select(col("id"), col("rid"))
+    val corpusMembers = tombs match {
+      case Some(tb) => corpusMembersAll.join(tb, Seq("id"), "left_anti")
+      case None => corpusMembersAll
+    }
+    val corpusRepsAll = readState("reps")
+      .select(col("fp"), col("rid"), col("text"))
+    val corpusReps = tombs match {
+      case Some(_) => corpusRepsAll.join(
+        corpusMembers.select(col("rid")).distinct(), Seq("rid"), "left_semi")
+      case None => corpusRepsAll
+    }
     val corpusBands = readState("bands")
       .select(col("rid"), col("band"), col("bucket"))
 
@@ -1503,10 +1592,9 @@ object Dedup {
     * cover (and excise) tokens of the other region's exempt first
     * occurrence — content covered only by exempt grams always survives,
     * but a gram's first occurrence inside a larger excised neighborhood
-    * does not. Exact one-copy retention under arbitrary overlap needs
-    * suffix-array bookkeeping this fixed-window method deliberately
-    * trades away; iterating spans→excise to a fixpoint converges if the
-    * stronger guarantee is needed.
+    * does not. When the stronger guarantee is needed, use
+    * [[removeSpansToFixpoint]] — it protects first occurrences during
+    * each excision pass and iterates to a fixpoint (x116).
     *
     * Plan at scale: one positional-gram explode (map-side, one token walk
     * per row via [[positionalGrams]]); the occurrence count groups by the
@@ -1519,27 +1607,49 @@ object Dedup {
   def duplicateSpans(
       docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 10, keepFirst: Boolean = false): DataFrame = {
+    val hitsAll = dupGramHits(docs, idCol, textCol, minLen)
+    // keepFirst: the FIRST corpus occurrence of each duplicated gram is
+    // not a hit — its span survives excision, later copies are flagged
+    // (the retain-one-copy policy; default flags every occurrence, the
+    // audit view)
+    val hits = (if (keepFirst) hitsAll.filter(!col("graft_is_first"))
+      else hitsAll).select("id", "start")
+    spanIslands(hits, minLen)
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_grams"))
+  }
+
+  /** Every occurrence of every corpus-duplicated `minLen`-gram, with the
+    * corpus-first flag: (id, start, graft_is_first). One gram explode +
+    * one fingerprint-keyed aggregate that carries both the occurrence
+    * count and the lexicographic-first instance (struct min) — the
+    * shared detection stage of [[duplicateSpans]] and
+    * [[removeSpansToFixpoint]]. */
+  private def dupGramHits(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
     val grams = docs.select(col(idCol).as("id"),
         posexplode(positionalGrams(col(textCol), minLen))
           .as(Seq("start", "gram")))
       .select(col("id"), col("start"), md5(col("gram")).as("gfp"))
-    // one aggregate carries both the occurrence count and the corpus-first
-    // instance (lexicographic (id, start) via struct min) — keepFirst
-    // costs no extra shuffle
     val dup = grams.groupBy(col("gfp"))
       .agg(count(lit(1)).as("graft_c"),
         min(struct(col("id"), col("start"))).as("graft_first"))
       .filter(col("graft_c") >= 2)
       .select("gfp", "graft_first")
-    val hitsAll = grams.join(dup, "gfp")
-    // keepFirst: the FIRST corpus occurrence of each duplicated gram is
-    // not a hit — its span survives excision, later copies are flagged
-    // (the retain-one-copy policy; default flags every occurrence, the
-    // audit view)
-    val hits = (if (keepFirst)
-        hitsAll.filter(col("id") =!= col("graft_first.id") ||
-          col("start") =!= col("graft_first.start"))
-      else hitsAll).select("id", "start")
+    grams.join(dup, "gfp")
+      .select(col("id"), col("start"),
+        (col("id") === col("graft_first.id") &&
+          col("start") === col("graft_first.start")).as("graft_is_first"))
+  }
+
+  /** Merge per-doc gram-hit starts into maximal token spans (the
+    * gaps-and-islands window over a doc-keyed partition): two windows
+    * merge iff their starts differ by ≤ minLen, i.e. they overlap or
+    * touch — the merged span is the EXACT union of the hit windows,
+    * never a bridge over uncovered tokens. Returns (id, span_start,
+    * span_end inclusive, span_tokens, n_grams). */
+  private def spanIslands(hits: DataFrame, minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy("id").orderBy("start")
     hits
       .withColumn("graft_brk",
@@ -1550,7 +1660,7 @@ object Dedup {
       .agg(min(col("start")).cast("long").as("span_start"),
         (max(col("start")) + (minLen - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_grams"))
-      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+      .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_grams"))
   }
@@ -1563,7 +1673,9 @@ object Dedup {
     * occurrences are exempt from flagging, later copies of repeated
     * regions are cut — subject to the per-gram exemption caveat
     * documented on [[duplicateSpans]] (overlapping distinct duplicated
-    * regions can excise tokens of an exempt first occurrence).
+    * regions can excise tokens of an exempt first occurrence;
+    * [[removeSpansToFixpoint]] is the protected, iterated variant that
+    * closes it).
     *
     * Returns every input document: (idCol, n_tokens, n_removed,
     * text_clean) — text_clean = "" when a doc was entirely duplicated
@@ -1598,6 +1710,94 @@ object Dedup {
         (col("n_tokens") - size(col("graft_kept"))).cast("long")
           .as("n_removed"),
         concat_ws(" ", col("graft_kept")).as("text_clean"))
+  }
+
+  /** Substring excision to a FIXPOINT with per-iteration first-occurrence
+    * PROTECTION — the stronger guarantee [[duplicateSpans]]' keepFirst
+    * caveat names: single-pass keepFirst exempts the first occurrence of
+    * each duplicated gram from FLAGGING, but a span anchored on another
+    * region's non-first grams can still cover (and excise) an exempt
+    * first occurrence when distinct duplicated regions overlap — content
+    * can lose its last copy. Here, each iteration removes a token only
+    * if it is covered by a flagged (non-first) gram window AND NOT
+    * covered by any first-occurrence window of a currently-duplicated
+    * gram — so within an iteration, every duplicated gram's first
+    * occurrence survives INTACT (all its tokens protected), hence every
+    * duplicated gram keeps ≥ 1 occurrence. Excision creates new token
+    * adjacencies (hence possibly new duplicated grams), so the
+    * detect→protect→excise pass iterates until an iteration removes
+    * ZERO tokens — which includes the honest stable state where a
+    * remaining duplicate copy sits entirely inside another gram's
+    * protected first occurrence and is deliberately not cut.
+    *
+    * (The per-iteration guarantee composes across iterations for
+    * separately-planted overlapping regions — ExtSpec pins it on such a
+    * fixture; a multi-iteration cascade where a NEWLY-formed duplicate's
+    * excision fragments an original gram's last copy is the residual
+    * theoretical gap exact one-copy retention needs suffix arrays for.)
+    *
+    * Each iteration costs one [[duplicateSpans]]-shaped pass over the
+    * CURRENT corpus (gram explode, fingerprint-only shuffle, doc-keyed
+    * windows, one keyed excision join) and the corpus shrinks
+    * monotonically; real corpora converge in 2–3 iterations. Throws
+    * after `maxIter` iterations that each still removed tokens — the
+    * convergence check (raise maxIter or fall back to the single-pass
+    * [[removeSpans]] audit posture).
+    *
+    * Returns every input document: (idCol, n_tokens original, n_removed
+    * total across iterations, text_clean). */
+  def removeSpansToFixpoint(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 10, maxIter: Int = 10): DataFrame = {
+    require(maxIter >= 1, "need at least one iteration")
+    var cur = materialize(docs.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("graft_t")))
+    val orig = cur.select(col("id"),
+      size(col("graft_t")).cast("long").as("n_tokens"))
+    var it = 0
+    var removedThisIter = 1L
+    while (removedThisIter > 0L && it < maxIter) {
+      val text = cur.select(col("id"),
+        concat_ws(" ", col("graft_t")).as("text"))
+      val hits = dupGramHits(text, "id", "text", minLen)
+      val flagged = spanIslands(
+        hits.filter(!col("graft_is_first")).select("id", "start"), minLen)
+      val prot = spanIslands(
+        hits.filter(col("graft_is_first")).select("id", "start"), minLen)
+      def spanArr(spans: DataFrame, name: String) = spans.groupBy(col("id"))
+        .agg(collect_list(struct(col("span_start"), col("span_end")))
+          .as(name))
+      val next = materialize(cur
+        .join(spanArr(flagged, "graft_cut"), Seq("id"), "left")
+        .join(spanArr(prot, "graft_keep"), Seq("id"), "left")
+        .select(col("id"),
+          size(col("graft_t")).as("graft_n_before"),
+          filter(col("graft_t"), (_, i) => {
+            def in(arr: Column) = exists(coalesce(arr,
+              array().cast(
+                "array<struct<span_start:long,span_end:long>>")), s =>
+              i.cast("long") >= s.getField("span_start") &&
+                i.cast("long") <= s.getField("span_end"))
+            !(in(col("graft_cut")) && !in(col("graft_keep")))
+          }).as("graft_t"))
+        .select(col("id"), col("graft_t"),
+          (col("graft_n_before") - size(col("graft_t")))
+            .cast("long").as("graft_cut_n")))
+      removedThisIter = next.agg(coalesce(sum(col("graft_cut_n")), lit(0L)))
+        .head().getLong(0)
+      cur = next.select(col("id"), col("graft_t"))
+      it += 1
+    }
+    if (removedThisIter > 0L)
+      throw new IllegalStateException(
+        s"removeSpansToFixpoint did not converge in $maxIter iterations " +
+          s"(last pass still removed $removedThisIter tokens) — raise " +
+          "maxIter or use the single-pass removeSpans audit")
+    orig.join(cur, Seq("id"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("graft_t"))).cast("long")
+          .as("n_removed"),
+        concat_ws(" ", col("graft_t")).as("text_clean"))
   }
 
   /** Dedup-threshold SWEEP: how many near-dup pairs (and how many

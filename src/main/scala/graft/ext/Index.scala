@@ -254,11 +254,18 @@ object Index {
       batch: DataFrame, dir: String, idCol: String, textCol: String,
       buckets: Int = 64, batchTag: Option[Long] = None): Unit = {
     StateIO.checkNoCompactRemnants(batch.sparkSession, dir,
-      Seq("postings", "totals"))
+      Seq("postings", "totals", "docs", "tombstones", "tomb_totals"))
     val toks = batch.select(col(idCol).as("id"),
       filter(Dedup.tokens(col(textCol)), _ =!= "").as("graft_toks"))
     val totals = toks.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(size(col("graft_toks"))), lit(0L)).as("sum_dl"))
+    // narrow per-doc sidecar (id, dl) — 16 bytes/doc: what makes DELETES
+    // exact and cheap ([[deleteFromPostingsState]] derives its totals
+    // correction here instead of scanning every postings bucket), and the
+    // only record of zero-token docs (they have no postings rows but DO
+    // count in n_docs)
+    val docRows = toks.select(col("id"),
+      size(col("graft_toks")).cast("long").as("dl"))
     val tf = toks
       .select(col("id"), size(col("graft_toks")).as("dl"),
         explode(col("graft_toks")).as("term"))
@@ -271,11 +278,85 @@ object Index {
       case Some(t) =>
         tf.write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$dir/postings/batch_id=$t")
+        docRows.write.mode("overwrite").parquet(s"$dir/docs/batch_id=$t")
         totals.write.mode("overwrite").parquet(s"$dir/totals/batch_id=$t")
       case None =>
         tf.write.mode("append").partitionBy("bucket")
           .parquet(s"$dir/postings")
+        docRows.write.mode("append").parquet(s"$dir/docs")
         totals.write.mode("append").parquet(s"$dir/totals")
+    }
+  }
+
+  /** DELETE documents from an [[appendPostingsState]] dir — the tombstone
+    * path the append-only pillar was missing: the engine's own curation
+    * (substring excision, decontamination) REMOVES documents, and without
+    * deletes their stale postings keep scoring queries until a full state
+    * rebuild. Writes are O(|ids|) + one narrow `docs` sidecar join — no
+    * postings bucket is read or rewritten here:
+    *
+    *  - `tombstones` gains the deleted ids; every read
+    *    ([[bm25TopKFromState]]) anti-joins them (tombstones are few until
+    *    compaction — the anti-join is a broadcast against posting rows).
+    *  - `tomb_totals` gains one NEGATIVE (n_docs, sum_dl) row derived
+    *    from the `docs` sidecar, so the BM25 corpus constants stay exact
+    *    integer sums over |batches| + |deletes| rows.
+    *
+    * [[compactPostingsState]] later applies tombstones PHYSICALLY
+    * (rewrites postings/docs without the deleted rows) but keeps the
+    * tombstones + tomb_totals tables: the totals partitions still count
+    * the deleted docs, so the correction must survive compaction, and a
+    * tombstone row whose postings are already gone is a no-op anti-join.
+    *
+    * Replay/retry: TAGGED deletes (`deleteTag`) land both tables in their
+    * own `delete_id=N` partitions with overwrite — an at-least-once
+    * orchestrator re-running a delete overwrites rather than
+    * double-subtracts (the tagged reads exclude the delete's own
+    * partition when deriving the correction, the same self-match rule as
+    * the LSH replay). UNTAGGED deletes anti-join already-tombstoned ids
+    * (a blind full re-run is a no-op) but are NOT crash-safe between the
+    * two writes — the [[appendPostingsState]] untagged caveat applies.
+    *
+    * Contract: a deleted id must NEVER be re-appended later (tombstones
+    * filter it forever); ids are unique across the state's lifetime. */
+  def deleteFromPostingsState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String,
+      deleteTag: Option[Long] = None): Unit = {
+    StateIO.checkNoCompactRemnants(spark, dir,
+      Seq("postings", "totals", "docs", "tombstones", "tomb_totals"))
+    val del = ids.select(col(idCol).as("id")).distinct()
+    val docRows = StateIO.readIfExists(spark, s"$dir/docs").getOrElse(
+      throw new IllegalStateException(
+        s"postings state at $dir has no docs sidecar — deletes need the " +
+          "per-doc (id, dl) table; rebuild the state with the current " +
+          "appendPostingsState"))
+    // exclude this delete's own partition on replay (tagged), or all
+    // existing tombstones (untagged blind retry) — otherwise a replayed
+    // delete sees its prior attempt and writes a zero correction
+    val priorTombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+      .map { tb =>
+        deleteTag.filter(_ => tb.columns.contains("delete_id"))
+          .map(tag => tb.filter(col("delete_id") =!= tag)).getOrElse(tb)
+          .select(col("id"))
+      }
+    val fresh = Dedup.materialize(priorTombs match {
+      case Some(tb) => del.join(tb, Seq("id"), "left_anti")
+      case None => del
+    })
+    val found = docRows.join(fresh, Seq("id"), "left_semi")
+    val correction = found.agg(
+      (-count(lit(1))).as("n_docs"),
+      (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+    deleteTag match {
+      case Some(t) =>
+        fresh.write.mode("overwrite")
+          .parquet(s"$dir/tombstones/delete_id=$t")
+        correction.write.mode("overwrite")
+          .parquet(s"$dir/tomb_totals/delete_id=$t")
+      case None =>
+        fresh.write.mode("append").parquet(s"$dir/tombstones")
+        correction.write.mode("append").parquet(s"$dir/tomb_totals")
     }
   }
 
@@ -286,10 +367,26 @@ object Index {
     * ([[graft.ext.Dedup.compactLshState]]). */
   def compactPostingsState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Unit =
+      targetBytes: Long = 128L << 20): Unit = {
+    // apply tombstones PHYSICALLY during the rewrite: postings/docs rows
+    // of deleted ids drop out. The tombstones + tomb_totals tables are
+    // KEPT (compacted, not cleared): the batch totals partitions still
+    // count the deleted docs — clearing the correction would silently
+    // re-inflate the BM25 corpus constants — and re-applying a tombstone
+    // to already-gone rows is a no-op, so reads stay correct through a
+    // crash at any point here.
+    val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+      .map(_.select(col("id")))
+    val dropDeleted: DataFrame => DataFrame = df => tombs match {
+      case Some(tb) => df.join(tb, Seq("id"), "left_anti")
+      case None => df
+    }
     Dedup.compactStateTables(spark, dir,
-      Seq("postings" -> false, "totals" -> false), targetBytes,
-      extraPartitionCols = Seq("bucket"))
+      Seq("postings" -> false, "docs" -> false, "totals" -> false,
+        "tombstones" -> true, "tomb_totals" -> false), targetBytes,
+      extraPartitionCols = Seq("bucket"),
+      transforms = Map("postings" -> dropDeleted, "docs" -> dropDeleted))
+  }
 
   /** [[bm25TopK]] answered from [[appendPostingsState]] parquet —
     * output-identical to the batch path over the same corpus (ExtSpec
@@ -304,8 +401,15 @@ object Index {
       terms: Seq[String], k: Int, buckets: Int = 64,
       idCol: String = "id", k1: Double = 1.25, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val tstats = spark.read.parquet(s"$dir/totals")
-      .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    // corpus constants = append totals + (negative) delete corrections —
+    // exact integer sums over |batches| + |deletes| rows
+    val appendTotals = spark.read.parquet(s"$dir/totals")
+    val allTotals = StateIO.readIfExists(spark, s"$dir/tomb_totals") match {
+      case Some(tt) => appendTotals.select(col("n_docs"), col("sum_dl"))
+        .unionByName(tt.select(col("n_docs"), col("sum_dl")))
+      case None => appendTotals
+    }
+    val tstats = allTotals.agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
     require(!tstats.isNullAt(0) && tstats.getLong(0) > 0L,
       s"postings state at $dir holds no documents — append a batch first")
     val n = tstats.getLong(0)
@@ -322,9 +426,16 @@ object Index {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       terms: Seq[String], buckets: Int): DataFrame = {
     val wanted = terms.map(termBucket(_, buckets)).distinct
-    spark.read.parquet(s"$dir/postings")
+    val pruned = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isInCollection(wanted))
       .filter(col("term").isin(terms: _*))
+    // tombstones: deleted docs' postings stop scoring immediately (the
+    // anti-join is small — tombstones are few until compaction applies
+    // them physically, after which this is a no-op)
+    StateIO.readIfExists(spark, s"$dir/tombstones") match {
+      case Some(tb) => pruned.join(tb.select(col("id")), Seq("id"), "left_anti")
+      case None => pruned
+    }
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of two

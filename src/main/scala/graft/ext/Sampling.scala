@@ -152,11 +152,12 @@ object Sampling {
     * totals branch read the tiny |groups|-row frame, not the corpus. */
   def temperatureMix(
       docs: DataFrame, textCol: String, grpCol: String,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5,
+      merges: Seq[(String, String)] = Nil): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
     val counts = Dedup.materialize(docs
       .select(col(grpCol).as("grp"),
-        size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))
+        Bpe.encodedSize(col(textCol), merges).cast("long").as("graft_tok"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_docs"), sum(col("graft_tok")).as("tokens")))
     // an empty corpus yields a null max (head() would NPE on getLong) and
@@ -212,10 +213,11 @@ object Sampling {
     * tokenized frame. */
   def temperatureSample(
       docs: DataFrame, idCol: String, textCol: String, grpCol: String,
-      totalTokens: Long, alpha: Double = 0.5): DataFrame = {
+      totalTokens: Long, alpha: Double = 0.5,
+      merges: Seq[(String, String)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(totalTokens > 0, s"totalTokens must be positive: $totalTokens")
-    val shares = temperatureMix(docs, textCol, grpCol, alpha)
+    val shares = temperatureMix(docs, textCol, grpCol, alpha, merges)
       .select(col(grpCol).cast("string"), col("share_temp")).collect()
       .map(r => r.getString(0) -> r.getDouble(1))
     val budgetExpr = shares.foldLeft(lit(0L): Column) { case (acc, (g, s)) =>
@@ -224,7 +226,7 @@ object Sampling {
     }
     val base = docs
       .select(col(grpCol), col(idCol),
-        size(Dedup.tokens(col(textCol))).cast("long").as("tokens"))
+        Bpe.encodedSize(col(textCol), merges).cast("long").as("tokens"))
       .withColumn("graft_h",
         PortableHash.md5Long(col(idCol).cast("string"), "tsamp:"))
       .withColumn("graft_hb", (col("graft_h") / lit(1L << 52)).cast("long"))

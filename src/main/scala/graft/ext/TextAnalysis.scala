@@ -194,6 +194,90 @@ object TextAnalysis {
       (wsum.cast("double") / (n.cast("double") * 1000.0)).as("clf_score"))
   }
 
+  /** TRAIN the hashed linear quality scorer — the step [[classifierColumns]]
+    * stands in for with fixed weights: a deterministic AVERAGED PERCEPTRON
+    * (Freund & Schapire 1999; Collins 2002 for the averaged variant) over
+    * the same [[clfBuckets]] hashed bag-of-distinct-tokens features, which
+    * is exactly the fasttext-shaped production step (CCNet/GPT-3-style
+    * model-based quality filters train a linear model on a small labeled
+    * set, then SCORE the whole corpus).
+    *
+    * Determinism / portability: features are integer per-bucket counts of
+    * distinct tokens (portable 60-bit md5 bucket), updates are integer
+    * (`w += label·f` on a mistake, mistake = (Σ w·f > 0) ≠ (label = +1)),
+    * the example order is fixed by the portable hash of the id (epochs
+    * replay the same order), and the returned weights are the integer
+    * SUMS of the weight vector after every step (the averaged perceptron
+    * numerator — scaling by 1/steps changes no sign or ranking, so the
+    * integers stay exact and engine-reproducible; the x118 oracle replays
+    * the identical updates in a recursive CTE).
+    *
+    * Scale posture: the TRAINER is deliberately bounded (labeled quality
+    * data is small by nature — `require` ≤ maxRows; hash-sample first if
+    * not); the per-example feature build and the corpus-wide SCORING
+    * ([[scoreWithWeights]]) are distributed map-side expressions.
+    *
+    * @param labelCol +1 / -1 long column
+    * @return averaged-weight integer sums, length [[clfBuckets]] */
+  def trainQualityScorer(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+      epochs: Int = 2, maxRows: Long = 100000L): Array[Long] = {
+    require(epochs >= 1, "need at least one epoch")
+    val nRows = docs.count()
+    require(nRows > 0, "trainQualityScorer: empty training set")
+    require(nRows <= maxRows,
+      s"trainQualityScorer is the bounded in-memory trainer ($nRows rows " +
+        s"> $maxRows) — hash-sample the labeled set first (labeled quality " +
+        "data is small by nature; corpus-scale SCORING is scoreWithWeights)")
+    val rows = docs.select(
+        col(idCol).as("graft_id"),
+        col(labelCol).cast("long").as("lbl"),
+        transform(sequence(lit(0), lit(clfBuckets - 1)), b =>
+          size(filter(Dedup.distinctTokens(col(textCol)), t =>
+            pmod(PortableHash.md5Long(t), lit(clfBuckets.toLong))
+              === b.cast("long"))).cast("long")).as("f"))
+      .withColumn("graft_h",
+        PortableHash.md5Long(col("graft_id").cast("string"), "pcpt:"))
+      .orderBy(col("graft_h"), col("graft_id"))
+      .select("lbl", "f").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val w = Array.fill(clfBuckets)(0L)
+    val sw = Array.fill(clfBuckets)(0L)
+    var e = 0
+    while (e < epochs) {
+      rows.foreach { case (lbl, f) =>
+        var dot = 0L
+        var b = 0
+        while (b < clfBuckets) { dot += w(b) * f(b); b += 1 }
+        val pred = if (dot > 0) 1L else -1L
+        if (pred != lbl) {
+          b = 0
+          while (b < clfBuckets) { w(b) += lbl * f(b); b += 1 }
+        }
+        b = 0
+        while (b < clfBuckets) { sw(b) += w(b); b += 1 }
+      }
+      e += 1
+    }
+    sw
+  }
+
+  /** Score a text column with TRAINED weights ([[trainQualityScorer]]) —
+    * the corpus-scale half: one `aggregate` fold over the distinct
+    * tokens, pure map-side, zero shuffle (the [[classifierColumns]] plan
+    * shape with learned weights). Returns (clf_logit = exact integer
+    * Σ w[bucket(t)], clf_pred = logit > 0). */
+  def scoreWithWeights(text: Column, weights: Array[Long]): Seq[Column] = {
+    require(weights.length == clfBuckets,
+      s"expected $clfBuckets weights, got ${weights.length}")
+    val warr = array(weights.map(lit): _*)
+    val toks = Dedup.distinctTokens(text)
+    val wsum = aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(warr,
+        (pmod(PortableHash.md5Long(t), lit(clfBuckets.toLong)) + 1).cast("int")))
+    Seq(wsum.as("clf_logit"), (wsum > 0).as("clf_pred"))
+  }
+
   /** Cross-document duplicate-n-gram coverage — the MassiveText/Dolma-style
     * "duplicate n-gram fraction" signal: for each document, the share of
     * its word-`n`-gram INSTANCES whose gram also occurs in at least one

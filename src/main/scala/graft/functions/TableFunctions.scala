@@ -202,6 +202,68 @@ object TableFunctions {
       "split_leakage", exprs => splitLeakage(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "threshold_sweep", exprs => thresholdSweep(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ivf_state_audit", exprs => ivfStateAudit(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "substring_fixpoint", exprs => substringFixpoint(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "trained_scorer", exprs => trainedScorer(spark, exprs), "built-in")
+  }
+
+  /** `ivf_state_audit('dir', 'probes', 'id', 'vec', top_k, n_probe[,
+    * recall_floor, occupancy_ceil])` → [[Similarity.ivfStateAudit]]: the
+    * drift audit over a persisted IVF state — recall-from-state gate +
+    * per-cell occupancy skew. */
+  private def ivfStateAudit(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "ivf_state_audit"
+    requireArity(f, exprs, min = 6, max = 8)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val probes = args.table(spark, "probes")
+    val id = args.name("id")
+    val vec = args.name("vec")
+    val topK = args.int("top_k")
+    val nProbe = args.int("n_probe")
+    val floor = if (args.exhausted) 0.8 else args.double("recall_floor")
+    val ceil = if (args.exhausted) 4.0 else args.double("occupancy_ceil")
+    plan(Similarity.ivfStateAudit(spark, dir, probes, topK, nProbe,
+      floor, ceil, id, vec))
+  }
+
+  /** `substring_fixpoint(table, id, text[, min_len, max_iter])` →
+    * [[Dedup.removeSpansToFixpoint]]: substring excision iterated with
+    * first-occurrence protection until no pass removes a token. */
+  private def substringFixpoint(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "substring_fixpoint"
+    requireArity(f, exprs, min = 3, max = 5)
+    val args = new Args(f, exprs)
+    val tbl = args.table(spark, "table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val minLen = if (args.exhausted) 10 else args.int("min_len")
+    val maxIter = if (args.exhausted) 10 else args.int("max_iter")
+    plan(Dedup.removeSpansToFixpoint(tbl, id, text, minLen, maxIter))
+  }
+
+  /** `trained_scorer(train_table, score_table, id, text, label[, epochs])`
+    * → [[TextAnalysis.trainQualityScorer]] + [[TextAnalysis.scoreWithWeights]]:
+    * fit the averaged perceptron on the (bounded) labeled table, score
+    * every row of the second table with the learned weights. */
+  private def trainedScorer(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "trained_scorer"
+    requireArity(f, exprs, min = 5, max = 6)
+    val args = new Args(f, exprs)
+    val train = args.table(spark, "train_table")
+    val score = args.table(spark, "score_table")
+    val id = args.name("id")
+    val text = args.name("text")
+    val label = args.name("label")
+    val epochs = if (args.exhausted) 2 else args.int("epochs")
+    val sw = TextAnalysis.trainQualityScorer(train, id, text, label, epochs)
+    plan(score.select(
+      (org.apache.spark.sql.functions.col(id) +:
+        TextAnalysis.scoreWithWeights(
+          org.apache.spark.sql.functions.col(text), sw)): _*))
   }
 
   /** `threshold_sweep(table, id, text)` → [[Dedup.thresholdSweep]]:

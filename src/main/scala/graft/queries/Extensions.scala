@@ -1645,6 +1645,162 @@ object Extensions {
     Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("threshold")
 
+  /** x114's drifted fixture: x102's 8-cluster geometry (center 4.0 on
+    * dimension vec_id % 8, ± 0.25 portable-hash jitter) for most of the
+    * corpus, but vectors with vec_id % 10 ≥ 7 (outside the seed/probe
+    * range vec_id < 20) are a DRIFTED population — all near 6.0 on
+    * dimension 0 — so ~30 % of the corpus piles into one frozen cell.
+    * Both engines recompute identical doubles. */
+  private def driftedEmb(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    val shifted = pmod(col("vec_id"), lit(10)) >= 7 && col("vec_id") >= 20
+    t(s, dir, "embeddings").select(col("vec_id"))
+      .withColumn("embedding", transform(sequence(lit(1), lit(dims)), j =>
+        when(shifted,
+          when(j === 1, lit(6.0)).otherwise(lit(0.0)))
+        .otherwise(
+          when(pmod(col("vec_id"), lit(8)) === pmod(j - 1, lit(8)), lit(4.0))
+            .otherwise(lit(0.0)))
+          + (pmod(graft.ext.PortableHash.md5Long(
+                concat(col("vec_id").cast("string"), lit(":"),
+                  j.cast("string"))),
+              lit(1000L)).cast("double") / 1000.0 - 0.5) * 0.5))
+  }
+
+  /** x114 — IVF-state DRIFT audit ([[Similarity.ivfStateAudit]]): the
+    * frozen-first-batch centroids ([[Similarity.appendIvfState]]) are
+    * the one state-pillar posture with silent decay — drifted appends
+    * pile into few stale cells and recall rots without an error. Three
+    * appends build the state (batch 1 trains and freezes; batch 3 is a
+    * deliberately drifted population, all near one off-center point),
+    * then the audit measures BOTH failure modes over the persisted
+    * state: recall@10 of the probed answer vs brute-force truth (gated
+    * at the x102 clustered floor, 0.8) and per-cell occupancy skew (the
+    * x81 shape: share + heavy-to-mean ratio, `cell_overloaded` above
+    * 2× the mean). The drifted cell trips the occupancy gate
+    * (`retrain_recommended` = true — retrain = rebuild the dir, the
+    * documented remedy) while recall holds, because the drifted mass is
+    * self-similar inside its one cell. The oracle re-derives the
+    * first-batch k-means, assigns ALL vectors to the frozen centroids,
+    * and computes the identical integer-ratio occupancy report. */
+  /** x115 — DELETE from the persisted postings state
+    * ([[Index.deleteFromPostingsState]] → [[Index.bm25TopKFromState]]):
+    * the tombstone path the append-only pillars were missing. Two
+    * appends build the x110 state, then every doc_id ≡ 3 (mod 7) is
+    * deleted (the shape the engine's own curation produces — excision
+    * and decontamination REMOVE documents), and the same BM25 query runs
+    * over the surviving state: deleted docs stop scoring immediately
+    * (postings reads anti-join the tombstones) and the corpus constants
+    * (N, avgdl) shrink EXACTLY (a negative integer correction derived
+    * from the per-doc sidecar — never a postings scan). The oracle is
+    * the x110 BM25 chain over `documents WHERE doc_id % 7 <> 3` — i.e.
+    * the delete contract itself: a state after deletes answers exactly
+    * like a state built from scratch on the survivors. */
+  def x115(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x115_state").toFile.getAbsolutePath
+    Index.appendPostingsState(docs.filter(col("doc_id") < 250),
+      state, "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 250),
+      state, "doc_id", "text", batchTag = Some(2L))
+    Index.deleteFromPostingsState(s, state,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    Index.bm25TopKFromState(s, state, Seq("dup", "vector", "window"),
+        k = 10, idCol = "doc_id")
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** x116 — substring excision to a FIXPOINT
+    * ([[Dedup.removeSpansToFixpoint]]): x108's retain-one-copy policy
+    * with per-iteration first-occurrence PROTECTION — a token is cut
+    * only when covered by a non-first duplicated gram AND not by any
+    * first occurrence, so overlapping duplicated regions can no longer
+    * excise the last copy of content (the documented keepFirst caveat,
+    * closed; ExtSpec proves one-copy retention on a planted-overlap
+    * fixture). Iterates detect→protect→excise until a pass removes zero
+    * tokens. The oracle unrolls the identical spec for three iterations
+    * (iterations after the fixpoint are identities, so unrolling past
+    * convergence is harmless). */
+  def x116(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeSpansToFixpoint(t(s, dir, "documents"), "doc_id", "text",
+        minLen = 10)
+      .orderBy("doc_id")
+
+  /** x117 — BPE-token-denominated budget selection ([[Bpe.trainMerges]]
+    * → [[Bpe.encode]] → [[Sampling.tokenBudget]]): x49's take-the-best-N
+    * selection measured in TOKENIZER tokens instead of whitespace words
+    * — the unit training budgets are actually written in. Four merges
+    * train on the corpus (the x93 chain), every document is re-encoded
+    * with the learned merge fold (map-side, no shuffle), and the budget
+    * prefix sum runs over the encoded counts. The oracle replays the
+    * identical training + encode (the x93 machinery with doc_id carried
+    * through the re-encode) and the naive global budget window. */
+  def x117(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 4)
+      .orderBy("step").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val enc = Bpe.encode(docs.select(
+        (col("doc_id") +: col("text") +:
+          TextAnalysis.qualityColumns(col("text"))): _*),
+      "text", merges)
+      .select(col("doc_id"), col("quality_score"),
+        size(col("symbols")).cast("long").as("bpe_tokens"))
+    Sampling.tokenBudget(enc, "doc_id", "bpe_tokens", "quality_score",
+        budget = 20000L)
+      .select("doc_id", "quality_score", "bpe_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** x118 — TRAINED quality scorer ([[TextAnalysis.trainQualityScorer]]
+    * → [[TextAnalysis.scoreWithWeights]]): the fasttext-shaped step x51
+    * fixes weights for — a deterministic integer averaged perceptron
+    * over the 64 hashed bag-of-distinct-token buckets, trained on the
+    * labeled quarter of the corpus (label = x49 quality ≥ 0.5, the
+    * quality-floor label), scoring EVERY document with the learned
+    * averaged weights. Exact integer logits pin the full weight vector;
+    * the oracle replays the identical hash-ordered updates in a
+    * recursive CTE and re-scores. */
+  def x118(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labeled = docs
+      .select((col("doc_id") +: col("text") +:
+        TextAnalysis.qualityColumns(col("text"))): _*)
+      .select(col("doc_id"), col("text"),
+        when(col("quality_score") >= 0.5, 1L).otherwise(-1L).as("label"))
+    val sw = TextAnalysis.trainQualityScorer(
+      labeled.filter(pmod(col("doc_id"), lit(4)) === 0),
+      "doc_id", "text", "label")
+    labeled
+      .select((col("doc_id") +: col("label") +:
+        TextAnalysis.scoreWithWeights(col("text"), sw)): _*)
+      .select(col("doc_id"), col("label"), col("clf_logit"),
+        col("clf_pred"),
+        (col("clf_pred") === (col("label") === 1L)).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  def x114(s: SparkSession, dir: String): DataFrame = {
+    val emb = driftedEmb(s, dir)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x114_state").toFile.getAbsolutePath
+    val b1 = col("vec_id") < 8 || pmod(col("vec_id"), lit(10)) < 4
+    val b3 = pmod(col("vec_id"), lit(10)) >= 7
+    Similarity.appendIvfState(emb.filter(b1), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(!b1 && !b3), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.appendIvfState(emb.filter(!b1 && b3), state,
+      k = 8, iters = 2, batchTag = Some(3L))
+    Similarity.ivfStateAudit(s, state, emb.filter(col("vec_id") < 20),
+        topK = 10, nProbe = 2, recallFloor = 0.8, occupancyCeil = 2.0)
+      .orderBy("cid")
+  }
+
   /** e01 — the FULL ETL pipeline under the oracle gate: per document, build
     * mixed content (one flat JSON fragment + the text body), run
     * detect → extract → infer → pivot → normalize, and emit the normalized
@@ -1838,7 +1994,12 @@ object Extensions {
     "x110_bm25_from_state" -> (x110 _),
     "x111_temperature_sample" -> (x111 _),
     "x112_split_leakage" -> (x112 _),
-    "x113_threshold_sweep" -> (x113 _)
+    "x113_threshold_sweep" -> (x113 _),
+    "x114_ivf_state_audit" -> (x114 _),
+    "x115_postings_delete" -> (x115 _),
+    "x116_substring_fixpoint" -> (x116 _),
+    "x117_bpe_budget" -> (x117 _),
+    "x118_trained_scorer" -> (x118 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -1988,10 +2149,16 @@ object Extensions {
     * oracles — x47 composes the two unchanged. */
   /** Shared BM25 top-10 oracle (x53 batch path; x110 computes the
     * identical relation from persisted postings state). */
-  private val bm25TopKOracleSql: String =
-    """WITH toks AS (
+  private val bm25TopKOracleSql: String = bm25TopKOracleSqlWhere("")
+
+  /** The x53/x110 BM25 oracle over `documents` restricted by `docWhere` —
+    * x115 reuses the whole chain with the tombstoned ids excluded, which
+    * IS the delete contract: a state after deletes answers exactly like a
+    * state built from scratch on the surviving corpus. */
+  private def bm25TopKOracleSqlWhere(docWhere: String): String =
+    s"""WITH toks AS (
           |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-          |  FROM documents),
+          |  FROM documents$docWhere),
           |stats AS (
           |  SELECT CAST(count(*) AS BIGINT) AS n,
           |    CAST(sum(len(tk)) AS BIGINT) AS sumdl FROM toks),
@@ -2023,6 +2190,96 @@ object Extensions {
           |  FROM agg)
           |SELECT doc_id, round(score, 4) AS score, CAST(rn AS BIGINT) AS rank
           |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin
+
+  /** The x93 BPE training chain with doc_id CARRIED through every
+    * re-encode — x117 needs the per-document encoded symbol lists, not
+    * just the merge table. it0 keeps sub-2-token docs (they contribute
+    * zero pairs to every m$i, so the learned merges are identical to
+    * x93's filtered chain — but they must reach itN to be encoded). */
+  private def bpeEncodedCorpusCtes(numMerges: Int): String = {
+    val iters = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    j -> t[CAST(j AS INT)] || chr(1) || t[CAST(j AS INT) + 1])) AS p
+         |  FROM it${i - 1}),
+         |m$i AS (
+         |  SELECT string_split(p, chr(1))[1] AS pa,
+         |    string_split(p, chr(1))[2] AS pb
+         |  FROM (SELECT p, CAST(count(*) AS BIGINT) AS n FROM p$i
+         |        GROUP BY p ORDER BY n DESC, p LIMIT 1)),
+         |it$i AS (
+         |  SELECT doc_id, list_reduce(list_transform(t, x -> [x]), (acc, x) ->
+         |    CASE WHEN len(acc) > 0 AND acc[-1] = m$i.pa AND x[1] = m$i.pb
+         |         THEN list_concat(list_slice(acc, 1, len(acc) - 1),
+         |           [m$i.pa || chr(2) || m$i.pb])
+         |         ELSE list_concat(acc, x) END) AS t
+         |  FROM it${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""it0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |$iters""".stripMargin
+  }
+
+  /** One detect→protect→excise iteration of the x116 fixpoint oracle
+    * (from `it{i-1}(doc_id, text)` to `it{i}` + `keep{i}`): x108's
+    * gram/island chain run twice over the same ranked gram relation —
+    * flagged spans from non-first occurrences (rn > 1), protected spans
+    * from first occurrences (rn = 1) — and a token filter that cuts a
+    * position only when flagged AND unprotected. */
+  private def fixpointIterCtes(i: Int): String =
+    s"""g$i AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, len(t) - 9)) AS start,
+       |    unnest(list_transform(range(0, len(t) - 9),
+       |      x -> array_to_string(t[x+1:x+10], ' '))) AS gram
+       |  FROM it${i - 1} WHERE len(t) >= 10),
+       |r$i AS (
+       |  SELECT doc_id, start,
+       |    count(*) OVER (PARTITION BY gram) AS c,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, start) AS rn
+       |  FROM g$i),
+       |mf$i AS (
+       |  SELECT doc_id, start,
+       |    CASE WHEN start - lag(start)
+       |        OVER (PARTITION BY doc_id ORDER BY start) > 10
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM r$i WHERE c >= 2 AND rn > 1),
+       |isf$i AS (
+       |  SELECT doc_id, start,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+       |  FROM mf$i),
+       |spf$i AS (
+       |  SELECT doc_id, min(start) AS s0, max(start) + 9 AS s1
+       |  FROM isf$i GROUP BY doc_id, island),
+       |mp$i AS (
+       |  SELECT doc_id, start,
+       |    CASE WHEN start - lag(start)
+       |        OVER (PARTITION BY doc_id ORDER BY start) > 10
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM r$i WHERE c >= 2 AND rn = 1),
+       |isp$i AS (
+       |  SELECT doc_id, start,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island
+       |  FROM mp$i),
+       |spp$i AS (
+       |  SELECT doc_id, min(start) AS s0, max(start) + 9 AS s1
+       |  FROM isp$i GROUP BY doc_id, island),
+       |u$i AS (
+       |  SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos
+       |  FROM it${i - 1}),
+       |keep$i AS (
+       |  SELECT u.doc_id, u.tok, u.pos
+       |  FROM u$i u
+       |  WHERE NOT (
+       |    EXISTS (SELECT 1 FROM spf$i f
+       |      WHERE f.doc_id = u.doc_id AND u.pos BETWEEN f.s0 AND f.s1)
+       |    AND NOT EXISTS (SELECT 1 FROM spp$i p
+       |      WHERE p.doc_id = u.doc_id AND u.pos BETWEEN p.s0 AND p.s1))),
+       |it$i AS (
+       |  SELECT b.doc_id, coalesce(k.t, CAST([] AS VARCHAR[])) AS t
+       |  FROM it${i - 1} b LEFT JOIN (
+       |    SELECT doc_id, list(tok ORDER BY pos) AS t
+       |    FROM keep$i GROUP BY doc_id) k USING (doc_id))""".stripMargin
 
   private val annEmbCte: String =
     """e AS (
@@ -4182,6 +4439,180 @@ object Extensions {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
         |  TRUE AS est_within_bound
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // x114: the drifted fixture (x102's clusters + a 30 % drifted
+    // population near 6.0·dim0), first-batch k-means re-derived from
+    // scratch (tr = batch 1), ALL vectors assigned to the frozen c2
+    // centroids (the af stage), then the exact integer-ratio occupancy
+    // report. The recall half is pinned as a literal-TRUE gate (the x102
+    // discipline: the engine must honestly compute mean recall ≥ 0.8
+    // over the state to match); the occupancy booleans are exact.
+    "x114_ivf_state_audit" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(range(1, 65), j ->
+         |    CASE WHEN vec_id % 10 >= 7 AND vec_id >= 20
+         |      THEN CASE WHEN j = 1 THEN 6.0 ELSE 0.0 END
+         |      ELSE CASE WHEN vec_id % 8 = (j - 1) % 8 THEN 4.0 ELSE 0.0 END
+         |    END
+         |    + ((CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR),
+         |          ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 1000)
+         |        / 1000.0 - 0.5) * 0.5) AS v
+         |  FROM embeddings),
+         |tr AS (SELECT * FROM e WHERE vec_id < 8 OR vec_id % 10 < 4),
+         |${kmeansTrainCtes("tr")},
+         |occ AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM af GROUP BY cid),
+         |tot AS (
+         |  SELECT CAST(sum(n_vecs) AS BIGINT) AS t,
+         |    CAST(count(*) AS BIGINT) AS c FROM occ),
+         |rt AS (
+         |  SELECT bool_or(CAST(n_vecs AS DOUBLE) * c > 2.0 * t) AS r
+         |  FROM occ, tot)
+         |SELECT cid, n_vecs,
+         |  floor(CAST(n_vecs AS DOUBLE) / t * 10000 + 0.5) / 10000 AS share,
+         |  floor(CAST(n_vecs AS DOUBLE) * c / t * 10000 + 0.5) / 10000
+         |    AS heavy_to_mean,
+         |  CAST(n_vecs AS DOUBLE) * c > 2.0 * t AS cell_overloaded,
+         |  TRUE AS mean_recall_ok,
+         |  rt.r AS retrain_recommended
+         |FROM occ, tot, rt ORDER BY cid""".stripMargin,
+
+    // x115: the x110 BM25 chain over the SURVIVING corpus — the delete
+    // contract: tombstoned postings stop scoring, and N/avgdl shrink to
+    // exactly the from-scratch values
+    "x115_postings_delete" ->
+      bm25TopKOracleSqlWhere(" WHERE doc_id % 7 <> 3"),
+
+    // x116: three unrolled detect→protect→excise iterations (iterations
+    // past the fixpoint are identities, so unrolling past convergence is
+    // harmless). Token LISTS travel between iterations — never the
+    // reassembled string, whose re-split would turn a fully-excised
+    // doc's '' into one phantom token and skew the removal accounting
+    "x116_substring_fixpoint" ->
+      s"""WITH it0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |orig AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |${fixpointIterCtes(1)},
+         |${fixpointIterCtes(2)},
+         |${fixpointIterCtes(3)}
+         |SELECT o.doc_id, o.n_tokens,
+         |  CAST(o.n_tokens - len(it3.t) AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(it3.t, ' '), '') AS text_clean
+         |FROM orig o JOIN it3 USING (doc_id)
+         |ORDER BY o.doc_id""".stripMargin,
+
+    // x117: the x93 training chain (doc_id carried) encodes every doc,
+    // then x49's quality scoring + the naive global budget window over
+    // the ENCODED counts
+    "x117_bpe_budget" ->
+      s"""WITH ${bpeEncodedCorpusCtes(4)},
+         |enc AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS bpe_tokens FROM it4),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+         |    length(replace(text, ' ', '')) AS n_nonspace,
+         |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+         |      ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS en_hits
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+         |    round(CAST(en_hits AS DOUBLE) / n_words, 4) AS stop_ratio
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.5
+         |      + least(stop_ratio * 10.0, CAST(1.0 AS DOUBLE)) * 0.3
+         |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
+         |      AS quality_score
+         |  FROM r),
+         |c AS (
+         |  SELECT q.doc_id, q.quality_score, e.bpe_tokens,
+         |    CAST(sum(e.bpe_tokens) OVER (ORDER BY q.quality_score DESC, q.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q JOIN enc e USING (doc_id))
+         |SELECT doc_id, quality_score, bpe_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
+
+    // x118: the averaged-perceptron training replayed EXACTLY — x49's
+    // quality chain labels the training quarter, a recursive CTE applies
+    // the same hash-ordered integer updates (mistake ⇒ w += label·f;
+    // sw accumulates w after every step over 2 epochs), and every doc
+    // scores with the averaged sums. All arithmetic is integer, so the
+    // logits hash-match bit-for-bit.
+    "x118_trained_scorer" ->
+      """WITH RECURSIVE f0 AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    length(replace(text, ' ', '')) AS n_nonspace,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS en_hits
+        |  FROM documents),
+        |r0 AS (
+        |  SELECT doc_id, n_words,
+        |    round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+        |    round(CAST(en_hits AS DOUBLE) / n_words, 4) AS stop_ratio
+        |  FROM f0),
+        |q0 AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.5
+        |      + least(stop_ratio * 10.0, CAST(1.0 AS DOUBLE)) * 0.3
+        |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
+        |      AS quality_score
+        |  FROM r0),
+        |lab AS (
+        |  SELECT d.doc_id, d.text,
+        |    CASE WHEN q0.quality_score >= 0.5 THEN 1 ELSE -1 END AS label
+        |  FROM documents d JOIN q0 USING (doc_id)),
+        |feat AS (
+        |  SELECT doc_id, label,
+        |    CAST(concat('0x', substr(md5(concat('pcpt:',
+        |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h,
+        |    list_transform(range(64), b ->
+        |      CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+        |        t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 64
+        |          = b)) AS BIGINT)) AS f
+        |  FROM lab WHERE doc_id % 4 = 0),
+        |ord AS (
+        |  SELECT row_number() OVER (ORDER BY ep, h, doc_id) AS rn,
+        |    CAST(label AS BIGINT) AS label, f
+        |  FROM feat CROSS JOIN (SELECT unnest([1, 2]) AS ep)),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ord),
+        |steps AS (
+        |  SELECT CAST(0 AS BIGINT) AS i,
+        |    list_transform(range(64), x -> CAST(0 AS BIGINT)) AS w,
+        |    list_transform(range(64), x -> CAST(0 AS BIGINT)) AS sw
+        |  UNION ALL
+        |  SELECT s.i + 1,
+        |    list_transform(range(64), b -> s.w[CAST(b + 1 AS INT)]
+        |      + (CASE WHEN (list_sum(list_transform(range(64), c ->
+        |            s.w[CAST(c + 1 AS INT)] * o.f[CAST(c + 1 AS INT)])) > 0)
+        |          = (o.label = 1) THEN 0 ELSE 1 END)
+        |        * o.label * o.f[CAST(b + 1 AS INT)]),
+        |    list_transform(range(64), b -> s.sw[CAST(b + 1 AS INT)]
+        |      + s.w[CAST(b + 1 AS INT)]
+        |      + (CASE WHEN (list_sum(list_transform(range(64), c ->
+        |            s.w[CAST(c + 1 AS INT)] * o.f[CAST(c + 1 AS INT)])) > 0)
+        |          = (o.label = 1) THEN 0 ELSE 1 END)
+        |        * o.label * o.f[CAST(b + 1 AS INT)])
+        |  FROM steps s JOIN ord o ON o.rn = s.i + 1),
+        |fin AS (SELECT sw FROM steps, cnt WHERE steps.i = cnt.n),
+        |scored AS (
+        |  SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      list_distinct(string_split(l.text, ' ')),
+        |      t -> fin.sw[CAST(CAST(concat('0x', substr(md5(t), 1, 15))
+        |        AS BIGINT) % 64 + 1 AS INT)])), 0) AS BIGINT) AS clf_logit
+        |  FROM lab l, fin)
+        |SELECT doc_id, label, clf_logit, clf_logit > 0 AS clf_pred,
+        |  (clf_logit > 0) = (label = 1) AS correct
+        |FROM scored ORDER BY doc_id""".stripMargin
   )
 }

@@ -203,8 +203,24 @@ object DedupStream {
                 s"LSH state at $stateDir has reps but no $name table — " +
                   "likely a compaction crash window; restore the " +
                   s"${name}__compact_bak backup before resuming ingest"))
-            val reps = stateTable("reps")
-            val members = stateTable("members")
+            // tombstones: a deleted doc must not reject new arrivals
+            // (same filter rule as incrementalLshPairsFromState, which
+            // handles the main path — this covers the short-doc
+            // fingerprint path)
+            val tombs = graft.ext.StateIO
+              .readIfExists(spark, s"$stateDir/tombstones")
+              .map(_.select(col("id")))
+            val membersAll = stateTable("members")
+            val members = tombs match {
+              case Some(tb) => membersAll.join(tb, Seq("id"), "left_anti")
+              case None => membersAll
+            }
+            val repsAll = stateTable("reps")
+            val reps = tombs match {
+              case Some(_) => repsAll.join(
+                members.select(col("rid")).distinct(), Seq("rid"), "left_semi")
+              case None => repsAll
+            }
             val shortDups = withinCollapsed
               .filter(size(graft.ext.Dedup.tokens(col(textCol))) < shingleSize)
               .withColumn("fp", md5(col(textCol)))

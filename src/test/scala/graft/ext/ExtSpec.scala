@@ -2454,6 +2454,189 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromLshState: rebuild parity, ghost groups, replay, compaction") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshdel")
+      .toFile.getAbsolutePath + "/state"
+    val corpus = docsFrom(Seq(
+      (1L, base),
+      (2L, base), // exact dup group {1, 2}
+      (3L, "a fully deleted document whose vocabulary is entirely its own"),
+      (4L, "another corpus text sharing nothing with the rest of anything")))
+    Dedup.appendLshState(corpus, "doc_id", "text", dir,
+      numPerms = 16, rowsPerBand = 2, batchTag = Some(1L))
+    // delete doc 1 (group {1,2} survives via 2) and doc 3 (group dies)
+    Dedup.deleteFromLshState(spark, dir,
+      Seq(1L, 3L).toDF("doc_id"), "doc_id", deleteTag = Some(1L))
+    val batch = docsFrom(Seq(
+      (10L, base.replace("today", "tomorrow")), // near-dup of the {1,2} group
+      (11L, corpus.filter(col("doc_id") === 3L) // byte-equal to DELETED doc 3
+        .select("text").as[String].head())))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    val got = asSet(Dedup.incrementalLshPairsFromState(dir, batch,
+      "doc_id", "text", numPerms = 16, rowsPerBand = 2, threshold = 0.5))
+    // parity with a from-scratch state on the SURVIVING corpus
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-lshdel2")
+      .toFile.getAbsolutePath + "/state"
+    Dedup.appendLshState(corpus.filter(col("doc_id") =!= 1L &&
+        col("doc_id") =!= 3L), "doc_id", "text", dir2,
+      numPerms = 16, rowsPerBand = 2, batchTag = Some(1L))
+    val rebuilt = asSet(Dedup.incrementalLshPairsFromState(dir2, batch,
+      "doc_id", "text", numPerms = 16, rowsPerBand = 2, threshold = 0.5))
+    assert(got == rebuilt,
+      s"delete diverged from rebuild: only-del=${got.diff(rebuilt)} " +
+        s"only-rebuild=${rebuilt.diff(got)}")
+    // the near-dup still matches the surviving member, never the deleted
+    // one; the byte-identical arrival of a fully-deleted doc matches NO
+    // ghost
+    assert(got.contains((10L, 2L)) && !got.exists(_._2 == 1L))
+    assert(!got.exists(_._1 == 11L))
+    // replayed tagged delete (at-least-once) changes nothing
+    Dedup.deleteFromLshState(spark, dir,
+      Seq(1L, 3L).toDF("doc_id"), "doc_id", deleteTag = Some(1L))
+    assert(asSet(Dedup.incrementalLshPairsFromState(dir, batch,
+      "doc_id", "text", numPerms = 16, rowsPerBand = 2, threshold = 0.5))
+      == rebuilt)
+    // compaction applies tombstones physically: member rows gone, reps of
+    // dead groups gone, pair answers unchanged
+    Dedup.compactLshState(spark, dir)
+    val memberIds = spark.read.parquet(s"$dir/members")
+      .select("id").as[Long].collect().toSet
+    assert(memberIds == Set(2L, 4L))
+    val repRids = spark.read.parquet(s"$dir/reps")
+      .select("rid").as[Long].collect().toSet
+    assert(!repRids.contains(3L), "dead group's rep survived compaction")
+    assert(asSet(Dedup.incrementalLshPairsFromState(dir, batch,
+      "doc_id", "text", numPerms = 16, rowsPerBand = 2, threshold = 0.5))
+      == rebuilt)
+  }
+
+  test("deleteFromPostingsState: compaction applies tombstones, scores hold") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-postdel")
+      .toFile.getAbsolutePath + "/state"
+    Index.appendPostingsState(docs, dir, "doc_id", "text",
+      batchTag = Some(1L))
+    Index.deleteFromPostingsState(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"),
+      "doc_id", deleteTag = Some(1L))
+    val terms = Seq("dup", "vector", "window")
+    def top = Index.bm25TopKFromState(spark, dir, terms, k = 10,
+        idCol = "doc_id")
+      .select("doc_id", "score", "rank").as[(Long, Double, Long)]
+      .collect().toSeq.sortBy(_._3)
+    val before = top
+    // parity with a from-scratch state on the survivors
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-postdel2")
+      .toFile.getAbsolutePath + "/state"
+    Index.appendPostingsState(docs.filter(pmod(col("doc_id"), lit(5)) =!= 2),
+      dir2, "doc_id", "text", batchTag = Some(1L))
+    val rebuilt = Index.bm25TopKFromState(spark, dir2, terms, k = 10,
+        idCol = "doc_id")
+      .select("doc_id", "score", "rank").as[(Long, Double, Long)]
+      .collect().toSeq.sortBy(_._3)
+    assert(before == rebuilt)
+    assert(before.nonEmpty && !before.exists(_._1 % 5 == 2))
+    // compaction: deleted postings/docs physically gone, answers unchanged
+    Index.compactPostingsState(spark, dir)
+    val postIds = spark.read.parquet(s"$dir/postings")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(!postIds.exists(_ % 5 == 2), "deleted postings survived compaction")
+    val docIds = spark.read.parquet(s"$dir/docs")
+      .select("id").as[Long].collect().toSet
+    assert(!docIds.exists(_ % 5 == 2), "deleted doc rows survived compaction")
+    assert(top == rebuilt)
+  }
+
+  test("removeSpansToFixpoint: overlapping regions keep one copy of every gram") {
+    // X = x1..x8 duplicated (doc 1 first, doc 2 copy); Y = x5..x8 u1..u4
+    // duplicated (doc 2 FIRST, doc 3 copy) — in doc 2, Y's first
+    // occurrence OVERLAPS X's non-first copy (suffix of X = prefix of Y).
+    val x = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y = (5 to 8).map(i => s"x$i").mkString(" ") + " " +
+      (1 to 4).map(i => s"u$i").mkString(" ")
+    val docs = docsFrom(Seq(
+      (1L, s"f1 f2 $x f3 f4"),
+      (2L, s"$x u1 u2 u3 u4 g1 g2"),
+      (3L, s"h1 h2 $y h3 h4")))
+    def gramsOf(texts: Seq[String], n: Int): Set[String] = texts.flatMap { t =>
+      val w = t.split(" ").toSeq
+      if (w.size < n) Nil else w.sliding(n).map(_.mkString(" ")).toSeq
+    }.toSet
+    def dupGrams(texts: Seq[String], n: Int): Set[String] = {
+      val all = texts.flatMap { t =>
+        val w = t.split(" ").toSeq
+        if (w.size < n) Nil else w.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      all.groupBy(identity).filter(_._2.size >= 2).keySet
+    }
+    val origTexts = docs.select("text").as[String].collect().toSeq
+    val origDup = dupGrams(origTexts, 5)
+    assert(origDup.nonEmpty)
+    // the single-pass keepFirst excision VIOLATES one-copy retention on
+    // this fixture (the documented caveat this operator exists to close)
+    val single = Dedup.removeSpans(docs, "doc_id", "text",
+      Dedup.duplicateSpans(docs, "doc_id", "text", minLen = 5,
+        keepFirst = true))
+    val singleTexts = single.select("text_clean").as[String].collect().toSeq
+    assert(origDup.exists(g => !gramsOf(singleTexts, 5).contains(g)),
+      "fixture no longer demonstrates the single-pass caveat")
+    // fixpoint with protection: every originally-duplicated gram keeps
+    // at least one occurrence
+    val fixed = Dedup.removeSpansToFixpoint(docs, "doc_id", "text",
+      minLen = 5)
+    val fixedTexts = fixed.select("text_clean").as[String].collect().toSeq
+    val surviving = gramsOf(fixedTexts, 5)
+    assert(origDup.forall(surviving.contains),
+      s"lost grams: ${origDup.diff(surviving)}")
+    // and it still deduplicates: doc 3's copy of Y is gone, doc 2's
+    // non-first prefix of X is gone
+    val byId = fixed.select("doc_id", "text_clean").as[(Long, String)]
+      .collect().toMap
+    assert(byId(1L) == s"f1 f2 $x f3 f4") // first occurrences untouched
+    assert(byId(2L) == s"$y g1 g2")       // X's copy cut, Y's first kept
+    assert(byId(3L) == "h1 h2 h3 h4")     // Y's copy cut
+    // every doc comes back, with exact removal accounting
+    assert(fixed.count() == 3)
+    val acc = fixed.select("doc_id", "n_tokens", "n_removed")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, r) => id -> ((n, r)) }.toMap
+    assert(acc(2L) == ((14L, 4L)) && acc(3L) == ((12L, 8L)))
+    // a zero-iteration budget refuses rather than silently under-cutting
+    intercept[IllegalStateException](
+      Dedup.removeSpansToFixpoint(docs, "doc_id", "text", minLen = 5,
+        maxIter = 1))
+  }
+
+  test("trainQualityScorer separates a linearly-separable fixture") {
+    val good = Seq("alpha", "beta", "gamma", "delta")
+    val bad = Seq("zeta", "eta", "theta", "iota")
+    val docs = (1L to 40L).map { i =>
+      val words = if (i % 2 == 0) good else bad
+      // vary the doc so buckets see different counts
+      (i, (words ++ words.take((i % 3).toInt + 1)).mkString(" "))
+    }
+    val labeled = docsFrom(docs).withColumn("label",
+      when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+    val sw = TextAnalysis.trainQualityScorer(
+      labeled, "doc_id", "text", "label", epochs = 3)
+    assert(sw.length == TextAnalysis.clfBuckets)
+    val scored = labeled.select(
+      (col("doc_id") +: col("label") +:
+        TextAnalysis.scoreWithWeights(col("text"), sw)): _*)
+    val wrong = scored
+      .filter(col("clf_pred") =!= (col("label") === 1L)).count()
+    assert(wrong == 0, s"$wrong of 40 misclassified on a separable fixture")
+    // bounded-trainer contract: oversized labeled sets refuse with the
+    // production pointer instead of silently collecting the corpus
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.trainQualityScorer(labeled, "doc_id", "text", "label",
+        maxRows = 10))
+    assert(e.getMessage.contains("hash-sample"))
+  }
+
   test("temperatureMix rejects empty and all-null corpora with clear errors") {
     val empty = docsFrom(Nil).withColumn("source", lit("a"))
     val e1 = intercept[IllegalArgumentException](

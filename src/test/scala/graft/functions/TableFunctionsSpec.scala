@@ -437,6 +437,40 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Dedup.thresholdSweep(docs, "doc_id", "text"))
   }
 
+  test("round-12 TVFs == their Scala APIs") {
+    ready()
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    docs.createOrReplaceTempView("tvf_docs12")
+    assertSame(
+      spark.sql(
+        "SELECT * FROM substring_fixpoint('tvf_docs12', 'doc_id', 'text')"),
+      graft.ext.Dedup.removeSpansToFixpoint(docs, "doc_id", "text"))
+
+    val labeled = docs.withColumn("label",
+      org.apache.spark.sql.functions.when($"doc_id" % 2 === 0, 1L)
+        .otherwise(-1L))
+    labeled.createOrReplaceTempView("tvf_labeled12")
+    val sw = graft.ext.TextAnalysis.trainQualityScorer(
+      labeled, "doc_id", "text", "label")
+    assertSame(
+      spark.sql("SELECT * FROM trained_scorer('tvf_labeled12', " +
+        "'tvf_docs12', 'doc_id', 'text', 'label')"),
+      docs.select(($"doc_id" +: graft.ext.TextAnalysis.scoreWithWeights(
+        $"text", sw)): _*))
+
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_ivfaudit").toFile.getAbsolutePath
+    graft.ext.Similarity.appendIvfState(emb, dir, k = 4, iters = 1)
+    emb.filter($"vec_id" < 5).createOrReplaceTempView("tvf_probes12")
+    assertSame(
+      spark.sql(s"SELECT * FROM ivf_state_audit('$dir', 'tvf_probes12', " +
+        "'vec_id', 'embedding', 5, 2)"),
+      graft.ext.Similarity.ivfStateAudit(spark, dir,
+        emb.filter($"vec_id" < 5), 5, 2))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
