@@ -255,7 +255,8 @@ object Profile {
   def appendStatsState(
       batch: DataFrame, dir: String, textCol: String, grpCol: String,
       batchTag: Option[Long] = None): Unit = {
-    StateIO.checkNoCompactRemnants(batch.sparkSession, dir, Seq("stats"))
+    StateIO.checkNoCompactRemnants(batch.sparkSession, dir,
+      Seq("stats", "stats_deltas"))
     val rows = batch
       .select(col(grpCol).as("grp"), md5(col(textCol)).as("graft_fp"),
         size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))
@@ -276,12 +277,60 @@ object Profile {
     * below the sparse-mode threshold); gate it against a bound, not a
     * value (the x59/x109 discipline). */
   def statsReport(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/stats")
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val appended = spark.read.parquet(s"$dir/stats")
+    // delete corrections ([[deleteFromStatsState]]): negative count rows
+    // in their own table (they carry no sketch — HLL registers are
+    // union-only, so distinct_est stays an UPPER bound after deletes)
+    val counts = StateIO.readIfExists(spark, s"$dir/stats_deltas") match {
+      case Some(d) => appended.select(col("grp"), col("n_docs"), col("tokens"))
+        .unionByName(d.select(col("grp"), col("n_docs"), col("tokens")))
+      case None => appended.select(col("grp"), col("n_docs"), col("tokens"))
+    }
+    val est = appended.groupBy(col("grp"))
+      .agg(round(hll_sketch_estimate(hll_union_agg(col("fp_sketch"))))
+        .cast("long").as("distinct_est"))
+    counts.groupBy(col("grp"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens"))
+      .join(est, Seq("grp"), "left")
+  }
+
+  /** DELETE documents' contribution from an [[appendStatsState]] dir —
+    * the tombstone path for the accounting pillar, with the honest HLL
+    * caveat stated rather than papered over: doc and token counts
+    * correct EXACTLY (the deleting pipeline holds the removed docs —
+    * excision and decontamination output them — so this writes one
+    * NEGATIVE pre-aggregated row per source to `stats_deltas`, the same
+    * few-bytes-per-batch cost as an append), but `distinct_est` CANNOT
+    * decrease: HLL registers only union (register-wise max is not
+    * invertible), so after deletes the estimate is an UPPER bound on
+    * surviving distinct content — exact again only on a full state
+    * rebuild. That is the standard production trade (a sketch that
+    * supports deletion needs a different structure, e.g. a counting
+    * sketch, at many times the space); gate estimates against the
+    * appended-corpus distinct, counts against the survivors.
+    *
+    * Tagged deletes land in `stats_deltas/delete_id=N` with overwrite
+    * (at-least-once replay safe); untagged deletes append and are NOT
+    * blind-retry safe (no per-row identity — same caveat as untagged
+    * appends). */
+  def deleteFromStatsState(
+      removed: DataFrame, dir: String, textCol: String, grpCol: String,
+      deleteTag: Option[Long] = None): Unit = {
+    StateIO.checkNoCompactRemnants(removed.sparkSession, dir,
+      Seq("stats", "stats_deltas"))
+    val rows = removed
+      .select(col(grpCol).as("grp"),
+        size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))
       .groupBy(col("grp"))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tokens")).as("tokens"),
-        round(hll_sketch_estimate(hll_union_agg(col("fp_sketch"))))
-          .cast("long").as("distinct_est"))
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("graft_tok")), lit(0L))).as("tokens"))
+    deleteTag match {
+      case Some(t) =>
+        rows.write.mode("overwrite").parquet(s"$dir/stats_deltas/delete_id=$t")
+      case None => rows.write.mode("append").parquet(s"$dir/stats_deltas")
+    }
+  }
 
   /** Small-file maintenance for an [[appendStatsState]] dir — rows (one
     * per source per batch, sketches included) are preserved exactly;
@@ -290,5 +339,6 @@ object Profile {
   def compactStatsState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Unit =
-    Dedup.compactStateTables(spark, dir, Seq("stats" -> false), targetBytes)
+    Dedup.compactStateTables(spark, dir,
+      Seq("stats" -> false, "stats_deltas" -> false), targetBytes)
 }

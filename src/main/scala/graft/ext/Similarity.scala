@@ -420,7 +420,8 @@ object Similarity {
     // read the wrong cells). Compaction remnants likewise fail fast: a
     // cells table without live non-empty centroids is a crash window, not
     // a fresh dir.
-    StateIO.checkNoCompactRemnants(spark, dir, Seq("centroids", "cells"))
+    StateIO.checkNoCompactRemnants(spark, dir,
+      Seq("centroids", "cells", "tombstones"))
     val centsOpt = StateIO.readIfExists(spark, s"$dir/centroids")
       .filter(_.head(1).nonEmpty)
     require(centsOpt.nonEmpty || !StateIO.pathExists(spark, s"$dir/cells"),
@@ -476,13 +477,30 @@ object Similarity {
     * to [[kmeansIvfTopK]] when the state was built in one append of the
     * same corpus (spec-pinned); with incremental appends, identical to
     * assigning every batch against the first batch's centroids. */
+  /** The LIVE cell rows of an IVF state dir: the cells table minus any
+    * tombstoned vids ([[deleteFromIvfState]]) and minus an excluded
+    * replay tag — the one read every query/audit path shares. */
+  private def readCellsLive(
+      spark: SparkSession, dir: String,
+      excludeTag: Option[Long] = None): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/cells")
+    val untagged = excludeTag
+      .filter(_ => raw.columns.contains("batch_id"))
+      .map(tag => raw.filter(col("batch_id") =!= tag)).getOrElse(raw)
+    StateIO.readIfExists(spark, s"$dir/tombstones") match {
+      case Some(tb) =>
+        untagged.join(tb.select(col("vid")), Seq("vid"), "left_anti")
+      case None => untagged
+    }
+  }
+
   def ivfTopKFromState(
       spark: SparkSession, dir: String, queries: DataFrame, topK: Int,
       nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     checkQueryDim(spark, dir, queries, vecCol)
     val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = readCellsLive(spark, dir)
       .select("cid", "vid", "v", "cn")
     val probes = probeCells(queries, cents, nProbe, idCol, vecCol)
     val w = Window.partitionBy(col("query_id"))
@@ -520,11 +538,10 @@ object Similarity {
     checkQueryDim(spark, dir, queries = batch, vecCol = vecCol)
     val cents = spark.read.parquet(s"$dir/centroids")
     // excludeTag: a replayed tagged batch must not match ITSELF in the
-    // state and self-reject — same replay rule as the LSH pair reads
-    val cellsRaw = spark.read.parquet(s"$dir/cells")
-    val cells = excludeTag
-      .filter(_ => cellsRaw.columns.contains("batch_id"))
-      .map(t => cellsRaw.filter(col("batch_id") =!= t)).getOrElse(cellsRaw)
+    // state and self-reject — same replay rule as the LSH pair reads.
+    // Tombstoned vids ([[deleteFromIvfState]]) must not reject new
+    // arrivals either — a deleted near-duplicate is GONE from the corpus.
+    val cells = readCellsLive(spark, dir, excludeTag)
       .select("cid", "vid", "v", "cn")
     val probes = probeCells(batch, cents, nProbe, idCol, vecCol)
     cells.join(broadcast(probes), Seq("cid"))
@@ -545,9 +562,56 @@ object Similarity {
     * discipline notes on the LSH twin). */
   def compactIvfState(
       spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Unit =
+      targetBytes: Long = 128L << 20): Unit = {
+    // apply tombstones physically; KEEP the tombstones table (re-applying
+    // to already-gone rows is a no-op, so reads stay correct through a
+    // crash anywhere here, and the never-reuse-a-deleted-id contract
+    // still needs the record)
+    val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+      .map(_.select(col("vid")))
+    val dropDeleted: DataFrame => DataFrame = df => tombs match {
+      case Some(tb) => df.join(tb, Seq("vid"), "left_anti")
+      case None => df
+    }
     graft.ext.Dedup.compactStateTables(spark, dir,
-      Seq("centroids" -> false, "cells" -> false), targetBytes)
+      Seq("centroids" -> false, "cells" -> false, "tombstones" -> true),
+      targetBytes, transforms = Map("cells" -> dropDeleted))
+  }
+
+  /** DELETE vectors from an [[appendIvfState]] dir — the tombstone path
+    * for the vector pillar: the engine's own semantic dedup and
+    * decontamination REMOVE documents, and without deletes their stale
+    * cell rows keep answering probes (and rejecting new near-duplicate
+    * arrivals against ghosts) until a full rebuild. O(|ids|) write;
+    * reads ([[ivfTopKFromState]], [[nearDupPairsFromState]],
+    * [[ivfStateAudit]]) anti-join the tombstones; [[compactIvfState]]
+    * applies them physically. The frozen centroids are untouched —
+    * deletes remove vectors from the INDEX, not from the geometry's
+    * training history (run [[ivfStateAudit]] if deletions skew the
+    * occupancy enough to recommend a rebuild).
+    *
+    * Tagged deletes land in their own `delete_id=N` partition with
+    * overwrite (at-least-once replay safe); untagged deletes anti-join
+    * already-tombstoned ids so a blind re-run is a no-op. A deleted id
+    * must never be re-appended (tombstones filter it forever). */
+  def deleteFromIvfState(
+      spark: SparkSession, dir: String, ids: DataFrame, idCol: String,
+      deleteTag: Option[Long] = None): Unit = {
+    StateIO.checkNoCompactRemnants(spark, dir,
+      Seq("centroids", "cells", "tombstones"))
+    val del = ids.select(col(idCol).as("vid")).distinct()
+    deleteTag match {
+      case Some(t) =>
+        del.write.mode("overwrite").parquet(s"$dir/tombstones/delete_id=$t")
+      case None =>
+        val fresh = StateIO.readIfExists(spark, s"$dir/tombstones") match {
+          case Some(tb) => graft.ext.Dedup.materialize(
+            del.join(tb.select(col("vid")), Seq("vid"), "left_anti"))
+          case None => del
+        }
+        fresh.write.mode("append").parquet(s"$dir/tombstones")
+    }
+  }
 
   /** IVF-state DRIFT audit — the measurement the frozen-centroid posture
     * ([[appendIvfState]] trains on the first batch and never retrains)
@@ -585,7 +649,7 @@ object Similarity {
       topK: Int = 10, nProbe: Int = 2,
       recallFloor: Double = 0.8, occupancyCeil: Double = 4.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = readCellsLive(spark, dir)
     val occ = graft.ext.Dedup.materialize(
       cells.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs")))
     val totals = occ.agg(sum(col("n_vecs")).as("graft_tot"),

@@ -1784,6 +1784,67 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x119 — DELETE from the persisted IVF state
+    * ([[Similarity.deleteFromIvfState]] → [[Similarity.ivfTopKFromState]]):
+    * the vector pillar's tombstone path — x106's two-append state with
+    * every vec_id ≡ 2 (mod 5) deleted, then the same probed retrieval:
+    * deleted vectors stop answering immediately, the frozen centroids
+    * (trained before the delete) are untouched. Oracle = x106's chain
+    * with the deleted vids excluded from the scoring side only — i.e.
+    * the delete contract. */
+  def x119(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x119_state").toFile.getAbsolutePath
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 250), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 250), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.ivfTopKFromState(s, state, emb.filter(col("vec_id") < 10),
+        topK = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** x120 — DELETE from the persisted stats state
+    * ([[Profile.deleteFromStatsState]] → [[Profile.statsReport]]): the
+    * accounting pillar's tombstone path with the honest HLL caveat —
+    * doc/token counts correct EXACTLY via negative pre-aggregated
+    * correction rows (the deleting pipeline holds the removed docs), but
+    * the distinct-content estimate is union-only (HLL registers cannot
+    * subtract) and stays an upper bound on the survivors: the gate pins
+    * the exact survivor counts and bounds the estimate against the
+    * APPENDED corpus's distinct count, the quantity the sketch actually
+    * measures. */
+  def x120(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x120_state").toFile.getAbsolutePath
+    Profile.appendStatsState(docs.filter(col("doc_id") < 250),
+      state, "text", "source", Some(1L))
+    Profile.appendStatsState(docs.filter(col("doc_id") >= 250),
+      state, "text", "source", Some(2L))
+    Profile.deleteFromStatsState(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3),
+      state, "text", "source", Some(1L))
+    val exactFull = docs.groupBy(col("source"))
+      .agg(count_distinct(md5(col("text"))).as("n_unique_appended"))
+    Profile.statsReport(s, state)
+      .withColumnRenamed("grp", "source")
+      .join(exactFull, "source")
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("n_unique_appended"),
+        (abs(col("distinct_est").cast("double") -
+            col("n_unique_appended").cast("double")) <=
+          col("n_unique_appended").cast("double") * 0.05 + lit(1.0))
+          .as("est_within_bound"))
+      .orderBy("source")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -1999,7 +2060,9 @@ object Extensions {
     "x115_postings_delete" -> (x115 _),
     "x116_substring_fixpoint" -> (x116 _),
     "x117_bpe_budget" -> (x117 _),
-    "x118_trained_scorer" -> (x118 _)
+    "x118_trained_scorer" -> (x118 _),
+    "x119_ivf_delete" -> (x119 _),
+    "x120_stats_delete" -> (x120 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -4613,6 +4676,40 @@ object Extensions {
         |  FROM lab l, fin)
         |SELECT doc_id, label, clf_logit, clf_logit > 0 AS clf_pred,
         |  (clf_logit > 0) = (label = 1) AS correct
-        |FROM scored ORDER BY doc_id""".stripMargin
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // x119: x106's retrieval chain with the deleted vids excluded from
+    // the SCORING side only (the centroids trained before the delete —
+    // frozen-geometry contract)
+    "x119_ivf_delete" ->
+      s"""WITH $annEmbCte,
+         |tr AS (SELECT * FROM e WHERE vec_id < 250),
+         |${kmeansTrainCtes("tr")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id AND af.vid % 5 <> 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // x120: exact counts over the SURVIVORS, distinct estimate bounded
+    // against the APPENDED corpus's distinct (what a union-only sketch
+    // measures — the documented upper-bound semantics after deletes)
+    "x120_stats_delete" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (WHERE doc_id % 7 <> 3) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(len(string_split(text, ' ')))
+        |    FILTER (WHERE doc_id % 7 <> 3), 0) AS BIGINT) AS tokens,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_appended,
+        |  TRUE AS est_within_bound
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

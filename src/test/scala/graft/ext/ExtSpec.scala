@@ -2637,6 +2637,63 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("hash-sample"))
   }
 
+  test("deleteFromIvfState: ghosts stop matching, replay and compaction safe") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel")
+      .toFile.getAbsolutePath + "/state"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 400), dir,
+      k = 8, iters = 2, batchTag = Some(1L))
+    // plant a batch vector identical to state vector 7, then DELETE 7:
+    // the ghost must not reject the arrival
+    val planted = emb.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", lit(9000L))
+    assert(Similarity.nearDupPairsFromState(spark, dir, planted,
+      threshold = 0.99).count() == 1)
+    Similarity.deleteFromIvfState(spark, dir,
+      Seq(7L).toDF("vec_id"), "vec_id", deleteTag = Some(1L))
+    assert(Similarity.nearDupPairsFromState(spark, dir, planted,
+      threshold = 0.99).count() == 0)
+    // retrieval never returns the deleted vector
+    def tops = Similarity.ivfTopKFromState(spark, dir,
+        emb.filter(col("vec_id") < 5), topK = 10, nProbe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    val t1 = tops
+    assert(!t1.contains(7L))
+    // replayed tagged delete is a no-op
+    Similarity.deleteFromIvfState(spark, dir,
+      Seq(7L).toDF("vec_id"), "vec_id", deleteTag = Some(1L))
+    assert(tops == t1)
+    // compaction removes the cell row physically, answers unchanged
+    Similarity.compactIvfState(spark, dir)
+    val vids = spark.read.parquet(s"$dir/cells")
+      .select("vid").as[Long].collect().toSet
+    assert(!vids.contains(7L), "deleted cell row survived compaction")
+    assert(tops == t1)
+  }
+
+  test("deleteFromStatsState: exact count corrections, replay-safe") {
+    import graft.Tables
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-statsdel")
+      .toFile.getAbsolutePath + "/state"
+    Profile.appendStatsState(docs, dir, "text", "source", Some(1L))
+    val removed = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    Profile.deleteFromStatsState(removed, dir, "text", "source", Some(1L))
+    Profile.deleteFromStatsState(removed, dir, "text", "source", Some(1L)) // replay
+    val got = Profile.statsReport(spark, dir)
+      .select("grp", "n_docs", "tokens").as[(String, Long, Long)]
+      .collect().map { case (k, a, b) => k -> ((a, b)) }.toMap
+    val want = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(Dedup.tokens(col("text"))).cast("long")).as("t"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got == want)
+  }
+
   test("temperatureMix rejects empty and all-null corpora with clear errors") {
     val empty = docsFrom(Nil).withColumn("source", lit("a"))
     val e1 = intercept[IllegalArgumentException](
