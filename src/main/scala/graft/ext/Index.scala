@@ -331,6 +331,23 @@ object Index {
         s"postings state at $dir has no docs sidecar — deletes need the " +
           "per-doc (id, dl) table; rebuild the state with the current " +
           "appendPostingsState"))
+    // coverage guard: a state whose EARLY batches predate the sidecar
+    // passes the existence check above, but deletes of old-batch docs
+    // would tombstone their postings while producing a ZERO totals
+    // correction — N/avgdl silently overcount forever. The invariant
+    // count(docs) == Σ totals.n_docs holds for every state the current
+    // append wrote (appends add to both equally; deletes touch neither;
+    // compaction keeps tombstoned sidecar rows precisely so corrections
+    // stay derivable) — a shortfall means pre-sidecar batches: rebuild.
+    val docCount = docRows.count()
+    val totRow = spark.read.parquet(s"$dir/totals")
+      .agg(coalesce(sum(col("n_docs")), lit(0L))).head()
+    require(docCount == totRow.getLong(0),
+      s"postings state at $dir has a docs sidecar covering $docCount docs " +
+        s"but totals count ${totRow.getLong(0)} — some batches predate the " +
+        "sidecar, so their deletes would skip the totals correction and " +
+        "silently inflate BM25 N/avgdl; rebuild the state with the " +
+        "current appendPostingsState")
     // exclude this delete's own partition on replay (tagged), or all
     // existing tombstones (untagged blind retry) — otherwise a replayed
     // delete sees its prior attempt and writes a zero correction
@@ -368,13 +385,20 @@ object Index {
   def compactPostingsState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Unit = {
-    // apply tombstones PHYSICALLY during the rewrite: postings/docs rows
-    // of deleted ids drop out. The tombstones + tomb_totals tables are
+    // apply tombstones PHYSICALLY during the rewrite: postings rows of
+    // deleted ids drop out. The tombstones + tomb_totals tables are
     // KEPT (compacted, not cleared): the batch totals partitions still
     // count the deleted docs — clearing the correction would silently
     // re-inflate the BM25 corpus constants — and re-applying a tombstone
     // to already-gone rows is a no-op, so reads stay correct through a
-    // crash at any point here.
+    // crash at any point here. The `docs` sidecar keeps its tombstoned
+    // (id, dl) rows (it is 16 bytes/doc — narrow by design): a TAGGED
+    // delete replayed after compaction re-derives its totals correction
+    // from the sidecar, and dropping the rows would make the replay find
+    // nothing and OVERWRITE the real negative correction with (0, 0) —
+    // silently re-inflating N/avgdl while batch totals still count the
+    // deleted docs. Sidecar rows of deleted ids are inert everywhere
+    // else (only the delete path reads the sidecar).
     val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
       .map(_.select(col("id")))
     val dropDeleted: DataFrame => DataFrame = df => tombs match {
@@ -385,7 +409,7 @@ object Index {
       Seq("postings" -> false, "docs" -> false, "totals" -> false,
         "tombstones" -> true, "tomb_totals" -> false), targetBytes,
       extraPartitionCols = Seq("bucket"),
-      transforms = Map("postings" -> dropDeleted, "docs" -> dropDeleted))
+      transforms = Map("postings" -> dropDeleted))
   }
 
   /** [[bm25TopK]] answered from [[appendPostingsState]] parquet —

@@ -649,7 +649,19 @@ object Similarity {
       topK: Int = 10, nProbe: Int = 2,
       recallFloor: Double = 0.8, occupancyCeil: Double = 4.0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // fail fast on degenerate inputs (the state-reader posture): an empty
+    // probe set makes avg(recall) NULL, so mean_recall_ok and
+    // retrain_recommended come back null instead of a verdict — an
+    // orchestrator gating on `retrain_recommended == true` would read
+    // null as "fine" forever; an empty live cells table likewise nulls
+    // every share/heavy_to_mean via a null total.
+    require(queries.select(col(vecCol)).head(1).nonEmpty,
+      "ivfStateAudit needs a non-empty probe batch — recall over zero " +
+        "queries is undefined (the audit would report null verdicts)")
     val cells = readCellsLive(spark, dir)
+    require(cells.select(col("vid")).head(1).nonEmpty,
+      s"IVF state at $dir has no live vectors (never appended, or fully " +
+        "deleted) — there is nothing to audit")
     val occ = graft.ext.Dedup.materialize(
       cells.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs")))
     val totals = occ.agg(sum(col("n_vecs")).as("graft_tot"),

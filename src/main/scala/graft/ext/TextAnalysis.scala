@@ -229,13 +229,23 @@ object TextAnalysis {
       s"trainQualityScorer is the bounded in-memory trainer ($nRows rows " +
         s"> $maxRows) — hash-sample the labeled set first (labeled quality " +
         "data is small by nature; corpus-scale SCORING is scoreWithWeights)")
+    // feature build: hash each distinct token ONCE into its bucket id and
+    // fold the bucket array into a 64-slot histogram — not 64 independent
+    // filter passes each re-hashing every token (md5 per (token, bucket)
+    // pair was a 64× redundant hash; a two-select alias would not fix it
+    // either — CollapseProject inlines the alias right back into all 64
+    // uses). The fold's input appears ONCE in the expression tree, so
+    // each token hashes once; the counts are identical, so the x118
+    // oracle is unaffected.
+    val bkts = transform(Dedup.distinctTokens(col(textCol)), t =>
+      pmod(PortableHash.md5Long(t), lit(clfBuckets.toLong)))
+    val hist = aggregate(bkts, typedLit(Seq.fill(clfBuckets)(0L)),
+      (acc, x) => transform(acc,
+        (v, i) => when(i.cast("long") === x, v + 1L).otherwise(v)))
     val rows = docs.select(
         col(idCol).as("graft_id"),
         col(labelCol).cast("long").as("lbl"),
-        transform(sequence(lit(0), lit(clfBuckets - 1)), b =>
-          size(filter(Dedup.distinctTokens(col(textCol)), t =>
-            pmod(PortableHash.md5Long(t), lit(clfBuckets.toLong))
-              === b.cast("long"))).cast("long")).as("f"))
+        hist.as("f"))
       .withColumn("graft_h",
         PortableHash.md5Long(col("graft_id").cast("string"), "pcpt:"))
       .orderBy(col("graft_h"), col("graft_id"))

@@ -2539,15 +2539,75 @@ class ExtSpec extends SparkSpec {
       .collect().toSeq.sortBy(_._3)
     assert(before == rebuilt)
     assert(before.nonEmpty && !before.exists(_._1 % 5 == 2))
-    // compaction: deleted postings/docs physically gone, answers unchanged
+    // compaction: deleted postings physically gone, answers unchanged;
+    // the docs sidecar KEEPS its tombstoned rows — they are what lets a
+    // replayed tagged delete re-derive its totals correction (below)
     Index.compactPostingsState(spark, dir)
     val postIds = spark.read.parquet(s"$dir/postings")
       .select("id").distinct().as[Long].collect().toSet
     assert(!postIds.exists(_ % 5 == 2), "deleted postings survived compaction")
     val docIds = spark.read.parquet(s"$dir/docs")
       .select("id").as[Long].collect().toSet
-    assert(!docIds.exists(_ % 5 == 2), "deleted doc rows survived compaction")
+    assert(docIds.exists(_ % 5 == 2),
+      "tombstoned sidecar rows must survive compaction (delete replay " +
+        "needs them to recompute the totals correction)")
     assert(top == rebuilt)
+    // at-least-once REPLAY of the tagged delete AFTER compaction: the
+    // recomputed correction must overwrite delete_id=1 with the same
+    // negative totals, not a (0, 0) row — scores and corpus constants
+    // must be byte-stable under the replay
+    Index.deleteFromPostingsState(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"),
+      "doc_id", deleteTag = Some(1L))
+    assert(top == rebuilt,
+      "replaying a tagged delete after compaction corrupted the state")
+    val corr = spark.read.parquet(s"$dir/tomb_totals")
+      .select("n_docs").as[Long].collect()
+    assert(corr.length == 1 && corr.head < 0L,
+      s"replayed delete wrote a zero/duplicated correction: ${corr.toSeq}")
+  }
+
+  test("deleteFromPostingsState: refuses a state whose sidecar misses batches") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 80).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-postcov")
+      .toFile.getAbsolutePath + "/state"
+    Index.appendPostingsState(docs.filter(col("doc_id") < 40), dir,
+      "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 40), dir,
+      "doc_id", "text", batchTag = Some(2L))
+    // simulate a pre-sidecar batch: its totals exist but its docs rows
+    // don't — a delete of its ids would tombstone postings yet write a
+    // ZERO totals correction, silently inflating N/avgdl forever
+    val p = new org.apache.hadoop.fs.Path(s"$dir/docs/batch_id=2")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val e = intercept[IllegalArgumentException](
+      Index.deleteFromPostingsState(spark, dir,
+        docs.filter(col("doc_id") === 50).select("doc_id"), "doc_id",
+        deleteTag = Some(1L)))
+    assert(e.getMessage.contains("sidecar"))
+  }
+
+  test("ivfStateAudit: refuses empty probe sets and empty live states") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-auditguard")
+      .toFile.getAbsolutePath + "/state"
+    Similarity.appendIvfState(emb, dir, k = 4, iters = 1,
+      batchTag = Some(1L))
+    // empty probe batch: avg(recall) would be NULL → a null
+    // retrain_recommended that a gate reads as "fine" — refuse instead
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.ivfStateAudit(spark, dir,
+        emb.filter(col("vec_id") < 0)).collect())
+    assert(e1.getMessage.contains("probe"))
+    // fully-deleted state: nothing to audit
+    Similarity.deleteFromIvfState(spark, dir, emb.select("vec_id"),
+      "vec_id", deleteTag = Some(1L))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.ivfStateAudit(spark, dir,
+        emb.filter(col("vec_id") < 5)).collect())
+    assert(e2.getMessage.contains("live"))
   }
 
   test("removeSpansToFixpoint: overlapping regions keep one copy of every gram") {
