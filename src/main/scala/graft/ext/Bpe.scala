@@ -329,4 +329,226 @@ object Bpe {
     else size(merges.foldLeft(Dedup.tokens(text)) {
       case (c, (a, b)) => applyMerge(c, a, b)
     })
+
+  // ---------------------------------------------------------------------
+  // PERSISTED TOKENIZER STATE — the fifth state pillar (LSH text, IVF
+  // vectors, stats sketches, term-bucketed postings, and now the trained
+  // tokenizer): budget/mix/packing queries are denominated in TOKENIZER
+  // tokens, and without persisted state every such query retrains the
+  // merge list and re-encodes the whole corpus per call (the x117 shape —
+  // deliberate as a gate, wrong as a production posture). Here training
+  // happens ONCE (first batch — the same freeze-the-geometry posture as
+  // the IVF centroids: a tokenizer that drifts per batch would make
+  // token counts incomparable across the corpus), each appended batch
+  // encodes incrementally (one map-side fold per merge, O(batch), no
+  // shuffle), and budget/mix queries read the narrow per-doc
+  // (id, bpe_tokens) sidecar — never the corpus text.
+  //
+  // Same IO discipline as the other pillars: tagged `batch_id=N`
+  // overwrite appends for at-least-once replay, `_meta` parameter
+  // validation, PATH_NOT_FOUND-only absence reads ([[StateIO]]),
+  // `__compact_bak` fail-fast, tombstone deletes, offline compaction.
+  // ---------------------------------------------------------------------
+
+  private val tokenizerTables = Seq("merges", "doc_tokens", "tombstones")
+
+  /** Append a batch to a tokenizer state dir. First contact TRAINS
+    * [[trainMerges]] on that batch and freezes the merge list to
+    * `dir/merges` (training on a representative first batch and freezing
+    * is what keeps every document's count in the SAME unit — retrain =
+    * rebuild the dir, exactly the IVF-centroid contract); every append
+    * encodes its documents with the frozen merges (map-side fold chain,
+    * O(batch)) and lands (id, bpe_tokens) rows in `dir/doc_tokens`.
+    *
+    * `_meta` persists numMerges on first contact and is validated on
+    * every later append — counts encoded under a different merge budget
+    * would silently mix units. The merge list is bounded by the
+    * [[trainMerges]] cap (≤ 64): the encode fold is one chained
+    * higher-order expression per merge, the regime this pillar serves
+    * (production 32k-vocab tokenizers encode outside SQL expressions —
+    * [[trainMergesLocal]]'s documented trade-off).
+    *
+    * Replay/crash: tagged appends overwrite their own `batch_id=N`
+    * partition (re-running a batch replaces rather than duplicates —
+    * and retraining on a replayed FIRST batch rewrites the identical
+    * deterministic merges); untagged appends anti-join already-present
+    * ids, but are not crash-safe between writes (the shared untagged
+    * caveat). Ids must be unique across batches; a deleted id must
+    * never be re-appended. */
+  def appendTokenizerState(
+      batch: DataFrame, dir: String, idCol: String, textCol: String,
+      numMerges: Int = 4, batchTag: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    StateIO.checkNoCompactRemnants(spark, dir, tokenizerTables)
+    val merges = readTokenizerMeta(spark, dir) match {
+      case Some(stored) =>
+        require(stored == numMerges.toLong,
+          s"tokenizer state at $dir was trained with numMerges=$stored " +
+            s"but this append asked for $numMerges; counts encoded under " +
+            "different merge budgets are different units — use the stored " +
+            "parameter or rebuild the state")
+        readMerges(spark, dir)
+      case None =>
+        // nothing trained yet: an empty first batch is a no-op (training
+        // on it would freeze an empty merge list over nothing — the
+        // empty-first-micro-batch hazard the IVF append also guards)
+        if (batch.select(col(idCol)).head(1).isEmpty) return
+        trainMerges(batch, textCol, numMerges)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+        writeTokenizerMeta(spark, dir, numMerges)
+        readMerges(spark, dir)
+    }
+    val rows = batch.select(col(idCol).as("id"),
+      encodedSize(col(textCol), merges).cast("long").as("bpe_tokens"))
+    val out = batchTag match {
+      case Some(_) => rows
+      case None => StateIO.readIfExists(spark, s"$dir/doc_tokens") match {
+        case Some(existing) => Dedup.materialize(
+          rows.join(existing.select(col("id")), Seq("id"), "left_anti"))
+        case None => rows
+      }
+    }
+    batchTag match {
+      case Some(t) =>
+        out.write.mode("overwrite").parquet(s"$dir/doc_tokens/batch_id=$t")
+      case None => out.write.mode("append").parquet(s"$dir/doc_tokens")
+    }
+  }
+
+  /** The frozen merge list of a state dir, in training order — ≤ 64
+    * (left, right) rows, driver-sized by the [[trainMerges]] cap. */
+  def readMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] =
+    spark.read.parquet(s"$dir/merges").orderBy(col("step"))
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Live (id, bpe_tokens) rows of a tokenizer state: the doc_tokens
+    * sidecar minus tombstoned ids, minus an excluded replay tag (the
+    * shared self-match rule: a replayed tagged batch must not see its
+    * own prior attempt as corpus). */
+  def readDocTokens(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      excludeTag: Option[Long] = None): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/doc_tokens")
+    val untagged = excludeTag
+      .filter(_ => raw.columns.contains("batch_id"))
+      .map(tag => raw.filter(col("batch_id") =!= tag)).getOrElse(raw)
+    val live = StateIO.readIfExists(spark, s"$dir/tombstones") match {
+      case Some(tb) => untagged.join(tb.select(col("id")), Seq("id"), "left_anti")
+      case None => untagged
+    }
+    live.select(col("id"), col("bpe_tokens"))
+  }
+
+  /** DELETE documents from a tokenizer state — O(|ids|) tombstone
+    * writes; every read ([[readDocTokens]]) anti-joins them. Unlike the
+    * postings pillar there is NO aggregate to correct (the sidecar is
+    * per-doc), so tombstones alone close the path; compaction may drop
+    * the tombstoned sidecar rows physically (nothing re-derives from
+    * them). Tagged deletes overwrite their own `delete_id=N` partition
+    * (at-least-once safe); untagged deletes anti-join prior tombstones
+    * so a blind re-run is a no-op. A deleted id must never re-append. */
+  def deleteFromTokenizerState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: String,
+      deleteTag: Option[Long] = None): Unit = {
+    StateIO.checkNoCompactRemnants(spark, dir, tokenizerTables)
+    val del = ids.select(col(idCol).as("id")).distinct()
+    deleteTag match {
+      case Some(t) =>
+        del.write.mode("overwrite").parquet(s"$dir/tombstones/delete_id=$t")
+      case None =>
+        val fresh = StateIO.readIfExists(spark, s"$dir/tombstones") match {
+          case Some(tb) => Dedup.materialize(
+            del.join(tb.select(col("id")), Seq("id"), "left_anti"))
+          case None => del
+        }
+        fresh.write.mode("append").parquet(s"$dir/tombstones")
+    }
+  }
+
+  /** [[graft.ext.Sampling.tokenBudget]] answered from persisted encoded
+    * counts: the budget prefix sum runs over the narrow (id, bpe_tokens)
+    * sidecar joined to a caller-supplied (idCol, qualityCol) frame — the
+    * corpus text is never touched and the tokenizer never retrains (the
+    * amortization this pillar exists for; x117 is the same selection
+    * paying training + a corpus re-encode per call). Output-identical to
+    * the recompute path over the same corpus and merges (spec-pinned).
+    * Quality rows without a live state row (deleted / never appended)
+    * drop out — budgets select from the indexed corpus. */
+  def tokenBudgetFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      quality: DataFrame, idCol: String, qualityCol: String,
+      budget: Long, granularity: Int = 100): DataFrame = {
+    val toks = readDocTokens(spark, dir)
+    val q = quality.select(col(idCol).as("id"), col(qualityCol))
+    Sampling.tokenBudget(toks.join(q, Seq("id")), "id", "bpe_tokens",
+        qualityCol, budget, granularity)
+      .select(col("id").as(idCol), col(qualityCol), col("bpe_tokens"),
+        col("cum_tokens"))
+  }
+
+  /** [[graft.ext.Sampling.temperatureMix]] answered from persisted
+    * encoded counts: per-group token totals aggregate the sidecar joined
+    * to a caller-supplied (idCol, grpCol) frame — same share math
+    * ([[Sampling.temperatureMixFromCounts]]), zero tokenization. */
+  def temperatureMixFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      groups: DataFrame, idCol: String, grpCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = readDocTokens(spark, dir)
+    val counts = Dedup.materialize(
+      groups.select(col(idCol).as("id"), col(grpCol).as("grp"))
+        .join(toks, Seq("id"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bpe_tokens")).as("tokens")))
+    Sampling.temperatureMixFromCounts(counts, grpCol, alpha)
+  }
+
+  /** Small-file maintenance for a tokenizer state dir — the shared
+    * backup-swap compaction; tombstoned sidecar rows drop physically
+    * (no correction derives from them — see [[deleteFromTokenizerState]]);
+    * the tombstones table itself is kept (id-reuse contract). Offline. */
+  def compactTokenizerState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+      .map(_.select(col("id")))
+    val dropDeleted: DataFrame => DataFrame = df => tombs match {
+      case Some(tb) => df.join(tb, Seq("id"), "left_anti")
+      case None => df
+    }
+    Dedup.compactStateTables(spark, dir,
+      Seq("merges" -> false, "doc_tokens" -> false, "tombstones" -> true),
+      targetBytes, transforms = Map("doc_tokens" -> dropDeleted))
+  }
+
+  /** numMerges stored in `dir/_meta`, or None if the state is untrained.
+    * Only PATH_NOT_FOUND means untrained — the [[StateIO]] discipline
+    * (a transient failure must crash the append, not retrain a second
+    * merge list over a half-built state). */
+  private def readTokenizerMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Long] = {
+    try {
+      val row = spark.read.schema("num_merges LONG").json(s"$dir/_meta").head()
+      require(!row.isNullAt(0),
+        s"tokenizer state meta at $dir/_meta is corrupt — rebuild the dir")
+      Some(row.getLong(0))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+      case _: java.util.NoSuchElementException => None
+    }
+  }
+
+  private def writeTokenizerMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      numMerges: Int): Unit = {
+    import spark.implicits._
+    Seq(numMerges.toLong).toDF("num_merges")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/_meta")
+  }
 }

@@ -154,12 +154,24 @@ object Sampling {
       docs: DataFrame, textCol: String, grpCol: String,
       alpha: Double = 0.5,
       merges: Seq[(String, String)] = Nil): DataFrame = {
-    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
     val counts = Dedup.materialize(docs
       .select(col(grpCol).as("grp"),
         Bpe.encodedSize(col(textCol), merges).cast("long").as("graft_tok"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_docs"), sum(col("graft_tok")).as("tokens")))
+    temperatureMixFromCounts(counts, grpCol, alpha)
+  }
+
+  /** The share math of [[temperatureMix]] over an ALREADY-AGGREGATED
+    * (grp, n_docs, tokens) frame — the core [[temperatureMix]] (which
+    * tokenizes the corpus) and
+    * [[graft.ext.Bpe.temperatureMixFromState]] (which reads persisted
+    * per-doc encoded counts) share, so both produce bit-identical
+    * shares from the same counts. `counts` must be materialized and
+    * |groups|-sized (it is peeked twice: max group + totals). */
+  private[ext] def temperatureMixFromCounts(
+      counts: DataFrame, grpCol: String, alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
     // an empty corpus yields a null max (head() would NPE on getLong) and
     // an all-null-token corpus a null/zero one — either way ratio = 0/0 =
     // NaN quantized to null units, silently corrupting every downstream

@@ -1845,6 +1845,36 @@ object Extensions {
       .orderBy("source")
   }
 
+  /** x121 — token budget from PERSISTED TOKENIZER STATE
+    * ([[Bpe.appendTokenizerState]] → [[Bpe.tokenBudgetFromState]]): the
+    * fifth state pillar closing x117's production gap — x117 retrains
+    * the merge list and re-encodes the corpus on EVERY budget call
+    * (14.9 s at sf0.1, ~2/3 of it training); here merges train ONCE on
+    * the first batch and freeze (the IVF-centroid posture — counts must
+    * stay one unit), the second batch encodes incrementally under the
+    * frozen merges (map-side fold, O(batch)), and the budget query reads
+    * only the narrow (id, bpe_tokens) sidecar + a quality frame — the
+    * corpus text is never touched and nothing retrains. The oracle
+    * replays the frozen-tokenizer shape exactly: pair counting
+    * restricted to the training batch, every document re-encoded, the
+    * naive global budget window over the encoded counts. */
+  def x121(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x121_state").toFile.getAbsolutePath
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 250), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(1L))
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") >= 250), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(2L))
+    val quality = docs
+      .select((col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*)
+      .select(col("doc_id"), col("quality_score"))
+    Bpe.tokenBudgetFromState(s, state, quality, "doc_id", "quality_score",
+        budget = 20000L)
+      .select("doc_id", "quality_score", "bpe_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -2062,7 +2092,8 @@ object Extensions {
     "x117_bpe_budget" -> (x117 _),
     "x118_trained_scorer" -> (x118 _),
     "x119_ivf_delete" -> (x119 _),
-    "x120_stats_delete" -> (x120 _)
+    "x120_stats_delete" -> (x120 _),
+    "x121_budget_from_state" -> (x121 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2259,12 +2290,20 @@ object Extensions {
     * just the merge table. it0 keeps sub-2-token docs (they contribute
     * zero pairs to every m$i, so the learned merges are identical to
     * x93's filtered chain — but they must reach itN to be encoded). */
-  private def bpeEncodedCorpusCtes(numMerges: Int): String = {
+  /** `trainWhere` restricts the PAIR-COUNTING side (p$i) to a training
+    * subset while it$i still re-encodes every document — the frozen-
+    * tokenizer shape x121 gates: merges train on the first batch only,
+    * later batches encode under them (sub-2-token and out-of-scope docs
+    * contribute zero pairs, so the learned merges equal trainMerges on
+    * the filtered batch). Empty string = train on the whole corpus
+    * (x117's shape). */
+  private def bpeEncodedCorpusCtes(
+      numMerges: Int, trainWhere: String = ""): String = {
     val iters = (1 to numMerges).map { i =>
       s"""p$i AS (
          |  SELECT unnest(list_transform(range(1, len(t)),
          |    j -> t[CAST(j AS INT)] || chr(1) || t[CAST(j AS INT) + 1])) AS p
-         |  FROM it${i - 1}),
+         |  FROM it${i - 1}$trainWhere),
          |m$i AS (
          |  SELECT string_split(p, chr(1))[1] AS pa,
          |    string_split(p, chr(1))[2] AS pb
@@ -4710,6 +4749,42 @@ object Extensions {
         |    FILTER (WHERE doc_id % 7 <> 3), 0) AS BIGINT) AS tokens,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_appended,
         |  TRUE AS est_within_bound
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // x121: the x117 budget chain under the FROZEN-tokenizer shape —
+    // pair counting restricted to the training batch (doc_id < 250),
+    // every document re-encoded under those merges, x49's quality chain,
+    // the naive global budget window over the encoded counts
+    "x121_budget_from_state" ->
+      s"""WITH ${bpeEncodedCorpusCtes(4, " WHERE doc_id < 250")},
+         |enc AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS bpe_tokens FROM it4),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+         |    length(replace(text, ' ', '')) AS n_nonspace,
+         |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+         |      ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS en_hits
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+         |    round(CAST(en_hits AS DOUBLE) / n_words, 4) AS stop_ratio
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.5
+         |      + least(stop_ratio * 10.0, CAST(1.0 AS DOUBLE)) * 0.3
+         |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
+         |      AS quality_score
+         |  FROM r),
+         |c AS (
+         |  SELECT q.doc_id, q.quality_score, e.bpe_tokens,
+         |    CAST(sum(e.bpe_tokens) OVER (ORDER BY q.quality_score DESC, q.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q JOIN enc e USING (doc_id))
+         |SELECT doc_id, quality_score, bpe_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
   )
 }

@@ -2610,6 +2610,109 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("live"))
   }
 
+  test("tokenizer state: frozen merges, incremental encode, budget/mix parity") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") < 60)
+    val b2 = docs.filter(col("doc_id") >= 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokstate")
+      .toFile.getAbsolutePath + "/state"
+    Bpe.appendTokenizerState(b1, dir, "doc_id", "text", numMerges = 3,
+      batchTag = Some(1L))
+    Bpe.appendTokenizerState(b2, dir, "doc_id", "text", numMerges = 3,
+      batchTag = Some(2L))
+    // merges froze on batch 1: the stored list IS trainMerges(b1), and
+    // batch 2's persisted counts are encodes under those merges — NOT a
+    // retrain on batch 2 or on the union
+    val stored = Bpe.readMerges(spark, dir)
+    val fromB1 = Bpe.trainMerges(b1, "text", 3).orderBy("step")
+      .select("left", "right").as[(String, String)].collect().toSeq
+    assert(stored == fromB1)
+    val persisted = Bpe.readDocTokens(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val recomputed = docs.select(col("doc_id"),
+        Bpe.encodedSize(col("text"), stored).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(persisted == recomputed)
+    // replaying a tagged append overwrites, never duplicates
+    Bpe.appendTokenizerState(b2, dir, "doc_id", "text", numMerges = 3,
+      batchTag = Some(2L))
+    assert(Bpe.readDocTokens(spark, dir).count() == docs.count())
+    // a different merge budget is a different unit — refuse
+    val e = intercept[IllegalArgumentException](
+      Bpe.appendTokenizerState(b2, dir, "doc_id", "text", numMerges = 5,
+        batchTag = Some(3L)))
+    assert(e.getMessage.contains("numMerges"))
+    // budget-from-state == recompute over the same corpus and merges
+    val quality = docs.select((col("doc_id") +:
+      TextAnalysis.qualityColumns(col("text"))): _*)
+      .select(col("doc_id"), col("quality_score"))
+    def budgetRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "bpe_tokens", "cum_tokens")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val fromState = budgetRows(Bpe.tokenBudgetFromState(spark, dir,
+      quality, "doc_id", "quality_score", budget = 5000L))
+    val enc = docs.join(quality, "doc_id").select(col("doc_id"),
+      col("quality_score"),
+      Bpe.encodedSize(col("text"), stored).cast("long").as("bpe_tokens"))
+    val recomputedBudget = budgetRows(Sampling.tokenBudget(enc, "doc_id",
+      "bpe_tokens", "quality_score", budget = 5000L))
+    assert(fromState == recomputedBudget && fromState.nonEmpty)
+    // temperature mix from state == the tokenizing path with the same
+    // frozen merges
+    val groups = docs.select(col("doc_id"),
+      (pmod(col("doc_id"), lit(3))).cast("string").as("grp"))
+    def mixRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "n_docs", "tokens", "share_temp", "up_weight")
+        .as[(String, Long, Long, Double, Double)].collect().toSeq.sorted
+    val mixState = mixRows(Bpe.temperatureMixFromState(spark, dir,
+      groups, "doc_id", "grp"))
+    val mixRecompute = mixRows(Sampling.temperatureMix(
+      docs.join(groups, "doc_id"), "text", "grp", merges = stored))
+    assert(mixState == mixRecompute && mixState.nonEmpty)
+    // deletes: tombstoned ids drop from every read; budget == recompute
+    // on the SURVIVORS under the SAME frozen merges (never a retrain)
+    Bpe.deleteFromTokenizerState(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(4)) === 1).select("doc_id"),
+      "doc_id", deleteTag = Some(1L))
+    val surv = docs.filter(pmod(col("doc_id"), lit(4)) =!= 1)
+    val afterDel = budgetRows(Bpe.tokenBudgetFromState(spark, dir,
+      quality, "doc_id", "quality_score", budget = 5000L))
+    val survBudget = budgetRows(Sampling.tokenBudget(
+      surv.join(quality, "doc_id").select(col("doc_id"), col("quality_score"),
+        Bpe.encodedSize(col("text"), stored).cast("long").as("bpe_tokens")),
+      "doc_id", "bpe_tokens", "quality_score", budget = 5000L))
+    assert(afterDel == survBudget && afterDel.nonEmpty)
+    assert(!afterDel.exists(_._1 % 4 == 1))
+    // compaction: tombstoned sidecar rows physically gone, answers and
+    // frozen merges unchanged, delete replay afterwards still a no-op
+    Bpe.compactTokenizerState(spark, dir)
+    val sidecarIds = spark.read.parquet(s"$dir/doc_tokens")
+      .select("id").as[Long].collect().toSet
+    assert(!sidecarIds.exists(_ % 4 == 1))
+    Bpe.deleteFromTokenizerState(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(4)) === 1).select("doc_id"),
+      "doc_id", deleteTag = Some(1L))
+    assert(budgetRows(Bpe.tokenBudgetFromState(spark, dir, quality,
+      "doc_id", "quality_score", budget = 5000L)) == survBudget)
+    assert(Bpe.readMerges(spark, dir) == fromB1)
+  }
+
+  test("tokenizer state: empty first batch is a no-op, not a frozen-empty train") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 40).select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokempty")
+      .toFile.getAbsolutePath + "/state"
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 0), dir,
+      "doc_id", "text", numMerges = 3, batchTag = Some(1L))
+    // nothing trained, nothing written — the next real batch trains
+    assert(!graft.ext.StateIO.pathExists(spark, s"$dir/merges"))
+    Bpe.appendTokenizerState(docs, dir, "doc_id", "text", numMerges = 3,
+      batchTag = Some(2L))
+    assert(Bpe.readMerges(spark, dir).nonEmpty)
+    assert(Bpe.readDocTokens(spark, dir).count() == docs.count())
+  }
+
   test("removeSpansToFixpoint: overlapping regions keep one copy of every gram") {
     // X = x1..x8 duplicated (doc 1 first, doc 2 copy); Y = x5..x8 u1..u4
     // duplicated (doc 2 FIRST, doc 3 copy) — in doc 2, Y's first
