@@ -613,6 +613,75 @@ object Similarity {
     }
   }
 
+  /** RECLUSTER an [[appendIvfState]] dir in place — the operator that
+    * ACTS on [[ivfStateAudit]]'s `retrain_recommended` verdict (until
+    * now the documented remedy was a manual full rebuild): retrain the
+    * deterministic [[kmeansCentroids]] on the LIVE persisted corpus
+    * (tombstoned vectors excluded — a deleted population must not shape
+    * the new geometry), reassign every live vector once, and swap the
+    * centroids + cells tables in with the shared backup-swap rename
+    * discipline. The stored `_meta` (k, iters, dim) is the retrain
+    * geometry — recluster changes the FIT, never the parameters — so
+    * every later [[appendIvfState]] validates against the same meta and
+    * assigns to the NEW centroids it reads fresh from the dir.
+    *
+    * After reclustering, [[ivfTopKFromState]] answers exactly like a
+    * from-scratch [[kmeansIvfTopK]] over the live corpus (spec-pinned +
+    * the x122 gate): same seeds-by-lowest-id, same Lloyd steps, same
+    * 6-dp rounding. Tombstones are KEPT (the never-reuse-a-deleted-id
+    * contract outlives the rows; the new cells contain live vectors
+    * only, so the read-side anti-join becomes a no-op). Tagged
+    * `batch_id=N` levels are preserved on the rewritten cells, so a
+    * replayed old append still overwrites its own partition — and
+    * assigns against the current (new) centroids, which is the
+    * append contract.
+    *
+    * Cost: one k-means train (iters broadcast-assign passes over the
+    * live cells — O(live · k) map-side) + one reassignment + a full
+    * cells rewrite — deliberately an OFFLINE maintenance pass, the same
+    * posture as compaction (run it when the audit says so, not per
+    * batch). Crash between the two table swaps leaves a
+    * `__compact_bak` dir that every append/compact/recluster entry
+    * fails fast on, with the backup intact for recovery. */
+  def reclusterIvfState(spark: SparkSession, dir: String): Unit = {
+    StateIO.checkNoCompactRemnants(spark, dir,
+      Seq("centroids", "cells", "tombstones"))
+    val meta =
+      try spark.read.schema("k LONG, iters LONG, dim LONG")
+        .json(s"$dir/_meta").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          throw new IllegalStateException(
+            s"IVF state at $dir has no _meta — nothing to recluster " +
+              "(build the state with appendIvfState first)")
+      }
+    require(!meta.anyNull,
+      s"IVF state meta at $dir/_meta is corrupt — rebuild the state dir")
+    val (k, iters) = (meta.getLong(0).toInt, meta.getLong(1).toInt)
+    // materialize the live rows BEFORE swapping: everything below derives
+    // from the very files the swap replaces
+    val live = graft.ext.Dedup.materialize(readCellsLive(spark, dir))
+    require(live.select(col("vid")).head(1).nonEmpty,
+      s"IVF state at $dir has no live vectors — nothing to recluster")
+    val hasBatch = live.columns.contains("batch_id")
+    val newCents = graft.ext.Dedup.materialize(
+      kmeansCentroids(live, k, iters, idCol = "vid", vecCol = "v"))
+    val reassigned = assignToCentroids(
+      live.select(col("vid"), col("v")), newCents)
+      .select(col("cid"), col("vid"), col("v"))
+      .withColumn("cn", norm(col("v")))
+    val newCells =
+      if (hasBatch)
+        reassigned.join(live.select(col("vid"), col("batch_id")), Seq("vid"))
+          .select(col("cid"), col("vid"), col("v"), col("cn"), col("batch_id"))
+      else reassigned
+    StateIO.swapInTable(spark, dir, "centroids", newCents)
+    StateIO.swapInTable(spark, dir, "cells",
+      graft.ext.Dedup.materialize(newCells),
+      partitionCols = if (hasBatch) Seq("batch_id") else Nil)
+  }
+
   /** IVF-state DRIFT audit — the measurement the frozen-centroid posture
     * ([[appendIvfState]] trains on the first batch and never retrains)
     * is missing on its own: as appended batches drift away from the

@@ -64,4 +64,36 @@ private[graft] object StateIO {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
+
+  /** Replace a state table's CONTENT atomically-per-table with the
+    * backup-swap rename discipline ([[Dedup.compactStateTables]] uses the
+    * identical sequence for layout-only rewrites; this is the shared
+    * primitive for rewrites that CHANGE rows — e.g.
+    * [[Similarity.reclusterIvfState]] swapping in retrained centroids and
+    * reassigned cells): write `df` to `<table>__compact_tmp`, move the
+    * live table to `<table>__compact_bak`, move tmp in, drop the backup.
+    * A crash between the two renames leaves the `__compact_bak` dir that
+    * every pillar's append/compact entry point fails fast on
+    * ([[checkNoCompactRemnants]]), with the backup intact for recovery.
+    * `df` must NOT read lazily from the table being replaced —
+    * materialize it first ([[Dedup.materialize]]). */
+  private[ext] def swapInTable(
+      spark: SparkSession, dir: String, table: String,
+      df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir, table)
+    val fs = path.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    require(fs.rename(path, bak), s"swapInTable: cannot move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(bak, path) // restore the live table before failing
+      throw new IllegalStateException(s"swapInTable: cannot swap in $tmp")
+    }
+    fs.delete(bak, true)
+  }
 }

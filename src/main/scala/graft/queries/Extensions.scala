@@ -1875,6 +1875,55 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x122 — IVF RECLUSTER acting on the audit's verdict
+    * ([[Similarity.reclusterIvfState]]): x114 measures frozen-centroid
+    * drift but until now nothing could ACT on `retrain_recommended`
+    * short of a manual rebuild. The x114 drifted state is built (batch 1
+    * trains and freezes; batch 3 piles ~30 % of the corpus near one
+    * off-center point), the audit trips on occupancy
+    * (`drift_flagged_before` — engine-computed, oracle-pinned TRUE),
+    * the state RECLUSTERS in place (retrain on the live persisted
+    * corpus, reassign once, backup-swap both tables), and retrieval
+    * from the re-fitted state equals a from-scratch [[Similarity.kmeansIvfTopK]]
+    * over the corpus — the oracle re-derives that full chain (k-means
+    * trained on ALL vectors now, not just batch 1) plus the exact
+    * integer-ratio occupancy maximum (`max_heavy_after` — on THIS
+    * fixture the 30 % drifted mass keeps one genuinely heavy cell even
+    * after the re-fit, so the audit honestly still reports it; what
+    * recluster restores is the FIT, pinned by the retrieval parity —
+    * the ExtSpec fixture where cells can rebalance also pins the skew
+    * drop). */
+  def x122(s: SparkSession, dir: String): DataFrame = {
+    val emb = driftedEmb(s, dir)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x122_state").toFile.getAbsolutePath
+    val b1 = col("vec_id") < 8 || pmod(col("vec_id"), lit(10)) < 4
+    val b3 = pmod(col("vec_id"), lit(10)) >= 7
+    Similarity.appendIvfState(emb.filter(b1), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(!b1 && !b3), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.appendIvfState(emb.filter(!b1 && b3), state,
+      k = 8, iters = 2, batchTag = Some(3L))
+    val probes = emb.filter(col("vec_id") < 20)
+    def worstSkew(): (Boolean, Double) = {
+      val rows = Similarity.ivfStateAudit(s, state, probes,
+        topK = 10, nProbe = 2, recallFloor = 0.8, occupancyCeil = 2.0)
+        .select(col("retrain_recommended"), col("heavy_to_mean")).collect()
+      (rows.head.getBoolean(0), rows.map(_.getDouble(1)).max)
+    }
+    val (flaggedBefore, _) = worstSkew()
+    Similarity.reclusterIvfState(s, state)
+    val (_, heavyAfter) = worstSkew()
+    Similarity.ivfTopKFromState(s, state, emb.filter(col("vec_id") < 10),
+        topK = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos_sim"))
+      .withColumn("drift_flagged_before", lit(flaggedBefore))
+      .withColumn("max_heavy_after", lit(heavyAfter))
+      .orderBy("query_id", "rank")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -2093,7 +2142,8 @@ object Extensions {
     "x118_trained_scorer" -> (x118 _),
     "x119_ivf_delete" -> (x119 _),
     "x120_stats_delete" -> (x120 _),
-    "x121_budget_from_state" -> (x121 _)
+    "x121_budget_from_state" -> (x121 _),
+    "x122_ivf_recluster" -> (x122 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -4785,6 +4835,50 @@ object Extensions {
          |      AS cum_tokens
          |  FROM q JOIN enc e USING (doc_id))
          |SELECT doc_id, quality_score, bpe_tokens, cum_tokens
-         |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin
+         |FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
+
+    // x122: the drifted fixture reclustered — k-means now trained on ALL
+    // vectors (the recluster contract), retrieval = the x106 probed
+    // chain over the re-fitted cells, worst occupancy skew from the same
+    // exact integer ratios; the before-flag is pinned TRUE
+    // (x114 value-pins the before-state occupancy itself)
+    "x122_ivf_recluster" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(range(1, 65), j ->
+         |    CASE WHEN vec_id % 10 >= 7 AND vec_id >= 20
+         |      THEN CASE WHEN j = 1 THEN 6.0 ELSE 0.0 END
+         |      ELSE CASE WHEN vec_id % 8 = (j - 1) % 8 THEN 4.0 ELSE 0.0 END
+         |    END
+         |    + ((CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR),
+         |          ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 1000)
+         |        / 1000.0 - 0.5) * 0.5) AS v
+         |  FROM embeddings),
+         |${kmeansTrainCtes("e")},
+         |occ AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM af GROUP BY cid),
+         |tot AS (
+         |  SELECT CAST(sum(n_vecs) AS BIGINT) AS t,
+         |    CAST(count(*) AS BIGINT) AS c FROM occ),
+         |heavy AS (
+         |  SELECT max(floor(CAST(n_vecs AS DOUBLE) * c / t * 10000 + 0.5)
+         |    / 10000) AS max_heavy_after
+         |  FROM occ, tot),
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  round(cos, 4) AS cos_sim,
+         |  TRUE AS drift_flagged_before, h.max_heavy_after
+         |FROM ranked, heavy h WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

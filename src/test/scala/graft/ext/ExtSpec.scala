@@ -2610,6 +2610,96 @@ class ExtSpec extends SparkSpec {
     assert(e2.getMessage.contains("live"))
   }
 
+  test("reclusterIvfState: retrains on live corpus, swaps tables, keeps contracts") {
+    import org.apache.spark.sql.DataFrame
+    // x114's drifted shape in miniature: 4-cluster geometry for most
+    // vectors, a drifted population (ids ≡ 8/9 mod 10, outside the seed
+    // range) all near one off-center point → one frozen cell overloads
+    val base = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id")).filter(col("vec_id") < 200)
+    val shifted = pmod(col("vec_id"), lit(10)) >= 7 && col("vec_id") >= 20
+    val emb = base.withColumn("embedding",
+      transform(sequence(lit(1), lit(8)), j =>
+        when(shifted, when(j === 1, lit(6.0)).otherwise(lit(0.0)))
+          .otherwise(when(pmod(col("vec_id"), lit(8)) === pmod(j - 1, lit(8)),
+            lit(4.0)).otherwise(lit(0.0)))
+          + (pmod(graft.ext.PortableHash.md5Long(
+              concat(col("vec_id").cast("string"), lit(":"), j.cast("string"))),
+            lit(1000L)).cast("double") / 1000.0 - 0.5) * 0.5))
+    val b1 = col("vec_id") < 8 || pmod(col("vec_id"), lit(10)) < 4
+    val b3 = pmod(col("vec_id"), lit(10)) >= 7
+    val dir = java.nio.file.Files.createTempDirectory("graft-recluster")
+      .toFile.getAbsolutePath + "/state"
+    Similarity.appendIvfState(emb.filter(b1), dir, k = 8, iters = 2,
+      batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(!b1 && !b3), dir, k = 8, iters = 2,
+      batchTag = Some(2L))
+    Similarity.appendIvfState(emb.filter(!b1 && b3), dir, k = 8, iters = 2,
+      batchTag = Some(3L))
+    // delete a slice BEFORE reclustering: the new geometry must be
+    // trained on the SURVIVORS only
+    Similarity.deleteFromIvfState(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(10)) === 5).select("vec_id"),
+      "vec_id", deleteTag = Some(1L))
+    val probes = emb.filter(col("vec_id") < 10)
+    def maxHeavy(df: DataFrame): Double =
+      df.agg(max(col("heavy_to_mean"))).head().getDouble(0)
+    val auditBefore = Similarity.ivfStateAudit(spark, dir, probes,
+      topK = 5, nProbe = 2, occupancyCeil = 2.0).collect()
+    val heavyBefore = auditBefore.map(_.getAs[Double]("heavy_to_mean")).max
+    assert(auditBefore.head.getAs[Boolean]("retrain_recommended"),
+      s"drifted fixture must trip the audit (max heavy = $heavyBefore)")
+    Similarity.reclusterIvfState(spark, dir)
+    // geometry retrained on survivors: centroids == a from-scratch
+    // deterministic train over the live vectors
+    val survivors = emb.filter(pmod(col("vec_id"), lit(10)) =!= 5)
+    val fromScratch = Similarity.kmeansCentroids(survivors, 8, 2)
+      .select(col("cid"), col("c").cast("string"))
+      .as[(Int, String)].collect().toSet
+    val stored = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid"), col("c").cast("string"))
+      .as[(Int, String)].collect().toSet
+    assert(stored == fromScratch)
+    // deleted vids are gone from the rewritten cells; batch_id survives
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.columns.contains("batch_id"))
+    assert(!cells.select("vid").as[Long].collect().exists(_ % 10 == 5))
+    // retrieval parity: from-state == from-scratch kmeansIvfTopK on the
+    // survivors (same seeds, steps, rounding — exact equality)
+    def rows(df: DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4)).as[(Long, Long, Int, Double)]
+        .collect().toSeq.sortBy(r => (r._1, r._3))
+    val fromState = rows(Similarity.ivfTopKFromState(spark, dir, probes,
+      topK = 3, nProbe = 2))
+    val scratch = rows(Similarity.kmeansIvfTopK(survivors, probes,
+      topK = 3, k = 8, iters = 2, nProbe = 2))
+    assert(fromState == scratch && fromState.nonEmpty)
+    // the audit must improve (the drifted mass now owns adapted cells)
+    val heavyAfter = maxHeavy(Similarity.ivfStateAudit(spark, dir, probes,
+      topK = 5, nProbe = 2, occupancyCeil = 2.0))
+    info(s"max heavy_to_mean before=$heavyBefore after=$heavyAfter")
+    assert(heavyAfter < heavyBefore)
+    // a replayed old tagged append after the recluster overwrites its
+    // partition against the NEW centroids — no duplication, reads stable
+    val liveCount = Similarity.ivfTopKFromState(spark, dir, probes,
+      topK = 3, nProbe = 2).count()
+    Similarity.appendIvfState(emb.filter(!b1 && !b3), dir, k = 8, iters = 2,
+      batchTag = Some(2L))
+    assert(rows(Similarity.ivfTopKFromState(spark, dir, probes,
+      topK = 3, nProbe = 2)) == fromState)
+    assert(Similarity.ivfTopKFromState(spark, dir, probes,
+      topK = 3, nProbe = 2).count() == liveCount)
+    // crash remnant: a __compact_bak dir makes recluster/append refuse
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/cells__compact_bak")
+    bak.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(bak)
+    intercept[IllegalArgumentException](
+      Similarity.reclusterIvfState(spark, dir))
+    intercept[IllegalArgumentException](
+      Similarity.appendIvfState(emb.filter(b1), dir, k = 8, iters = 2,
+        batchTag = Some(9L)))
+  }
+
   test("tokenizer state: frozen merges, incremental encode, budget/mix parity") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
