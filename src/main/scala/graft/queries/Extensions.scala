@@ -1924,6 +1924,87 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** x123 — corpus-LIFECYCLE capstone over the state pillars: the full
+    * append → delete → compact → query cycle for the three result-bearing
+    * states in ONE gated plan (the x45/x68 capstone pattern applied to
+    * state maintenance — this is the regression net for every future
+    * state-layer change). Each pillar appends two tagged batches,
+    * deletes a slice (the shape the engine's own curation produces),
+    * COMPACTS (tombstones applied physically, layouts preserved), and
+    * answers its canonical query — which must hash-match a from-scratch
+    * derivation over the SURVIVORS:
+    *
+    *  - postings → BM25 top-10 (the x115 contract, now through
+    *    compaction as well);
+    *  - IVF → probed top-5 retrieval (the x119 contract + compaction);
+    *  - stats → exact per-source doc/token counts over survivors.
+    *
+    * All three sections fold into one (pillar, k1, k2, v) relation with
+    * doubles quantized to exact 1e-4 integers (floor(round4·1e4 + 0.5) of
+    * engine-identical rounded doubles), so the union is one long-typed
+    * hash-stable column. */
+  def x123(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x123_state").toFile.getAbsolutePath
+    val q4 = (c: org.apache.spark.sql.Column) =>
+      floor(round(c, 4) * 10000 + lit(0.5)).cast("long")
+
+    val ps = s"$root/postings"
+    Index.appendPostingsState(docs.filter(col("doc_id") < 250), ps,
+      "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 250), ps,
+      "doc_id", "text", batchTag = Some(2L))
+    Index.deleteFromPostingsState(s, ps,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    Index.compactPostingsState(s, ps)
+    val bm = Index.bm25TopKFromState(s, ps, Seq("dup", "vector", "window"),
+        k = 10, idCol = "doc_id")
+      .select(lit("bm25_score").as("pillar"),
+        col("doc_id").cast("string").as("k1"),
+        col("rank").cast("string").as("k2"), q4(col("score")).as("v"))
+
+    val vs = s"$root/ivf"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 250), vs,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 250), vs,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.deleteFromIvfState(s, vs,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.compactIvfState(s, vs)
+    val ann = Dedup.materialize(Similarity.ivfTopKFromState(s, vs,
+      emb.filter(col("vec_id") < 10), topK = 5, nProbe = 2))
+    val annRank = ann.select(lit("ann_rank").as("pillar"),
+      col("query_id").cast("string").as("k1"),
+      col("rank").cast("string").as("k2"),
+      col("neighbor_id").cast("long").as("v"))
+    val annCos = ann.select(lit("ann_cos").as("pillar"),
+      col("query_id").cast("string").as("k1"),
+      col("rank").cast("string").as("k2"), q4(col("cos")).as("v"))
+
+    val ss = s"$root/stats"
+    Profile.appendStatsState(docs.filter(col("doc_id") < 250), ss,
+      "text", "source", Some(1L))
+    Profile.appendStatsState(docs.filter(col("doc_id") >= 250), ss,
+      "text", "source", Some(2L))
+    Profile.deleteFromStatsState(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3), ss,
+      "text", "source", Some(1L))
+    Profile.compactStatsState(s, ss)
+    val st = Dedup.materialize(Profile.statsReport(s, ss))
+    val stDocs = st.select(lit("stats_docs").as("pillar"),
+      col("grp").as("k1"), lit("").as("k2"), col("n_docs").as("v"))
+    val stToks = st.select(lit("stats_tokens").as("pillar"),
+      col("grp").as("k1"), lit("").as("k2"), col("tokens").as("v"))
+
+    bm.unionByName(annRank).unionByName(annCos)
+      .unionByName(stDocs).unionByName(stToks)
+      .orderBy("pillar", "k1", "k2")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -2143,7 +2224,8 @@ object Extensions {
     "x119_ivf_delete" -> (x119 _),
     "x120_stats_delete" -> (x120 _),
     "x121_budget_from_state" -> (x121 _),
-    "x122_ivf_recluster" -> (x122 _)
+    "x122_ivf_recluster" -> (x122 _),
+    "x123_state_lifecycle" -> (x123 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2294,6 +2376,29 @@ object Extensions {
   /** Shared BM25 top-10 oracle (x53 batch path; x110 computes the
     * identical relation from persisted postings state). */
   private val bm25TopKOracleSql: String = bm25TopKOracleSqlWhere("")
+
+  /** The x119 delete-contract retrieval chain (x106 trained on batch 1,
+    * deleted vids excluded from the scoring side only) — shared verbatim
+    * by the x119 entry and x123's ann section (the capstone adds
+    * compaction, which must not change answers). */
+  private lazy val ivfDeleteOracleSql: String =
+    s"""WITH $annEmbCte,
+       |tr AS (SELECT * FROM e WHERE vec_id < 250),
+       |${kmeansTrainCtes("tr")},
+       |scored AS (
+       |  SELECT p.query_id, af.vid AS neighbor_id,
+       |    list_dot_product(p.qv, af.v)
+       |      / (sqrt(list_dot_product(p.qv, p.qv))
+       |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+       |  FROM probes p JOIN af USING (cid)
+       |  WHERE af.vid != p.query_id AND af.vid % 5 <> 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** The x53/x110 BM25 oracle over `documents` restricted by `docWhere` —
     * x115 reuses the whole chain with the tombstoned ids excluded, which
@@ -4769,25 +4874,9 @@ object Extensions {
 
     // x119: x106's retrieval chain with the deleted vids excluded from
     // the SCORING side only (the centroids trained before the delete —
-    // frozen-geometry contract)
-    "x119_ivf_delete" ->
-      s"""WITH $annEmbCte,
-         |tr AS (SELECT * FROM e WHERE vec_id < 250),
-         |${kmeansTrainCtes("tr")},
-         |scored AS (
-         |  SELECT p.query_id, af.vid AS neighbor_id,
-         |    list_dot_product(p.qv, af.v)
-         |      / (sqrt(list_dot_product(p.qv, p.qv))
-         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
-         |  FROM probes p JOIN af USING (cid)
-         |  WHERE af.vid != p.query_id AND af.vid % 5 <> 2),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos_sim
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // frozen-geometry contract). Shared with x123's ann section (the
+    // capstone adds compaction, which must not change answers).
+    "x119_ivf_delete" -> ivfDeleteOracleSql,
 
     // x120: exact counts over the SURVIVORS, distinct estimate bounded
     // against the APPENDED corpus's distinct (what a union-only sketch
@@ -4879,6 +4968,36 @@ object Extensions {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
          |  round(cos, 4) AS cos_sim,
          |  TRUE AS drift_flagged_before, h.max_heavy_after
-         |FROM ranked, heavy h WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |FROM ranked, heavy h WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // x123: each pillar's from-scratch survivor derivation, quantized and
+    // unioned — bm25 = the x115 chain, ann = the x119 chain (both as
+    // nested-WITH subqueries, names isolated), stats = exact survivor
+    // counts; compaction must not change any of it
+    "x123_state_lifecycle" ->
+      s"""SELECT pillar, k1, k2, v FROM (
+         |  SELECT 'bm25_score' AS pillar, CAST(doc_id AS VARCHAR) AS k1,
+         |    CAST(rank AS VARCHAR) AS k2,
+         |    CAST(floor(score * 10000 + 0.5) AS BIGINT) AS v
+         |  FROM (${bm25TopKOracleSqlWhere(" WHERE doc_id % 7 <> 3")})
+         |  UNION ALL
+         |  SELECT 'ann_rank', CAST(query_id AS VARCHAR),
+         |    CAST(rank AS VARCHAR), CAST(neighbor_id AS BIGINT)
+         |  FROM ($ivfDeleteOracleSql)
+         |  UNION ALL
+         |  SELECT 'ann_cos', CAST(query_id AS VARCHAR),
+         |    CAST(rank AS VARCHAR),
+         |    CAST(floor(cos_sim * 10000 + 0.5) AS BIGINT)
+         |  FROM ($ivfDeleteOracleSql)
+         |  UNION ALL
+         |  SELECT 'stats_docs', source, '',
+         |    CAST(count(*) FILTER (WHERE doc_id % 7 <> 3) AS BIGINT)
+         |  FROM documents GROUP BY source
+         |  UNION ALL
+         |  SELECT 'stats_tokens', source, '',
+         |    CAST(coalesce(sum(len(string_split(text, ' ')))
+         |      FILTER (WHERE doc_id % 7 <> 3), 0) AS BIGINT)
+         |  FROM documents GROUP BY source)
+         |ORDER BY pillar, k1, k2""".stripMargin
   )
 }
