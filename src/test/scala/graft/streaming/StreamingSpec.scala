@@ -346,6 +346,88 @@ class StreamingSpec extends SparkSpec {
     assert(acceptedIds == Set(1L, 3L, 11L), "replay overwrote, not duplicated")
   }
 
+  test("streaming vector ingest respects tombstones: deleted ghosts don't reject arrivals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+    val stateDir = s"$dir/state"
+    val pairsDir = s"$dir/pairs"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStream.vectorDedupIngest(
+      stream.toDS().toDF("vec_id", "embedding"), stateDir, pairsDir,
+      "vec_id", "embedding", checkpointDir = s"$dir/ckpt",
+      threshold = 0.9, k = 2, iters = 1, nProbe = 2)
+    def acceptedIds: Set[Long] = graft.ext.Similarity
+      .ivfTopKFromState(spark, stateDir,
+        Seq((99L, Seq(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding"),
+        topK = 10, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    val v1 = Seq(1f, 0f, 0f, 0f)
+    val v3 = Seq(0f, 0f, 1f, 0f)
+    try {
+      stream.addData(Seq((1L, v1), (3L, v3)))
+      q.processAllAvailable()
+      assert(acceptedIds == Set(1L, 3L))
+      // curation removes vector 1 BETWEEN micro-batches (the engine's own
+      // dedup/decontamination shape); the ingest query keeps running
+      graft.ext.Similarity.deleteFromIvfState(spark, stateDir,
+        Seq(1L).toDF("vec_id"), "vec_id", deleteTag = Some(1L))
+      assert(acceptedIds == Set(3L), "tombstoned vector still answers")
+      // a near-dup of the DELETED vector arrives: it must be ACCEPTED —
+      // rejecting against a ghost would permanently drop content the
+      // corpus no longer holds
+      val near1 = Seq(0.9f, 0.1f, 0f, 0f)
+      stream.addData(Seq((10L, near1)))
+      q.processAllAvailable()
+      assert(acceptedIds == Set(3L, 10L),
+        "arrival matching only a tombstoned ghost must be accepted")
+      // ...and a live near-dup still rejects: 10's own near-dup
+      stream.addData(Seq((20L, Seq(0.89f, 0.11f, 0f, 0f))))
+      q.processAllAvailable()
+      assert(acceptedIds == Set(3L, 10L),
+        "live near-dup must still be rejected after a delete")
+      assert(spark.read.parquet(pairsDir)
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+        .contains((20L, 10L)))
+    } finally q.stop()
+  }
+
+  test("streaming postings ingest composes with deletes: parity on survivors + new batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_del").toString
+    val stateDir = s"$dir/state"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = IndexStream.postingsIngest(
+      stream.toDS().toDF("doc_id", "text"), stateDir,
+      "doc_id", "text", checkpointDir = s"$dir/ckpt")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val (b1, b2) = (docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250))
+    try {
+      stream.addData(b1.select("doc_id", "text").as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      // curation deletes a slice of batch 0 between micro-batches; the
+      // ingest keeps running and later batches land on the same state
+      graft.ext.Index.deleteFromPostingsState(spark, stateDir,
+        b1.filter(pmod(col("doc_id"), lit(5)) === 2).select("doc_id"),
+        "doc_id", deleteTag = Some(1L))
+      stream.addData(b2.select("doc_id", "text").as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("dup", "vector", "window")
+    val fromState = graft.ext.Index
+      .bm25TopKFromState(spark, stateDir, terms, k = 10, idCol = "doc_id")
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Long)].collect().toSet
+    val survivors = docs.filter(
+      col("doc_id") >= 250 || pmod(col("doc_id"), lit(5)) =!= 2)
+    val direct = graft.ext.Index
+      .bm25TopK(survivors, "doc_id", "text", terms, k = 10)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(fromState == direct && fromState.nonEmpty)
+    assert(!fromState.exists(r => r._1 < 250 && r._1 % 5 == 2))
+  }
+
   test("streaming postings ingest: state answers == batch BM25 over the history") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_ingest").toString
     val stateDir = s"$dir/state"
