@@ -208,6 +208,59 @@ object TableFunctions {
       "substring_fixpoint", exprs => substringFixpoint(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "trained_scorer", exprs => trainedScorer(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "budget_from_state", exprs => budgetFromState(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mix_from_state", exprs => mixFromState(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "tokenizer_merges", exprs => tokenizerMerges(spark, exprs), "built-in")
+  }
+
+  /** `budget_from_state('dir', quality_table, 'id', 'quality', budget[,
+    * granularity])` → [[graft.ext.Bpe.tokenBudgetFromState]]: the
+    * take-the-best-N-tokens selection answered from the persisted
+    * tokenizer state's (id, bpe_tokens) sidecar — no retraining, no
+    * corpus re-encode. */
+  private def budgetFromState(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "budget_from_state"
+    requireArity(f, exprs, min = 5, max = 6)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val quality = args.table(spark, "quality_table")
+    val id = args.name("id")
+    val q = args.name("quality")
+    val budget = args.long("budget")
+    val gran = if (args.exhausted) 100 else args.int("granularity")
+    plan(graft.ext.Bpe.tokenBudgetFromState(spark, dir, quality, id, q,
+      budget, gran))
+  }
+
+  /** `mix_from_state('dir', groups_table, 'id', 'group'[, alpha])` →
+    * [[graft.ext.Bpe.temperatureMixFromState]]: temperature-flattened
+    * mixture shares in TOKENIZER units from the persisted encoded
+    * counts. */
+  private def mixFromState(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "mix_from_state"
+    requireArity(f, exprs, min = 4, max = 5)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val groups = args.table(spark, "groups_table")
+    val id = args.name("id")
+    val grp = args.name("group")
+    val alpha = if (args.exhausted) 0.5 else args.double("alpha")
+    plan(graft.ext.Bpe.temperatureMixFromState(spark, dir, groups, id, grp,
+      alpha))
+  }
+
+  /** `tokenizer_merges('dir')` → the frozen merge table of a persisted
+    * tokenizer state, in training order — the read surface for auditing
+    * which vocabulary a corpus's counts are denominated in. */
+  private def tokenizerMerges(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "tokenizer_merges"
+    requireArity(f, exprs, min = 1, max = 1)
+    val args = new Args(f, exprs)
+    plan(spark.read.parquet(s"${args.name("dir")}/merges")
+      .orderBy(org.apache.spark.sql.functions.col("step")))
   }
 
   /** `ivf_state_audit('dir', 'probes', 'id', 'vec', top_k, n_probe[,

@@ -471,6 +471,36 @@ class TableFunctionsSpec extends SparkSpec {
         emb.filter($"vec_id" < 5), 5, 2))
   }
 
+  test("round-13 TVFs (budget_from_state/mix_from_state/tokenizer_merges) == Scala APIs") {
+    ready()
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter($"doc_id" < 100).select($"doc_id", $"text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_tok").toFile.getAbsolutePath + "/s"
+    graft.ext.Bpe.appendTokenizerState(docs, dir, "doc_id", "text",
+      numMerges = 3, batchTag = Some(1L))
+    assertSame(
+      spark.sql(s"SELECT * FROM tokenizer_merges('$dir')"),
+      graft.ext.Bpe.trainMerges(docs, "text", 3))
+    val quality = docs.select(($"doc_id" +:
+      graft.ext.TextAnalysis.qualityColumns($"text")): _*)
+      .select($"doc_id", $"quality_score")
+    quality.createOrReplaceTempView("tvf_quality13")
+    assertSame(
+      spark.sql(s"SELECT * FROM budget_from_state('$dir', 'tvf_quality13', " +
+        "'doc_id', 'quality_score', 4000)"),
+      graft.ext.Bpe.tokenBudgetFromState(spark, dir, quality,
+        "doc_id", "quality_score", 4000L))
+    val groups = docs.select($"doc_id",
+      ($"doc_id" % 3).cast("string").as("grp"))
+    groups.createOrReplaceTempView("tvf_groups13")
+    assertSame(
+      spark.sql(s"SELECT * FROM mix_from_state('$dir', 'tvf_groups13', " +
+        "'doc_id', 'grp')"),
+      graft.ext.Bpe.temperatureMixFromState(spark, dir, groups,
+        "doc_id", "grp"))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
