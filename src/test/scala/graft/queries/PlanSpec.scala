@@ -370,6 +370,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"state probe grew a cartesian:\n$p")
   }
 
+  test("tokenBudgetFromState: the read path pays no training and no re-encode") {
+    // the whole point of the tokenizer pillar (x121): a budget query over
+    // a built state must scan ONLY the narrow (id, bpe_tokens) sidecar +
+    // the caller's quality frame — if the plan ever scans the documents
+    // table or folds merge lambdas, the read path regressed to x117's
+    // retrain-per-call shape
+    val docs = graft.Tables(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_plan_tok").toFile.getAbsolutePath + "/s"
+    graft.ext.Bpe.appendTokenizerState(docs, dir, "doc_id", "text",
+      numMerges = 3, batchTag = Some(1L))
+    val quality = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      (org.apache.spark.sql.functions.col("doc_id") % 7).cast("double")
+        .as("quality_score"))
+    val p = plan(graft.ext.Bpe.tokenBudgetFromState(spark, dir, quality,
+      "doc_id", "quality_score", budget = 4000L))
+    assert(!p.contains("documents.parquet"),
+      s"budget-from-state scans the corpus text:\n$p")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      s"budget-from-state folds merge lambdas (re-encode in the read path):\n$p")
+    assert(p.contains("doc_tokens"),
+      s"budget-from-state does not read the persisted sidecar:\n$p")
+  }
+
   test("x112: the corpus is shingled and signed exactly once") {
     // the materialized pair relation feeds BOTH the audit joins and the
     // cluster-rep split (leakageFreeSplitFromPairs) — so the final plan
