@@ -383,9 +383,12 @@ class PlanSpec extends SparkSpec {
       .createTempDirectory("graft_plan_tok").toFile.getAbsolutePath + "/s"
     graft.ext.Bpe.appendTokenizerState(docs, dir, "doc_id", "text",
       numMerges = 3, batchTag = Some(1L))
-    val quality = docs.select(
-      org.apache.spark.sql.functions.col("doc_id"),
-      (org.apache.spark.sql.functions.col("doc_id") % 7).cast("double")
+    // the caller's quality frame is deliberately corpus-free (a range) so
+    // a "documents.parquet" scan in the plan can ONLY mean the budget
+    // read path itself touched the corpus text
+    val quality = spark.range(0, 100).select(
+      org.apache.spark.sql.functions.col("id").as("doc_id"),
+      (org.apache.spark.sql.functions.col("id") % 7).cast("double")
         .as("quality_score"))
     val p = plan(graft.ext.Bpe.tokenBudgetFromState(spark, dir, quality,
       "doc_id", "quality_score", budget = 4000L))
