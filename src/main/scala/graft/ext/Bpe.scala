@@ -507,6 +507,35 @@ object Bpe {
     Sampling.temperatureMixFromCounts(counts, grpCol, alpha)
   }
 
+  /** [[graft.ext.Sampling.temperatureSample]] answered from persisted
+    * encoded counts — the full mix-assembly step (flattened shares →
+    * per-source token budgets → deterministic hash-order fill) with the
+    * corpus text never touched: the (id, bpe_tokens) sidecar joins the
+    * caller's (idCol, grpCol) frame ONCE (materialized — shares and fill
+    * both read the narrow joined frame), shares come from
+    * [[Sampling.temperatureMixFromCounts]], and the fill is the same
+    * two-phase prefix sum ([[Sampling.temperatureFill]]). x111 pays two
+    * corpus tokenize passes for this; here both passes are a sidecar
+    * read. Returns (grpCol, idCol, tokens, cum_tokens). */
+  def temperatureSampleFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      groups: DataFrame, idCol: String, grpCol: String,
+      totalTokens: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive: $totalTokens")
+    val joined = Dedup.materialize(
+      groups.select(col(idCol).as("id"), col(grpCol).as("grp"))
+        .join(readDocTokens(spark, dir), Seq("id"))
+        .select(col("grp"), col("id"), col("bpe_tokens").as("tokens")))
+    val counts = Dedup.materialize(joined.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens")))
+    val shares = Sampling.temperatureMixFromCounts(counts, "grp", alpha)
+      .select(col("grp").cast("string"), col("share_temp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    Sampling.temperatureFill(joined, "id", "grp", shares, totalTokens)
+      .select(col("grp").as(grpCol), col("id").as(idCol),
+        col("tokens"), col("cum_tokens"))
+  }
+
   /** Small-file maintenance for a tokenizer state dir — the shared
     * backup-swap compaction; tombstoned sidecar rows drop physically
     * (no correction derives from them — see [[deleteFromTokenizerState]]);

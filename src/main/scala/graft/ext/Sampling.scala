@@ -227,18 +227,32 @@ object Sampling {
       docs: DataFrame, idCol: String, textCol: String, grpCol: String,
       totalTokens: Long, alpha: Double = 0.5,
       merges: Seq[(String, String)] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(totalTokens > 0, s"totalTokens must be positive: $totalTokens")
     val shares = temperatureMix(docs, textCol, grpCol, alpha, merges)
       .select(col(grpCol).cast("string"), col("share_temp")).collect()
       .map(r => r.getString(0) -> r.getDouble(1))
+    val base = docs.select(col(grpCol), col(idCol),
+      Bpe.encodedSize(col(textCol), merges).cast("long").as("tokens"))
+    temperatureFill(base, idCol, grpCol, shares, totalTokens)
+  }
+
+  /** The per-source budget FILL behind [[temperatureSample]] — shares
+    * become codegen'd budget literals and each source fills in
+    * deterministic hash order through the two-phase distributed prefix
+    * sum (see [[temperatureSample]]'s scale notes). `base` must be
+    * (grpCol, idCol, tokens); shared with
+    * [[graft.ext.Bpe.temperatureSampleFromState]], whose `base` comes
+    * from the persisted tokenizer sidecar instead of a tokenize pass —
+    * both produce bit-identical fills from the same counts. */
+  private[ext] def temperatureFill(
+      base0: DataFrame, idCol: String, grpCol: String,
+      shares: Array[(String, Double)], totalTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val budgetExpr = shares.foldLeft(lit(0L): Column) { case (acc, (g, s)) =>
       when(col(grpCol) === g,
         lit(math.floor(s * totalTokens).toLong)).otherwise(acc)
     }
-    val base = docs
-      .select(col(grpCol), col(idCol),
-        Bpe.encodedSize(col(textCol), merges).cast("long").as("tokens"))
+    val base = base0
       .withColumn("graft_h",
         PortableHash.md5Long(col(idCol).cast("string"), "tsamp:"))
       .withColumn("graft_hb", (col("graft_h") / lit(1L << 52)).cast("long"))

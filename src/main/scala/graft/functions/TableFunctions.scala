@@ -214,6 +214,26 @@ object TableFunctions {
       "mix_from_state", exprs => mixFromState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "tokenizer_merges", exprs => tokenizerMerges(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sample_from_state", exprs => sampleFromState(spark, exprs), "built-in")
+  }
+
+  /** `sample_from_state('dir', groups_table, 'id', 'group', total_tokens[,
+    * alpha])` → [[graft.ext.Bpe.temperatureSampleFromState]]: the full
+    * mix-assembly fill in tokenizer units from persisted encoded
+    * counts — zero corpus passes. */
+  private def sampleFromState(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "sample_from_state"
+    requireArity(f, exprs, min = 5, max = 6)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val groups = args.table(spark, "groups_table")
+    val id = args.name("id")
+    val grp = args.name("group")
+    val total = args.long("total_tokens")
+    val alpha = if (args.exhausted) 0.5 else args.double("alpha")
+    plan(graft.ext.Bpe.temperatureSampleFromState(spark, dir, groups, id,
+      grp, total, alpha))
   }
 
   /** `budget_from_state('dir', quality_table, 'id', 'quality', budget[,

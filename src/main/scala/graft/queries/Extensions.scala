@@ -2005,6 +2005,31 @@ object Extensions {
       .orderBy("pillar", "k1", "k2")
   }
 
+  /** x124 — temperature-sampled mix assembly from PERSISTED TOKENIZER
+    * STATE ([[Bpe.temperatureSampleFromState]]): x111's full recipe step
+    * (α-flattened shares → per-source budgets → deterministic hash-order
+    * fill) with BOTH corpus passes replaced by a sidecar read — x111
+    * tokenizes the corpus twice (share aggregation + fill); here the
+    * (id, bpe_tokens) sidecar joins the source map once and shares/fill
+    * read the narrow joined frame. Budgets are denominated in TOKENIZER
+    * tokens (the x117/x121 unit): merges froze on the first batch, the
+    * second encoded incrementally. The oracle replays the frozen-
+    * tokenizer encode and the naive per-source running window over the
+    * encoded counts. */
+  def x124(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x124_state").toFile.getAbsolutePath
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 250), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(1L))
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") >= 250), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(2L))
+    Bpe.temperatureSampleFromState(s, state,
+        docs.select(col("doc_id"), col("source")), "doc_id", "source",
+        totalTokens = 5000L)
+      .orderBy("source", "cum_tokens")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -2225,7 +2250,8 @@ object Extensions {
     "x120_stats_delete" -> (x120 _),
     "x121_budget_from_state" -> (x121 _),
     "x122_ivf_recluster" -> (x122 _),
-    "x123_state_lifecycle" -> (x123 _)
+    "x123_state_lifecycle" -> (x123 _),
+    "x124_sample_from_state" -> (x124 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -4998,6 +5024,41 @@ object Extensions {
          |    CAST(coalesce(sum(len(string_split(text, ' ')))
          |      FILTER (WHERE doc_id % 7 <> 3), 0) AS BIGINT)
          |  FROM documents GROUP BY source)
-         |ORDER BY pillar, k1, k2""".stripMargin
+         |ORDER BY pillar, k1, k2""".stripMargin,
+
+    // x124: x111's share/budget/fill chain with tokens = the frozen-
+    // tokenizer encoded counts (training restricted to batch 1, every
+    // doc re-encoded - the x121 CTEs), naive per-source running window
+    "x124_sample_from_state" ->
+      s"""WITH ${bpeEncodedCorpusCtes(4, " WHERE doc_id < 250")},
+         |enc AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS tokens FROM it4),
+         |doc AS (
+         |  SELECT d.source, enc.doc_id, enc.tokens
+         |  FROM documents d JOIN enc USING (doc_id)),
+         |c AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS tokens
+         |      FROM doc GROUP BY source),
+         |q AS (SELECT source, CAST(floor(sqrt(CAST(tokens AS DOUBLE)
+         |      / (SELECT CAST(max(tokens) AS DOUBLE) FROM c)) * 1e12)
+         |    AS BIGINT) AS paq FROM c),
+         |tot AS (SELECT CAST(sum(paq) AS BIGINT) AS totp FROM q),
+         |b AS (SELECT source,
+         |  CAST(floor(floor(CAST(paq AS DOUBLE) / totp * 10000 + 0.5)
+         |    / 10000 * 5000) AS BIGINT) AS budget
+         |  FROM q, tot),
+         |d2 AS (SELECT source, doc_id, tokens,
+         |  CAST(concat('0x', substr(md5(concat('tsamp:',
+         |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+         |  FROM doc),
+         |cum AS (
+         |  SELECT source, doc_id, tokens,
+         |    sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM d2)
+         |SELECT cum.source, doc_id, tokens,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM cum JOIN b USING (source)
+         |WHERE cum_tokens - tokens < budget
+         |ORDER BY source, cum_tokens""".stripMargin
   )
 }

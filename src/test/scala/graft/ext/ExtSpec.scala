@@ -2788,6 +2788,41 @@ class ExtSpec extends SparkSpec {
     assert(Bpe.readMerges(spark, dir) == fromB1)
   }
 
+  test("temperatureSampleFromState == recompute with the stored merges; deletes respected") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"),
+        (pmod(col("doc_id"), lit(3))).cast("string").as("grp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-toksample")
+      .toFile.getAbsolutePath + "/state"
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 60), dir,
+      "doc_id", "text", numMerges = 3, batchTag = Some(1L))
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") >= 60), dir,
+      "doc_id", "text", numMerges = 3, batchTag = Some(2L))
+    val stored = Bpe.readMerges(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "doc_id", "tokens", "cum_tokens")
+        .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    val fromState = rows(Bpe.temperatureSampleFromState(spark, dir,
+      docs.select(col("doc_id"), col("grp")), "doc_id", "grp",
+      totalTokens = 3000L))
+    val recomputed = rows(Sampling.temperatureSample(docs, "doc_id",
+      "text", "grp", totalTokens = 3000L, merges = stored))
+    assert(fromState == recomputed && fromState.nonEmpty)
+    // deleted docs leave the shares AND the fill: parity with a
+    // recompute over the survivors under the SAME frozen merges
+    Bpe.deleteFromTokenizerState(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(4)) === 1).select("doc_id"),
+      "doc_id", deleteTag = Some(1L))
+    val surv = docs.filter(pmod(col("doc_id"), lit(4)) =!= 1)
+    val afterDel = rows(Bpe.temperatureSampleFromState(spark, dir,
+      docs.select(col("doc_id"), col("grp")), "doc_id", "grp",
+      totalTokens = 3000L))
+    val survSample = rows(Sampling.temperatureSample(surv, "doc_id",
+      "text", "grp", totalTokens = 3000L, merges = stored))
+    assert(afterDel == survSample && afterDel.nonEmpty)
+    assert(!afterDel.exists(_._2 % 4 == 1))
+  }
+
   test("tokenizer state: empty first batch is a no-op, not a frozen-empty train") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 40).select(col("doc_id"), col("text"))

@@ -499,6 +499,11 @@ class TableFunctionsSpec extends SparkSpec {
         "'doc_id', 'grp')"),
       graft.ext.Bpe.temperatureMixFromState(spark, dir, groups,
         "doc_id", "grp"))
+    assertSame(
+      spark.sql(s"SELECT * FROM sample_from_state('$dir', 'tvf_groups13', " +
+        "'doc_id', 'grp', 3000)"),
+      graft.ext.Bpe.temperatureSampleFromState(spark, dir, groups,
+        "doc_id", "grp", 3000L))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
