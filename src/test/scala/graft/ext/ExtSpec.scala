@@ -2700,6 +2700,43 @@ class ExtSpec extends SparkSpec {
         batchTag = Some(9L)))
   }
 
+  test("recluster crash recovery: restore the __compact_bak and the state works again") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-swaprec")
+      .toFile.getAbsolutePath + "/state"
+    Similarity.appendIvfState(emb, dir, k = 4, iters = 1,
+      batchTag = Some(1L))
+    val probes = emb.filter(col("vec_id") < 5)
+    def answers = Similarity.ivfTopKFromState(spark, dir, probes,
+        topK = 3, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val before = answers
+    // simulate a swap crash BETWEEN the two renames: live centroids moved
+    // aside to __compact_bak, replacement never arrived
+    val hconf = spark.sessionState.newHadoopConf()
+    val livePath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val bakPath = new org.apache.hadoop.fs.Path(s"$dir/centroids__compact_bak")
+    val fs = livePath.getFileSystem(hconf)
+    assert(fs.rename(livePath, bakPath))
+    // every mutating entry point refuses the wreckage with the recovery
+    // step in the message
+    val e = intercept[IllegalArgumentException](
+      Similarity.appendIvfState(emb, dir, k = 4, iters = 1,
+        batchTag = Some(2L)))
+    assert(e.getMessage.contains("restore"))
+    intercept[IllegalArgumentException](
+      Similarity.reclusterIvfState(spark, dir))
+    // the documented recovery: move the backup over the live table —
+    // after it, appends work and answers are exactly the pre-crash ones
+    assert(fs.rename(bakPath, livePath))
+    assert(answers == before)
+    Similarity.appendIvfState(emb, dir, k = 4, iters = 1,
+      batchTag = Some(1L)) // replay-shaped append goes through again
+    assert(answers == before)
+  }
+
   test("tokenizer state: frozen merges, incremental encode, budget/mix parity") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))

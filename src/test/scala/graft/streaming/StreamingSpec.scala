@@ -346,6 +346,47 @@ class StreamingSpec extends SparkSpec {
     assert(acceptedIds == Set(1L, 3L, 11L), "replay overwrote, not duplicated")
   }
 
+  test("streaming text ingest respects tombstones: deleted docs re-enter, live dups reject") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_del").toString
+    val stateDir = s"$dir/state"
+    val pairsDir = s"$dir/pairs"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = DedupStream.nearDupIngestFromState(
+      stream.toDS().toDF("doc_id", "text"), stateDir, pairsDir,
+      "doc_id", "text", checkpointDir = s"$dir/ckpt")
+    def live: Set[Long] = {
+      val tombs = spark.read.parquet(s"$stateDir/tombstones")
+        .select("id").as[Long].collect().toSet
+      spark.read.parquet(s"$stateDir/members")
+        .select("id").as[Long].collect().toSet -- tombs
+    }
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "an entirely different document about spark shuffles and windows here"
+    try {
+      stream.addData(Seq((1L, a), (3L, b)))
+      q.processAllAvailable()
+      // curation removes doc 1 between micro-batches (excision /
+      // decontamination output shape); the ingest keeps running
+      graft.ext.Dedup.deleteFromLshState(spark, stateDir,
+        Seq(1L).toDF("doc_id"), "doc_id", deleteTag = Some(1L))
+      // a byte-identical re-arrival of the DELETED text must be ACCEPTED
+      // (its group's rep is a ghost — rejecting against it would drop
+      // content the corpus no longer holds)
+      stream.addData(Seq((10L, a)))
+      q.processAllAvailable()
+      assert(live == Set(3L, 10L),
+        s"re-arrival of deleted content must sign fresh: $live")
+      // ...and a near-dup of the LIVE re-accepted doc still rejects
+      stream.addData(Seq((20L, a.replace("today", "tomorrow"))))
+      q.processAllAvailable()
+      assert(live == Set(3L, 10L), s"live near-dup must still reject: $live")
+      assert(spark.read.parquet(pairsDir)
+        .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+        .contains((20L, 10L)))
+    } finally q.stop()
+  }
+
   test("streaming vector ingest respects tombstones: deleted ghosts don't reject arrivals") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
     val stateDir = s"$dir/state"
