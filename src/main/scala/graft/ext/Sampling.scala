@@ -154,6 +154,11 @@ object Sampling {
       docs: DataFrame, textCol: String, grpCol: String,
       alpha: Double = 0.5,
       merges: Seq[(String, String)] = Nil): DataFrame = {
+    // validate alpha BEFORE the corpus pass below materializes — the
+    // same require sits in temperatureMixFromCounts (the shared core),
+    // but reaching it from here would cost a full tokenize/aggregate
+    // first just to reject a bad parameter
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
     val counts = Dedup.materialize(docs
       .select(col(grpCol).as("grp"),
         Bpe.encodedSize(col(textCol), merges).cast("long").as("graft_tok"))

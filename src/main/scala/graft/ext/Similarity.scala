@@ -483,6 +483,9 @@ object Similarity {
   private def readCellsLive(
       spark: SparkSession, dir: String,
       excludeTag: Option[Long] = None): DataFrame = {
+    // a committed-but-unapplied recluster swap can pair NEW centroids
+    // with OLD-geometry cells — no query may read across that window
+    StateIO.checkNoSwapInProgress(spark, dir)
     val raw = spark.read.parquet(s"$dir/cells")
     val untagged = excludeTag
       .filter(_ => raw.columns.contains("batch_id"))
@@ -640,10 +643,29 @@ object Similarity {
     * live cells — O(live · k) map-side) + one reassignment + a full
     * cells rewrite — deliberately an OFFLINE maintenance pass, the same
     * posture as compaction (run it when the audit says so, not per
-    * batch). Crash between the two table swaps leaves a
-    * `__compact_bak` dir that every append/compact/recluster entry
-    * fails fast on, with the backup intact for recovery. */
-  def reclusterIvfState(spark: SparkSession, dir: String): Unit = {
+    * batch).
+    *
+    * Crash safety: centroids and cells move under ONE commit point
+    * ([[StateIO.swapInTables]] — both new tables are fully staged, then
+    * a `_swap_commit` marker is published by one atomic rename, then
+    * the renames apply). A crash at ANY point leaves either the full
+    * old fit (pre-marker — staged tmps are garbage) or a marker that
+    * every read/append/compact entry fails fast on until
+    * [[recoverIvfState]] rolls the swap forward to the full new fit.
+    * There is no window where new centroids pair with old-geometry
+    * cells: the first live rename happens only after the marker (and
+    * with it the complete staged fit) is durable. */
+  def reclusterIvfState(spark: SparkSession, dir: String): Unit =
+    reclusterIvfState(spark, dir, crashAfterApplied = -1)
+
+  /** [[reclusterIvfState]] with [[StateIO.swapInTables]]' fault-injection
+    * hook exposed — the x127 crash-recovery gate and the StateIO specs
+    * inject a deterministic crash between the commit marker and the
+    * table renames (`crashAfterApplied` = 0 or 1), then prove
+    * [[recoverIvfState]] restores the full new fit. Production callers
+    * use the public overload (hook off). */
+  private[graft] def reclusterIvfState(
+      spark: SparkSession, dir: String, crashAfterApplied: Int): Unit = {
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("centroids", "cells", "tombstones"))
     val meta =
@@ -676,11 +698,22 @@ object Similarity {
         reassigned.join(live.select(col("vid"), col("batch_id")), Seq("vid"))
           .select(col("cid"), col("vid"), col("v"), col("cn"), col("batch_id"))
       else reassigned
-    StateIO.swapInTable(spark, dir, "centroids", newCents)
-    StateIO.swapInTable(spark, dir, "cells",
-      graft.ext.Dedup.materialize(newCells),
-      partitionCols = if (hasBatch) Seq("batch_id") else Nil)
+    StateIO.swapInTables(spark, dir, Seq(
+      ("centroids", newCents, Nil),
+      ("cells", graft.ext.Dedup.materialize(newCells),
+        if (hasBatch) Seq("batch_id") else Nil)),
+      crashAfterApplied)
   }
+
+  /** Roll forward a [[reclusterIvfState]] that crashed after its commit
+    * point (the `_swap_commit` marker is present and every read/append
+    * fails fast): re-applies the staged centroids + cells renames —
+    * idempotent — and clears the marker, leaving the FULL new fit.
+    * Returns true iff a crashed swap was found; calling it on a healthy
+    * dir is a no-op. A crash BEFORE the commit point needs no recovery
+    * at all (the old fit is intact; staged tmp dirs are garbage). */
+  def recoverIvfState(spark: SparkSession, dir: String): Boolean =
+    StateIO.recoverSwap(spark, dir)
 
   /** IVF-state DRIFT audit — the measurement the frozen-centroid posture
     * ([[appendIvfState]] trains on the first batch and never retrains)

@@ -56,6 +56,39 @@ private[graft] object StateIO {
         s"found $bak — a compaction crashed mid-swap; restore it over " +
           s"$dir/$t (verify contents first) before appending")
     }
+    checkNoSwapInProgress(spark, dir)
+  }
+
+  /** Name of the commit-marker file a [[swapInTables]] publishes between
+    * staging and applying. While it exists the state dir may mix old and
+    * new table fits — every reader and every append/compact entry point
+    * fails fast on it until [[recoverSwap]] rolls the swap forward. */
+  private[graft] val SwapCommitMarker = "_swap_commit"
+
+  /** Thrown by [[swapInTables]]' fault-injection hook (`crashAfterApplied`)
+    * — a DETERMINISTIC stand-in for a process crash mid-swap, so the
+    * crash-recovery contract is gateable (the x127 gate and the StateIO
+    * specs catch exactly this type and then run [[recoverSwap]]). */
+  private[graft] final class InjectedCrash(applied: Int)
+    extends RuntimeException(
+      s"fault injection: simulated crash after $applied applied table swap(s)")
+
+  /** Fail fast if a multi-table swap committed but did not finish
+    * applying ([[swapInTables]] crashed after publishing its marker).
+    * Shared by [[checkNoCompactRemnants]] (all append/delete/compact
+    * entry points) and the state READ paths: between the marker and the
+    * last rename the dir can pair NEW tables with OLD ones (e.g.
+    * reclustered centroids over cells assigned under the old geometry —
+    * cid values silently refer to different clusters), so nothing may
+    * read until the roll-forward completes. */
+  def checkNoSwapInProgress(spark: SparkSession, dir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, SwapCommitMarker)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(marker),
+      s"found $marker — a multi-table swap (recluster) committed but did " +
+        "not finish applying; run StateIO.recoverSwap (or the pillar's " +
+        "recover entry point, e.g. Similarity.recoverIvfState) to roll it " +
+        "forward before touching the state")
   }
 
   /** True iff the path exists on its filesystem (a raw FS probe — no
@@ -65,35 +98,144 @@ private[graft] object StateIO {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** Replace a state table's CONTENT atomically-per-table with the
-    * backup-swap rename discipline ([[Dedup.compactStateTables]] uses the
-    * identical sequence for layout-only rewrites; this is the shared
-    * primitive for rewrites that CHANGE rows — e.g.
-    * [[Similarity.reclusterIvfState]] swapping in retrained centroids and
-    * reassigned cells): write `df` to `<table>__compact_tmp`, move the
-    * live table to `<table>__compact_bak`, move tmp in, drop the backup.
-    * A crash between the two renames leaves the `__compact_bak` dir that
-    * every pillar's append/compact entry point fails fast on
-    * ([[checkNoCompactRemnants]]), with the backup intact for recovery.
-    * `df` must NOT read lazily from the table being replaced —
-    * materialize it first ([[Dedup.materialize]]). */
+  /** Replace the CONTENT of one or more state tables under a SINGLE
+    * commit point — the shared primitive for rewrites that CHANGE rows
+    * and must move together (e.g. [[Similarity.reclusterIvfState]]
+    * swapping retrained `centroids` with cells reassigned under them: a
+    * state that pairs one new table with one old table is silently
+    * wrong — cid values refer to different clusters — and per-table
+    * atomicity cannot prevent that pairing).
+    *
+    * Protocol, in three phases:
+    *
+    *  1. **Stage.** Every table's new content is written to
+    *     `<table>__compact_tmp`. No live table is touched, so the staged
+    *     frames may read lazily from the very tables they replace, and a
+    *     crash anywhere here leaves the OLD fit fully intact (stale tmp
+    *     dirs are pre-commit garbage, deleted by the next swap's stage).
+    *  2. **Commit.** The `_swap_commit` marker file (listing the tables)
+    *     is published by ONE atomic rename — this is the commit point.
+    *     A crash before it: full old fit. After it: the new fit is
+    *     durable in the tmp dirs and recovery rolls FORWARD.
+    *  3. **Apply.** Each table is renamed in (live → `__compact_bak`,
+    *     tmp → live, drop bak — [[applyStagedTable]], idempotent for
+    *     every intermediate crash state), then the marker is removed.
+    *     Until the marker is gone, every read/append/compact entry
+    *     point fails fast ([[checkNoSwapInProgress]]) and
+    *     [[recoverSwap]] re-runs phase 3 to completion.
+    *
+    * Pre-existing `<table>__compact_bak` dirs are NEVER deleted here —
+    * a bak is the recovery artifact of a crashed compaction, so this
+    * fails fast instead (remnant handling stays in
+    * [[checkNoCompactRemnants]] / [[recoverSwap]], one place).
+    *
+    * `crashAfterApplied` is a fault-injection hook for the crash-safety
+    * gates ONLY (negative = off): ≥ 0 throws [[InjectedCrash]] after
+    * applying that many tables — 0 crashes right after the commit
+    * marker, 1 reproduces exactly the window where the first table
+    * swapped and the second did not. */
+  private[graft] def swapInTables(
+      spark: SparkSession, dir: String,
+      tables: Seq[(String, DataFrame, Seq[String])],
+      crashAfterApplied: Int = -1): Unit = {
+    require(tables.nonEmpty, "swapInTables: no tables to swap")
+    val hconf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hconf)
+    def p(name: String) = new org.apache.hadoop.fs.Path(dir, name)
+    checkNoSwapInProgress(spark, dir)
+    tables.foreach { case (t, _, _) =>
+      require(!fs.exists(p(s"${t}__compact_bak")),
+        s"found $dir/${t}__compact_bak — a compaction or swap crashed " +
+          s"mid-rename; restore/verify it over $dir/$t first " +
+          "(swapInTables never deletes a backup)")
+      require(fs.exists(p(t)),
+        s"swapInTables: live table $dir/$t does not exist")
+    }
+    // phase 1: stage
+    tables.foreach { case (t, df, partitionCols) =>
+      val tmp = p(s"${t}__compact_tmp")
+      fs.delete(tmp, true)
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
+    }
+    // phase 2: commit — publish the marker with one atomic rename
+    val markerTmp = p(SwapCommitMarker + "__tmp")
+    fs.delete(markerTmp, true)
+    val out = fs.create(markerTmp, true)
+    try out.write(tables.map(_._1).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(markerTmp, p(SwapCommitMarker)),
+      s"swapInTables: cannot publish commit marker in $dir")
+    // phase 3: apply + clear the marker
+    var applied = 0
+    tables.foreach { case (t, _, _) =>
+      if (applied == crashAfterApplied) throw new InjectedCrash(applied)
+      applyStagedTable(fs, dir, t)
+      applied += 1
+    }
+    if (crashAfterApplied == tables.size) throw new InjectedCrash(applied)
+    fs.delete(p(SwapCommitMarker), false)
+  }
+
+  /** Single-table convenience over [[swapInTables]] — same commit-marker
+    * protocol, same fail-fast on pre-existing backups. */
   private[ext] def swapInTable(
       spark: SparkSession, dir: String, table: String,
-      df: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val path = new org.apache.hadoop.fs.Path(dir, table)
-    val fs = path.getFileSystem(hconf)
+      df: DataFrame, partitionCols: Seq[String] = Nil): Unit =
+    swapInTables(spark, dir, Seq((table, df, partitionCols)))
+
+  /** Roll ONE staged table forward — idempotent across every crash state
+    * phase 3 can leave:
+    *  - tmp + live (not started): move live aside, move tmp in, drop bak;
+    *  - tmp + bak, no live (crashed between the two renames): move tmp
+    *    in, drop bak;
+    *  - live + bak, no tmp (crashed before the bak drop): drop bak;
+    *  - live only (done): no-op. */
+  private def applyStagedTable(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, table: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir, table)
     val tmp = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_tmp")
     val bak = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_bak")
-    fs.delete(tmp, true); fs.delete(bak, true)
-    val w = df.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp.toString)
-    require(fs.rename(path, bak), s"swapInTable: cannot move $path aside")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(bak, path) // restore the live table before failing
-      throw new IllegalStateException(s"swapInTable: cannot swap in $tmp")
+    if (fs.exists(tmp)) {
+      if (fs.exists(live)) {
+        require(!fs.exists(bak),
+          s"applyStagedTable: $bak and $live both exist alongside $tmp — " +
+            "not a state this protocol produces; repair by hand")
+        require(fs.rename(live, bak),
+          s"applyStagedTable: cannot move $live aside")
+      }
+      require(fs.rename(tmp, live), s"applyStagedTable: cannot move $tmp in")
     }
-    fs.delete(bak, true)
+    require(fs.exists(live),
+      s"applyStagedTable: $live missing with no staged replacement — " +
+        "the state dir is corrupt; restore from backup")
+    if (fs.exists(bak)) fs.delete(bak, true)
+  }
+
+  /** Complete a [[swapInTables]] that crashed after its commit point:
+    * re-apply every table listed in the `_swap_commit` marker (each step
+    * idempotent — [[applyStagedTable]]), then clear the marker. Returns
+    * true iff a crashed swap was found and rolled forward; false = no
+    * marker, nothing to do (safe to call blindly). The result is always
+    * the FULL new fit — a commit marker means every table's new content
+    * was durably staged before the crash. */
+  private[graft] def recoverSwap(spark: SparkSession, dir: String): Boolean = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(dir, SwapCommitMarker)
+    val fs = marker.getFileSystem(hconf)
+    if (!fs.exists(marker)) return false
+    val in = fs.open(marker)
+    val names =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      finally in.close()
+    require(names.nonEmpty,
+      s"recoverSwap: empty commit marker at $marker — repair by hand")
+    names.foreach(applyStagedTable(fs, dir, _))
+    fs.delete(marker, false)
+    true
   }
 }

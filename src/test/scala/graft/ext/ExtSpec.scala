@@ -3032,4 +3032,108 @@ class ExtSpec extends SparkSpec {
       Sampling.temperatureMix(nulls, "text", "source").collect())
     assert(e2.getMessage.contains("positive token count"))
   }
+
+  test("temperatureMix validates alpha BEFORE any corpus pass") {
+    // the text column detonates if any job ever evaluates it — an
+    // invalid alpha must be rejected by the entry require, not after a
+    // full tokenize/aggregate materializes (the round-13 ADVICE window)
+    val booby = docsFrom(Seq((1L, "x"), (2L, "y")))
+      .withColumn("text",
+        when(lit(true), raise_error(lit("corpus pass ran before alpha " +
+          "validation"))).otherwise(lit("z")).cast("string"))
+      .withColumn("source", lit("a"))
+    val e = intercept[IllegalArgumentException](
+      Sampling.temperatureMix(booby, "text", "source", alpha = 1.5))
+    assert(e.getMessage.contains("alpha"))
+  }
+
+  test("recluster swap: one commit point — crash leaves old fit or rolls forward, never a mix") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 120)
+    val dir = java.nio.file.Files.createTempDirectory("graft-swapcommit")
+      .toFile.getAbsolutePath + "/state"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 60), dir,
+      k = 4, iters = 1, batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 60), dir,
+      k = 4, iters = 1, batchTag = Some(2L))
+    val probes = emb.filter(col("vec_id") < 5)
+    def answers = Similarity.ivfTopKFromState(spark, dir, probes,
+        topK = 3, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // the post-recluster truth: a from-scratch probe chain over the
+    // full corpus (recluster trains on ALL live vectors)
+    val wantAfter = Similarity.kmeansIvfTopK(emb, probes,
+        topK = 3, k = 4, iters = 1, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val hconf = spark.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(dir, "_swap_commit")
+    val fs = marker.getFileSystem(hconf)
+
+    // crash EXACTLY in the round-13 ADVICE window: centroids applied,
+    // cells not — the marker must gate every entry until roll-forward
+    intercept[StateIO.InjectedCrash](
+      Similarity.reclusterIvfState(spark, dir, crashAfterApplied = 1))
+    assert(fs.exists(marker))
+    val eRead = intercept[IllegalArgumentException](
+      Similarity.ivfTopKFromState(spark, dir, probes, topK = 3, nProbe = 2)
+        .collect())
+    assert(eRead.getMessage.contains("recoverSwap") ||
+      eRead.getMessage.contains("recoverIvfState"))
+    intercept[IllegalArgumentException](
+      Similarity.appendIvfState(emb, dir, k = 4, iters = 1,
+        batchTag = Some(3L)))
+    intercept[IllegalArgumentException](
+      Similarity.reclusterIvfState(spark, dir))
+    // roll forward: the FULL new fit, bit-identical to an uncrashed run
+    assert(Similarity.recoverIvfState(spark, dir))
+    assert(!fs.exists(marker))
+    assert(answers == wantAfter)
+    assert(!Similarity.recoverIvfState(spark, dir)) // healthy dir: no-op
+
+    // crash right AFTER the commit marker (nothing applied yet): the
+    // staged fit is durable, recovery still lands the full new fit
+    intercept[StateIO.InjectedCrash](
+      Similarity.reclusterIvfState(spark, dir, crashAfterApplied = 0))
+    assert(Similarity.recoverIvfState(spark, dir))
+    assert(answers == wantAfter)
+
+    // crash after BOTH tables applied but before the marker clears —
+    // and, on top of it, a manually constructed crashed-between-renames
+    // state for `cells` (staged tmp present, old content at bak, live
+    // missing): recovery rolls both forward idempotently
+    intercept[StateIO.InjectedCrash](
+      Similarity.reclusterIvfState(spark, dir, crashAfterApplied = 2))
+    assert(fs.exists(marker))
+    val live = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/cells__compact_bak")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/cells__compact_tmp")
+    assert(fs.rename(live, tmp)) // the staged new content
+    fs.mkdirs(bak)               // the old content, moved aside pre-crash
+    assert(Similarity.recoverIvfState(spark, dir))
+    assert(fs.exists(live) && !fs.exists(tmp) && !fs.exists(bak) &&
+      !fs.exists(marker))
+    assert(answers == wantAfter)
+  }
+
+  test("swapInTables never deletes a pre-existing __compact_bak (fails fast instead)") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-swapbak")
+      .toFile.getAbsolutePath + "/state"
+    Similarity.appendIvfState(emb, dir, k = 4, iters = 1,
+      batchTag = Some(1L))
+    // a bak left by a crashed compaction is the ONLY recovery copy —
+    // the old swapInTable silently destroyed it at entry
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/cells__compact_bak")
+    val fs = bak.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(bak)
+    val sentinel = new org.apache.hadoop.fs.Path(bak, "recovery-copy")
+    fs.create(sentinel, true).close()
+    intercept[IllegalArgumentException](
+      Similarity.reclusterIvfState(spark, dir))
+    assert(fs.exists(sentinel),
+      "the backup (and its contents) must survive the refused swap")
+  }
 }
