@@ -423,14 +423,75 @@ object Index {
   def bm25TopKFromState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       terms: Seq[String], k: Int, buckets: Int = 64,
-      idCol: String = "id", k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+      idCol: String = "id", k1: Double = 1.25, b: Double = 0.75): DataFrame =
+    bm25FromStateCore(spark, dir, terms, k, buckets, idCol, k1, b,
+      asOf = None)
+
+  /** SNAPSHOT (time-travel) read of a postings state — answer
+    * [[bm25TopKFromState]] as the state stood after append batch
+    * `asOfBatch` and delete batch `asOfDelete`: the tagged `batch_id=N`
+    * / `delete_id=N` partitions every append and delete already lands
+    * in for replay idempotency double as a FULL version history, so any
+    * past state is a pure filter — `batch_id <= asOfBatch` on
+    * postings/totals, `delete_id <= asOfDelete` on
+    * tombstones/tomb_totals. Both predicates sit on partition columns,
+    * so the snapshot read PRUNES at the scan exactly like the current
+    * read ("what did the index answer before yesterday's delete?" costs
+    * the same buckets, not a rebuild).
+    *
+    * `asOfDelete` applies every delete whose tag is ≤ it; with the
+    * positive tags the pillars use throughout, pass 0 for a pre-delete
+    * snapshot. Tagged states only: untagged appends/deletes have no
+    * replay identity to snapshot by, and the read fails fast naming the
+    * missing tag column rather than silently treating untagged rows as
+    * any particular version. Snapshots never change once written —
+    * compaction is the one exception (it applies tombstones physically
+    * ACROSS history, so pre-compaction delete snapshots coarsen; the
+    * x125 gate runs pre-compaction). */
+  def bm25TopKFromStateAsOf(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], k: Int, asOfBatch: Long, asOfDelete: Long = 0L,
+      buckets: Int = 64, idCol: String = "id",
+      k1: Double = 1.25, b: Double = 0.75): DataFrame =
+    bm25FromStateCore(spark, dir, terms, k, buckets, idCol, k1, b,
+      asOf = Some((asOfBatch, asOfDelete)))
+
+  /** Restrict a state table to an as-of bound on its tag column,
+    * failing fast on untagged states (no replay identity = no version
+    * history — silently reading untagged rows "as of" anything would
+    * pin them to an arbitrary version). */
+  private def asOfCut(
+      df: DataFrame, tagCol: String, bound: Long,
+      dir: String, table: String): DataFrame = {
+    require(df.columns.contains(tagCol),
+      s"as-of reads need a TAGGED state: $dir/$table has no $tagCol " +
+        "partition column (untagged appends/deletes carry no version " +
+        "identity) — rebuild with tagged appends/deletes to snapshot")
+    df.filter(col(tagCol) <= bound)
+  }
+
+  private def bm25FromStateCore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], k: Int, buckets: Int,
+      idCol: String, k1: Double, b: Double,
+      asOf: Option[(Long, Long)]): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     // corpus constants = append totals + (negative) delete corrections —
     // exact integer sums over |batches| + |deletes| rows
-    val appendTotals = spark.read.parquet(s"$dir/totals")
+    val totalsRaw = spark.read.parquet(s"$dir/totals")
+    val appendTotals = asOf match {
+      case Some((bt, _)) => asOfCut(totalsRaw, "batch_id", bt, dir, "totals")
+      case None => totalsRaw
+    }
     val allTotals = StateIO.readIfExists(spark, s"$dir/tomb_totals") match {
-      case Some(tt) => appendTotals.select(col("n_docs"), col("sum_dl"))
-        .unionByName(tt.select(col("n_docs"), col("sum_dl")))
+      case Some(ttRaw) =>
+        val tt = asOf match {
+          case Some((_, dt)) =>
+            asOfCut(ttRaw, "delete_id", dt, dir, "tomb_totals")
+          case None => ttRaw
+        }
+        appendTotals.select(col("n_docs"), col("sum_dl"))
+          .unionByName(tt.select(col("n_docs"), col("sum_dl")))
       case None => appendTotals
     }
     val tstats = allTotals.agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
@@ -438,28 +499,73 @@ object Index {
       s"postings state at $dir holds no documents — append a batch first")
     val n = tstats.getLong(0)
     val avgdl = tstats.getLong(1).toDouble / n
-    val tf = postingsRead(spark, dir, terms, buckets)
+    val tf = postingsRead(spark, dir, terms, buckets, asOf)
       .select(col("id").as(idCol), col("dl"), col("term"), col("tf"))
     bm25FoldRank(bm25ScoreTf(tf, idCol, n, avgdl, k1, b), idCol, k)
   }
 
   /** The partition-pruned postings read (exposed for the plan pin: the
     * final ranked frame's lineage truncates at the ordinal
-    * materialization, so the scan must be asserted on THIS stage). */
+    * materialization, so the scan must be asserted on THIS stage).
+    * `asOf` adds the snapshot cut — batch_id/delete_id are partition
+    * levels, so the cut prunes rather than filters. */
   private[ext] def postingsRead(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      terms: Seq[String], buckets: Int): DataFrame = {
+      terms: Seq[String], buckets: Int,
+      asOf: Option[(Long, Long)] = None): DataFrame = {
     val wanted = terms.map(termBucket(_, buckets)).distinct
-    val pruned = spark.read.parquet(s"$dir/postings")
+    val prunedRaw = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isInCollection(wanted))
       .filter(col("term").isin(terms: _*))
+    val pruned = asOf match {
+      case Some((bt, _)) => asOfCut(prunedRaw, "batch_id", bt, dir, "postings")
+      case None => prunedRaw
+    }
     // tombstones: deleted docs' postings stop scoring immediately (the
     // anti-join is small — tombstones are few until compaction applies
     // them physically, after which this is a no-op)
     StateIO.readIfExists(spark, s"$dir/tombstones") match {
-      case Some(tb) => pruned.join(tb.select(col("id")), Seq("id"), "left_anti")
+      case Some(tbRaw) =>
+        val tb = asOf match {
+          case Some((_, dt)) =>
+            asOfCut(tbRaw, "delete_id", dt, dir, "tombstones")
+          case None => tbRaw
+        }
+        pruned.join(tb.select(col("id")), Seq("id"), "left_anti")
       case None => pruned
     }
+  }
+
+  /** HYBRID retrieval answered ENTIRELY from persisted state — the
+    * production RAG query path once a corpus is maintained in the state
+    * pillars: the lexical leg is [[bm25TopKFromState]] (term-bucket-
+    * pruned postings — corpus text never touched), the vector leg is
+    * [[Similarity.ivfTopKFromState]] (probed IVF cells — embeddings
+    * never scanned), and [[rrfFuse]] combines the two top-`perLegK`
+    * rank lists. Query cost = the query terms' posting buckets + the
+    * probed cells + a ≤ 2·perLegK-row fusion, independent of corpus
+    * size; both legs respect their pillar's tombstones, so a deleted
+    * document drops out of hybrid answers immediately.
+    *
+    * One query vector per call ([[rrfFuse]] fuses GLOBAL rank lists —
+    * x54's contract); doc ids and vector ids must share the id space
+    * for the fusion join to mean anything. */
+  def hybridTopKFromState(
+      spark: org.apache.spark.sql.SparkSession,
+      postingsDir: String, ivfDir: String,
+      terms: Seq[String], queryVec: DataFrame, k: Int,
+      perLegK: Int = 20, nProbe: Int = 2, idCol: String = "id",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      kc: Double = 60.0): DataFrame = {
+    require(queryVec.select(col(vecIdCol)).head(2).length == 1,
+      "hybridTopKFromState fuses GLOBAL rank lists (the rrfFuse " +
+        "contract) — pass exactly one query vector per call")
+    val lex = bm25TopKFromState(spark, postingsDir, terms, perLegK,
+      idCol = idCol)
+    val vec = Similarity.ivfTopKFromState(spark, ivfDir, queryVec,
+        topK = perLegK, nProbe = nProbe, idCol = vecIdCol, vecCol = vecCol)
+      .select(col("neighbor_id").as(idCol), col("rank"))
+    rrfFuse(lex, vec, idCol, k, kc)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of two

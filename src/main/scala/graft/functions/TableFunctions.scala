@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, Layout, Packing, Profile, RangeJoin, Sampling, Similarity, Skew, TextAnalysis}
+import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, Layout, Packing, Profile, RangeJoin, Sampling, Similarity, Skew, StateAudit, TextAnalysis}
 
 /** SQL table-valued-function surface for the north-star whole-plan
   * operators (as-of join, range join, LSH dedup pairs) — SURVEY §2.9's
@@ -216,6 +216,67 @@ object TableFunctions {
       "tokenizer_merges", exprs => tokenizerMerges(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "sample_from_state", exprs => sampleFromState(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bm25_asof", exprs => bm25Asof(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hybrid_from_state", exprs => hybridFromState(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "state_consistency", exprs => stateConsistency(spark, exprs), "built-in")
+  }
+
+  /** `bm25_asof('dir', 'id', 'terms', k, asof_batch, asof_delete)` →
+    * [[Index.bm25TopKFromStateAsOf]]: the BM25 answer as the postings
+    * state stood after append tag `asof_batch` and delete tag
+    * `asof_delete` — snapshot reads over the tagged partition history,
+    * partition-pruned like the current-state read. */
+  private def bm25Asof(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "bm25_asof"
+    requireArity(f, exprs, min = 6, max = 6)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val id = args.name("id")
+    val terms = args.name("terms").split("\\s+").toSeq.filter(_.nonEmpty)
+    val k = args.int("k")
+    val asofBatch = args.long("asof_batch")
+    val asofDelete = args.long("asof_delete")
+    plan(Index.bm25TopKFromStateAsOf(spark, dir, terms, k,
+      asOfBatch = asofBatch, asOfDelete = asofDelete, idCol = id))
+  }
+
+  /** `hybrid_from_state('postings_dir', 'ivf_dir', 'id', 'terms',
+    * query_table, k)` → [[Index.hybridTopKFromState]]: lexical +
+    * vector retrieval fused by RRF, both legs answered from persisted
+    * state (query_table holds the single query vector as
+    * (vec_id, embedding)). */
+  private def hybridFromState(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "hybrid_from_state"
+    requireArity(f, exprs, min = 6, max = 6)
+    val args = new Args(f, exprs)
+    val postingsDir = args.name("postings_dir")
+    val ivfDir = args.name("ivf_dir")
+    val id = args.name("id")
+    val terms = args.name("terms").split("\\s+").toSeq.filter(_.nonEmpty)
+    val queries = args.table(spark, "query_table")
+    val k = args.int("k")
+    plan(Index.hybridTopKFromState(spark, postingsDir, ivfDir, terms,
+      queries, k, idCol = id))
+  }
+
+  /** `state_consistency('lsh_dir', 'postings_dir', 'tokenizer_dir')` →
+    * [[StateAudit.crossPillarConsistency]] over the three doc-id
+    * pillars: one row per document the pillars disagree on (empty =
+    * consistent) — the partial-pipeline-failure audit. */
+  private def stateConsistency(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "state_consistency"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val lshDir = args.name("lsh_dir")
+    val postingsDir = args.name("postings_dir")
+    val tokenizerDir = args.name("tokenizer_dir")
+    plan(StateAudit.crossPillarConsistency(Seq(
+      "lsh" -> StateAudit.lshLiveIds(spark, lshDir),
+      "postings" -> StateAudit.postingsLiveIds(spark, postingsDir),
+      "tokenizer" -> StateAudit.tokenizerLiveIds(spark, tokenizerDir))))
   }
 
   /** `sample_from_state('dir', groups_table, 'id', 'group', total_tokens[,

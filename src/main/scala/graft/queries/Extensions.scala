@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, JsonCols, Layout, Multimodal, Packing, Profile, RangeJoin, Sampling, Similarity, TextAnalysis, Tfidf}
+import graft.ext.{AsOf, Behavior, Bpe, Compaction, Curate, Dedup, Index, JsonCols, Layout, Multimodal, Packing, Profile, RangeJoin, Sampling, Similarity, StateAudit, StateIO, TextAnalysis, Tfidf}
 
 /** Declared queries for the LLM-training-data extension operators (the
   * BASELINE.json north star): dedup (exact / MinHash / SimHash / n-gram
@@ -2030,6 +2030,165 @@ object Extensions {
       .orderBy("source", "cum_tokens")
   }
 
+  /** x125 — TIME-TRAVEL (as-of) reads of the postings state
+    * ([[Index.bm25TopKFromStateAsOf]]): the tagged `batch_id=N` /
+    * `delete_id=N` partitions every append and delete already lands in
+    * for replay idempotency double as a full VERSION HISTORY — any past
+    * state is a pure partition-pruned cut (`batch_id <= B`,
+    * `delete_id <= D`), no rebuild, no extra storage. Three snapshots
+    * of the x115 lifecycle answer the same BM25 top-10 under a snapshot
+    * label: batch 1 only ("what did the index say last week?"), both
+    * batches pre-delete, and both batches + delete 1 — which IS the
+    * current state (spec-pinned equal to [[Index.bm25TopKFromState]]).
+    * The oracle re-derives each snapshot from the corresponding corpus
+    * slice — as-of correctness means a snapshot equals a from-scratch
+    * index of exactly the documents that were live then. */
+  def x125(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x125_state").toFile.getAbsolutePath
+    Index.appendPostingsState(docs.filter(col("doc_id") < 250),
+      state, "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 250),
+      state, "doc_id", "text", batchTag = Some(2L))
+    Index.deleteFromPostingsState(s, state,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    def snap(label: String, asOfBatch: Long, asOfDelete: Long) =
+      Index.bm25TopKFromStateAsOf(s, state, Seq("dup", "vector", "window"),
+          k = 10, asOfBatch = asOfBatch, asOfDelete = asOfDelete,
+          idCol = "doc_id")
+        .select(lit(label).as("snapshot"), col("doc_id"),
+          round(col("score"), 4).as("score"), col("rank"))
+    snap("t1_batch1", 1L, 0L)
+      .unionByName(snap("t2_batch2", 2L, 0L))
+      .unionByName(snap("t3_deleted", 2L, 1L))
+      .orderBy("snapshot", "rank")
+  }
+
+  /** x126 — HYBRID retrieval entirely from persisted state
+    * ([[Index.hybridTopKFromState]]): the production RAG query path
+    * once a corpus lives in the state pillars — the lexical leg answers
+    * from term-bucket-pruned postings ([[Index.bm25TopKFromState]],
+    * corpus text never touched), the vector leg from probed IVF cells
+    * ([[Similarity.ivfTopKFromState]], embeddings never scanned), and
+    * reciprocal-rank fusion combines the two top-20 lists (x54's
+    * combiner, both legs now O(query) state reads instead of corpus
+    * scans). The oracle re-derives the BM25 ranking, the k-means train
+    * + probe chain, and the fused sum in the engine's fixed
+    * lex-then-vec addition order. */
+  def x126(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x126_state").toFile.getAbsolutePath
+    val ps = s"$root/postings"
+    val vs = s"$root/ivf"
+    Index.appendPostingsState(docs, ps, "doc_id", "text",
+      batchTag = Some(1L))
+    Similarity.appendIvfState(emb, vs, k = 8, iters = 2,
+      batchTag = Some(1L))
+    Index.hybridTopKFromState(s, ps, vs, Seq("dup", "vector", "window"),
+        emb.filter(col("vec_id") === 0), k = 10, perLegK = 20, nProbe = 2,
+        idCol = "doc_id")
+      .select(col("doc_id"), round(col("rrf"), 6).as("rrf"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** x127 — CRASH-RECOVERY of the recluster swap
+    * ([[Similarity.recoverIvfState]]): [[Similarity.reclusterIvfState]]
+    * moves centroids + cells under ONE commit point
+    * ([[graft.ext.StateIO.swapInTables]] — stage both, publish the
+    * `_swap_commit` marker with one atomic rename, then apply), so a
+    * crash can no longer pair new centroids with old-geometry cells
+    * (the round-13 ADVICE window). This gate INJECTS that exact crash —
+    * after the centroids rename, before the cells rename — via the
+    * fault hook, proves the marker blocks reads (`reads_blocked`,
+    * engine-observed, oracle-pinned TRUE), rolls forward
+    * (`rolled_forward`), and then retrieval must hash-match a
+    * from-scratch k-means chain over the full corpus — the same answer
+    * an UNcrashed recluster produces, which is the whole contract:
+    * crash at any point ⇒ full old fit or full new fit, never a mix. */
+  def x127(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x127_state").toFile.getAbsolutePath
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 250), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 250), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    val crashed =
+      try { Similarity.reclusterIvfState(s, state, crashAfterApplied = 1); false }
+      catch { case _: StateIO.InjectedCrash => true }
+    val probes = emb.filter(col("vec_id") < 10)
+    val blocked =
+      try {
+        Similarity.ivfTopKFromState(s, state, probes, topK = 5, nProbe = 2)
+          .head(1); false
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("recover") => true
+      }
+    val recovered = Similarity.recoverIvfState(s, state)
+    Similarity.ivfTopKFromState(s, state, probes, topK = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 4).as("cos_sim"))
+      .withColumn("crash_injected", lit(crashed))
+      .withColumn("reads_blocked", lit(blocked))
+      .withColumn("rolled_forward", lit(recovered))
+      .orderBy("query_id", "rank")
+  }
+
+  /** x128 — CROSS-PILLAR consistency audit
+    * ([[graft.ext.StateAudit.crossPillarConsistency]]): the same corpus
+    * lives in several state pillars at once and curation deletes must
+    * land in ALL of them — but nothing couples the per-pillar writes,
+    * so an orchestrator crash or a never-wired pillar leaves the states
+    * silently disagreeing about which documents exist (each pillar
+    * still answers correctly for its OWN corpus — budgets computed over
+    * documents retrieval already dropped). The fixture plants exactly
+    * that failure: delete slice A lands in all three doc-id pillars
+    * (LSH, postings, tokenizer), slice B lands in postings ONLY; the
+    * audit must surface precisely the B-survivors as
+    * (in_lsh, ¬in_postings, in_tokenizer) rows and nothing else. Live
+    * sets are each pillar's own read-side derivation (sidecar/members
+    * minus tombstones), compared by a narrow id-only full-outer join —
+    * output bounded by the divergence, not the corpus. */
+  def x128(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x128_state").toFile.getAbsolutePath
+    val (ls, ps, ts) = (s"$root/lsh", s"$root/postings", s"$root/tokenizer")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    Dedup.appendLshState(b1, "doc_id", "text", ls, batchTag = Some(1L))
+    Dedup.appendLshState(b2, "doc_id", "text", ls, batchTag = Some(2L))
+    Index.appendPostingsState(b1, ps, "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(b2, ps, "doc_id", "text", batchTag = Some(2L))
+    Bpe.appendTokenizerState(b1, ts, "doc_id", "text", numMerges = 4,
+      batchTag = Some(1L))
+    Bpe.appendTokenizerState(b2, ts, "doc_id", "text", numMerges = 4,
+      batchTag = Some(2L))
+    val sliceA = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id"))
+    val sliceB = docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+      .select(col("doc_id"))
+    Dedup.deleteFromLshState(s, ls, sliceA, "doc_id", deleteTag = Some(1L))
+    Index.deleteFromPostingsState(s, ps, sliceA, "doc_id",
+      deleteTag = Some(1L))
+    Bpe.deleteFromTokenizerState(s, ts, sliceA, "doc_id",
+      deleteTag = Some(1L))
+    // the planted partial failure: slice B reaches postings only
+    Index.deleteFromPostingsState(s, ps, sliceB, "doc_id",
+      deleteTag = Some(2L))
+    StateAudit.crossPillarConsistency(Seq(
+        "lsh" -> StateAudit.lshLiveIds(s, ls),
+        "postings" -> StateAudit.postingsLiveIds(s, ps),
+        "tokenizer" -> StateAudit.tokenizerLiveIds(s, ts)))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -2251,7 +2410,11 @@ object Extensions {
     "x121_budget_from_state" -> (x121 _),
     "x122_ivf_recluster" -> (x122 _),
     "x123_state_lifecycle" -> (x123 _),
-    "x124_sample_from_state" -> (x124 _)
+    "x124_sample_from_state" -> (x124 _),
+    "x125_bm25_asof" -> (x125 _),
+    "x126_hybrid_from_state" -> (x126 _),
+    "x127_swap_recovery" -> (x127 _),
+    "x128_state_consistency" -> (x128 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -5059,6 +5222,116 @@ object Extensions {
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM cum JOIN b USING (source)
          |WHERE cum_tokens - tokens < budget
-         |ORDER BY source, cum_tokens""".stripMargin
+         |ORDER BY source, cum_tokens""".stripMargin,
+
+    // x125: as-of correctness = each snapshot equals a from-scratch
+    // BM25 index over exactly the documents live at that version — the
+    // x53/x110 chain restricted to the snapshot's corpus slice
+    "x125_bm25_asof" ->
+      s"""SELECT snapshot, doc_id, score, rank FROM (
+         |  SELECT 't1_batch1' AS snapshot, doc_id, score, rank FROM (
+         |${bm25TopKOracleSqlWhere(" WHERE doc_id < 250")})
+         |  UNION ALL
+         |  SELECT 't2_batch2' AS snapshot, doc_id, score, rank FROM (
+         |${bm25TopKOracleSqlWhere("")})
+         |  UNION ALL
+         |  SELECT 't3_deleted' AS snapshot, doc_id, score, rank FROM (
+         |${bm25TopKOracleSqlWhere(" WHERE doc_id % 7 <> 3")})
+         |) ORDER BY snapshot, rank""".stripMargin,
+
+    // x126: x54's lexical chain (top-20) fused with the PROBED IVF
+    // retrieval (k-means trained on all vectors, query vec 0's two
+    // nearest cells) instead of exact cosine — the from-state hybrid;
+    // fused sum in the engine's fixed lex-then-vec addition order
+    "x126_hybrid_from_state" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len(tk)) AS BIGINT) AS sumdl FROM toks),
+         |tr AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
+         |tf AS (
+         |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tr WHERE term IN ('dup', 'vector', 'window')
+         |  GROUP BY doc_id, dl, term),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT t.doc_id, t.term,
+         |    ln((CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |      * (t.tf * 2.25)
+         |      / (t.tf + 1.25 * (1.0 - 0.75 + 0.75 * t.dl
+         |          / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS sc
+         |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s),
+         |agg AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'dup' THEN sc END) AS s1,
+         |    max(CASE WHEN term = 'vector' THEN sc END) AS s2,
+         |    max(CASE WHEN term = 'window' THEN sc END) AS s3
+         |  FROM scored GROUP BY doc_id),
+         |lexr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0)
+         |      DESC, doc_id) AS ra
+         |  FROM agg),
+         |$annEmbCte,
+         |${kmeansTrainCtes("e", probeWhere = "e.vec_id = 0")},
+         |vs AS (
+         |  SELECT p.query_id, af.vid AS doc_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id),
+         |vecr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rb
+         |  FROM vs),
+         |fused AS (
+         |  SELECT doc_id,
+         |    coalesce(1.0 / (60.0 + l.ra), 0.0)
+         |      + coalesce(1.0 / (60.0 + v.rb), 0.0) AS rrf
+         |  FROM (SELECT * FROM lexr WHERE ra <= 20) l
+         |  FULL OUTER JOIN (SELECT * FROM vecr WHERE rb <= 20) v USING (doc_id)),
+         |rk AS (
+         |  SELECT doc_id, rrf,
+         |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+         |SELECT doc_id, round(rrf, 6) AS rrf, CAST(rn AS BIGINT) AS rank
+         |FROM rk WHERE rn <= 10 ORDER BY rank""".stripMargin,
+
+    // x127: recovery must land the FULL new fit — retrieval equals the
+    // from-scratch k-means chain over the whole corpus (what an
+    // uncrashed recluster produces); the crash/block/roll-forward
+    // booleans are engine-observed and pinned TRUE
+    "x127_swap_recovery" ->
+      s"""WITH $annEmbCte,
+         |${kmeansTrainCtes("e")},
+         |vscored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM vscored)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  round(cos, 4) AS cos_sim,
+         |  TRUE AS crash_injected, TRUE AS reads_blocked,
+         |  TRUE AS rolled_forward
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // x128: the planted divergence in set algebra — slice B (mod-11)
+    // reached postings only, so the audit must report exactly the
+    // B-survivors (B minus the everywhere-applied slice A) with
+    // postings false and the other pillars true, and nothing else
+    "x128_state_consistency" ->
+      """SELECT doc_id, TRUE AS in_lsh, FALSE AS in_postings,
+        |  TRUE AS in_tokenizer
+        |FROM documents
+        |WHERE doc_id % 7 <> 3 AND doc_id % 11 = 5
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -3117,6 +3117,127 @@ class ExtSpec extends SparkSpec {
     assert(answers == wantAfter)
   }
 
+  test("bm25 as-of: every snapshot equals a from-scratch index of the then-live corpus") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof")
+      .toFile.getAbsolutePath + "/state"
+    val b1 = docs.filter(col("doc_id") < 80)
+    val b2 = docs.filter(col("doc_id") >= 80 && col("doc_id") < 160)
+    Index.appendPostingsState(b1, dir, "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(b2, dir, "doc_id", "text", batchTag = Some(2L))
+    Index.deleteFromPostingsState(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 1).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val terms = Seq("dup", "vector", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), round(col("score"), 4), col("rank"))
+        .as[(Long, Double, Long)].collect().toSeq.sortBy(_._3)
+    // the full-history snapshot IS the current state
+    assert(rows(Index.bm25TopKFromStateAsOf(spark, dir, terms, 10,
+        asOfBatch = 2L, asOfDelete = 1L, idCol = "doc_id")) ==
+      rows(Index.bm25TopKFromState(spark, dir, terms, 10, idCol = "doc_id")))
+    // batch-1-only snapshot == a from-scratch index over batch 1's docs
+    assert(rows(Index.bm25TopKFromStateAsOf(spark, dir, terms, 10,
+        asOfBatch = 1L, asOfDelete = 0L, idCol = "doc_id")) ==
+      rows(Index.bm25TopK(b1, "doc_id", "text", terms, 10)))
+    // pre-delete snapshot == a from-scratch index over both batches
+    assert(rows(Index.bm25TopKFromStateAsOf(spark, dir, terms, 10,
+        asOfBatch = 2L, asOfDelete = 0L, idCol = "doc_id")) ==
+      rows(Index.bm25TopK(b1.unionByName(b2), "doc_id", "text", terms, 10)))
+    // untagged states carry no version identity: as-of refuses
+    val untagged = java.nio.file.Files.createTempDirectory("graft-asof-u")
+      .toFile.getAbsolutePath + "/state"
+    Index.appendPostingsState(b1, untagged, "doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Index.bm25TopKFromStateAsOf(spark, untagged, terms, 10,
+        asOfBatch = 1L).collect())
+    assert(e.getMessage.contains("TAGGED"))
+  }
+
+  test("hybridTopKFromState: fuses the two state legs; deletes drop out; one query only") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-hybrid")
+      .toFile.getAbsolutePath
+    val (ps, vs) = (s"$root/postings", s"$root/ivf")
+    Index.appendPostingsState(docs, ps, "doc_id", "text", batchTag = Some(1L))
+    Similarity.appendIvfState(emb, vs, k = 4, iters = 1, batchTag = Some(1L))
+    val q0 = emb.filter(col("vec_id") === 0)
+    val terms = Seq("dup", "vector", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), round(col("rrf"), 6), col("rank"))
+        .as[(Long, Double, Long)].collect().toSeq.sortBy(_._3)
+    val got = rows(Index.hybridTopKFromState(spark, ps, vs, terms, q0,
+      k = 10, idCol = "doc_id"))
+    // composition parity: exactly rrfFuse over the two from-state legs
+    val lex = Index.bm25TopKFromState(spark, ps, terms, 20, idCol = "doc_id")
+    val vec = Similarity.ivfTopKFromState(spark, vs, q0, topK = 20, nProbe = 2)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    assert(got == rows(Index.rrfFuse(lex, vec, "doc_id", 10)) && got.nonEmpty)
+    // a doc deleted from BOTH pillars leaves hybrid answers immediately
+    val top = got.head._1
+    val topIds = spark.range(top, top + 1).select(col("id").as("doc_id"))
+    Index.deleteFromPostingsState(spark, ps, topIds, "doc_id",
+      deleteTag = Some(1L))
+    Similarity.deleteFromIvfState(spark, vs, topIds, "doc_id",
+      deleteTag = Some(1L))
+    val after = rows(Index.hybridTopKFromState(spark, ps, vs, terms, q0,
+      k = 10, idCol = "doc_id"))
+    assert(!after.exists(_._1 == top) && after.nonEmpty)
+    // rrfFuse ranks are global — two query vectors make them meaningless
+    val e = intercept[IllegalArgumentException](
+      Index.hybridTopKFromState(spark, ps, vs, terms,
+        emb.filter(col("vec_id") < 2), k = 10, idCol = "doc_id"))
+    assert(e.getMessage.contains("one query"))
+  }
+
+  test("crossPillarConsistency: empty on agreement, exact flagged rows on divergence") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
+    val root = java.nio.file.Files.createTempDirectory("graft-xpillar")
+      .toFile.getAbsolutePath
+    val (ls, ps, ts) = (s"$root/lsh", s"$root/postings", s"$root/tok")
+    Dedup.appendLshState(docs, "doc_id", "text", ls, batchTag = Some(1L))
+    Index.appendPostingsState(docs, ps, "doc_id", "text", batchTag = Some(1L))
+    Bpe.appendTokenizerState(docs, ts, "doc_id", "text", numMerges = 3,
+      batchTag = Some(1L))
+    val sliceA = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id"))
+    Dedup.deleteFromLshState(spark, ls, sliceA, "doc_id", deleteTag = Some(1L))
+    Index.deleteFromPostingsState(spark, ps, sliceA, "doc_id",
+      deleteTag = Some(1L))
+    Bpe.deleteFromTokenizerState(spark, ts, sliceA, "doc_id",
+      deleteTag = Some(1L))
+    def audit() = StateAudit.crossPillarConsistency(Seq(
+      "lsh" -> StateAudit.lshLiveIds(spark, ls),
+      "postings" -> StateAudit.postingsLiveIds(spark, ps),
+      "tokenizer" -> StateAudit.tokenizerLiveIds(spark, ts)))
+    // the same corpus and the same deletes everywhere: consistent
+    assert(audit().count() == 0)
+    // slice B reaches postings only — the audit must surface exactly
+    // the B-survivors flagged (lsh=true, postings=false, tokenizer=true)
+    val sliceB = docs.filter(pmod(col("doc_id"), lit(11)) === 5)
+      .select(col("doc_id"))
+    Index.deleteFromPostingsState(spark, ps, sliceB, "doc_id",
+      deleteTag = Some(2L))
+    val got = audit()
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    val want = docs
+      .filter(pmod(col("doc_id"), lit(7)) =!= 3 &&
+        pmod(col("doc_id"), lit(11)) === 5)
+      .select(col("doc_id")).as[Long].collect().toSeq.sorted
+      .map(id => (id, true, false, true))
+    assert(got == want && got.nonEmpty)
+    // guardrails: ≥ 2 pillars, unique names
+    intercept[IllegalArgumentException](StateAudit.crossPillarConsistency(
+      Seq("lsh" -> StateAudit.lshLiveIds(spark, ls))))
+    intercept[IllegalArgumentException](StateAudit.crossPillarConsistency(
+      Seq("a" -> StateAudit.lshLiveIds(spark, ls),
+        "a" -> StateAudit.postingsLiveIds(spark, ps))))
+  }
+
   test("swapInTables never deletes a pre-existing __compact_bak (fails fast instead)") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .filter(col("vec_id") < 40)

@@ -506,6 +506,51 @@ class TableFunctionsSpec extends SparkSpec {
         "doc_id", "grp", 3000L))
   }
 
+  test("round-14 state TVFs: bm25_asof, hybrid_from_state, state_consistency") {
+    ready()
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tvf_r14").toFile.getAbsolutePath
+    val (ps, vs) = (s"$root/postings", s"$root/ivf")
+    graft.ext.Index.appendPostingsState(docs.filter($"doc_id" < 100),
+      ps, "doc_id", "text", batchTag = Some(1L))
+    graft.ext.Index.appendPostingsState(
+      docs.filter($"doc_id" >= 100 && $"doc_id" < 200),
+      ps, "doc_id", "text", batchTag = Some(2L))
+    graft.ext.Index.deleteFromPostingsState(spark, ps,
+      docs.filter($"doc_id" % 7 === 3).select($"doc_id"), "doc_id",
+      deleteTag = Some(1L))
+    assertSame(
+      spark.sql(s"SELECT * FROM bm25_asof('$ps', 'doc_id', " +
+        "'dup vector window', 10, 1, 0)"),
+      graft.ext.Index.bm25TopKFromStateAsOf(spark, ps,
+        Seq("dup", "vector", "window"), 10, asOfBatch = 1L,
+        asOfDelete = 0L, idCol = "doc_id"))
+    graft.ext.Similarity.appendIvfState(emb.filter($"vec_id" < 200), vs,
+      k = 4, iters = 1, batchTag = Some(1L))
+    val q0 = emb.filter($"vec_id" === 0)
+    q0.createOrReplaceTempView("tvf_q14")
+    assertSame(
+      spark.sql(s"SELECT * FROM hybrid_from_state('$ps', '$vs', 'doc_id', " +
+        "'dup vector window', 'tvf_q14', 10)"),
+      graft.ext.Index.hybridTopKFromState(spark, ps, vs,
+        Seq("dup", "vector", "window"), q0, 10, idCol = "doc_id"))
+    val (ls, ts) = (s"$root/lsh", s"$root/tok")
+    val sub = docs.filter($"doc_id" < 100)
+    graft.ext.Dedup.appendLshState(sub, "doc_id", "text", ls,
+      batchTag = Some(1L))
+    graft.ext.Bpe.appendTokenizerState(sub, ts, "doc_id", "text",
+      numMerges = 3, batchTag = Some(1L))
+    assertSame(
+      spark.sql(s"SELECT * FROM state_consistency('$ls', '$ps', '$ts')"),
+      graft.ext.StateAudit.crossPillarConsistency(Seq(
+        "lsh" -> graft.ext.StateAudit.lshLiveIds(spark, ls),
+        "postings" -> graft.ext.StateAudit.postingsLiveIds(spark, ps),
+        "tokenizer" -> graft.ext.StateAudit.tokenizerLiveIds(spark, ts))))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
