@@ -430,13 +430,25 @@ object Bpe {
     * own prior attempt as corpus). */
   def readDocTokens(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      excludeTag: Option[Long] = None): DataFrame = {
+      excludeTag: Option[Long] = None,
+      asOf: Option[(Long, Long)] = None): DataFrame = {
     val raw = spark.read.parquet(s"$dir/doc_tokens")
+    val cut = asOf match {
+      case Some((bt, _)) =>
+        StateIO.asOfCut(raw, "batch_id", bt, dir, "doc_tokens")
+      case None => raw
+    }
     val untagged = excludeTag
-      .filter(_ => raw.columns.contains("batch_id"))
-      .map(tag => raw.filter(col("batch_id") =!= tag)).getOrElse(raw)
+      .filter(_ => cut.columns.contains("batch_id"))
+      .map(tag => cut.filter(col("batch_id") =!= tag)).getOrElse(cut)
     val live = StateIO.readIfExists(spark, s"$dir/tombstones") match {
-      case Some(tb) => untagged.join(tb.select(col("id")), Seq("id"), "left_anti")
+      case Some(tbRaw) =>
+        val tb = asOf match {
+          case Some((_, dt)) =>
+            StateIO.asOfCut(tbRaw, "delete_id", dt, dir, "tombstones")
+          case None => tbRaw
+        }
+        untagged.join(tb.select(col("id")), Seq("id"), "left_anti")
       case None => untagged
     }
     live.select(col("id"), col("bpe_tokens"))
@@ -481,8 +493,34 @@ object Bpe {
   def tokenBudgetFromState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       quality: DataFrame, idCol: String, qualityCol: String,
-      budget: Long, granularity: Int = 100): DataFrame = {
-    val toks = readDocTokens(spark, dir)
+      budget: Long, granularity: Int = 100): DataFrame =
+    budgetFromStateCore(spark, dir, quality, idCol, qualityCol, budget,
+      granularity, asOf = None)
+
+  /** SNAPSHOT (time-travel) budget selection — [[tokenBudgetFromState]]
+    * as the tokenizer state stood after append batch `asOfBatch` and
+    * delete batch `asOfDelete`
+    * ([[graft.ext.Index.bm25TopKFromStateAsOf]]'s contract on the
+    * tokenizer pillar): the (id, bpe_tokens) sidecar cut to
+    * `batch_id <= asOfBatch`, tombstones to `delete_id <= asOfDelete`,
+    * both partition-pruned. Valid because the merges FROZE on the first
+    * batch — every version's counts are in the same unit, so a past
+    * budget replays exactly ("which documents made the cut before
+    * yesterday's delete?"). Tagged states only (fails fast otherwise). */
+  def tokenBudgetFromStateAsOf(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      quality: DataFrame, idCol: String, qualityCol: String,
+      budget: Long, asOfBatch: Long, asOfDelete: Long = 0L,
+      granularity: Int = 100): DataFrame =
+    budgetFromStateCore(spark, dir, quality, idCol, qualityCol, budget,
+      granularity, asOf = Some((asOfBatch, asOfDelete)))
+
+  private def budgetFromStateCore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      quality: DataFrame, idCol: String, qualityCol: String,
+      budget: Long, granularity: Int,
+      asOf: Option[(Long, Long)]): DataFrame = {
+    val toks = readDocTokens(spark, dir, asOf = asOf)
     val q = quality.select(col(idCol).as("id"), col(qualityCol))
     Sampling.tokenBudget(toks.join(q, Seq("id")), "id", "bpe_tokens",
         qualityCol, budget, granularity)

@@ -792,10 +792,20 @@ object Dedup {
     * (rid, band, bucket) rows against the batch's. Verification joins
     * corpus texts back only for the candidate reps that survived
     * blocking. */
+  /** `asOf = Some((B, D))` answers the pair query against the corpus as
+    * the state stood after append batch B and delete batch D
+    * ([[graft.ext.Index.bm25TopKFromStateAsOf]]'s contract on the LSH
+    * pillar): bands/reps/members cut to `batch_id <= B`, tombstones to
+    * `delete_id <= D` — partition-pruned, and exactly the tables an
+    * append-prefix state holds (a batch-2 doc byte-equal to a batch-1
+    * group added only a members row in its own partition, so the cut
+    * restores the batch-1 membership precisely). Tagged states only;
+    * fails fast otherwise. */
   def incrementalLshPairsFromState(
       stateDir: String, batch: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5,
-      shingleSize: Int = 3, excludeTag: Option[Long] = None): DataFrame = {
+      shingleSize: Int = 3, excludeTag: Option[Long] = None,
+      asOf: Option[(Long, Long)] = None): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val jac = GraftColumnBridge.column(graft.functions.ShingleJaccard(
       GraftColumnBridge.expression(col("text_a")),
@@ -812,7 +822,12 @@ object Dedup {
     // itself and gets rejected — so reads drop that tag's partition (the
     // same rule appendLshState applies to its fp anti-join)
     def readState(table: String): DataFrame = {
-      val t = spark.read.parquet(s"$stateDir/$table")
+      val raw = spark.read.parquet(s"$stateDir/$table")
+      val t = asOf match {
+        case Some((bt, _)) =>
+          StateIO.asOfCut(raw, "batch_id", bt, stateDir, table)
+        case None => raw
+      }
       excludeTag.filter(_ => t.columns.contains("batch_id"))
         .map(tag => t.filter(col("batch_id") =!= tag)).getOrElse(t)
     }
@@ -822,7 +837,14 @@ object Dedup {
     // semi-join) — a new byte-identical doc then signs fresh instead of
     // matching a ghost. Small anti-join until compaction applies them.
     val tombs = StateIO.readIfExists(spark, s"$stateDir/tombstones")
-      .map(_.select(col("id")))
+      .map { tbRaw =>
+        val tb = asOf match {
+          case Some((_, dt)) =>
+            StateIO.asOfCut(tbRaw, "delete_id", dt, stateDir, "tombstones")
+          case None => tbRaw
+        }
+        tb.select(col("id"))
+      }
     val corpusMembersAll = readState("members").select(col("id"), col("rid"))
     val corpusMembers = tombs match {
       case Some(tb) => corpusMembersAll.join(tb, Seq("id"), "left_anti")

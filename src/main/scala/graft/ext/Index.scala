@@ -456,19 +456,10 @@ object Index {
     bm25FromStateCore(spark, dir, terms, k, buckets, idCol, k1, b,
       asOf = Some((asOfBatch, asOfDelete)))
 
-  /** Restrict a state table to an as-of bound on its tag column,
-    * failing fast on untagged states (no replay identity = no version
-    * history — silently reading untagged rows "as of" anything would
-    * pin them to an arbitrary version). */
   private def asOfCut(
       df: DataFrame, tagCol: String, bound: Long,
-      dir: String, table: String): DataFrame = {
-    require(df.columns.contains(tagCol),
-      s"as-of reads need a TAGGED state: $dir/$table has no $tagCol " +
-        "partition column (untagged appends/deletes carry no version " +
-        "identity) — rebuild with tagged appends/deletes to snapshot")
-    df.filter(col(tagCol) <= bound)
-  }
+      dir: String, table: String): DataFrame =
+    StateIO.asOfCut(df, tagCol, bound, dir, table)
 
   private def bm25FromStateCore(
       spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -277,14 +277,47 @@ object Profile {
     * below the sparse-mode threshold); gate it against a bound, not a
     * value (the x59/x109 discipline). */
   def statsReport(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val appended = spark.read.parquet(s"$dir/stats")
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    statsReportCore(spark, dir, asOf = None)
+
+  /** SNAPSHOT (time-travel) fold of a stats state — the composition
+    * report as the state stood after append batch `asOfBatch` and
+    * delete batch `asOfDelete` ([[graft.ext.Index.bm25TopKFromStateAsOf]]'s
+    * contract on the accounting pillar): stats rows cut to
+    * `batch_id <= asOfBatch`, correction rows to
+    * `delete_id <= asOfDelete` — both partition-pruned, and valid
+    * because every row is a pure per-(source, batch) increment (counts
+    * sum; HLL sketches union), so any prefix of the history folds
+    * exactly as it did then. `distinct_est` at a snapshot estimates the
+    * content APPENDED up to that batch (the delete caveat applies at
+    * every version). Tagged states only (fails fast otherwise);
+    * compaction preserves rows and tags, so snapshots survive it. */
+  def statsReportAsOf(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOfBatch: Long, asOfDelete: Long = 0L): DataFrame =
+    statsReportCore(spark, dir, asOf = Some((asOfBatch, asOfDelete)))
+
+  private def statsReportCore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOf: Option[(Long, Long)]): DataFrame = {
+    val appendedRaw = spark.read.parquet(s"$dir/stats")
+    val appended = asOf match {
+      case Some((bt, _)) =>
+        StateIO.asOfCut(appendedRaw, "batch_id", bt, dir, "stats")
+      case None => appendedRaw
+    }
     // delete corrections ([[deleteFromStatsState]]): negative count rows
     // in their own table (they carry no sketch — HLL registers are
     // union-only, so distinct_est stays an UPPER bound after deletes)
     val counts = StateIO.readIfExists(spark, s"$dir/stats_deltas") match {
-      case Some(d) => appended.select(col("grp"), col("n_docs"), col("tokens"))
-        .unionByName(d.select(col("grp"), col("n_docs"), col("tokens")))
+      case Some(dRaw) =>
+        val d = asOf match {
+          case Some((_, dt)) =>
+            StateIO.asOfCut(dRaw, "delete_id", dt, dir, "stats_deltas")
+          case None => dRaw
+        }
+        appended.select(col("grp"), col("n_docs"), col("tokens"))
+          .unionByName(d.select(col("grp"), col("n_docs"), col("tokens")))
       case None => appended.select(col("grp"), col("n_docs"), col("tokens"))
     }
     val est = appended.groupBy(col("grp"))

@@ -482,16 +482,26 @@ object Similarity {
     * replay tag — the one read every query/audit path shares. */
   private def readCellsLive(
       spark: SparkSession, dir: String,
-      excludeTag: Option[Long] = None): DataFrame = {
+      excludeTag: Option[Long] = None,
+      asOf: Option[(Long, Long)] = None): DataFrame = {
     // a committed-but-unapplied recluster swap can pair NEW centroids
     // with OLD-geometry cells — no query may read across that window
     StateIO.checkNoSwapInProgress(spark, dir)
     val raw = spark.read.parquet(s"$dir/cells")
+    val cut = asOf match {
+      case Some((bt, _)) => StateIO.asOfCut(raw, "batch_id", bt, dir, "cells")
+      case None => raw
+    }
     val untagged = excludeTag
-      .filter(_ => raw.columns.contains("batch_id"))
-      .map(tag => raw.filter(col("batch_id") =!= tag)).getOrElse(raw)
+      .filter(_ => cut.columns.contains("batch_id"))
+      .map(tag => cut.filter(col("batch_id") =!= tag)).getOrElse(cut)
     StateIO.readIfExists(spark, s"$dir/tombstones") match {
-      case Some(tb) =>
+      case Some(tbRaw) =>
+        val tb = asOf match {
+          case Some((_, dt)) =>
+            StateIO.asOfCut(tbRaw, "delete_id", dt, dir, "tombstones")
+          case None => tbRaw
+        }
         untagged.join(tb.select(col("vid")), Seq("vid"), "left_anti")
       case None => untagged
     }
@@ -500,10 +510,38 @@ object Similarity {
   def ivfTopKFromState(
       spark: SparkSession, dir: String, queries: DataFrame, topK: Int,
       nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfFromStateCore(spark, dir, queries, topK, nProbe, idCol, vecCol,
+      asOf = None)
+
+  /** SNAPSHOT (time-travel) retrieval from an IVF state — answer
+    * [[ivfTopKFromState]] as the state stood after append batch
+    * `asOfBatch` and delete batch `asOfDelete`
+    * ([[graft.ext.Index.bm25TopKFromStateAsOf]]'s contract on the
+    * vector pillar): cells cut to `batch_id <= asOfBatch`, tombstones
+    * to `delete_id <= asOfDelete`, both partition-pruned. Valid because
+    * the geometry is FROZEN — every batch assigned to the first batch's
+    * centroids — so any prefix of the append history probes exactly as
+    * it did then. The two content-changing rewrites coarsen history:
+    * after [[reclusterIvfState]] old snapshots replay against the NEW
+    * centroids, and after [[compactIvfState]] pre-delete snapshots lose
+    * the physically-removed rows — snapshot before, or rebuild for
+    * forensic reads across those events. Tagged states only (fails fast
+    * otherwise). */
+  def ivfTopKFromStateAsOf(
+      spark: SparkSession, dir: String, queries: DataFrame, topK: Int,
+      asOfBatch: Long, asOfDelete: Long = 0L, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfFromStateCore(spark, dir, queries, topK, nProbe, idCol, vecCol,
+      asOf = Some((asOfBatch, asOfDelete)))
+
+  private def ivfFromStateCore(
+      spark: SparkSession, dir: String, queries: DataFrame, topK: Int,
+      nProbe: Int, idCol: String, vecCol: String,
+      asOf: Option[(Long, Long)]): DataFrame = {
     checkQueryDim(spark, dir, queries, vecCol)
     val cents = spark.read.parquet(s"$dir/centroids")
-    val cells = readCellsLive(spark, dir)
+    val cells = readCellsLive(spark, dir, asOf = asOf)
       .select("cid", "vid", "v", "cn")
     val probes = probeCells(queries, cents, nProbe, idCol, vecCol)
     val w = Window.partitionBy(col("query_id"))

@@ -91,6 +91,25 @@ private[graft] object StateIO {
         "forward before touching the state")
   }
 
+  /** Restrict a state table to an AS-OF bound on its tag column — the
+    * shared cut behind every pillar's snapshot (time-travel) read: the
+    * tagged `batch_id=N` / `delete_id=N` partitions each append and
+    * delete lands in for replay idempotency double as a full version
+    * history, so "the state after (append B, delete D)" is a pure
+    * `tag <= bound` filter on partition columns (pruned at the scan,
+    * never a rebuild). Fails fast on untagged states: rows with no tag
+    * carry no version identity, and silently reading them "as of"
+    * anything would pin them to an arbitrary version. */
+  private[ext] def asOfCut(
+      df: DataFrame, tagCol: String, bound: Long,
+      dir: String, table: String): DataFrame = {
+    require(df.columns.contains(tagCol),
+      s"as-of reads need a TAGGED state: $dir/$table has no $tagCol " +
+        "partition column (untagged appends/deletes carry no version " +
+        "identity) — rebuild with tagged appends/deletes to snapshot")
+    df.filter(org.apache.spark.sql.functions.col(tagCol) <= bound)
+  }
+
   /** True iff the path exists on its filesystem (a raw FS probe — no
     * parquet read, so an empty or mid-write dir still counts). */
   def pathExists(spark: SparkSession, path: String): Boolean = {

@@ -222,6 +222,65 @@ object TableFunctions {
       "hybrid_from_state", exprs => hybridFromState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "state_consistency", exprs => stateConsistency(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ivf_asof", exprs => ivfAsof(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "stats_asof", exprs => statsAsof(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "budget_asof", exprs => budgetAsof(spark, exprs), "built-in")
+  }
+
+  /** `ivf_asof('dir', query_table, 'id', 'vec', k, n_probe, asof_batch,
+    * asof_delete)` → [[Similarity.ivfTopKFromStateAsOf]]: probed
+    * retrieval as the IVF state stood after the given append/delete
+    * tags ([[graft.ext.Index.bm25TopKFromStateAsOf]]'s contract on the
+    * vector pillar). */
+  private def ivfAsof(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "ivf_asof"
+    requireArity(f, exprs, min = 8, max = 8)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val queries = args.table(spark, "query_table")
+    val id = args.name("id")
+    val vec = args.name("vec")
+    val k = args.int("k")
+    val nProbe = args.int("n_probe")
+    val asofBatch = args.long("asof_batch")
+    val asofDelete = args.long("asof_delete")
+    plan(Similarity.ivfTopKFromStateAsOf(spark, dir, queries, k,
+      asOfBatch = asofBatch, asOfDelete = asofDelete, nProbe = nProbe,
+      idCol = id, vecCol = vec))
+  }
+
+  /** `stats_asof('dir', asof_batch, asof_delete)` →
+    * [[Profile.statsReportAsOf]]: the per-source composition report as
+    * the stats state stood after the given append/delete tags. */
+  private def statsAsof(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "stats_asof"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val asofBatch = args.long("asof_batch")
+    val asofDelete = args.long("asof_delete")
+    plan(Profile.statsReportAsOf(spark, dir, asofBatch, asofDelete))
+  }
+
+  /** `budget_asof('dir', quality_table, 'id', 'quality', budget,
+    * asof_batch, asof_delete)` → [[Bpe.tokenBudgetFromStateAsOf]]: the
+    * budget cut as the tokenizer state stood after the given tags. */
+  private def budgetAsof(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "budget_asof"
+    requireArity(f, exprs, min = 7, max = 7)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val quality = args.table(spark, "quality_table")
+    val id = args.name("id")
+    val q = args.name("quality")
+    val budget = args.long("budget")
+    val asofBatch = args.long("asof_batch")
+    val asofDelete = args.long("asof_delete")
+    plan(Bpe.tokenBudgetFromStateAsOf(spark, dir, quality, id, q, budget,
+      asOfBatch = asofBatch, asOfDelete = asofDelete))
   }
 
   /** `bm25_asof('dir', 'id', 'terms', k, asof_batch, asof_delete)` →

@@ -2189,6 +2189,153 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x129 — TIME-TRAVEL retrieval from the IVF state
+    * ([[Similarity.ivfTopKFromStateAsOf]]): x125's as-of contract on
+    * the vector pillar. Valid precisely BECAUSE the geometry freezes on
+    * the first batch — every appended vector was assigned to the same
+    * centroids, so any prefix of the tagged history probes exactly as
+    * it did then (a per-batch-retraining index has no replayable past).
+    * Three snapshots of the x119 lifecycle — batch 1 only, both batches
+    * pre-delete, both + delete 1 (= the current state) — each of which
+    * the oracle re-derives as the frozen-centroid chain over that
+    * version's corpus cut. */
+  def x129(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x129_state").toFile.getAbsolutePath
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 250), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 250), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    val probes = emb.filter(col("vec_id") < 10)
+    def snap(label: String, asOfBatch: Long, asOfDelete: Long) =
+      Similarity.ivfTopKFromStateAsOf(s, state, probes, topK = 5,
+          asOfBatch = asOfBatch, asOfDelete = asOfDelete, nProbe = 2)
+        .select(lit(label).as("snapshot"), col("query_id"),
+          col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cos"), 4).as("cos_sim"))
+    snap("t1_batch1", 1L, 0L)
+      .unionByName(snap("t2_batch2", 2L, 0L))
+      .unionByName(snap("t3_deleted", 2L, 1L))
+      .orderBy("snapshot", "query_id", "rank")
+  }
+
+  /** x130 — TIME-TRAVEL fold of the stats state
+    * ([[Profile.statsReportAsOf]]): the as-of contract on the
+    * accounting pillar. Every stats row is a pure per-(source, batch)
+    * increment — counts sum, HLL sketches union — so any tagged prefix
+    * folds exactly as it did then: exact doc/token counts at each
+    * version, and a distinct estimate over the content APPENDED up to
+    * that batch, gated as a bound (the x59/x109 sketch discipline, per
+    * snapshot). The oracle re-derives each version's counts from the
+    * corpus slices and pins the bound booleans TRUE. */
+  def x130(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x130_state").toFile.getAbsolutePath
+    Profile.appendStatsState(docs.filter(col("doc_id") < 250),
+      state, "text", "source", Some(1L))
+    Profile.appendStatsState(docs.filter(col("doc_id") >= 250),
+      state, "text", "source", Some(2L))
+    Profile.deleteFromStatsState(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3),
+      state, "text", "source", Some(1L))
+    def snap(label: String, asOfBatch: Long, asOfDelete: Long,
+        appendedSlice: org.apache.spark.sql.Column) = {
+      val exact = docs.filter(appendedSlice).groupBy(col("source"))
+        .agg(count_distinct(md5(col("text"))).as("n_unique_appended"))
+      Profile.statsReportAsOf(s, state, asOfBatch, asOfDelete)
+        .withColumnRenamed("grp", "source")
+        .join(exact, "source")
+        .select(lit(label).as("snapshot"), col("source"), col("n_docs"),
+          col("tokens"), col("n_unique_appended"),
+          (abs(col("distinct_est").cast("double") -
+              col("n_unique_appended").cast("double")) <=
+            col("n_unique_appended").cast("double") * 0.05 + lit(1.0))
+            .as("est_within_bound"))
+    }
+    snap("t1_batch1", 1L, 0L, col("doc_id") < 250)
+      .unionByName(snap("t2_batch2", 2L, 0L, lit(true)))
+      .unionByName(snap("t3_deleted", 2L, 1L, lit(true)))
+      .orderBy("snapshot", "source")
+  }
+
+  /** x131 — TIME-TRAVEL budget selection from the tokenizer state
+    * ([[Bpe.tokenBudgetFromStateAsOf]]): the as-of contract on the
+    * fifth pillar. Valid because the merges FROZE on batch 1 — every
+    * version's persisted counts are in the same unit, so "which
+    * documents made the training cut before yesterday's delete?"
+    * replays exactly from the sidecar cut, no retraining, no re-encode.
+    * Three snapshots of the x121 lifecycle; the oracle replays the
+    * frozen-tokenizer encode once and runs the naive budget window over
+    * each version's live documents. */
+  def x131(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x131_state").toFile.getAbsolutePath
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 250), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(1L))
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") >= 250), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(2L))
+    Bpe.deleteFromTokenizerState(s, state,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val quality = docs
+      .select((col("doc_id") +: TextAnalysis.qualityColumns(col("text"))): _*)
+      .select(col("doc_id"), col("quality_score"))
+    def snap(label: String, asOfBatch: Long, asOfDelete: Long) =
+      Bpe.tokenBudgetFromStateAsOf(s, state, quality, "doc_id",
+          "quality_score", budget = 20000L, asOfBatch = asOfBatch,
+          asOfDelete = asOfDelete)
+        .select(lit(label).as("snapshot"), col("doc_id"),
+          col("quality_score"), col("bpe_tokens"), col("cum_tokens"))
+    snap("t1_batch1", 1L, 0L)
+      .unionByName(snap("t2_batch2", 2L, 0L))
+      .unionByName(snap("t3_deleted", 2L, 1L))
+      .orderBy("snapshot", "doc_id")
+  }
+
+  /** x132 — TIME-TRAVEL near-dup gate from the LSH state
+    * ([[Dedup.incrementalLshPairsFromState]] `asOf`): the as-of
+    * contract on the fifth and last tagged pillar — "would this batch
+    * have been accepted against LAST WEEK's corpus?" is the audit
+    * question every retroactive curation decision needs, and the tagged
+    * bands/reps/members partitions answer it as a pure cut (a batch-2
+    * doc byte-equal to a batch-1 group added only a members row in its
+    * own partition, so the prefix cut restores the earlier membership
+    * exactly). The same arriving batch is checked against three
+    * versions — batch 1 only, both batches, both + delete 1 (= the
+    * current state) — and each snapshot's pairs must equal the direct
+    * doc-pair derivation over that version's corpus (the x40/x89 oracle
+    * with the version's cut as a pair filter). */
+  def x132(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x132_state").toFile.getAbsolutePath
+    Dedup.appendLshState(docs.filter(col("doc_id") < 200), "doc_id", "text",
+      state, batchTag = Some(1L))
+    Dedup.appendLshState(
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+      "doc_id", "text", state, batchTag = Some(2L))
+    Dedup.deleteFromLshState(s, state,
+      docs.filter(col("doc_id") < 400 && pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val batch = docs.filter(col("doc_id") >= 400)
+    def snap(label: String, asOfBatch: Long, asOfDelete: Long) =
+      Dedup.incrementalLshPairsFromState(state, batch, "doc_id", "text",
+          asOf = Some((asOfBatch, asOfDelete)))
+        .select(lit(label).as("snapshot"), col("new_id"), col("old_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+    snap("t1_batch1", 1L, 0L)
+      .unionByName(snap("t2_batch2", 2L, 0L))
+      .unionByName(snap("t3_deleted", 2L, 1L))
+      .orderBy("snapshot", "new_id", "old_id")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -2414,7 +2561,11 @@ object Extensions {
     "x125_bm25_asof" -> (x125 _),
     "x126_hybrid_from_state" -> (x126 _),
     "x127_swap_recovery" -> (x127 _),
-    "x128_state_consistency" -> (x128 _)
+    "x128_state_consistency" -> (x128 _),
+    "x129_ivf_asof" -> (x129 _),
+    "x130_stats_asof" -> (x130 _),
+    "x131_budget_asof" -> (x131 _),
+    "x132_lsh_asof" -> (x132 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2472,6 +2623,12 @@ object Extensions {
   /** Shared x40/x89 oracle: the full relational LSH filtered to
     * cross-boundary (corpus < 400 ≤ batch) pairs. */
   private lazy val incrementalDedupOracleSql: String =
+    lshIncrPairsOracleSql("id_a < 400 AND id_b >= 400")
+
+  /** The x40/x89 incremental-pair derivation with the corpus/batch split
+    * expressed by `pairWhere` — every x132 as-of snapshot is the same
+    * relation with that version's corpus cut as the filter. */
+  private def lshIncrPairsOracleSql(pairWhere: String): String =
     s"""SELECT id_b AS new_id, id_a AS old_id, jaccard
        |FROM (${lshOracleSql(
              docWhere = "",
@@ -2479,7 +2636,7 @@ object Extensions {
                         |  / len(list_distinct(list_concat(sa.shl, sb.shl))), 4) AS jaccard""".stripMargin,
              where = """CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
                        |  / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.5""".stripMargin)})
-       |WHERE id_a < 400 AND id_b >= 400
+       |WHERE $pairWhere
        |ORDER BY new_id, old_id""".stripMargin
 
   private val decontam13OracleSql: String =
@@ -2571,6 +2728,15 @@ object Extensions {
     * by the x119 entry and x123's ann section (the capstone adds
     * compaction, which must not change answers). */
   private lazy val ivfDeleteOracleSql: String =
+    ivfSnapshotOracleSql(" AND af.vid % 5 <> 2")
+
+  /** The frozen-centroid probed-retrieval chain (x106) with the SCORING
+    * side restricted by `scoreWhere` — centroids always train on batch 1
+    * (vec_id < 250, the freeze contract), so any corpus restriction is a
+    * pure filter on the assigned vectors: the x119 delete contract
+    * (`AND af.vid % 5 <> 2`) and every x129 as-of snapshot are the same
+    * chain with different cuts. */
+  private def ivfSnapshotOracleSql(scoreWhere: String): String =
     s"""WITH $annEmbCte,
        |tr AS (SELECT * FROM e WHERE vec_id < 250),
        |${kmeansTrainCtes("tr")},
@@ -2580,7 +2746,7 @@ object Extensions {
        |      / (sqrt(list_dot_product(p.qv, p.qv))
        |         * sqrt(list_dot_product(af.v, af.v))) AS cos
        |  FROM probes p JOIN af USING (cid)
-       |  WHERE af.vid != p.query_id AND af.vid % 5 <> 2),
+       |  WHERE af.vid != p.query_id$scoreWhere),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id
@@ -5332,6 +5498,117 @@ object Extensions {
         |  TRUE AS in_tokenizer
         |FROM documents
         |WHERE doc_id % 7 <> 3 AND doc_id % 11 = 5
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // x129: each snapshot = the frozen-centroid probed chain (train on
+    // batch 1, assign all) with the scoring side cut to that version's
+    // corpus — batch 1 / both batches / survivors (the x119 cut)
+    "x129_ivf_asof" ->
+      s"""SELECT snapshot, query_id, neighbor_id, rank, cos_sim FROM (
+         |  SELECT 't1_batch1' AS snapshot, query_id, neighbor_id, rank, cos_sim
+         |  FROM (${ivfSnapshotOracleSql(" AND af.vid < 250")})
+         |  UNION ALL
+         |  SELECT 't2_batch2' AS snapshot, query_id, neighbor_id, rank, cos_sim
+         |  FROM (${ivfSnapshotOracleSql("")})
+         |  UNION ALL
+         |  SELECT 't3_deleted' AS snapshot, query_id, neighbor_id, rank, cos_sim
+         |  FROM (${ivfSnapshotOracleSql(" AND af.vid % 5 <> 2")})
+         |) ORDER BY snapshot, query_id, rank""".stripMargin,
+
+    // x130: per-version exact counts from the corpus slices (t1 = batch
+    // 1's docs; t2 = all appended; t3 = survivors — the delete applies
+    // only to counts, never to the appended-content distinct), bound
+    // booleans pinned TRUE
+    "x130_stats_asof" ->
+      """SELECT snapshot, source, n_docs, tokens, n_unique_appended,
+        |  est_within_bound FROM (
+        |  SELECT 't1_batch1' AS snapshot, source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT)
+        |      AS tokens,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_appended,
+        |    TRUE AS est_within_bound
+        |  FROM documents WHERE doc_id < 250 GROUP BY source
+        |  UNION ALL
+        |  SELECT 't2_batch2', source, CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT),
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT), TRUE
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT 't3_deleted', source,
+        |    CAST(count(*) FILTER (WHERE doc_id % 7 <> 3) AS BIGINT),
+        |    CAST(coalesce(sum(len(string_split(text, ' ')))
+        |      FILTER (WHERE doc_id % 7 <> 3), 0) AS BIGINT),
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT), TRUE
+        |  FROM documents GROUP BY source
+        |) ORDER BY snapshot, source""".stripMargin,
+
+    // x131: the frozen-tokenizer encode (train on batch 1, encode all —
+    // the x121 CTEs) run once, then the naive budget window over each
+    // version's live documents
+    "x131_budget_asof" ->
+      s"""WITH ${bpeEncodedCorpusCtes(4, " WHERE doc_id < 250")},
+         |enc AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS bpe_tokens FROM it4),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+         |    length(replace(text, ' ', '')) AS n_nonspace,
+         |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+         |      ['the','and','of','to','in','is','it','that'])) AS BIGINT) AS en_hits
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    round(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+         |    round(CAST(en_hits AS DOUBLE) / n_words, 4) AS stop_ratio
+         |  FROM f),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.5
+         |      + least(stop_ratio * 10.0, CAST(1.0 AS DOUBLE)) * 0.3
+         |      + CASE WHEN avg_word_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4)
+         |      AS quality_score
+         |  FROM r),
+         |c1 AS (
+         |  SELECT q.doc_id, q.quality_score, e.bpe_tokens,
+         |    CAST(sum(e.bpe_tokens) OVER (ORDER BY q.quality_score DESC, q.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q JOIN enc e USING (doc_id) WHERE q.doc_id < 250),
+         |c2 AS (
+         |  SELECT q.doc_id, q.quality_score, e.bpe_tokens,
+         |    CAST(sum(e.bpe_tokens) OVER (ORDER BY q.quality_score DESC, q.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q JOIN enc e USING (doc_id)),
+         |c3 AS (
+         |  SELECT q.doc_id, q.quality_score, e.bpe_tokens,
+         |    CAST(sum(e.bpe_tokens) OVER (ORDER BY q.quality_score DESC, q.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q JOIN enc e USING (doc_id) WHERE q.doc_id % 7 <> 3)
+         |SELECT snapshot, doc_id, quality_score, bpe_tokens, cum_tokens FROM (
+         |  SELECT 't1_batch1' AS snapshot, * FROM c1 WHERE cum_tokens <= 20000
+         |  UNION ALL
+         |  SELECT 't2_batch2' AS snapshot, * FROM c2 WHERE cum_tokens <= 20000
+         |  UNION ALL
+         |  SELECT 't3_deleted' AS snapshot, * FROM c3 WHERE cum_tokens <= 20000
+         |) ORDER BY snapshot, doc_id""".stripMargin,
+
+    // x132: each snapshot = the x40/x89 direct doc-pair derivation with
+    // that version's corpus cut as the pair filter (corpus < 200 /
+    // < 400 / < 400 minus the mod-3 delete; batch is always >= 400)
+    "x132_lsh_asof" ->
+      s"""SELECT snapshot, new_id, old_id, jaccard FROM (
+         |  SELECT 't1_batch1' AS snapshot, new_id, old_id, jaccard
+         |  FROM (${lshIncrPairsOracleSql("id_a < 200 AND id_b >= 400")})
+         |  UNION ALL
+         |  SELECT 't2_batch2' AS snapshot, new_id, old_id, jaccard
+         |  FROM (${lshIncrPairsOracleSql("id_a < 400 AND id_b >= 400")})
+         |  UNION ALL
+         |  SELECT 't3_deleted' AS snapshot, new_id, old_id, jaccard
+         |  FROM (${lshIncrPairsOracleSql(
+                "id_a < 400 AND id_a % 3 <> 1 AND id_b >= 400")})
+         |) ORDER BY snapshot, new_id, old_id""".stripMargin
   )
 }

@@ -3155,6 +3155,88 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("TAGGED"))
   }
 
+  test("ivf/stats/budget as-of: every snapshot equals a fresh state built from that prefix") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft-asof3")
+      .toFile.getAbsolutePath
+    val db1 = docs.filter(col("doc_id") < 80)
+    val db2 = docs.filter(col("doc_id") >= 80 && col("doc_id") < 160)
+    val delSlice = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+    val eb1 = emb.filter(col("vec_id") < 80)
+    val eb2 = emb.filter(col("vec_id") >= 80 && col("vec_id") < 160)
+
+    // IVF — full history state and a batch-1-only twin
+    val (vs, vs1) = (s"$root/ivf", s"$root/ivf_b1")
+    Similarity.appendIvfState(eb1, vs, k = 4, iters = 1, batchTag = Some(1L))
+    Similarity.appendIvfState(eb2, vs, k = 4, iters = 1, batchTag = Some(2L))
+    Similarity.deleteFromIvfState(spark, vs,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 1).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.appendIvfState(eb1, vs1, k = 4, iters = 1, batchTag = Some(1L))
+    val probes = emb.filter(col("vec_id") < 5)
+    def annRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4)).as[(Long, Long, Int, Double)]
+        .collect().toSeq.sortBy(r => (r._1, r._3))
+    assert(annRows(Similarity.ivfTopKFromStateAsOf(spark, vs, probes, 3,
+        asOfBatch = 2L, asOfDelete = 1L)) ==
+      annRows(Similarity.ivfTopKFromState(spark, vs, probes, 3)))
+    assert(annRows(Similarity.ivfTopKFromStateAsOf(spark, vs, probes, 3,
+        asOfBatch = 1L, asOfDelete = 0L)) ==
+      annRows(Similarity.ivfTopKFromState(spark, vs1, probes, 3)))
+
+    // stats — same contract
+    val (ss, ss1) = (s"$root/stats", s"$root/stats_b1")
+    Profile.appendStatsState(db1, ss, "text", "source", Some(1L))
+    Profile.appendStatsState(db2, ss, "text", "source", Some(2L))
+    Profile.deleteFromStatsState(delSlice.filter(col("doc_id") < 160),
+      ss, "text", "source", Some(1L))
+    Profile.appendStatsState(db1, ss1, "text", "source", Some(1L))
+    def statRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("grp"), col("n_docs"), col("tokens"),
+        col("distinct_est")).as[(String, Long, Long, Long)]
+        .collect().toSeq.sortBy(_._1)
+    assert(statRows(Profile.statsReportAsOf(spark, ss, 2L, 1L)) ==
+      statRows(Profile.statsReport(spark, ss)))
+    assert(statRows(Profile.statsReportAsOf(spark, ss, 1L, 0L)) ==
+      statRows(Profile.statsReport(spark, ss1)))
+
+    // tokenizer — merges froze on batch 1 in BOTH dirs, so the budget
+    // snapshot equals the prefix twin exactly
+    val (ts, ts1) = (s"$root/tok", s"$root/tok_b1")
+    Bpe.appendTokenizerState(db1, ts, "doc_id", "text", numMerges = 3,
+      batchTag = Some(1L))
+    Bpe.appendTokenizerState(db2, ts, "doc_id", "text", numMerges = 3,
+      batchTag = Some(2L))
+    Bpe.deleteFromTokenizerState(spark, ts,
+      delSlice.select(col("doc_id")), "doc_id", deleteTag = Some(1L))
+    Bpe.appendTokenizerState(db1, ts1, "doc_id", "text", numMerges = 3,
+      batchTag = Some(1L))
+    val quality = docs.select(col("doc_id"),
+      (col("doc_id") % 17).cast("double").as("q"))
+    def budRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("bpe_tokens"), col("cum_tokens"))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(budRows(Bpe.tokenBudgetFromStateAsOf(spark, ts, quality,
+        "doc_id", "q", 4000L, asOfBatch = 2L, asOfDelete = 1L)) ==
+      budRows(Bpe.tokenBudgetFromState(spark, ts, quality,
+        "doc_id", "q", 4000L)))
+    assert(budRows(Bpe.tokenBudgetFromStateAsOf(spark, ts, quality,
+        "doc_id", "q", 4000L, asOfBatch = 1L, asOfDelete = 0L)) ==
+      budRows(Bpe.tokenBudgetFromState(spark, ts1, quality,
+        "doc_id", "q", 4000L)))
+
+    // untagged states carry no version identity: every pillar refuses
+    val uv = s"$root/ivf_untagged"
+    Similarity.appendIvfState(eb1, uv, k = 4, iters = 1)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfTopKFromStateAsOf(spark, uv, probes, 3,
+        asOfBatch = 1L).collect())
+    assert(e.getMessage.contains("TAGGED"))
+  }
+
   test("hybridTopKFromState: fuses the two state legs; deletes drop out; one query only") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))

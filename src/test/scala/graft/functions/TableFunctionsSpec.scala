@@ -549,6 +549,27 @@ class TableFunctionsSpec extends SparkSpec {
         "lsh" -> graft.ext.StateAudit.lshLiveIds(spark, ls),
         "postings" -> graft.ext.StateAudit.postingsLiveIds(spark, ps),
         "tokenizer" -> graft.ext.StateAudit.tokenizerLiveIds(spark, ts))))
+    assertSame(
+      spark.sql(s"SELECT * FROM ivf_asof('$vs', 'tvf_q14', 'vec_id', " +
+        "'embedding', 5, 2, 1, 0)"),
+      graft.ext.Similarity.ivfTopKFromStateAsOf(spark, vs, q0, 5,
+        asOfBatch = 1L, asOfDelete = 0L, nProbe = 2))
+    val docsS = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text", $"source")
+    val st = s"$root/stats"
+    graft.ext.Profile.appendStatsState(docsS.filter($"doc_id" < 100), st,
+      "text", "source", Some(1L))
+    assertSame(
+      spark.sql(s"SELECT * FROM stats_asof('$st', 1, 0)"),
+      graft.ext.Profile.statsReportAsOf(spark, st, 1L, 0L))
+    val quality = docsS.select($"doc_id",
+      ($"doc_id" % 7).cast("double").as("q"))
+    quality.createOrReplaceTempView("tvf_quality14")
+    assertSame(
+      spark.sql(s"SELECT * FROM budget_asof('$ts', 'tvf_quality14', " +
+        "'doc_id', 'q', 3000, 1, 0)"),
+      graft.ext.Bpe.tokenBudgetFromStateAsOf(spark, ts, quality,
+        "doc_id", "q", 3000L, asOfBatch = 1L, asOfDelete = 0L))
   }
 
   test("non-literal and wrong-arity arguments raise AnalysisException") {
