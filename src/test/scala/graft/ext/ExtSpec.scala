@@ -2344,6 +2344,27 @@ class ExtSpec extends SparkSpec {
       s"compaction flattened the bucket layout:\n$planAfter")
   }
 
+  test("as-of postings read prunes at the scan: batch_id joins the partition filters") {
+    import graft.Tables
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_asof_prune").toFile.getAbsolutePath
+    Index.appendPostingsState(docs.filter(col("doc_id") < 250),
+      dir, "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 250),
+      dir, "doc_id", "text", batchTag = Some(2L))
+    // the snapshot cut must reach the scan as a PARTITION filter next to
+    // the bucket pruning — an as-of read that post-filters a full-history
+    // scan would make time travel cost the whole index at 100 TB
+    val plan = graft.Plans.capturePlan(Index.postingsRead(
+      spark, dir, Seq("dup", "vector", "window"), buckets = 64,
+      asOf = Some((1L, 0L))))
+    val scanLine = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanLine.contains("bucket") && scanLine.contains("batch_id"),
+      s"as-of postings scan is not batch+bucket-pruned:\n$plan")
+  }
+
   test("appendStatsState: cross-batch distinct unions, replay overwrites") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stats_state").toFile.getAbsolutePath
