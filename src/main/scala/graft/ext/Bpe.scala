@@ -380,6 +380,7 @@ object Bpe {
       numMerges: Int = 4, batchTag: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     StateIO.checkNoCompactRemnants(spark, dir, tokenizerTables)
+    StateIO.checkTagAboveFloor(spark, dir, batchTag, "append")
     val merges = readTokenizerMeta(spark, dir) match {
       case Some(stored) =>
         require(stored == numMerges.toLong,
@@ -467,6 +468,7 @@ object Bpe {
       ids: DataFrame, idCol: String,
       deleteTag: Option[Long] = None): Unit = {
     StateIO.checkNoCompactRemnants(spark, dir, tokenizerTables)
+    StateIO.checkTagAboveFloor(spark, dir, deleteTag, "delete")
     val del = ids.select(col(idCol).as("id")).distinct()
     deleteTag match {
       case Some(t) =>
@@ -480,6 +482,40 @@ object Bpe {
         fresh.write.mode("append").parquet(s"$dir/tombstones")
     }
   }
+
+  /** HISTORY-RETENTION GC for an [[appendTokenizerState]] dir — the
+    * [[graft.ext.StateIO.truncateHistory]] core over the tokenizer
+    * pillar. Pure tag collapse: sidecar rows with `batch_id <= floor`
+    * re-tag to the base version (the merges FROZE on batch 1, so every
+    * version's `bpe_tokens` are the same unit — the re-tag moves
+    * partitions, never re-encodes), tombstones `delete_id <= floor`
+    * collapse and keep anti-joining at read time, so every still-legal
+    * as-of budget/mix/sample read (bounds ≥ floor —
+    * [[tokenBudgetFromStateAsOf]] et al.) returns bit-identical
+    * selections (the x142 gate). The frozen `merges` table and `_meta`
+    * are version-free and untouched. */
+  def truncateTokenizerHistory(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      floor: Long): Unit =
+    StateIO.truncateHistory(spark, dir, floor, Seq(
+      StateIO.TruncTable("doc_tokens", "batch_id"),
+      StateIO.TruncTable("tombstones", "delete_id", required = false)),
+      extraRemnantChecks = Seq("merges"))
+
+  /** BRANCH an [[appendTokenizerState]] dir at a version
+    * ([[graft.ext.StateIO.cloneStateAsOf]] over the tokenizer pillar):
+    * the clone's plain budget/mix/sample reads equal the source's
+    * as-of reads at (asOfBatch, asOfDelete); frozen `merges` and
+    * `_meta` raw-copy, so counts stay one unit across branch and
+    * source. */
+  def cloneTokenizerState(
+      spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, asOfBatch: Long, asOfDelete: Long = 0L): Unit =
+    StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
+      Seq(
+        StateIO.TruncTable("doc_tokens", "batch_id"),
+        StateIO.TruncTable("tombstones", "delete_id", required = false)),
+      rawCopies = Seq("merges", "_meta"))
 
   /** [[graft.ext.Sampling.tokenBudget]] answered from persisted encoded
     * counts: the budget prefix sum runs over the narrow (id, bpe_tokens)
@@ -581,8 +617,10 @@ object Bpe {
   def compactTokenizerState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Unit = {
+    // materialized so no table rewritten later in the sequence re-reads
+    // the tombstones files after their own swap replaced them
     val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
-      .map(_.select(col("id")))
+      .map(tb => Dedup.materialize(tb.select(col("id"))))
     val dropDeleted: DataFrame => DataFrame = df => tombs match {
       case Some(tb) => df.join(tb, Seq("id"), "left_anti")
       case None => df

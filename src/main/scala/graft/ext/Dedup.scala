@@ -505,6 +505,7 @@ object Dedup {
           "before appending (a fresh-corpus rebuild here would silently " +
           "orphan the existing membership)")
     }
+    StateIO.checkTagAboveFloor(spark, dir, batchTag, "append")
     val par = spark.sparkContext.defaultParallelism
     val wide = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     // NO short-doc filter here: the state IS the corpus (reps carry every
@@ -652,8 +653,10 @@ object Dedup {
     // never-reuse-a-deleted-id contract keeps needing it. The
     // surviving-rid set is materialized from the LIVE tables BEFORE any
     // swap so every table's rewrite sees the same consistent snapshot.
+    // materialized so no table rewritten later in the sequence re-reads
+    // the tombstones files after their own swap replaced them
     val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
-      .map(_.select(col("id")))
+      .map(tb => materialize(tb.select(col("id"))))
     val survivingRids = tombs.map { tb =>
       materialize(spark.read.parquet(s"$dir/members")
         .join(tb, Seq("id"), "left_anti").select(col("rid")).distinct())
@@ -699,6 +702,7 @@ object Dedup {
       deleteTag: Option[Long] = None): Unit = {
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("bands", "reps", "members", "tombstones"))
+    StateIO.checkTagAboveFloor(spark, dir, deleteTag, "delete")
     val del = ids.select(col(idCol).as("id")).distinct()
     deleteTag match {
       case Some(t) => // partition overwrite is idempotent by itself
@@ -712,6 +716,47 @@ object Dedup {
         fresh.write.mode("append").parquet(s"$dir/tombstones")
     }
   }
+
+  /** HISTORY-RETENTION GC for an [[appendLshState]] dir — the
+    * [[graft.ext.StateIO.truncateHistory]] core over the text pillar's
+    * four tagged tables. Pure tag collapse: every reps/bands/members row
+    * with `batch_id <= floor` re-tags to the base version `floor`
+    * (content byte-preserved — a batch-1 group's signature rows simply
+    * move partitions), tombstone partitions `delete_id <= floor`
+    * collapse likewise and KEEP subtracting at read time exactly as
+    * they did per-version, so every still-legal as-of read (bounds ≥
+    * floor) — [[incrementalLshPairsFromState]]'s cut included — returns
+    * bit-identical membership (the x139 gate). Physical tombstone
+    * application stays [[compactLshState]]'s job: group-level tables
+    * (reps/bands) need the surviving-member semi-join to decide what a
+    * delete kills, and truncation deliberately does NOT re-derive
+    * group liveness — it only bounds the partition history. `_meta`
+    * (signature parameters) is version-free and untouched. */
+  def truncateLshHistory(
+      spark: SparkSession, dir: String, floor: Long): Unit =
+    StateIO.truncateHistory(spark, dir, floor, Seq(
+      StateIO.TruncTable("reps", "batch_id"),
+      StateIO.TruncTable("bands", "batch_id"),
+      StateIO.TruncTable("members", "batch_id"),
+      StateIO.TruncTable("tombstones", "delete_id", required = false)))
+
+  /** BRANCH an [[appendLshState]] dir at a version
+    * ([[graft.ext.StateIO.cloneStateAsOf]] over the text pillar): the
+    * clone is an independent state whose PLAIN reads answer exactly
+    * like the source's as-of reads at (asOfBatch, asOfDelete), and
+    * whose later appends/deletes/truncations leave the source
+    * untouched. `_meta` (signature parameters) raw-copies so the
+    * clone's band joins stay compatible with fresh signatures. */
+  def cloneLshState(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      asOfBatch: Long, asOfDelete: Long = 0L): Unit =
+    StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
+      Seq(
+        StateIO.TruncTable("reps", "batch_id"),
+        StateIO.TruncTable("bands", "batch_id"),
+        StateIO.TruncTable("members", "batch_id"),
+        StateIO.TruncTable("tombstones", "delete_id", required = false)),
+      rawCopies = Seq("_meta"))
 
   /** Shared state-dir compaction engine ([[compactLshState]],
     * [[Similarity.compactIvfState]], [[Profile.compactStatsState]],

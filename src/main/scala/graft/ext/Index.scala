@@ -252,9 +252,33 @@ object Index {
     * the pruned lookup into a full-index scan). */
   def appendPostingsState(
       batch: DataFrame, dir: String, idCol: String, textCol: String,
-      buckets: Int = 64, batchTag: Option[Long] = None): Unit = {
+      buckets: Int = 64, batchTag: Option[Long] = None,
+      positions: Boolean = false): Unit = {
     StateIO.checkNoCompactRemnants(batch.sparkSession, dir,
-      Seq("postings", "totals", "docs", "tombstones", "tomb_totals"))
+      Seq("postings", "totals", "docs", "tombstones", "tomb_totals",
+        "positions"))
+    StateIO.checkTagAboveFloor(batch.sparkSession, dir, batchTag, "append")
+    // optional POSITIONAL sidecar — what [[phraseSearchFromState]] reads:
+    // (id, pos, term) per token occurrence, term-bucketed like the
+    // postings so a phrase query's read prunes to its terms' buckets.
+    // ~token-mass rows (the honest cost of a positional index — opt-in).
+    // Positions are assigned BEFORE dropping empty terms, so offsets
+    // match [[phraseSearch]]'s tokenization exactly.
+    if (positions) {
+      val posRows = batch
+        .select(col(idCol).as("id"),
+          posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "term")))
+        .filter(col("term") =!= "")
+        .withColumn("bucket",
+          pmod(PortableHash.md5Long(col("term")), lit(buckets.toLong))
+            .cast("int"))
+      batchTag match {
+        case Some(t) => posRows.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/positions/batch_id=$t")
+        case None => posRows.write.mode("append").partitionBy("bucket")
+          .parquet(s"$dir/positions")
+      }
+    }
     val toks = batch.select(col(idCol).as("id"),
       filter(Dedup.tokens(col(textCol)), _ =!= "").as("graft_toks"))
     val totals = toks.agg(count(lit(1)).as("n_docs"),
@@ -298,9 +322,13 @@ object Index {
     *  - `tombstones` gains the deleted ids; every read
     *    ([[bm25TopKFromState]]) anti-joins them (tombstones are few until
     *    compaction — the anti-join is a broadcast against posting rows).
-    *  - `tomb_totals` gains one NEGATIVE (n_docs, sum_dl) row derived
-    *    from the `docs` sidecar, so the BM25 corpus constants stay exact
-    *    integer sums over |batches| + |deletes| rows.
+    *  - `tomb_totals` gains NEGATIVE (n_docs, sum_dl) rows derived from
+    *    the `docs` sidecar — one per APPEND batch the deleted docs came
+    *    from (`src_batch`, from the sidecar's partition column), so the
+    *    BM25 corpus constants stay exact integer sums over
+    *    |batches| + |deletes × batches-covered| rows AND a snapshot read
+    *    ([[bm25TopKFromStateAsOf]]) can subtract only the corrections
+    *    for docs inside its batch cut.
     *
     * [[compactPostingsState]] later applies tombstones PHYSICALLY
     * (rewrites postings/docs without the deleted rows) but keeps the
@@ -324,7 +352,9 @@ object Index {
       ids: DataFrame, idCol: String,
       deleteTag: Option[Long] = None): Unit = {
     StateIO.checkNoCompactRemnants(spark, dir,
-      Seq("postings", "totals", "docs", "tombstones", "tomb_totals"))
+      Seq("postings", "totals", "docs", "tombstones", "tomb_totals",
+        "positions"))
+    StateIO.checkTagAboveFloor(spark, dir, deleteTag, "delete")
     val del = ids.select(col(idCol).as("id")).distinct()
     val docRows = StateIO.readIfExists(spark, s"$dir/docs").getOrElse(
       throw new IllegalStateException(
@@ -362,9 +392,24 @@ object Index {
       case None => del
     })
     val found = docRows.join(fresh, Seq("id"), "left_semi")
-    val correction = found.agg(
-      (-count(lit(1))).as("n_docs"),
-      (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+    // BATCH-ATTRIBUTED corrections (tagged states): one negative row per
+    // APPEND batch the deleted docs came from, keyed `src_batch` from the
+    // sidecar's partition column. The current read sums them all (same
+    // exact integers as one row); the as-of read cuts `src_batch <=
+    // asOfBatch`, so a snapshot whose batch bound predates part of a
+    // delete's coverage subtracts ONLY the corrections for docs inside
+    // the cut — without this, a delete spanning later batches deflates
+    // every earlier snapshot's N/avgdl (the x134 t_floor bug). Untagged
+    // states have no batch identity (and no as-of reads), so they keep
+    // the single aggregate row.
+    val correction =
+      if (docRows.columns.contains("batch_id"))
+        found.groupBy(col("batch_id").cast("long").as("src_batch"))
+          .agg((-count(lit(1))).as("n_docs"),
+            (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+      else found.agg(
+        (-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
     deleteTag match {
       case Some(t) =>
         fresh.write.mode("overwrite")
@@ -399,18 +444,193 @@ object Index {
     // silently re-inflating N/avgdl while batch totals still count the
     // deleted docs. Sidecar rows of deleted ids are inert everywhere
     // else (only the delete path reads the sidecar).
+    // MATERIALIZED, not a lazy file read: the tombstones table itself is
+    // swapped mid-sequence, and the positions table — compacted AFTER
+    // that swap — re-executes this plan. A lazy plan would then chase
+    // the pre-swap file listing into FILE_NOT_EXIST. Tombstones are
+    // small by design (ids only), so the snapshot is cheap.
     val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
-      .map(_.select(col("id")))
+      .map(tb => Dedup.materialize(tb.select(col("id"))))
     val dropDeleted: DataFrame => DataFrame = df => tombs match {
       case Some(tb) => df.join(tb, Seq("id"), "left_anti")
       case None => df
     }
+    val posTable =
+      if (StateIO.pathExists(spark, s"$dir/positions"))
+        Seq("positions" -> false)
+      else Nil
     Dedup.compactStateTables(spark, dir,
       Seq("postings" -> false, "docs" -> false, "totals" -> false,
-        "tombstones" -> true, "tomb_totals" -> false), targetBytes,
+        "tombstones" -> true, "tomb_totals" -> false) ++ posTable,
+      targetBytes,
       extraPartitionCols = Seq("bucket"),
-      transforms = Map("postings" -> dropDeleted))
+      transforms = Map("postings" -> dropDeleted) ++
+        posTable.map { case (t, _) => t -> dropDeleted }.toMap)
   }
+
+  /** HISTORY-RETENTION GC for an [[appendPostingsState]] dir — the
+    * operator that BOUNDS what time-travel keeps: the tagged partitions
+    * the as-of reads cut ([[bm25TopKFromStateAsOf]]) are a full version
+    * history, which at production cadence means thousands of tiny
+    * `batch_id=N` / `delete_id=N` partitions per year — unbounded
+    * metadata AND an unbounded promise that every historical version
+    * stays answerable. Truncation collapses every version with
+    * tag ≤ `floor` into ONE base version tagged `floor`:
+    *
+    *  - postings with `batch_id <= floor` lose the rows tombstoned by
+    *    deletes `<= floor` (applied physically — those versions can no
+    *    longer be separated, so the logical/physical distinction below
+    *    the floor is meaningless) and land re-tagged `batch_id=floor`;
+    *    later batches are byte-preserved. The `bucket` level survives,
+    *    so query reads stay partition-pruned.
+    *  - totals `<= floor` fold into one exact base row (still counting
+    *    the deleted docs — the collapsed corrections keep carrying the
+    *    subtraction, exactly as they did per-version), docs keeps ALL
+    *    sidecar rows (tombstoned included — delete replays above the
+    *    floor still re-derive their corrections), and
+    *    tombstones/tomb_totals collapse their `delete_id <= floor`
+    *    partitions to `delete_id=floor`. Nothing is dropped from the
+    *    accounting, so `count(docs) == Σ totals.n_docs` (the delete
+    *    path's coverage invariant) survives, and every as-of read at
+    *    bounds ≥ floor returns bit-identical answers (the x134 gate).
+    *
+    * Contract changes, all refused loudly via the `_history_floor`
+    * marker: as-of reads with either bound below the floor
+    * (that version is gone), tagged appends/deletes at or below it
+    * (their partition identity collapsed — a replay would corrupt the
+    * base), and untagged writes entirely (no version identity to place
+    * against a floored history).
+    *
+    * Crash posture: the floor marker is published FIRST (atomic
+    * rename); a crash before the table swap leaves conservative
+    * refusals of still-intact versions, never a wrong answer — re-run
+    * to finish. The five tables then move under ONE
+    * [[graft.ext.StateIO.swapInTables]] commit point: full old layout
+    * or full new layout, with [[graft.ext.StateIO.recoverSwap]] rolling
+    * a post-commit crash forward.
+    *
+    * Scale shape: one distributed rewrite of the sub-floor partitions
+    * (the data a year of appends accumulated — the same cost profile as
+    * compaction, run at the same cadence); later partitions rewrite as
+    * straight copies. Nothing collects to the driver. */
+  def truncatePostingsHistory(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      floor: Long): Unit = {
+    StateIO.checkNoCompactRemnants(spark, dir,
+      Seq("postings", "totals", "docs", "tombstones", "tomb_totals",
+        "positions"))
+    val post = spark.read.parquet(s"$dir/postings")
+    require(post.columns.contains("batch_id"),
+      s"history truncation needs a TAGGED state: $dir/postings has no " +
+        "batch_id partition column")
+    val maxBatch =
+      post.agg(max(col("batch_id")).cast("long")).head().getLong(0)
+    require(floor >= 1L && floor <= maxBatch,
+      s"floor $floor out of range for $dir: tagged batches reach $maxBatch")
+    val docs = spark.read.parquet(s"$dir/docs")
+    val totals = spark.read.parquet(s"$dir/totals")
+    val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+    val tombTotals = StateIO.readIfExists(spark, s"$dir/tomb_totals")
+    (Seq(docs -> "docs", totals -> "totals").map { case (d, n) =>
+      (d, n, "batch_id")
+    } ++ (tombs.map((_, "tombstones", "delete_id")) ++
+      tombTotals.map((_, "tomb_totals", "delete_id")))).foreach {
+      case (d, name, tagCol) =>
+        require(d.columns.contains(tagCol),
+          s"history truncation needs a TAGGED state: $dir/$name has no " +
+            s"$tagCol partition column")
+    }
+    // sub-floor tombstone ids — applied physically to the sub-floor
+    // postings below (ONLY those: a tombstone above the floor stays
+    // logical so as-of reads between the floor and its tag still see
+    // the rows it later removed)
+    val oldTombIds = tombs.map(_.filter(col("delete_id") <= floor)
+      .select(col("id")))
+    def collapse(df: DataFrame, tagCol: String): DataFrame =
+      df.filter(col(tagCol) <= floor)
+        .withColumn(tagCol, lit(floor))
+        .unionByName(df.filter(col(tagCol) > floor)
+          .withColumn(tagCol, col(tagCol).cast("long")))
+    val oldPost = post.filter(col("batch_id") <= floor)
+    val basePost = (oldTombIds match {
+      case Some(ids) => oldPost.join(ids, Seq("id"), "left_anti")
+      case None => oldPost
+    }).withColumn("batch_id", lit(floor))
+    val newPost = basePost.unionByName(post.filter(col("batch_id") > floor)
+      .withColumn("batch_id", col("batch_id").cast("long")))
+    val baseTotals = totals.filter(col("batch_id") <= floor)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+      .withColumn("batch_id", lit(floor))
+    val newTotals = baseTotals
+      .unionByName(totals.filter(col("batch_id") > floor)
+        .withColumn("batch_id", col("batch_id").cast("long")))
+    // the floor FIRST: a crash between here and the swap refuses
+    // conservatively instead of answering from a half-collapsed cut
+    StateIO.writeHistoryFloor(spark, dir, floor)
+    // the positional sidecar (if present) collapses exactly like the
+    // postings: sub-floor tombstones applied physically, bucket level
+    // preserved
+    val positions = StateIO.readIfExists(spark, s"$dir/positions").map { p =>
+      require(p.columns.contains("batch_id"),
+        s"history truncation needs a TAGGED state: $dir/positions has " +
+          "no batch_id partition column")
+      val oldPos = p.filter(col("batch_id") <= floor)
+      val basePos = (oldTombIds match {
+        case Some(ids) => oldPos.join(ids, Seq("id"), "left_anti")
+        case None => oldPos
+      }).withColumn("batch_id", lit(floor))
+      basePos.unionByName(p.filter(col("batch_id") > floor)
+        .withColumn("batch_id", col("batch_id").cast("long")))
+    }
+    val swaps = Seq(
+      ("postings", newPost, Seq("batch_id", "bucket")),
+      ("docs", collapse(docs, "batch_id"), Seq("batch_id")),
+      ("totals", newTotals, Seq("batch_id"))) ++
+      tombs.map(tb =>
+        ("tombstones", collapse(tb, "delete_id"), Seq("delete_id"))) ++
+      tombTotals.map { tt =>
+        // batch-attributed corrections follow their source batches: rows
+        // whose src_batch collapsed into the base retag to the floor
+        // (src_batch > floor survives untouched — e.g. a sub-floor
+        // delete that covered docs from a later batch). Every legal
+        // as-of read has batch bound >= floor, so `src_batch <= bound`
+        // keeps selecting exactly the same rows it did pre-truncation.
+        val retagged =
+          if (tt.columns.contains("src_batch"))
+            tt.withColumn("src_batch",
+              greatest(col("src_batch").cast("long"), lit(floor)))
+          else tt
+        ("tomb_totals", collapse(retagged, "delete_id"), Seq("delete_id"))
+      } ++
+      positions.map(p => ("positions", p, Seq("batch_id", "bucket")))
+    StateIO.swapInTables(spark, dir, swaps)
+  }
+
+  /** BRANCH an [[appendPostingsState]] dir at a version
+    * ([[graft.ext.StateIO.cloneStateAsOf]] over the postings pillar,
+    * the x144 gate): the clone is an independent index whose PLAIN
+    * reads — [[bm25TopKFromState]], [[phraseSearchFromState]],
+    * [[hybridTopKFromState]]'s lexical leg — answer exactly like the
+    * source's as-of reads at (asOfBatch, asOfDelete): every tagged
+    * table lands with only its in-bound partitions (bucket pruning
+    * level preserved), and `tomb_totals` keeps only corrections
+    * attributed inside the batch cut, so the corpus constants stay the
+    * exact integers the as-of fold computes. Later appends, deletes,
+    * compactions, and truncations of the clone leave the source
+    * untouched — the what-if curation branch a production index needs. */
+  def clonePostingsState(
+      spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, asOfBatch: Long, asOfDelete: Long = 0L): Unit =
+    StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
+      Seq(
+        StateIO.TruncTable("postings", "batch_id", Seq("bucket")),
+        StateIO.TruncTable("docs", "batch_id"),
+        StateIO.TruncTable("totals", "batch_id"),
+        StateIO.TruncTable("positions", "batch_id", Seq("bucket"),
+          required = false),
+        StateIO.TruncTable("tombstones", "delete_id", required = false),
+        StateIO.TruncTable("tomb_totals", "delete_id", required = false)))
 
   /** [[bm25TopK]] answered from [[appendPostingsState]] parquet —
     * output-identical to the batch path over the same corpus (ExtSpec
@@ -467,6 +687,14 @@ object Index {
       idCol: String, k1: Double, b: Double,
       asOf: Option[(Long, Long)]): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    asOf.foreach { case (bt, dt) =>
+      val floor = StateIO.readHistoryFloor(spark, dir)
+      require(bt >= floor && dt >= floor,
+        s"as-of ($bt, $dt) is below $dir's history floor $floor — " +
+          "versions at or below the floor were collapsed by " +
+          "truncatePostingsHistory and can no longer be separated; " +
+          "only bounds >= the floor are answerable")
+    }
     // corpus constants = append totals + (negative) delete corrections —
     // exact integer sums over |batches| + |deletes| rows
     val totalsRaw = spark.read.parquet(s"$dir/totals")
@@ -477,8 +705,16 @@ object Index {
     val allTotals = StateIO.readIfExists(spark, s"$dir/tomb_totals") match {
       case Some(ttRaw) =>
         val tt = asOf match {
-          case Some((_, dt)) =>
-            asOfCut(ttRaw, "delete_id", dt, dir, "tomb_totals")
+          case Some((bt, dt)) =>
+            val cut = asOfCut(ttRaw, "delete_id", dt, dir, "tomb_totals")
+            // batch-attributed corrections: a delete can cover docs from
+            // batches ABOVE this snapshot's batch bound — those docs are
+            // not in the cut corpus, so their corrections must not
+            // subtract from it (set semantics: live = appended<=bt minus
+            // deleted∩appended<=bt)
+            if (cut.columns.contains("src_batch"))
+              cut.filter(col("src_batch") <= bt)
+            else cut
           case None => ttRaw
         }
         appendTotals.select(col("n_docs"), col("sum_dl"))
@@ -525,6 +761,82 @@ object Index {
         pruned.join(tb.select(col("id")), Seq("id"), "left_anti")
       case None => pruned
     }
+  }
+
+  /** [[phraseSearch]] answered from the persisted POSITIONAL sidecar
+    * (`appendPostingsState(..., positions = true)`) — the promise in
+    * [[phraseSearch]]'s scale note kept: at scale you persist the
+    * posting tables and point the derivation at them, and this is that
+    * read. The phrase terms map to a handful of term buckets, the scan
+    * PRUNES to those directories, tombstoned docs drop out, and the
+    * (doc, start) intersection tail is the SAME derivation as the batch
+    * path — output-identical over the same corpus (spec-pinned; the
+    * x138 gate pins values on x98's oracle). Query cost ∝ the phrase
+    * terms' occurrence lists, never the corpus. Fails fast when the
+    * state was appended without positions. */
+  def phraseSearchFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      phrase: Seq[String], buckets: Int = 64,
+      idCol: String = "id"): DataFrame =
+    phraseFromStateCore(spark, dir, phrase, buckets, idCol, asOf = None)
+
+  /** SNAPSHOT (time-travel) phrase search — [[phraseSearchFromState]]
+    * as the state stood after (append `asOfBatch`, delete
+    * `asOfDelete`); the tagged positional partitions cut exactly like
+    * the postings ([[bm25TopKFromStateAsOf]]'s contract). */
+  def phraseSearchFromStateAsOf(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      phrase: Seq[String], asOfBatch: Long, asOfDelete: Long = 0L,
+      buckets: Int = 64, idCol: String = "id"): DataFrame =
+    phraseFromStateCore(spark, dir, phrase, buckets, idCol,
+      asOf = Some((asOfBatch, asOfDelete)))
+
+  private def phraseFromStateCore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      phrase: Seq[String], buckets: Int, idCol: String,
+      asOf: Option[(Long, Long)]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    StateIO.checkNoSwapInProgress(spark, dir)
+    asOf.foreach { case (bt, dt) =>
+      val floor = StateIO.readHistoryFloor(spark, dir)
+      require(bt >= floor && dt >= floor,
+        s"as-of ($bt, $dt) is below $dir's history floor $floor — " +
+          "versions at or below the floor were collapsed by " +
+          "truncatePostingsHistory and can no longer be separated")
+    }
+    val pos = StateIO.readIfExists(spark, s"$dir/positions").getOrElse(
+      throw new IllegalStateException(
+        s"postings state at $dir has no positions table — it was " +
+          "appended without positions=true; rebuild with positional " +
+          "appends to serve phrase queries"))
+    val wanted = phrase.map(termBucket(_, buckets)).distinct
+    val prunedRaw = pos
+      .filter(col("bucket").isInCollection(wanted))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val pruned = asOf match {
+      case Some((bt, _)) =>
+        StateIO.asOfCut(prunedRaw, "batch_id", bt, dir, "positions")
+      case None => prunedRaw
+    }
+    val base = StateIO.readIfExists(spark, s"$dir/tombstones") match {
+      case Some(tbRaw) =>
+        val tb = asOf match {
+          case Some((_, dt)) =>
+            StateIO.asOfCut(tbRaw, "delete_id", dt, dir, "tombstones")
+          case None => tbRaw
+        }
+        pruned.join(tb.select(col("id")), Seq("id"), "left_anti")
+      case None => pruned
+    }
+    val starts = phrase.zipWithIndex.map { case (t, i) =>
+      base.filter(col("term") === t)
+        .select(col("id"), (col("pos") - i).as("graft_start"))
+    }
+    starts.reduce(_.join(_, Seq("id", "graft_start")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("graft_start")).cast("long").as("first_pos"))
+      .select(col("id").as(idCol), col("n_occurrences"), col("first_pos"))
   }
 
   /** HYBRID retrieval answered ENTIRELY from persisted state — the

@@ -257,6 +257,7 @@ object Profile {
       batchTag: Option[Long] = None): Unit = {
     StateIO.checkNoCompactRemnants(batch.sparkSession, dir,
       Seq("stats", "stats_deltas"))
+    StateIO.checkTagAboveFloor(batch.sparkSession, dir, batchTag, "append")
     val rows = batch
       .select(col(grpCol).as("grp"), md5(col(textCol)).as("graft_fp"),
         size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))
@@ -291,7 +292,15 @@ object Profile {
     * exactly as it did then. `distinct_est` at a snapshot estimates the
     * content APPENDED up to that batch (the delete caveat applies at
     * every version). Tagged states only (fails fast otherwise);
-    * compaction preserves rows and tags, so snapshots survive it. */
+    * compaction preserves rows and tags, so snapshots survive it.
+    *
+    * MIXED-CUT caveat: a delete written WITHOUT `srcBatchCol`
+    * ([[deleteFromStatsState]]) is one pre-aggregated row per source with
+    * no per-doc identity, so a counterfactual cut whose batch bound
+    * predates part of that delete's coverage subtracts the whole
+    * correction and under-counts. Real historical versions (batch bound =
+    * the max batch at delete time) are always exact; pass `srcBatchCol`
+    * at delete time to make every mixed cut exact too. */
   def statsReportAsOf(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       asOfBatch: Long, asOfDelete: Long = 0L): DataFrame =
@@ -312,8 +321,16 @@ object Profile {
     val counts = StateIO.readIfExists(spark, s"$dir/stats_deltas") match {
       case Some(dRaw) =>
         val d = asOf match {
-          case Some((_, dt)) =>
-            StateIO.asOfCut(dRaw, "delete_id", dt, dir, "stats_deltas")
+          case Some((bt, dt)) =>
+            val cut = StateIO.asOfCut(dRaw, "delete_id", dt, dir,
+              "stats_deltas")
+            // batch-attributed corrections (deletes written with
+            // `srcBatchCol`): subtract only the rows whose source batch
+            // is inside this snapshot's batch cut. Unattributed rows
+            // apply wholly — the documented mixed-cut caveat.
+            if (cut.columns.contains("src_batch"))
+              cut.filter(col("src_batch").isNull || col("src_batch") <= bt)
+            else cut
           case None => dRaw
         }
         appended.select(col("grp"), col("n_docs"), col("tokens"))
@@ -332,9 +349,12 @@ object Profile {
     * the tombstone path for the accounting pillar, with the honest HLL
     * caveat stated rather than papered over: doc and token counts
     * correct EXACTLY (the deleting pipeline holds the removed docs —
-    * excision and decontamination output them — so this writes one
-    * NEGATIVE pre-aggregated row per source to `stats_deltas`, the same
-    * few-bytes-per-batch cost as an append), but `distinct_est` CANNOT
+    * excision and decontamination output them — so this writes NEGATIVE
+    * pre-aggregated rows to `stats_deltas`, one per source — or per
+    * (source, `srcBatchCol`) when the caller tracks which append batch
+    * each removed doc came from, which makes mixed as-of cuts exact
+    * ([[statsReportAsOf]]) — the same few-bytes-per-batch cost as an
+    * append), but `distinct_est` CANNOT
     * decrease: HLL registers only union (register-wise max is not
     * invertible), so after deletes the estimate is an UPPER bound on
     * surviving distinct content — exact again only on a full state
@@ -349,13 +369,25 @@ object Profile {
     * appends). */
   def deleteFromStatsState(
       removed: DataFrame, dir: String, textCol: String, grpCol: String,
-      deleteTag: Option[Long] = None): Unit = {
+      deleteTag: Option[Long] = None,
+      srcBatchCol: Option[String] = None): Unit = {
     StateIO.checkNoCompactRemnants(removed.sparkSession, dir,
       Seq("stats", "stats_deltas"))
-    val rows = removed
-      .select(col(grpCol).as("grp"),
-        size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))
-      .groupBy(col("grp"))
+    StateIO.checkTagAboveFloor(removed.sparkSession, dir, deleteTag,
+      "delete")
+    // `srcBatchCol` (the append batch each removed doc was loaded in, if
+    // the deleting pipeline tracks it) batch-ATTRIBUTES the corrections:
+    // [[statsReportAsOf]] then subtracts only the rows whose src_batch
+    // falls inside its batch cut, so a delete spanning later batches
+    // stops deflating earlier snapshots (the postings pillar derives the
+    // same attribution from its docs sidecar; stats rows are
+    // pre-aggregated, so here it must come from the caller).
+    val projected = removed.select((col(grpCol).as("grp") +:
+      srcBatchCol.map(c => col(c).cast("long").as("src_batch")).toSeq :+
+      size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok")): _*)
+    val rows = projected
+      .groupBy(("grp" +: srcBatchCol.map(_ => "src_batch").toSeq)
+        .map(col): _*)
       .agg((-count(lit(1))).as("n_docs"),
         (-coalesce(sum(col("graft_tok")), lit(0L))).as("tokens"))
     deleteTag match {
@@ -364,6 +396,43 @@ object Profile {
       case None => rows.write.mode("append").parquet(s"$dir/stats_deltas")
     }
   }
+
+  /** HISTORY-RETENTION GC for an [[appendStatsState]] dir — the
+    * [[graft.ext.StateIO.truncateHistory]] core over the accounting
+    * pillar. Pure tag collapse: per-(source, batch) stat rows with
+    * `batch_id <= floor` re-tag to the base version — NOT folded into
+    * one row per source, deliberately: [[statsReportCore]] already sums
+    * counts and unions sketches across however many rows a version
+    * holds (both operations associative and commutative), so the
+    * collapsed rows report bit-identically, and folding would force a
+    * sketch merge rewrite for zero read-side benefit (the row count is
+    * sources × batches — metadata-sized either way; what truncation
+    * bounds is the PARTITION count). Deltas collapse their
+    * `delete_id <= floor` partitions and re-attribute
+    * `src_batch = greatest(src_batch, floor)` — every still-legal
+    * as-of bound is ≥ floor, so the `src_batch <= bound` correction
+    * cut selects exactly the rows it did before (the x141 gate). */
+  def truncateStatsHistory(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      floor: Long): Unit =
+    StateIO.truncateHistory(spark, dir, floor, Seq(
+      StateIO.TruncTable("stats", "batch_id"),
+      StateIO.TruncTable("stats_deltas", "delete_id", required = false)))
+
+  /** BRANCH an [[appendStatsState]] dir at a version
+    * ([[graft.ext.StateIO.cloneStateAsOf]] over the accounting
+    * pillar): the clone's plain [[statsReport]] folds exactly the rows
+    * the source's [[statsReportAsOf]] would at (asOfBatch, asOfDelete)
+    * — batch-attributed corrections outside the batch cut stay behind
+    * (unattributed rows travel wholly, the documented caveat). */
+  def cloneStatsState(
+      spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, asOfBatch: Long, asOfDelete: Long = 0L): Unit =
+    StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
+      Seq(
+        StateIO.TruncTable("stats", "batch_id"),
+        StateIO.TruncTable("stats_deltas", "delete_id",
+          required = false)))
 
   /** Small-file maintenance for an [[appendStatsState]] dir — rows (one
     * per source per batch, sketches included) are preserved exactly;

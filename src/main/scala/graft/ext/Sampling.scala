@@ -203,6 +203,105 @@ object Sampling {
         Dedup.round4(shareTemp / shareRaw).as("up_weight"))
   }
 
+  /** CAP-CONSTRAINED temperature mix (water-filling): the production
+    * guardrail [[temperatureMix]] needs before its shares become a
+    * recipe — temperature flattening can hand a tiny source a huge
+    * up-weight (epochs over the same few documents = memorization
+    * risk), so each source's final share is capped at
+    * `maxUp × its natural share` (`maxUpMilli`/1000, an exact rational)
+    * and the capped sources' excess redistributes proportionally among
+    * the uncapped — which can push ANOTHER source over its cap, so the
+    * redistribution iterates to fixpoint (each round caps ≥ 1 new
+    * source or stops ⇒ ≤ |sources| rounds).
+    *
+    * Determinism across engines: every step after the one quantization
+    * is EXACT INTEGER arithmetic — temperature units are
+    * [[temperatureMix]]'s floor((c_i/c_max)^α·1e12) longs, caps and
+    * shares live in parts-per-million (floor division, all operands
+    * positive), and the per-round capped test is
+    * `remaining·u_i / Σ_uncapped u > cap_i` in those units. Shares are
+    * floors, so Σ final ≤ 1e6 with ≤ |sources| ppm of rounding dust
+    * left unassigned (documented, not redistributed — determinism over
+    * the last ppm). The oracle unrolls the rounds with the identical
+    * integer ops (HUGEINT `//`), so the fixpoint hash-matches.
+    *
+    * Scale shape: ONE corpus tokenize/aggregate (the same materialized
+    * |groups|-row counts frame as [[temperatureMix]]); the water-fill
+    * itself runs on the driver over that frame — |sources| is recipe-
+    * sized by nature and the require names the remedy. */
+  def cappedTemperatureMix(
+      docs: DataFrame, textCol: String, grpCol: String,
+      maxUpMilli: Long, alpha: Double = 0.5,
+      merges: Seq[(String, String)] = Nil,
+      maxGroups: Int = 100000): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    require(maxUpMilli > 0,
+      s"maxUpMilli (the cap multiplier in 1/1000 units) must be " +
+        s"positive, got $maxUpMilli")
+    val spark = docs.sparkSession
+    val counts = Dedup.materialize(docs
+      .select(col(grpCol).as("grp"),
+        Bpe.encodedSize(col(textCol), merges).cast("long").as("graft_tok"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_tok")).as("tokens")))
+    val rows = counts.collect()
+    require(rows.nonEmpty && rows.forall(r => !r.isNullAt(2)),
+      "cappedTemperatureMix: no group has a token count (empty corpus " +
+        "or all-null texts) — shares are undefined")
+    require(rows.length <= maxGroups,
+      s"cappedTemperatureMix water-fills a driver-sized group table: " +
+        s"${rows.length} groups exceed maxGroups=$maxGroups — mixes are " +
+        "per-source recipes; pre-aggregate your grouping")
+    val grp = rows.map(_.get(0).toString)
+    val nDocs = rows.map(_.getLong(1))
+    val toks = rows.map(_.getLong(2))
+    val tmax = toks.max
+    require(tmax > 0L, "cappedTemperatureMix: no group has a positive " +
+      "token count — shares are undefined")
+    // the SAME quantization as temperatureMixFromCounts, replayed in
+    // driver IEEE doubles (identical bits)
+    val u = toks.map { t =>
+      val ratio = t.toDouble / tmax.toDouble
+      val scaled = if (alpha == 0.5) math.sqrt(ratio)
+        else math.pow(ratio, alpha)
+      math.floor(scaled * 1e12).toLong
+    }
+    val rTot = toks.sum
+    val uTot = u.sum
+    val n = rows.length
+    val capPpm = toks.map(t =>
+      (BigInt(maxUpMilli) * t * 1000000L / (BigInt(1000L) * rTot)).toLong)
+    val tempPpm = u.map(ui => (BigInt(1000000L) * ui / uTot).toLong)
+    val capped = Array.fill(n)(false)
+    var changed = true
+    while (changed) {
+      changed = false
+      val cappedMass = (0 until n).filter(capped).map(capPpm(_)).sum
+      val remaining = 1000000L - cappedMass
+      val uu = (0 until n).filter(i => !capped(i)).map(u(_)).sum
+      if (uu > 0L) (0 until n).foreach { i =>
+        if (!capped(i) &&
+            (BigInt(remaining) * u(i) / uu).toLong > capPpm(i)) {
+          capped(i) = true; changed = true
+        }
+      }
+    }
+    val cappedMass = (0 until n).filter(capped).map(capPpm(_)).sum
+    val remaining = 1000000L - cappedMass
+    val uu = (0 until n).filter(i => !capped(i)).map(u(_)).sum
+    val finalPpm = (0 until n).map { i =>
+      if (capped(i)) capPpm(i)
+      else (BigInt(remaining) * u(i) / uu).toLong
+    }
+    import spark.implicits._
+    (0 until n).map { i =>
+      (grp(i), nDocs(i), toks(i), tempPpm(i), capPpm(i), finalPpm(i),
+        capped(i))
+    }.toDF(grpCol, "n_docs", "tokens", "share_temp_ppm", "cap_ppm",
+      "share_final_ppm", "capped")
+      .orderBy(grpCol)
+  }
+
   /** Assemble the final training MIX to a token budget:
     * [[temperatureMix]]'s flattened shares turned into per-source token
     * budgets (floor(share_temp · totalTokens)), then filled per source in

@@ -422,6 +422,7 @@ object Similarity {
     // a fresh dir.
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("centroids", "cells", "tombstones"))
+    StateIO.checkTagAboveFloor(spark, dir, batchTag, "append")
     val centsOpt = StateIO.readIfExists(spark, s"$dir/centroids")
       .filter(_.head(1).nonEmpty)
     require(centsOpt.nonEmpty || !StateIO.pathExists(spark, s"$dir/cells"),
@@ -554,6 +555,114 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE diversified top-k from the persisted
+    * IVF state (Carbonell & Goldstein, SIGIR'98): retrieval that
+    * penalizes redundancy — each pick maximizes
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`, so a result list
+    * that would otherwise fill with near-duplicates of the best hit
+    * (exactly what a deduplicating corpus pipeline's query traffic
+    * looks like) spreads over the distinct neighborhoods instead.
+    * λ = 1 is plain relevance ranking; lower λ trades relevance for
+    * diversity.
+    *
+    * Scale shape, in two stages: the candidate pool is the PROBED
+    * state read ([[ivfTopKFromState]] — per-query cost is `nProbe`
+    * cells of a persisted assignment, corpus never scanned), and the
+    * greedy re-rank runs on the DRIVER over that pool — inherently
+    * sequential in `k` (each pick changes every remaining candidate's
+    * penalty) and quadratic in `candK`, which is fine precisely because
+    * the pool is query-bounded (queries × candK rows, never
+    * corpus-sized); the `maxCandidates` require names the remedy.
+    * Cosines here replay the engine's exact arithmetic (Σ in double,
+    * `dot/(na·nb)`), so the re-rank is bit-reproducible against the
+    * distributed scoring (and the x137 oracle's unrolled replay).
+    * Ties break to the smaller neighbor id. */
+  def mmrTopKFromState(
+      spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      lambda: Double, candK: Int = 50, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCandidates: Int = 4096): DataFrame = {
+    require(k >= 1, s"mmr k must be >= 1, got $k")
+    require(candK >= k, s"candidate pool candK=$candK must cover k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmr lambda must be in [0, 1], got $lambda")
+    val cand = ivfFromStateCore(spark, dir, queries, candK, nProbe,
+        idCol, vecCol, asOf = None)
+      .select(col("query_id"), col("neighbor_id"))
+    val cells = readCellsLive(spark, dir)
+      .select(col("vid"), col("v"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    val pool = cand
+      .join(cells, cand("neighbor_id") === cells("vid"))
+      .join(qv, "query_id")
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("v"), col("qv"))
+      .collect()
+    require(pool.length <= maxCandidates,
+      s"MMR re-ranks a bounded candidate pool: ${pool.length} " +
+        s"(queries × candK) rows exceed maxCandidates=$maxCandidates — " +
+        "probe fewer queries per call or lower candK")
+    def toD(x: Any): Array[Double] = x match {
+      case s: scala.collection.Seq[_] =>
+        s.map(_.asInstanceOf[Number].doubleValue()).toArray
+    }
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val oneMinus = 1.0 - lambda
+    val out = pool.groupBy(_.getLong(0)).toSeq.sortBy(_._1).flatMap {
+      case (qid, rs) =>
+        val q = toD(rs.head.get(3))
+        val qn = math.sqrt(dotD(q, q))
+        // id-ascending candidate order + strict > in the argmax scan =
+        // ties break to the smaller neighbor id
+        val cands = rs.map(r => (r.getLong(1), toD(r.get(2))))
+          .sortBy(_._1).toArray
+        val norms = cands.map(c => math.sqrt(dotD(c._2, c._2)))
+        val rel = cands.indices
+          .map(i => dotD(q, cands(i)._2) / (qn * norms(i))).toArray
+        val n = cands.length
+        val picked = Array.fill(n)(false)
+        // TRUE max over the selected set (Carbonell & Goldstein eq. 1) —
+        // similarities can be negative, and clamping the penalty at zero
+        // would stop rewarding candidates that point AWAY from every
+        // pick. -Inf marks "nothing selected yet": the first pick scores
+        // pure λ·rel with no penalty term at all.
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        (1 to math.min(k, n)).map { rank =>
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val pen =
+                if (maxSim(i) == Double.NegativeInfinity) 0.0
+                else oneMinus * maxSim(i)
+              val sc = lambda * rel(i) - pen
+              if (sc > bestScore) { best = i; bestScore = sc }
+            }
+            i += 1
+          }
+          picked(best) = true
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val s = dotD(cands(j)._2, cands(best)._2) /
+                (norms(j) * norms(best))
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          (qid, cands(best)._1, bestScore, rank.toLong)
+        }
+    }
+    import spark.implicits._
+    out.toDF("query_id", "neighbor_id", "mmr", "rank")
+  }
+
   /** Incremental EMBEDDING near-dup pairs against the persisted IVF
     * state — the vector-space counterpart of
     * [[graft.ext.Dedup.incrementalLshPairsFromState]], and the
@@ -608,8 +717,10 @@ object Similarity {
     // to already-gone rows is a no-op, so reads stay correct through a
     // crash anywhere here, and the never-reuse-a-deleted-id contract
     // still needs the record)
+    // materialized so no table rewritten later in the sequence re-reads
+    // the tombstones files after their own swap replaced them
     val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
-      .map(_.select(col("vid")))
+      .map(tb => graft.ext.Dedup.materialize(tb.select(col("vid"))))
     val dropDeleted: DataFrame => DataFrame = df => tombs match {
       case Some(tb) => df.join(tb, Seq("vid"), "left_anti")
       case None => df
@@ -640,6 +751,7 @@ object Similarity {
       deleteTag: Option[Long] = None): Unit = {
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("centroids", "cells", "tombstones"))
+    StateIO.checkTagAboveFloor(spark, dir, deleteTag, "delete")
     val del = ids.select(col(idCol).as("vid")).distinct()
     deleteTag match {
       case Some(t) =>
@@ -653,6 +765,42 @@ object Similarity {
         fresh.write.mode("append").parquet(s"$dir/tombstones")
     }
   }
+
+  /** HISTORY-RETENTION GC for an [[appendIvfState]] dir — the
+    * [[graft.ext.StateIO.truncateHistory]] core over the vector
+    * pillar's two tagged tables. Pure tag collapse: cell assignments
+    * with `batch_id <= floor` re-tag to the base version (every vector
+    * was assigned ONCE against the frozen batch-1 centroids, so any
+    * prefix replays in the same geometry — the re-tag moves partitions,
+    * never re-assigns), tombstones `delete_id <= floor` collapse and
+    * keep anti-joining at read time, so every still-legal as-of probe
+    * ([[ivfTopKFromStateAsOf]], bounds ≥ floor) returns bit-identical
+    * neighbors (the x140 gate). The frozen `centroids` and `_meta` are
+    * version-free and untouched; physical tombstone application remains
+    * [[compactIvfState]]'s job, and [[reclusterIvfState]] composes —
+    * it preserves whatever batch levels exist, collapsed or not. */
+  def truncateIvfHistory(
+      spark: SparkSession, dir: String, floor: Long): Unit =
+    StateIO.truncateHistory(spark, dir, floor, Seq(
+      StateIO.TruncTable("cells", "batch_id"),
+      StateIO.TruncTable("tombstones", "delete_id", required = false)),
+      extraRemnantChecks = Seq("centroids"))
+
+  /** BRANCH an [[appendIvfState]] dir at a version
+    * ([[graft.ext.StateIO.cloneStateAsOf]] over the vector pillar):
+    * the clone probes exactly like the source's as-of read at
+    * (asOfBatch, asOfDelete) and then evolves independently — the
+    * recluster trial run a production index cannot afford in place.
+    * Frozen `centroids` and `_meta` raw-copy byte-identical, so every
+    * cloned cell assignment stays valid under the cloned geometry. */
+  def cloneIvfState(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      asOfBatch: Long, asOfDelete: Long = 0L): Unit =
+    StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
+      Seq(
+        StateIO.TruncTable("cells", "batch_id"),
+        StateIO.TruncTable("tombstones", "delete_id", required = false)),
+      rawCopies = Seq("centroids", "_meta"))
 
   /** RECLUSTER an [[appendIvfState]] dir in place — the operator that
     * ACTS on [[ivfStateAudit]]'s `retrain_recommended` verdict (until

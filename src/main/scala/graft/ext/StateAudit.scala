@@ -32,40 +32,102 @@ import org.apache.spark.sql.functions._
 object StateAudit {
 
   private def minusTombstones(
-      spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+      spark: SparkSession, dir: String, df: DataFrame,
+      asOf: Option[(Long, Long)] = None): DataFrame =
     StateIO.readIfExists(spark, s"$dir/tombstones") match {
-      case Some(tb) => df.join(tb.select(col("id")), Seq("id"), "left_anti")
+      case Some(tbRaw) =>
+        val tb = asOf match {
+          case Some((_, d)) =>
+            StateIO.asOfCut(tbRaw, "delete_id", d, dir, "tombstones")
+          case None => tbRaw
+        }
+        df.join(tb.select(col("id")), Seq("id"), "left_anti")
       case None => df
     }
+
+  /** The shared live-id derivation: the pillar's id-bearing table
+    * (members / docs / doc_tokens) minus tombstones, optionally under
+    * an as-of cut — which makes the audit itself time-travel ("which
+    * documents did the pillars agree on LAST week?" and
+    * [[snapshotDiff]]'s version deltas are the same partition-pruned
+    * cut the pillar reads use). As-of bounds below a truncated
+    * history's floor refuse ([[Index.truncatePostingsHistory]]). */
+  private def liveIds(
+      spark: SparkSession, dir: String, table: String,
+      asOf: Option[(Long, Long)]): DataFrame = {
+    StateIO.checkNoSwapInProgress(spark, dir)
+    val rows = spark.read.parquet(s"$dir/$table")
+    val base = asOf match {
+      case Some((b, d)) =>
+        val floor = StateIO.readHistoryFloor(spark, dir)
+        require(b >= floor && d >= floor,
+          s"as-of ($b, $d) is below $dir's history floor $floor — " +
+            "that version was collapsed by truncation")
+        StateIO.asOfCut(rows, "batch_id", b, dir, table)
+      case None => rows
+    }
+    minusTombstones(spark, dir, base.select(col("id")), asOf)
+  }
 
   /** Live doc ids of an LSH text state ([[Dedup.appendLshState]]):
     * every accepted member id minus tombstones — membership, not rep
     * survival (a doc whose GROUP lost its rep to deletes is still
     * live itself). */
-  def lshLiveIds(spark: SparkSession, dir: String): DataFrame = {
-    StateIO.checkNoSwapInProgress(spark, dir)
-    minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/members").select(col("id")))
-  }
+  def lshLiveIds(spark: SparkSession, dir: String): DataFrame =
+    liveIds(spark, dir, "members", None)
+
+  /** [[lshLiveIds]] as the state stood after (append `asOfBatch`,
+    * delete `asOfDelete`) — the tagged-partition cut of x132's
+    * contract, ids only. */
+  def lshLiveIdsAsOf(spark: SparkSession, dir: String,
+      asOfBatch: Long, asOfDelete: Long = 0L): DataFrame =
+    liveIds(spark, dir, "members", Some((asOfBatch, asOfDelete)))
 
   /** Live doc ids of a postings state ([[Index.appendPostingsState]]):
     * the (id, dl) docs sidecar minus tombstones. The sidecar keeps
     * tombstoned rows through compaction (delete-replay corrections
     * re-derive from them), so the anti-join — the read-side liveness
     * rule — is applied here exactly as the delete path applies it. */
-  def postingsLiveIds(spark: SparkSession, dir: String): DataFrame = {
-    StateIO.checkNoSwapInProgress(spark, dir)
-    minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/docs").select(col("id")))
-  }
+  def postingsLiveIds(spark: SparkSession, dir: String): DataFrame =
+    liveIds(spark, dir, "docs", None)
+
+  /** [[postingsLiveIds]] as of (append `asOfBatch`, delete
+    * `asOfDelete`) — x125's snapshot contract, ids only. */
+  def postingsLiveIdsAsOf(spark: SparkSession, dir: String,
+      asOfBatch: Long, asOfDelete: Long = 0L): DataFrame =
+    liveIds(spark, dir, "docs", Some((asOfBatch, asOfDelete)))
 
   /** Live doc ids of a tokenizer state ([[Bpe.appendTokenizerState]]):
     * the (id, bpe_tokens) sidecar minus tombstones —
     * [[Bpe.readDocTokens]]'s liveness rule, ids only. */
-  def tokenizerLiveIds(spark: SparkSession, dir: String): DataFrame = {
-    StateIO.checkNoSwapInProgress(spark, dir)
-    minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/doc_tokens").select(col("id")))
+  def tokenizerLiveIds(spark: SparkSession, dir: String): DataFrame =
+    liveIds(spark, dir, "doc_tokens", None)
+
+  /** [[tokenizerLiveIds]] as of (append `asOfBatch`, delete
+    * `asOfDelete`) — x131's snapshot contract, ids only. */
+  def tokenizerLiveIdsAsOf(spark: SparkSession, dir: String,
+      asOfBatch: Long, asOfDelete: Long = 0L): DataFrame =
+    liveIds(spark, dir, "doc_tokens", Some((asOfBatch, asOfDelete)))
+
+  /** What CHANGED between two versions of a state — the diff view over
+    * the same tagged history the as-of reads cut: one row per document
+    * that is live in exactly one of the two versions, `change` =
+    * 'added' (live in `v2` only) or 'removed' (live in `v1` only).
+    * Feed it two [[postingsLiveIdsAsOf]]-style frames (any pillar, or
+    * any two versions of the same pillar — including v2 = the current
+    * read, "what did last night's pipeline do?"). Narrow by
+    * construction: two single-column id sets full-outer-joined, output
+    * bounded by the delta, not the corpus. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("id")).distinct().withColumn("in_v1", lit(true))
+    val b = v2.select(col("id")).distinct().withColumn("in_v2", lit(true))
+    a.join(b, Seq("id"), "full_outer")
+      .filter(coalesce(col("in_v1"), lit(false)) =!=
+        coalesce(col("in_v2"), lit(false)))
+      .select(col("id"),
+        when(coalesce(col("in_v2"), lit(false)), lit("added"))
+          .otherwise(lit("removed")).as("change"))
+      .orderBy("id")
   }
 
   /** Compare ≥ 2 pillars' live id sets: one row per id where the
@@ -99,5 +161,121 @@ object StateAudit {
     joined.filter(!agree)
       .select((col("id") +: flags): _*)
       .orderBy("id")
+  }
+
+  /** One delete, EVERY pillar — the orchestrated write whose absence
+    * [[crossPillarConsistency]] exists to detect: curation removes a
+    * document slice and the removal must land in the LSH text state,
+    * the postings state, and the tokenizer state together (plus the
+    * stats accounting and, when the docs carry vectors, the IVF state —
+    * both optional here because their inputs differ in kind: stats
+    * needs the removed TEXTS to recompute its negative aggregate, IVF
+    * deletes by vector id).
+    *
+    * Atomicity posture: there is no cross-directory commit point on a
+    * filesystem, so this does NOT pretend to be atomic — it is
+    * IDEMPOTENT instead, which is the property an at-least-once
+    * orchestrator actually needs: every per-pillar delete is TAGGED
+    * (`delete_id=deleteTag` partition overwrite, each pillar's
+    * documented replay rule), so a crash between pillars leaves a
+    * partial delete that (a) [[crossPillarConsistency]] surfaces as
+    * divergence rows naming the missed pillars, and (b) re-running the
+    * SAME call with the SAME tag completes — finished pillars overwrite
+    * their partition with identical content, missed pillars apply. The
+    * pillar order is fixed (lsh, postings, tokenizer, stats, ivf) so a
+    * given crash point is reproducible.
+    *
+    * `crashAfterPillars` is the fault-injection hook for the gates ONLY
+    * (negative = off): ≥ 0 throws [[StateIO.InjectedCrash]] after that
+    * many pillar deletes — 1 reproduces exactly the x128 fixture's
+    * planted failure (the slice reached the first pillar and no other).
+    *
+    * Scale shape: pure composition — each pillar's delete keeps its own
+    * O(|ids|) tombstone cost; nothing corpus-sized is added here. */
+  def deleteEverywhere(
+      spark: SparkSession,
+      removed: DataFrame, idCol: String, textCol: String, grpCol: String,
+      lshDir: String, postingsDir: String, tokenizerDir: String,
+      deleteTag: Long,
+      statsDir: Option[String] = None,
+      ivf: Option[(String, DataFrame, String)] = None,
+      crashAfterPillars: Int = -1): Unit = {
+    val ids = removed.select(col(idCol))
+    var applied = 0
+    def step(f: => Unit): Unit = {
+      if (applied == crashAfterPillars)
+        throw new StateIO.InjectedCrash(applied)
+      f
+      applied += 1
+    }
+    step(Dedup.deleteFromLshState(spark, lshDir, ids, idCol,
+      deleteTag = Some(deleteTag)))
+    step(Index.deleteFromPostingsState(spark, postingsDir, ids, idCol,
+      deleteTag = Some(deleteTag)))
+    step(Bpe.deleteFromTokenizerState(spark, tokenizerDir, ids, idCol,
+      deleteTag = Some(deleteTag)))
+    statsDir.foreach(sd => step(Profile.deleteFromStatsState(
+      removed, sd, textCol, grpCol, Some(deleteTag))))
+    ivf.foreach { case (dir, vids, vidCol) =>
+      step(Similarity.deleteFromIvfState(spark, dir, vids, vidCol,
+        deleteTag = Some(deleteTag)))
+    }
+  }
+
+  /** One batch, EVERY pillar — [[deleteEverywhere]]'s append twin, and
+    * the other half of the coordination story
+    * [[crossPillarConsistency]] audits: a corpus batch arrives and must
+    * land in the LSH text state, the postings state, and the tokenizer
+    * state together (plus the stats accounting and, when the batch
+    * carries vectors, the IVF state — optional for the same
+    * input-kind reasons as the delete path). An orchestrator that
+    * wires five separate appends re-creates exactly the partial-write
+    * divergence the audit exists to catch; this is the one call that
+    * doesn't.
+    *
+    * Same atomicity posture as the delete: no cross-directory commit
+    * point exists, so the contract is IDEMPOTENCE under at-least-once
+    * replay — every per-pillar append is TAGGED (`batch_id=batchTag`
+    * partition overwrite, each pillar's documented replay rule), so a
+    * crash between pillars leaves a partial ingest that (a) the audit
+    * surfaces as divergence rows naming the pillars the batch missed,
+    * and (b) re-running the SAME call with the SAME tag completes —
+    * finished pillars overwrite their partitions with identical
+    * content (the LSH/IVF probe paths already exclude the batch's own
+    * tag; merges/centroids frozen on batch 1 stay frozen), missed
+    * pillars apply. Fixed pillar order (lsh, postings, tokenizer,
+    * stats, ivf) keeps any crash point reproducible; the x143 gate
+    * injects one and replays it closed.
+    *
+    * Scale shape: pure composition — each pillar's append keeps its own
+    * O(batch) cost; nothing corpus-sized is added here. */
+  def ingestEverywhere(
+      spark: SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, grpCol: String,
+      lshDir: String, postingsDir: String, tokenizerDir: String,
+      batchTag: Long,
+      statsDir: Option[String] = None,
+      ivf: Option[(String, DataFrame, Int, Int)] = None,
+      numMerges: Int = 4,
+      crashAfterPillars: Int = -1): Unit = {
+    var applied = 0
+    def step(f: => Unit): Unit = {
+      if (applied == crashAfterPillars)
+        throw new StateIO.InjectedCrash(applied)
+      f
+      applied += 1
+    }
+    step(Dedup.appendLshState(batch, idCol, textCol, lshDir,
+      batchTag = Some(batchTag)))
+    step(Index.appendPostingsState(batch, postingsDir, idCol, textCol,
+      batchTag = Some(batchTag)))
+    step(Bpe.appendTokenizerState(batch, tokenizerDir, idCol, textCol,
+      numMerges = numMerges, batchTag = Some(batchTag)))
+    statsDir.foreach(sd => step(Profile.appendStatsState(
+      batch, sd, textCol, grpCol, Some(batchTag))))
+    ivf.foreach { case (dir, vecs, k, iters) =>
+      step(Similarity.appendIvfState(vecs, dir, k = k, iters = iters,
+        batchTag = Some(batchTag)))
+    }
   }
 }

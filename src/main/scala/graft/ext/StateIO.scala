@@ -107,6 +107,15 @@ private[graft] object StateIO {
       s"as-of reads need a TAGGED state: $dir/$table has no $tagCol " +
         "partition column (untagged appends/deletes carry no version " +
         "identity) — rebuild with tagged appends/deletes to snapshot")
+    // the CENTRAL floor refusal: every pillar's as-of read cuts through
+    // here, so a truncated history refuses sub-floor bounds everywhere
+    // without each read path re-implementing the check
+    val floor = readHistoryFloor(df.sparkSession, dir)
+    require(bound >= floor,
+      s"as-of bound $bound on $dir/$table is below the history floor " +
+        s"$floor — versions at or below the floor were collapsed by " +
+        "history truncation and can no longer be separated; only " +
+        "bounds >= the floor are answerable")
     df.filter(org.apache.spark.sql.functions.col(tagCol) <= bound)
   }
 
@@ -115,6 +124,229 @@ private[graft] object StateIO {
   def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Marker file a history truncation ([[Index.truncatePostingsHistory]])
+    * publishes BEFORE collapsing partitions: versions with tag ≤ floor no
+    * longer exist individually, so as-of reads below it and tagged
+    * writes at-or-below it must refuse. Written first so a crash between
+    * the marker and the table swap only causes conservative REFUSALS of
+    * still-answerable versions — never a silent wrong answer from a
+    * collapsed cut (re-run the truncation to finish). */
+  private[graft] val HistoryFloorFile = "_history_floor"
+
+  /** The state dir's history floor — 0 when never truncated. */
+  def readHistoryFloor(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, HistoryFloorFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Publish a new history floor (atomic rename; monotone — a floor can
+    * only rise: lowering one would claim history that is already
+    * collapsed). */
+  private[graft] def writeHistoryFloor(
+      spark: SparkSession, dir: String, floor: Long): Unit = {
+    val existing = readHistoryFloor(spark, dir)
+    require(floor >= existing,
+      s"history floor can only rise: $dir is already truncated at " +
+        s"$existing, got $floor")
+    val p = new org.apache.hadoop.fs.Path(dir, HistoryFloorFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, HistoryFloorFile + "__tmp")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, true)
+    try out.write(floor.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"cannot publish history floor in $dir")
+  }
+
+  /** Guard tagged writes against a truncated history: a replayed append
+    * or delete whose tag is at or below the floor would overwrite (or
+    * recreate) a partition that has been collapsed into the base
+    * version — refusing is the only safe answer. */
+  def checkTagAboveFloor(
+      spark: SparkSession, dir: String, tag: Option[Long],
+      kind: String): Unit = {
+    val floor = readHistoryFloor(spark, dir)
+    if (floor > 0L) {
+      require(tag.isDefined,
+        s"$dir has a history floor ($floor) — every $kind must be tagged " +
+          "(untagged rows have no version identity to place against the " +
+          "collapsed history)")
+      require(tag.get > floor,
+        s"$kind tag ${tag.get} is at or below $dir's history floor " +
+          s"$floor — that version was collapsed by truncation and cannot " +
+          "be replayed; use a tag above the floor")
+    }
+  }
+
+  /** One table's role in a [[truncateHistory]] call: its name, tag
+    * column (`batch_id` for appends, `delete_id` for deletes), the
+    * extra partition levels UNDER the tag that query pruning depends on
+    * (e.g. the postings `bucket`), and whether the table must exist
+    * (append tables yes; a pillar that was never deleted from has no
+    * tombstones — optional, skipped when absent). */
+  private[graft] final case class TruncTable(
+      name: String, tagCol: String, extraPartitionCols: Seq[String] = Nil,
+      required: Boolean = true)
+
+  /** The SHARED history-retention GC core every pillar's
+    * `truncate*History` wraps (the postings pillar pioneered the shape —
+    * [[Index.truncatePostingsHistory]] keeps its own body because it
+    * additionally folds sub-floor tombstones into the sub-floor postings
+    * physically; the other pillars collapse PURELY, which is exactly
+    * as-of-preserving because the collapsed tombstones keep subtracting
+    * at read time the way they always did).
+    *
+    * Collapses every version with tag ≤ `floor` into ONE base version
+    * tagged `floor`: rows re-tag (a pure partition move — content
+    * byte-preserved), rows above the floor are untouched, and a
+    * `src_batch` column (batch-attributed delete corrections — stats
+    * deltas, postings tomb_totals) re-tags to `greatest(src_batch,
+    * floor)` so every still-legal as-of read (bounds ≥ floor by the
+    * [[asOfCut]] refusal) selects exactly the rows it did before. What
+    * truncation BUYS is bounded metadata: a year of per-batch tagged
+    * partitions becomes one base partition per table plus the
+    * post-floor tail — time-travel below the floor is the traded-away
+    * promise, refused loudly everywhere via the `_history_floor` marker
+    * (reads [[asOfCut]], writes [[checkTagAboveFloor]]).
+    *
+    * Crash posture (same as postings): the floor marker publishes FIRST
+    * (atomic rename) — a crash before the table swap leaves
+    * conservative refusals of still-intact versions, never a wrong
+    * answer (re-run to finish); the tables then move under ONE
+    * [[swapInTables]] commit point, so any later crash leaves the full
+    * old or full new layout with [[recoverSwap]] rolling forward.
+    *
+    * Scale shape: one distributed rewrite of the sub-floor partitions,
+    * straight copies above — the compaction cost profile, run at the
+    * same cadence. Nothing collects to the driver but the max tag. */
+  private[graft] def truncateHistory(
+      spark: SparkSession, dir: String, floor: Long,
+      tables: Seq[TruncTable],
+      extraRemnantChecks: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, greatest, lit, max}
+    // extraRemnantChecks: tables truncation never rewrites (frozen
+    // centroids / merges) whose crashed-compaction backup still means
+    // the dir is mid-recovery — nothing should rewrite around it
+    checkNoCompactRemnants(spark, dir,
+      tables.map(_.name) ++ extraRemnantChecks)
+    val loaded: Seq[(TruncTable, DataFrame)] = tables.flatMap { t =>
+      val df = readIfExists(spark, s"$dir/${t.name}")
+      require(df.isDefined || !t.required,
+        s"history truncation: required table $dir/${t.name} does not exist")
+      df.map { d =>
+        require(d.columns.contains(t.tagCol),
+          s"history truncation needs a TAGGED state: $dir/${t.name} has " +
+            s"no ${t.tagCol} partition column (untagged writes carry no " +
+            "version identity to collapse)")
+        (t, d)
+      }
+    }
+    val batchTags = loaded.filter(_._1.tagCol == "batch_id")
+    require(batchTags.nonEmpty,
+      s"history truncation at $dir: no batch-tagged table to bound the " +
+        "floor against")
+    val maxBatch = batchTags.head._2
+      .agg(max(col("batch_id")).cast("long")).head().getLong(0)
+    require(floor >= 1L && floor <= maxBatch,
+      s"floor $floor out of range for $dir: tagged batches reach $maxBatch")
+    def collapse(df: DataFrame, tagCol: String): DataFrame = {
+      val retagSrc =
+        if (df.columns.contains("src_batch"))
+          df.withColumn("src_batch",
+            greatest(col("src_batch").cast("long"), lit(floor)))
+        else df
+      retagSrc.filter(col(tagCol) <= floor)
+        .withColumn(tagCol, lit(floor))
+        .unionByName(retagSrc.filter(col(tagCol) > floor)
+          .withColumn(tagCol, col(tagCol).cast("long")))
+    }
+    // the floor FIRST: a crash between here and the swap refuses
+    // conservatively instead of answering from a half-collapsed cut
+    writeHistoryFloor(spark, dir, floor)
+    swapInTables(spark, dir, loaded.map { case (t, d) =>
+      (t.name, collapse(d, t.tagCol), t.tagCol +: t.extraPartitionCols)
+    })
+  }
+
+  /** BRANCH a state dir at a version — the shared core behind every
+    * pillar's `clone*StateAsOf`: materialize "the state after (append
+    * B, delete D)" as an INDEPENDENT new state dir, so an experiment
+    * (a recluster trial, a retention dry-run, a what-if curation pass)
+    * mutates the branch while the source keeps serving. The tagged
+    * partition history makes this a pure partition-pruned copy — each
+    * tagged table lands with only its `tag <= bound` partitions (the
+    * same cut [[asOfCut]] applies at read time, so a PLAIN read of the
+    * clone answers exactly like the as-of read of the source), and
+    * correction tables carrying `src_batch` keep only rows attributed
+    * inside the batch cut (null = unattributed rows apply wholly — the
+    * documented mixed-cut caveat travels with the clone). Version-free
+    * artifacts (frozen centroids / merges, `_meta` parameter files)
+    * raw-copy byte-identical, and a truncated source's history floor
+    * carries over — the clone refuses the same collapsed versions.
+    *
+    * The destination must not exist (a clone never overwrites), and the
+    * source must be remnant-free (a mid-compaction or mid-swap source
+    * has no well-defined version to branch). An optional delete-tagged
+    * table whose cut is empty is skipped entirely — same layout as a
+    * pillar that was never deleted from.
+    *
+    * Scale shape: one distributed copy of the selected partitions —
+    * no join, no shuffle (the write re-partitions by the same tag
+    * levels the source had); raw copies are driver-side FS renames of
+    * metadata-sized dirs. Nothing collects to the driver. */
+  private[graft] def cloneStateAsOf(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      asOfBatch: Long, asOfDelete: Long,
+      tables: Seq[TruncTable], rawCopies: Seq[String] = Nil): Unit = {
+    checkNoCompactRemnants(spark, srcDir,
+      tables.map(_.name) ++ rawCopies.filterNot(_ == "_meta"))
+    require(!pathExists(spark, dstDir),
+      s"clone destination $dstDir already exists — a clone never " +
+        "overwrites; remove it or pick a fresh path")
+    tables.foreach { t =>
+      val df = readIfExists(spark, s"$srcDir/${t.name}")
+      require(df.isDefined || !t.required,
+        s"clone: required table $srcDir/${t.name} does not exist")
+      df.foreach { d =>
+        val bound = if (t.tagCol == "batch_id") asOfBatch else asOfDelete
+        val cutTag = asOfCut(d, t.tagCol, bound, srcDir, t.name)
+        // batch-attributed corrections: only rows inside the batch cut
+        // belong to this version (null = unattributed, applies wholly)
+        val cut =
+          if (cutTag.columns.contains("src_batch"))
+            cutTag.filter(org.apache.spark.sql.functions.col("src_batch")
+              .isNull || org.apache.spark.sql.functions.col("src_batch")
+              <= asOfBatch)
+          else cutTag
+        val skip = !t.required && cut.isEmpty
+        if (!skip)
+          cut.write.mode("errorifexists")
+            .partitionBy((t.tagCol +: t.extraPartitionCols): _*)
+            .parquet(s"$dstDir/${t.name}")
+      }
+    }
+    val hconf = spark.sessionState.newHadoopConf()
+    rawCopies.foreach { name =>
+      val src = new org.apache.hadoop.fs.Path(srcDir, name)
+      val fs = src.getFileSystem(hconf)
+      if (fs.exists(src))
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(dstDir, name), false, hconf),
+          s"clone: cannot copy $src into $dstDir")
+    }
+    val floor = readHistoryFloor(spark, srcDir)
+    if (floor > 0L) writeHistoryFloor(spark, dstDir, floor)
   }
 
   /** Replace the CONTENT of one or more state tables under a SINGLE

@@ -228,6 +228,70 @@ object TableFunctions {
       "stats_asof", exprs => statsAsof(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "budget_asof", exprs => budgetAsof(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "state_diff", exprs => stateDiff(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mmr_from_state", exprs => mmrFromState(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "capped_mix", exprs => cappedMix(spark, exprs), "built-in")
+  }
+
+  /** `state_diff('dir', 'pillar', batch1, delete1, batch2, delete2)` →
+    * [[StateAudit.snapshotDiff]] between two versions of one pillar's
+    * live-id set ('lsh' | 'postings' | 'tokenizer'): one row per
+    * document live in exactly one version — "what did last night's
+    * pipeline do?" over the tagged partition history. */
+  private def stateDiff(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "state_diff"
+    requireArity(f, exprs, min = 6, max = 6)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val pillar = args.name("pillar")
+    val b1 = args.long("batch1"); val d1 = args.long("delete1")
+    val b2 = args.long("batch2"); val d2 = args.long("delete2")
+    def ids(b: Long, d: Long) = pillar match {
+      case "lsh" => StateAudit.lshLiveIdsAsOf(spark, dir, b, d)
+      case "postings" => StateAudit.postingsLiveIdsAsOf(spark, dir, b, d)
+      case "tokenizer" => StateAudit.tokenizerLiveIdsAsOf(spark, dir, b, d)
+      case other => throw new IllegalArgumentException(
+        s"$f: unknown pillar '$other' (expected lsh | postings | tokenizer)")
+    }
+    plan(StateAudit.snapshotDiff(ids(b1, d1), ids(b2, d2)))
+  }
+
+  /** `mmr_from_state('dir', query_table, 'id', 'vec', k, lambda,
+    * cand_k, n_probe)` → [[Similarity.mmrTopKFromState]]:
+    * diversity-penalized top-k over the probed IVF candidates. */
+  private def mmrFromState(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "mmr_from_state"
+    requireArity(f, exprs, min = 8, max = 8)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val queries = args.table(spark, "query_table")
+    val id = args.name("id")
+    val vec = args.name("vec")
+    val k = args.int("k")
+    val lambda = args.double("lambda")
+    val candK = args.int("cand_k")
+    val nProbe = args.int("n_probe")
+    plan(Similarity.mmrTopKFromState(spark, dir, queries, k, lambda,
+      candK, nProbe, idCol = id, vecCol = vec))
+  }
+
+  /** `capped_mix(docs_table, 'text', 'grp', max_up_milli[, alpha])` →
+    * [[Sampling.cappedTemperatureMix]]: temperature shares under a
+    * per-source up-weight cap, water-filled to fixpoint in exact ppm
+    * units. */
+  private def cappedMix(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "capped_mix"
+    requireArity(f, exprs, min = 4, max = 5)
+    val args = new Args(f, exprs)
+    val docs = args.table(spark, "docs_table")
+    val text = args.name("text")
+    val grp = args.name("grp")
+    val maxUpMilli = args.long("max_up_milli")
+    val alpha = if (args.exhausted) 0.5 else args.double("alpha")
+    plan(Sampling.cappedTemperatureMix(docs, text, grp, maxUpMilli, alpha))
   }
 
   /** `ivf_asof('dir', query_table, 'id', 'vec', k, n_probe, asof_batch,

@@ -2336,6 +2336,588 @@ object Extensions {
       .orderBy("snapshot", "new_id", "old_id")
   }
 
+  /** x133 — COORDINATED cross-pillar delete
+    * ([[graft.ext.StateAudit.deleteEverywhere]]): the operator that
+    * CLOSES the failure class x128 detects (the audit found divergence;
+    * nothing could repair it). One call lands a curation delete in the
+    * LSH, postings, and tokenizer pillars under ONE shared delete tag.
+    * There is no cross-directory commit point on a filesystem, so the
+    * contract is IDEMPOTENCE, not atomicity: every per-pillar delete is
+    * a tagged partition overwrite, so re-running the same call with the
+    * same tag completes a crashed delete (finished pillars overwrite
+    * identically, missed pillars apply). The gate INJECTS a crash after
+    * pillar 1 — slice B reaches LSH only — and must observe (a) the
+    * audit surfacing exactly the B-survivors as
+    * (¬in_lsh, in_postings, in_tokenizer) rows, and (b) the REPLAYED
+    * call with the same tag emptying the audit. The oracle derives the
+    * partial-phase divergence in set algebra; the repaired phase
+    * contributes zero rows, so the row count itself pins the repair. */
+  def x133(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x133_state").toFile.getAbsolutePath
+    val (ls, ps, ts) = (s"$root/lsh", s"$root/postings", s"$root/tokenizer")
+    val b1 = docs.filter(col("doc_id") < 150)
+    val b2 = docs.filter(col("doc_id") >= 150)
+    Dedup.appendLshState(b1, "doc_id", "text", ls, batchTag = Some(1L))
+    Dedup.appendLshState(b2, "doc_id", "text", ls, batchTag = Some(2L))
+    Index.appendPostingsState(b1, ps, "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(b2, ps, "doc_id", "text", batchTag = Some(2L))
+    Bpe.appendTokenizerState(b1, ts, "doc_id", "text", numMerges = 4,
+      batchTag = Some(1L))
+    Bpe.appendTokenizerState(b2, ts, "doc_id", "text", numMerges = 4,
+      batchTag = Some(2L))
+    val sliceA = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+    val sliceB = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+    def deleteAll(slice: DataFrame, tag: Long, crashAfter: Int = -1): Unit =
+      StateAudit.deleteEverywhere(s, slice, "doc_id", "text", "source",
+        ls, ps, ts, deleteTag = tag, crashAfterPillars = crashAfter)
+    deleteAll(sliceA, tag = 1L)
+    val crashed =
+      try { deleteAll(sliceB, tag = 2L, crashAfter = 1); false }
+      catch { case _: StateIO.InjectedCrash => true }
+    def audit() = StateAudit.crossPillarConsistency(Seq(
+      "lsh" -> StateAudit.lshLiveIds(s, ls),
+      "postings" -> StateAudit.postingsLiveIds(s, ps),
+      "tokenizer" -> StateAudit.tokenizerLiveIds(s, ts)))
+    // materialized BEFORE the replay: the replay overwrites the very
+    // delete_id=2 partitions this audit's lazy plan reads
+    val partial = Dedup.materialize(
+      audit().withColumn("phase", lit("partial")))
+    deleteAll(sliceB, tag = 2L) // the replay — same call, same tag
+    val repaired = audit().withColumn("phase", lit("repaired"))
+    partial.unionByName(repaired)
+      .select(col("phase"), col("id").as("doc_id"), col("in_lsh"),
+        col("in_postings"), col("in_tokenizer"))
+      .withColumn("crash_injected", lit(crashed))
+      .orderBy("phase", "doc_id")
+  }
+
+  /** x134 — HISTORY-RETENTION GC for the postings state
+    * ([[Index.truncatePostingsHistory]]): the operator that BOUNDS what
+    * time-travel (x125) keeps. The tagged partitions are a full version
+    * history — at production cadence, thousands of tiny `batch_id=N`
+    * dirs per year and an unbounded promise that every version stays
+    * answerable. Truncation collapses everything at or below a floor
+    * into ONE base version (sub-floor tombstones applied physically,
+    * totals folded into one exact row, the bucket pruning level
+    * preserved), publishes the `_history_floor` marker FIRST (a crash
+    * before the table swap refuses conservatively, never answers from a
+    * half-collapsed cut), then moves all five tables under ONE
+    * [[graft.ext.StateIO.swapInTables]] commit point. The gate pins
+    * the retention contract from both sides: the two surviving
+    * snapshots (the floor version and the current version) hash-match
+    * from-scratch derivations of their corpus slices AFTER the GC, and
+    * the three refusals — sub-floor as-of, replayed sub-floor append,
+    * at-floor delete — are engine-observed and oracle-pinned TRUE. */
+  def x134(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x134_state").toFile.getAbsolutePath
+    val b1 = docs.filter(col("doc_id") < 150)
+    Index.appendPostingsState(b1, state, "doc_id", "text",
+      batchTag = Some(1L))
+    Index.appendPostingsState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      state, "doc_id", "text", batchTag = Some(2L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 300),
+      state, "doc_id", "text", batchTag = Some(3L))
+    Index.deleteFromPostingsState(s, state,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    Index.truncatePostingsHistory(s, state, floor = 2L)
+    def refused(f: => Unit): Boolean =
+      try { f; false }
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("floor") => true
+      }
+    val refusedAsOf = refused(
+      Index.bm25TopKFromStateAsOf(s, state, Seq("dup"), k = 10,
+        asOfBatch = 1L, asOfDelete = 2L, idCol = "doc_id").head(1))
+    val refusedAppend = refused(
+      Index.appendPostingsState(b1, state, "doc_id", "text",
+        batchTag = Some(1L)))
+    val refusedDelete = refused(
+      Index.deleteFromPostingsState(s, state,
+        docs.filter(col("doc_id") === 0).select(col("doc_id")),
+        "doc_id", deleteTag = Some(2L)))
+    def snap(label: String, asOfBatch: Long, asOfDelete: Long) =
+      Index.bm25TopKFromStateAsOf(s, state, Seq("dup", "vector", "window"),
+          k = 10, asOfBatch = asOfBatch, asOfDelete = asOfDelete,
+          idCol = "doc_id")
+        .select(lit(label).as("snapshot"), col("doc_id"),
+          round(col("score"), 4).as("score"), col("rank"))
+    snap("t_floor", 2L, 2L)
+      .unionByName(snap("t_current", 3L, 2L))
+      .withColumn("refused_sub_floor_asof", lit(refusedAsOf))
+      .withColumn("refused_old_append", lit(refusedAppend))
+      .withColumn("refused_old_delete", lit(refusedDelete))
+      .orderBy("snapshot", "rank")
+  }
+
+  /** x135 — VERSION DIFF over a state's tagged history
+    * ([[graft.ext.StateAudit.snapshotDiff]]): "what did last night's
+    * pipeline do to the corpus?" answered from the same partition
+    * history the as-of reads cut — live-id sets at two versions
+    * ([[graft.ext.StateAudit.postingsLiveIdsAsOf]]), full-outer-joined,
+    * one row per document live in exactly one. Two steps of the x125
+    * lifecycle: appending batch 2 must diff as exactly the batch-2 ids
+    * 'added', and delete 1 as exactly the tombstoned ids 'removed' —
+    * nothing else (the hash pins both the membership and the absence of
+    * phantom rows). Narrow by construction: single-column id cuts,
+    * output bounded by the delta, not the corpus. */
+  def x135(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x135_state").toFile.getAbsolutePath
+    Index.appendPostingsState(docs.filter(col("doc_id") < 250),
+      state, "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 250),
+      state, "doc_id", "text", batchTag = Some(2L))
+    Index.deleteFromPostingsState(s, state,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    def v(asOfBatch: Long, asOfDelete: Long) =
+      StateAudit.postingsLiveIdsAsOf(s, state, asOfBatch, asOfDelete)
+    StateAudit.snapshotDiff(v(1L, 0L), v(2L, 0L))
+      .withColumn("step", lit("s1_append_b2"))
+      .unionByName(StateAudit.snapshotDiff(v(2L, 0L), v(2L, 1L))
+        .withColumn("step", lit("s2_delete")))
+      .select(col("step"), col("id").as("doc_id"), col("change"))
+      .orderBy("step", "doc_id")
+  }
+
+  /** x136 — MMR-DIVERSIFIED retrieval from the persisted IVF state
+    * ([[Similarity.mmrTopKFromState]], Carbonell & Goldstein SIGIR'98):
+    * each pick maximizes `λ·rel − (1−λ)·max sim-to-selected`, so a
+    * result list that would otherwise fill with near-duplicates of the
+    * best hit spreads across distinct neighborhoods — the query-side
+    * complement of the dedup pillar. Two-stage scale shape: candidates
+    * are the PROBED state read (nProbe cells of a persisted assignment,
+    * corpus never scanned), then a driver-side greedy re-rank of the
+    * query-bounded pool (sequential in k by nature — every pick changes
+    * every remaining penalty). The oracle UNROLLS all five greedy steps
+    * in SQL — candidate pool from the k-means probe chain, pairwise
+    * sims, per-step anti-join + argmax with the engine's exact
+    * arithmetic (`(1.0 - λ)` as a subtraction, scores quantized to
+    * integer 1e-4 units) — so selection order, membership, AND scores
+    * all hash-match. */
+  def x136(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x136_state").toFile.getAbsolutePath
+    Similarity.appendIvfState(emb, state, k = 8, iters = 2,
+      batchTag = Some(1L))
+    Similarity.mmrTopKFromState(s, state,
+        emb.filter(col("vec_id") < 5), k = 5, lambda = 0.7,
+        candK = 20, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("mmr") * lit(1e4) + lit(0.5)).cast("long").as("mmr_q"),
+        col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** x137 — CAP-CONSTRAINED temperature mix
+    * ([[Sampling.cappedTemperatureMix]], water-filling): the guardrail
+    * x104's shares need before they become a recipe — temperature
+    * flattening hands the smallest sources multi-× up-weights (epochs
+    * over the same few documents), so each final share is capped at
+    * 1.5× its natural share and the excess redistributes
+    * proportionally among uncapped sources, iterating because the
+    * redistribution can push ANOTHER source over its cap. Every step
+    * after x104's one quantization is exact integer arithmetic (ppm
+    * units, floor division), so the fixpoint hash-matches an oracle
+    * that unrolls the rounds with identical HUGEINT ops — capped
+    * membership, caps, and final shares all pinned. */
+  def x137(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Sampling.cappedTemperatureMix(docs, "text", "source",
+        maxUpMilli = 1500L)
+      .orderBy("source")
+  }
+
+  /** x138 — PHRASE SEARCH from the persisted positional sidecar
+    * ([[Index.phraseSearchFromState]]): the promise in x98's scale note
+    * kept — "at 100 TB you persist the posting tables and point this
+    * relation at them". `appendPostingsState(positions = true)` lands a
+    * term-bucketed (id, pos, term) sidecar next to the postings, and
+    * the phrase query reads ONLY its terms' buckets (partition-pruned
+    * like BM25), anti-joins tombstones, and runs the same
+    * (doc, start)-intersection tail as the batch path. Because the
+    * sidecar lands in the same tagged partitions, phrase search
+    * time-travels for free — the gate unions the current answer
+    * (survivors of the delete) with the batch-1 snapshot, each
+    * hash-matching x98's oracle over that version's corpus slice. */
+  def x138(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x138_state").toFile.getAbsolutePath
+    Index.appendPostingsState(docs.filter(col("doc_id") < 250), state,
+      "doc_id", "text", batchTag = Some(1L), positions = true)
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 250), state,
+      "doc_id", "text", batchTag = Some(2L), positions = true)
+    Index.deleteFromPostingsState(s, state,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val phrase = Seq("key", "agg")
+    Index.phraseSearchFromStateAsOf(s, state, phrase, asOfBatch = 1L,
+        asOfDelete = 0L, idCol = "doc_id")
+      .select(lit("t1_batch1").as("snapshot"), col("doc_id"),
+        col("n_occurrences"), col("first_pos"))
+      .unionByName(
+        Index.phraseSearchFromState(s, state, phrase, idCol = "doc_id")
+          .select(lit("t2_current").as("snapshot"), col("doc_id"),
+            col("n_occurrences"), col("first_pos")))
+      .orderBy("snapshot", "doc_id")
+  }
+
+  /** True iff `f` throws the history-floor refusal — the truncation
+    * gates (x134, x139–x142) pin each pillar's three refusals
+    * (sub-floor as-of, replayed sub-floor append, at-floor delete) as
+    * engine-observed, oracle-pinned booleans. */
+  private def floorRefused(f: => Unit): Boolean =
+    try { f; false }
+    catch {
+      case e: IllegalArgumentException if e.getMessage.contains("floor") =>
+        true
+    }
+
+  /** x139 — HISTORY-RETENTION GC for the LSH state
+    * ([[Dedup.truncateLshHistory]]): x134's retention contract on the
+    * text-dedup pillar, via the shared
+    * [[graft.ext.StateIO.truncateHistory]] core. Pure tag collapse —
+    * every reps/bands/members row at or below the floor re-tags to the
+    * base version (content byte-preserved; group liveness is
+    * deliberately NOT re-derived — that stays [[Dedup.compactLshState]]'s
+    * job), collapsed tombstones keep subtracting at read time — so the
+    * two SURVIVING snapshots of the incremental near-dup gate (floor
+    * version and current version, checked with the same arriving batch)
+    * hash-match the direct doc-pair derivation over their corpus cuts,
+    * and the three sub-floor refusals are engine-observed, pinned TRUE. */
+  def x139(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x139_state").toFile.getAbsolutePath
+    val b1 = docs.filter(col("doc_id") < 150)
+    Dedup.appendLshState(b1, "doc_id", "text", state, batchTag = Some(1L))
+    Dedup.appendLshState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      "doc_id", "text", state, batchTag = Some(2L))
+    Dedup.appendLshState(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 450),
+      "doc_id", "text", state, batchTag = Some(3L))
+    Dedup.deleteFromLshState(s, state,
+      docs.filter(col("doc_id") < 450 && pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    Dedup.truncateLshHistory(s, state, floor = 2L)
+    val batch = docs.filter(col("doc_id") >= 450)
+    val refusedAsOf = floorRefused(
+      Dedup.incrementalLshPairsFromState(state, batch, "doc_id", "text",
+        asOf = Some((1L, 2L))).head(1))
+    val refusedAppend = floorRefused(
+      Dedup.appendLshState(b1, "doc_id", "text", state,
+        batchTag = Some(1L)))
+    val refusedDelete = floorRefused(
+      Dedup.deleteFromLshState(s, state,
+        docs.filter(col("doc_id") === 0).select(col("doc_id")), "doc_id",
+        deleteTag = Some(2L)))
+    def snap(label: String, asOfBatch: Long, asOfDelete: Long) =
+      Dedup.incrementalLshPairsFromState(state, batch, "doc_id", "text",
+          asOf = Some((asOfBatch, asOfDelete)))
+        .select(lit(label).as("snapshot"), col("new_id"), col("old_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+    snap("t_floor", 2L, 2L)
+      .unionByName(snap("t_current", 3L, 2L))
+      .withColumn("refused_sub_floor_asof", lit(refusedAsOf))
+      .withColumn("refused_old_append", lit(refusedAppend))
+      .withColumn("refused_old_delete", lit(refusedDelete))
+      .orderBy("snapshot", "new_id", "old_id")
+  }
+
+  /** x140 — HISTORY-RETENTION GC for the IVF state
+    * ([[Similarity.truncateIvfHistory]]): the retention contract on the
+    * vector pillar. The geometry FROZE on batch 1, so the collapse is a
+    * pure partition move — every cell row at or below the floor was
+    * assigned against the same centroids it still probes under — and
+    * the two surviving as-of probe snapshots hash-match the
+    * frozen-centroid chain over their corpus cuts (the x129 oracle with
+    * the floor/current version cut). Frozen `centroids` are untouched
+    * but still remnant-guarded; the three sub-floor refusals pin TRUE. */
+  def x140(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x140_state").toFile.getAbsolutePath
+    val b1 = emb.filter(col("vec_id") < 250)
+    Similarity.appendIvfState(b1, state, k = 8, iters = 2,
+      batchTag = Some(1L))
+    Similarity.appendIvfState(
+      emb.filter(col("vec_id") >= 250 && col("vec_id") < 375), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 375), state,
+      k = 8, iters = 2, batchTag = Some(3L))
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.truncateIvfHistory(s, state, floor = 2L)
+    val probes = emb.filter(col("vec_id") < 10)
+    val refusedAsOf = floorRefused(
+      Similarity.ivfTopKFromStateAsOf(s, state, probes, topK = 5,
+        asOfBatch = 1L, asOfDelete = 2L).head(1))
+    val refusedAppend = floorRefused(
+      Similarity.appendIvfState(b1, state, k = 8, iters = 2,
+        batchTag = Some(1L)))
+    val refusedDelete = floorRefused(
+      Similarity.deleteFromIvfState(s, state,
+        emb.filter(col("vec_id") === 0).select(col("vec_id")), "vec_id",
+        deleteTag = Some(2L)))
+    def snap(label: String, asOfBatch: Long, asOfDelete: Long) =
+      Similarity.ivfTopKFromStateAsOf(s, state, probes, topK = 5,
+          asOfBatch = asOfBatch, asOfDelete = asOfDelete, nProbe = 2)
+        .select(lit(label).as("snapshot"), col("query_id"),
+          col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cos"), 4).as("cos_sim"))
+    snap("t_floor", 2L, 2L)
+      .unionByName(snap("t_current", 3L, 2L))
+      .withColumn("refused_sub_floor_asof", lit(refusedAsOf))
+      .withColumn("refused_old_append", lit(refusedAppend))
+      .withColumn("refused_old_delete", lit(refusedDelete))
+      .orderBy("snapshot", "query_id", "rank")
+  }
+
+  /** x141 — HISTORY-RETENTION GC for the stats state
+    * ([[Profile.truncateStatsHistory]]): the retention contract on the
+    * accounting pillar, exercised with a BATCH-ATTRIBUTED delete
+    * (`srcBatchCol` — the mixed-cut-exactness path): the collapse
+    * re-attributes sub-floor corrections to `greatest(src_batch,
+    * floor)`, so every still-legal as-of fold (bounds ≥ floor) selects
+    * exactly the correction rows it did before, and both surviving
+    * snapshots report counts that equal the from-scratch derivation
+    * over their corpus cuts — appended-content distinct estimates stay
+    * inside the 5 % + 1 HLL bound, and the three refusals pin TRUE. */
+  def x141(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x141_state").toFile.getAbsolutePath
+    val b1 = docs.filter(col("doc_id") < 150)
+    Profile.appendStatsState(b1, state, "text", "source", Some(1L))
+    Profile.appendStatsState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), state,
+      "text", "source", Some(2L))
+    Profile.appendStatsState(docs.filter(col("doc_id") >= 300), state,
+      "text", "source", Some(3L))
+    Profile.deleteFromStatsState(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .withColumn("src_batch",
+          when(col("doc_id") < 150, 1L)
+            .when(col("doc_id") < 300, 2L).otherwise(3L)),
+      state, "text", "source", Some(1L), Some("src_batch"))
+    Profile.truncateStatsHistory(s, state, floor = 2L)
+    val refusedAsOf = floorRefused(
+      Profile.statsReportAsOf(s, state, 1L, 2L).head(1))
+    val refusedAppend = floorRefused(
+      Profile.appendStatsState(b1, state, "text", "source", Some(1L)))
+    val refusedDelete = floorRefused(
+      Profile.deleteFromStatsState(docs.filter(col("doc_id") === 0),
+        state, "text", "source", Some(2L)))
+    def snap(label: String, asOfBatch: Long, asOfDelete: Long,
+        appendedSlice: org.apache.spark.sql.Column) = {
+      val exact = docs.filter(appendedSlice).groupBy(col("source"))
+        .agg(count_distinct(md5(col("text"))).as("n_unique_appended"))
+      Profile.statsReportAsOf(s, state, asOfBatch, asOfDelete)
+        .withColumnRenamed("grp", "source")
+        .join(exact, "source")
+        .select(lit(label).as("snapshot"), col("source"), col("n_docs"),
+          col("tokens"), col("n_unique_appended"),
+          (abs(col("distinct_est").cast("double") -
+              col("n_unique_appended").cast("double")) <=
+            col("n_unique_appended").cast("double") * 0.05 + lit(1.0))
+            .as("est_within_bound"))
+    }
+    snap("t_floor", 2L, 2L, col("doc_id") < 300)
+      .unionByName(snap("t_current", 3L, 2L, lit(true)))
+      .withColumn("refused_sub_floor_asof", lit(refusedAsOf))
+      .withColumn("refused_old_append", lit(refusedAppend))
+      .withColumn("refused_old_delete", lit(refusedDelete))
+      .orderBy("snapshot", "source")
+  }
+
+  /** x142 — HISTORY-RETENTION GC for the tokenizer state
+    * ([[Bpe.truncateTokenizerHistory]]): the retention contract on the
+    * fifth pillar. The merges FROZE on batch 1 — every version's
+    * persisted counts are the same unit — so the sidecar collapse is a
+    * pure partition move and the two surviving budget selections
+    * ([[Bpe.tokenBudgetFromStateAsOf]]) hash-match the frozen-tokenizer
+    * encode + naive budget window over their live corpus cuts; frozen
+    * `merges` are untouched but remnant-guarded, refusals pin TRUE. */
+  def x142(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x142_state").toFile.getAbsolutePath
+    val b1 = docs.filter(col("doc_id") < 150)
+    Bpe.appendTokenizerState(b1, state, "doc_id", "text", numMerges = 4,
+      batchTag = Some(1L))
+    Bpe.appendTokenizerState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(2L))
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") >= 300), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(3L))
+    Bpe.deleteFromTokenizerState(s, state,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    Bpe.truncateTokenizerHistory(s, state, floor = 2L)
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("q"))
+    val refusedAsOf = floorRefused(
+      Bpe.tokenBudgetFromStateAsOf(s, state, quality, "doc_id", "q",
+        budget = 20000L, asOfBatch = 1L, asOfDelete = 2L).head(1))
+    val refusedAppend = floorRefused(
+      Bpe.appendTokenizerState(b1, state, "doc_id", "text",
+        numMerges = 4, batchTag = Some(1L)))
+    val refusedDelete = floorRefused(
+      Bpe.deleteFromTokenizerState(s, state,
+        docs.filter(col("doc_id") === 0).select(col("doc_id")), "doc_id",
+        deleteTag = Some(2L)))
+    def snap(label: String, asOfBatch: Long, asOfDelete: Long) =
+      Bpe.tokenBudgetFromStateAsOf(s, state, quality, "doc_id", "q",
+          budget = 20000L, asOfBatch = asOfBatch, asOfDelete = asOfDelete)
+        .select(lit(label).as("snapshot"), col("doc_id"),
+          col("bpe_tokens"), col("cum_tokens"))
+    snap("t_floor", 2L, 2L)
+      .unionByName(snap("t_current", 3L, 2L))
+      .withColumn("refused_sub_floor_asof", lit(refusedAsOf))
+      .withColumn("refused_old_append", lit(refusedAppend))
+      .withColumn("refused_old_delete", lit(refusedDelete))
+      .orderBy("snapshot", "doc_id")
+  }
+
+  /** x143 — COORDINATED cross-pillar ingest
+    * ([[graft.ext.StateAudit.ingestEverywhere]]): x133's append twin —
+    * one call lands an arriving corpus batch in the LSH, postings,
+    * tokenizer, AND stats pillars under ONE shared batch tag, closing
+    * the other half of the divergence class x128 detects (an
+    * orchestrator wiring five separate appends re-creates exactly the
+    * partial-write failure the audit exists to catch). Same contract
+    * as the delete twin: IDEMPOTENCE, not atomicity — every pillar
+    * append is a tagged partition overwrite, so replaying the same
+    * call with the same tag completes a crashed ingest. The gate
+    * INJECTS a crash after pillar 1 — batch 2 reaches LSH only — and
+    * must observe (a) the audit surfacing exactly the batch-2 docs as
+    * (in_lsh, ¬in_postings, ¬in_tokenizer) rows, (b) the REPLAYED call
+    * emptying the audit, and (c) the stats fold covering the full
+    * corpus afterwards. The oracle derives the partial-phase
+    * divergence in set algebra; the repaired phase contributes zero
+    * rows, so the row count itself pins the repair. */
+  def x143(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x143_state").toFile.getAbsolutePath
+    val (ls, ps, ts, ss) =
+      (s"$root/lsh", s"$root/postings", s"$root/tokenizer", s"$root/stats")
+    val b1 = docs.filter(col("doc_id") < 150)
+    val b2 = docs.filter(col("doc_id") >= 150)
+    def ingest(batch: DataFrame, tag: Long, crashAfter: Int = -1): Unit =
+      StateAudit.ingestEverywhere(s, batch, "doc_id", "text", "source",
+        ls, ps, ts, batchTag = tag, statsDir = Some(ss),
+        crashAfterPillars = crashAfter)
+    ingest(b1, tag = 1L)
+    val crashed =
+      try { ingest(b2, tag = 2L, crashAfter = 1); false }
+      catch { case _: StateIO.InjectedCrash => true }
+    def audit() = StateAudit.crossPillarConsistency(Seq(
+      "lsh" -> StateAudit.lshLiveIds(s, ls),
+      "postings" -> StateAudit.postingsLiveIds(s, ps),
+      "tokenizer" -> StateAudit.tokenizerLiveIds(s, ts)))
+    // materialized BEFORE the replay: the replay overwrites the very
+    // batch_id=2 partitions this audit's lazy plan reads
+    val partial = Dedup.materialize(
+      audit().withColumn("phase", lit("partial")))
+    ingest(b2, tag = 2L) // the replay — same call, same tag
+    val repaired = audit().withColumn("phase", lit("repaired"))
+    // the stats pillar (not in the id audit — it has no per-doc ids)
+    // must also have completed on replay: the fold covers every doc
+    val statsComplete = Profile.statsReport(s, ss)
+      .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0) ==
+      docs.count()
+    partial.unionByName(repaired)
+      .select(col("phase"), col("id").as("doc_id"), col("in_lsh"),
+        col("in_postings"), col("in_tokenizer"))
+      .withColumn("crash_injected", lit(crashed))
+      .withColumn("stats_complete", lit(statsComplete))
+      .orderBy("phase", "doc_id")
+  }
+
+  /** x144 — STATE BRANCH (clone-at-version) on the postings pillar
+    * ([[Index.clonePostingsState]] over
+    * [[graft.ext.StateIO.cloneStateAsOf]]): materialize "the index
+    * after (append 2, delete 1)" as an INDEPENDENT directory — the
+    * what-if curation branch: experiment on the clone while the source
+    * keeps serving. The gate pins the contract from three sides: (1)
+    * the clone's PLAIN read hash-matches the source's as-of read at
+    * the branch point, and both match a from-scratch BM25 over that
+    * version's surviving corpus (including the `src_batch <= 2` cut on
+    * delete corrections — the clone's totals are the exact integers of
+    * the branched version, not the source's); (2) cloning onto an
+    * existing directory refuses (engine-observed, pinned TRUE); (3)
+    * appending and deleting on the CLONE leaves the source's reads
+    * bit-identical (engine-compared before/after, pinned TRUE). */
+  def x144(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x144_state").toFile.getAbsolutePath
+    val (src, dst) = (s"$root/src", s"$root/branch")
+    Index.appendPostingsState(docs.filter(col("doc_id") < 150), src,
+      "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), src,
+      "doc_id", "text", batchTag = Some(2L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 300), src,
+      "doc_id", "text", batchTag = Some(3L))
+    Index.deleteFromPostingsState(s, src,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    Index.deleteFromPostingsState(s, src,
+      docs.filter(pmod(col("doc_id"), lit(11)) === 5).select(col("doc_id")),
+      "doc_id", deleteTag = Some(2L))
+    Index.clonePostingsState(s, src, dst, asOfBatch = 2L, asOfDelete = 1L)
+    val refusedOverwrite =
+      try {
+        Index.clonePostingsState(s, src, dst, asOfBatch = 2L,
+          asOfDelete = 1L)
+        false
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("never overwrites") => true
+      }
+    val terms = Seq("dup", "vector", "window")
+    def shape(df: DataFrame, label: String) =
+      df.select(lit(label).as("snapshot"), col("doc_id"),
+        round(col("score"), 4).as("score"), col("rank"))
+    // the branch-point reads, MATERIALIZED before the clone mutates
+    val cloneRead = Dedup.materialize(shape(
+      Index.bm25TopKFromState(s, dst, terms, k = 10, idCol = "doc_id"),
+      "t_clone"))
+    val srcCurrent = Index.bm25TopKFromState(s, src, terms, k = 10,
+      idCol = "doc_id").collect().toSeq
+    // mutate the CLONE only: a new append and a new delete
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 300), dst,
+      "doc_id", "text", batchTag = Some(3L))
+    Index.deleteFromPostingsState(s, dst,
+      docs.filter(pmod(col("doc_id"), lit(13)) === 2).select(col("doc_id")),
+      "doc_id", deleteTag = Some(2L))
+    val sourceIntact = Index.bm25TopKFromState(s, src, terms, k = 10,
+      idCol = "doc_id").collect().toSeq == srcCurrent
+    cloneRead
+      .unionByName(shape(
+        Index.bm25TopKFromStateAsOf(s, src, terms, k = 10,
+          asOfBatch = 2L, asOfDelete = 1L, idCol = "doc_id"),
+        "t_src_asof"))
+      .withColumn("refused_overwrite", lit(refusedOverwrite))
+      .withColumn("source_intact", lit(sourceIntact))
+      .orderBy("snapshot", "rank")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -2565,7 +3147,19 @@ object Extensions {
     "x129_ivf_asof" -> (x129 _),
     "x130_stats_asof" -> (x130 _),
     "x131_budget_asof" -> (x131 _),
-    "x132_lsh_asof" -> (x132 _)
+    "x132_lsh_asof" -> (x132 _),
+    "x133_delete_everywhere" -> (x133 _),
+    "x134_history_truncate" -> (x134 _),
+    "x135_snapshot_diff" -> (x135 _),
+    "x136_mmr_from_state" -> (x136 _),
+    "x137_capped_mix" -> (x137 _),
+    "x138_phrase_from_state" -> (x138 _),
+    "x139_lsh_truncate" -> (x139 _),
+    "x140_ivf_truncate" -> (x140 _),
+    "x141_stats_truncate" -> (x141 _),
+    "x142_tokenizer_truncate" -> (x142 _),
+    "x143_ingest_everywhere" -> (x143 _),
+    "x144_state_branch" -> (x144 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -2736,6 +3330,167 @@ object Extensions {
     * pure filter on the assigned vectors: the x119 delete contract
     * (`AND af.vid % 5 <> 2`) and every x129 as-of snapshot are the same
     * chain with different cuts. */
+  /** The x136 MMR oracle: candidate pool = the probed k-means chain's
+    * top-20 per query, then the five greedy picks UNROLLED — step t
+    * scores every not-yet-picked candidate `0.7·rel − (1.0−0.7)·max
+    * sim-to-picked` (the subtraction written out so both engines
+    * compute the identical double) and takes the row_number()=1 row
+    * with the engine's tie order (score DESC, neighbor_id). */
+  private def mmrOracleSql: String = {
+    val steps = (2 to 5).map { t =>
+      s"""q$t AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    0.7 * c.rel - (1.0 - 0.7) * max(sm.s) AS sc
+         |  FROM cv c
+         |  JOIN sims sm ON sm.query_id = c.query_id
+         |    AND sm.i = c.neighbor_id
+         |  JOIN s${t - 1} sel ON sel.query_id = sm.query_id
+         |    AND sel.neighbor_id = sm.j
+         |  LEFT JOIN s${t - 1} x ON x.query_id = c.query_id
+         |    AND x.neighbor_id = c.neighbor_id
+         |  WHERE x.neighbor_id IS NULL
+         |  GROUP BY c.query_id, c.neighbor_id, c.rel),
+         |p$t AS (
+         |  SELECT query_id, neighbor_id, sc AS mmr FROM (
+         |    SELECT query_id, neighbor_id, sc,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sc DESC, neighbor_id) AS rn
+         |    FROM q$t) WHERE rn = 1),
+         |s$t AS (SELECT * FROM s${t - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    val picks = (2 to 5)
+      .map(t => s"UNION ALL SELECT query_id, neighbor_id, mmr, $t AS rank FROM p$t")
+      .mkString("\n  ")
+    s"""WITH $annEmbCte,
+       |${kmeansTrainCtes("e", probeWhere = "e.vec_id < 5")},
+       |scored AS (
+       |  SELECT p.query_id, af.vid AS neighbor_id,
+       |    list_dot_product(p.qv, af.v)
+       |      / (sqrt(list_dot_product(p.qv, p.qv))
+       |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+       |  FROM probes p JOIN af USING (cid)
+       |  WHERE af.vid != p.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, cos AS rel FROM (
+       |    SELECT query_id, neighbor_id, cos,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rn
+       |    FROM scored) WHERE rn <= 20),
+       |cv AS (
+       |  SELECT c.query_id, c.neighbor_id, c.rel, e.v
+       |  FROM cand c JOIN e ON e.vec_id = c.neighbor_id),
+       |sims AS (
+       |  SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+       |    list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v))
+       |         * sqrt(list_dot_product(b.v, b.v))) AS s
+       |  FROM cv a JOIN cv b ON a.query_id = b.query_id
+       |    AND a.neighbor_id <> b.neighbor_id),
+       |p1 AS (
+       |  SELECT query_id, neighbor_id, 0.7 * rel AS mmr FROM (
+       |    SELECT query_id, neighbor_id, rel,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY 0.7 * rel DESC, neighbor_id) AS rn
+       |    FROM cv) WHERE rn = 1),
+       |s1 AS (SELECT query_id, neighbor_id FROM p1),
+       |$steps
+       |SELECT CAST(query_id AS BIGINT) AS query_id,
+       |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  CAST(floor(mmr * 1e4 + 0.5) AS BIGINT) AS mmr_q,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT query_id, neighbor_id, mmr, 1 AS rank FROM p1
+       |  $picks)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The x137 water-filling oracle: x104's quantized temperature units,
+    * then 24 unrolled cap rounds in exact HUGEINT arithmetic — round t
+    * caps every uncapped source whose proportional share of the
+    * remaining ppm mass (floor division) exceeds its cap, with
+    * remaining/Σu snapshotted at round start (the engine's batched
+    * update). Rounds after the fixpoint are no-ops, and 24 covers any
+    * source count the fixtures hold (≤ 1 new capped source per round
+    * or the round is final). */
+  private def cappedMixOracleSql: String = {
+    // every c{t} is referenced ~4 times and chains to c{t-1}; without
+    // MATERIALIZED, CTE inlining expands the reference tree EXPONENTIALLY
+    // in the round count (4^24 scans of `documents` — DuckDB dies on fd
+    // exhaustion before it dies on time). Materializing each round makes
+    // the unroll linear.
+    val rounds = (1 to 24).map { tIdx =>
+      val prev = s"c${tIdx - 1}"
+      s"""r$tIdx AS MATERIALIZED (SELECT
+         |    1000000 - coalesce((SELECT CAST(sum(cap_ppm) AS BIGINT)
+         |      FROM base JOIN $prev USING (source)), 0) AS remaining,
+         |    (SELECT CAST(sum(b.u) AS BIGINT) FROM base b
+         |      LEFT JOIN $prev p ON p.source = b.source
+         |      WHERE p.source IS NULL) AS uu),
+         |c$tIdx(source) AS MATERIALIZED (
+         |  SELECT source FROM $prev
+         |  UNION
+         |  SELECT b.source
+         |  FROM base b CROSS JOIN r$tIdx r
+         |  LEFT JOIN $prev p ON p.source = b.source
+         |  WHERE p.source IS NULL
+         |    AND CAST(r.remaining AS HUGEINT) * b.u // r.uu > b.cap_ppm)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |q AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)
+       |      / (SELECT CAST(max(tokens) AS DOUBLE) FROM c)) * 1e12)
+       |    AS BIGINT) AS u FROM c),
+       |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS rtot,
+       |    CAST(sum(u) AS BIGINT) AS utot FROM q),
+       |base AS MATERIALIZED (SELECT source, n_docs, tokens, u,
+       |    CAST(CAST(1500 AS HUGEINT) * tokens * 1000000
+       |      // (CAST(1000 AS HUGEINT) * rtot) AS BIGINT) AS cap_ppm,
+       |    CAST(CAST(1000000 AS HUGEINT) * u // utot AS BIGINT) AS temp_ppm
+       |  FROM q, tot),
+       |c0(source) AS MATERIALIZED (SELECT source FROM base WHERE 1 = 0),
+       |$rounds,
+       |rf AS (SELECT
+       |    1000000 - coalesce((SELECT CAST(sum(cap_ppm) AS BIGINT)
+       |      FROM base JOIN c24 USING (source)), 0) AS remaining,
+       |    (SELECT CAST(sum(b.u) AS BIGINT) FROM base b
+       |      LEFT JOIN c24 p ON p.source = b.source
+       |      WHERE p.source IS NULL) AS uu)
+       |SELECT b.source, b.n_docs, b.tokens, b.temp_ppm AS share_temp_ppm,
+       |  b.cap_ppm,
+       |  CASE WHEN p.source IS NOT NULL THEN b.cap_ppm
+       |    ELSE CAST(CAST(r.remaining AS HUGEINT) * b.u // r.uu AS BIGINT)
+       |  END AS share_final_ppm,
+       |  p.source IS NOT NULL AS capped
+       |FROM base b CROSS JOIN rf r
+       |LEFT JOIN c24 p ON p.source = b.source
+       |ORDER BY b.source""".stripMargin
+  }
+
+  /** x98's positional phrase oracle over `documents` restricted by
+    * `docWhere` — x138 reuses the whole chain per snapshot, which IS
+    * the from-state contract: the positional sidecar after deletes (or
+    * under an as-of cut) answers exactly like a from-scratch positional
+    * derivation over that version's corpus. */
+  private def phraseOracleSqlWhere(docWhere: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents$docWhere),
+       |p AS (
+       |  SELECT doc_id, s.pos, s.term FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+       |      i -> {'pos': i - 1, 'term': w[CAST(i AS INT)]})) AS s
+       |    FROM toks) u),
+       |s0 AS (SELECT doc_id, pos AS start FROM p WHERE term = 'key'),
+       |s1 AS (SELECT doc_id, pos - 1 AS start FROM p WHERE term = 'agg')
+       |SELECT s0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(min(s0.start) AS BIGINT) AS first_pos
+       |FROM s0 JOIN s1 USING (doc_id, start)
+       |GROUP BY s0.doc_id""".stripMargin
+
   private def ivfSnapshotOracleSql(scoreWhere: String): String =
     s"""WITH $annEmbCte,
        |tr AS (SELECT * FROM e WHERE vec_id < 250),
@@ -5609,6 +6364,193 @@ object Extensions {
          |  SELECT 't3_deleted' AS snapshot, new_id, old_id, jaccard
          |  FROM (${lshIncrPairsOracleSql(
                 "id_a < 400 AND id_a % 3 <> 1 AND id_b >= 400")})
-         |) ORDER BY snapshot, new_id, old_id""".stripMargin
+         |) ORDER BY snapshot, new_id, old_id""".stripMargin,
+
+    // x133: the partial phase in set algebra — the crash left slice B
+    // (mod-9, minus the everywhere-applied slice A) deleted from LSH
+    // only, so the audit reports exactly those ids as
+    // (¬lsh, postings, tokenizer); the repaired phase contributes ZERO
+    // rows (the replayed same-tag delete completed), so the total row
+    // count pins the repair itself
+    "x133_delete_everywhere" ->
+      """SELECT phase, doc_id, in_lsh, in_postings, in_tokenizer,
+        |  crash_injected FROM (
+        |  SELECT 'partial' AS phase, doc_id, FALSE AS in_lsh,
+        |    TRUE AS in_postings, TRUE AS in_tokenizer,
+        |    TRUE AS crash_injected
+        |  FROM documents
+        |  WHERE doc_id < 300 AND doc_id % 9 = 4 AND doc_id % 7 <> 3
+        |) ORDER BY phase, doc_id""".stripMargin,
+
+    // x134: retention from both sides — the two SURVIVING snapshots
+    // equal from-scratch BM25 over their corpus slices (floor version =
+    // batches 1-2 minus the collapsed delete; current = everything
+    // minus the delete), and the three sub-floor refusals are
+    // engine-observed, pinned TRUE
+    "x134_history_truncate" ->
+      s"""SELECT snapshot, doc_id, score, rank,
+         |  TRUE AS refused_sub_floor_asof, TRUE AS refused_old_append,
+         |  TRUE AS refused_old_delete FROM (
+         |  SELECT 't_floor' AS snapshot, doc_id, score, rank FROM (
+         |${bm25TopKOracleSqlWhere(
+              " WHERE doc_id < 300 AND doc_id % 7 <> 3")})
+         |  UNION ALL
+         |  SELECT 't_current' AS snapshot, doc_id, score, rank FROM (
+         |${bm25TopKOracleSqlWhere(" WHERE doc_id % 7 <> 3")})
+         |) ORDER BY snapshot, rank""".stripMargin,
+
+    // x135: the two deltas in set algebra — step 1 adds exactly the
+    // batch-2 ids, step 2 removes exactly the tombstoned mod-7 slice
+    "x135_snapshot_diff" ->
+      """SELECT step, doc_id, change FROM (
+        |  SELECT 's1_append_b2' AS step, doc_id, 'added' AS change
+        |  FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT 's2_delete' AS step, doc_id, 'removed' AS change
+        |  FROM documents WHERE doc_id % 7 = 3
+        |) ORDER BY step, doc_id""".stripMargin,
+
+    // x136: the five greedy MMR picks unrolled in SQL — see mmrOracleSql
+    "x136_mmr_from_state" -> mmrOracleSql,
+
+    // x137: 24 unrolled water-fill rounds in exact HUGEINT ppm units —
+    // see cappedMixOracleSql
+    "x137_capped_mix" -> cappedMixOracleSql,
+
+    // x138: each snapshot = x98's positional chain over that version's
+    // corpus slice (batch 1 / survivors of the delete)
+    "x138_phrase_from_state" ->
+      s"""SELECT snapshot, doc_id, n_occurrences, first_pos FROM (
+         |  SELECT 't1_batch1' AS snapshot, * FROM (
+         |${phraseOracleSqlWhere(" WHERE doc_id < 250")})
+         |  UNION ALL
+         |  SELECT 't2_current' AS snapshot, * FROM (
+         |${phraseOracleSqlWhere(" WHERE doc_id % 7 <> 3")})
+         |) ORDER BY snapshot, doc_id""".stripMargin,
+
+    // x139: retention on the LSH pillar — the two surviving incremental
+    // near-dup snapshots equal the direct doc-pair derivation over
+    // their corpus cuts (floor = batches 1-2 minus the collapsed
+    // delete; current = all three batches minus it; the arriving batch
+    // is always >= 450), refusals pinned TRUE
+    "x139_lsh_truncate" ->
+      s"""SELECT snapshot, new_id, old_id, jaccard,
+         |  TRUE AS refused_sub_floor_asof, TRUE AS refused_old_append,
+         |  TRUE AS refused_old_delete FROM (
+         |  SELECT 't_floor' AS snapshot, new_id, old_id, jaccard
+         |  FROM (${lshIncrPairsOracleSql(
+              "id_a < 300 AND id_a % 3 <> 1 AND id_b >= 450")})
+         |  UNION ALL
+         |  SELECT 't_current' AS snapshot, new_id, old_id, jaccard
+         |  FROM (${lshIncrPairsOracleSql(
+              "id_a < 450 AND id_a % 3 <> 1 AND id_b >= 450")})
+         |) ORDER BY snapshot, new_id, old_id""".stripMargin,
+
+    // x140: retention on the IVF pillar — the two surviving probe
+    // snapshots equal the frozen-centroid chain (train on batch 1 =
+    // vid < 250, assign all) with the scoring side cut to that
+    // version's live corpus, refusals pinned TRUE
+    "x140_ivf_truncate" ->
+      s"""SELECT snapshot, query_id, neighbor_id, rank, cos_sim,
+         |  TRUE AS refused_sub_floor_asof, TRUE AS refused_old_append,
+         |  TRUE AS refused_old_delete FROM (
+         |  SELECT 't_floor' AS snapshot, query_id, neighbor_id, rank, cos_sim
+         |  FROM (${ivfSnapshotOracleSql(
+              " AND af.vid < 375 AND af.vid % 5 <> 2")})
+         |  UNION ALL
+         |  SELECT 't_current' AS snapshot, query_id, neighbor_id, rank, cos_sim
+         |  FROM (${ivfSnapshotOracleSql(" AND af.vid % 5 <> 2")})
+         |) ORDER BY snapshot, query_id, rank""".stripMargin,
+
+    // x141: retention on the stats pillar — per-version exact counts
+    // from the corpus slices (the batch-attributed delete keeps the
+    // floor cut exact: only corrections with src_batch <= 2 apply at
+    // t_floor, which after the GC's greatest(src_batch, floor)
+    // re-attribution is precisely the removed docs with doc_id < 300),
+    // bound + refusal booleans pinned TRUE
+    "x141_stats_truncate" ->
+      """SELECT snapshot, source, n_docs, tokens, n_unique_appended,
+        |  est_within_bound, TRUE AS refused_sub_floor_asof,
+        |  TRUE AS refused_old_append, TRUE AS refused_old_delete FROM (
+        |  SELECT 't_floor' AS snapshot, source,
+        |    CAST(count(*) FILTER (WHERE doc_id % 7 <> 3) AS BIGINT)
+        |      AS n_docs,
+        |    CAST(coalesce(sum(len(string_split(text, ' ')))
+        |      FILTER (WHERE doc_id % 7 <> 3), 0) AS BIGINT) AS tokens,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_appended,
+        |    TRUE AS est_within_bound
+        |  FROM documents WHERE doc_id < 300 GROUP BY source
+        |  UNION ALL
+        |  SELECT 't_current', source,
+        |    CAST(count(*) FILTER (WHERE doc_id % 7 <> 3) AS BIGINT),
+        |    CAST(coalesce(sum(len(string_split(text, ' ')))
+        |      FILTER (WHERE doc_id % 7 <> 3), 0) AS BIGINT),
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT), TRUE
+        |  FROM documents GROUP BY source
+        |) ORDER BY snapshot, source""".stripMargin,
+
+    // x142: retention on the tokenizer pillar — the frozen-tokenizer
+    // encode (train on batch 1 = doc_id < 150, encode all) run once,
+    // then the naive budget window (quality = char length, ties by
+    // doc_id) over each surviving version's live documents, refusals
+    // pinned TRUE
+    "x142_tokenizer_truncate" ->
+      s"""WITH ${bpeEncodedCorpusCtes(4, " WHERE doc_id < 150")},
+         |enc AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS bpe_tokens FROM it4),
+         |q AS (
+         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS q
+         |  FROM documents),
+         |cf AS (
+         |  SELECT q.doc_id, e.bpe_tokens,
+         |    CAST(sum(e.bpe_tokens) OVER (ORDER BY q.q DESC, q.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q JOIN enc e USING (doc_id)
+         |  WHERE q.doc_id < 300 AND q.doc_id % 7 <> 3),
+         |cc AS (
+         |  SELECT q.doc_id, e.bpe_tokens,
+         |    CAST(sum(e.bpe_tokens) OVER (ORDER BY q.q DESC, q.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q JOIN enc e USING (doc_id) WHERE q.doc_id % 7 <> 3)
+         |SELECT snapshot, doc_id, bpe_tokens, cum_tokens,
+         |  TRUE AS refused_sub_floor_asof, TRUE AS refused_old_append,
+         |  TRUE AS refused_old_delete FROM (
+         |  SELECT 't_floor' AS snapshot, * FROM cf WHERE cum_tokens <= 20000
+         |  UNION ALL
+         |  SELECT 't_current' AS snapshot, * FROM cc WHERE cum_tokens <= 20000
+         |) ORDER BY snapshot, doc_id""".stripMargin,
+
+    // x143: the crashed ingest's partial phase in set algebra — batch 2
+    // reached the LSH pillar only, so the audit rows are exactly the
+    // batch-2 docs as (lsh, ¬postings, ¬tokenizer); the repaired phase
+    // contributes ZERO rows (the replayed same-tag ingest completed),
+    // so the total row count pins the repair itself
+    "x143_ingest_everywhere" ->
+      """SELECT phase, doc_id, in_lsh, in_postings, in_tokenizer,
+        |  crash_injected, stats_complete FROM (
+        |  SELECT 'partial' AS phase, doc_id, TRUE AS in_lsh,
+        |    FALSE AS in_postings, FALSE AS in_tokenizer,
+        |    TRUE AS crash_injected, TRUE AS stats_complete
+        |  FROM documents
+        |  WHERE doc_id >= 150 AND doc_id < 300
+        |) ORDER BY phase, doc_id""".stripMargin,
+
+    // x144: the branched version from scratch — both the clone's plain
+    // read and the source's as-of read must equal BM25 over (batches
+    // 1-2) minus delete 1, with the overwrite refusal and source
+    // isolation engine-observed and pinned TRUE
+    "x144_state_branch" ->
+      s"""SELECT snapshot, doc_id, score, rank,
+         |  TRUE AS refused_overwrite, TRUE AS source_intact FROM (
+         |  SELECT 't_clone' AS snapshot, doc_id, score, rank FROM (
+         |${bm25TopKOracleSqlWhere(
+              " WHERE doc_id < 300 AND doc_id % 7 <> 3")})
+         |  UNION ALL
+         |  SELECT 't_src_asof' AS snapshot, doc_id, score, rank FROM (
+         |${bm25TopKOracleSqlWhere(
+              " WHERE doc_id < 300 AND doc_id % 7 <> 3")})
+         |) ORDER BY snapshot, rank""".stripMargin
   )
 }

@@ -2247,6 +2247,34 @@ class ExtSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tdir/cells").count() == 200)
   }
 
+  test("mmrTopKFromState: penalty is the TRUE max over selected, negatives included") {
+    // q = [1,0]; candidate 10 is collinear with q (rel 1, first pick),
+    // 12 points AWAY (rel and sim-to-10 both ≈ -0.5), 13 is near-
+    // orthogonal (≈ +0.1), 11 is close to 10 (≈ +0.8). With λ = 0.3 the
+    // true-max rank-2 scores are 12: 0.3·(-.5) - 0.7·(-.5) = +0.2,
+    // 13: -0.4·0.1 ≈ -0.04, 11: -0.4·0.8 = -0.32 → pick 12. A penalty
+    // clamped at zero would score 12 at 0.3·(-.5) = -0.15 and pick 13
+    // instead — the exact deviation this pins out.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.8f, 0.6f)),
+      (12L, Array(-0.5f, 0.866f)),
+      (13L, Array(0.1f, 0.995f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mmr_neg").toFile.getAbsolutePath
+    Similarity.appendIvfState(emb, dir, k = 1, iters = 1)
+    val out = Similarity.mmrTopKFromState(spark, dir,
+        emb.filter(col("vec_id") === 1), k = 3, lambda = 0.3,
+        candK = 4, nProbe = 1)
+      .select("neighbor_id", "mmr", "rank")
+      .as[(Long, Double, Long)].collect().toSeq.sortBy(_._3)
+    assert(out.map(_._1) == Seq(10L, 12L, 11L),
+      s"true-max MMR pick order broken: $out")
+    assert(math.abs(out(1)._2 - 0.2) < 1e-3,
+      s"rank-2 score must carry the NEGATIVE max-sim penalty: ${out(1)}")
+  }
+
   test("compactIvfState / compactStatsState: results identical, fewer files") {
     import graft.Tables
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
@@ -3166,6 +3194,15 @@ class ExtSpec extends SparkSpec {
     assert(rows(Index.bm25TopKFromStateAsOf(spark, dir, terms, 10,
         asOfBatch = 2L, asOfDelete = 0L, idCol = "doc_id")) ==
       rows(Index.bm25TopK(b1.unionByName(b2), "doc_id", "text", terms, 10)))
+    // the MIXED cut: the delete covered docs from BOTH batches, but the
+    // (batch 1, delete 1) snapshot's corpus is b1 minus the deleted∩b1
+    // slice — the batch-2 victims are outside the cut, so their totals
+    // corrections must not subtract (src_batch attribution; without it
+    // N/avgdl deflate and every score sags — the x134 t_floor bug)
+    assert(rows(Index.bm25TopKFromStateAsOf(spark, dir, terms, 10,
+        asOfBatch = 1L, asOfDelete = 1L, idCol = "doc_id")) ==
+      rows(Index.bm25TopK(b1.filter(pmod(col("doc_id"), lit(5)) =!= 1),
+        "doc_id", "text", terms, 10)))
     // untagged states carry no version identity: as-of refuses
     val untagged = java.nio.file.Files.createTempDirectory("graft-asof-u")
       .toFile.getAbsolutePath + "/state"
@@ -3223,6 +3260,34 @@ class ExtSpec extends SparkSpec {
       statRows(Profile.statsReport(spark, ss)))
     assert(statRows(Profile.statsReportAsOf(spark, ss, 1L, 0L)) ==
       statRows(Profile.statsReport(spark, ss1)))
+    // MIXED cut with batch-ATTRIBUTED corrections (srcBatchCol): the
+    // delete spans both batches, but the (batch 1, delete 1) snapshot
+    // must subtract only the batch-1 victims' counts — equal to a fresh
+    // state over batch 1's survivors (counts only: distinct_est is HLL,
+    // estimates appended content, and cannot follow deletes)
+    val ss2 = s"$root/stats_attr"
+    Profile.appendStatsState(db1, ss2, "text", "source", Some(1L))
+    Profile.appendStatsState(db2, ss2, "text", "source", Some(2L))
+    Profile.deleteFromStatsState(
+      delSlice.filter(col("doc_id") < 160).withColumn("src_b",
+        when(col("doc_id") < 80, 1L).otherwise(2L)),
+      ss2, "text", "source", Some(1L), srcBatchCol = Some("src_b"))
+    val ss2Twin = s"$root/stats_attr_twin"
+    Profile.appendStatsState(db1.filter(pmod(col("doc_id"), lit(5)) =!= 1),
+      ss2Twin, "text", "source", Some(1L))
+    def cntRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("grp"), col("n_docs"), col("tokens"))
+        .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // a source whose batch-1 docs were ALL deleted reports (grp, 0, 0)
+    // in the state path (its group row survives with net-zero counts);
+    // the from-scratch twin never saw the group — compare on survivors
+    assert(cntRows(Profile.statsReportAsOf(spark, ss2, 1L, 1L))
+        .filter(_._2 != 0L) ==
+      cntRows(Profile.statsReport(spark, ss2Twin)),
+      "attributed mixed cut must count exactly batch 1's survivors")
+    // and the full-history snapshot still matches the current report
+    assert(statRows(Profile.statsReportAsOf(spark, ss2, 2L, 1L)) ==
+      statRows(Profile.statsReport(spark, ss2)))
 
     // tokenizer — merges froze on batch 1 in BOTH dirs, so the budget
     // snapshot equals the prefix twin exactly
@@ -3359,5 +3424,653 @@ class ExtSpec extends SparkSpec {
       Similarity.reclusterIvfState(spark, dir))
     assert(fs.exists(sentinel),
       "the backup (and its contents) must survive the refused swap")
+  }
+
+  test("deleteEverywhere: one tag, five pillars; a crashed delete completes by replay") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") < 120)
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 60)
+    val root = java.nio.file.Files.createTempDirectory("graft-deleverywhere")
+      .toFile.getAbsolutePath
+    val (ls, ps, ts, ss, vs) =
+      (s"$root/lsh", s"$root/postings", s"$root/tok", s"$root/stats",
+        s"$root/ivf")
+    Dedup.appendLshState(docs, "doc_id", "text", ls, batchTag = Some(1L))
+    Index.appendPostingsState(docs, ps, "doc_id", "text", batchTag = Some(1L))
+    Bpe.appendTokenizerState(docs, ts, "doc_id", "text", numMerges = 3,
+      batchTag = Some(1L))
+    Profile.appendStatsState(docs, ss, "text", "source", Some(1L))
+    Similarity.appendIvfState(emb, vs, k = 4, iters = 1, batchTag = Some(1L))
+    val slice = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+    val vids = emb.filter(pmod(col("vec_id"), lit(5)) === 2)
+      .select(col("vec_id"))
+    def deleteAll(crashAfter: Int): Unit =
+      StateAudit.deleteEverywhere(spark, slice, "doc_id", "text", "source",
+        ls, ps, ts, deleteTag = 1L, statsDir = Some(ss),
+        ivf = Some((vs, vids, "vec_id")),
+        crashAfterPillars = crashAfter)
+    // crash after the three doc pillars: stats and ivf never saw the
+    // delete — the doc-pillar audit agrees (all three applied) but the
+    // stats report still counts the deleted docs
+    intercept[StateIO.InjectedCrash](deleteAll(3))
+    assert(StateAudit.crossPillarConsistency(Seq(
+      "lsh" -> StateAudit.lshLiveIds(spark, ls),
+      "postings" -> StateAudit.postingsLiveIds(spark, ps),
+      "tokenizer" -> StateAudit.tokenizerLiveIds(spark, ts))).count() == 0)
+    val preDocs = Profile.statsReport(spark, ss)
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(preDocs == 120L, "stats must still count the deleted docs")
+    // the REPLAY: same call, same tag — finished pillars overwrite
+    // identically, missed pillars apply
+    deleteAll(-1)
+    val postDocs = Profile.statsReport(spark, ss)
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    val survivors = 120L - slice.count()
+    assert(postDocs == survivors)
+    // ivf: deleted vids stopped answering
+    val probe = emb.filter(col("vec_id") === 0)
+    val ids = Similarity.ivfTopKFromState(spark, vs, probe, topK = 20,
+        nProbe = 4).select("neighbor_id").as[Long].collect().toSet
+    assert(ids.forall(_ % 5 != 2))
+    // and a second full replay is a no-op (idempotent end to end)
+    deleteAll(-1)
+    assert(Profile.statsReport(spark, ss)
+      .agg(sum(col("n_docs"))).head().getLong(0) == survivors)
+  }
+
+  test("truncatePostingsHistory: >=floor snapshots survive bit-identical, sub-floor refuses") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-gc")
+      .toFile.getAbsolutePath + "/state"
+    Index.appendPostingsState(docs.filter(col("doc_id") < 60), dir,
+      "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 120), dir,
+      "doc_id", "text", batchTag = Some(2L))
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 120), dir,
+      "doc_id", "text", batchTag = Some(3L))
+    Index.deleteFromPostingsState(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val terms = Seq("dup", "vector")
+    def snap(b: Long, d: Long) =
+      Index.bm25TopKFromStateAsOf(spark, dir, terms, k = 10, asOfBatch = b,
+          asOfDelete = d, idCol = "doc_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSeq
+    val preFloor = snap(2L, 2L)
+    val preCurrent = snap(3L, 2L)
+    Index.truncatePostingsHistory(spark, dir, floor = 2L)
+    assert(snap(2L, 2L) == preFloor, "the floor version must survive GC")
+    assert(snap(3L, 2L) == preCurrent, "the current version must survive GC")
+    assert(Index.bm25TopKFromState(spark, dir, terms, k = 10,
+        idCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq == preCurrent)
+    // the collapsed layout really collapsed: one sub-floor partition each
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def tags(table: String, tagCol: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$table")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith(s"$tagCol="))
+    assert(tags("postings", "batch_id").sorted ==
+      Seq("batch_id=2", "batch_id=3"))
+    assert(tags("tombstones", "delete_id") == Seq("delete_id=2"))
+    // refusals: sub-floor as-of (either bound), sub-floor writes,
+    // untagged writes, a lower floor, an out-of-range floor
+    def refuses(f: => Unit): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("floor"), e.getMessage)
+    }
+    refuses(snap(1L, 2L))
+    refuses(snap(2L, 1L))
+    refuses(Index.appendPostingsState(docs.limit(1), dir, "doc_id", "text",
+      batchTag = Some(2L)))
+    refuses(Index.appendPostingsState(docs.limit(1), dir, "doc_id", "text"))
+    refuses(Index.deleteFromPostingsState(spark, dir,
+      docs.limit(1).select(col("doc_id")), "doc_id", deleteTag = Some(2L)))
+    refuses(Index.truncatePostingsHistory(spark, dir, floor = 1L))
+    intercept[IllegalArgumentException](
+      Index.truncatePostingsHistory(spark, dir, floor = 9L))
+    // life goes on above the floor: append batch 4, delete tag 3, compact
+    Index.appendPostingsState(docs.filter(col("doc_id") < 20), dir,
+      "doc_id", "text", batchTag = Some(4L))
+    Index.deleteFromPostingsState(spark, dir,
+      docs.filter(col("doc_id") === 130).select(col("doc_id")), "doc_id",
+      deleteTag = Some(3L))
+    Index.compactPostingsState(spark, dir)
+    assert(Index.bm25TopKFromState(spark, dir, terms, k = 5,
+      idCol = "doc_id").count() == 5)
+  }
+
+  test("liveIdsAsOf + snapshotDiff: exact deltas per pillar, empty on same version") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val root = java.nio.file.Files.createTempDirectory("graft-snapdiff")
+      .toFile.getAbsolutePath
+    val (ls, ts) = (s"$root/lsh", s"$root/tok")
+    val b1 = docs.filter(col("doc_id") < 50)
+    val b2 = docs.filter(col("doc_id") >= 50)
+    Dedup.appendLshState(b1, "doc_id", "text", ls, batchTag = Some(1L))
+    Dedup.appendLshState(b2, "doc_id", "text", ls, batchTag = Some(2L))
+    Bpe.appendTokenizerState(b1, ts, "doc_id", "text", numMerges = 3,
+      batchTag = Some(1L))
+    Bpe.appendTokenizerState(b2, ts, "doc_id", "text", numMerges = 3,
+      batchTag = Some(2L))
+    val del = docs.filter(pmod(col("doc_id"), lit(9)) === 1)
+      .select(col("doc_id"))
+    Dedup.deleteFromLshState(spark, ls, del, "doc_id", deleteTag = Some(1L))
+    Bpe.deleteFromTokenizerState(spark, ts, del, "doc_id",
+      deleteTag = Some(1L))
+    for (dir <- Seq(ls, ts)) {
+      def ids(b: Long, d: Long) = dir match {
+        case `ls` => StateAudit.lshLiveIdsAsOf(spark, dir, b, d)
+        case _ => StateAudit.tokenizerLiveIdsAsOf(spark, dir, b, d)
+      }
+      val diff1 = StateAudit.snapshotDiff(ids(1L, 0L), ids(2L, 0L))
+        .as[(Long, String)].collect().toSeq
+      assert(diff1 == (50L until 100L).map(i => (i, "added")))
+      val diff2 = StateAudit.snapshotDiff(ids(2L, 0L), ids(2L, 1L))
+        .as[(Long, String)].collect().toSeq
+      assert(diff2 == (0L until 100L).filter(_ % 9 == 1)
+        .map(i => (i, "removed")))
+      assert(StateAudit.snapshotDiff(ids(2L, 1L), ids(2L, 1L)).count() == 0)
+    }
+  }
+
+  test("mmrTopKFromState: lambda=1 is relevance order; low lambda rejects a dup pile") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 40)
+    // plant a pile of byte-identical copies of vector 1's embedding
+    val copies = emb.filter(col("vec_id") === 1)
+      .crossJoin(spark.range(1000, 1010).select(col("id")))
+      .select(col("id").as("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmr")
+      .toFile.getAbsolutePath + "/state"
+    Similarity.appendIvfState(
+      emb.select(col("vec_id"), col("embedding")).unionByName(copies),
+      dir, k = 4, iters = 1, batchTag = Some(1L))
+    val q = emb.filter(col("vec_id") === 1)
+    // lambda = 1: plain relevance — identical ids in identical order
+    val plain = Similarity.ivfTopKFromState(spark, dir, q, topK = 5,
+        nProbe = 2).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    val atOne = Similarity.mmrTopKFromState(spark, dir, q, k = 5,
+        lambda = 1.0, candK = 20, nProbe = 2).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(atOne == plain)
+    assert(plain.count(_ >= 1000L) == 5,
+      "the dup pile should fill plain top-5 (cos = 1 each)")
+    // low lambda: after one copy, every other copy scores
+    // 0.3·1 − 0.7·1 < any distinct vector — at most one copy survives
+    val diverse = Similarity.mmrTopKFromState(spark, dir, q, k = 5,
+        lambda = 0.3, candK = 20, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(diverse.count(_ >= 1000L) == 1,
+      s"MMR must keep exactly one of the planted copies, got $diverse")
+    assert(diverse.distinct.size == 5)
+    // guards
+    intercept[IllegalArgumentException](Similarity.mmrTopKFromState(
+      spark, dir, q, k = 5, lambda = 1.5))
+    intercept[IllegalArgumentException](Similarity.mmrTopKFromState(
+      spark, dir, q, k = 5, lambda = 0.5, candK = 3))
+    intercept[IllegalArgumentException](Similarity.mmrTopKFromState(
+      spark, dir, q, k = 2, lambda = 0.5, candK = 10, maxCandidates = 3))
+  }
+
+  test("phraseSearchFromState: batch parity, tombstones, as-of, compaction, refusal") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrasestate")
+      .toFile.getAbsolutePath + "/state"
+    Index.appendPostingsState(docs.filter(col("doc_id") < 100), dir,
+      "doc_id", "text", batchTag = Some(1L), positions = true)
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 100), dir,
+      "doc_id", "text", batchTag = Some(2L), positions = true)
+    Index.deleteFromPostingsState(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(9)) === 2).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val phrase = Seq("key", "agg")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val survivors = docs.filter(pmod(col("doc_id"), lit(9)) =!= 2)
+    val wantCur = rows(Index.phraseSearch(survivors, "doc_id", "text", phrase))
+    assert(wantCur.nonEmpty)
+    assert(rows(Index.phraseSearchFromState(spark, dir, phrase,
+      idCol = "doc_id")) == wantCur)
+    val wantB1 = rows(Index.phraseSearch(docs.filter(col("doc_id") < 100),
+      "doc_id", "text", phrase))
+    assert(rows(Index.phraseSearchFromStateAsOf(spark, dir, phrase,
+      asOfBatch = 1L, asOfDelete = 0L, idCol = "doc_id")) == wantB1)
+    // compaction rewrites the positions sidecar too; answers unchanged
+    Index.compactPostingsState(spark, dir)
+    assert(rows(Index.phraseSearchFromState(spark, dir, phrase,
+      idCol = "doc_id")) == wantCur)
+    // a positions-less state refuses with the rebuild remedy
+    val bare = java.nio.file.Files.createTempDirectory("graft-phrasebare")
+      .toFile.getAbsolutePath + "/state"
+    Index.appendPostingsState(docs.filter(col("doc_id") < 50), bare,
+      "doc_id", "text", batchTag = Some(1L))
+    val e = intercept[IllegalStateException](
+      Index.phraseSearchFromState(spark, bare, phrase, idCol = "doc_id")
+        .head(1))
+    assert(e.getMessage.contains("positions"))
+  }
+
+  test("cappedTemperatureMix: water-fill fixpoint invariants and degenerate caps") {
+    def rep(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val docs = Seq(
+      (1L, rep(1000), "a"), (2L, rep(100), "b"),
+      (3L, rep(10), "c"), (4L, rep(1), "d")).toDF("doc_id", "text", "source")
+    val got = Sampling.cappedTemperatureMix(docs, "text", "source",
+        maxUpMilli = 1500L)
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b", "c", "d"))
+    val sumFinal = got.map(_._6).sum
+    assert(sumFinal <= 1000000L && sumFinal >= 1000000L - got.size,
+      s"final shares must sum to 1e6 minus at most |sources| ppm of " +
+        s"floor dust, got $sumFinal")
+    got.foreach { r =>
+      if (r._7) assert(r._6 == r._5, s"capped source ${r._1} must sit at its cap")
+      else assert(r._6 <= r._5, s"uncapped source ${r._1} above its cap")
+    }
+    // sqrt flattening hands the tiny sources >1.5x up-weights — they cap
+    assert(got.filter(r => r._1 == "c" || r._1 == "d").forall(_._7))
+    assert(!got.head._7, "the dominant source cannot be above 1.5x natural")
+    // a sky-high cap never binds: finals equal the uncapped temp shares
+    val free = Sampling.cappedTemperatureMix(docs, "text", "source",
+        maxUpMilli = 1000000L)
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(free.forall(r => !r._7 && r._6 == r._4))
+    // guards
+    intercept[IllegalArgumentException](Sampling.cappedTemperatureMix(
+      docs, "text", "source", maxUpMilli = 0L))
+    intercept[IllegalArgumentException](Sampling.cappedTemperatureMix(
+      docs, "text", "source", maxUpMilli = 1500L, alpha = 2.0))
+    intercept[IllegalArgumentException](Sampling.cappedTemperatureMix(
+      docs.filter(col("doc_id") < 0), "text", "source", maxUpMilli = 1500L))
+  }
+
+  // shared refusal matcher for the history-floor contract
+  private def refusesFloor(f: => Unit): Unit = {
+    val e = intercept[IllegalArgumentException](f)
+    assert(e.getMessage.contains("floor"), e.getMessage)
+  }
+
+  private def partitionTags(dir: String, table: String, tagCol: String)
+      : Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$table")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(s"$tagCol=")).sorted
+  }
+
+  test("truncateLshHistory: >=floor pair snapshots survive bit-identical, sub-floor refuses") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-gc")
+      .toFile.getAbsolutePath + "/state"
+    Dedup.appendLshState(docs.filter(col("doc_id") < 150), "doc_id", "text",
+      dir, batchTag = Some(1L))
+    Dedup.appendLshState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), "doc_id",
+      "text", dir, batchTag = Some(2L))
+    Dedup.appendLshState(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), "doc_id",
+      "text", dir, batchTag = Some(3L))
+    Dedup.deleteFromLshState(spark, dir,
+      docs.filter(col("doc_id") < 450 && pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val batch = docs.filter(col("doc_id") >= 450)
+    def snap(b: Long, d: Long) =
+      Dedup.incrementalLshPairsFromState(dir, batch, "doc_id", "text",
+          asOf = Some((b, d)))
+        .select(col("new_id"), col("old_id"), round(col("jaccard"), 4))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    val preFloor = snap(2L, 2L)
+    val preCurrent = snap(3L, 2L)
+    assert(preCurrent.nonEmpty, "the fixture must produce near-dup pairs")
+    Dedup.truncateLshHistory(spark, dir, floor = 2L)
+    assert(snap(2L, 2L) == preFloor, "the floor version must survive GC")
+    assert(snap(3L, 2L) == preCurrent, "the current version must survive GC")
+    assert(partitionTags(dir, "reps", "batch_id") ==
+      Seq("batch_id=2", "batch_id=3"))
+    assert(partitionTags(dir, "bands", "batch_id") ==
+      Seq("batch_id=2", "batch_id=3"))
+    assert(partitionTags(dir, "members", "batch_id") ==
+      Seq("batch_id=2", "batch_id=3"))
+    assert(partitionTags(dir, "tombstones", "delete_id") ==
+      Seq("delete_id=2"))
+    refusesFloor(snap(1L, 2L))
+    refusesFloor(snap(2L, 1L))
+    refusesFloor(Dedup.appendLshState(docs.limit(1), "doc_id", "text", dir,
+      batchTag = Some(2L)))
+    refusesFloor(Dedup.appendLshState(docs.limit(1), "doc_id", "text", dir))
+    refusesFloor(Dedup.deleteFromLshState(spark, dir,
+      docs.limit(1).select(col("doc_id")), "doc_id", deleteTag = Some(2L)))
+    refusesFloor(Dedup.truncateLshHistory(spark, dir, floor = 1L))
+    intercept[IllegalArgumentException](
+      Dedup.truncateLshHistory(spark, dir, floor = 9L))
+    // life goes on above the floor: append batch 4, delete tag 3, compact
+    Dedup.appendLshState(docs.filter(col("doc_id") >= 450), "doc_id",
+      "text", dir, batchTag = Some(4L))
+    Dedup.deleteFromLshState(spark, dir,
+      docs.filter(col("doc_id") === 460).select(col("doc_id")), "doc_id",
+      deleteTag = Some(3L))
+    Dedup.compactLshState(spark, dir)
+    assert(Dedup.incrementalLshPairsFromState(dir,
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
+      excludeTag = Some(4L)).count() >= 0)
+  }
+
+  test("truncateIvfHistory: >=floor probe snapshots survive bit-identical, sub-floor refuses") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-gc")
+      .toFile.getAbsolutePath + "/state"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 150), dir,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 300), dir,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 300), dir,
+      k = 8, iters = 2, batchTag = Some(3L))
+    Similarity.deleteFromIvfState(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    val probes = emb.filter(col("vec_id") < 5)
+    def snap(b: Long, d: Long) =
+      Similarity.ivfTopKFromStateAsOf(spark, dir, probes, topK = 5,
+          asOfBatch = b, asOfDelete = d)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq.sorted
+    val preFloor = snap(2L, 2L)
+    val preCurrent = snap(3L, 2L)
+    assert(preCurrent.nonEmpty)
+    Similarity.truncateIvfHistory(spark, dir, floor = 2L)
+    assert(snap(2L, 2L) == preFloor, "the floor version must survive GC")
+    assert(snap(3L, 2L) == preCurrent, "the current version must survive GC")
+    assert(partitionTags(dir, "cells", "batch_id") ==
+      Seq("batch_id=2", "batch_id=3"))
+    assert(partitionTags(dir, "tombstones", "delete_id") ==
+      Seq("delete_id=2"))
+    refusesFloor(snap(1L, 2L))
+    refusesFloor(snap(2L, 1L))
+    refusesFloor(Similarity.appendIvfState(emb.limit(1), dir, k = 8,
+      iters = 2, batchTag = Some(2L)))
+    refusesFloor(Similarity.appendIvfState(emb.limit(1), dir, k = 8,
+      iters = 2))
+    refusesFloor(Similarity.deleteFromIvfState(spark, dir,
+      emb.limit(1).select(col("vec_id")), "vec_id", deleteTag = Some(2L)))
+    refusesFloor(Similarity.truncateIvfHistory(spark, dir, floor = 1L))
+    // life goes on: append batch 4, delete tag 3, compact, recluster
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 20), dir, k = 8,
+      iters = 2, batchTag = Some(4L))
+    Similarity.deleteFromIvfState(spark, dir,
+      emb.filter(col("vec_id") === 7).select(col("vec_id")), "vec_id",
+      deleteTag = Some(3L))
+    Similarity.compactIvfState(spark, dir)
+    assert(Similarity.ivfTopKFromState(spark, dir, probes, topK = 3)
+      .count() > 0)
+  }
+
+  test("truncateStatsHistory: >=floor report folds survive bit-identical, sub-floor refuses") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-gc")
+      .toFile.getAbsolutePath + "/state"
+    Profile.appendStatsState(docs.filter(col("doc_id") < 150), dir,
+      "text", "source", Some(1L))
+    Profile.appendStatsState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), dir,
+      "text", "source", Some(2L))
+    Profile.appendStatsState(docs.filter(col("doc_id") >= 300), dir,
+      "text", "source", Some(3L))
+    // batch-attributed delete: mixed as-of cuts stay exact under GC
+    Profile.deleteFromStatsState(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .withColumn("src_batch",
+          when(col("doc_id") < 150, 1L)
+            .when(col("doc_id") < 300, 2L).otherwise(3L)),
+      dir, "text", "source", Some(1L), Some("src_batch"))
+    def snap(b: Long, d: Long) =
+      Profile.statsReportAsOf(spark, dir, b, d)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    val preFloor = snap(2L, 2L)
+    val preCurrent = snap(3L, 2L)
+    assert(preCurrent.nonEmpty)
+    Profile.truncateStatsHistory(spark, dir, floor = 2L)
+    assert(snap(2L, 2L) == preFloor, "the floor version must survive GC")
+    assert(snap(3L, 2L) == preCurrent, "the current version must survive GC")
+    assert(partitionTags(dir, "stats", "batch_id") ==
+      Seq("batch_id=2", "batch_id=3"))
+    assert(partitionTags(dir, "stats_deltas", "delete_id") ==
+      Seq("delete_id=2"))
+    refusesFloor(snap(1L, 2L))
+    refusesFloor(snap(2L, 1L))
+    refusesFloor(Profile.appendStatsState(docs.limit(1), dir, "text",
+      "source", Some(2L)))
+    refusesFloor(Profile.appendStatsState(docs.limit(1), dir, "text",
+      "source"))
+    refusesFloor(Profile.deleteFromStatsState(docs.limit(1), dir, "text",
+      "source", Some(2L)))
+    refusesFloor(Profile.truncateStatsHistory(spark, dir, floor = 1L))
+    // life goes on: append batch 4, delete tag 3, compact
+    Profile.appendStatsState(docs.filter(col("doc_id") < 20), dir, "text",
+      "source", Some(4L))
+    Profile.deleteFromStatsState(docs.filter(col("doc_id") === 5), dir,
+      "text", "source", Some(3L))
+    Profile.compactStatsState(spark, dir)
+    assert(Profile.statsReport(spark, dir).count() > 0)
+  }
+
+  test("truncateTokenizerHistory: >=floor budget snapshots survive bit-identical, sub-floor refuses") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-gc")
+      .toFile.getAbsolutePath + "/state"
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 150), dir,
+      "doc_id", "text", numMerges = 3, batchTag = Some(1L))
+    Bpe.appendTokenizerState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), dir,
+      "doc_id", "text", numMerges = 3, batchTag = Some(2L))
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") >= 300), dir,
+      "doc_id", "text", numMerges = 3, batchTag = Some(3L))
+    Bpe.deleteFromTokenizerState(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("q"))
+    def snap(b: Long, d: Long) =
+      Bpe.tokenBudgetFromStateAsOf(spark, dir, quality, "doc_id", "q",
+          budget = 20000L, asOfBatch = b, asOfDelete = d)
+        .select(col("doc_id"), col("bpe_tokens"), col("cum_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val preFloor = snap(2L, 2L)
+    val preCurrent = snap(3L, 2L)
+    assert(preCurrent.nonEmpty)
+    Bpe.truncateTokenizerHistory(spark, dir, floor = 2L)
+    assert(snap(2L, 2L) == preFloor, "the floor version must survive GC")
+    assert(snap(3L, 2L) == preCurrent, "the current version must survive GC")
+    assert(partitionTags(dir, "doc_tokens", "batch_id") ==
+      Seq("batch_id=2", "batch_id=3"))
+    assert(partitionTags(dir, "tombstones", "delete_id") ==
+      Seq("delete_id=2"))
+    refusesFloor(snap(1L, 2L))
+    refusesFloor(snap(2L, 1L))
+    refusesFloor(Bpe.appendTokenizerState(docs.limit(1), dir, "doc_id",
+      "text", numMerges = 3, batchTag = Some(2L)))
+    refusesFloor(Bpe.appendTokenizerState(docs.limit(1), dir, "doc_id",
+      "text", numMerges = 3))
+    refusesFloor(Bpe.deleteFromTokenizerState(spark, dir,
+      docs.limit(1).select(col("doc_id")), "doc_id", deleteTag = Some(2L)))
+    refusesFloor(Bpe.truncateTokenizerHistory(spark, dir, floor = 1L))
+    // life goes on: append batch 4, delete tag 3, compact
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 20), dir,
+      "doc_id", "text", numMerges = 3, batchTag = Some(4L))
+    Bpe.deleteFromTokenizerState(spark, dir,
+      docs.filter(col("doc_id") === 5).select(col("doc_id")), "doc_id",
+      deleteTag = Some(3L))
+    Bpe.compactTokenizerState(spark, dir)
+    assert(Bpe.tokenBudgetFromState(spark, dir, quality, "doc_id", "q",
+      budget = 20000L).count() > 0)
+  }
+
+  test("ingestEverywhere: one tag, five pillars; a crashed ingest completes by replay") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") < 120)
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 120)
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-all")
+      .toFile.getAbsolutePath
+    val (ls, ps, ts, ss, vs) = (s"$root/lsh", s"$root/postings",
+      s"$root/tok", s"$root/stats", s"$root/ivf")
+    def ingest(lo: Int, hi: Int, tag: Long, crashAfter: Int = -1): Unit =
+      StateAudit.ingestEverywhere(spark,
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text", "source", ls, ps, ts, batchTag = tag,
+        statsDir = Some(ss),
+        ivf = Some((vs,
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi), 4, 2)),
+        numMerges = 3, crashAfterPillars = crashAfter)
+    ingest(0, 60, tag = 1L)
+    def audit() = StateAudit.crossPillarConsistency(Seq(
+      "lsh" -> StateAudit.lshLiveIds(spark, ls),
+      "postings" -> StateAudit.postingsLiveIds(spark, ps),
+      "tokenizer" -> StateAudit.tokenizerLiveIds(spark, ts)))
+    assert(audit().isEmpty, "full ingest must leave the pillars agreeing")
+    // crash after 2 pillars: batch 2 reaches lsh + postings only
+    intercept[graft.ext.StateIO.InjectedCrash](
+      ingest(60, 120, tag = 2L, crashAfter = 2))
+    val diverged = audit().collect()
+    assert(diverged.nonEmpty)
+    assert(diverged.forall(r => r.getAs[Boolean]("in_lsh") &&
+      r.getAs[Boolean]("in_postings") && !r.getAs[Boolean]("in_tokenizer")))
+    assert(diverged.map(_.getAs[Long]("id")).toSet ==
+      (60L until 120L).toSet)
+    // the replay — same call, same tag — completes every pillar
+    ingest(60, 120, tag = 2L)
+    assert(audit().isEmpty, "the replayed ingest must close the divergence")
+    assert(Profile.statsReport(spark, ss)
+      .agg(sum(col("n_docs"))).head().getLong(0) == 120L)
+    assert(Similarity.ivfTopKFromState(spark, vs,
+      emb.filter(col("vec_id") < 3), topK = 3).count() > 0)
+    // a second full replay is a no-op on every pillar (idempotence)
+    ingest(60, 120, tag = 2L)
+    assert(audit().isEmpty)
+    assert(Profile.statsReport(spark, ss)
+      .agg(sum(col("n_docs"))).head().getLong(0) == 120L)
+  }
+
+  test("cloneState: plain clone reads == source as-of reads; clone evolves independently") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft-clone")
+      .toFile.getAbsolutePath
+    val (ls, ts, ss, vs) =
+      (s"$root/lsh", s"$root/tok", s"$root/stats", s"$root/ivf")
+    val b1d = docs.filter(col("doc_id") < 60)
+    val b2d = docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+    val b3d = docs.filter(col("doc_id") >= 120)
+    Seq((b1d, 1L), (b2d, 2L), (b3d, 3L)).foreach { case (b, tag) =>
+      Dedup.appendLshState(b, "doc_id", "text", ls, batchTag = Some(tag))
+      Bpe.appendTokenizerState(b, ts, "doc_id", "text", numMerges = 3,
+        batchTag = Some(tag))
+      Profile.appendStatsState(b, ss, "text", "source", Some(tag))
+    }
+    Seq((0, 60, 1L), (60, 120, 2L), (120, 1 << 20, 3L)).foreach {
+      case (lo, hi, tag) =>
+        Similarity.appendIvfState(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi), vs,
+          k = 4, iters = 2, batchTag = Some(tag))
+    }
+    val delIds = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id"))
+    Dedup.deleteFromLshState(spark, ls, delIds, "doc_id",
+      deleteTag = Some(1L))
+    Bpe.deleteFromTokenizerState(spark, ts, delIds, "doc_id",
+      deleteTag = Some(1L))
+    Profile.deleteFromStatsState(
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .withColumn("src_batch",
+          when(col("doc_id") < 60, 1L)
+            .when(col("doc_id") < 120, 2L).otherwise(3L)),
+      ss, "text", "source", Some(1L), Some("src_batch"))
+    Similarity.deleteFromIvfState(spark, vs,
+      emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    // branch every pillar at (batch 2, delete 1)
+    Dedup.cloneLshState(spark, ls, s"$ls.b", 2L, 1L)
+    Bpe.cloneTokenizerState(spark, ts, s"$ts.b", 2L, 1L)
+    Profile.cloneStatsState(spark, ss, s"$ss.b", 2L, 1L)
+    Similarity.cloneIvfState(spark, vs, s"$vs.b", 2L, 1L)
+    // plain clone reads == source as-of reads, pillar by pillar
+    val probe = docs.filter(col("doc_id") >= 400)
+    def lshPairs(d: String, asOf: Option[(Long, Long)]) =
+      Dedup.incrementalLshPairsFromState(d, probe, "doc_id", "text",
+          asOf = asOf)
+        .select(col("new_id"), col("old_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(lshPairs(s"$ls.b", None) == lshPairs(ls, Some((2L, 1L))))
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("q"))
+    def budget(f: => org.apache.spark.sql.DataFrame) =
+      f.select(col("doc_id"), col("cum_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(
+      budget(Bpe.tokenBudgetFromState(spark, s"$ts.b", quality, "doc_id",
+        "q", budget = 9000L)) ==
+      budget(Bpe.tokenBudgetFromStateAsOf(spark, ts, quality, "doc_id",
+        "q", budget = 9000L, asOfBatch = 2L, asOfDelete = 1L)))
+    def stats(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(stats(Profile.statsReport(spark, s"$ss.b")) ==
+      stats(Profile.statsReportAsOf(spark, ss, 2L, 1L)))
+    val probes = emb.filter(col("vec_id") < 3)
+    def ann(f: => org.apache.spark.sql.DataFrame) =
+      f.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq.sorted
+    assert(ann(Similarity.ivfTopKFromState(spark, s"$vs.b", probes,
+        topK = 3)) ==
+      ann(Similarity.ivfTopKFromStateAsOf(spark, vs, probes, topK = 3,
+        asOfBatch = 2L, asOfDelete = 1L)))
+    // a clone never overwrites
+    val e = intercept[IllegalArgumentException](
+      Dedup.cloneLshState(spark, ls, s"$ls.b", 2L, 1L))
+    assert(e.getMessage.contains("never overwrites"))
+    // the clone evolves independently: mutate it, source reads unchanged
+    val srcBefore = lshPairs(ls, None)
+    Dedup.appendLshState(b3d, "doc_id", "text", s"$ls.b",
+      batchTag = Some(3L))
+    Dedup.deleteFromLshState(spark, s"$ls.b",
+      docs.filter(col("doc_id") === 10).select(col("doc_id")), "doc_id",
+      deleteTag = Some(2L))
+    assert(lshPairs(ls, None) == srcBefore,
+      "mutating the branch must not touch the source")
+    // a truncated source's history floor carries to the clone (the
+    // as-of bounds sit AT the floor — the collapsed base version)
+    Bpe.truncateTokenizerHistory(spark, ts, floor = 2L)
+    Bpe.cloneTokenizerState(spark, ts, s"$ts.b2", 2L, 2L)
+    assert(StateIO.readHistoryFloor(spark, s"$ts.b2") == 2L)
+    intercept[IllegalArgumentException](
+      Bpe.appendTokenizerState(b1d, s"$ts.b2", "doc_id", "text",
+        numMerges = 3, batchTag = Some(1L)))
   }
 }

@@ -572,6 +572,45 @@ class TableFunctionsSpec extends SparkSpec {
         "doc_id", "q", 3000L, asOfBatch = 1L, asOfDelete = 0L))
   }
 
+  test("round-14 wave-2 TVFs: state_diff, mmr_from_state, capped_mix") {
+    ready()
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text", $"source")
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tvf_r14b").toFile.getAbsolutePath
+    val ps = s"$root/postings"
+    graft.ext.Index.appendPostingsState(docs.filter($"doc_id" < 100),
+      ps, "doc_id", "text", batchTag = Some(1L))
+    graft.ext.Index.appendPostingsState(
+      docs.filter($"doc_id" >= 100 && $"doc_id" < 200),
+      ps, "doc_id", "text", batchTag = Some(2L))
+    graft.ext.Index.deleteFromPostingsState(spark, ps,
+      docs.filter($"doc_id" % 7 === 3).select($"doc_id"), "doc_id",
+      deleteTag = Some(1L))
+    assertSame(
+      spark.sql(s"SELECT * FROM state_diff('$ps', 'postings', 1, 0, 2, 1)"),
+      graft.ext.StateAudit.snapshotDiff(
+        graft.ext.StateAudit.postingsLiveIdsAsOf(spark, ps, 1L, 0L),
+        graft.ext.StateAudit.postingsLiveIdsAsOf(spark, ps, 2L, 1L)))
+    val vs = s"$root/ivf"
+    graft.ext.Similarity.appendIvfState(emb.filter($"vec_id" < 200), vs,
+      k = 4, iters = 1, batchTag = Some(1L))
+    val q0 = emb.filter($"vec_id" === 0)
+    q0.createOrReplaceTempView("tvf_q14b")
+    assertSame(
+      spark.sql(s"SELECT * FROM mmr_from_state('$vs', 'tvf_q14b', " +
+        "'vec_id', 'embedding', 5, 0.7, 20, 2)"),
+      graft.ext.Similarity.mmrTopKFromState(spark, vs, q0, 5, 0.7,
+        candK = 20, nProbe = 2))
+    docs.createOrReplaceTempView("tvf_docs14b")
+    assertSame(
+      spark.sql(
+        "SELECT * FROM capped_mix('tvf_docs14b', 'text', 'source', 1500)"),
+      graft.ext.Sampling.cappedTemperatureMix(docs, "text", "source",
+        maxUpMilli = 1500L))
+  }
+
   test("non-literal and wrong-arity arguments raise AnalysisException") {
     ready()
     Seq((1L, "a")).toDF("id", "t").createOrReplaceTempView("tvf_bad")
