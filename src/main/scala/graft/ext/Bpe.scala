@@ -502,6 +502,16 @@ object Bpe {
       StateIO.TruncTable("tombstones", "delete_id", required = false)),
       extraRemnantChecks = Seq("merges"))
 
+  /** Complete a crashed multi-table swap in an [[appendTokenizerState]]
+    * dir — the public roll-forward for a [[truncateTokenizerHistory]]
+    * that crashed after its `_swap_commit` marker published (until the
+    * marker clears, every append/delete/compact/truncate entry fails
+    * fast naming this call). Returns true iff a crashed swap was found
+    * and rolled forward; false = nothing to do (safe to call blindly). */
+  def recoverTokenizerState(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    StateIO.recoverSwap(spark, dir)
+
   /** BRANCH an [[appendTokenizerState]] dir at a version
     * ([[graft.ext.StateIO.cloneStateAsOf]] over the tokenizer pillar):
     * the clone's plain budget/mix/sample reads equal the source's

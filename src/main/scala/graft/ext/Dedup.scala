@@ -740,6 +740,16 @@ object Dedup {
       StateIO.TruncTable("members", "batch_id"),
       StateIO.TruncTable("tombstones", "delete_id", required = false)))
 
+  /** Complete a crashed multi-table swap in an [[appendLshState]] dir —
+    * the public roll-forward for a [[truncateLshHistory]] that crashed
+    * after its `_swap_commit` marker published (until the marker
+    * clears, every append/delete/compact/truncate entry fails fast
+    * naming this call). Returns true iff a crashed swap was found and
+    * rolled forward to the full new fit; false = nothing to do (safe
+    * to call blindly from an orchestrator's recovery path). */
+  def recoverLshState(spark: SparkSession, dir: String): Boolean =
+    StateIO.recoverSwap(spark, dir)
+
   /** BRANCH an [[appendLshState]] dir at a version
     * ([[graft.ext.StateIO.cloneStateAsOf]] over the text pillar): the
     * clone is an independent state whose PLAIN reads answer exactly

@@ -607,6 +607,16 @@ object Index {
     StateIO.swapInTables(spark, dir, swaps)
   }
 
+  /** Complete a crashed multi-table swap in an [[appendPostingsState]]
+    * dir — the public roll-forward for a [[truncatePostingsHistory]]
+    * that crashed after its `_swap_commit` marker published (until the
+    * marker clears, every append/delete/compact/truncate entry fails
+    * fast naming this call). Returns true iff a crashed swap was found
+    * and rolled forward; false = nothing to do (safe to call blindly). */
+  def recoverPostingsState(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    StateIO.recoverSwap(spark, dir)
+
   /** BRANCH an [[appendPostingsState]] dir at a version
     * ([[graft.ext.StateIO.cloneStateAsOf]] over the postings pillar,
     * the x144 gate): the clone is an independent index whose PLAIN

@@ -419,6 +419,16 @@ object Profile {
       StateIO.TruncTable("stats", "batch_id"),
       StateIO.TruncTable("stats_deltas", "delete_id", required = false)))
 
+  /** Complete a crashed multi-table swap in an [[appendStatsState]] dir
+    * — the public roll-forward for a [[truncateStatsHistory]] that
+    * crashed after its `_swap_commit` marker published (until the
+    * marker clears, every append/delete/compact/truncate entry fails
+    * fast naming this call). Returns true iff a crashed swap was found
+    * and rolled forward; false = nothing to do (safe to call blindly). */
+  def recoverStatsState(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    StateIO.recoverSwap(spark, dir)
+
   /** BRANCH an [[appendStatsState]] dir at a version
     * ([[graft.ext.StateIO.cloneStateAsOf]] over the accounting
     * pillar): the clone's plain [[statsReport]] folds exactly the rows

@@ -4073,4 +4073,49 @@ class ExtSpec extends SparkSpec {
       Bpe.appendTokenizerState(b1d, s"$ts.b2", "doc_id", "text",
         numMerges = 3, batchTag = Some(1L)))
   }
+
+  test("recover*State: every pillar rolls a crashed post-commit swap forward") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-recover")
+      .toFile.getAbsolutePath + "/stats"
+    Profile.appendStatsState(docs.filter(col("doc_id") < 60), dir,
+      "text", "source", Some(1L))
+    Profile.appendStatsState(
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 120), dir,
+      "text", "source", Some(2L))
+    val before = Profile.statsReport(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    // the exact state a truncation crash leaves: content staged, the
+    // _swap_commit marker published, zero tables applied
+    val collapsed = spark.read.parquet(s"$dir/stats")
+      .withColumn("batch_id", lit(2L))
+    intercept[graft.ext.StateIO.InjectedCrash](
+      StateIO.swapInTables(spark, dir,
+        Seq(("stats", collapsed, Seq("batch_id"))), crashAfterApplied = 0))
+    // until the roll-forward, every write entry fails fast naming it
+    val e = intercept[IllegalArgumentException](
+      Profile.appendStatsState(docs.limit(1), dir, "text", "source",
+        Some(3L)))
+    assert(e.getMessage.contains("_swap_commit"))
+    assert(Profile.recoverStatsState(spark, dir),
+      "a crashed swap must be found and rolled forward")
+    assert(!Profile.recoverStatsState(spark, dir),
+      "a second recovery is a no-op")
+    // the full NEW fit landed: one collapsed partition, same content
+    assert(partitionTags(dir, "stats", "batch_id") == Seq("batch_id=2"))
+    assert(Profile.statsReport(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted == before)
+    Profile.appendStatsState(docs.filter(col("doc_id") >= 120), dir,
+      "text", "source", Some(3L)) // writes flow again
+    // the other pillars' recovery entries are callable and no-op clean
+    val clean = java.nio.file.Files.createTempDirectory("graft-recover2")
+      .toFile.getAbsolutePath
+    assert(!Dedup.recoverLshState(spark, s"$clean/lsh"))
+    assert(!Index.recoverPostingsState(spark, s"$clean/postings"))
+    assert(!Bpe.recoverTokenizerState(spark, s"$clean/tok"))
+    assert(!Similarity.recoverIvfState(spark, s"$clean/ivf"))
+  }
 }
