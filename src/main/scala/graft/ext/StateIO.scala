@@ -301,6 +301,13 @@ private[graft] object StateIO {
     * table whose cut is empty is skipped entirely — same layout as a
     * pillar that was never deleted from.
     *
+    * Crash posture: a clone is a pure CREATE of a fresh directory, so a
+    * crash mid-copy leaves a partial destination that nothing reads
+    * implicitly (no marker needed — the source is untouched by
+    * construction); the destination-must-not-exist refusal then
+    * deliberately blocks resuming INTO the half-copied dir — delete the
+    * destination and re-run.
+    *
     * Scale shape: one distributed copy of the selected partitions —
     * no join, no shuffle (the write re-partitions by the same tag
     * levels the source had); raw copies are driver-side FS renames of
@@ -311,6 +318,12 @@ private[graft] object StateIO {
       tables: Seq[TruncTable], rawCopies: Seq[String] = Nil): Unit = {
     checkNoCompactRemnants(spark, srcDir,
       tables.map(_.name) ++ rawCopies.filterNot(_ == "_meta"))
+    // tags start at 1, so a batch bound below 1 selects NOTHING from a
+    // required table — the write would land an empty (schema-less)
+    // parquet dir that every later read chokes on; refuse instead
+    require(asOfBatch >= 1L,
+      s"clone of $srcDir: asOfBatch must be >= 1 (tagged batches start " +
+        s"at 1), got $asOfBatch — an empty version cannot be branched")
     require(!pathExists(spark, dstDir),
       s"clone destination $dstDir already exists — a clone never " +
         "overwrites; remove it or pick a fresh path")

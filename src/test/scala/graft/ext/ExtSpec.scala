@@ -4055,6 +4055,9 @@ class ExtSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Dedup.cloneLshState(spark, ls, s"$ls.b", 2L, 1L))
     assert(e.getMessage.contains("never overwrites"))
+    // an empty version cannot be branched (batch tags start at 1)
+    intercept[IllegalArgumentException](
+      Dedup.cloneLshState(spark, ls, s"$ls.zero", 0L, 0L))
     // the clone evolves independently: mutate it, source reads unchanged
     val srcBefore = lshPairs(ls, None)
     Dedup.appendLshState(b3d, "doc_id", "text", s"$ls.b",
