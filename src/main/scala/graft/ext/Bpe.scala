@@ -377,7 +377,8 @@ object Bpe {
     * never be re-appended. */
   def appendTokenizerState(
       batch: DataFrame, dir: String, idCol: String, textCol: String,
-      numMerges: Int = 4, batchTag: Option[Long] = None): Unit = {
+      numMerges: Int = 4, batchTag: Option[Long] = None): Unit =
+      StateIO.withWriterLock(batch.sparkSession, dir) {
     val spark = batch.sparkSession
     StateIO.checkNoCompactRemnants(spark, dir, tokenizerTables)
     StateIO.checkTagAboveFloor(spark, dir, batchTag, "append")
@@ -395,7 +396,7 @@ object Bpe {
         // empty-first-micro-batch hazard the IVF append also guards)
         if (batch.select(col(idCol)).head(1).isEmpty) return
         trainMerges(batch, textCol, numMerges)
-          .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+          .coalesce(1).write.mode("overwrite").parquet(StateIO.tablePath(spark, dir, "merges"))
         writeTokenizerMeta(spark, dir, numMerges)
         readMerges(spark, dir)
     }
@@ -403,7 +404,7 @@ object Bpe {
       encodedSize(col(textCol), merges).cast("long").as("bpe_tokens"))
     val out = batchTag match {
       case Some(_) => rows
-      case None => StateIO.readIfExists(spark, s"$dir/doc_tokens") match {
+      case None => StateIO.readTableIfExists(spark, dir, "doc_tokens") match {
         case Some(existing) => Dedup.materialize(
           rows.join(existing.select(col("id")), Seq("id"), "left_anti"))
         case None => rows
@@ -411,8 +412,8 @@ object Bpe {
     }
     batchTag match {
       case Some(t) =>
-        out.write.mode("overwrite").parquet(s"$dir/doc_tokens/batch_id=$t")
-      case None => out.write.mode("append").parquet(s"$dir/doc_tokens")
+        out.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "doc_tokens")}/batch_id=$t")
+      case None => out.write.mode("append").parquet(StateIO.tablePath(spark, dir, "doc_tokens"))
     }
   }
 
@@ -421,7 +422,7 @@ object Bpe {
   def readMerges(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, String)] =
-    spark.read.parquet(s"$dir/merges").orderBy(col("step"))
+    spark.read.parquet(StateIO.tablePath(spark, dir, "merges")).orderBy(col("step"))
       .select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
@@ -433,7 +434,10 @@ object Bpe {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       excludeTag: Option[Long] = None,
       asOf: Option[(Long, Long)] = None): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/doc_tokens")
+    // fail fast during a crashed truncate's apply window — a
+    // half-swapped doc_tokens/tombstones pair is a mixed fit
+    StateIO.checkNoSwapInProgress(spark, dir)
+    val raw = spark.read.parquet(StateIO.tablePath(spark, dir, "doc_tokens"))
     val cut = asOf match {
       case Some((bt, _)) =>
         StateIO.asOfCut(raw, "batch_id", bt, dir, "doc_tokens")
@@ -442,7 +446,7 @@ object Bpe {
     val untagged = excludeTag
       .filter(_ => cut.columns.contains("batch_id"))
       .map(tag => cut.filter(col("batch_id") =!= tag)).getOrElse(cut)
-    val live = StateIO.readIfExists(spark, s"$dir/tombstones") match {
+    val live = StateIO.readTableIfExists(spark, dir, "tombstones") match {
       case Some(tbRaw) =>
         val tb = asOf match {
           case Some((_, dt)) =>
@@ -466,20 +470,21 @@ object Bpe {
   def deleteFromTokenizerState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       ids: DataFrame, idCol: String,
-      deleteTag: Option[Long] = None): Unit = {
+      deleteTag: Option[Long] = None): Unit =
+      StateIO.withWriterLock(spark, dir) {
     StateIO.checkNoCompactRemnants(spark, dir, tokenizerTables)
     StateIO.checkTagAboveFloor(spark, dir, deleteTag, "delete")
     val del = ids.select(col(idCol).as("id")).distinct()
     deleteTag match {
       case Some(t) =>
-        del.write.mode("overwrite").parquet(s"$dir/tombstones/delete_id=$t")
+        del.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "tombstones")}/delete_id=$t")
       case None =>
-        val fresh = StateIO.readIfExists(spark, s"$dir/tombstones") match {
+        val fresh = StateIO.readTableIfExists(spark, dir, "tombstones") match {
           case Some(tb) => Dedup.materialize(
             del.join(tb.select(col("id")), Seq("id"), "left_anti"))
           case None => del
         }
-        fresh.write.mode("append").parquet(s"$dir/tombstones")
+        fresh.write.mode("append").parquet(StateIO.tablePath(spark, dir, "tombstones"))
     }
   }
 
@@ -629,7 +634,7 @@ object Bpe {
       targetBytes: Long = 128L << 20): Unit = {
     // materialized so no table rewritten later in the sequence re-reads
     // the tombstones files after their own swap replaced them
-    val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+    val tombs = StateIO.readTableIfExists(spark, dir, "tombstones")
       .map(tb => Dedup.materialize(tb.select(col("id"))))
     val dropDeleted: DataFrame => DataFrame = df => tombs match {
       case Some(tb) => df.join(tb, Seq("id"), "left_anti")

@@ -480,7 +480,16 @@ object Dedup {
   def appendLshState(
       docs: DataFrame, idCol: String, textCol: String, dir: String,
       numPerms: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
-      batchTag: Option[Long] = None): Unit = {
+      batchTag: Option[Long] = None): Unit =
+    StateIO.withWriterLock(docs.sparkSession, dir) {
+      appendLshStateLocked(docs, idCol, textCol, dir, numPerms,
+        rowsPerBand, shingleSize, batchTag)
+    }
+
+  private def appendLshStateLocked(
+      docs: DataFrame, idCol: String, textCol: String, dir: String,
+      numPerms: Int, rowsPerBand: Int, shingleSize: Int,
+      batchTag: Option[Long]): Unit = {
     val spark = docs.sparkSession
     checkLshMeta(spark, dir, numPerms, rowsPerBand, shingleSize,
       writeIfAbsent = true)
@@ -522,7 +531,7 @@ object Dedup {
     // PATH_NOT_FOUND-only: a transient failure reading the reps table must
     // crash the append, not masquerade as a fresh dir (which would re-sign
     // every batch fp as "new" and duplicate reps/bands for existing groups)
-    val existing = StateIO.readIfExists(spark, s"$dir/reps")
+    val existing = StateIO.readTableIfExists(spark, dir, "reps")
       .map { r =>
         batchTag.filter(_ => r.columns.contains("batch_id"))
           .map(t => r.filter(col("batch_id") =!= t)).getOrElse(r)
@@ -549,15 +558,18 @@ object Dedup {
       case None =>
         // same PATH_NOT_FOUND-only rule: a swallowed members-read failure
         // would skip the retry anti-join and duplicate member rows
-        StateIO.readIfExists(spark, s"$dir/members") match {
+        StateIO.readTableIfExists(spark, dir, "members") match {
           case Some(m) => memberRowsAll.join(
             m.select(col("id"), col("rid")), Seq("id", "rid"), "left_anti")
           case None => memberRowsAll
         }
     })
-    def out(table: String): (String, String) = batchTag match {
-      case Some(t) => (s"$dir/$table/batch_id=$t", "overwrite")
-      case None => (s"$dir/$table", "append")
+    def out(table: String): (String, String) = {
+      val live = StateIO.tablePath(spark, dir, table)
+      batchTag match {
+        case Some(t) => (s"$live/batch_id=$t", "overwrite")
+        case None => (live, "append")
+      }
     }
     def write(df: DataFrame, table: String): Unit = {
       val (path, mode) = out(table)
@@ -644,7 +656,8 @@ object Dedup {
     * appends or reads during the swap see a missing table. */
   def compactLshState(
       spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Unit = {
+      targetBytes: Long = 128L << 20): Unit =
+      StateIO.withWriterLock(spark, dir) {
     // apply tombstones ([[deleteFromLshState]]) physically during the
     // rewrite: deleted member rows drop, and reps/bands of groups with NO
     // surviving member drop with them. The tombstones table is KEPT
@@ -655,10 +668,10 @@ object Dedup {
     // swap so every table's rewrite sees the same consistent snapshot.
     // materialized so no table rewritten later in the sequence re-reads
     // the tombstones files after their own swap replaced them
-    val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+    val tombs = StateIO.readTableIfExists(spark, dir, "tombstones")
       .map(tb => materialize(tb.select(col("id"))))
     val survivingRids = tombs.map { tb =>
-      materialize(spark.read.parquet(s"$dir/members")
+      materialize(spark.read.parquet(StateIO.tablePath(spark, dir, "members"))
         .join(tb, Seq("id"), "left_anti").select(col("rid")).distinct())
     }
     val dropMembers: DataFrame => DataFrame = df => tombs match {
@@ -699,21 +712,22 @@ object Dedup {
     * lifetime, the same contract the pair operators already carry). */
   def deleteFromLshState(
       spark: SparkSession, dir: String, ids: DataFrame, idCol: String,
-      deleteTag: Option[Long] = None): Unit = {
+      deleteTag: Option[Long] = None): Unit =
+      StateIO.withWriterLock(spark, dir) {
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("bands", "reps", "members", "tombstones"))
     StateIO.checkTagAboveFloor(spark, dir, deleteTag, "delete")
     val del = ids.select(col(idCol).as("id")).distinct()
     deleteTag match {
       case Some(t) => // partition overwrite is idempotent by itself
-        del.write.mode("overwrite").parquet(s"$dir/tombstones/delete_id=$t")
+        del.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "tombstones")}/delete_id=$t")
       case None =>
-        val fresh = StateIO.readIfExists(spark, s"$dir/tombstones") match {
+        val fresh = StateIO.readTableIfExists(spark, dir, "tombstones") match {
           case Some(tb) => materialize(
             del.join(tb.select(col("id")), Seq("id"), "left_anti"))
           case None => del
         }
-        fresh.write.mode("append").parquet(s"$dir/tombstones")
+        fresh.write.mode("append").parquet(StateIO.tablePath(spark, dir, "tombstones"))
     }
   }
 
@@ -788,7 +802,8 @@ object Dedup {
       spark: SparkSession, dir: String, tables: Seq[(String, Boolean)],
       targetBytes: Long,
       extraPartitionCols: Seq[String] = Nil,
-      transforms: Map[String, DataFrame => DataFrame] = Map.empty): Unit = {
+      transforms: Map[String, DataFrame => DataFrame] = Map.empty): Unit =
+      StateIO.withWriterLock(spark, dir) {
     val hconf = spark.sessionState.newHadoopConf()
     // a leftover backup means a previous compaction crashed BETWEEN its
     // two renames — the live table may be the stale tmp or missing
@@ -802,7 +817,10 @@ object Dedup {
           s"over $dir/$table (verify contents first) before compacting again")
     }
     tables.foreach { case (table, dedup) =>
-      val path = new org.apache.hadoop.fs.Path(dir, table)
+      // resolve through the dir's manifest: a previously-versioned
+      // table's live content is in its __vNNNN dir, not the plain path
+      val path = new org.apache.hadoop.fs.Path(
+        StateIO.tablePath(spark, dir, table))
       val fs = path.getFileSystem(hconf)
       if (fs.exists(path)) {
         val df = spark.read.parquet(path.toString)
@@ -822,18 +840,25 @@ object Dedup {
           if (partCols.nonEmpty)
             clean.repartition(nFiles, partCols.map(col): _*)
           else clean.repartition(nFiles)
-        val tmp = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_tmp")
-        val bak = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_bak")
-        fs.delete(tmp, true); fs.delete(bak, true)
-        val w = sized.write.mode("overwrite")
-        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
-          .parquet(tmp.toString)
-        require(fs.rename(path, bak), s"compact: cannot move $path aside")
-        if (!fs.rename(tmp, path)) {
-          fs.rename(bak, path) // restore the live table before failing
-          throw new IllegalStateException(s"compact: cannot swap in $tmp")
+        if (StateIO.manifestMode(spark, dir)) {
+          // object-store-safe substrate: each table's layout rewrite is
+          // an independent versioned swap (per-table atomicity is the
+          // same guarantee the rename branch below gives)
+          StateIO.swapInTable(spark, dir, table, sized, partCols)
+        } else {
+          val tmp = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_tmp")
+          val bak = new org.apache.hadoop.fs.Path(dir, s"${table}__compact_bak")
+          fs.delete(tmp, true); fs.delete(bak, true)
+          val w = sized.write.mode("overwrite")
+          (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+            .parquet(tmp.toString)
+          require(fs.rename(path, bak), s"compact: cannot move $path aside")
+          if (!fs.rename(tmp, path)) {
+            fs.rename(bak, path) // restore the live table before failing
+            throw new IllegalStateException(s"compact: cannot swap in $tmp")
+          }
+          fs.delete(bak, true)
         }
-        fs.delete(bak, true)
       }
     }
   }
@@ -866,6 +891,11 @@ object Dedup {
       GraftColumnBridge.expression(col("text_a")),
       GraftColumnBridge.expression(col("text_b")), shingleSize))
     val spark = batch.sparkSession
+    // fail fast during a crashed truncate's apply window (the contract
+    // every state read shares): bands/reps/members move under one swap
+    // commit, and reading a half-applied mix pairs new reps with old
+    // bands — run Dedup.recoverLshState first
+    StateIO.checkNoSwapInProgress(spark, stateDir)
     // the batch's fresh signatures must be computed under the SAME
     // parameters as the state's persisted bands, or the band join finds
     // nothing — fail fast on mismatch instead (see checkLshMeta)
@@ -877,7 +907,7 @@ object Dedup {
     // itself and gets rejected — so reads drop that tag's partition (the
     // same rule appendLshState applies to its fp anti-join)
     def readState(table: String): DataFrame = {
-      val raw = spark.read.parquet(s"$stateDir/$table")
+      val raw = spark.read.parquet(StateIO.tablePath(spark, stateDir, table))
       val t = asOf match {
         case Some((bt, _)) =>
           StateIO.asOfCut(raw, "batch_id", bt, stateDir, table)
@@ -891,7 +921,7 @@ object Dedup {
     // band-matching (its rep is dropped via the surviving-member
     // semi-join) — a new byte-identical doc then signs fresh instead of
     // matching a ghost. Small anti-join until compaction applies them.
-    val tombs = StateIO.readIfExists(spark, s"$stateDir/tombstones")
+    val tombs = StateIO.readTableIfExists(spark, stateDir, "tombstones")
       .map { tbRaw =>
         val tb = asOf match {
           case Some((_, dt)) =>

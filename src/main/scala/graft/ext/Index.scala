@@ -253,11 +253,13 @@ object Index {
   def appendPostingsState(
       batch: DataFrame, dir: String, idCol: String, textCol: String,
       buckets: Int = 64, batchTag: Option[Long] = None,
-      positions: Boolean = false): Unit = {
-    StateIO.checkNoCompactRemnants(batch.sparkSession, dir,
+      positions: Boolean = false): Unit =
+      StateIO.withWriterLock(batch.sparkSession, dir) {
+    val spark = batch.sparkSession
+    StateIO.checkNoCompactRemnants(spark, dir,
       Seq("postings", "totals", "docs", "tombstones", "tomb_totals",
         "positions"))
-    StateIO.checkTagAboveFloor(batch.sparkSession, dir, batchTag, "append")
+    StateIO.checkTagAboveFloor(spark, dir, batchTag, "append")
     // optional POSITIONAL sidecar — what [[phraseSearchFromState]] reads:
     // (id, pos, term) per token occurrence, term-bucketed like the
     // postings so a phrase query's read prunes to its terms' buckets.
@@ -274,9 +276,9 @@ object Index {
             .cast("int"))
       batchTag match {
         case Some(t) => posRows.write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$dir/positions/batch_id=$t")
+          .parquet(s"${StateIO.tablePath(spark, dir, "positions")}/batch_id=$t")
         case None => posRows.write.mode("append").partitionBy("bucket")
-          .parquet(s"$dir/positions")
+          .parquet(StateIO.tablePath(spark, dir, "positions"))
       }
     }
     val toks = batch.select(col(idCol).as("id"),
@@ -301,14 +303,14 @@ object Index {
     batchTag match {
       case Some(t) =>
         tf.write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$dir/postings/batch_id=$t")
-        docRows.write.mode("overwrite").parquet(s"$dir/docs/batch_id=$t")
-        totals.write.mode("overwrite").parquet(s"$dir/totals/batch_id=$t")
+          .parquet(s"${StateIO.tablePath(spark, dir, "postings")}/batch_id=$t")
+        docRows.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "docs")}/batch_id=$t")
+        totals.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "totals")}/batch_id=$t")
       case None =>
         tf.write.mode("append").partitionBy("bucket")
-          .parquet(s"$dir/postings")
-        docRows.write.mode("append").parquet(s"$dir/docs")
-        totals.write.mode("append").parquet(s"$dir/totals")
+          .parquet(StateIO.tablePath(spark, dir, "postings"))
+        docRows.write.mode("append").parquet(StateIO.tablePath(spark, dir, "docs"))
+        totals.write.mode("append").parquet(StateIO.tablePath(spark, dir, "totals"))
     }
   }
 
@@ -350,13 +352,14 @@ object Index {
   def deleteFromPostingsState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       ids: DataFrame, idCol: String,
-      deleteTag: Option[Long] = None): Unit = {
+      deleteTag: Option[Long] = None): Unit =
+      StateIO.withWriterLock(spark, dir) {
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("postings", "totals", "docs", "tombstones", "tomb_totals",
         "positions"))
     StateIO.checkTagAboveFloor(spark, dir, deleteTag, "delete")
     val del = ids.select(col(idCol).as("id")).distinct()
-    val docRows = StateIO.readIfExists(spark, s"$dir/docs").getOrElse(
+    val docRows = StateIO.readTableIfExists(spark, dir, "docs").getOrElse(
       throw new IllegalStateException(
         s"postings state at $dir has no docs sidecar — deletes need the " +
           "per-doc (id, dl) table; rebuild the state with the current " +
@@ -370,7 +373,7 @@ object Index {
     // compaction keeps tombstoned sidecar rows precisely so corrections
     // stay derivable) — a shortfall means pre-sidecar batches: rebuild.
     val docCount = docRows.count()
-    val totRow = spark.read.parquet(s"$dir/totals")
+    val totRow = spark.read.parquet(StateIO.tablePath(spark, dir, "totals"))
       .agg(coalesce(sum(col("n_docs")), lit(0L))).head()
     require(docCount == totRow.getLong(0),
       s"postings state at $dir has a docs sidecar covering $docCount docs " +
@@ -381,7 +384,7 @@ object Index {
     // exclude this delete's own partition on replay (tagged), or all
     // existing tombstones (untagged blind retry) — otherwise a replayed
     // delete sees its prior attempt and writes a zero correction
-    val priorTombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+    val priorTombs = StateIO.readTableIfExists(spark, dir, "tombstones")
       .map { tb =>
         deleteTag.filter(_ => tb.columns.contains("delete_id"))
           .map(tag => tb.filter(col("delete_id") =!= tag)).getOrElse(tb)
@@ -413,12 +416,12 @@ object Index {
     deleteTag match {
       case Some(t) =>
         fresh.write.mode("overwrite")
-          .parquet(s"$dir/tombstones/delete_id=$t")
+          .parquet(s"${StateIO.tablePath(spark, dir, "tombstones")}/delete_id=$t")
         correction.write.mode("overwrite")
-          .parquet(s"$dir/tomb_totals/delete_id=$t")
+          .parquet(s"${StateIO.tablePath(spark, dir, "tomb_totals")}/delete_id=$t")
       case None =>
-        fresh.write.mode("append").parquet(s"$dir/tombstones")
-        correction.write.mode("append").parquet(s"$dir/tomb_totals")
+        fresh.write.mode("append").parquet(StateIO.tablePath(spark, dir, "tombstones"))
+        correction.write.mode("append").parquet(StateIO.tablePath(spark, dir, "tomb_totals"))
     }
   }
 
@@ -429,7 +432,8 @@ object Index {
     * ([[graft.ext.Dedup.compactLshState]]). */
   def compactPostingsState(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Unit = {
+      targetBytes: Long = 128L << 20): Unit =
+      StateIO.withWriterLock(spark, dir) {
     // apply tombstones PHYSICALLY during the rewrite: postings rows of
     // deleted ids drop out. The tombstones + tomb_totals tables are
     // KEPT (compacted, not cleared): the batch totals partitions still
@@ -449,7 +453,7 @@ object Index {
     // that swap — re-executes this plan. A lazy plan would then chase
     // the pre-swap file listing into FILE_NOT_EXIST. Tombstones are
     // small by design (ids only), so the snapshot is cheap.
-    val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+    val tombs = StateIO.readTableIfExists(spark, dir, "tombstones")
       .map(tb => Dedup.materialize(tb.select(col("id"))))
     val dropDeleted: DataFrame => DataFrame = df => tombs match {
       case Some(tb) => df.join(tb, Seq("id"), "left_anti")
@@ -515,11 +519,12 @@ object Index {
     * straight copies. Nothing collects to the driver. */
   def truncatePostingsHistory(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      floor: Long): Unit = {
+      floor: Long): Unit =
+      StateIO.withWriterLock(spark, dir) {
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("postings", "totals", "docs", "tombstones", "tomb_totals",
         "positions"))
-    val post = spark.read.parquet(s"$dir/postings")
+    val post = spark.read.parquet(StateIO.tablePath(spark, dir, "postings"))
     require(post.columns.contains("batch_id"),
       s"history truncation needs a TAGGED state: $dir/postings has no " +
         "batch_id partition column")
@@ -527,10 +532,10 @@ object Index {
       post.agg(max(col("batch_id")).cast("long")).head().getLong(0)
     require(floor >= 1L && floor <= maxBatch,
       s"floor $floor out of range for $dir: tagged batches reach $maxBatch")
-    val docs = spark.read.parquet(s"$dir/docs")
-    val totals = spark.read.parquet(s"$dir/totals")
-    val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
-    val tombTotals = StateIO.readIfExists(spark, s"$dir/tomb_totals")
+    val docs = spark.read.parquet(StateIO.tablePath(spark, dir, "docs"))
+    val totals = spark.read.parquet(StateIO.tablePath(spark, dir, "totals"))
+    val tombs = StateIO.readTableIfExists(spark, dir, "tombstones")
+    val tombTotals = StateIO.readTableIfExists(spark, dir, "tomb_totals")
     (Seq(docs -> "docs", totals -> "totals").map { case (d, n) =>
       (d, n, "batch_id")
     } ++ (tombs.map((_, "tombstones", "delete_id")) ++
@@ -571,7 +576,7 @@ object Index {
     // the positional sidecar (if present) collapses exactly like the
     // postings: sub-floor tombstones applied physically, bucket level
     // preserved
-    val positions = StateIO.readIfExists(spark, s"$dir/positions").map { p =>
+    val positions = StateIO.readTableIfExists(spark, dir, "positions").map { p =>
       require(p.columns.contains("batch_id"),
         s"history truncation needs a TAGGED state: $dir/positions has " +
           "no batch_id partition column")
@@ -697,6 +702,11 @@ object Index {
       idCol: String, k1: Double, b: Double,
       asOf: Option[(Long, Long)]): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // same fail-fast as the phrase/IVF/audit read paths: during a
+    // crashed swap's apply window the dir can pair new tables with old
+    // ones (or a live table can be momentarily absent) — refuse with
+    // the recovery step instead of an opaque path error or a stale fit
+    StateIO.checkNoSwapInProgress(spark, dir)
     asOf.foreach { case (bt, dt) =>
       val floor = StateIO.readHistoryFloor(spark, dir)
       require(bt >= floor && dt >= floor,
@@ -707,12 +717,12 @@ object Index {
     }
     // corpus constants = append totals + (negative) delete corrections —
     // exact integer sums over |batches| + |deletes| rows
-    val totalsRaw = spark.read.parquet(s"$dir/totals")
+    val totalsRaw = spark.read.parquet(StateIO.tablePath(spark, dir, "totals"))
     val appendTotals = asOf match {
       case Some((bt, _)) => asOfCut(totalsRaw, "batch_id", bt, dir, "totals")
       case None => totalsRaw
     }
-    val allTotals = StateIO.readIfExists(spark, s"$dir/tomb_totals") match {
+    val allTotals = StateIO.readTableIfExists(spark, dir, "tomb_totals") match {
       case Some(ttRaw) =>
         val tt = asOf match {
           case Some((bt, dt)) =>
@@ -751,7 +761,7 @@ object Index {
       terms: Seq[String], buckets: Int,
       asOf: Option[(Long, Long)] = None): DataFrame = {
     val wanted = terms.map(termBucket(_, buckets)).distinct
-    val prunedRaw = spark.read.parquet(s"$dir/postings")
+    val prunedRaw = spark.read.parquet(StateIO.tablePath(spark, dir, "postings"))
       .filter(col("bucket").isInCollection(wanted))
       .filter(col("term").isin(terms: _*))
     val pruned = asOf match {
@@ -761,7 +771,7 @@ object Index {
     // tombstones: deleted docs' postings stop scoring immediately (the
     // anti-join is small — tombstones are few until compaction applies
     // them physically, after which this is a no-op)
-    StateIO.readIfExists(spark, s"$dir/tombstones") match {
+    StateIO.readTableIfExists(spark, dir, "tombstones") match {
       case Some(tbRaw) =>
         val tb = asOf match {
           case Some((_, dt)) =>
@@ -814,7 +824,7 @@ object Index {
           "versions at or below the floor were collapsed by " +
           "truncatePostingsHistory and can no longer be separated")
     }
-    val pos = StateIO.readIfExists(spark, s"$dir/positions").getOrElse(
+    val pos = StateIO.readTableIfExists(spark, dir, "positions").getOrElse(
       throw new IllegalStateException(
         s"postings state at $dir has no positions table — it was " +
           "appended without positions=true; rebuild with positional " +
@@ -828,7 +838,7 @@ object Index {
         StateIO.asOfCut(prunedRaw, "batch_id", bt, dir, "positions")
       case None => prunedRaw
     }
-    val base = StateIO.readIfExists(spark, s"$dir/tombstones") match {
+    val base = StateIO.readTableIfExists(spark, dir, "tombstones") match {
       case Some(tbRaw) =>
         val tb = asOf match {
           case Some((_, dt)) =>

@@ -254,10 +254,12 @@ object Profile {
     * re-run safely); untagged appends are for one-shot builds. */
   def appendStatsState(
       batch: DataFrame, dir: String, textCol: String, grpCol: String,
-      batchTag: Option[Long] = None): Unit = {
-    StateIO.checkNoCompactRemnants(batch.sparkSession, dir,
+      batchTag: Option[Long] = None): Unit =
+      StateIO.withWriterLock(batch.sparkSession, dir) {
+    val spark = batch.sparkSession
+    StateIO.checkNoCompactRemnants(spark, dir,
       Seq("stats", "stats_deltas"))
-    StateIO.checkTagAboveFloor(batch.sparkSession, dir, batchTag, "append")
+    StateIO.checkTagAboveFloor(spark, dir, batchTag, "append")
     val rows = batch
       .select(col(grpCol).as("grp"), md5(col(textCol)).as("graft_fp"),
         size(Dedup.tokens(col(textCol))).cast("long").as("graft_tok"))
@@ -266,8 +268,8 @@ object Profile {
         hll_sketch_agg(col("graft_fp")).as("fp_sketch"))
     batchTag match {
       case Some(t) =>
-        rows.write.mode("overwrite").parquet(s"$dir/stats/batch_id=$t")
-      case None => rows.write.mode("append").parquet(s"$dir/stats")
+        rows.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "stats")}/batch_id=$t")
+      case None => rows.write.mode("append").parquet(StateIO.tablePath(spark, dir, "stats"))
     }
   }
 
@@ -309,7 +311,11 @@ object Profile {
   private def statsReportCore(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       asOf: Option[(Long, Long)]): DataFrame = {
-    val appendedRaw = spark.read.parquet(s"$dir/stats")
+    // fail fast during a crashed truncate's apply window (same contract
+    // as every other pillar read): half-swapped stats/deltas tables
+    // would otherwise serve a mixed fit or an opaque path error
+    StateIO.checkNoSwapInProgress(spark, dir)
+    val appendedRaw = spark.read.parquet(StateIO.tablePath(spark, dir, "stats"))
     val appended = asOf match {
       case Some((bt, _)) =>
         StateIO.asOfCut(appendedRaw, "batch_id", bt, dir, "stats")
@@ -318,7 +324,7 @@ object Profile {
     // delete corrections ([[deleteFromStatsState]]): negative count rows
     // in their own table (they carry no sketch — HLL registers are
     // union-only, so distinct_est stays an UPPER bound after deletes)
-    val counts = StateIO.readIfExists(spark, s"$dir/stats_deltas") match {
+    val counts = StateIO.readTableIfExists(spark, dir, "stats_deltas") match {
       case Some(dRaw) =>
         val d = asOf match {
           case Some((bt, dt)) =>
@@ -370,10 +376,12 @@ object Profile {
   def deleteFromStatsState(
       removed: DataFrame, dir: String, textCol: String, grpCol: String,
       deleteTag: Option[Long] = None,
-      srcBatchCol: Option[String] = None): Unit = {
-    StateIO.checkNoCompactRemnants(removed.sparkSession, dir,
+      srcBatchCol: Option[String] = None): Unit =
+      StateIO.withWriterLock(removed.sparkSession, dir) {
+    val spark = removed.sparkSession
+    StateIO.checkNoCompactRemnants(spark, dir,
       Seq("stats", "stats_deltas"))
-    StateIO.checkTagAboveFloor(removed.sparkSession, dir, deleteTag,
+    StateIO.checkTagAboveFloor(spark, dir, deleteTag,
       "delete")
     // `srcBatchCol` (the append batch each removed doc was loaded in, if
     // the deleting pipeline tracks it) batch-ATTRIBUTES the corrections:
@@ -392,8 +400,8 @@ object Profile {
         (-coalesce(sum(col("graft_tok")), lit(0L))).as("tokens"))
     deleteTag match {
       case Some(t) =>
-        rows.write.mode("overwrite").parquet(s"$dir/stats_deltas/delete_id=$t")
-      case None => rows.write.mode("append").parquet(s"$dir/stats_deltas")
+        rows.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "stats_deltas")}/delete_id=$t")
+      case None => rows.write.mode("append").parquet(StateIO.tablePath(spark, dir, "stats_deltas"))
     }
   }
 

@@ -235,9 +235,14 @@ object Sampling {
       merges: Seq[(String, String)] = Nil,
       maxGroups: Int = 100000): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
-    require(maxUpMilli > 0,
-      s"maxUpMilli (the cap multiplier in 1/1000 units) must be " +
-        s"positive, got $maxUpMilli")
+    // a cap below 1x natural share is unsatisfiable: the cap masses
+    // then sum below 1e6 ppm, the water-fill caps EVERY source, and the
+    // result silently leaves mass unassigned (share_final_ppm summing
+    // far below 1e6 — way beyond the documented rounding dust)
+    require(maxUpMilli >= 1000L,
+      s"maxUpMilli (the cap multiplier in 1/1000 units) must be >= 1000 " +
+        s"(a cap below 1x natural share cannot absorb the full mix), " +
+        s"got $maxUpMilli")
     val spark = docs.sparkSession
     val counts = Dedup.materialize(docs
       .select(col(grpCol).as("grp"),

@@ -404,7 +404,8 @@ object Similarity {
   def appendIvfState(
       vecs: DataFrame, dir: String, k: Int = 8, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      batchTag: Option[Long] = None): Unit = {
+      batchTag: Option[Long] = None): Unit =
+      StateIO.withWriterLock(vecs.sparkSession, dir) {
     val spark = vecs.sparkSession
     // an EMPTY first batch must not train: empty centroids would freeze a
     // zero-cell geometry and every later append would silently index
@@ -423,7 +424,7 @@ object Similarity {
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("centroids", "cells", "tombstones"))
     StateIO.checkTagAboveFloor(spark, dir, batchTag, "append")
-    val centsOpt = StateIO.readIfExists(spark, s"$dir/centroids")
+    val centsOpt = StateIO.readTableIfExists(spark, dir, "centroids")
       .filter(_.head(1).nonEmpty)
     require(centsOpt.nonEmpty || !StateIO.pathExists(spark, s"$dir/cells"),
       s"IVF state at $dir has a cells table but no (non-empty) centroids " +
@@ -440,8 +441,8 @@ object Similarity {
         checkIvfMeta(spark, dir, k, iters, dimOf(batchRow),
           writeIfAbsent = true)
         kmeansCentroids(vecs, k, iters, idCol, vecCol)
-          .write.mode("overwrite").parquet(s"$dir/centroids")
-        spark.read.parquet(s"$dir/centroids")
+          .write.mode("overwrite").parquet(StateIO.tablePath(spark, dir, "centroids"))
+        spark.read.parquet(StateIO.tablePath(spark, dir, "centroids"))
     }
     val rows = vecs.select(col(idCol).as("vid"),
       transform(col(vecCol), _.cast("double")).as("v"))
@@ -457,7 +458,7 @@ object Similarity {
       case None =>
         // same PATH_NOT_FOUND-only rule: a swallowed read failure here
         // would skip the anti-join and land duplicate vids in the state
-        StateIO.readIfExists(spark, s"$dir/cells") match {
+        StateIO.readTableIfExists(spark, dir, "cells") match {
           case Some(existing) =>
             graft.ext.Dedup.materialize(
               assignedAll.join(existing.select(col("vid")),
@@ -467,8 +468,8 @@ object Similarity {
     }
     batchTag match {
       case Some(t) =>
-        out.write.mode("overwrite").parquet(s"$dir/cells/batch_id=$t")
-      case None => out.write.mode("append").parquet(s"$dir/cells")
+        out.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "cells")}/batch_id=$t")
+      case None => out.write.mode("append").parquet(StateIO.tablePath(spark, dir, "cells"))
     }
   }
 
@@ -488,7 +489,7 @@ object Similarity {
     // a committed-but-unapplied recluster swap can pair NEW centroids
     // with OLD-geometry cells — no query may read across that window
     StateIO.checkNoSwapInProgress(spark, dir)
-    val raw = spark.read.parquet(s"$dir/cells")
+    val raw = spark.read.parquet(StateIO.tablePath(spark, dir, "cells"))
     val cut = asOf match {
       case Some((bt, _)) => StateIO.asOfCut(raw, "batch_id", bt, dir, "cells")
       case None => raw
@@ -496,7 +497,7 @@ object Similarity {
     val untagged = excludeTag
       .filter(_ => cut.columns.contains("batch_id"))
       .map(tag => cut.filter(col("batch_id") =!= tag)).getOrElse(cut)
-    StateIO.readIfExists(spark, s"$dir/tombstones") match {
+    StateIO.readTableIfExists(spark, dir, "tombstones") match {
       case Some(tbRaw) =>
         val tb = asOf match {
           case Some((_, dt)) =>
@@ -541,7 +542,7 @@ object Similarity {
       nProbe: Int, idCol: String, vecCol: String,
       asOf: Option[(Long, Long)]): DataFrame = {
     checkQueryDim(spark, dir, queries, vecCol)
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = spark.read.parquet(StateIO.tablePath(spark, dir, "centroids"))
     val cells = readCellsLive(spark, dir, asOf = asOf)
       .select("cid", "vid", "v", "cn")
     val probes = probeCells(queries, cents, nProbe, idCol, vecCol)
@@ -646,6 +647,17 @@ object Similarity {
             }
             i += 1
           }
+          // every remaining score can be NaN (a NaN-valued query or
+          // stored vector poisons its cosines, and NaN > -Inf is
+          // false, so the argmax never selects) — name the cause
+          // instead of indexing picked(-1). Zero-norm vectors are
+          // already refused loudly upstream: the distributed cosine
+          // divides under ANSI, so 0/0 throws before a pool forms.
+          require(best >= 0,
+            s"MMR for query $qid found no finite-scoring candidate at " +
+              s"rank $rank — a NaN-valued (or zero-norm) query or " +
+              "stored vector makes every remaining cosine NaN; clean " +
+              "the embeddings before indexing or querying")
           picked(best) = true
           var j = 0
           while (j < n) {
@@ -686,7 +698,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeTag: Option[Long] = None): DataFrame = {
     checkQueryDim(spark, dir, queries = batch, vecCol = vecCol)
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = spark.read.parquet(StateIO.tablePath(spark, dir, "centroids"))
     // excludeTag: a replayed tagged batch must not match ITSELF in the
     // state and self-reject — same replay rule as the LSH pair reads.
     // Tombstoned vids ([[deleteFromIvfState]]) must not reject new
@@ -712,14 +724,15 @@ object Similarity {
     * discipline notes on the LSH twin). */
   def compactIvfState(
       spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): Unit = {
+      targetBytes: Long = 128L << 20): Unit =
+      StateIO.withWriterLock(spark, dir) {
     // apply tombstones physically; KEEP the tombstones table (re-applying
     // to already-gone rows is a no-op, so reads stay correct through a
     // crash anywhere here, and the never-reuse-a-deleted-id contract
     // still needs the record)
     // materialized so no table rewritten later in the sequence re-reads
     // the tombstones files after their own swap replaced them
-    val tombs = StateIO.readIfExists(spark, s"$dir/tombstones")
+    val tombs = StateIO.readTableIfExists(spark, dir, "tombstones")
       .map(tb => graft.ext.Dedup.materialize(tb.select(col("vid"))))
     val dropDeleted: DataFrame => DataFrame = df => tombs match {
       case Some(tb) => df.join(tb, Seq("vid"), "left_anti")
@@ -748,21 +761,22 @@ object Similarity {
     * must never be re-appended (tombstones filter it forever). */
   def deleteFromIvfState(
       spark: SparkSession, dir: String, ids: DataFrame, idCol: String,
-      deleteTag: Option[Long] = None): Unit = {
+      deleteTag: Option[Long] = None): Unit =
+      StateIO.withWriterLock(spark, dir) {
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("centroids", "cells", "tombstones"))
     StateIO.checkTagAboveFloor(spark, dir, deleteTag, "delete")
     val del = ids.select(col(idCol).as("vid")).distinct()
     deleteTag match {
       case Some(t) =>
-        del.write.mode("overwrite").parquet(s"$dir/tombstones/delete_id=$t")
+        del.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "tombstones")}/delete_id=$t")
       case None =>
-        val fresh = StateIO.readIfExists(spark, s"$dir/tombstones") match {
+        val fresh = StateIO.readTableIfExists(spark, dir, "tombstones") match {
           case Some(tb) => graft.ext.Dedup.materialize(
             del.join(tb.select(col("vid")), Seq("vid"), "left_anti"))
           case None => del
         }
-        fresh.write.mode("append").parquet(s"$dir/tombstones")
+        fresh.write.mode("append").parquet(StateIO.tablePath(spark, dir, "tombstones"))
     }
   }
 
@@ -851,7 +865,8 @@ object Similarity {
     * [[recoverIvfState]] restores the full new fit. Production callers
     * use the public overload (hook off). */
   private[graft] def reclusterIvfState(
-      spark: SparkSession, dir: String, crashAfterApplied: Int): Unit = {
+      spark: SparkSession, dir: String, crashAfterApplied: Int): Unit =
+      StateIO.withWriterLock(spark, dir) {
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("centroids", "cells", "tombstones"))
     val meta =

@@ -34,7 +34,7 @@ object StateAudit {
   private def minusTombstones(
       spark: SparkSession, dir: String, df: DataFrame,
       asOf: Option[(Long, Long)] = None): DataFrame =
-    StateIO.readIfExists(spark, s"$dir/tombstones") match {
+    StateIO.readTableIfExists(spark, dir, "tombstones") match {
       case Some(tbRaw) =>
         val tb = asOf match {
           case Some((_, d)) =>
@@ -56,7 +56,7 @@ object StateAudit {
       spark: SparkSession, dir: String, table: String,
       asOf: Option[(Long, Long)]): DataFrame = {
     StateIO.checkNoSwapInProgress(spark, dir)
-    val rows = spark.read.parquet(s"$dir/$table")
+    val rows = spark.read.parquet(StateIO.tablePath(spark, dir, table))
     val base = asOf match {
       case Some((b, d)) =>
         val floor = StateIO.readHistoryFloor(spark, dir)

@@ -24,6 +24,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     backup happily writes over the wreckage (or retrains from scratch).
   *     [[checkNoCompactRemnants]] fails fast with the recovery step
   *     instead, and is called by every pillar's append entry point.
+  *
+  * ==Filesystem contract (read this before deploying)==
+  *
+  * The DEFAULT commit protocol ([[swapInTables]]' rename branch, the
+  * compaction backup-swap, the floor/lease marker publishes) assumes
+  * `fs.rename` is ATOMIC and `fs.create(path, overwrite = false)` is
+  * atomic-exclusive. True on HDFS and local filesystems (the tested
+  * substrates). **False on S3-class object stores**, where rename is
+  * copy+delete — a reader can observe the copy half-done, and the
+  * single-commit-point guarantee silently weakens to best-effort.
+  *
+  * For object stores, switch the state dir to MANIFEST commits
+  * ([[enableManifestCommits]]): content rewrites then land in fresh
+  * versioned directories (pure creates — no data-dir rename ever
+  * happens) and the commit point is ONE small `_versions` file naming
+  * the live directory of every table, published by overwrite — a
+  * single small-object PUT, which object stores apply atomically
+  * (readers see the whole old pointer file or the whole new one,
+  * never a mix). Every read path resolves through [[tablePath]], so
+  * the flip is invisible to queries. Crash anywhere before the
+  * pointer write: the full OLD fit (staged version dirs are garbage,
+  * reclaimed by [[vacuumStateVersions]]). Crash after: the full NEW
+  * fit. There is no in-between and no roll-forward to run.
   */
 private[graft] object StateIO {
 
@@ -91,6 +114,259 @@ private[graft] object StateIO {
         "forward before touching the state")
   }
 
+  /** Name of the lease file [[withWriterLock]] holds while a mutating
+    * entry point runs. Every guard before round 15 assumed the OTHER
+    * writer was dead (crash remnants, swap markers); this one refuses a
+    * LIVE concurrent writer — two appends, an append racing a
+    * truncation, a compact racing a recluster — whose interleaved
+    * partition overwrites and table swaps no marker protocol can
+    * untangle after the fact. */
+  private[graft] val WriterLockFile = "_writer_lock"
+
+  /** Default writer-lease duration. Long enough to cover any single
+    * mutating call at the design scale (appends/compactions are one
+    * distributed job); short enough that a crashed writer's lock is
+    * taken over the same hour, not the same week. */
+  private[graft] val DefaultLeaseMs: Long = 30L * 60L * 1000L
+
+  /** Dirs whose writer lock THIS thread currently holds (qualified
+    * URIs) — reentrancy: a pillar's truncate calls [[swapInTables]],
+    * an orchestrator's ingest calls five pillar appends on distinct
+    * dirs; same-dir nesting on the same thread must not self-deadlock,
+    * while a SECOND thread in the same JVM is still a second writer
+    * and gets refused by the lock file like any other process. */
+  private val heldLocks = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+
+  /** Thrown when a mutating entry point finds another writer's live
+    * lease on the state dir. Carries enough to decide: wait for
+    * `expiresAtMs`, or (if the owner is known dead) delete the lock
+    * file by hand — the documented manual-takeover path. */
+  final class ConcurrentWriter(
+      val dir: String, val owner: String, val expiresAtMs: Long)
+    extends IllegalStateException(
+      s"another writer holds the lease on $dir: '$owner' until " +
+        s"${java.time.Instant.ofEpochMilli(expiresAtMs)} — concurrent " +
+        "mutation would interleave partition overwrites and table " +
+        "swaps; retry after the lease expires (stale leases are taken " +
+        "over automatically), or delete " + s"$dir/$WriterLockFile " +
+        "by hand ONLY if the owner process is known dead")
+
+  /** Run `body` holding the state dir's single-writer lease.
+    *
+    * Every mutating entry point of every pillar (append, delete,
+    * compact, truncate, recluster, recover; clone holds the SOURCE's
+    * lease — the destination is a fresh create nothing else can name)
+    * wraps itself in this. The crash-remnant guards
+    * ([[checkNoCompactRemnants]], [[checkNoSwapInProgress]]) protect
+    * against writers that DIED; this lease is the missing guard against
+    * writers that are still ALIVE — exactly what an at-least-once
+    * orchestrator's concurrent retry produces.
+    *
+    * Protocol: exclusive-create of [[WriterLockFile]] (owner + expiry
+    * epoch-millis). Exists + unexpired → [[ConcurrentWriter]]. Exists +
+    * expired → stale takeover: delete and re-create (the re-create is
+    * exclusive again, so two racing takeovers serialize — the loser
+    * sees the winner's fresh lease and refuses). Orderly completion —
+    * normal return OR exception — releases the lock in `finally`: a
+    * thrown [[InjectedCrash]] or a failed job is an orderly failure
+    * with the remnant/marker protocols owning recovery; only a real
+    * process death leaves the lease, and the expiry bounds that.
+    *
+    * FS contract: exclusive create must be atomic (true on HDFS and
+    * local FS; object stores need an if-none-match PUT — see the
+    * object-store posture note in this file's header). */
+  private[graft] def withWriterLock[T](
+      spark: SparkSession, dir: String,
+      leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hconf)
+    val key = fs.makeQualified(dirPath).toString
+    if (heldLocks.get.contains(key)) return body // reentrant on this thread
+    val lock = new org.apache.hadoop.fs.Path(dir, WriterLockFile)
+    val token = s"${java.net.InetAddress.getLocalHost.getHostName}:" +
+      s"pid=${ProcessHandle.current().pid()}:" +
+      s"thread=${Thread.currentThread().getId}:" +
+      java.util.UUID.randomUUID().toString
+    fs.mkdirs(dirPath)
+    def readLease(): Option[(String, Long)] =
+      try {
+        val in = fs.open(lock)
+        val s =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = s.split("\n")
+        Some((lines(0).trim, lines(1).trim.toLong))
+      } catch {
+        case _: java.io.FileNotFoundException => None
+      }
+    var acquired = false
+    var attempts = 0
+    while (!acquired && attempts < 3) {
+      attempts += 1
+      readLease() match {
+        case Some((owner, exp))
+            if exp > System.currentTimeMillis() =>
+          throw new ConcurrentWriter(dir, owner, exp)
+        case Some(_) =>
+          fs.delete(lock, false) // stale — take over
+        case None => ()
+      }
+      // exclusive create IS the acquisition: on a race, exactly one
+      // create succeeds and the losers loop back into readLease
+      try {
+        val out = fs.create(lock, false)
+        try out.write(
+          s"$token\n${System.currentTimeMillis() + leaseMs}\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException => () // lost the create race; retry
+      }
+    }
+    if (!acquired) {
+      val (owner, exp) = readLease().getOrElse(("unknown", 0L))
+      throw new ConcurrentWriter(dir, owner, exp)
+    }
+    heldLocks.get += key
+    try body
+    finally {
+      heldLocks.get -= key
+      // release only OUR lease: if it expired mid-run and a takeover
+      // happened, deleting would kill the new writer's lock — leave it
+      // and surface the overrun loudly (the write may have interleaved)
+      readLease() match {
+        case Some((owner, _)) if owner == token => fs.delete(lock, false)
+        case Some((owner, _)) =>
+          throw new IllegalStateException(
+            s"writer lease on $dir expired mid-run and was taken over " +
+              s"by '$owner' — this write may have interleaved with " +
+              "theirs; audit the state (StateAudit) before trusting it")
+        case None => ()
+      }
+    }
+  }
+
+  /** Name of the manifest-pointer file a state dir in MANIFEST commit
+    * mode carries (see the FS-contract note in this file's header):
+    * one `table=dirname` line per versioned table; the file's presence
+    * is what switches [[swapInTables]] to the versioned protocol. */
+  private[graft] val VersionsFile = "_versions"
+
+  /** True iff the state dir commits content rewrites through the
+    * `_versions` manifest pointer instead of directory renames. */
+  def manifestMode(spark: SparkSession, dir: String): Boolean =
+    pathExists(spark, s"$dir/$VersionsFile")
+
+  /** Switch a state dir to MANIFEST commits — the object-store-safe
+    * protocol (atomic rename is a local/HDFS luxury; see the header).
+    * Publishing an EMPTY manifest is enough: every table resolves to
+    * its plain directory until the first versioned swap moves it.
+    * Call once at state-dir creation on S3-class substrates; flipping
+    * an existing healthy dir is also safe (plain tables keep resolving
+    * plain). Refuses mid-swap/mid-compaction dirs — a protocol switch
+    * must not bury a crashed rename's recovery artifacts. */
+  def enableManifestCommits(spark: SparkSession, dir: String): Unit =
+    withWriterLock(spark, dir) {
+      checkNoSwapInProgress(spark, dir)
+      publishManifest(spark, dir, readManifest(spark, dir))
+    }
+
+  /** The manifest map (table → live dirname); empty when the file is
+    * absent (plain mode) or empty (manifest mode, nothing versioned
+    * yet). */
+  private def readManifest(
+      spark: SparkSession, dir: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, VersionsFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.split("\n").map(_.trim).filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        require(i > 0, s"corrupt manifest line in $p: '$line'")
+        (line.substring(0, i), line.substring(i + 1))
+      }.toMap
+    }
+  }
+
+  /** Publish the manifest pointer. On rename-capable filesystems this
+    * uses write-tmp + overwrite-rename (atomic on HDFS/local); on an
+    * object store the small single-file write IS the atomic PUT — in
+    * both cases a reader sees the whole old pointer or the whole new
+    * one, never a line-level mix. */
+  private def publishManifest(
+      spark: SparkSession, dir: String, m: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, VersionsFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, VersionsFile + "__tmp")
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(hconf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sorted.map { case (t, d) => s"$t=$d" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // FileContext rename with OVERWRITE is atomic on HDFS and local FS
+    // (plain FileSystem.rename refuses existing targets); object-store
+    // deployments swap this publish for a direct PUT of the final path
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hconf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The LIVE directory of a state table — every read and every
+    * partition-level append resolves through this: the plain
+    * `$dir/$table` unless the dir's manifest points the table at a
+    * versioned directory. One small-file read per call; negligible
+    * against any query it fronts. */
+  def tablePath(spark: SparkSession, dir: String, table: String): String =
+    s"$dir/${readManifest(spark, dir).getOrElse(table, table)}"
+
+  /** [[readIfExists]] of a STATE TABLE, resolved through the dir's
+    * manifest ([[tablePath]]) — what every pillar's table read calls. */
+  def readTableIfExists(
+      spark: SparkSession, dir: String, table: String): Option[DataFrame] =
+    readIfExists(spark, tablePath(spark, dir, table))
+
+  /** Reclaim version directories no longer named by the manifest — the
+    * garbage a crashed versioned swap (staged but never published) or
+    * a completed one (published, GC interrupted) leaves. Safe to run
+    * blindly and concurrently with readers of the LIVE fit; requires
+    * the writer lease so a swap can't stage new dirs mid-vacuum.
+    * Returns the deleted directory names. */
+  def vacuumStateVersions(
+      spark: SparkSession, dir: String): Seq[String] =
+    withWriterLock(spark, dir) {
+      require(manifestMode(spark, dir),
+        s"$dir has no $VersionsFile manifest — nothing versioned to vacuum")
+      val live = readManifest(spark, dir)
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val versioned = "^.*__v\\d{4}$".r
+      val liveDirs = live.values.toSet
+      // unreferenced __vNNNN dirs (staged-then-crashed, or superseded)
+      val staleVersions = fs.listStatus(dirPath).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => versioned.matches(n) && !liveDirs.contains(n))
+      // the superseded PLAIN dir of a table the manifest has since
+      // versioned (appends resolve into the version dir, never here)
+      val stalePlain = live.collect {
+        case (table, liveDir) if liveDir != table &&
+            fs.exists(new org.apache.hadoop.fs.Path(dir, table)) => table
+      }.toSeq
+      (staleVersions ++ stalePlain).map { name =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, name), true)
+        name
+      }
+    }
+
   /** Restrict a state table to an AS-OF bound on its tag column — the
     * shared cut behind every pillar's snapshot (time-travel) read: the
     * tagged `batch_id=N` / `delete_id=N` partitions each append and
@@ -135,30 +411,66 @@ private[graft] object StateIO {
     * collapsed cut (re-run the truncation to finish). */
   private[graft] val HistoryFloorFile = "_history_floor"
 
-  /** The state dir's history floor — 0 when never truncated. */
-  def readHistoryFloor(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir, HistoryFloorFile)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0L
+  /** Second floor slot — the floor is TWO alternating files and the
+    * published value is their MAX, so RAISING a floor never passes
+    * through a window where the old value is deleted but the new one is
+    * not yet renamed in (a crash there would erase the published floor
+    * and let sub-floor as-of reads silently answer from the collapsed
+    * base — the one silent-wrong-answer the refusal posture forbids).
+    * A raise writes the new floor into the slot holding the SMALLER
+    * value (or the empty one): the other slot keeps publishing the old
+    * max through every intermediate crash state, and since floors are
+    * monotone the max over both slots is always a floor that was
+    * legitimately published. */
+  private[graft] val HistoryFloorFileB = "_history_floor_b"
+
+  private def readFloorSlot(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong)
       finally in.close()
     }
+
+  /** The state dir's history floor — 0 when never truncated. Reads the
+    * max over both floor slots (see [[HistoryFloorFileB]]). */
+  def readHistoryFloor(spark: SparkSession, dir: String): Long = {
+    val a = new org.apache.hadoop.fs.Path(dir, HistoryFloorFile)
+    val fs = a.getFileSystem(spark.sessionState.newHadoopConf())
+    val b = new org.apache.hadoop.fs.Path(dir, HistoryFloorFileB)
+    math.max(readFloorSlot(fs, a).getOrElse(0L),
+      readFloorSlot(fs, b).getOrElse(0L))
   }
 
-  /** Publish a new history floor (atomic rename; monotone — a floor can
-    * only rise: lowering one would claim history that is already
-    * collapsed). */
+  /** Publish a new history floor (monotone — a floor can only rise:
+    * lowering one would claim history that is already collapsed).
+    * Crash-safe across the raise: the new value lands in the slot whose
+    * current value is smaller, by tmp-write + rename, and the reader
+    * takes the max of both slots — at every intermediate state
+    * (tmp written, smaller slot deleted, rename done) the max is either
+    * the old floor or the new one, never 0 and never a value that was
+    * not published. */
   private[graft] def writeHistoryFloor(
       spark: SparkSession, dir: String, floor: Long): Unit = {
-    val existing = readHistoryFloor(spark, dir)
+    val a = new org.apache.hadoop.fs.Path(dir, HistoryFloorFile)
+    val b = new org.apache.hadoop.fs.Path(dir, HistoryFloorFileB)
+    val fs = a.getFileSystem(spark.sessionState.newHadoopConf())
+    val va = readFloorSlot(fs, a)
+    val vb = readFloorSlot(fs, b)
+    val existing = math.max(va.getOrElse(0L), vb.getOrElse(0L))
     require(floor >= existing,
       s"history floor can only rise: $dir is already truncated at " +
         s"$existing, got $floor")
-    val p = new org.apache.hadoop.fs.Path(dir, HistoryFloorFile)
-    val tmp = new org.apache.hadoop.fs.Path(dir, HistoryFloorFile + "__tmp")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // target = the slot NOT holding the current max (missing counts as
+    // smallest; ties keep a): deleting it before the rename can only
+    // drop a value <= the max the other slot keeps publishing
+    val p =
+      if (va.getOrElse(Long.MinValue) >= vb.getOrElse(Long.MinValue)) b
+      else a
+    val tmp = new org.apache.hadoop.fs.Path(dir, p.getName + "__tmp")
     fs.delete(tmp, false)
     val out = fs.create(tmp, true)
     try out.write(floor.toString
@@ -233,7 +545,8 @@ private[graft] object StateIO {
   private[graft] def truncateHistory(
       spark: SparkSession, dir: String, floor: Long,
       tables: Seq[TruncTable],
-      extraRemnantChecks: Seq[String] = Nil): Unit = {
+      extraRemnantChecks: Seq[String] = Nil): Unit =
+      withWriterLock(spark, dir) {
     import org.apache.spark.sql.functions.{col, greatest, lit, max}
     // extraRemnantChecks: tables truncation never rewrites (frozen
     // centroids / merges) whose crashed-compaction backup still means
@@ -241,7 +554,7 @@ private[graft] object StateIO {
     checkNoCompactRemnants(spark, dir,
       tables.map(_.name) ++ extraRemnantChecks)
     val loaded: Seq[(TruncTable, DataFrame)] = tables.flatMap { t =>
-      val df = readIfExists(spark, s"$dir/${t.name}")
+      val df = readTableIfExists(spark, dir, t.name)
       require(df.isDefined || !t.required,
         s"history truncation: required table $dir/${t.name} does not exist")
       df.map { d =>
@@ -315,7 +628,11 @@ private[graft] object StateIO {
   private[graft] def cloneStateAsOf(
       spark: SparkSession, srcDir: String, dstDir: String,
       asOfBatch: Long, asOfDelete: Long,
-      tables: Seq[TruncTable], rawCopies: Seq[String] = Nil): Unit = {
+      tables: Seq[TruncTable], rawCopies: Seq[String] = Nil): Unit =
+      withWriterLock(spark, srcDir) {
+    // the SOURCE's lease: the partition cut must be stable while it
+    // copies (a concurrent truncate would collapse partitions mid-read);
+    // the destination is a fresh errorifexists create nothing else names
     checkNoCompactRemnants(spark, srcDir,
       tables.map(_.name) ++ rawCopies.filterNot(_ == "_meta"))
     // tags start at 1, so a batch bound below 1 selects NOTHING from a
@@ -328,7 +645,7 @@ private[graft] object StateIO {
       s"clone destination $dstDir already exists — a clone never " +
         "overwrites; remove it or pick a fresh path")
     tables.foreach { t =>
-      val df = readIfExists(spark, s"$srcDir/${t.name}")
+      val df = readTableIfExists(spark, srcDir, t.name)
       require(df.isDefined || !t.required,
         s"clone: required table $srcDir/${t.name} does not exist")
       df.foreach { d =>
@@ -351,7 +668,11 @@ private[graft] object StateIO {
     }
     val hconf = spark.sessionState.newHadoopConf()
     rawCopies.foreach { name =>
-      val src = new org.apache.hadoop.fs.Path(srcDir, name)
+      // resolve through the source's manifest (a compacted `merges`
+      // may live in a version dir); the clone lands under the PLAIN
+      // name — a clone is a fresh plain-mode dir by construction
+      val src = new org.apache.hadoop.fs.Path(
+        tablePath(spark, srcDir, name))
       val fs = src.getFileSystem(hconf)
       if (fs.exists(src))
         require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
@@ -401,8 +722,14 @@ private[graft] object StateIO {
   private[graft] def swapInTables(
       spark: SparkSession, dir: String,
       tables: Seq[(String, DataFrame, Seq[String])],
-      crashAfterApplied: Int = -1): Unit = {
+      crashAfterApplied: Int = -1): Unit = withWriterLock(spark, dir) {
     require(tables.nonEmpty, "swapInTables: no tables to swap")
+    if (manifestMode(spark, dir)) {
+      // object-store-safe protocol: no data-dir rename exists to be
+      // non-atomic — stage into fresh version dirs, flip the pointer
+      swapInTablesVersioned(spark, dir, tables, crashAfterApplied)
+      return
+    }
     val hconf = spark.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(hconf)
@@ -442,6 +769,60 @@ private[graft] object StateIO {
     }
     if (crashAfterApplied == tables.size) throw new InjectedCrash(applied)
     fs.delete(p(SwapCommitMarker), false)
+  }
+
+  /** The MANIFEST-commit twin of the rename protocol (see the header's
+    * FS contract): [[swapInTables]] routes here automatically on dirs
+    * flipped by [[enableManifestCommits]]. Stages every table's new
+    * content into a FRESH `<table>__vNNNN` directory (pure creates —
+    * no data directory is ever renamed; a crashed earlier attempt's
+    * identically-named staging dir is clobbered by the overwrite),
+    * then publishes the new `_versions` pointer in ONE small-file
+    * write — the commit point. Crash before the publish: readers
+    * resolve the old manifest — the full OLD fit; the staged dirs are
+    * unreferenced garbage ([[vacuumStateVersions]]). Crash after: the
+    * full NEW fit. A mixed fit cannot be OBSERVED because nothing a
+    * reader resolves through changes except the single pointer file —
+    * this holds even if directory renames on the substrate are
+    * non-atomic, which is the whole point. Old version dirs are
+    * best-effort deleted after the publish (a crash leaves them to the
+    * vacuum; they are unreferenced either way).
+    *
+    * `crashAfterApplied` fault-injection (tests only): `k <
+    * tables.size` crashes after staging `k` version dirs (pre-commit);
+    * `k == tables.size` crashes right after the pointer publish
+    * (committed, GC skipped). */
+  private def swapInTablesVersioned(
+      spark: SparkSession, dir: String,
+      tables: Seq[(String, DataFrame, Seq[String])],
+      crashAfterApplied: Int): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    val current = readManifest(spark, dir)
+    def versionOf(name: String): Int =
+      "__v(\\d{4})$".r.findFirstMatchIn(name)
+        .map(_.group(1).toInt).getOrElse(0)
+    tables.foreach { case (t, _, _) =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(dir,
+        current.getOrElse(t, t))),
+        s"swapInTables: live table $dir/$t does not exist")
+    }
+    var staged = 0
+    val newNames = tables.map { case (t, df, partitionCols) =>
+      if (staged == crashAfterApplied) throw new InjectedCrash(staged)
+      val newName = f"${t}__v${versionOf(current.getOrElse(t, t)) + 1}%04d"
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$dir/$newName")
+      staged += 1
+      t -> newName
+    }
+    publishManifest(spark, dir, current ++ newNames) // THE commit point
+    if (crashAfterApplied == tables.size) throw new InjectedCrash(staged)
+    newNames.foreach { case (t, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir,
+        current.getOrElse(t, t)), true)
+    }
   }
 
   /** Single-table convenience over [[swapInTables]] — same commit-marker
@@ -486,7 +867,8 @@ private[graft] object StateIO {
     * marker, nothing to do (safe to call blindly). The result is always
     * the FULL new fit — a commit marker means every table's new content
     * was durably staged before the crash. */
-  private[graft] def recoverSwap(spark: SparkSession, dir: String): Boolean = {
+  private[graft] def recoverSwap(spark: SparkSession, dir: String): Boolean =
+      withWriterLock(spark, dir) {
     val hconf = spark.sessionState.newHadoopConf()
     val marker = new org.apache.hadoop.fs.Path(dir, SwapCommitMarker)
     val fs = marker.getFileSystem(hconf)

@@ -66,7 +66,7 @@ object AnnStream {
         // near-dup gate would append the batch whole, permanently
         // accepting cross-batch duplicates into the IVF state.
         val stateExists = graft.ext.StateIO
-          .readIfExists(spark, s"$stateDir/cells")
+          .readTableIfExists(spark, stateDir, "cells")
           .exists(_.head(1).nonEmpty)
         val accepted =
           if (!stateExists) collapsed

@@ -181,7 +181,8 @@ object DedupStream {
         // every cross-batch duplicate into the state permanently.
         def readState(table: String): Option[DataFrame] =
           try {
-            val t = spark.read.parquet(s"$stateDir/$table")
+            val t = spark.read.parquet(
+              graft.ext.StateIO.tablePath(spark, stateDir, table))
             Some(if (t.columns.contains("batch_id"))
               t.filter(col("batch_id") =!= batchId) else t)
           } catch {
@@ -208,7 +209,7 @@ object DedupStream {
             // handles the main path — this covers the short-doc
             // fingerprint path)
             val tombs = graft.ext.StateIO
-              .readIfExists(spark, s"$stateDir/tombstones")
+              .readTableIfExists(spark, stateDir, "tombstones")
               .map(_.select(col("id")))
             val membersAll = stateTable("members")
             val members = tombs match {

@@ -4121,4 +4121,241 @@ class ExtSpec extends SparkSpec {
     assert(!Bpe.recoverTokenizerState(spark, s"$clean/tok"))
     assert(!Similarity.recoverIvfState(spark, s"$clean/ivf"))
   }
+
+  test("manifest commits: the object-store protocol never exposes a mixed fit") {
+    val embAll = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val emb = embAll.filter(col("vec_id") < 120)
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest")
+      .toFile.getAbsolutePath + "/state"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 60), dir,
+      k = 4, iters = 1, batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 60), dir,
+      k = 4, iters = 1, batchTag = Some(2L))
+    StateIO.enableManifestCommits(spark, dir)
+    val probes = emb.filter(col("vec_id") < 5)
+    def answers = Similarity.ivfTopKFromState(spark, dir, probes,
+        topK = 3, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val wantBefore = answers
+    val wantAfter = Similarity.kmeansIvfTopK(emb, probes,
+        topK = 3, k = 4, iters = 1, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    def liveName(t: String) =
+      StateIO.tablePath(spark, dir, t).split("/").last
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    // crash with ONE of two tables staged — the exact window where the
+    // rename protocol needs its marker + roll-forward. Here the pointer
+    // file still names the OLD dirs for BOTH tables: reads serve the
+    // full old fit immediately, nothing is gated, nothing to recover —
+    // and no data directory was renamed at any point (the property that
+    // survives a non-atomic-rename substrate)
+    intercept[StateIO.InjectedCrash](
+      Similarity.reclusterIvfState(spark, dir, crashAfterApplied = 1))
+    assert(liveName("centroids") == "centroids" && liveName("cells") == "cells")
+    assert(!StateIO.recoverSwap(spark, dir),
+      "manifest commits have no roll-forward to run")
+    assert(answers == wantBefore)
+    // the staged-but-never-published dir is unreferenced garbage
+    val stale = StateIO.vacuumStateVersions(spark, dir)
+    assert(stale == Seq("centroids__v0001"), stale)
+    assert(answers == wantBefore)
+    // crash right AFTER the pointer publish: the full NEW fit, live
+    // immediately — both tables flipped by the one small-file write
+    intercept[StateIO.InjectedCrash](
+      Similarity.reclusterIvfState(spark, dir, crashAfterApplied = 2))
+    assert(liveName("centroids") == "centroids__v0001" &&
+      liveName("cells") == "cells__v0001")
+    assert(answers == wantAfter)
+    // superseded plain dirs are garbage; vacuum drops them, reads hold
+    assert(StateIO.vacuumStateVersions(spark, dir).toSet ==
+      Set("centroids", "cells"))
+    assert(answers == wantAfter)
+    // appends resolve INTO the live version dir
+    Similarity.appendIvfState(
+      embAll.filter(col("vec_id") >= 120 && col("vec_id") < 150), dir,
+      k = 4, iters = 1, batchTag = Some(3L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/cells__v0001/batch_id=3")))
+    // a second content swap bumps the version; compaction on a manifest
+    // dir versions too — the backup-swap rename (and its __compact_bak
+    // crash artifact) never happens on this substrate
+    Similarity.reclusterIvfState(spark, dir)
+    assert(liveName("cells") == "cells__v0002")
+    Similarity.compactIvfState(spark, dir)
+    assert(liveName("cells") == "cells__v0003")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/cells__compact_bak")))
+    StateIO.vacuumStateVersions(spark, dir)
+    val post = Similarity.ivfTopKFromState(spark, dir, probes,
+      topK = 3, nProbe = 2).count()
+    assert(post > 0)
+  }
+
+  test("writer lease: a live second writer is refused mid-append; stale leases take over") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease")
+      .toFile.getAbsolutePath + "/stats"
+    val docs = docsFrom(Seq((1L, "a b"), (2L, "c d")))
+      .withColumn("source", lit("s"))
+    // a REAL concurrent writer: another thread acquires the lease and
+    // holds it mid-write; every mutating entry point must refuse with
+    // the owner + expiry, not interleave
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      StateIO.withWriterLock(spark, dir) {
+        started.countDown()
+        release.await()
+      })
+    holder.start()
+    assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    val e = intercept[StateIO.ConcurrentWriter](
+      Profile.appendStatsState(docs, dir, "text", "source", Some(1L)))
+    assert(e.getMessage.contains("another writer holds the lease"))
+    assert(e.getMessage.contains("_writer_lock"))
+    release.countDown()
+    holder.join(30000)
+    // lease released on orderly completion: the same append now lands
+    Profile.appendStatsState(docs, dir, "text", "source", Some(1L))
+    val lock = new org.apache.hadoop.fs.Path(dir, "_writer_lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(lock), "orderly completion must release the lease")
+    // a STALE lease (crashed writer, expiry passed) is taken over
+    val out = fs.create(lock, true)
+    try out.write(s"dead-host:pid=1:thread=1:x\n${System
+      .currentTimeMillis() - 1000L}\n".getBytes("UTF-8"))
+    finally out.close()
+    Profile.appendStatsState(docs, dir, "text", "source", Some(2L))
+    assert(!fs.exists(lock))
+    // an UNEXPIRED foreign lease refuses every mutating entry point
+    val out2 = fs.create(lock, true)
+    try out2.write(s"live-host:pid=9:thread=9:y\n${System
+      .currentTimeMillis() + 3600000L}\n".getBytes("UTF-8"))
+    finally out2.close()
+    intercept[StateIO.ConcurrentWriter](
+      Profile.deleteFromStatsState(docs.limit(1), dir, "text", "source",
+        Some(1L)))
+    intercept[StateIO.ConcurrentWriter](
+      Profile.truncateStatsHistory(spark, dir, floor = 1L))
+    intercept[StateIO.ConcurrentWriter](
+      Profile.compactStatsState(spark, dir))
+    intercept[StateIO.ConcurrentWriter](
+      Profile.recoverStatsState(spark, dir))
+    intercept[StateIO.ConcurrentWriter](
+      Profile.cloneStatsState(spark, dir, s"$dir.branch", 1L, 0L))
+    fs.delete(lock, false)
+    // an exception inside the locked body is an ORDERLY failure: the
+    // lease releases (the marker protocols own recovery), so a retry
+    // is not blocked for the rest of the lease
+    val collapsed = spark.read.parquet(s"$dir/stats")
+      .withColumn("batch_id", lit(2L))
+    intercept[StateIO.InjectedCrash](
+      StateIO.swapInTables(spark, dir,
+        Seq(("stats", collapsed, Seq("batch_id"))), crashAfterApplied = 0))
+    assert(!fs.exists(lock),
+      "a thrown body must release the lease (real crashes rely on expiry)")
+    assert(Profile.recoverStatsState(spark, dir))
+  }
+
+  test("writeHistoryFloor: a raise survives a crash at every window (two-slot max)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-floor")
+      .toFile.getAbsolutePath
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(hconf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    StateIO.writeHistoryFloor(spark, dir, 2L)
+    assert(StateIO.readHistoryFloor(spark, dir) == 2L)
+    StateIO.writeHistoryFloor(spark, dir, 5L)
+    assert(StateIO.readHistoryFloor(spark, dir) == 5L)
+    // both slots now hold a value (2 and 5). The raise protocol's only
+    // destructive step is "delete the SMALLER slot before renaming the
+    // new value in" — simulate a crash exactly there: the published
+    // floor must stay 5 (the round-14 single-file protocol dropped to
+    // 0 here, silently re-answering collapsed as-of cuts)
+    val slots = Seq(StateIO.HistoryFloorFile, StateIO.HistoryFloorFileB)
+      .map(n => new org.apache.hadoop.fs.Path(dir, n))
+    def slotVal(p: org.apache.hadoop.fs.Path): Long = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    assert(slots.forall(fs.exists(_)))
+    assert(slots.map(slotVal).toSet == Set(2L, 5L))
+    val smaller = slots.minBy(slotVal)
+    assert(fs.delete(smaller, false))
+    assert(StateIO.readHistoryFloor(spark, dir) == 5L,
+      "a mid-raise crash must never lower the published floor")
+    // a stranded tmp from the same crash is invisible to readers
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir,
+      StateIO.HistoryFloorFileB + "__tmp"), true)
+    try out.write("9".getBytes("UTF-8")) finally out.close()
+    assert(StateIO.readHistoryFloor(spark, dir) == 5L)
+    // monotonicity refusal unchanged
+    val e = intercept[IllegalArgumentException](
+      StateIO.writeHistoryFloor(spark, dir, 4L))
+    assert(e.getMessage.contains("only rise"))
+    // and a raise from the single-slot state works (re-creates slot 2)
+    StateIO.writeHistoryFloor(spark, dir, 7L)
+    assert(StateIO.readHistoryFloor(spark, dir) == 7L)
+  }
+
+  test("every state read path fails fast on a _swap_commit marker") {
+    // the guard fires BEFORE any table read, so a bare dir with the
+    // marker suffices — this pins the reads the round-14 audit found
+    // unguarded (bm25, stats report, token budget, incremental LSH)
+    val dir = java.nio.file.Files.createTempDirectory("graft-swapguard")
+      .toFile.getAbsolutePath
+    val marker = new org.apache.hadoop.fs.Path(dir, "_swap_commit")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(marker, true)
+    try out.write("postings".getBytes("UTF-8")) finally out.close()
+    val batch = docsFrom(Seq((1L, "a b c")))
+    val quality = batch.select(col("doc_id"), lit(1.0).as("q"))
+    def refused(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("recoverSwap"), e.getMessage)
+    }
+    refused(Index.bm25TopKFromState(spark, dir, Seq("a"), 5,
+      idCol = "doc_id"))
+    refused(Profile.statsReport(spark, dir))
+    refused(Bpe.tokenBudgetFromState(spark, dir, quality, "doc_id", "q",
+      budget = 100L))
+    refused(Bpe.readDocTokens(spark, dir))
+    refused(Dedup.incrementalLshPairsFromState(dir, batch, "doc_id",
+      "text"))
+  }
+
+  test("mmrTopKFromState: an all-NaN argmax names the poisoned vectors, not index -1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmrnan")
+      .toFile.getAbsolutePath + "/state"
+    // a zero-norm vector is refused loudly UPSTREAM (the distributed
+    // cosine divides under ANSI → DIVIDE_BY_ZERO), so the all-NaN pool
+    // the greedy loop must survive comes from NaN-VALUED embeddings:
+    // a NaN query poisons every rel score, and the first argmax scan
+    // finds no finite candidate
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendIvfState(emb, dir, k = 1, iters = 1,
+      batchTag = Some(1L))
+    val q = Seq((100L, Array(Float.NaN, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.mmrTopKFromState(spark, dir, q, k = 4, lambda = 0.7,
+        candK = 10, nProbe = 1))
+    assert(e.getMessage.contains("NaN-valued"), e.getMessage)
+  }
+
+  test("cappedTemperatureMix refuses an unsatisfiable cap (< 1x natural share)") {
+    val docs = docsFrom(Seq((1L, "a b c d"), (2L, "e f"), (3L, "g")))
+      .withColumn("source",
+        when(col("doc_id") === 1L, "big").otherwise("small"))
+    val e = intercept[IllegalArgumentException](
+      Sampling.cappedTemperatureMix(docs, "text", "source",
+        maxUpMilli = 999L))
+    assert(e.getMessage.contains(">= 1000"), e.getMessage)
+  }
 }
