@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   * runMain graft.etl.Main watch   [--in inputs] [--out outputs]   # streaming
   * runMain graft.etl.Main serve   [--port 5000]                   # HTTP API
   * runMain graft.etl.Main sql "SELECT ..." [--data /root/testdata/sf0.001]
+  * runMain graft.etl.Main state recover|truncate|clone|health|vacuum|audit ...
   * }}}
   *
   * `sql` registers the graft SQL surface — the testdata tables as views plus
@@ -87,15 +88,138 @@ object Main {
         }
         spark.sql(stmt.toString).show(100, truncate = false)
       case "outputs" => viewOutputs(outDir, System.out)
+      case "state" => stateCmd(spark, positional.toSeq, opts, System.out)
       case "menu" =>
         menuLoop(spark, inDir, outDir,
           new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
           System.out)
       case other =>
-        System.err.println(s"unknown command: $other (use process|db|watch|serve|sql|outputs or no arg for the menu)")
+        System.err.println(s"unknown command: $other (use process|db|watch|serve|sql|outputs|state or no arg for the menu)")
         sys.exit(2)
     }
-    if (cmd == "process" || cmd == "db" || cmd == "sql" || cmd == "menu") spark.stop()
+    if (cmd == "process" || cmd == "db" || cmd == "sql" || cmd == "menu" ||
+      cmd == "state") spark.stop()
+  }
+
+  /** The state-lifecycle tables each pillar's health report covers. */
+  private val pillarTables: Map[String, Seq[String]] = Map(
+    "lsh" -> Seq("reps", "bands", "members", "tombstones"),
+    "postings" -> Seq("postings", "totals", "docs", "tombstones",
+      "tomb_totals", "positions"),
+    "tokenizer" -> Seq("merges", "doc_tokens", "tombstones"),
+    "stats" -> Seq("stats", "stats_deltas"),
+    "ivf" -> Seq("centroids", "cells", "tombstones"))
+
+  /** `state <action> ...` — the OPERATOR surface for the persisted-state
+    * lifecycle, so recovering a crashed swap or GC-ing a year of tagged
+    * history doesn't require a Scala build mid-incident:
+    *
+    * {{{
+    * state recover  <pillar> <dir>                # roll a crashed swap forward
+    * state truncate <pillar> <dir> --floor N      # collapse history <= N
+    * state clone    <pillar> <src> <dst> --asof-batch B [--asof-delete D]
+    * state health   <pillar> <dir> [--max-versions N] [--max-files-per-leaf N]
+    * state vacuum   <dir>                         # manifest-mode version GC
+    * state audit    <lsh> <postings> <tokenizer> [--asof-batch B --asof-delete D]
+    * }}}
+    *
+    * `pillar` ∈ lsh | postings | tokenizer | stats | ivf. Every action is
+    * a thin dispatch onto the same public entry points the Scala API
+    * exposes — identical refusal messages, identical lease/marker
+    * discipline. Results print as tables; `audit` with zero rows prints
+    * the consistent verdict explicitly. */
+  def stateCmd(
+      spark: SparkSession, positional: Seq[String], opts: Map[String, String],
+      out: java.io.PrintStream): Unit = {
+    def usage(): Nothing = {
+      out.println("usage: state recover|truncate|clone|health|vacuum|audit " +
+        "... (see scaladoc; pillar = lsh|postings|tokenizer|stats|ivf)")
+      throw new IllegalArgumentException("state: bad arguments")
+    }
+    def pillar(p: String): String =
+      if (pillarTables.contains(p)) p
+      else { out.println(s"unknown pillar '$p' " +
+        s"(expected ${pillarTables.keys.toSeq.sorted.mkString("|")})"); usage() }
+    positional match {
+      case Seq("recover", p, dir) =>
+        val rolled = pillar(p) match {
+          case "lsh" => graft.ext.Dedup.recoverLshState(spark, dir)
+          case "postings" => graft.ext.Index.recoverPostingsState(spark, dir)
+          case "tokenizer" => graft.ext.Bpe.recoverTokenizerState(spark, dir)
+          case "stats" => graft.ext.Profile.recoverStatsState(spark, dir)
+          case "ivf" => graft.ext.Similarity.recoverIvfState(spark, dir)
+        }
+        out.println(if (rolled) s"[state] rolled a crashed swap forward in $dir"
+          else s"[state] $dir is healthy — nothing to recover")
+      case Seq("truncate", p, dir) =>
+        val floor = opts.getOrElse("floor", usage()).toLong
+        pillar(p) match {
+          case "lsh" => graft.ext.Dedup.truncateLshHistory(spark, dir, floor)
+          case "postings" =>
+            graft.ext.Index.truncatePostingsHistory(spark, dir, floor)
+          case "tokenizer" =>
+            graft.ext.Bpe.truncateTokenizerHistory(spark, dir, floor)
+          case "stats" =>
+            graft.ext.Profile.truncateStatsHistory(spark, dir, floor)
+          case "ivf" => graft.ext.Similarity.truncateIvfHistory(spark, dir, floor)
+        }
+        out.println(s"[state] collapsed history <= $floor in $dir")
+      case Seq("clone", p, src, dst) =>
+        val b = opts.getOrElse("asof-batch", usage()).toLong
+        val d = opts.getOrElse("asof-delete", "0").toLong
+        pillar(p) match {
+          case "lsh" => graft.ext.Dedup.cloneLshState(spark, src, dst, b, d)
+          case "postings" =>
+            graft.ext.Index.clonePostingsState(spark, src, dst, b, d)
+          case "tokenizer" =>
+            graft.ext.Bpe.cloneTokenizerState(spark, src, dst, b, d)
+          case "stats" =>
+            graft.ext.Profile.cloneStatsState(spark, src, dst, b, d)
+          case "ivf" => graft.ext.Similarity.cloneIvfState(spark, src, dst, b, d)
+        }
+        out.println(s"[state] branched $src at (append=$b, delete=$d) into $dst")
+      case Seq("health", p, dir) =>
+        val report = graft.ext.StateAudit.healthReport(spark, dir,
+          pillarTables(pillar(p)),
+          maxVersions = opts.getOrElse("max-versions", "64").toInt,
+          maxFilesPerLeafDir = opts.getOrElse("max-files-per-leaf", "4").toInt)
+        report.collect().foreach { r =>
+          out.println(s"[state] table=${r.getString(0)} files=${r.getLong(1)} " +
+            s"bytes=${r.getLong(2)} leaf_dirs=${r.getLong(3)} " +
+            s"batch_versions=${r.getLong(4)} delete_versions=${r.getLong(5)} " +
+            s"advice=${r.getString(6)}")
+        }
+      case Seq("vacuum", dir) =>
+        val gone = graft.ext.StateIO.vacuumStateVersions(spark, dir)
+        out.println(if (gone.isEmpty) s"[state] nothing to vacuum in $dir"
+          else s"[state] vacuumed ${gone.mkString(", ")} from $dir")
+      case Seq("audit", ls, ps, ts) =>
+        val divergent = (opts.get("asof-batch"), opts.get("asof-delete")) match {
+          case (Some(b), d) =>
+            graft.ext.StateAudit.crossPillarConsistency(Seq(
+              "lsh" -> graft.ext.StateAudit.lshLiveIdsAsOf(spark, ls,
+                b.toLong, d.getOrElse("0").toLong),
+              "postings" -> graft.ext.StateAudit.postingsLiveIdsAsOf(spark,
+                ps, b.toLong, d.getOrElse("0").toLong),
+              "tokenizer" -> graft.ext.StateAudit.tokenizerLiveIdsAsOf(spark,
+                ts, b.toLong, d.getOrElse("0").toLong)))
+          case _ =>
+            graft.ext.StateAudit.crossPillarConsistency(Seq(
+              "lsh" -> graft.ext.StateAudit.lshLiveIds(spark, ls),
+              "postings" -> graft.ext.StateAudit.postingsLiveIds(spark, ps),
+              "tokenizer" -> graft.ext.StateAudit.tokenizerLiveIds(spark, ts)))
+        }
+        val rows = divergent.collect()
+        if (rows.isEmpty) out.println("[state] CONSISTENT — the pillars " +
+          "agree document-for-document")
+        else {
+          out.println(s"[state] DIVERGENT — ${rows.length} document(s) " +
+            "disagree (id, in_lsh, in_postings, in_tokenizer):")
+          rows.foreach(r => out.println(s"[state]   ${r.getLong(0)} " +
+            s"${r.getBoolean(1)} ${r.getBoolean(2)} ${r.getBoolean(3)}"))
+        }
+      case _ => usage()
+    }
   }
 
   /** Interactive numbered menu (reference main.py:112-123, 185-215): the

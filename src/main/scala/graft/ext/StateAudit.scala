@@ -163,6 +163,73 @@ object StateAudit {
       .orderBy("id")
   }
 
+  /** Per-table STORAGE health of a state dir — the "when do I GC or
+    * compact?" signal the tagged-history design makes necessary:
+    * every tagged append/delete lands one `batch_id=N`/`delete_id=N`
+    * partition dir per table and keeps it until truncation, so file
+    * and version counts grow without bound at production cadence and
+    * someone has to notice BEFORE the small-file tax or the listing
+    * cost bites. One row per existing table:
+    * (table, files, bytes, leaf_dirs, batch_versions, delete_versions,
+    * advice) where `advice` is
+    *   - 'truncate'  — tagged versions exceed `maxVersions`
+    *     ([[graft.ext.StateIO.truncateHistory]] is the remedy; run the
+    *     pillar's `truncate*History`),
+    *   - 'compact'   — data files average more than
+    *     `maxFilesPerLeafDir` per leaf partition dir (the per-append
+    *     small-file accumulation; the pillar's `compact*State` is the
+    *     remedy),
+    *   - 'ok'        — neither.
+    * Versions take precedence (truncation collapses files too).
+    *
+    * Driver-side FS listing only — metadata-sized, no Spark job, no
+    * data read; resolves through the manifest ([[StateIO.tablePath]])
+    * and skips `_`/`.` bookkeeping files. Missing tables are omitted
+    * (a pillar never deleted from has no tombstones). */
+  def healthReport(
+      spark: SparkSession, dir: String, tables: Seq[String],
+      maxVersions: Int = 64, maxFilesPerLeafDir: Int = 4): DataFrame = {
+    require(tables.nonEmpty, "healthReport needs at least one table name")
+    StateIO.checkNoSwapInProgress(spark, dir)
+    val hconf = spark.sessionState.newHadoopConf()
+    val rows = tables.sorted.flatMap { table =>
+      val p = new org.apache.hadoop.fs.Path(
+        StateIO.tablePath(spark, dir, table))
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) None
+      else {
+        val top = fs.listStatus(p).toSeq
+        def versions(prefix: String): Long = top.count(st =>
+          st.isDirectory && st.getPath.getName.startsWith(prefix)).toLong
+        val batchVersions = versions("batch_id=")
+        val deleteVersions = versions("delete_id=")
+        var files = 0L
+        var bytes = 0L
+        val leafDirs = scala.collection.mutable.Set.empty[String]
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            files += 1
+            bytes += f.getLen
+            leafDirs += f.getPath.getParent.toString
+          }
+        }
+        val advice =
+          if (batchVersions + deleteVersions > maxVersions) "truncate"
+          else if (files > maxFilesPerLeafDir.toLong *
+              math.max(1L, leafDirs.size.toLong)) "compact"
+          else "ok"
+        Some((table, files, bytes, leafDirs.size.toLong, batchVersions,
+          deleteVersions, advice))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("table", "files", "bytes", "leaf_dirs", "batch_versions",
+      "delete_versions", "advice")
+  }
+
   /** One delete, EVERY pillar — the orchestrated write whose absence
     * [[crossPillarConsistency]] exists to detect: curation removes a
     * document slice and the removal must land in the LSH text state,

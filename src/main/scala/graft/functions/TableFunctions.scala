@@ -223,6 +223,11 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "state_consistency", exprs => stateConsistency(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "state_consistency_asof",
+      exprs => stateConsistencyAsof(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "state_health", exprs => stateHealth(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "ivf_asof", exprs => ivfAsof(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "stats_asof", exprs => statsAsof(spark, exprs), "built-in")
@@ -400,6 +405,47 @@ object TableFunctions {
       "lsh" -> StateAudit.lshLiveIds(spark, lshDir),
       "postings" -> StateAudit.postingsLiveIds(spark, postingsDir),
       "tokenizer" -> StateAudit.tokenizerLiveIds(spark, tokenizerDir))))
+  }
+
+  /** `state_consistency_asof('lsh_dir', 'postings_dir', 'tokenizer_dir',
+    * asof_batch, asof_delete)` → [[StateAudit.crossPillarConsistency]]
+    * over each pillar's AS-OF live ids — "were the pillars consistent
+    * as of (append B, delete D)?", the forensic question an
+    * orchestrator crash actually raises. Same partition-pruned cut the
+    * pillar as-of reads use; zero rows = the pillars agreed at that
+    * version. Sub-floor bounds on a truncated history refuse. */
+  private def stateConsistencyAsof(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "state_consistency_asof"
+    requireArity(f, exprs, min = 5, max = 5)
+    val args = new Args(f, exprs)
+    val lshDir = args.name("lsh_dir")
+    val postingsDir = args.name("postings_dir")
+    val tokenizerDir = args.name("tokenizer_dir")
+    val b = args.long("asof_batch")
+    val d = args.long("asof_delete")
+    plan(StateAudit.crossPillarConsistency(Seq(
+      "lsh" -> StateAudit.lshLiveIdsAsOf(spark, lshDir, b, d),
+      "postings" -> StateAudit.postingsLiveIdsAsOf(spark, postingsDir, b, d),
+      "tokenizer" ->
+        StateAudit.tokenizerLiveIdsAsOf(spark, tokenizerDir, b, d))))
+  }
+
+  /** `state_health('dir', 'tables_csv'[, max_versions,
+    * max_files_per_leaf])` → [[StateAudit.healthReport]]: per-table
+    * file/byte/version counts of a state dir plus the GC signal
+    * ('truncate' | 'compact' | 'ok') — the when-to-maintain report an
+    * operator of the tagged-history store needs. Driver-side listing,
+    * no data read. */
+  private def stateHealth(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "state_health"
+    requireArity(f, exprs, min = 2, max = 4)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val tables = args.name("tables_csv").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val maxVersions = if (args.exhausted) 64 else args.int("max_versions")
+    val maxFiles = if (args.exhausted) 4 else args.int("max_files_per_leaf")
+    plan(StateAudit.healthReport(spark, dir, tables, maxVersions, maxFiles))
   }
 
   /** `sample_from_state('dir', groups_table, 'id', 'group', total_tokens[,

@@ -2918,6 +2918,213 @@ object Extensions {
       .orderBy("snapshot", "rank")
   }
 
+  /** x145 — SINGLE-WRITER LEASE on the state dirs
+    * ([[graft.ext.StateIO.withWriterLock]]): every guard before round
+    * 15 assumed the other writer was DEAD (crash remnants, swap
+    * markers); this is the refusal of a writer that is still ALIVE —
+    * exactly what an at-least-once orchestrator's concurrent retry
+    * produces (two appends, or an append racing a truncation,
+    * interleaving partition overwrites no marker protocol can untangle
+    * after the fact). The fixture plants a foreign UNEXPIRED lease and
+    * observes every mutating entry point refuse (append / delete /
+    * truncate — engine-observed, pinned TRUE); then swaps in an
+    * EXPIRED lease — the artifact a crashed writer leaves — and the
+    * same append takes it over and lands, releasing the lock on the
+    * way out. The final stats fold hash-matches the full corpus, so
+    * the takeover append demonstrably applied. */
+  def x145(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x145_state").toFile.getAbsolutePath + "/stats"
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    Profile.appendStatsState(b1, state, "text", "source", Some(1L))
+    val lock = new org.apache.hadoop.fs.Path(state, "_writer_lock")
+    val fs = lock.getFileSystem(s.sessionState.newHadoopConf())
+    def plantLease(expiresAtMs: Long): Unit = {
+      val out = fs.create(lock, true)
+      try out.write(s"other-host:pid=1:thread=1:lease\n$expiresAtMs\n"
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+    plantLease(System.currentTimeMillis() + 3600000L) // live foreign writer
+    def refused(f: => Unit): Boolean =
+      try { f; false }
+      catch { case _: StateIO.ConcurrentWriter => true }
+    val refusedAppend = refused(
+      Profile.appendStatsState(b2, state, "text", "source", Some(2L)))
+    val refusedDelete = refused(
+      Profile.deleteFromStatsState(b1.limit(1), state, "text", "source",
+        Some(1L)))
+    val refusedTruncate = refused(
+      Profile.truncateStatsHistory(s, state, floor = 1L))
+    // the crashed-writer artifact: an EXPIRED lease — taken over, the
+    // append lands, and orderly completion releases the lock
+    plantLease(System.currentTimeMillis() - 1000L)
+    Profile.appendStatsState(b2, state, "text", "source", Some(2L))
+    val released = !fs.exists(lock)
+    Profile.statsReport(s, state)
+      .withColumnRenamed("grp", "source")
+      .select(col("source"), col("n_docs"), col("tokens"))
+      .withColumn("refused_live_append", lit(refusedAppend))
+      .withColumn("refused_live_delete", lit(refusedDelete))
+      .withColumn("refused_live_truncate", lit(refusedTruncate))
+      .withColumn("stale_lease_released", lit(released))
+      .orderBy("source")
+  }
+
+  /** x146 — MANIFEST (object-store-safe) COMMITS
+    * ([[graft.ext.StateIO.enableManifestCommits]]): the rename-based
+    * swap protocol's correctness rests on atomic `fs.rename`, which
+    * S3-class stores do not provide — at the 100 TB design point the
+    * default substrate. In manifest mode a content swap stages into
+    * fresh versioned directories (pure creates — NO data-dir rename
+    * exists to be non-atomic) and commits by overwriting one small
+    * `_versions` pointer file; every read resolves through it. The
+    * gate re-runs x122's recluster on a manifest-mode state and pins
+    * the protocol from both sides of the commit point: a crash with
+    * one of two tables staged leaves reads serving the FULL OLD fit
+    * with nothing gated and nothing to roll forward (engine-compared,
+    * pinned TRUE — the exact window where the rename protocol needs
+    * its marker), vacuum reclaims exactly the staged orphan, and the
+    * completed recluster's reads hash-match the same full-retrain
+    * oracle as x122. */
+  def x146(s: SparkSession, dir: String): DataFrame = {
+    val emb = driftedEmb(s, dir)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x146_state").toFile.getAbsolutePath
+    val b1 = col("vec_id") < 8 || pmod(col("vec_id"), lit(10)) < 4
+    val b3 = pmod(col("vec_id"), lit(10)) >= 7
+    Similarity.appendIvfState(emb.filter(b1), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(!b1 && !b3), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.appendIvfState(emb.filter(!b1 && b3), state,
+      k = 8, iters = 2, batchTag = Some(3L))
+    StateIO.enableManifestCommits(s, state)
+    def reads() = Similarity.ivfTopKFromState(s, state,
+        emb.filter(col("vec_id") < 10), topK = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+    val before = reads().collect().toSeq
+    // crash with centroids staged and cells NOT — the rename protocol's
+    // mixed-fit window; here the pointer still names both OLD dirs
+    val crashed =
+      try { Similarity.reclusterIvfState(s, state, crashAfterApplied = 1); false }
+      catch { case _: StateIO.InjectedCrash => true }
+    val oldFitServed = crashed && reads().collect().toSeq == before
+    val noRollforward = !StateIO.recoverSwap(s, state)
+    val reclaimed =
+      StateIO.vacuumStateVersions(s, state) == Seq("centroids__v0001")
+    Similarity.reclusterIvfState(s, state) // the real commit
+    reads()
+      .withColumn("old_fit_served_after_crash", lit(oldFitServed))
+      .withColumn("no_rollforward_needed", lit(noRollforward))
+      .withColumn("staged_orphan_reclaimed", lit(reclaimed))
+      .orderBy("query_id", "rank")
+  }
+
+  /** x147 — CONSISTENCY AUDIT OVER AS-OF CUTS (the
+    * `state_consistency_asof` TVF surface): x128 audits the pillars'
+    * CURRENT live ids; after an orchestrator crash the forensic
+    * question is historical — "were the pillars consistent as of
+    * (append B, delete D)?" — and the tagged partition history answers
+    * it as a pure pruned filter (the x138 free-time-travel pattern on
+    * the audit itself). Same planted failure as x128 (delete slice B
+    * reaches postings only, at delete tag 2): the CURRENT audit must
+    * surface exactly the B-survivors, while the (B=2, D=1) cut — the
+    * last version before the partial delete — and the (B=1, D=0) cut
+    * must both come back CONSISTENT (zero divergence rows,
+    * engine-observed, pinned TRUE). */
+  def x147(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x147_state").toFile.getAbsolutePath
+    val (ls, ps, ts) = (s"$root/lsh", s"$root/postings", s"$root/tokenizer")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    Dedup.appendLshState(b1, "doc_id", "text", ls, batchTag = Some(1L))
+    Dedup.appendLshState(b2, "doc_id", "text", ls, batchTag = Some(2L))
+    Index.appendPostingsState(b1, ps, "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(b2, ps, "doc_id", "text", batchTag = Some(2L))
+    Bpe.appendTokenizerState(b1, ts, "doc_id", "text", numMerges = 4,
+      batchTag = Some(1L))
+    Bpe.appendTokenizerState(b2, ts, "doc_id", "text", numMerges = 4,
+      batchTag = Some(2L))
+    val sliceA = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id"))
+    Dedup.deleteFromLshState(s, ls, sliceA, "doc_id", deleteTag = Some(1L))
+    Index.deleteFromPostingsState(s, ps, sliceA, "doc_id",
+      deleteTag = Some(1L))
+    Bpe.deleteFromTokenizerState(s, ts, sliceA, "doc_id",
+      deleteTag = Some(1L))
+    // the planted partial failure, at delete tag 2: postings only
+    Index.deleteFromPostingsState(s, ps,
+      docs.filter(pmod(col("doc_id"), lit(11)) === 5).select(col("doc_id")),
+      "doc_id", deleteTag = Some(2L))
+    def auditAsOf(b: Long, d: Long) =
+      StateAudit.crossPillarConsistency(Seq(
+        "lsh" -> StateAudit.lshLiveIdsAsOf(s, ls, b, d),
+        "postings" -> StateAudit.postingsLiveIdsAsOf(s, ps, b, d),
+        "tokenizer" -> StateAudit.tokenizerLiveIdsAsOf(s, ts, b, d)))
+    val preDeleteConsistent = auditAsOf(2L, 1L).isEmpty
+    val batch1Consistent = auditAsOf(1L, 0L).isEmpty
+    StateAudit.crossPillarConsistency(Seq(
+        "lsh" -> StateAudit.lshLiveIds(s, ls),
+        "postings" -> StateAudit.postingsLiveIds(s, ps),
+        "tokenizer" -> StateAudit.tokenizerLiveIds(s, ts)))
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("asof_2_1_consistent", lit(preDeleteConsistent))
+      .withColumn("asof_1_0_consistent", lit(batch1Consistent))
+      .orderBy("doc_id")
+  }
+
+  /** x148 — STATE-DIR HEALTH REPORT ([[StateAudit.healthReport]], the
+    * `state_health` TVF): the "when do I GC?" signal the tagged-history
+    * design owes its operators — every tagged append/delete keeps one
+    * partition dir per table until truncation, so version and file
+    * counts grow without bound and the report is what says
+    * 'truncate'/'compact' BEFORE the small-file tax bites. Fixture:
+    * four appended batches + one delete on the postings pillar, then
+    * truncate(floor=4) + compact. The report must flag every
+    * batch-tagged table 'truncate' before (4 versions > maxVersions=3)
+    * and 'ok' after (1 collapsed version), with the per-table version
+    * counts exact and the file-count DECREASE engine-observed
+    * (pinned TRUE) — the advice column demonstrably tracks the GC. */
+  def x148(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x148_state").toFile.getAbsolutePath + "/postings"
+    (0 to 3).foreach { i =>
+      Index.appendPostingsState(
+        docs.filter(pmod(col("doc_id"), lit(4)) === i), state,
+        "doc_id", "text", batchTag = Some(i + 1L))
+    }
+    Index.deleteFromPostingsState(s, state,
+      docs.filter(pmod(col("doc_id"), lit(9)) === 2).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val tables = Seq("postings", "totals", "docs")
+    def report(phase: String) = StateAudit.healthReport(s, state, tables,
+        maxVersions = 3, maxFilesPerLeafDir = 1000000)
+      .select(lit(phase).as("phase"), col("table"), col("files"),
+        col("batch_versions"), col("delete_versions"), col("advice"))
+    val before = Dedup.materialize(report("t1_grown"))
+    Index.truncatePostingsHistory(s, state, floor = 4L)
+    Index.compactPostingsState(s, state)
+    val after = Dedup.materialize(report("t2_collapsed"))
+    val filesBefore = before.select(col("table"), col("files"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val filesAfter = after.select(col("table"), col("files"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val decreased = tables.forall(t => filesAfter(t) < filesBefore(t))
+    before.unionByName(after)
+      .select(col("phase"), col("table"), col("batch_versions"),
+        col("delete_versions"), col("advice"))
+      .withColumn("files_decreased", lit(decreased))
+      .orderBy("phase", "table")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3159,7 +3366,11 @@ object Extensions {
     "x141_stats_truncate" -> (x141 _),
     "x142_tokenizer_truncate" -> (x142 _),
     "x143_ingest_everywhere" -> (x143 _),
-    "x144_state_branch" -> (x144 _)
+    "x144_state_branch" -> (x144 _),
+    "x145_writer_lease" -> (x145 _),
+    "x146_manifest_commit" -> (x146 _),
+    "x147_consistency_asof" -> (x147 _),
+    "x148_state_health" -> (x148 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -6551,6 +6762,82 @@ object Extensions {
          |  SELECT 't_src_asof' AS snapshot, doc_id, score, rank FROM (
          |${bm25TopKOracleSqlWhere(
               " WHERE doc_id < 300 AND doc_id % 7 <> 3")})
-         |) ORDER BY snapshot, rank""".stripMargin
+         |) ORDER BY snapshot, rank""".stripMargin,
+
+    // x145: both batches landed (the live-lease delete/truncate attempts
+    // were refused, the stale-lease append took over and applied), so
+    // the stats fold is the full corpus; refusal + release booleans
+    // engine-observed, pinned TRUE
+    "x145_writer_lease" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |  TRUE AS refused_live_append, TRUE AS refused_live_delete,
+        |  TRUE AS refused_live_truncate, TRUE AS stale_lease_released
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // x146: x122's full-retrain chain (the manifest-mode recluster must
+    // land the identical new fit), with the crash-window booleans —
+    // old fit served with one table staged, no roll-forward, orphan
+    // vacuumed — engine-observed and pinned TRUE
+    "x146_manifest_commit" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(range(1, 65), j ->
+         |    CASE WHEN vec_id % 10 >= 7 AND vec_id >= 20
+         |      THEN CASE WHEN j = 1 THEN 6.0 ELSE 0.0 END
+         |      ELSE CASE WHEN vec_id % 8 = (j - 1) % 8 THEN 4.0 ELSE 0.0 END
+         |    END
+         |    + ((CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR),
+         |          ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT) % 1000)
+         |        / 1000.0 - 0.5) * 0.5) AS v
+         |  FROM embeddings),
+         |${kmeansTrainCtes("e")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  round(cos, 4) AS cos_sim,
+         |  TRUE AS old_fit_served_after_crash,
+         |  TRUE AS no_rollforward_needed,
+         |  TRUE AS staged_orphan_reclaimed
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // x147: the current audit surfaces exactly the slice-B survivors
+    // (the x128 relation); both historical cuts — pre-partial-delete
+    // (2,1) and batch-1-only (1,0) — audit consistent, pinned TRUE
+    "x147_consistency_asof" ->
+      """SELECT doc_id, TRUE AS in_lsh, FALSE AS in_postings,
+        |  TRUE AS in_tokenizer,
+        |  TRUE AS asof_2_1_consistent, TRUE AS asof_1_0_consistent
+        |FROM documents
+        |WHERE doc_id % 7 <> 3 AND doc_id % 11 = 5
+        |ORDER BY doc_id""".stripMargin,
+
+    // x148: the health report's version counts and advice are exact
+    // literals (4 tagged batches > maxVersions=3 -> 'truncate'; one
+    // collapsed base -> 'ok'); the file-count decrease across
+    // truncate+compact is engine-observed, pinned TRUE
+    "x148_state_health" ->
+      """SELECT phase, "table", CAST(batch_versions AS BIGINT)
+        |    AS batch_versions,
+        |  CAST(delete_versions AS BIGINT) AS delete_versions, advice,
+        |  TRUE AS files_decreased
+        |FROM (VALUES
+        |  ('t1_grown', 'docs', 4, 0, 'truncate'),
+        |  ('t1_grown', 'postings', 4, 0, 'truncate'),
+        |  ('t1_grown', 'totals', 4, 0, 'truncate'),
+        |  ('t2_collapsed', 'docs', 1, 0, 'ok'),
+        |  ('t2_collapsed', 'postings', 1, 0, 'ok'),
+        |  ('t2_collapsed', 'totals', 1, 0, 'ok'))
+        |  AS v(phase, "table", batch_versions, delete_versions, advice)
+        |ORDER BY phase, "table"""".stripMargin
   )
 }

@@ -33,4 +33,68 @@ class MenuSpec extends SparkSpec {
     assert(printed.contains("No filename provided"))
     assert(printed.contains("Goodbye!")) // readLine EOF → treated as exit
   }
+
+  private def state(args: String*): (String, Map[String, String]) = {
+    // mirror Main.main's arg split: --key value pairs vs positionals
+    val optPairs = scala.collection.mutable.Map.empty[String, String]
+    val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val a = args.toArray
+    while (i < a.length) {
+      if (a(i).startsWith("--") && i + 1 < a.length) {
+        optPairs(a(i).drop(2)) = a(i + 1); i += 2
+      } else { positional += a(i); i += 1 }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.PrintStream(bos, true, "UTF-8")
+    Main.stateCmd(spark, positional.toSeq, optPairs.toMap, out)
+    (bos.toString("UTF-8"), optPairs.toMap)
+  }
+
+  test("state subcommand: recover / truncate / health / audit / clone drive the lifecycle") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft_menu_state").toString
+    val (ls, ps, ts) = (s"$root/lsh", s"$root/postings", s"$root/tok")
+    val b1 = docs.filter(col("doc_id") < 60)
+    val b2 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+    Seq(1L -> b1, 2L -> b2).foreach { case (tag, b) =>
+      graft.ext.Dedup.appendLshState(b, "doc_id", "text", ls,
+        batchTag = Some(tag))
+      graft.ext.Index.appendPostingsState(b, ps, "doc_id", "text",
+        batchTag = Some(tag))
+      graft.ext.Bpe.appendTokenizerState(b, ts, "doc_id", "text",
+        numMerges = 3, batchTag = Some(tag))
+    }
+    // healthy recover is a loud no-op
+    assert(state("recover", "postings", ps)._1.contains("nothing to recover"))
+    // consistent audit says so explicitly; a postings-only delete flips it
+    assert(state("audit", ls, ps, ts)._1.contains("CONSISTENT"))
+    graft.ext.Index.deleteFromPostingsState(spark, ps,
+      docs.filter(col("doc_id") === 7).select(col("doc_id")), "doc_id",
+      deleteTag = Some(1L))
+    val div = state("audit", ls, ps, ts)._1
+    assert(div.contains("DIVERGENT") && div.contains("7 true false true"))
+    // …and the as-of audit of the pre-delete version stays consistent
+    assert(state("audit", ls, ps, ts, "--asof-batch", "2",
+      "--asof-delete", "0")._1.contains("CONSISTENT"))
+    // health names the version growth; truncate collapses it
+    val grown = state("health", "postings", ps, "--max-versions", "1")._1
+    assert(grown.contains("advice=truncate"))
+    assert(state("truncate", "postings", ps, "--floor", "2")._1
+      .contains("collapsed history <= 2"))
+    val collapsed = state("health", "postings", ps, "--max-versions", "1")._1
+    assert(collapsed.contains("batch_versions=1") &&
+      !collapsed.contains("advice=truncate"))
+    // clone branches at a version
+    assert(state("clone", "tokenizer", ts, s"$ts.branch",
+      "--asof-batch", "1")._1.contains("branched"))
+    assert(graft.ext.Bpe.readDocTokens(spark, s"$ts.branch").count() ==
+      b1.count())
+    // bad input is a usage error, not a silent no-op
+    intercept[IllegalArgumentException](state("truncate", "postings", ps))
+    intercept[IllegalArgumentException](state("health", "nosuch", ps))
+    intercept[IllegalArgumentException](state("frobnicate"))
+  }
 }

@@ -572,6 +572,61 @@ class TableFunctionsSpec extends SparkSpec {
         "doc_id", "q", 3000L, asOfBatch = 1L, asOfDelete = 0L))
   }
 
+  test("round-15 state TVFs: state_consistency_asof, state_health") {
+    ready()
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tvf_r15").toFile.getAbsolutePath
+    val (ls, ps, ts) = (s"$root/lsh", s"$root/postings", s"$root/tok")
+    val b1 = docs.filter($"doc_id" < 80)
+    val b2 = docs.filter($"doc_id" >= 80 && $"doc_id" < 160)
+    Seq(1L -> b1, 2L -> b2).foreach { case (tag, b) =>
+      graft.ext.Dedup.appendLshState(b, "doc_id", "text", ls,
+        batchTag = Some(tag))
+      graft.ext.Index.appendPostingsState(b, ps, "doc_id", "text",
+        batchTag = Some(tag))
+      graft.ext.Bpe.appendTokenizerState(b, ts, "doc_id", "text",
+        numMerges = 3, batchTag = Some(tag))
+    }
+    // a partial delete (postings only) diverges the CURRENT audit…
+    graft.ext.Index.deleteFromPostingsState(spark, ps,
+      docs.filter($"doc_id" % 5 === 1).select($"doc_id"), "doc_id",
+      deleteTag = Some(1L))
+    assert(spark.sql(
+      s"SELECT * FROM state_consistency('$ls', '$ps', '$ts')").count() > 0)
+    // …while the pre-delete cut audits CONSISTENT, and the TVF matches
+    // the API composition exactly
+    assertSame(
+      spark.sql("SELECT * FROM state_consistency_asof(" +
+        s"'$ls', '$ps', '$ts', 2, 0)"),
+      graft.ext.StateAudit.crossPillarConsistency(Seq(
+        "lsh" -> graft.ext.StateAudit.lshLiveIdsAsOf(spark, ls, 2L, 0L),
+        "postings" ->
+          graft.ext.StateAudit.postingsLiveIdsAsOf(spark, ps, 2L, 0L),
+        "tokenizer" ->
+          graft.ext.StateAudit.tokenizerLiveIdsAsOf(spark, ts, 2L, 0L))))
+    assert(spark.sql("SELECT * FROM state_consistency_asof(" +
+      s"'$ls', '$ps', '$ts', 2, 0)").count() == 0)
+    assertSame(
+      spark.sql(s"SELECT * FROM state_health('$ps', " +
+        "'postings,totals,docs,tombstones', 3, 1000000)"),
+      graft.ext.StateAudit.healthReport(spark, ps,
+        Seq("postings", "totals", "docs", "tombstones"),
+        maxVersions = 3, maxFilesPerLeafDir = 1000000))
+    // 2 tagged batches <= maxVersions=3 -> every table reads 'ok'
+    val advice = spark.sql(s"SELECT advice FROM state_health('$ps', " +
+      "'postings,totals,docs', 3, 1000000)")
+      .collect().map(_.getString(0)).toSet
+    assert(advice == Set("ok"))
+    // …and with maxVersions=1 the grown batch tables flag 'truncate'
+    val tight = spark.sql(s"SELECT `table`, advice FROM state_health(" +
+      s"'$ps', 'postings,totals,docs', 1, 1000000)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tight == Map("postings" -> "truncate", "totals" -> "truncate",
+      "docs" -> "truncate"))
+  }
+
   test("round-14 wave-2 TVFs: state_diff, mmr_from_state, capped_mix") {
     ready()
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
