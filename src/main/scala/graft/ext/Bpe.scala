@@ -527,10 +527,26 @@ object Bpe {
       spark: org.apache.spark.sql.SparkSession, srcDir: String,
       dstDir: String, asOfBatch: Long, asOfDelete: Long = 0L): Unit =
     StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
-      Seq(
-        StateIO.TruncTable("doc_tokens", "batch_id"),
-        StateIO.TruncTable("tombstones", "delete_id", required = false)),
-      rawCopies = Seq("merges", "_meta"))
+      tokenizerStateTables, rawCopies = tokenizerStateRawCopies)
+
+  /** The tokenizer pillar's table topology + frozen artifacts — shared
+    * by [[cloneTokenizerState]] and [[fastForwardTokenizerState]]. */
+  private[ext] val tokenizerStateTables: Seq[StateIO.TruncTable] = Seq(
+    StateIO.TruncTable("doc_tokens", "batch_id"),
+    StateIO.TruncTable("tombstones", "delete_id", required = false))
+  private[ext] val tokenizerStateRawCopies: Seq[String] =
+    Seq("merges", "_meta")
+
+  /** Catch a [[cloneTokenizerState]] branch up to its source's current
+    * head ([[graft.ext.StateIO.fastForwardState]] over the tokenizer
+    * pillar); frozen `merges`/`_meta` must still be byte-identical (a
+    * retrained source counts in different units — re-clone). Returns
+    * the new (batch, delete) head. */
+  def fastForwardTokenizerState(
+      spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String): (Long, Long) =
+    StateIO.fastForwardState(spark, srcDir, dstDir, tokenizerStateTables,
+      rawCopies = tokenizerStateRawCopies)
 
   /** [[graft.ext.Sampling.tokenBudget]] answered from persisted encoded
     * counts: the budget prefix sum runs over the narrow (id, bpe_tokens)

@@ -775,12 +775,26 @@ object Dedup {
       spark: SparkSession, srcDir: String, dstDir: String,
       asOfBatch: Long, asOfDelete: Long = 0L): Unit =
     StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
-      Seq(
-        StateIO.TruncTable("reps", "batch_id"),
-        StateIO.TruncTable("bands", "batch_id"),
-        StateIO.TruncTable("members", "batch_id"),
-        StateIO.TruncTable("tombstones", "delete_id", required = false)),
-      rawCopies = Seq("_meta"))
+      lshStateTables, rawCopies = lshStateRawCopies)
+
+  /** The text pillar's table topology + frozen signature parameters —
+    * shared by [[cloneLshState]] and [[fastForwardLshState]]. */
+  private[ext] val lshStateTables: Seq[StateIO.TruncTable] = Seq(
+    StateIO.TruncTable("reps", "batch_id"),
+    StateIO.TruncTable("bands", "batch_id"),
+    StateIO.TruncTable("members", "batch_id"),
+    StateIO.TruncTable("tombstones", "delete_id", required = false))
+  private[ext] val lshStateRawCopies: Seq[String] = Seq("_meta")
+
+  /** Catch a [[cloneLshState]] branch up to its source's current head
+    * ([[graft.ext.StateIO.fastForwardState]] over the text pillar);
+    * `_meta` must still match the branch's copy (changed signature
+    * parameters would band incompatibly — re-clone). Returns the new
+    * (batch, delete) head. */
+  def fastForwardLshState(
+      spark: SparkSession, srcDir: String, dstDir: String): (Long, Long) =
+    StateIO.fastForwardState(spark, srcDir, dstDir, lshStateTables,
+      rawCopies = lshStateRawCopies)
 
   /** Shared state-dir compaction engine ([[compactLshState]],
     * [[Similarity.compactIvfState]], [[Profile.compactStatsState]],

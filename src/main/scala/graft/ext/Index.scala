@@ -634,18 +634,38 @@ object Index {
     * exact integers the as-of fold computes. Later appends, deletes,
     * compactions, and truncations of the clone leave the source
     * untouched — the what-if curation branch a production index needs. */
+  /** The postings pillar's table topology — shared by
+    * [[clonePostingsState]] and [[fastForwardPostingsState]]. */
+  private[ext] val postingsStateTables: Seq[StateIO.TruncTable] = Seq(
+    StateIO.TruncTable("postings", "batch_id", Seq("bucket")),
+    StateIO.TruncTable("docs", "batch_id"),
+    StateIO.TruncTable("totals", "batch_id"),
+    StateIO.TruncTable("positions", "batch_id", Seq("bucket"),
+      required = false),
+    StateIO.TruncTable("tombstones", "delete_id", required = false),
+    StateIO.TruncTable("tomb_totals", "delete_id", required = false))
+
   def clonePostingsState(
       spark: org.apache.spark.sql.SparkSession, srcDir: String,
       dstDir: String, asOfBatch: Long, asOfDelete: Long = 0L): Unit =
     StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
-      Seq(
-        StateIO.TruncTable("postings", "batch_id", Seq("bucket")),
-        StateIO.TruncTable("docs", "batch_id"),
-        StateIO.TruncTable("totals", "batch_id"),
-        StateIO.TruncTable("positions", "batch_id", Seq("bucket"),
-          required = false),
-        StateIO.TruncTable("tombstones", "delete_id", required = false),
-        StateIO.TruncTable("tomb_totals", "delete_id", required = false)))
+      postingsStateTables)
+
+  /** Catch a [[clonePostingsState]] branch up to its source's current
+    * head ([[graft.ext.StateIO.fastForwardState]] over the postings
+    * pillar): the missing `batch_id` partitions copy individually
+    * (postings/docs/totals/positions — O(new batches), never O(branch)),
+    * the tombstone-sized delete tables rewrite wholesale, and the
+    * branch's `_branch` lineage advances — the incremental alternative
+    * to re-cloning a months-old branch. Diverged branches (local writes
+    * past the cut), a source that truncated past the branch point, and
+    * mid-crash states all refuse by name; a crashed catch-up gates
+    * every read until this is re-run. Returns the new (batch, delete)
+    * head. */
+  def fastForwardPostingsState(
+      spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String): (Long, Long) =
+    StateIO.fastForwardState(spark, srcDir, dstDir, postingsStateTables)
 
   /** [[bm25TopK]] answered from [[appendPostingsState]] parquet —
     * output-identical to the batch path over the same corpus (ExtSpec

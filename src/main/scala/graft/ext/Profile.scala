@@ -447,10 +447,21 @@ object Profile {
       spark: org.apache.spark.sql.SparkSession, srcDir: String,
       dstDir: String, asOfBatch: Long, asOfDelete: Long = 0L): Unit =
     StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
-      Seq(
-        StateIO.TruncTable("stats", "batch_id"),
-        StateIO.TruncTable("stats_deltas", "delete_id",
-          required = false)))
+      statsStateTables)
+
+  /** The accounting pillar's table topology — shared by
+    * [[cloneStatsState]] and [[fastForwardStatsState]]. */
+  private[ext] val statsStateTables: Seq[StateIO.TruncTable] = Seq(
+    StateIO.TruncTable("stats", "batch_id"),
+    StateIO.TruncTable("stats_deltas", "delete_id", required = false))
+
+  /** Catch a [[cloneStatsState]] branch up to its source's current head
+    * ([[graft.ext.StateIO.fastForwardState]] over the accounting
+    * pillar). Returns the new (batch, delete) head. */
+  def fastForwardStatsState(
+      spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String): (Long, Long) =
+    StateIO.fastForwardState(spark, srcDir, dstDir, statsStateTables)
 
   /** Small-file maintenance for an [[appendStatsState]] dir — rows (one
     * per source per batch, sketches included) are preserved exactly;

@@ -811,10 +811,26 @@ object Similarity {
       spark: SparkSession, srcDir: String, dstDir: String,
       asOfBatch: Long, asOfDelete: Long = 0L): Unit =
     StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
-      Seq(
-        StateIO.TruncTable("cells", "batch_id"),
-        StateIO.TruncTable("tombstones", "delete_id", required = false)),
-      rawCopies = Seq("centroids", "_meta"))
+      ivfStateTables, rawCopies = ivfStateRawCopies)
+
+  /** The vector pillar's table topology + frozen artifacts — shared by
+    * [[cloneIvfState]] and [[fastForwardIvfState]]. */
+  private[ext] val ivfStateTables: Seq[StateIO.TruncTable] = Seq(
+    StateIO.TruncTable("cells", "batch_id"),
+    StateIO.TruncTable("tombstones", "delete_id", required = false))
+  private[ext] val ivfStateRawCopies: Seq[String] = Seq("centroids", "_meta")
+
+  /** Catch a [[cloneIvfState]] branch up to its source's current head
+    * ([[graft.ext.StateIO.fastForwardState]] over the vector pillar).
+    * The frozen `centroids`/`_meta` must still be byte-identical to the
+    * branch's copies — a source that RECLUSTERED since the branch
+    * refuses by name (its post-branch cells are assigned under a
+    * geometry the branch does not hold; re-clone). Returns the new
+    * (batch, delete) head. */
+  def fastForwardIvfState(
+      spark: SparkSession, srcDir: String, dstDir: String): (Long, Long) =
+    StateIO.fastForwardState(spark, srcDir, dstDir, ivfStateTables,
+      rawCopies = ivfStateRawCopies)
 
   /** RECLUSTER an [[appendIvfState]] dir in place — the operator that
     * ACTS on [[ivfStateAudit]]'s `retrain_recommended` verdict (until

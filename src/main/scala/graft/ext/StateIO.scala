@@ -97,21 +97,31 @@ private[graft] object StateIO {
       s"fault injection: simulated crash after $applied applied table swap(s)")
 
   /** Fail fast if a multi-table swap committed but did not finish
-    * applying ([[swapInTables]] crashed after publishing its marker).
-    * Shared by [[checkNoCompactRemnants]] (all append/delete/compact
-    * entry points) and the state READ paths: between the marker and the
-    * last rename the dir can pair NEW tables with OLD ones (e.g.
-    * reclustered centroids over cells assigned under the old geometry —
-    * cid values silently refer to different clusters), so nothing may
-    * read until the roll-forward completes. */
+    * applying ([[swapInTables]] crashed after publishing its marker), or
+    * if a branch catch-up ([[fastForwardState]]) is mid-apply. Shared by
+    * [[checkNoCompactRemnants]] (all append/delete/compact entry points)
+    * and the state READ paths: between a swap marker and the last rename
+    * the dir can pair NEW tables with OLD ones (e.g. reclustered
+    * centroids over cells assigned under the old geometry — cid values
+    * silently refer to different clusters), and between a fast-forward's
+    * marker and its last table the dir can pair caught-up appends with
+    * the branch point's delete set — neither is any version that ever
+    * existed, so nothing may read until the roll-forward completes. */
   def checkNoSwapInProgress(spark: SparkSession, dir: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
     val marker = new org.apache.hadoop.fs.Path(dir, SwapCommitMarker)
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = marker.getFileSystem(hconf)
     require(!fs.exists(marker),
       s"found $marker — a multi-table swap (recluster) committed but did " +
         "not finish applying; run StateIO.recoverSwap (or the pillar's " +
         "recover entry point, e.g. Similarity.recoverIvfState) to roll it " +
         "forward before touching the state")
+    val ff = new org.apache.hadoop.fs.Path(dir, FfPendingMarker)
+    require(!fs.exists(ff),
+      s"found $ff — a branch catch-up (fastForward) started but did not " +
+        "finish; re-run the pillar's fastForward entry point (e.g. " +
+        "Index.fastForwardPostingsState) to complete it before touching " +
+        "the state")
   }
 
   /** Name of the lease file [[withWriterLock]] holds while a mutating
@@ -681,6 +691,11 @@ private[graft] object StateIO {
     }
     val floor = readHistoryFloor(spark, srcDir)
     if (floor > 0L) writeHistoryFloor(spark, dstDir, floor)
+    // branch lineage: record where this clone came from and the cut it
+    // was taken at — what [[fastForwardState]] needs to catch the
+    // branch up later (and to refuse a dir that is not a branch at all)
+    writeBranchInfo(spark, dstDir,
+      BranchInfo(qualifyDir(spark, srcDir), asOfBatch, asOfDelete))
   }
 
   /** Replace the CONTENT of one or more state tables under a SINGLE
@@ -884,4 +899,292 @@ private[graft] object StateIO {
     fs.delete(marker, false)
     true
   }
+
+  // ----------------------------------------------------------------
+  // Branch catch-up (fast-forward)
+  // ----------------------------------------------------------------
+
+  /** Lineage file a [[cloneStateAsOf]] destination carries: the source
+    * dir and the (batch, delete) cut the branch was taken at — what
+    * [[fastForwardState]] validates against and advances. */
+  private[graft] val BranchFile = "_branch"
+
+  /** Marker a [[fastForwardState]] publishes before its first mutation
+    * of the branch. While it exists the branch may pair caught-up
+    * append partitions with the branch point's delete tables — not any
+    * version that ever existed — so every read and mutating entry point
+    * fails fast on it ([[checkNoSwapInProgress]]) until a re-run of the
+    * fast-forward completes and clears it. */
+  private[graft] val FfPendingMarker = "_ff_pending"
+
+  private[graft] final case class BranchInfo(
+      src: String, batch: Long, delete: Long)
+
+  private[graft] def qualifyDir(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+  }
+
+  /** Atomic small-file publish (tmp write + OVERWRITE rename — the
+    * [[publishManifest]] discipline): a reader sees the whole old
+    * content or the whole new one, never a mix. */
+  private def publishSmallFile(
+      spark: SparkSession, dir: String, name: String,
+      content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val tmp = new org.apache.hadoop.fs.Path(dir, name + "__tmp")
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(hconf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hconf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readSmallFile(
+      spark: SparkSession, dir: String, name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  private[graft] def writeBranchInfo(
+      spark: SparkSession, dir: String, info: BranchInfo): Unit =
+    publishSmallFile(spark, dir, BranchFile,
+      s"src=${info.src}\nbatch=${info.batch}\ndelete=${info.delete}\n")
+
+  private[graft] def readBranchInfo(
+      spark: SparkSession, dir: String): Option[BranchInfo] =
+    readSmallFile(spark, dir, BranchFile).map { body =>
+      val kv = body.split("\n").map(_.trim).filter(_.contains('='))
+        .map { l =>
+          val i = l.indexOf('=')
+          (l.substring(0, i), l.substring(i + 1))
+        }.toMap
+      BranchInfo(kv("src"), kv("batch").toLong, kv("delete").toLong)
+    }
+
+  /** Content checksum of a frozen-artifact path (file or directory):
+    * MD5 over the relative-name-sorted (name, bytes) stream. A clone
+    * raw-copies these artifacts byte-identical, so equal checksums mean
+    * the source has not refit/rewritten them since the branch. */
+  private def artifactChecksum(
+      spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(q: org.apache.hadoop.fs.Path, rel: String): Seq[(String, org.apache.hadoop.fs.Path)] = {
+      val st = fs.getFileStatus(q)
+      if (st.isFile) Seq((rel, q))
+      else fs.listStatus(q).toSeq.sortBy(_.getPath.getName).flatMap { c =>
+        walk(c.getPath, rel + "/" + c.getPath.getName)
+      }
+    }
+    walk(p, "").sortBy(_._1).foreach { case (rel, f) =>
+      md.update(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val in = fs.open(f)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+    Some(md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** CATCH a branch UP to its source's current head — the incremental
+    * twin of re-cloning, shared by every pillar's `fastForward*State`:
+    * a [[cloneStateAsOf]] branch taken at (B, D) advances to the
+    * source's (B', D') by copying ONLY the missing tagged append
+    * partitions (tag in (B, B']) plus a wholesale rewrite of the
+    * delete-tagged tables (tombstone-sized by design — the bulky
+    * per-batch tables move incrementally, which is the point: catch-up
+    * cost is O(new batches + tombstones), never O(branch size) like a
+    * re-clone). Returns the new (batch, delete) cut.
+    *
+    * Refusals, each naming its remedy:
+    *  - the destination carries no `_branch` lineage (not a clone of
+    *    anything) or names a different source;
+    *  - the branch DIVERGED — it has local tagged writes past its
+    *    recorded cut (tags > B / > D): a fast-forward would interleave
+    *    two histories under one tag sequence; re-clone instead;
+    *  - the source truncated history past the branch's batch cut
+    *    (floor > B with batches to catch up): the per-tag partitions the
+    *    catch-up needs were collapsed into the base; re-clone. (Delete
+    *    tables carry no such refusal — they rewrite wholesale to the
+    *    source's current content, and the branch ADOPTS the source's
+    *    floor so sub-floor as-of bounds refuse there too.);
+    *  - a frozen artifact (centroids / merges / `_meta`) changed on the
+    *    source since the branch (recluster, retrain, or compaction
+    *    rewrote it): caught-up partitions would be encoded under a
+    *    geometry the branch does not hold; re-clone.
+    *
+    * Crash posture: after validation, the [[FfPendingMarker]] publishes
+    * atomically — from that point every read and mutating entry on the
+    * branch fails fast (the mid-copy branch pairs new appends with the
+    * old delete set: not any version that ever existed) until a RE-RUN
+    * of the same fast-forward completes idempotently (partition copies
+    * are per-tag overwrites, the delete-table rewrite lands the same
+    * content) and clears the marker. Conservative refusals, never a
+    * silent mixed answer — the same posture as the floor and swap
+    * markers.
+    *
+    * Scale shape: one distributed copy per missing batch partition
+    * (partition-pruned reads, no shuffle beyond the write's layout) +
+    * one rewrite of the tombstone-sized delete tables. Only the tag
+    * list collects to the driver. The source's lease is held through
+    * the copy (a concurrent truncation would collapse partitions
+    * mid-read), then the branch's own lease through the writes. */
+  private[graft] def fastForwardState(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      tables: Seq[TruncTable], rawCopies: Seq[String] = Nil): (Long, Long) =
+      withWriterLock(spark, srcDir) { withWriterLock(spark, dstDir) {
+    import org.apache.spark.sql.functions.{col, max}
+    val info = readBranchInfo(spark, dstDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dstDir carries no $BranchFile lineage — it is not a clone " +
+          "of any state dir; fast-forward only applies to branches " +
+          "(cloneStateAsOf destinations)"))
+    val qualifiedSrc = qualifyDir(spark, srcDir)
+    require(info.src == qualifiedSrc,
+      s"$dstDir is a branch of ${info.src}, not of $qualifiedSrc — " +
+        "fast-forward must pull from the branch's own source")
+    // the SOURCE must be healthy and quiescent at a well-defined head
+    checkNoCompactRemnants(spark, srcDir,
+      tables.map(_.name) ++ rawCopies.filterNot(_ == "_meta"))
+    // the BRANCH: crashed-compaction remnants refuse as everywhere, but
+    // our own FfPendingMarker is the re-run path, not a refusal
+    val hconf = spark.sessionState.newHadoopConf()
+    val dstPath = new org.apache.hadoop.fs.Path(dstDir)
+    val fs = dstPath.getFileSystem(hconf)
+    tables.foreach { t =>
+      val bak = new org.apache.hadoop.fs.Path(dstDir, s"${t.name}__compact_bak")
+      require(!fs.exists(bak),
+        s"found $bak — a compaction crashed mid-swap on the branch; " +
+          "restore it before fast-forwarding")
+    }
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dstDir, SwapCommitMarker)),
+      s"$dstDir has an unfinished multi-table swap — roll it forward " +
+        "(recoverSwap) before fast-forwarding")
+    val resuming = fs.exists(new org.apache.hadoop.fs.Path(dstDir, FfPendingMarker))
+    // frozen artifacts must be byte-identical to the branch's copies:
+    // a source refit (recluster / retrain / compacted merges) means the
+    // source's post-branch partitions are encoded under a geometry the
+    // branch does not hold — refuse and name the remedy
+    rawCopies.foreach { name =>
+      val srcSum = artifactChecksum(spark, tablePath(spark, srcDir, name))
+      val dstSum = artifactChecksum(spark, tablePath(spark, dstDir, name))
+      require(srcSum == dstSum,
+        s"frozen artifact '$name' differs between $srcDir and the " +
+          s"branch $dstDir — the source refit (recluster/retrain) or " +
+          "compacted it since the branch, so caught-up partitions would " +
+          "mix geometries; re-clone instead of fast-forwarding")
+    }
+    val (b0, d0) = (info.batch, info.delete)
+    // divergence: local tagged writes past the recorded cut mean the
+    // branch has its OWN history — two histories cannot interleave
+    // under one tag sequence. Skipped on a re-run: the marker gated
+    // every write, so tags past the cut are our own half-applied copy.
+    if (!resuming) tables.foreach { t =>
+      readTableIfExists(spark, dstDir, t.name).foreach { d =>
+        if (d.columns.contains(t.tagCol)) {
+          val cut = if (t.tagCol == "batch_id") b0 else d0
+          val m = d.agg(max(col(t.tagCol)).cast("long")).head()
+          val maxTag = if (m.isNullAt(0)) 0L else m.getLong(0)
+          require(maxTag <= cut,
+            s"branch $dstDir DIVERGED: $dstDir/${t.name} carries " +
+              s"${t.tagCol}=$maxTag past the branch cut $cut (local " +
+              "writes after the clone) — fast-forward would interleave " +
+              "two histories; re-clone to branch from the source again")
+        }
+      }
+    }
+    def headTag(dir: String, tagCol: String): Long = {
+      val maxes = tables.filter(_.tagCol == tagCol).flatMap { t =>
+        readTableIfExists(spark, dir, t.name).flatMap { d =>
+          if (!d.columns.contains(tagCol)) None
+          else {
+            val m = d.agg(max(col(tagCol)).cast("long")).head()
+            if (m.isNullAt(0)) None else Some(m.getLong(0))
+          }
+        }
+      }
+      if (maxes.isEmpty) 0L else maxes.max
+    }
+    val (b1, d1) = (headTag(srcDir, "batch_id"), headTag(srcDir, "delete_id"))
+    require(b1 >= b0 && d1 >= d0,
+      s"source $srcDir head ($b1, $d1) is BEHIND the branch cut " +
+        s"($b0, $d0) — the branch lineage does not match this source's " +
+        "history (was the source rebuilt?); re-clone")
+    if (b1 == b0 && d1 == d0 && !resuming) (b0, d0) // already up to date
+    else {
+    val srcFloor = readHistoryFloor(spark, srcDir)
+    // batch increments must exist as INDIVIDUAL versions: a source that
+    // collapsed (b0, floor] into its base partition has no per-tag
+    // partitions to copy (and the base double-counts rows the branch
+    // already holds) — refuse and name the remedy. Delete tables need
+    // no such check: they rewrite wholesale to the source's CURRENT
+    // content, collapsed partitions included, and the branch adopts the
+    // source's floor below so sub-floor as-of bounds refuse rather than
+    // skipping collapsed deletes.
+    if (b1 > b0) require(srcFloor <= b0,
+      s"source $srcDir truncated history to floor $srcFloor past the " +
+        s"branch's batch cut $b0 — the versions the catch-up needs were " +
+        "collapsed; re-clone from the current source instead")
+    // ---- commit point: every read on the branch now fails fast ----
+    publishSmallFile(spark, dstDir, FfPendingMarker,
+      s"from=$b0,$d0\nto=$b1,$d1\n")
+    // 1. missing append partitions, one per-tag pruned copy each — the
+    //    exact layout the pillar's tagged append writes
+    tables.filter(_.tagCol == "batch_id").foreach { t =>
+      readTableIfExists(spark, srcDir, t.name).foreach { d =>
+        require(d.columns.contains("batch_id"),
+          s"fast-forward needs a TAGGED source: $srcDir/${t.name} has " +
+            "no batch_id partition column")
+        val tags = d.filter(col("batch_id") > b0 && col("batch_id") <= b1)
+          .select(col("batch_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        tags.foreach { tag =>
+          val part = d.filter(col("batch_id") === tag).drop("batch_id")
+          val w = part.write.mode("overwrite")
+          (if (t.extraPartitionCols.nonEmpty)
+             w.partitionBy(t.extraPartitionCols: _*)
+           else w)
+            .parquet(s"${tablePath(spark, dstDir, t.name)}/batch_id=$tag")
+        }
+      }
+    }
+    // 2. delete-tagged tables rewrite wholesale to the source's current
+    //    content — tombstone-sized by design, and the only way to land
+    //    correction rows (src_batch attribution) that post-branch
+    //    replays added INSIDE pre-branch delete partitions
+    tables.filter(_.tagCol == "delete_id").foreach { t =>
+      readTableIfExists(spark, srcDir, t.name).foreach { d =>
+        val w = d.write.mode("overwrite")
+        (if (t.extraPartitionCols.nonEmpty)
+           w.partitionBy(("delete_id" +: t.extraPartitionCols): _*)
+         else w.partitionBy("delete_id"))
+          .parquet(tablePath(spark, dstDir, t.name))
+      }
+    }
+    // adopt the source's floor: the delete rewrite above may import
+    // partitions the source collapsed — the branch must refuse the same
+    // sub-floor bounds (conservative refusal over silent wrong answers)
+    if (srcFloor > readHistoryFloor(spark, dstDir))
+      writeHistoryFloor(spark, dstDir, srcFloor)
+    writeBranchInfo(spark, dstDir, BranchInfo(qualifiedSrc, b1, d1))
+    fs.delete(new org.apache.hadoop.fs.Path(dstDir, FfPendingMarker), false)
+    (b1, d1)
+    }
+  } }
 }

@@ -3125,6 +3125,82 @@ object Extensions {
       .orderBy("phase", "table")
   }
 
+  /** x149 — BRANCH FAST-FORWARD (catch-up)
+    * ([[Index.fastForwardPostingsState]] over
+    * [[graft.ext.StateIO.fastForwardState]]): x144's clone branches a
+    * version, but a branch that lives for months falls behind — and
+    * the only remedy so far was a full re-clone, O(branch size). The
+    * catch-up copies ONLY the source's missing `batch_id` partitions
+    * (O(new batches)) plus a wholesale rewrite of the tombstone-sized
+    * delete tables, and advances the branch's `_branch` lineage. The
+    * gate pins the contract from four sides: (1) the caught-up
+    * branch's PLAIN read hash-matches the source's CURRENT read, and
+    * both match a from-scratch BM25 over the full survivor corpus
+    * (batches 1-3 minus deletes 1-2); (2) a branch that DIVERGED
+    * (local append past its cut) refuses by name (engine-observed,
+    * pinned TRUE); (3) the returned head is exactly the source's
+    * (batch, delete) = (3, 2) (pinned TRUE); (4) a second catch-up is
+    * a stable no-op — same head back, read bit-identical
+    * (engine-compared, pinned TRUE). */
+  def x149(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x149_state").toFile.getAbsolutePath
+    val src = s"$root/src"
+    Index.appendPostingsState(docs.filter(col("doc_id") < 150), src,
+      "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), src,
+      "doc_id", "text", batchTag = Some(2L))
+    // delete 1 covers only ids LIVE at the time (batches 1-2): a
+    // tombstoned id must never be re-appended, and batch 3 is coming
+    Index.deleteFromPostingsState(s, src,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3 && col("doc_id") < 300)
+        .select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    Index.clonePostingsState(s, src, s"$root/branch", 2L, 1L)
+    Index.clonePostingsState(s, src, s"$root/diverged", 2L, 1L)
+    // the source moves on: one more batch, one more delete
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 300), src,
+      "doc_id", "text", batchTag = Some(3L))
+    Index.deleteFromPostingsState(s, src,
+      docs.filter(pmod(col("doc_id"), lit(11)) === 5).select(col("doc_id")),
+      "doc_id", deleteTag = Some(2L))
+    // a branch with local history past its cut cannot catch up — the
+    // two histories would interleave under one tag sequence
+    Index.appendPostingsState(docs.filter(col("doc_id") < 20),
+      s"$root/diverged", "doc_id", "text", batchTag = Some(3L))
+    val refusedDiverged =
+      try {
+        Index.fastForwardPostingsState(s, src, s"$root/diverged"); false
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("DIVERGED") => true
+      }
+    val head = Index.fastForwardPostingsState(s, src, s"$root/branch")
+    val caughtUpToHead = head == ((3L, 2L))
+    val terms = Seq("dup", "vector", "window")
+    def shape(df: DataFrame, label: String) =
+      df.select(lit(label).as("snapshot"), col("doc_id"),
+        round(col("score"), 4).as("score"), col("rank"))
+    def branchRead() = shape(
+      Index.bm25TopKFromState(s, s"$root/branch", terms, k = 10,
+        idCol = "doc_id"), "t_branch")
+    val afterFf = Dedup.materialize(branchRead())
+    // a second catch-up is a stable no-op: same head, read identical
+    val noopStable =
+      Index.fastForwardPostingsState(s, src, s"$root/branch") == head &&
+        branchRead().collect().toSeq == afterFf.collect().toSeq
+    afterFf
+      .unionByName(shape(
+        Index.bm25TopKFromState(s, src, terms, k = 10, idCol = "doc_id"),
+        "t_source"))
+      .withColumn("refused_diverged", lit(refusedDiverged))
+      .withColumn("caught_up_to_head", lit(caughtUpToHead))
+      .withColumn("noop_stable", lit(noopStable))
+      .orderBy("snapshot", "rank")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3370,7 +3446,8 @@ object Extensions {
     "x145_writer_lease" -> (x145 _),
     "x146_manifest_commit" -> (x146 _),
     "x147_consistency_asof" -> (x147 _),
-    "x148_state_health" -> (x148 _)
+    "x148_state_health" -> (x148 _),
+    "x149_fast_forward" -> (x149 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -6838,6 +6915,25 @@ object Extensions {
         |  ('t2_collapsed', 'postings', 1, 0, 'ok'),
         |  ('t2_collapsed', 'totals', 1, 0, 'ok'))
         |  AS v(phase, "table", batch_versions, delete_versions, advice)
-        |ORDER BY phase, "table"""".stripMargin
+        |ORDER BY phase, "table"""".stripMargin,
+
+    // x149: both the caught-up branch and the source head must equal
+    // BM25 over the FULL survivor corpus (batches 1-3 minus deletes
+    // 1-2); the diverged-branch refusal, the exact returned head, and
+    // no-op stability are engine-observed and pinned TRUE
+    "x149_fast_forward" ->
+      s"""SELECT snapshot, doc_id, score, rank,
+         |  TRUE AS refused_diverged, TRUE AS caught_up_to_head,
+         |  TRUE AS noop_stable FROM (
+         |  SELECT 't_branch' AS snapshot, doc_id, score, rank FROM (
+         |${bm25TopKOracleSqlWhere(
+              " WHERE NOT (doc_id % 7 = 3 AND doc_id < 300)" +
+              " AND doc_id % 11 <> 5")})
+         |  UNION ALL
+         |  SELECT 't_source' AS snapshot, doc_id, score, rank FROM (
+         |${bm25TopKOracleSqlWhere(
+              " WHERE NOT (doc_id % 7 = 3 AND doc_id < 300)" +
+              " AND doc_id % 11 <> 5")})
+         |) ORDER BY snapshot, rank""".stripMargin
   )
 }

@@ -4358,4 +4358,179 @@ class ExtSpec extends SparkSpec {
         maxUpMilli = 999L))
     assert(e.getMessage.contains(">= 1000"), e.getMessage)
   }
+
+  test("fastForward: branch catches up to source head == fresh clone; no-op is stable") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ff")
+      .toFile.getAbsolutePath
+    val src = s"$root/postings"
+    Index.appendPostingsState(docs.filter(col("doc_id") < 150), src,
+      "doc_id", "text", batchTag = Some(1L))
+    Index.appendPostingsState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), src,
+      "doc_id", "text", batchTag = Some(2L))
+    Index.deleteFromPostingsState(spark, src,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3 && col("doc_id") < 300)
+        .select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    Index.clonePostingsState(spark, src, s"$root/branch", 2L, 1L)
+    // the source moves on: one more batch, one more delete
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 300), src,
+      "doc_id", "text", batchTag = Some(3L))
+    Index.deleteFromPostingsState(spark, src,
+      docs.filter(pmod(col("doc_id"), lit(11)) === 5).select(col("doc_id")),
+      "doc_id", deleteTag = Some(2L))
+    val terms = Seq("dup", "vector", "window")
+    def read(d: String) =
+      Index.bm25TopKFromState(spark, d, terms, k = 10, idCol = "doc_id")
+        .select(col("doc_id"), round(col("score"), 6), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSeq
+    assert(read(s"$root/branch") != read(src), "fixture must diverge first")
+    val head = Index.fastForwardPostingsState(spark, src, s"$root/branch")
+    assert(head == (3L, 2L))
+    assert(read(s"$root/branch") == read(src),
+      "caught-up branch must answer exactly like the source head")
+    Index.clonePostingsState(spark, src, s"$root/fresh", 3L, 2L)
+    assert(read(s"$root/branch") == read(s"$root/fresh"),
+      "catch-up must equal a fresh clone at the head")
+    // no-op: already at head — same cut back, read unchanged
+    assert(Index.fastForwardPostingsState(spark, src, s"$root/branch") ==
+      (3L, 2L))
+    assert(read(s"$root/branch") == read(src))
+    // lineage advanced: a later source append fast-forwards again
+    Index.appendPostingsState(docs.filter(col("doc_id") < 10), src,
+      "doc_id", "text", batchTag = Some(4L))
+    assert(Index.fastForwardPostingsState(spark, src, s"$root/branch") ==
+      (4L, 2L))
+    assert(read(s"$root/branch") == read(src))
+  }
+
+  test("fastForward refusals: not-a-branch, wrong source, diverged, truncated source") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ffr")
+      .toFile.getAbsolutePath
+    val src = s"$root/postings"
+    Seq((0, 100, 1L), (100, 200, 2L), (200, 1 << 20, 3L)).foreach {
+      case (lo, hi, tag) =>
+        Index.appendPostingsState(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi), src,
+          "doc_id", "text", batchTag = Some(tag))
+    }
+    // not a branch: the source itself carries no _branch lineage
+    val e1 = intercept[IllegalArgumentException](
+      Index.fastForwardPostingsState(spark, src, src))
+    assert(e1.getMessage.contains("not a clone"), e1.getMessage)
+    // wrong source: a branch only pulls from its own lineage
+    val src2 = s"$root/other"
+    Index.appendPostingsState(docs.filter(col("doc_id") < 50), src2,
+      "doc_id", "text", batchTag = Some(1L))
+    Index.clonePostingsState(spark, src, s"$root/b1", 2L)
+    val e2 = intercept[IllegalArgumentException](
+      Index.fastForwardPostingsState(spark, src2, s"$root/b1"))
+    assert(e2.getMessage.contains("branch's own source"), e2.getMessage)
+    // diverged: local append past the cut
+    Index.clonePostingsState(spark, src, s"$root/b2", 2L)
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 900), s"$root/b2",
+      "doc_id", "text", batchTag = Some(3L))
+    val e3 = intercept[IllegalArgumentException](
+      Index.fastForwardPostingsState(spark, src, s"$root/b2"))
+    assert(e3.getMessage.contains("DIVERGED"), e3.getMessage)
+    // truncated source: the versions the catch-up needs were collapsed
+    Index.clonePostingsState(spark, src, s"$root/b3", 1L)
+    Index.truncatePostingsHistory(spark, src, floor = 2L)
+    val e4 = intercept[IllegalArgumentException](
+      Index.fastForwardPostingsState(spark, src, s"$root/b3"))
+    assert(e4.getMessage.contains("truncated history"), e4.getMessage)
+  }
+
+  test("fastForward: frozen-artifact drift (recluster/retrain since branch) refuses") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ffd")
+      .toFile.getAbsolutePath
+    val src = s"$root/ivf"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 60), src,
+      k = 4, iters = 2, batchTag = Some(1L))
+    Similarity.appendIvfState(
+      emb.filter(col("vec_id") >= 60 && col("vec_id") < 120), src,
+      k = 4, iters = 2, batchTag = Some(2L))
+    Similarity.cloneIvfState(spark, src, s"$root/branch", 1L)
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 120), src,
+      k = 4, iters = 2, batchTag = Some(3L))
+    // a recluster rewrites the frozen centroids — the branch's cells
+    // are assigned under the OLD geometry; catch-up must refuse
+    Similarity.reclusterIvfState(spark, src)
+    val e = intercept[IllegalArgumentException](
+      Similarity.fastForwardIvfState(spark, src, s"$root/branch"))
+    assert(e.getMessage.contains("frozen artifact"), e.getMessage)
+    // the tokenizer twin: parity when merges are untouched
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val ts = s"$root/tok"
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 150), ts,
+      "doc_id", "text", numMerges = 3, batchTag = Some(1L))
+    Bpe.cloneTokenizerState(spark, ts, s"$ts.b", 1L)
+    Bpe.appendTokenizerState(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), ts,
+      "doc_id", "text", numMerges = 3, batchTag = Some(2L))
+    Bpe.deleteFromTokenizerState(spark, ts,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    assert(Bpe.fastForwardTokenizerState(spark, ts, s"$ts.b") == (2L, 1L))
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("q"))
+    def budget(d: String) =
+      Bpe.tokenBudgetFromState(spark, d, quality, "doc_id", "q",
+          budget = 9000L)
+        .select(col("doc_id"), col("cum_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(budget(s"$ts.b") == budget(ts))
+  }
+
+  test("fastForward: a crashed catch-up gates every read until a re-run completes it") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ffc")
+      .toFile.getAbsolutePath
+    val src = s"$root/postings"
+    Index.appendPostingsState(docs.filter(col("doc_id") < 200), src,
+      "doc_id", "text", batchTag = Some(1L))
+    Index.clonePostingsState(spark, src, s"$root/branch", 1L)
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 200), src,
+      "doc_id", "text", batchTag = Some(2L))
+    Index.deleteFromPostingsState(spark, src,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    // simulate the crash window by hand: the marker is up (commit
+    // point passed) but no table moved — the exact state a process
+    // death right after the publish leaves
+    val marker = new org.apache.hadoop.fs.Path(s"$root/branch", "_ff_pending")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(marker, true)
+    try out.write("from=1,0\nto=2,1\n".getBytes("UTF-8"))
+    finally out.close()
+    // every read and mutating entry on the branch fails fast, naming
+    // the fastForward re-run
+    val e = intercept[IllegalArgumentException](
+      Index.bm25TopKFromState(spark, s"$root/branch", Seq("dup"), 5,
+        idCol = "doc_id"))
+    assert(e.getMessage.contains("fastForward"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Index.appendPostingsState(docs.filter(col("doc_id") < 10),
+        s"$root/branch", "doc_id", "text", batchTag = Some(9L)))
+    // the re-run completes idempotently and clears the marker
+    assert(Index.fastForwardPostingsState(spark, src, s"$root/branch") ==
+      (2L, 1L))
+    assert(!fs.exists(marker))
+    def read(d: String) =
+      Index.bm25TopKFromState(spark, d, Seq("dup", "vector"), k = 10,
+          idCol = "doc_id")
+        .select(col("doc_id"), round(col("score"), 6), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSeq
+    assert(read(s"$root/branch") == read(src))
+  }
 }
