@@ -132,8 +132,9 @@ object Main {
       spark: SparkSession, positional: Seq[String], opts: Map[String, String],
       out: java.io.PrintStream): Unit = {
     def usage(): Nothing = {
-      out.println("usage: state recover|truncate|clone|health|vacuum|audit " +
-        "... (see scaladoc; pillar = lsh|postings|tokenizer|stats|ivf)")
+      out.println("usage: state recover|truncate|clone|fastforward|health|" +
+        "vacuum|audit ... (see scaladoc; pillar = " +
+        "lsh|postings|tokenizer|stats|ivf)")
       throw new IllegalArgumentException("state: bad arguments")
     }
     def pillar(p: String): String =
@@ -189,6 +190,20 @@ object Main {
             s"batch_versions=${r.getLong(4)} delete_versions=${r.getLong(5)} " +
             s"advice=${r.getString(6)}")
         }
+      case Seq("fastforward", p, src, dst) =>
+        val (b, d) = pillar(p) match {
+          case "lsh" => graft.ext.Dedup.fastForwardLshState(spark, src, dst)
+          case "postings" =>
+            graft.ext.Index.fastForwardPostingsState(spark, src, dst)
+          case "tokenizer" =>
+            graft.ext.Bpe.fastForwardTokenizerState(spark, src, dst)
+          case "stats" =>
+            graft.ext.Profile.fastForwardStatsState(spark, src, dst)
+          case "ivf" =>
+            graft.ext.Similarity.fastForwardIvfState(spark, src, dst)
+        }
+        out.println(s"[state] caught $dst up to $src's head " +
+          s"(append=$b, delete=$d)")
       case Seq("vacuum", dir) =>
         val gone = graft.ext.StateIO.vacuumStateVersions(spark, dir)
         out.println(if (gone.isEmpty) s"[state] nothing to vacuum in $dir"

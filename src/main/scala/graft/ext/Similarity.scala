@@ -556,6 +556,83 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** K-NEAREST-NEIGHBOR GRAPH from the persisted IVF state: one row
+    * (vec_id, neighbor_id, cos, rank ≤ k) per LIVE vector — the
+    * whole-corpus batch analogue of [[ivfTopKFromState]]'s per-query
+    * probes, and the standard substrate for semantic-dedup clustering
+    * (SemDeDup-style), embedding diversity analysis, and
+    * mutual-neighbor mining ([[mutualNnPairsFromState]]). Tombstoned
+    * vectors neither query nor answer.
+    *
+    * Scale shape, stage by stage: (1) each live vector's `nProbe`
+    * nearest cells come from ONE map pass against the broadcast
+    * centroid table — the top-nProbe is a sorted-struct slice inside a
+    * partial aggregate, so the exchange carries one pre-combined
+    * (k-struct array) row per vector, never the ×k candidate expansion
+    * and never a corpus-wide rank window; (2) the candidate join is a
+    * plain hash join on `cid` — NOT a broadcast (the probe side is
+    * corpus-sized, unlike a query batch); (3) the per-vector top-k
+    * window sees ~`nProbe × cell occupancy` candidates per vector.
+    * Total candidate mass is n · nProbe · avg-occupancy — with cell
+    * count scaled ~√n (the SemDeDup auto-scaling posture) that is the
+    * standard n^1.5 IVF graph-build envelope, never the n² all-pairs
+    * a brute-force kNN graph costs. */
+  def knnGraphFromState(
+      spark: SparkSession, dir: String, k: Int, nProbe: Int = 2): DataFrame = {
+    require(k >= 1, s"knn graph k must be >= 1, got $k")
+    require(nProbe >= 1, s"knn graph nProbe must be >= 1, got $nProbe")
+    val cents = spark.read.parquet(StateIO.tablePath(spark, dir, "centroids"))
+    val cells = readCellsLive(spark, dir).select("cid", "vid", "v", "cn")
+    // per-vector probe list: map-side top-nProbe against the broadcast
+    // centroids (sorted-struct slice — partial-aggregates, no window)
+    val probes = cells
+      .select(col("vid").as("query_id"), col("v").as("qv"),
+        col("cn").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("graft_dist", sqDist(col("qv"), col("c")))
+      .groupBy(col("query_id"))
+      .agg(
+        first(col("qv")).as("qv"), first(col("qn")).as("qn"),
+        slice(array_sort(collect_list(struct(col("graft_dist"),
+          col("cid")))), 1, nProbe).as("graft_near"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("graft_near.cid")).as("cid"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cells.join(probes, Seq("cid")) // hash join on cid — probe side is corpus-sized
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cos", cosFrom(col("qv"), col("qn"), col("v"), col("cn")))
+      .select(col("query_id").as("vec_id"), col("vid").as("neighbor_id"),
+        col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** MUTUAL nearest-neighbor pairs over [[knnGraphFromState]]: (a, b)
+    * with a < b where each is in the OTHER's top-k and cos ≥ `minCos` —
+    * the high-precision candidate relation semantic dedup and
+    * hard-negative filtering build on (a one-directional kNN edge is
+    * routinely a hub artifact; mutuality is the standard cheap filter).
+    * Cost on top of the graph: one self-join of the n·k edge relation
+    * on its (vec_id, neighbor_id) key — edge-bounded, never corpus². */
+  def mutualNnPairsFromState(
+      spark: SparkSession, dir: String, k: Int, minCos: Double,
+      nProbe: Int = 2): DataFrame = {
+    val g = Dedup.materialize( // one graph build feeds both join sides
+      knnGraphFromState(spark, dir, k, nProbe)
+        .filter(col("cos") >= minCos)
+        .select(col("vec_id"), col("neighbor_id"), col("cos")))
+    g.as("a")
+      .join(g.as("b"),
+        col("a.vec_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.vec_id"))
+      .filter(col("a.vec_id") < col("a.neighbor_id"))
+      // dot(a,b) sums the same index order both ways — cos is bitwise
+      // symmetric, either side's copy is THE value
+      .select(col("a.vec_id").as("id_a"), col("a.neighbor_id").as("id_b"),
+        col("a.cos").as("cos"))
+  }
+
   /** MAXIMAL MARGINAL RELEVANCE diversified top-k from the persisted
     * IVF state (Carbonell & Goldstein, SIGIR'98): retrieval that
     * penalizes redundancy — each pick maximizes

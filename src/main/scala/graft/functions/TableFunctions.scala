@@ -189,6 +189,10 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "ann_from_state", exprs => annFromState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "knn_graph", exprs => knnGraph(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "mutual_nn", exprs => mutualNn(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "substring_dedup", exprs => substringDedup(spark, exprs), "built-in")
@@ -720,6 +724,33 @@ object TableFunctions {
     val topK = args.int("topk")
     val nProbe = if (args.exhausted) 2 else args.int("nprobe")
     plan(Similarity.ivfTopKFromState(spark, dir, queries, topK, nProbe, id, vec))
+  }
+
+  /** `knn_graph('dir', k[, nprobe])` →
+    * [[Similarity.knnGraphFromState]]: every live vector's top-k
+    * neighbors from a persisted IVF index. */
+  private def knnGraph(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "knn_graph"
+    requireArity(f, exprs, min = 2, max = 3)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val k = args.int("k")
+    val nProbe = if (args.exhausted) 2 else args.int("nprobe")
+    plan(Similarity.knnGraphFromState(spark, dir, k, nProbe))
+  }
+
+  /** `mutual_nn('dir', k, min_cos[, nprobe])` →
+    * [[Similarity.mutualNnPairsFromState]]: symmetric thresholded
+    * kNN-graph edges — the semantic-dedup candidate relation. */
+  private def mutualNn(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "mutual_nn"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val k = args.int("k")
+    val minCos = args.double("min_cos")
+    val nProbe = if (args.exhausted) 2 else args.int("nprobe")
+    plan(Similarity.mutualNnPairsFromState(spark, dir, k, minCos, nProbe))
   }
 
   /** `lang_confusion(table, lang, text)` →

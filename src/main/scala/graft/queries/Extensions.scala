@@ -3201,6 +3201,57 @@ object Extensions {
       .orderBy("snapshot", "rank")
   }
 
+  /** x150 — K-NN GRAPH from the persisted IVF state
+    * ([[Similarity.knnGraphFromState]]): every LIVE vector's top-3
+    * neighbors from its 2 probed cells — the whole-corpus batch
+    * analogue of x106's per-query probes, and the substrate
+    * semantic-dedup clustering and mutual-neighbor mining (x151) build
+    * on. The probe side is corpus-sized, so the plan differs from the
+    * query path where it must: per-vector probe lists come from a
+    * map-side sorted-struct slice against the broadcast centroids (no
+    * corpus-wide rank window) and the candidate join is a hash join on
+    * cid, not a broadcast. Fixture: one trained append + a tombstoned
+    * delete (vec_id % 9 = 4) — deleted vectors neither query nor
+    * answer, but DID shape the frozen centroids (the training batch).
+    * The oracle re-derives the whole chain: k-means training on all of
+    * batch 1, per-live-vector 2-cell probes, exact cosine, top-3. */
+  def x150(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x150_state").toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, state, k = 8, iters = 2,
+      batchTag = Some(1L))
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.knnGraphFromState(s, state, k = 3, nProbe = 2)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** x151 — MUTUAL nearest-neighbor pairs
+    * ([[Similarity.mutualNnPairsFromState]]): (a, b) with a < b where
+    * each is in the other's top-3 (x150's graph) and cos ≥ 0.2 — the
+    * high-precision candidate relation semantic dedup and hard-negative
+    * filtering consume (one-directional kNN edges are routinely hub
+    * artifacts; mutuality is the standard cheap filter). Cost over the
+    * graph: one self-join of the n·k edge relation on its edge key. */
+  def x151(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x151_state").toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, state, k = 8, iters = 2,
+      batchTag = Some(1L))
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.mutualNnPairsFromState(s, state, k = 3, minCos = 0.2,
+        nProbe = 2)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3447,7 +3498,9 @@ object Extensions {
     "x146_manifest_commit" -> (x146 _),
     "x147_consistency_asof" -> (x147 _),
     "x148_state_health" -> (x148 _),
-    "x149_fast_forward" -> (x149 _)
+    "x149_fast_forward" -> (x149 _),
+    "x150_knn_graph" -> (x150 _),
+    "x151_mutual_nn" -> (x151 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -6934,6 +6987,53 @@ object Extensions {
          |${bm25TopKOracleSqlWhere(
               " WHERE NOT (doc_id % 7 = 3 AND doc_id < 300)" +
               " AND doc_id % 11 <> 5")})
-         |) ORDER BY snapshot, rank""".stripMargin
+         |) ORDER BY snapshot, rank""".stripMargin,
+
+    // x150: the full chain re-derived — k-means on batch 1 (all
+    // vectors, deleted included: they shaped the frozen centroids),
+    // probes + neighbors restricted to LIVE vectors, exact cosine,
+    // top-3 per vector
+    "x150_knn_graph" ->
+      s"""WITH $annEmbCte,
+         |${kmeansTrainCtes(probeWhere = "e.vec_id % 9 <> 4")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id AND af.vid % 9 <> 4),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id AS vec_id, neighbor_id, rank,
+         |  round(cos, 4) AS cos_sim
+         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // x151: x150's ranked relation, thresholded, self-joined on the
+    // reversed edge — each endpoint in the other's top-3
+    "x151_mutual_nn" ->
+      s"""WITH $annEmbCte,
+         |${kmeansTrainCtes(probeWhere = "e.vec_id % 9 <> 4")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id AND af.vid % 9 <> 4),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |g AS (
+         |  SELECT query_id AS a, neighbor_id AS b, cos
+         |  FROM ranked WHERE rank <= 3 AND cos >= 0.2)
+         |SELECT g1.a AS id_a, g1.b AS id_b, round(g1.cos, 4) AS cos_sim
+         |FROM g g1 JOIN g g2 ON g1.a = g2.b AND g1.b = g2.a
+         |WHERE g1.a < g1.b ORDER BY id_a, id_b""".stripMargin
   )
 }

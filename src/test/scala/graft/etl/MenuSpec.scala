@@ -92,6 +92,11 @@ class MenuSpec extends SparkSpec {
       "--asof-batch", "1")._1.contains("branched"))
     assert(graft.ext.Bpe.readDocTokens(spark, s"$ts.branch").count() ==
       b1.count())
+    // fastforward catches the branch up to the source's head
+    assert(state("fastforward", "tokenizer", ts, s"$ts.branch")._1
+      .contains("caught"))
+    assert(graft.ext.Bpe.readDocTokens(spark, s"$ts.branch").count() ==
+      b1.count() + b2.count())
     // bad input is a usage error, not a silent no-op
     intercept[IllegalArgumentException](state("truncate", "postings", ps))
     intercept[IllegalArgumentException](state("health", "nosuch", ps))

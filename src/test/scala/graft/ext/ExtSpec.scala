@@ -4359,6 +4359,70 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains(">= 1000"), e.getMessage)
   }
 
+  test("knnGraphFromState: rows match the per-query probe path; deletes drop out; no broadcast of the corpus-sized probe side") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-knng")
+      .toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, dir, k = 4, iters = 2,
+      batchTag = Some(1L))
+    Similarity.deleteFromIvfState(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    val g = Similarity.knnGraphFromState(spark, dir, k = 3, nProbe = 2)
+    val edges = g.select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // deleted vectors neither query nor answer
+    assert(edges.forall { case (a, b) => a % 5 != 2 && b % 5 != 2 })
+    // the graph IS the per-query probe path run for every live vector
+    val live = emb.filter(pmod(col("vec_id"), lit(5)) =!= 2)
+    val perQuery = Similarity.ivfTopKFromState(spark, dir, live, topK = 3,
+        nProbe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(g.select("vec_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet == perQuery.toSet)
+    // plan: unlike the query path, the graph build must not FORCE a
+    // broadcast of the corpus-sized probe side — the join strategy is
+    // left to stats (at test scale Catalyst may still broadcast the
+    // small side; at corpus scale neither side fits and it degrades to
+    // a shuffle join, which a forced hint would forbid)
+    val g2 = Similarity.knnGraphFromState(spark, dir, k = 3, nProbe = 2)
+    assert(!g2.queryExecution.logical.toString.contains("hint"),
+      "graph build must not carry a broadcast hint")
+    // and the per-vector probe selection is the aggregate slice, not a
+    // second corpus-wide rank window: the ONLY window is the final top-k
+    val plan = g2.queryExecution.executedPlan.toString
+    assert("Window \\[row_number".r.findAllIn(plan).size == 1,
+      s"probe selection must not add a rank window:\n$plan")
+  }
+
+  test("mutualNnPairsFromState: exactly the symmetric thresholded edges, a < b once") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mnn")
+      .toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, dir, k = 4, iters = 2,
+      batchTag = Some(1L))
+    val minCos = 0.2
+    val edges = Similarity.knnGraphFromState(spark, dir, k = 3, nProbe = 2)
+      .filter(col("cos") >= minCos)
+      .select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = edges.filter { case (a, b) =>
+      a < b && edges.contains((b, a))
+    }
+    val got = Similarity.mutualNnPairsFromState(spark, dir, k = 3,
+        minCos = minCos, nProbe = 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must produce mutual pairs")
+    assert(expected.size < edges.size,
+      "mutuality must actually filter one-directional edges")
+  }
+
   test("fastForward: branch catches up to source head == fresh clone; no-op is stable") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))

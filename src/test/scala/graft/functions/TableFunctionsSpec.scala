@@ -627,6 +627,22 @@ class TableFunctionsSpec extends SparkSpec {
       "docs" -> "truncate"))
   }
 
+  test("round-15 graph TVFs: knn_graph, mutual_nn == Scala APIs") {
+    ready()
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_knng").toFile.getAbsolutePath + "/ivf"
+    graft.ext.Similarity.appendIvfState(emb, dir, k = 4, iters = 2,
+      batchTag = Some(1L))
+    assertSame(
+      spark.sql(s"SELECT * FROM knn_graph('$dir', 3, 2)"),
+      graft.ext.Similarity.knnGraphFromState(spark, dir, 3, 2))
+    assertSame(
+      spark.sql(s"SELECT * FROM mutual_nn('$dir', 3, 0.2, 2)"),
+      graft.ext.Similarity.mutualNnPairsFromState(spark, dir, 3, 0.2, 2))
+  }
+
   test("round-14 wave-2 TVFs: state_diff, mmr_from_state, capped_mix") {
     ready()
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
