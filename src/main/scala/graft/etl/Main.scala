@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * runMain graft.etl.Main watch   [--in inputs] [--out outputs]   # streaming
   * runMain graft.etl.Main serve   [--port 5000]                   # HTTP API
   * runMain graft.etl.Main sql "SELECT ..." [--data /root/testdata/sf0.001]
-  * runMain graft.etl.Main state recover|truncate|clone|health|vacuum|audit ...
+  * runMain graft.etl.Main state recover|truncate|retain|clone|fastforward|health|vacuum|audit ...
   * }}}
   *
   * `sql` registers the graft SQL surface — the testdata tables as views plus
@@ -117,7 +117,9 @@ object Main {
     * {{{
     * state recover  <pillar> <dir>                # roll a crashed swap forward
     * state truncate <pillar> <dir> --floor N      # collapse history <= N
+    * state retain   <pillar> <dir> --keep-last N   # policy-driven truncate
     * state clone    <pillar> <src> <dst> --asof-batch B [--asof-delete D]
+    * state fastforward <pillar> <src> <dst>        # catch a branch up
     * state health   <pillar> <dir> [--max-versions N] [--max-files-per-leaf N]
     * state vacuum   <dir>                         # manifest-mode version GC
     * state audit    <lsh> <postings> <tokenizer> [--asof-batch B --asof-delete D]
@@ -132,7 +134,7 @@ object Main {
       spark: SparkSession, positional: Seq[String], opts: Map[String, String],
       out: java.io.PrintStream): Unit = {
     def usage(): Nothing = {
-      out.println("usage: state recover|truncate|clone|fastforward|health|" +
+      out.println("usage: state recover|truncate|retain|clone|fastforward|health|" +
         "vacuum|audit ... (see scaladoc; pillar = " +
         "lsh|postings|tokenizer|stats|ivf)")
       throw new IllegalArgumentException("state: bad arguments")
@@ -190,6 +192,24 @@ object Main {
             s"batch_versions=${r.getLong(4)} delete_versions=${r.getLong(5)} " +
             s"advice=${r.getString(6)}")
         }
+      case Seq("retain", p, dir) =>
+        val keep = opts.getOrElse("keep-last", usage()).toInt
+        val applied = pillar(p) match {
+          case "lsh" => graft.ext.Dedup.retainLshHistory(spark, dir, keep)
+          case "postings" =>
+            graft.ext.Index.retainPostingsHistory(spark, dir, keep)
+          case "tokenizer" =>
+            graft.ext.Bpe.retainTokenizerHistory(spark, dir, keep)
+          case "stats" =>
+            graft.ext.Profile.retainStatsHistory(spark, dir, keep)
+          case "ivf" => graft.ext.Similarity.retainIvfHistory(spark, dir, keep)
+        }
+        out.println(applied match {
+          case Some(f) => s"[state] retained last $keep: collapsed " +
+            s"history <= $f in $dir"
+          case None => s"[state] retention already satisfied in $dir — " +
+            "nothing to collapse"
+        })
       case Seq("fastforward", p, src, dst) =>
         val (b, d) = pillar(p) match {
           case "lsh" => graft.ext.Dedup.fastForwardLshState(spark, src, dst)

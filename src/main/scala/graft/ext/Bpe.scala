@@ -529,6 +529,17 @@ object Bpe {
     StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
       tokenizerStateTables, rawCopies = tokenizerStateRawCopies)
 
+  /** KEEP-LAST-N retention for an [[appendTokenizerState]] dir — see
+    * [[graft.ext.Profile.retainStatsHistory]]. */
+  def retainTokenizerHistory(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepLastBatches: Int): Option[Long] = {
+    val f = StateIO.retentionFloor(spark, dir, keepLastBatches,
+      Seq("doc_tokens"))
+    f.foreach(truncateTokenizerHistory(spark, dir, _))
+    f
+  }
+
   /** The tokenizer pillar's table topology + frozen artifacts — shared
     * by [[cloneTokenizerState]] and [[fastForwardTokenizerState]]. */
   private[ext] val tokenizerStateTables: Seq[StateIO.TruncTable] = Seq(

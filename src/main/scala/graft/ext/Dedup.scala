@@ -777,6 +777,16 @@ object Dedup {
     StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
       lshStateTables, rawCopies = lshStateRawCopies)
 
+  /** KEEP-LAST-N retention for an [[appendLshState]] dir — see
+    * [[graft.ext.Profile.retainStatsHistory]]. */
+  def retainLshHistory(
+      spark: SparkSession, dir: String,
+      keepLastBatches: Int): Option[Long] = {
+    val f = StateIO.retentionFloor(spark, dir, keepLastBatches, Seq("reps"))
+    f.foreach(truncateLshHistory(spark, dir, _))
+    f
+  }
+
   /** The text pillar's table topology + frozen signature parameters —
     * shared by [[cloneLshState]] and [[fastForwardLshState]]. */
   private[ext] val lshStateTables: Seq[StateIO.TruncTable] = Seq(

@@ -634,6 +634,16 @@ object Index {
     * exact integers the as-of fold computes. Later appends, deletes,
     * compactions, and truncations of the clone leave the source
     * untouched — the what-if curation branch a production index needs. */
+  /** KEEP-LAST-N retention for an [[appendPostingsState]] dir — see
+    * [[graft.ext.Profile.retainStatsHistory]]. */
+  def retainPostingsHistory(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepLastBatches: Int): Option[Long] = {
+    val f = StateIO.retentionFloor(spark, dir, keepLastBatches, Seq("docs"))
+    f.foreach(truncatePostingsHistory(spark, dir, _))
+    f
+  }
+
   /** The postings pillar's table topology — shared by
     * [[clonePostingsState]] and [[fastForwardPostingsState]]. */
   private[ext] val postingsStateTables: Seq[StateIO.TruncTable] = Seq(

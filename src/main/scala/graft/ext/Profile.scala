@@ -449,6 +449,19 @@ object Profile {
     StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
       statsStateTables)
 
+  /** KEEP-LAST-N retention for an [[appendStatsState]] dir
+    * ([[graft.ext.StateIO.retentionFloor]] → [[truncateStatsHistory]]):
+    * collapse history so only the newest `keepLastBatches` versions stay
+    * individually addressable. Returns the floor applied, or None when
+    * the policy is already satisfied (idempotent — safe on a schedule). */
+  def retainStatsHistory(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepLastBatches: Int): Option[Long] = {
+    val f = StateIO.retentionFloor(spark, dir, keepLastBatches, Seq("stats"))
+    f.foreach(truncateStatsHistory(spark, dir, _))
+    f
+  }
+
   /** The accounting pillar's table topology — shared by
     * [[cloneStatsState]] and [[fastForwardStatsState]]. */
   private[ext] val statsStateTables: Seq[StateIO.TruncTable] = Seq(

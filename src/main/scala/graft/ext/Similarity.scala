@@ -890,6 +890,16 @@ object Similarity {
     StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
       ivfStateTables, rawCopies = ivfStateRawCopies)
 
+  /** KEEP-LAST-N retention for an [[appendIvfState]] dir — see
+    * [[graft.ext.Profile.retainStatsHistory]]. */
+  def retainIvfHistory(
+      spark: SparkSession, dir: String,
+      keepLastBatches: Int): Option[Long] = {
+    val f = StateIO.retentionFloor(spark, dir, keepLastBatches, Seq("cells"))
+    f.foreach(truncateIvfHistory(spark, dir, _))
+    f
+  }
+
   /** The vector pillar's table topology + frozen artifacts — shared by
     * [[cloneIvfState]] and [[fastForwardIvfState]]. */
   private[ext] val ivfStateTables: Seq[StateIO.TruncTable] = Seq(

@@ -900,6 +900,37 @@ private[graft] object StateIO {
     true
   }
 
+  /** The floor a KEEP-LAST-N retention policy implies for a state dir —
+    * the policy face of [[truncateHistory]]: operators think "keep the
+    * last 2 versions individually addressable", not in absolute floor
+    * numbers that drift as batches land. Returns `Some(maxBatch -
+    * keepLastBatches)` when that floor actually collapses something new
+    * (above the current floor, at least 1); `None` = the policy is
+    * already satisfied, nothing to truncate (so a scheduled `retain`
+    * call is an idempotent no-op, exactly what a cron-driven GC wants).
+    * The caller passes the floor to the pillar's truncate — the two
+    * steps stay separate so a dry-run can LOOK without collapsing. */
+  def retentionFloor(
+      spark: SparkSession, dir: String, keepLastBatches: Int,
+      batchTables: Seq[String]): Option[Long] = {
+    require(keepLastBatches >= 1,
+      s"retention must keep at least the head batch, got $keepLastBatches")
+    import org.apache.spark.sql.functions.{col, max}
+    val maxes = batchTables.flatMap { t =>
+      readTableIfExists(spark, dir, t).flatMap { d =>
+        if (!d.columns.contains("batch_id")) None
+        else {
+          val m = d.agg(max(col("batch_id")).cast("long")).head()
+          if (m.isNullAt(0)) None else Some(m.getLong(0))
+        }
+      }
+    }
+    if (maxes.isEmpty) return None // nothing tagged, nothing to retain
+    val target = maxes.max - keepLastBatches
+    val existing = readHistoryFloor(spark, dir)
+    if (target > existing && target >= 1L) Some(target) else None
+  }
+
   // ----------------------------------------------------------------
   // Branch catch-up (fast-forward)
   // ----------------------------------------------------------------

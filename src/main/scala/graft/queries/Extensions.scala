@@ -3252,6 +3252,57 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
+  /** x152 — KEEP-LAST-N RETENTION POLICY
+    * ([[graft.ext.StateIO.retentionFloor]] →
+    * [[Profile.retainStatsHistory]]): operators think "keep the last 2
+    * versions addressable", not in absolute floor numbers that drift as
+    * batches land — the policy face of x140's truncation, and the verb
+    * a cron-driven GC actually calls. Fixture: five tagged appends on
+    * the accounting pillar; `retain(keepLast = 2)` must derive floor
+    * 5 − 2 = 3 and collapse through it. Pinned: (1) the applied floor
+    * is exactly 3 (engine-observed TRUE); (2) a second retain call is
+    * an idempotent no-op (None — TRUE); (3) the current report still
+    * folds the full corpus and the as-of(4) snapshot folds batches 1-4
+    * (both hash-matched); (4) an as-of read below the floor refuses
+    * (TRUE); (5) the collapsed pillar carries exactly 3 batch versions
+    * — floor base + the 2 kept (engine-counted, TRUE). */
+  def x152(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x152_state").toFile.getAbsolutePath + "/stats"
+    (1 to 5).foreach { i =>
+      Profile.appendStatsState(
+        docs.filter(col("doc_id") >= (i - 1) * 100 && col("doc_id") < i * 100),
+        state, "text", "source", Some(i.toLong))
+    }
+    val appliedFloor =
+      Profile.retainStatsHistory(s, state, keepLastBatches = 2)
+        .contains(3L)
+    val secondIsNoop =
+      Profile.retainStatsHistory(s, state, keepLastBatches = 2).isEmpty
+    val refusedSubFloor =
+      try { Profile.statsReportAsOf(s, state, 2L, 0L).collect(); false }
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("floor") => true
+      }
+    val versions = StateAudit.healthReport(s, state, Seq("stats"),
+        maxVersions = 64, maxFilesPerLeafDir = 1000000)
+      .select(col("batch_versions")).head().getLong(0) == 3L
+    def shape(df: DataFrame, label: String) =
+      df.withColumnRenamed("grp", "source")
+        .select(lit(label).as("snapshot"), col("source"), col("n_docs"),
+          col("tokens"))
+    shape(Profile.statsReport(s, state), "t_current")
+      .unionByName(shape(Profile.statsReportAsOf(s, state, 4L, 0L),
+        "t_asof4"))
+      .withColumn("applied_floor_3", lit(appliedFloor))
+      .withColumn("second_retain_noop", lit(secondIsNoop))
+      .withColumn("refused_sub_floor", lit(refusedSubFloor))
+      .withColumn("kept_3_versions", lit(versions))
+      .orderBy("snapshot", "source")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3500,7 +3551,8 @@ object Extensions {
     "x148_state_health" -> (x148 _),
     "x149_fast_forward" -> (x149 _),
     "x150_knn_graph" -> (x150 _),
-    "x151_mutual_nn" -> (x151 _)
+    "x151_mutual_nn" -> (x151 _),
+    "x152_retention_policy" -> (x152 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7034,6 +7086,26 @@ object Extensions {
          |  FROM ranked WHERE rank <= 3 AND cos >= 0.2)
          |SELECT g1.a AS id_a, g1.b AS id_b, round(g1.cos, 4) AS cos_sim
          |FROM g g1 JOIN g g2 ON g1.a = g2.b AND g1.b = g2.a
-         |WHERE g1.a < g1.b ORDER BY id_a, id_b""".stripMargin
+         |WHERE g1.a < g1.b ORDER BY id_a, id_b""".stripMargin,
+
+    // x152: retention preserves content — the current report folds the
+    // full corpus and as-of(4) folds batches 1-4 (doc_id < 400); the
+    // derived floor, idempotent second call, sub-floor refusal and
+    // version count are engine-observed, pinned TRUE
+    "x152_retention_policy" ->
+      """SELECT snapshot, source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tokens AS BIGINT) AS tokens,
+        |  TRUE AS applied_floor_3, TRUE AS second_retain_noop,
+        |  TRUE AS refused_sub_floor, TRUE AS kept_3_versions FROM (
+        |  SELECT 't_current' AS snapshot, source,
+        |    count(*) AS n_docs,
+        |    sum(len(string_split(text, ' '))) AS tokens
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT 't_asof4' AS snapshot, source,
+        |    count(*) AS n_docs,
+        |    sum(len(string_split(text, ' '))) AS tokens
+        |  FROM documents WHERE doc_id < 400 GROUP BY source
+        |) ORDER BY snapshot, source""".stripMargin
   )
 }

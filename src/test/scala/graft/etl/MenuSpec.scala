@@ -97,6 +97,11 @@ class MenuSpec extends SparkSpec {
       .contains("caught"))
     assert(graft.ext.Bpe.readDocTokens(spark, s"$ts.branch").count() ==
       b1.count() + b2.count())
+    // retain derives the floor from the policy; a second call is a no-op
+    assert(state("retain", "lsh", ls, "--keep-last", "1")._1
+      .contains("collapsed history <= 1"))
+    assert(state("retain", "lsh", ls, "--keep-last", "1")._1
+      .contains("already satisfied"))
     // bad input is a usage error, not a silent no-op
     intercept[IllegalArgumentException](state("truncate", "postings", ps))
     intercept[IllegalArgumentException](state("health", "nosuch", ps))

@@ -501,6 +501,74 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$stateDir/postings/batch_id=1").exists())
   }
 
+  test("streaming stats ingest: report == batch fold; each micro-batch its own tag") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_ingest").toString
+    val stateDir = s"$dir/state"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val q = ProfileStream.statsIngest(
+      stream.toDS().toDF("doc_id", "text", "source"), stateDir,
+      "text", "source", checkpointDir = s"$dir/ckpt")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val (b1, b2) = (docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250))
+    try {
+      stream.addData(b1.as[(Long, String, String)].collect().toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.as[(Long, String, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def fold(f: org.apache.spark.sql.DataFrame) =
+      f.select("grp", "n_docs", "tokens")
+        .as[(String, Long, Long)].collect().toSet
+    val batchState = s"$dir/batch_state"
+    graft.ext.Profile.appendStatsState(docs, batchState, "text", "source",
+      Some(1L))
+    assert(fold(graft.ext.Profile.statsReport(spark, stateDir)) ==
+      fold(graft.ext.Profile.statsReport(spark, batchState)))
+    assert(new java.io.File(s"$stateDir/stats/batch_id=0").exists())
+    assert(new java.io.File(s"$stateDir/stats/batch_id=1").exists())
+  }
+
+  test("streaming tokenizer ingest: first batch trains+freezes, budgets == batch path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_ingest").toString
+    val stateDir = s"$dir/state"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = BpeStream.tokenizerIngest(
+      stream.toDS().toDF("doc_id", "text"), stateDir,
+      "doc_id", "text", numMerges = 3, checkpointDir = s"$dir/ckpt")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val (b1, b2) = (docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250))
+    try {
+      stream.addData(b1.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the batch twin: train on the SAME first batch, then encode batch 2
+    // against the frozen merges
+    val batchState = s"$dir/batch_state"
+    graft.ext.Bpe.appendTokenizerState(b1, batchState, "doc_id", "text",
+      numMerges = 3, batchTag = Some(1L))
+    graft.ext.Bpe.appendTokenizerState(b2, batchState, "doc_id", "text",
+      numMerges = 3, batchTag = Some(2L))
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("q"))
+    def budget(d: String) =
+      graft.ext.Bpe.tokenBudgetFromState(spark, d, quality, "doc_id", "q",
+          budget = 9000L)
+        .select("doc_id", "cum_tokens")
+        .as[(Long, Long)].collect().toSet
+    assert(budget(stateDir) == budget(batchState) && budget(stateDir).nonEmpty)
+    // frozen merges: identical lists on both paths
+    assert(graft.ext.Bpe.readMerges(spark, stateDir) ==
+      graft.ext.Bpe.readMerges(spark, batchState))
+  }
+
   test("streaming simhash dedup suppresses reordered near-dups, keeps distinct docs") {
     import java.sql.Timestamp
     // doc B is a token reordering of doc A → identical simhash (votes are
