@@ -633,6 +633,35 @@ object Similarity {
         col("a.cos").as("cos"))
   }
 
+  /** SEMANTIC CLUSTERS from the persisted IVF state — the graph-based
+    * semantic-dedup capstone: [[mutualNnPairsFromState]]'s
+    * high-precision pair relation closed into connected components
+    * ([[graft.ext.Dedup.components]] — min-label propagation, adaptive
+    * driver union-find under the edge bound), every LIVE vector labeled
+    * (vec_id, rep, cluster_size), singletons their own rep. `rep` is
+    * the minimum member id — the deterministic exemplar a dedup pass
+    * keeps; dropping `vec_id != rep` rows IS the semantic dedup. The
+    * SemDeDup-style [[semanticDedup]] clusters within IVF cells only;
+    * this composes the mutual-kNN graph instead, so near-duplicates
+    * that straddle a cell boundary (probed, mutual, above threshold)
+    * still merge. Cost over the graph: the component closure on the
+    * MUTUAL pair relation — far sparser than the kNN graph itself —
+    * plus one count per rep. */
+  def semanticClustersFromState(
+      spark: SparkSession, dir: String, k: Int, minCos: Double,
+      nProbe: Int = 2): DataFrame = {
+    val pairs = mutualNnPairsFromState(spark, dir, k, minCos, nProbe)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.components(pairs) // (id, label = min member id)
+    val live = readCellsLive(spark, dir).select(col("vid"))
+    val labeled = live.join(comp, live("vid") === comp("id"), "left")
+      .select(col("vid").as("vec_id"),
+        coalesce(col("label"), col("vid")).as("rep"))
+    labeled
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("rep"))))
+  }
+
   /** MAXIMAL MARGINAL RELEVANCE diversified top-k from the persisted
     * IVF state (Carbonell & Goldstein, SIGIR'98): retrieval that
     * penalizes redundancy — each pick maximizes

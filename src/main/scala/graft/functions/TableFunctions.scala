@@ -193,6 +193,8 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "mutual_nn", exprs => mutualNn(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "semantic_clusters", exprs => semanticClusters(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "substring_dedup", exprs => substringDedup(spark, exprs), "built-in")
@@ -751,6 +753,20 @@ object TableFunctions {
     val minCos = args.double("min_cos")
     val nProbe = if (args.exhausted) 2 else args.int("nprobe")
     plan(Similarity.mutualNnPairsFromState(spark, dir, k, minCos, nProbe))
+  }
+
+  /** `semantic_clusters('dir', k, min_cos[, nprobe])` →
+    * [[Similarity.semanticClustersFromState]]: mutual-kNN components —
+    * every live vector labeled with its cluster exemplar. */
+  private def semanticClusters(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "semantic_clusters"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val k = args.int("k")
+    val minCos = args.double("min_cos")
+    val nProbe = if (args.exhausted) 2 else args.int("nprobe")
+    plan(Similarity.semanticClustersFromState(spark, dir, k, minCos, nProbe))
   }
 
   /** `lang_confusion(table, lang, text)` →

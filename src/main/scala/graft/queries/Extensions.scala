@@ -3303,6 +3303,30 @@ object Extensions {
       .orderBy("snapshot", "source")
   }
 
+  /** x153 — SEMANTIC CLUSTERS from the kNN graph
+    * ([[Similarity.semanticClustersFromState]]): x151's mutual pairs
+    * closed into connected components, every live vector labeled
+    * (rep = min member id — the exemplar a dedup pass keeps),
+    * singletons their own rep, cluster sizes exact. The x48 SemDeDup
+    * clusters within IVF cells only; this composes the mutual-kNN
+    * graph, so near-duplicates straddling a cell boundary still merge.
+    * The oracle replays the whole chain: training, probes, graph,
+    * mutuality, then a recursive-CTE transitive closure with
+    * min-reachable-id representatives (the x19 components recipe). */
+  def x153(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x153_state").toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, state, k = 8, iters = 2,
+      batchTag = Some(1L))
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.semanticClustersFromState(s, state, k = 3, minCos = 0.2,
+        nProbe = 2)
+      .orderBy("vec_id")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3552,7 +3576,8 @@ object Extensions {
     "x149_fast_forward" -> (x149 _),
     "x150_knn_graph" -> (x150 _),
     "x151_mutual_nn" -> (x151 _),
-    "x152_retention_policy" -> (x152 _)
+    "x152_retention_policy" -> (x152 _),
+    "x153_semantic_clusters" -> (x153 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7106,6 +7131,47 @@ object Extensions {
         |    count(*) AS n_docs,
         |    sum(len(string_split(text, ' '))) AS tokens
         |  FROM documents WHERE doc_id < 400 GROUP BY source
-        |) ORDER BY snapshot, source""".stripMargin
+        |) ORDER BY snapshot, source""".stripMargin,
+
+    // x153: x151's mutual-pair relation closed by a recursive CTE
+    // (transitive reachability, min reachable id = rep — the x19
+    // components recipe), live singletons coalesce to themselves,
+    // cluster sizes counted over the final labels
+    "x153_semantic_clusters" ->
+      s"""WITH RECURSIVE $annEmbCte,
+         |${kmeansTrainCtes(probeWhere = "e.vec_id % 9 <> 4")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id AND af.vid % 9 <> 4),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |g AS (
+         |  SELECT query_id AS a, neighbor_id AS b, cos
+         |  FROM ranked WHERE rank <= 3 AND cos >= 0.2),
+         |mp AS (
+         |  SELECT g1.a, g1.b FROM g g1 JOIN g g2
+         |  ON g1.a = g2.b AND g1.b = g2.a WHERE g1.a < g1.b),
+         |edges AS (SELECT a, b FROM mp UNION SELECT b, a FROM mp),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |  WHERE e.b <> r.a),
+         |rp AS (SELECT a AS vid, least(a, min(b)) AS rep
+         |  FROM reach GROUP BY a),
+         |labeled AS (
+         |  SELECT e.vec_id, coalesce(rp.rep, e.vec_id) AS rep
+         |  FROM e LEFT JOIN rp ON e.vec_id = rp.vid
+         |  WHERE e.vec_id % 9 <> 4)
+         |SELECT vec_id, rep,
+         |  CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
+         |FROM labeled ORDER BY vec_id""".stripMargin
   )
 }

@@ -641,6 +641,9 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql(s"SELECT * FROM mutual_nn('$dir', 3, 0.2, 2)"),
       graft.ext.Similarity.mutualNnPairsFromState(spark, dir, 3, 0.2, 2))
+    assertSame(
+      spark.sql(s"SELECT * FROM semantic_clusters('$dir', 3, 0.2, 2)"),
+      graft.ext.Similarity.semanticClustersFromState(spark, dir, 3, 0.2, 2))
   }
 
   test("round-14 wave-2 TVFs: state_diff, mmr_from_state, capped_mix") {
