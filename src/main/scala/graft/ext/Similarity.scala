@@ -578,11 +578,27 @@ object Similarity {
     * standard n^1.5 IVF graph-build envelope, never the n² all-pairs
     * a brute-force kNN graph costs. */
   def knnGraphFromState(
-      spark: SparkSession, dir: String, k: Int, nProbe: Int = 2): DataFrame = {
+      spark: SparkSession, dir: String, k: Int, nProbe: Int = 2): DataFrame =
+    knnGraphCore(spark, dir, k, nProbe, asOf = None)
+
+  /** [[knnGraphFromState]] as the state stood after (append `asOfBatch`,
+    * delete `asOfDelete`) — the x125-x132 free-time-travel pattern: the
+    * graph derives entirely from the tagged cells/tombstones cut, and
+    * the geometry is frozen, so any prefix of the history probes
+    * exactly as it did then. */
+  def knnGraphFromStateAsOf(
+      spark: SparkSession, dir: String, k: Int,
+      asOfBatch: Long, asOfDelete: Long = 0L, nProbe: Int = 2): DataFrame =
+    knnGraphCore(spark, dir, k, nProbe, asOf = Some((asOfBatch, asOfDelete)))
+
+  private def knnGraphCore(
+      spark: SparkSession, dir: String, k: Int, nProbe: Int,
+      asOf: Option[(Long, Long)]): DataFrame = {
     require(k >= 1, s"knn graph k must be >= 1, got $k")
     require(nProbe >= 1, s"knn graph nProbe must be >= 1, got $nProbe")
     val cents = spark.read.parquet(StateIO.tablePath(spark, dir, "centroids"))
-    val cells = readCellsLive(spark, dir).select("cid", "vid", "v", "cn")
+    val cells = readCellsLive(spark, dir, asOf = asOf)
+      .select("cid", "vid", "v", "cn")
     // per-vector probe list: map-side top-nProbe against the broadcast
     // centroids (sorted-struct slice — partial-aggregates, no window)
     val probes = cells
@@ -617,9 +633,22 @@ object Similarity {
     * on its (vec_id, neighbor_id) key — edge-bounded, never corpus². */
   def mutualNnPairsFromState(
       spark: SparkSession, dir: String, k: Int, minCos: Double,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2): DataFrame =
+    mutualNnCore(spark, dir, k, minCos, nProbe, asOf = None)
+
+  /** [[mutualNnPairsFromState]] at a historical (append, delete) cut —
+    * rides [[knnGraphFromStateAsOf]]. */
+  def mutualNnPairsFromStateAsOf(
+      spark: SparkSession, dir: String, k: Int, minCos: Double,
+      asOfBatch: Long, asOfDelete: Long = 0L, nProbe: Int = 2): DataFrame =
+    mutualNnCore(spark, dir, k, minCos, nProbe,
+      asOf = Some((asOfBatch, asOfDelete)))
+
+  private def mutualNnCore(
+      spark: SparkSession, dir: String, k: Int, minCos: Double,
+      nProbe: Int, asOf: Option[(Long, Long)]): DataFrame = {
     val g = Dedup.materialize( // one graph build feeds both join sides
-      knnGraphFromState(spark, dir, k, nProbe)
+      knnGraphCore(spark, dir, k, nProbe, asOf)
         .filter(col("cos") >= minCos)
         .select(col("vec_id"), col("neighbor_id"), col("cos")))
     g.as("a")
@@ -649,11 +678,25 @@ object Similarity {
     * plus one count per rep. */
   def semanticClustersFromState(
       spark: SparkSession, dir: String, k: Int, minCos: Double,
-      nProbe: Int = 2): DataFrame = {
-    val pairs = mutualNnPairsFromState(spark, dir, k, minCos, nProbe)
+      nProbe: Int = 2): DataFrame =
+    semanticClustersCore(spark, dir, k, minCos, nProbe, asOf = None)
+
+  /** [[semanticClustersFromState]] at a historical (append, delete)
+    * cut — rides [[knnGraphFromStateAsOf]]'s graph and that version's
+    * live set. */
+  def semanticClustersFromStateAsOf(
+      spark: SparkSession, dir: String, k: Int, minCos: Double,
+      asOfBatch: Long, asOfDelete: Long = 0L, nProbe: Int = 2): DataFrame =
+    semanticClustersCore(spark, dir, k, minCos, nProbe,
+      asOf = Some((asOfBatch, asOfDelete)))
+
+  private def semanticClustersCore(
+      spark: SparkSession, dir: String, k: Int, minCos: Double,
+      nProbe: Int, asOf: Option[(Long, Long)]): DataFrame = {
+    val pairs = mutualNnCore(spark, dir, k, minCos, nProbe, asOf)
       .select(col("id_a"), col("id_b"))
     val comp = Dedup.components(pairs) // (id, label = min member id)
-    val live = readCellsLive(spark, dir).select(col("vid"))
+    val live = readCellsLive(spark, dir, asOf = asOf).select(col("vid"))
     val labeled = live.join(comp, live("vid") === comp("id"), "left")
       .select(col("vid").as("vec_id"),
         coalesce(col("label"), col("vid")).as("rep"))

@@ -4423,6 +4423,44 @@ class ExtSpec extends SparkSpec {
       "mutuality must actually filter one-directional edges")
   }
 
+  test("knn graph / mutual-nn / clusters as-of: snapshot == the same read on a clone at that cut") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft-knnasof")
+      .toFile.getAbsolutePath
+    val dir = s"$root/ivf"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 120), dir,
+      k = 4, iters = 2, batchTag = Some(1L))
+    Similarity.deleteFromIvfState(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 2 && col("vec_id") < 120)
+        .select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 120), dir,
+      k = 4, iters = 2, batchTag = Some(2L))
+    // the branch holds version (1, 1); the source has moved to (2, 1)
+    Similarity.cloneIvfState(spark, dir, s"$root/branch", 1L, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(
+      rows(Similarity.knnGraphFromStateAsOf(spark, dir, k = 3,
+        asOfBatch = 1L, asOfDelete = 1L)) ==
+      rows(Similarity.knnGraphFromState(spark, s"$root/branch", k = 3)))
+    assert(
+      rows(Similarity.mutualNnPairsFromStateAsOf(spark, dir, k = 3,
+        minCos = 0.2, asOfBatch = 1L, asOfDelete = 1L)) ==
+      rows(Similarity.mutualNnPairsFromState(spark, s"$root/branch", k = 3,
+        minCos = 0.2)))
+    assert(
+      rows(Similarity.semanticClustersFromStateAsOf(spark, dir, k = 3,
+        minCos = 0.2, asOfBatch = 1L, asOfDelete = 1L)) ==
+      rows(Similarity.semanticClustersFromState(spark, s"$root/branch",
+        k = 3, minCos = 0.2)))
+    // and the current read differs (batch 2 joined the graph)
+    assert(
+      rows(Similarity.knnGraphFromState(spark, dir, k = 3)) !=
+      rows(Similarity.knnGraphFromState(spark, s"$root/branch", k = 3)))
+  }
+
   test("fastForward: branch catches up to source head == fresh clone; no-op is stable") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
