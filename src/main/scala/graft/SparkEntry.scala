@@ -18,7 +18,7 @@ object SparkEntry {
 
   /** One entry per implemented operator: SURVEY §2.10 relational corpus
     * (q01–q28), LLM-pipeline extension operators (x01–x148), and the
-    * pipeline end-to-end entries (e01–e03) — 184 queries total (count
+    * pipeline end-to-end entries (e01–e03) — 185 queries total (count
     * pinned by QueryMapSpec so this doc cannot drift). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.StrictMap.disjointUnion(

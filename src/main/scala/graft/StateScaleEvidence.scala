@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Index, Similarity}
+
+/** Scale-evidence harness for the persisted-state lifecycle (SCALE.md
+  * "Round-15 state-pillar lifecycle" table) and the kNN-graph family:
+  * builds the postings and IVF pillars from a (scale-replicated) SF dir
+  * — 3 tagged appends, 1 tagged delete — then times each lifecycle verb
+  * and the graph builds, printing ONE JSON line per run:
+  *
+  * {{{
+  * runMain graft.StateScaleEvidence <sfDir> <label> [graph]
+  *   # e.g. /tmp/graft_sf5 50x graph
+  * }}}
+  *
+  * The claims under test, per verb: READS are flat (postings prune to
+  * the query terms' buckets; IVF probes nProbe cells), AS-OF reads cost
+  * no more than current reads (pruned filters on existing partitions),
+  * APPEND/DELETE are O(batch), CLONE/TRUNCATE are one distributed
+  * copy/rewrite of the affected partitions. The GRAPH build is the
+  * deliberate corpus-scale pass — candidate mass n · nProbe · occupancy
+  * — with the IVF cell count scaled ~√n (the SemDeDup auto-scaling
+  * posture), so the envelope is n^1.5, never the all-pairs n².
+  * Single run per scale; the 1×→50× envelope is the binding signal
+  * (see SCALE.md's cross-run variance caveat). */
+object StateScaleEvidence {
+
+  private def time[T](body: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = body
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  private def fmt(s: Double): String = f"$s%.2f"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val label = args.lift(1).getOrElse("1x")
+    val withGraph = args.lift(2).contains("graph")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (nDocs, nVecs) = (docs.count(), emb.count())
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_state_scale").toFile.getAbsolutePath
+    val terms = Seq("dup", "vector", "window")
+
+    // ---- postings pillar ----
+    val ps = s"$root/postings"
+    val (tpAppend, _) = time {
+      (1 to 3).foreach { b =>
+        Index.appendPostingsState(
+          docs.filter(pmod(col("doc_id"), lit(3)) === (b - 1)), ps,
+          "doc_id", "text", batchTag = Some(b.toLong))
+      }
+    }
+    val (tpDelete, _) = time {
+      Index.deleteFromPostingsState(spark, ps,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+        "doc_id", deleteTag = Some(1L))
+    }
+    val (tpRead, _) = time {
+      Index.bm25TopKFromState(spark, ps, terms, k = 10, idCol = "doc_id")
+        .collect()
+    }
+    val (tpAsof, _) = time {
+      Index.bm25TopKFromStateAsOf(spark, ps, terms, k = 10,
+        asOfBatch = 2L, asOfDelete = 1L, idCol = "doc_id").collect()
+    }
+    val (tpClone, _) = time {
+      Index.clonePostingsState(spark, ps, s"$root/postings_branch", 2L, 1L)
+    }
+    val (tpTrunc, _) = time {
+      Index.truncatePostingsHistory(spark, ps, floor = 2L)
+    }
+
+    // ---- IVF pillar (cells ~ sqrt(n): the auto-scaling posture) ----
+    val vs = s"$root/ivf"
+    val kCells = math.max(8, math.sqrt(nVecs.toDouble).toInt)
+    val (tvAppend, _) = time {
+      (1 to 3).foreach { b =>
+        Similarity.appendIvfState(
+          emb.filter(pmod(col("vec_id"), lit(3)) === (b - 1)), vs,
+          k = kCells, iters = 2, batchTag = Some(b.toLong))
+      }
+    }
+    val (tvDelete, _) = time {
+      Similarity.deleteFromIvfState(spark, vs,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")),
+        "vec_id", deleteTag = Some(1L))
+    }
+    val probeSet = emb.filter(col("vec_id") < 20)
+    val (tvRead, _) = time {
+      Similarity.ivfTopKFromState(spark, vs, probeSet, topK = 10).collect()
+    }
+    val (tvAsof, _) = time {
+      Similarity.ivfTopKFromStateAsOf(spark, vs, probeSet, topK = 10,
+        asOfBatch = 2L, asOfDelete = 1L).collect()
+    }
+    val (tvClone, _) = time {
+      Similarity.cloneIvfState(spark, vs, s"$root/ivf_branch", 2L, 1L)
+    }
+    val (tvTrunc, _) = time {
+      Similarity.truncateIvfHistory(spark, vs, floor = 2L)
+    }
+
+    val graphJson = if (!withGraph) "" else {
+      val (tgKnn, knnEdges) = time {
+        Similarity.knnGraphFromState(spark, vs, k = 3, nProbe = 2).count()
+      }
+      val (tgMutual, mutualPairs) = time {
+        Similarity.mutualNnPairsFromState(spark, vs, k = 3, minCos = 0.2)
+          .count()
+      }
+      val (tgClusters, clusterRows) = time {
+        Similarity.semanticClustersFromState(spark, vs, k = 3, minCos = 0.2)
+          .count()
+      }
+      s""","cells":$kCells,"graph":{"knn":${fmt(tgKnn)},""" +
+        s""""mutual":${fmt(tgMutual)},"clusters":${fmt(tgClusters)},""" +
+        s""""edges":$knnEdges,"pairs":$mutualPairs,"labeled":$clusterRows}"""
+    }
+
+    println(
+      s"""{"metric":"state_scale","label":"$label","docs":$nDocs,""" +
+        s""""vecs":$nVecs,"postings":{"append":${fmt(tpAppend)},""" +
+        s""""delete":${fmt(tpDelete)},"read":${fmt(tpRead)},""" +
+        s""""read_asof":${fmt(tpAsof)},"clone":${fmt(tpClone)},""" +
+        s""""truncate":${fmt(tpTrunc)}},"ivf":{"append":${fmt(tvAppend)},""" +
+        s""""delete":${fmt(tvDelete)},"read":${fmt(tvRead)},""" +
+        s""""read_asof":${fmt(tvAsof)},"clone":${fmt(tvClone)},""" +
+        s""""truncate":${fmt(tvTrunc)}}$graphJson}""")
+    spark.stop()
+  }
+}

@@ -606,6 +606,26 @@ object Bpe {
         col("cum_tokens"))
   }
 
+  /** TRAINING-DATA EXPORT from persisted state — the capstone a user
+    * actually runs to cut a training set: quality-ordered token-budget
+    * selection from the tokenizer sidecar ([[tokenBudgetFromState]] —
+    * no retrain, no corpus re-encode), then deterministic hash shards
+    * and greedy ~`binBudget`-token bins ([[graft.ext.Packing.packBins]]
+    * — the portable-hash shard and integral-divide bin the x31/x45
+    * oracles replay). Returns one row per selected document:
+    * (idCol, bpe_tokens, shard, bin) — the materialization plan a
+    * shard-writer consumes; [[graft.ext.Packing.binEfficiency]] over it
+    * is the utilization report. Every stage is an already-gated
+    * operator, composed; the corpus text is never touched. */
+  def exportShardsFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      quality: DataFrame, idCol: String, qualityCol: String,
+      budget: Long, binBudget: Long, numShards: Int): DataFrame =
+    Packing.packBins(
+      tokenBudgetFromState(spark, dir, quality, idCol, qualityCol, budget)
+        .select(col(idCol), col("bpe_tokens")),
+      idCol, "bpe_tokens", Seq.empty, idCol, binBudget, numShards)
+
   /** [[graft.ext.Sampling.temperatureMix]] answered from persisted
     * encoded counts: per-group token totals aggregate the sidecar joined
     * to a caller-supplied (idCol, grpCol) frame — same share math

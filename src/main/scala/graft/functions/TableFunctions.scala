@@ -195,6 +195,8 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "semantic_clusters", exprs => semanticClusters(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "export_shards", exprs => exportShards(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "substring_dedup", exprs => substringDedup(spark, exprs), "built-in")
@@ -767,6 +769,24 @@ object TableFunctions {
     val minCos = args.double("min_cos")
     val nProbe = if (args.exhausted) 2 else args.int("nprobe")
     plan(Similarity.semanticClustersFromState(spark, dir, k, minCos, nProbe))
+  }
+
+  /** `export_shards('dir', quality, id, q, budget, bin_budget[, shards])`
+    * → [[graft.ext.Bpe.exportShardsFromState]]: quality-budgeted,
+    * sharded, bin-packed training-set assignment from tokenizer state. */
+  private def exportShards(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "export_shards"
+    requireArity(f, exprs, min = 6, max = 7)
+    val args = new Args(f, exprs)
+    val dir = args.name("dir")
+    val quality = args.table(spark, "quality")
+    val id = args.name("id")
+    val q = args.name("q")
+    val budget = args.long("budget")
+    val binBudget = args.long("bin_budget")
+    val shards = if (args.exhausted) 16 else args.int("shards")
+    plan(graft.ext.Bpe.exportShardsFromState(spark, dir, quality, id, q,
+      budget, binBudget, shards))
   }
 
   /** `lang_confusion(table, lang, text)` →

@@ -3327,6 +3327,36 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** x154 — TRAINING-DATA EXPORT from persisted state
+    * ([[Bpe.exportShardsFromState]]): the capstone a user runs to cut a
+    * training set once a corpus lives in the pillars — quality-ordered
+    * token-budget selection from the tokenizer sidecar (x121's
+    * operator: no retrain, no corpus re-encode), deterministic hash
+    * shards and greedy 2000-token bins (x45's packer) — one row per
+    * selected document, the materialization plan a shard-writer
+    * consumes. Fixture: two tagged appends (merges freeze on batch 1)
+    * plus a tombstoned delete; the oracle replays the frozen-tokenizer
+    * encode, the delete-respecting budget window, the md5 shard
+    * assignment and the integral-divide bin packing end-to-end. */
+  def x154(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x154_state").toFile.getAbsolutePath
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 150), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(1L))
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") >= 150), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(2L))
+    Bpe.deleteFromTokenizerState(s, state,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("q"))
+    Bpe.exportShardsFromState(s, state, quality, "doc_id", "q",
+        budget = 20000L, binBudget = 2000L, numShards = 4)
+      .select(col("doc_id"), col("bpe_tokens"), col("shard"), col("bin"))
+      .orderBy("doc_id")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3577,7 +3607,8 @@ object Extensions {
     "x150_knn_graph" -> (x150 _),
     "x151_mutual_nn" -> (x151 _),
     "x152_retention_policy" -> (x152 _),
-    "x153_semantic_clusters" -> (x153 _)
+    "x153_semantic_clusters" -> (x153 _),
+    "x154_export_shards" -> (x154 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7172,6 +7203,34 @@ object Extensions {
          |  WHERE e.vec_id % 9 <> 4)
          |SELECT vec_id, rep,
          |  CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
-         |FROM labeled ORDER BY vec_id""".stripMargin
+         |FROM labeled ORDER BY vec_id""".stripMargin,
+
+    // x154: frozen-tokenizer encode (train on batch 1 = doc_id < 150),
+    // delete-respecting budget window (quality = char length, ties by
+    // doc_id), md5 hash shards, integral-divide bin packing — the x121 +
+    // x45 oracle chains composed end-to-end
+    "x154_export_shards" ->
+      s"""WITH ${bpeEncodedCorpusCtes(4, " WHERE doc_id < 150")},
+         |enc AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS bpe_tokens FROM it4),
+         |q AS (
+         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS q
+         |  FROM documents),
+         |c AS (
+         |  SELECT q.doc_id, e.bpe_tokens,
+         |    CAST(sum(e.bpe_tokens) OVER (ORDER BY q.q DESC, q.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q JOIN enc e USING (doc_id) WHERE q.doc_id % 7 <> 3),
+         |sel AS (SELECT doc_id, bpe_tokens FROM c WHERE cum_tokens <= 20000),
+         |sh AS (
+         |  SELECT doc_id, bpe_tokens,
+         |    ${hex15.format("CAST(doc_id AS VARCHAR)")} % 4 AS shard
+         |  FROM sel)
+         |SELECT doc_id, bpe_tokens, shard,
+         |  CAST(COALESCE(SUM(bpe_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) // 2000 AS bin
+         |FROM sh ORDER BY doc_id""".stripMargin
   )
 }

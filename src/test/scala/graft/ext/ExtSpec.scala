@@ -4461,6 +4461,47 @@ class ExtSpec extends SparkSpec {
       rows(Similarity.knnGraphFromState(spark, s"$root/branch", k = 3)))
   }
 
+  test("exportShardsFromState: selection honors budget + tombstones; bins honor binBudget") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-export")
+      .toFile.getAbsolutePath + "/tok"
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 150), dir,
+      "doc_id", "text", numMerges = 3, batchTag = Some(1L))
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") >= 150), dir,
+      "doc_id", "text", numMerges = 3, batchTag = Some(2L))
+    Bpe.deleteFromTokenizerState(spark, dir,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("q"))
+    val out = Dedup.materialize(Bpe.exportShardsFromState(spark, dir,
+      quality, "doc_id", "q", budget = 9000L, binBudget = 1000L,
+      numShards = 4))
+    val rows = out.select("doc_id", "bpe_tokens", "shard", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    // tombstoned docs never export
+    assert(rows.forall(_._1 % 7 != 3))
+    // the selection equals the budget operator's own cut
+    val sel = Bpe.tokenBudgetFromState(spark, dir, quality, "doc_id", "q",
+        budget = 9000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == sel)
+    // within each (shard, bin): token mass stays under binBudget + the
+    // one overflowing tail doc the greedy close allows
+    val byBin = rows.groupBy(r => (r._3, r._4))
+    assert(byBin.forall { case (_, rs) =>
+      val tot = rs.map(_._2).sum
+      tot <= 1000L + rs.map(_._2).max
+    })
+    // utilization report covers every bin exactly once
+    val eff = Packing.binEfficiency(out, Seq.empty, "bpe_tokens",
+      budget = 1000L)
+    assert(eff.select("n_bins").head().getLong(0) == byBin.size.toLong)
+  }
+
   test("fastForward: branch catches up to source head == fresh clone; no-op is stable") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
