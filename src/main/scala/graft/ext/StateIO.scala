@@ -1201,11 +1201,16 @@ private[graft] object StateIO {
     //    replays added INSIDE pre-branch delete partitions
     tables.filter(_.tagCol == "delete_id").foreach { t =>
       readTableIfExists(spark, srcDir, t.name).foreach { d =>
-        val w = d.write.mode("overwrite")
-        (if (t.extraPartitionCols.nonEmpty)
-           w.partitionBy(("delete_id" +: t.extraPartitionCols): _*)
-         else w.partitionBy("delete_id"))
-          .parquet(tablePath(spark, dstDir, t.name))
+        // a present-but-empty source table must not overwrite the branch
+        // with a partitionless (schema-less) dir every later read chokes
+        // on — same posture as the clone's empty-cut skip
+        if (d.head(1).nonEmpty) {
+          val w = d.write.mode("overwrite")
+          (if (t.extraPartitionCols.nonEmpty)
+             w.partitionBy(("delete_id" +: t.extraPartitionCols): _*)
+           else w.partitionBy("delete_id"))
+            .parquet(tablePath(spark, dstDir, t.name))
+        }
       }
     }
     // adopt the source's floor: the delete rewrite above may import
