@@ -143,6 +143,16 @@ object Main {
       if (pillarTables.contains(p)) p
       else { out.println(s"unknown pillar '$p' " +
         s"(expected ${pillarTables.keys.toSeq.sorted.mkString("|")})"); usage() }
+    // a non-numeric --floor/--keep-last/... gets the usage() error every
+    // other malformed argument gets, not a bare NumberFormatException
+    def longOpt(name: String, default: => String): Long =
+      try opts.getOrElse(name, default).toLong
+      catch { case _: NumberFormatException =>
+        out.println(s"--$name must be a number"); usage() }
+    def intOpt(name: String, default: => String): Int =
+      try opts.getOrElse(name, default).toInt
+      catch { case _: NumberFormatException =>
+        out.println(s"--$name must be a number"); usage() }
     positional match {
       case Seq("recover", p, dir) =>
         val rolled = pillar(p) match {
@@ -155,7 +165,7 @@ object Main {
         out.println(if (rolled) s"[state] rolled a crashed swap forward in $dir"
           else s"[state] $dir is healthy — nothing to recover")
       case Seq("truncate", p, dir) =>
-        val floor = opts.getOrElse("floor", usage()).toLong
+        val floor = longOpt("floor", usage())
         pillar(p) match {
           case "lsh" => graft.ext.Dedup.truncateLshHistory(spark, dir, floor)
           case "postings" =>
@@ -168,8 +178,8 @@ object Main {
         }
         out.println(s"[state] collapsed history <= $floor in $dir")
       case Seq("clone", p, src, dst) =>
-        val b = opts.getOrElse("asof-batch", usage()).toLong
-        val d = opts.getOrElse("asof-delete", "0").toLong
+        val b = longOpt("asof-batch", usage())
+        val d = longOpt("asof-delete", "0")
         pillar(p) match {
           case "lsh" => graft.ext.Dedup.cloneLshState(spark, src, dst, b, d)
           case "postings" =>
@@ -184,8 +194,8 @@ object Main {
       case Seq("health", p, dir) =>
         val report = graft.ext.StateAudit.healthReport(spark, dir,
           pillarTables(pillar(p)),
-          maxVersions = opts.getOrElse("max-versions", "64").toInt,
-          maxFilesPerLeafDir = opts.getOrElse("max-files-per-leaf", "4").toInt)
+          maxVersions = intOpt("max-versions", "64"),
+          maxFilesPerLeafDir = intOpt("max-files-per-leaf", "4"))
         report.collect().foreach { r =>
           out.println(s"[state] table=${r.getString(0)} files=${r.getLong(1)} " +
             s"bytes=${r.getLong(2)} leaf_dirs=${r.getLong(3)} " +
@@ -193,7 +203,7 @@ object Main {
             s"advice=${r.getString(6)}")
         }
       case Seq("retain", p, dir) =>
-        val keep = opts.getOrElse("keep-last", usage()).toInt
+        val keep = intOpt("keep-last", usage())
         val applied = pillar(p) match {
           case "lsh" => graft.ext.Dedup.retainLshHistory(spark, dir, keep)
           case "postings" =>

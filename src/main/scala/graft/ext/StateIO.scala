@@ -1001,7 +1001,16 @@ private[graft] object StateIO {
           val i = l.indexOf('=')
           (l.substring(0, i), l.substring(i + 1))
         }.toMap
-      BranchInfo(kv("src"), kv("batch").toLong, kv("delete").toLong)
+      // a corrupt / partially-written lineage file must refuse by NAME
+      // (the state layer's posture), not leak a bare NoSuchElementException
+      // or NumberFormatException from the kv lookups
+      try BranchInfo(kv("src"), kv("batch").toLong, kv("delete").toLong)
+      catch {
+        case e @ (_: NoSuchElementException | _: NumberFormatException) =>
+          throw new IllegalStateException(
+            s"corrupt $BranchFile lineage in $dir (${e.getMessage}) — " +
+              "re-clone from the source to re-establish lineage", e)
+      }
     }
 
   /** Content checksum of a frozen-artifact path (file or directory):
@@ -1031,6 +1040,30 @@ private[graft] object StateIO {
       } finally in.close()
     }
     Some(md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** Refuse when a tagged table carries UNTAGGED rows — data files at
+    * the table root next to its `tagCol=` partitions, the mixed layout
+    * an untagged append/delete leaves on an otherwise-tagged state.
+    * Schema-level checks cannot see this (Spark still infers the tag
+    * column from the tagged subdirs and then fails — or silently
+    * mispartitions — at read time), so this is an FS-level mirror of
+    * the [[asOfCut]] untagged-state refusal. */
+  private def checkNoUntaggedRows(
+      spark: SparkSession, dir: String, table: String, tagCol: String,
+      remedy: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tablePath(spark, dir, table))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val rogue = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") &&
+        !(st.isDirectory && n.startsWith(s"$tagCol="))
+    }
+    require(rogue.isEmpty,
+      s"$dir/$table carries UNTAGGED rows (${rogue.head.getPath.getName} " +
+        s"at the table root next to $tagCol= partitions) — untagged " +
+        s"writes have no version identity; $remedy")
   }
 
   /** CATCH a branch UP to its source's current head — the incremental
@@ -1172,6 +1205,28 @@ private[graft] object StateIO {
       s"source $srcDir truncated history to floor $srcFloor past the " +
         s"branch's batch cut $b0 — the versions the catch-up needs were " +
         "collapsed; re-clone from the current source instead")
+    // every source batch table must be TAGGED — validated BEFORE the
+    // commit marker publishes: were this to fire after, every re-run
+    // would refuse identically, the marker would never clear, and all
+    // branch reads would stay permanently gated with no named remedy
+    tables.filter(_.tagCol == "batch_id").foreach { t =>
+      readTableIfExists(spark, srcDir, t.name).foreach { d =>
+        require(d.columns.contains("batch_id"),
+          s"fast-forward needs a TAGGED source: $srcDir/${t.name} has " +
+            "no batch_id partition column — rebuild the source with " +
+            "tagged appends before branching from it")
+      }
+    }
+    // untagged LOCAL rows on the branch escape the tag-max divergence
+    // probe above (they carry no tag to max over): an untagged append
+    // would surface post-copy as an opaque mixed-partition-layout read
+    // error, and untagged tombstones would be silently DISCARDED by the
+    // wholesale delete rewrite — refuse by name instead, pre-marker
+    tables.foreach { t =>
+      checkNoUntaggedRows(spark, dstDir, t.name, t.tagCol,
+        "the branch diverged with untagged local writes — re-clone to " +
+          "branch from the source again")
+    }
     // ---- commit point: every read on the branch now fails fast ----
     publishSmallFile(spark, dstDir, FfPendingMarker,
       s"from=$b0,$d0\nto=$b1,$d1\n")

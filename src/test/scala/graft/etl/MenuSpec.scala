@@ -102,9 +102,14 @@ class MenuSpec extends SparkSpec {
       .contains("collapsed history <= 1"))
     assert(state("retain", "lsh", ls, "--keep-last", "1")._1
       .contains("already satisfied"))
-    // bad input is a usage error, not a silent no-op
+    // bad input is a usage error, not a silent no-op — and a NON-NUMERIC
+    // numeric flag gets the same usage() error, not a NumberFormatException
     intercept[IllegalArgumentException](state("truncate", "postings", ps))
     intercept[IllegalArgumentException](state("health", "nosuch", ps))
     intercept[IllegalArgumentException](state("frobnicate"))
+    intercept[IllegalArgumentException](
+      state("retain", "lsh", ls, "--keep-last", "two"))
+    intercept[IllegalArgumentException](
+      state("truncate", "postings", ps, "--floor", "2.5"))
   }
 }

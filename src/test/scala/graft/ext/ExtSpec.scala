@@ -4589,6 +4589,65 @@ class ExtSpec extends SparkSpec {
     assert(e4.getMessage.contains("truncated history"), e4.getMessage)
   }
 
+  test("fastForward refusals: untagged branch rows, corrupt lineage, " +
+      "untagged source — all BEFORE the _ff_pending marker") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-ffu")
+      .toFile.getAbsolutePath
+    val src = s"$root/postings"
+    Seq((0, 100, 1L), (100, 200, 2L)).foreach { case (lo, hi, tag) =>
+      Index.appendPostingsState(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi), src,
+        "doc_id", "text", batchTag = Some(tag))
+    }
+    // UNTAGGED local rows on a branch are invisible to the tag-max
+    // divergence probe (nothing to max over) — refused by name at the FS
+    // level, and BEFORE the marker, so branch reads stay open
+    Index.clonePostingsState(spark, src, s"$root/b1", 1L)
+    Index.appendPostingsState(docs.filter(col("doc_id") >= 900), s"$root/b1",
+      "doc_id", "text") // untagged local write
+    val e1 = intercept[IllegalArgumentException](
+      Index.fastForwardPostingsState(spark, src, s"$root/b1"))
+    assert(e1.getMessage.contains("UNTAGGED"), e1.getMessage)
+    assert(!new java.io.File(s"$root/b1/_ff_pending").exists())
+    // corrupt / partially-written _branch lineage: the named refusal with
+    // the re-clone remedy, not a bare NoSuchElementException
+    Index.clonePostingsState(spark, src, s"$root/b2", 1L)
+    // drop the Hadoop local-FS checksum sidecar so the corruption below
+    // surfaces as CONTENT corruption, not a crc mismatch
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/b2/._branch.crc"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/b2/_branch"), "garbage\n")
+    val e2 = intercept[IllegalStateException](
+      Index.fastForwardPostingsState(spark, src, s"$root/b2"))
+    assert(e2.getMessage.contains("corrupt _branch lineage"), e2.getMessage)
+    // an UNTAGGED source table refuses BEFORE the marker publishes: were
+    // it after, every re-run would refuse identically and the marker
+    // would gate branch reads forever with no named remedy
+    val src2 = s"$root/untagged_src"
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 50), src2,
+      "doc_id", "text", numMerges = 3) // untagged build
+    Bpe.deleteFromTokenizerState(spark, src2,
+      docs.filter(col("doc_id") === 7).select(col("doc_id")), "doc_id",
+      deleteTag = Some(1L))
+    val dst = s"$root/b3"
+    // handcraft a branch: byte-copy the dir, then record lineage at the
+    // current delete head so only a NEW source delete triggers catch-up
+    import scala.sys.process._
+    assert(Seq("cp", "-r", src2, dst).! == 0)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dst/_branch"),
+      s"src=${StateIO.qualifyDir(spark, src2)}\nbatch=0\ndelete=1\n")
+    Bpe.deleteFromTokenizerState(spark, src2,
+      docs.filter(col("doc_id") === 8).select(col("doc_id")), "doc_id",
+      deleteTag = Some(2L))
+    val e3 = intercept[IllegalArgumentException](
+      Bpe.fastForwardTokenizerState(spark, src2, dst))
+    assert(e3.getMessage.contains("TAGGED source"), e3.getMessage)
+    assert(!new java.io.File(s"$dst/_ff_pending").exists())
+  }
+
   test("fastForward: frozen-artifact drift (recluster/retrain since branch) refuses") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("embedding"))
