@@ -117,6 +117,21 @@ object StateScaleEvidence {
       Similarity.truncateIvfHistory(spark, vs, floor = 2L)
     }
 
+    // sample-trained IVF build: the same three appends with first-batch
+    // k-means bounded to 4096 training vectors — the linear-append remedy
+    // for the n^1.5 full-batch-training term this harness measured at
+    // √n cells (SCALE.md round-15 note). Assignment (the linear map)
+    // still covers every vector, so the column should scale ~linearly.
+    val vss = s"$root/ivf_sampled"
+    val (tvAppendSampled, _) = time {
+      (1 to 3).foreach { b =>
+        Similarity.appendIvfState(
+          emb.filter(pmod(col("vec_id"), lit(3)) === (b - 1)), vss,
+          k = kCells, iters = 2, batchTag = Some(b.toLong),
+          trainSample = 4096)
+      }
+    }
+
     val graphJson = if (!withGraph) "" else {
       val (tgKnn, knnEdges) = time {
         Similarity.knnGraphFromState(spark, vs, k = 3, nProbe = 2).count()
@@ -142,7 +157,8 @@ object StateScaleEvidence {
         s""""truncate":${fmt(tpTrunc)}},"ivf":{"append":${fmt(tvAppend)},""" +
         s""""delete":${fmt(tvDelete)},"read":${fmt(tvRead)},""" +
         s""""read_asof":${fmt(tvAsof)},"clone":${fmt(tvClone)},""" +
-        s""""truncate":${fmt(tvTrunc)}}$graphJson}""")
+        s""""truncate":${fmt(tvTrunc)},""" +
+        s""""append_sampled":${fmt(tvAppendSampled)}}$graphJson}""")
     spark.stop()
   }
 }

@@ -313,6 +313,58 @@ object Similarity {
     }
   }
 
+  /** [[kmeansCentroids]] trained on a deterministic BOUNDED sample — the
+    * production-scale training path: full-batch k-means is n·k distance
+    * work per Lloyd step, and with the cell count scaled ~√n (the
+    * SemDeDup auto-scaling posture) that makes a state BUILD n^1.5 —
+    * the one data-superlinear stage this module had (SCALE.md measured
+    * it 4.7 → 91.9 s at 1×→50×). Centroid QUALITY does not need the
+    * full corpus: k-means means stabilize on a bounded sample (the
+    * [[graft.ext.Bpe.trainMergesSampled]] posture applied to k-means),
+    * so training runs on the `maxTrain` lowest-portable-hash vectors —
+    * a pure function of the ids ([[graft.ext.PortableHash.md5Long]],
+    * ties by id), reproducible on any engine and under retries — and
+    * the one-time corpus ASSIGNMENT stays the linear broadcast-argmin
+    * map. Per-step training cost: maxTrain·k, corpus-size-independent.
+    *
+    * Same output contract as [[kmeansCentroids]]; when the corpus holds
+    * at most `maxTrain` rows the sample IS the corpus and the two
+    * trainers are identical (spec-pinned). */
+  def kmeansCentroidsSampled(
+      corpus: DataFrame, k: Int, iters: Int, maxTrain: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(maxTrain >= k,
+      s"maxTrain ($maxTrain) must be >= k ($k): k-means cannot seed $k " +
+        "centroids from fewer training vectors")
+    kmeansCentroids(trainingSample(corpus, maxTrain, idCol), k, iters,
+      idCol, vecCol)
+  }
+
+  /** The `maxTrain` lowest-(portable-hash, id) rows — the
+    * [[graft.ext.Bpe.trainMergesLocal]] prefix discipline: a hash-cutoff
+    * PRE-FILTER (4× the needed fraction, provably containing the true
+    * prefix) bounds the top-K sort input to ~4·maxTrain rows so the
+    * corpus's vectors are never range-shuffled wholesale; if the margin
+    * ever under-captures, fall back to the exact full sort — the
+    * selected prefix is identical either way. The two `count()` passes
+    * are narrow-column scans (no vector bytes move). */
+  private def trainingSample(
+      df: DataFrame, maxTrain: Int, idCol: String): DataFrame = {
+    val base = df.withColumn("graft_h",
+      graft.ext.PortableHash.md5Long(col(idCol).cast("string")))
+    val n = base.count()
+    if (n <= maxTrain) return df
+    val pool =
+      if (n <= maxTrain.toLong * 4) base
+      else {
+        val cutoff = ((1L << 60).toDouble *
+          math.min(1.0, 4.0 * maxTrain / n)).toLong
+        val pre = base.filter(col("graft_h") < cutoff)
+        if (pre.count() >= maxTrain) pre else base
+      }
+    pool.orderBy(col("graft_h"), col(idCol)).limit(maxTrain).drop("graft_h")
+  }
+
   /** Nearest-centroid assignment: (vid, v, cid). Broadcast k rows, argmin
     * by (sqDist, cid) as `min(struct(dist, cid, v))` — struct ordering IS
     * the lexicographic (dist, cid) argmin with the deterministic tie-break
@@ -400,12 +452,24 @@ object Similarity {
     * parameters (k, iters, dim) persist to `dir/_meta` on first append
     * and are VALIDATED on every later append — a batch assigned under
     * different geometry would silently corrupt every subsequent probe.
-    * Ids must be unique across all appended batches. */
+    * Ids must be unique across all appended batches.
+    *
+    * `trainSample > 0` trains the first-batch centroids on a bounded
+    * deterministic hash-sample ([[kmeansCentroidsSampled]]) instead of
+    * the full batch — the production posture once the first batch is
+    * large (full-batch training is n·k per Lloyd step; at √n cells
+    * that makes the BUILD n^1.5, the one superlinear stage this module
+    * had). Assignment is unaffected (always the linear broadcast-argmin
+    * over the whole batch); the choice freezes with the centroids and
+    * is recorded in `_meta`. */
   def appendIvfState(
       vecs: DataFrame, dir: String, k: Int = 8, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      batchTag: Option[Long] = None): Unit =
+      batchTag: Option[Long] = None, trainSample: Int = 0): Unit =
       StateIO.withWriterLock(vecs.sparkSession, dir) {
+    require(trainSample == 0 || trainSample >= k,
+      s"trainSample ($trainSample) must be 0 (train on the full first " +
+        s"batch) or >= k ($k)")
     val spark = vecs.sparkSession
     // an EMPTY first batch must not train: empty centroids would freeze a
     // zero-cell geometry and every later append would silently index
@@ -433,14 +497,18 @@ object Similarity {
         "cell assignment)")
     val cents = centsOpt match {
       case Some(c) =>
-        checkIvfMeta(spark, dir, k, iters, dimOf(batchRow),
+        checkIvfMeta(spark, dir, k, iters, dimOf(batchRow), trainSample,
           writeIfAbsent = false)
         c
       case None =>
         if (batchRow.isEmpty) return // nothing to train on, nothing to add
-        checkIvfMeta(spark, dir, k, iters, dimOf(batchRow),
+        checkIvfMeta(spark, dir, k, iters, dimOf(batchRow), trainSample,
           writeIfAbsent = true)
-        kmeansCentroids(vecs, k, iters, idCol, vecCol)
+        val trained =
+          if (trainSample > 0)
+            kmeansCentroidsSampled(vecs, k, iters, trainSample, idCol, vecCol)
+          else kmeansCentroids(vecs, k, iters, idCol, vecCol)
+        trained
           .write.mode("overwrite").parquet(StateIO.tablePath(spark, dir, "centroids"))
         spark.read.parquet(StateIO.tablePath(spark, dir, "centroids"))
     }
@@ -1045,7 +1113,7 @@ object Similarity {
     StateIO.checkNoCompactRemnants(spark, dir,
       Seq("centroids", "cells", "tombstones"))
     val meta =
-      try spark.read.schema("k LONG, iters LONG, dim LONG")
+      try spark.read.schema("k LONG, iters LONG, dim LONG, train_sample LONG")
         .json(s"$dir/_meta").head()
       catch {
         case e: org.apache.spark.sql.AnalysisException
@@ -1054,17 +1122,25 @@ object Similarity {
             s"IVF state at $dir has no _meta — nothing to recluster " +
               "(build the state with appendIvfState first)")
       }
-    require(!meta.anyNull,
+    require(!meta.isNullAt(0) && !meta.isNullAt(1) && !meta.isNullAt(2),
       s"IVF state meta at $dir/_meta is corrupt — rebuild the state dir")
     val (k, iters) = (meta.getLong(0).toInt, meta.getLong(1).toInt)
+    val trainSample = if (meta.isNullAt(3)) 0 else meta.getLong(3).toInt
     // materialize the live rows BEFORE swapping: everything below derives
     // from the very files the swap replaces
     val live = graft.ext.Dedup.materialize(readCellsLive(spark, dir))
     require(live.select(col("vid")).head(1).nonEmpty,
       s"IVF state at $dir has no live vectors — nothing to recluster")
     val hasBatch = live.columns.contains("batch_id")
+    // the retrain honors the state's training posture: a sample-trained
+    // state re-trains on a bounded sample of the LIVE rows (otherwise a
+    // recluster would re-pay the n^1.5 full-corpus training this state
+    // was built to avoid); full-batch states retrain on everything live
     val newCents = graft.ext.Dedup.materialize(
-      kmeansCentroids(live, k, iters, idCol = "vid", vecCol = "v"))
+      if (trainSample > 0)
+        kmeansCentroidsSampled(live, k, iters, trainSample,
+          idCol = "vid", vecCol = "v")
+      else kmeansCentroids(live, k, iters, idCol = "vid", vecCol = "v"))
     val reassigned = assignToCentroids(
       live.select(col("vid"), col("v")), newCents)
       .select(col("cid"), col("vid"), col("v"))
@@ -1214,11 +1290,12 @@ object Similarity {
     * batch — nothing to measure). */
   private def checkIvfMeta(
       spark: SparkSession, dir: String, k: Int, iters: Int, dim: Int,
-      writeIfAbsent: Boolean): Unit = {
+      trainSample: Int, writeIfAbsent: Boolean): Unit = {
     val path = s"$dir/_meta"
     val row =
-      try Some(
-        spark.read.schema("k LONG, iters LONG, dim LONG").json(path).head())
+      try Some(spark.read
+        .schema("k LONG, iters LONG, dim LONG, train_sample LONG")
+        .json(path).head())
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" => None
@@ -1226,7 +1303,7 @@ object Similarity {
       }
     row match {
       case Some(m) =>
-        require(!m.anyNull,
+        require(!m.isNullAt(0) && !m.isNullAt(1) && !m.isNullAt(2),
           s"IVF state meta at $path is corrupt — rebuild the state dir")
         val stored = (m.getLong(0).toInt, m.getLong(1).toInt)
         require(stored == ((k, iters)),
@@ -1238,9 +1315,19 @@ object Similarity {
           s"IVF state at $dir indexes ${m.getLong(2)}-dim embeddings but " +
             s"this batch is ${dim}-dim; mixed widths truncate the dot " +
             "products silently. Re-embed or rebuild the state.")
+        // training config is first-append-only (the centroids froze),
+        // but a mismatched call is operator confusion worth refusing —
+        // the same posture as k/iters. Metas written before the field
+        // existed read as null and validate as 0 (full-batch training).
+        val storedTs = if (m.isNullAt(3)) 0 else m.getLong(3).toInt
+        require(storedTs == trainSample,
+          s"IVF state at $dir trained its centroids with trainSample = " +
+            s"$storedTs but was called with $trainSample; use the stored " +
+            "value (training froze on the first batch)")
       case None if writeIfAbsent =>
         import spark.implicits._
-        Seq((k.toLong, iters.toLong, dim.toLong)).toDF("k", "iters", "dim")
+        Seq((k.toLong, iters.toLong, dim.toLong, trainSample.toLong))
+          .toDF("k", "iters", "dim", "train_sample")
           .coalesce(1).write.mode("overwrite").json(path)
       case None => ()
     }

@@ -3357,6 +3357,45 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x155 — SAMPLE-TRAINED IVF centroids
+    * ([[Similarity.kmeansCentroidsSampled]] via
+    * `appendIvfState(trainSample = 40)`): the first-batch k-means trains
+    * on the 40 lowest-portable-hash vectors instead of the full batch —
+    * the remedy for the one data-superlinear stage the state layer had
+    * (full-batch training is n·k per Lloyd step; at √n cells the BUILD
+    * was n^1.5 — SCALE.md measured 4.7→91.9 s at 1×→50×). Assignment
+    * stays the linear broadcast-argmin over every vector. The oracle
+    * re-derives the whole chain — the deterministic hash-prefix sample,
+    * k-means ON the sample, full-corpus assignment, 2-cell probes, exact
+    * cosine top-5 — and both engines compute per-query hits against
+    * brute-force top-5 (`hits_at_5`), with the mean-recall floor pinned
+    * x88-style. */
+  def x155(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x155_state").toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, state, k = 8, iters = 2,
+      batchTag = Some(1L), trainSample = 40)
+    val probes = emb.filter(col("vec_id") < 10)
+    // ann feeds both the output rows and the recall audit; truth feeds
+    // the audit twice — materialized so the brute pass runs once
+    val ann = Dedup.materialize(
+      Similarity.ivfTopKFromState(s, state, probes, topK = 5))
+    val truth = Dedup.materialize(
+      Similarity.bruteForceTopK(emb, probes, k = 5))
+    val audit = Dedup.materialize(Similarity.recallAtK(
+      ann.select("query_id", "neighbor_id"),
+      truth.select("query_id", "neighbor_id")))
+    ann
+      .join(audit.select(col("query_id"), col("n_hits").as("hits_at_5")),
+        Seq("query_id"))
+      .crossJoin(audit.agg((avg(col("recall")) >= 0.5).as("mean_recall_ok")))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos_sim"), col("hits_at_5"),
+        col("mean_recall_ok"))
+      .orderBy("query_id", "rank")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3608,7 +3647,8 @@ object Extensions {
     "x151_mutual_nn" -> (x151 _),
     "x152_retention_policy" -> (x152 _),
     "x153_semantic_clusters" -> (x153 _),
-    "x154_export_shards" -> (x154 _)
+    "x154_export_shards" -> (x154 _),
+    "x155_ivf_sampled_train" -> (x155 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7231,6 +7271,56 @@ object Extensions {
          |  CAST(COALESCE(SUM(bpe_tokens) OVER (PARTITION BY shard
          |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |    0) AS BIGINT) // 2000 AS bin
-         |FROM sh ORDER BY doc_id""".stripMargin
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // x155: the deterministic hash-prefix sample (40 lowest md5Long ids,
+    // ties by id), then the gated x44 k-means chain TRAINED ON THE SAMPLE
+    // (src = samp; af/probes still run over all of e — the appendIvfState
+    // contract), exact cosine top-5 in the probed cells, and per-query
+    // hits against brute-force top-5; the mean-recall floor is
+    // engine-observed and pinned TRUE (the x88 posture)
+    "x155_ivf_sampled_train" ->
+      s"""WITH $annEmbCte,
+         |samp AS (
+         |  SELECT vec_id, v FROM e
+         |  ORDER BY ${hex15.format("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 40),
+         |${kmeansTrainCtes(src = "samp", probeWhere = "e.vec_id < 10")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid) WHERE af.vid != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id, cos, rank
+         |  FROM ranked WHERE rank <= 5),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, c.v)
+         |      / (sqrt(list_dot_product(q.v, q.v))
+         |         * sqrt(list_dot_product(c.v, c.v))) AS cos
+         |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM bscored) WHERE rk <= 5),
+         |hits AS (
+         |  SELECT i.query_id, CAST(count(*) AS BIGINT) AS hits_at_5
+         |  FROM ivf i JOIN truth t ON i.query_id = t.query_id
+         |    AND i.neighbor_id = t.neighbor_id
+         |  GROUP BY i.query_id)
+         |SELECT i.query_id, i.neighbor_id, i.rank,
+         |  round(i.cos, 4) AS cos_sim,
+         |  COALESCE(h.hits_at_5, 0) AS hits_at_5, TRUE AS mean_recall_ok
+         |FROM ivf i LEFT JOIN hits h USING (query_id)
+         |ORDER BY query_id, rank""".stripMargin
   )
 }

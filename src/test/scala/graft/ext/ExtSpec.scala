@@ -2203,6 +2203,53 @@ class ExtSpec extends SparkSpec {
     assert(eq.getMessage.contains("dim"))
   }
 
+  test("kmeansCentroidsSampled: sample >= corpus is the full trainer; " +
+      "sampled state answers with a recall floor; config freezes in _meta") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    // a bound at/above the corpus size selects everything — the sampled
+    // trainer IS kmeansCentroids then (the sample is the corpus)
+    val full = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+      .as[(Int, Seq[Double])].collect().toMap
+    val cappedAtCorpus = Similarity
+      .kmeansCentroidsSampled(emb, k = 8, iters = 2, maxTrain = 1000000)
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(cappedAtCorpus == full && full.size == 8)
+    // a BITING bound trains on the 40 lowest-hash vectors: different
+    // centroids, same contract — and the state path carries recall
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_sampled").toFile.getAbsolutePath
+    Similarity.appendIvfState(emb, dir, k = 8, iters = 2,
+      batchTag = Some(1L), trainSample = 40)
+    val probes = emb.filter(col("vec_id") < 20)
+    val ann = Similarity.ivfTopKFromState(spark, dir, probes, topK = 10)
+    val truth = Similarity.bruteForceTopK(emb, probes, k = 10)
+    val meanRecall = Similarity.recallAtK(
+        ann.select("query_id", "neighbor_id"),
+        truth.select("query_id", "neighbor_id"))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(meanRecall >= 0.3, s"sampled-trained IVF mean recall $meanRecall")
+    // the training config froze with the centroids: a later append (or a
+    // fresh build on the same dir) under a different trainSample refuses
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.appendIvfState(emb, dir, k = 8, iters = 2,
+        batchTag = Some(2L), trainSample = 80))
+    assert(e1.getMessage.contains("trainSample"), e1.getMessage)
+    // trainSample below k cannot seed k centroids — refused by name
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.appendIvfState(emb, s"$dir.other", k = 8, iters = 2,
+        trainSample = 4))
+    assert(e2.getMessage.contains("maxTrain") ||
+      e2.getMessage.contains("trainSample"), e2.getMessage)
+    // recluster honors the stored posture: it retrains on a SAMPLE of the
+    // live rows (never the n^1.5 full-corpus pass) and the state still
+    // answers probed reads with the frozen-k geometry
+    Similarity.reclusterIvfState(spark, dir)
+    val after = Similarity.ivfTopKFromState(spark, dir, probes, topK = 10)
+    assert(after.count() > 0)
+    assert(spark.read.parquet(s"$dir/centroids").count() <= 8)
+  }
+
   test("appendIvfState: empty first batch does not train/brick the state") {
     import graft.Tables
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
