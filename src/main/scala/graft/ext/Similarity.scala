@@ -773,6 +773,332 @@ object Similarity {
         count(lit(1)).over(Window.partitionBy(col("rep"))))
   }
 
+  // ------------- persisted kNN-graph state (incremental twin) -------------
+
+  private val GraphMetaFile = "_graph_meta"
+  private val GraphPendingMarker = "_graph_pending"
+  private val GraphUptoFile = "_graph_upto"
+
+  /** Per-vector probe targets against the broadcast centroids: one row
+    * (vid, v, vn, home_cid, probe_cid) per probed cell — the same
+    * map-side sorted-struct slice [[knnGraphFromState]] uses (one
+    * pre-combined row per vector through the exchange, no corpus-wide
+    * rank window). Probe #1 IS the home cell: assignment and probing
+    * share the (dist, cid) order, so `home_cid == probe_cid` marks each
+    * vector's own-cell row — the property the graph state's
+    * residents-of-a-cell reads rely on. */
+  private def probeTargets(
+      cells: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
+    cells
+      .select(col("vid"), col("v"), col("cn").as("vn"),
+        col("cid").as("home_cid"))
+      .crossJoin(broadcast(cents))
+      .withColumn("graft_dist", sqDist(col("v"), col("c")))
+      .groupBy(col("vid"))
+      .agg(first(col("v")).as("v"), first(col("vn")).as("vn"),
+        first(col("home_cid")).as("home_cid"),
+        slice(array_sort(collect_list(struct(col("graft_dist"),
+          col("cid")))), 1, nProbe).as("graft_near"))
+      .select(col("vid"), col("v"), col("vn"), col("home_cid"),
+        explode(col("graft_near.cid")).as("probe_cid"))
+
+  /** The delete head a graph state freezes against: max tombstone
+    * delete_id (0 when the pillar was never deleted from). Untagged
+    * tombstones refuse — without version identity the graph cannot
+    * tell whether deletes drifted under it. */
+  private def ivfDeleteHead(spark: SparkSession, ivfDir: String): Long =
+    StateIO.readTableIfExists(spark, ivfDir, "tombstones") match {
+      case None => 0L
+      case Some(tb) =>
+        require(tb.columns.contains("delete_id"),
+          s"IVF state at $ivfDir carries UNTAGGED tombstones — the graph " +
+            "state cannot track delete drift without version identity; " +
+            "rebuild the pillar with tagged deletes")
+        val m = tb.agg(max(col("delete_id")).cast("long")).head()
+        if (m.isNullAt(0)) 0L else m.getLong(0)
+    }
+
+  private def readGraphMeta(
+      spark: SparkSession, graphDir: String): Option[(Int, Int, Long)] =
+    StateIO.readSmallFile(spark, graphDir, GraphMetaFile).map { body =>
+      val kv = body.split("\n").map(_.trim).filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }
+        .toMap
+      try ((kv("k").toInt, kv("n_probe").toInt, kv("delete_head").toLong))
+      catch {
+        case e @ (_: NoSuchElementException | _: NumberFormatException) =>
+          throw new IllegalStateException(
+            s"corrupt $GraphMetaFile in $graphDir (${e.getMessage}) — " +
+              "rebuild the graph state (buildKnnGraphState)", e)
+      }
+    }
+
+  private def checkNoGraphPending(
+      spark: SparkSession, graphDir: String): Unit =
+    require(
+      !StateIO.pathExists(spark, s"$graphDir/$GraphPendingMarker"),
+      s"graph state at $graphDir has an unfinished update " +
+        s"($GraphPendingMarker) — re-run the crashed knnGraphDeltaFromState " +
+        "(idempotent) or rebuild (buildKnnGraphState) before reading")
+
+  /** MATERIALIZE [[knnGraphFromState]] as maintained state — the
+    * steady-state incremental twin the x40/x89/x107 pattern gives every
+    * other pillar: the whole-corpus graph build is the deliberate
+    * n^1.5 pass, so pipelines that consume the graph after every ingest
+    * batch (semantic dedup, mutual-NN mining) keep it CURRENT with
+    * [[knnGraphDeltaFromState]] at per-batch cost instead of rebuilding.
+    *
+    * Layout under `graphDir`:
+    *   - `edges`, partitioned by `home_cid` (the owner's assigned cell):
+    *     (vec_id, neighbor_id, cos, rank ≤ k) — [[readKnnGraphState]]
+    *     returns exactly [[knnGraphFromState]]'s relation;
+    *   - `probes`, partitioned by `probe_cid`: one (vid, v, vn,
+    *     home_cid) row per probed cell per vector — the reverse index
+    *     "who probes cell c", which is what makes the delta's
+    *     affected-owner set a PARTITION-PRUNED read instead of a corpus
+    *     scan (each vector's bytes appear nProbe times: the standard
+    *     index space-for-time trade, like postings);
+    *   - `_graph_meta` (k, nProbe, frozen delete head), `_graph_upto`
+    *     (max applied IVF batch tag), and the `_graph_pending` marker
+    *     that gates reads while an update is mid-flight.
+    *
+    * Tagged IVF states only (the delta applies per batch tag). DELETES
+    * are the rebuild trigger: a tombstone landing after the build means
+    * the graph holds edges into (and top-k lists truncated by) a vector
+    * that no longer exists — [[knnGraphDeltaFromState]] refuses on
+    * delete-head drift and this build re-freezes it. Historical graphs
+    * need no state at all ([[knnGraphFromStateAsOf]]). */
+  def buildKnnGraphState(
+      spark: SparkSession, ivfDir: String, graphDir: String, k: Int,
+      nProbe: Int = 2): Unit = StateIO.withWriterLock(spark, graphDir) {
+    require(k >= 1, s"knn graph k must be >= 1, got $k")
+    require(nProbe >= 1, s"knn graph nProbe must be >= 1, got $nProbe")
+    val rawCells = spark.read.parquet(
+      StateIO.tablePath(spark, ivfDir, "cells"))
+    require(rawCells.columns.contains("batch_id"),
+      s"graph state needs a TAGGED IVF state: $ivfDir/cells has no " +
+        "batch_id partition column (the delta applies per batch tag) — " +
+        "rebuild the pillar with tagged appends")
+    val uptoRow = rawCells.agg(max(col("batch_id")).cast("long")).head()
+    require(!uptoRow.isNullAt(0),
+      s"IVF state at $ivfDir has no cells — nothing to graph")
+    val upto = uptoRow.getLong(0)
+    val delHead = ivfDeleteHead(spark, ivfDir)
+    val cents = spark.read.parquet(
+      StateIO.tablePath(spark, ivfDir, "centroids"))
+    val cells = readCellsLive(spark, ivfDir).select("cid", "vid", "v", "cn")
+    // gate reads for the whole (re)build window — a reader must never see
+    // new edges beside old probes
+    StateIO.publishSmallFile(spark, graphDir, GraphPendingMarker,
+      s"building=$upto\n")
+    val probes = graft.ext.Dedup.materialize(
+      probeTargets(cells, cents, nProbe))
+    probes.write.mode("overwrite").partitionBy("probe_cid")
+      .parquet(s"$graphDir/probes")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val edges = cells
+      .select(col("cid").as("probe_cid"), col("vid").as("nid"),
+        col("v").as("nv"), col("cn").as("nn"))
+      .join(probes, Seq("probe_cid")) // hash join — probe side corpus-sized
+      .filter(col("nid") =!= col("vid"))
+      .withColumn("cos", cosFrom(col("v"), col("vn"), col("nv"), col("nn")))
+      .select(col("vid").as("vec_id"), col("home_cid"),
+        col("nid").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    edges.write.mode("overwrite").partitionBy("home_cid")
+      .parquet(s"$graphDir/edges")
+    StateIO.publishSmallFile(spark, graphDir, GraphMetaFile,
+      s"k=$k\nn_probe=$nProbe\ndelete_head=$delHead\n")
+    StateIO.publishSmallFile(spark, graphDir, GraphUptoFile, s"$upto\n")
+    val fs = new org.apache.hadoop.fs.Path(graphDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(graphDir, GraphPendingMarker),
+      false)
+  }
+
+  /** Catch the persisted graph up to IVF append batch `newBatchTag` —
+    * per-batch cost ∝ batch · occupancy, never the corpus:
+    *
+    *  1. the batch's vectors (one pruned `batch_id=` partition) probe
+    *     their `nProbe` cells and rank against those cells' residents —
+    *     read from the `probes` table's own-cell rows, PRUNED to the
+    *     probed cells (never a cells-table scan, which is partitioned
+    *     by batch, not cell);
+    *  2. existing owners whose top-k can change are EXACTLY those with
+    *     a probe row in a cell the batch landed in — a pruned read of
+    *     those `probe_cid=` partitions; each merges its CURRENT top-k
+    *     with its new candidates (top-k of S∪T = top-k of (top-k of
+    *     S)∪T, so the stored k rows suffice) and re-ranks;
+    *  3. only the touched `home_cid=` edge partitions rewrite (dynamic
+    *     partition overwrite); the batch's probe rows append.
+    *
+    * Idempotent under blind re-runs and crash-resume: every derived set
+    * is a pure function of the IVF state and the batch tag (new-vector
+    * membership comes from `cells/batch_id=t`, never from what the
+    * crashed run half-wrote; merged edge unions dedupe on identical
+    * recomputed cos), and the `_graph_pending` marker gates reads until
+    * a re-run completes — publish-first, clear-last. `_graph_upto`
+    * advances only after the writes land, so a crash leaves a re-run
+    * with the same tag legal; applying a tag at the watermark re-runs,
+    * below it refuses, and skipping an unapplied intermediate tag
+    * refuses by name. Delete-head drift refuses (rebuild —
+    * [[buildKnnGraphState]]). Parity with the full rebuild is the x156
+    * gate. */
+  def knnGraphDeltaFromState(
+      spark: SparkSession, ivfDir: String, graphDir: String,
+      newBatchTag: Long): Unit = StateIO.withWriterLock(spark, graphDir) {
+    val (k, nProbe, delHead0) = readGraphMeta(spark, graphDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$graphDir carries no $GraphMetaFile — build the graph state " +
+          "first (buildKnnGraphState)"))
+    val delHead = ivfDeleteHead(spark, ivfDir)
+    require(delHead == delHead0,
+      s"IVF tombstones advanced ($delHead0 -> $delHead) since the graph " +
+        s"state at $graphDir was built — a delta cannot retract edges " +
+        "into deleted vectors; rebuild (buildKnnGraphState)")
+    val upto = StateIO.readSmallFile(spark, graphDir, GraphUptoFile)
+      .map(_.trim.toLong).getOrElse(
+        throw new IllegalStateException(
+          s"$graphDir has $GraphMetaFile but no $GraphUptoFile — a " +
+            "half-built graph state; rebuild (buildKnnGraphState)"))
+    require(newBatchTag >= upto,
+      s"batch $newBatchTag is already applied to the graph state at " +
+        s"$graphDir (watermark $upto) — deltas apply forward only")
+    val rawCells = spark.read.parquet(
+      StateIO.tablePath(spark, ivfDir, "cells"))
+    if (newBatchTag > upto) {
+      val skipped = rawCells
+        .filter(col("batch_id") > upto && col("batch_id") < newBatchTag)
+        .select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      require(skipped.isEmpty,
+        s"IVF batches ${skipped.mkString(",")} land between the graph " +
+          s"watermark $upto and $newBatchTag — apply them in order (the " +
+          "graph would silently miss their vectors otherwise)")
+    }
+    val tombs = StateIO.readTableIfExists(spark, ivfDir, "tombstones")
+    val batchRaw = rawCells.filter(col("batch_id") === newBatchTag)
+      .select(col("cid"), col("vid"), col("v"), col("cn"))
+    val newRows = graft.ext.Dedup.materialize(tombs match {
+      case Some(tb) => batchRaw.join(tb.select(col("vid")), Seq("vid"),
+        "left_anti")
+      case None => batchRaw
+    })
+    if (newRows.head(1).isEmpty) {
+      // an empty batch moves only the watermark
+      StateIO.publishSmallFile(spark, graphDir, GraphUptoFile,
+        s"$newBatchTag\n")
+      return
+    }
+    val cents = spark.read.parquet(
+      StateIO.tablePath(spark, ivfDir, "centroids"))
+    val newProbes = graft.ext.Dedup.materialize(
+      probeTargets(newRows, cents, nProbe))
+    val newVids = newRows.select(col("vid"))
+    // bounded collects: distinct cell ids (≤ the cell count by design)
+    val newCells = newRows.select(col("cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val probedCells = newProbes.select(col("probe_cid").cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val probesPath = s"$graphDir/probes"
+    // all sets below anti-join the batch's vids so a crash-resume that
+    // already appended the batch's probe rows derives the SAME sets
+    val probesAtProbed = spark.read.parquet(probesPath)
+      .filter(col("probe_cid").isin(probedCells: _*)) // partition-pruned
+      .join(newVids, Seq("vid"), "left_anti")
+    // 1. the batch's own edges: candidates = the probed cells' residents
+    //    (own-cell probe rows) plus the batch's rows in those cells
+    val residents = probesAtProbed
+      .filter(col("home_cid") === col("probe_cid"))
+      .select(col("probe_cid"), col("vid").as("nid"), col("v").as("nv"),
+        col("vn").as("nn"))
+      .unionByName(newRows
+        .filter(col("cid").isin(probedCells: _*))
+        .select(col("cid").as("probe_cid"), col("vid").as("nid"),
+          col("v").as("nv"), col("cn").as("nn")))
+    val newVecEdges = residents.join(newProbes, Seq("probe_cid"))
+      .filter(col("nid") =!= col("vid"))
+      .withColumn("cos", cosFrom(col("v"), col("vn"), col("nv"), col("nn")))
+      .select(col("vid"), col("home_cid"), col("nid"), col("cos"))
+    // 2. affected existing owners: anyone probing a cell the batch
+    //    landed in — a pruned read of those probe_cid= partitions
+    val affected = spark.read.parquet(probesPath)
+      .filter(col("probe_cid").isin(newCells: _*)) // partition-pruned
+      .join(newVids, Seq("vid"), "left_anti")
+    val affCandidates = affected.join(
+        newRows.select(col("cid").as("probe_cid"), col("vid").as("nid"),
+          col("v").as("nv"), col("cn").as("nn")),
+        Seq("probe_cid"))
+      .withColumn("cos", cosFrom(col("v"), col("vn"), col("nv"), col("nn")))
+      .select(col("vid"), col("home_cid"), col("nid"), col("cos"))
+    val affectedOwners = graft.ext.Dedup.materialize(
+      affected.select(col("vid"), col("home_cid")).distinct())
+    // 3. rewrite only the touched home_cid= partitions
+    val homeCells = (affectedOwners.select(col("home_cid").cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq ++ newCells).distinct
+    val edgesPath = s"$graphDir/edges"
+    val oldParts = spark.read.parquet(edgesPath)
+      .filter(col("home_cid").isin(homeCells: _*)) // partition-pruned
+    val rewrittenVids = affectedOwners.select(col("vid"))
+      .unionByName(newVids).distinct()
+    val keep = oldParts.join(rewrittenVids,
+        oldParts("vec_id") === rewrittenVids("vid"), "left_anti")
+      .select(col("vec_id"), col("home_cid"), col("neighbor_id"),
+        col("cos"), col("rank"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val affMerged = oldParts.join(affectedOwners.select(col("vid")),
+        oldParts("vec_id") === col("vid"), "left_semi")
+      .select(col("vec_id").as("vid"), col("home_cid"),
+        col("neighbor_id").as("nid"), col("cos"))
+      .unionByName(affCandidates)
+      .distinct() // re-runs recompute bitwise-identical cos rows
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val newRanked = newVecEdges
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val updated = keep.unionByName(
+      affMerged.unionByName(newRanked)
+        .select(col("vid").as("vec_id"), col("home_cid"),
+          col("nid").as("neighbor_id"), col("cos"), col("rank")))
+    // ---- commit window: reads gate until the re-run completes ----
+    StateIO.publishSmallFile(spark, graphDir, GraphPendingMarker,
+      s"applying=$newBatchTag\n")
+    updated.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("home_cid").parquet(edgesPath)
+    // append the batch's probe rows (anti-joined so a blind re-run
+    // cannot duplicate them)
+    val alreadyProbed = spark.read.parquet(probesPath)
+      .filter(col("probe_cid").isin(probedCells: _*))
+      .join(newVids, Seq("vid"), "left_semi").select(col("vid")).distinct()
+    newProbes.join(alreadyProbed, Seq("vid"), "left_anti")
+      .write.mode("append").partitionBy("probe_cid").parquet(probesPath)
+    StateIO.publishSmallFile(spark, graphDir, GraphUptoFile,
+      s"$newBatchTag\n")
+    val fs = new org.apache.hadoop.fs.Path(graphDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(graphDir, GraphPendingMarker),
+      false)
+  }
+
+  /** The maintained graph relation: (vec_id, neighbor_id, cos, rank) —
+    * [[knnGraphFromState]]'s exact output, answered from the edges
+    * table (pure columnar read, zero probe/rank work). Fails fast on a
+    * mid-flight update ([[knnGraphDeltaFromState]]'s marker). */
+  def readKnnGraphState(
+      spark: SparkSession, graphDir: String): DataFrame = {
+    checkNoGraphPending(spark, graphDir)
+    require(readGraphMeta(spark, graphDir).nonEmpty,
+      s"$graphDir carries no $GraphMetaFile — not a graph state dir " +
+        "(build one with buildKnnGraphState)")
+    spark.read.parquet(s"$graphDir/edges")
+      .select(col("vec_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** MAXIMAL MARGINAL RELEVANCE diversified top-k from the persisted
     * IVF state (Carbonell & Goldstein, SIGIR'98): retrieval that
     * penalizes redundancy — each pick maximizes

@@ -960,7 +960,7 @@ private[graft] object StateIO {
   /** Atomic small-file publish (tmp write + OVERWRITE rename — the
     * [[publishManifest]] discipline): a reader sees the whole old
     * content or the whole new one, never a mix. */
-  private def publishSmallFile(
+  private[graft] def publishSmallFile(
       spark: SparkSession, dir: String, name: String,
       content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, name)
@@ -976,7 +976,7 @@ private[graft] object StateIO {
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  private def readSmallFile(
+  private[graft] def readSmallFile(
       spark: SparkSession, dir: String, name: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(dir, name)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

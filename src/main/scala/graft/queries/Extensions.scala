@@ -3396,6 +3396,40 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** x156 — INCREMENTAL kNN-graph maintenance
+    * ([[Similarity.buildKnnGraphState]] + [[Similarity.knnGraphDeltaFromState]]):
+    * x150 rebuilds the whole graph every call (the deliberate n^1.5
+    * pass); the maintained state updates per IVF append at batch cost —
+    * the batch's vectors probe their cells, and the only existing owners
+    * re-ranked are those with a probe row in a cell the batch landed in
+    * (a partition-pruned read of the persisted reverse probe index,
+    * never a corpus scan). Fixture: build on batch 1, append batch 2,
+    * delta; the result must BE the full rebuild — engine-checked with a
+    * two-way exceptAll (pinned TRUE) and hash-gated against x150's
+    * oracle chain re-derived with training on batch 1 only. */
+  def x156(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x156_state").toFile.getAbsolutePath
+    val state = s"$root/ivf"; val graph = s"$root/graph"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 375), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.buildKnnGraphState(s, state, graph, k = 3, nProbe = 2)
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 375), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.knnGraphDeltaFromState(s, state, graph, 2L)
+    val inc = Dedup.materialize(Similarity.readKnnGraphState(s, graph))
+    val full = Dedup.materialize(
+      Similarity.knnGraphFromState(s, state, k = 3, nProbe = 2))
+    val matches = full.exceptAll(inc).head(1).isEmpty &&
+      inc.exceptAll(full).head(1).isEmpty
+    inc
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+      .withColumn("matches_full_rebuild", lit(matches))
+      .orderBy("vec_id", "rank")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3648,7 +3682,8 @@ object Extensions {
     "x152_retention_policy" -> (x152 _),
     "x153_semantic_clusters" -> (x153 _),
     "x154_export_shards" -> (x154 _),
-    "x155_ivf_sampled_train" -> (x155 _)
+    "x155_ivf_sampled_train" -> (x155 _),
+    "x156_knn_graph_delta" -> (x156 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7321,6 +7356,29 @@ object Extensions {
          |  round(i.cos, 4) AS cos_sim,
          |  COALESCE(h.hits_at_5, 0) AS hits_at_5, TRUE AS mean_recall_ok
          |FROM ivf i LEFT JOIN hits h USING (query_id)
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // x156: x150's oracle chain with the k-means TRAINED ON BATCH 1 ONLY
+    // (the appendIvfState contract the delta inherits: geometry froze on
+    // the first batch), probes over every live vector, top-3; the
+    // delta-vs-full-rebuild parity is engine-observed, pinned TRUE
+    "x156_knn_graph_delta" ->
+      s"""WITH $annEmbCte,
+         |b1 AS (SELECT vec_id, v FROM e WHERE vec_id < 375),
+         |${kmeansTrainCtes(src = "b1", probeWhere = "TRUE")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid) WHERE af.vid != p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id AS vec_id, neighbor_id, rank,
+         |  round(cos, 4) AS cos_sim, TRUE AS matches_full_rebuild
+         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
   )
 }

@@ -2250,6 +2250,68 @@ class ExtSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/centroids").count() <= 8)
   }
 
+  test("knnGraphState: deltas reproduce the full rebuild exactly; " +
+      "re-runs idempotent; order/drift/pending refusals") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft_knn_state")
+      .toFile.getAbsolutePath
+    val ivf = s"$root/ivf"; val g = s"$root/graph"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 200), ivf,
+      k = 8, iters = 2, batchTag = Some(1L))
+    // delta before build refuses with the build remedy
+    val e0 = intercept[IllegalArgumentException](
+      Similarity.knnGraphDeltaFromState(spark, ivf, g, 1L))
+    assert(e0.getMessage.contains("buildKnnGraphState"), e0.getMessage)
+    Similarity.buildKnnGraphState(spark, ivf, g, k = 3, nProbe = 2)
+    def full() = Similarity.knnGraphFromState(spark, ivf, k = 3, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    def inc() = Similarity.readKnnGraphState(spark, g)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(inc() == full() && inc().nonEmpty)
+    Similarity.appendIvfState(
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 350), ivf,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 350), ivf,
+      k = 8, iters = 2, batchTag = Some(3L))
+    // skipping an unapplied batch refuses by name
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L))
+    assert(e1.getMessage.contains("in order"), e1.getMessage)
+    Similarity.knnGraphDeltaFromState(spark, ivf, g, 2L)
+    // mid-history parity: the graph at watermark 2 IS the as-of(2) graph
+    assert(inc() == Similarity
+      .knnGraphFromStateAsOf(spark, ivf, k = 3, asOfBatch = 2L, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet)
+    Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L)
+    assert(inc() == full())
+    // a blind re-run of the applied tag is an idempotent no-op; a tag
+    // below the watermark refuses
+    Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L)
+    assert(inc() == full())
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.knnGraphDeltaFromState(spark, ivf, g, 2L))
+    assert(e2.getMessage.contains("already applied"), e2.getMessage)
+    // a pending marker (crashed update) gates reads; the re-run clears it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$g/_graph_pending"), "applying=3\n")
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.readKnnGraphState(spark, g))
+    assert(e3.getMessage.contains("unfinished"), e3.getMessage)
+    Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L)
+    assert(inc() == full())
+    // delete drift refuses the delta (edges into dead vectors cannot be
+    // retracted incrementally); a rebuild re-freezes the delete head
+    Similarity.deleteFromIvfState(spark, ivf,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    val e4 = intercept[IllegalArgumentException](
+      Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L))
+    assert(e4.getMessage.contains("tombstones advanced"), e4.getMessage)
+    Similarity.buildKnnGraphState(spark, ivf, g, k = 3, nProbe = 2)
+    assert(inc() == full() && inc().nonEmpty)
+  }
+
   test("appendIvfState: empty first batch does not train/brick the state") {
     import graft.Tables
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
