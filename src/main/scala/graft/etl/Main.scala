@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * runMain graft.etl.Main watch   [--in inputs] [--out outputs]   # streaming
   * runMain graft.etl.Main serve   [--port 5000]                   # HTTP API
   * runMain graft.etl.Main sql "SELECT ..." [--data /root/testdata/sf0.001]
-  * runMain graft.etl.Main state recover|truncate|retain|clone|fastforward|health|vacuum|audit ...
+  * runMain graft.etl.Main state recover|truncate|retain|clone|fastforward|health|vacuum|audit|export ...
   * }}}
   *
   * `sql` registers the graft SQL surface — the testdata tables as views plus
@@ -122,6 +122,8 @@ object Main {
     * state fastforward <pillar> <src> <dst>        # catch a branch up
     * state health   <pillar> <dir> [--max-versions N] [--max-files-per-leaf N]
     * state vacuum   <dir>                         # manifest-mode version GC
+    * state export   tokenizer <dir> <out> --budget N [--bin-budget N]
+    *                [--shards N] [--quality <parquet> --id-col c --quality-col c]
     * state audit    <lsh> <postings> <tokenizer> [--asof-batch B --asof-delete D]
     * }}}
     *
@@ -135,7 +137,7 @@ object Main {
       out: java.io.PrintStream): Unit = {
     def usage(): Nothing = {
       out.println("usage: state recover|truncate|retain|clone|fastforward|health|" +
-        "vacuum|audit ... (see scaladoc; pillar = " +
+        "vacuum|audit|export ... (see scaladoc; pillar = " +
         "lsh|postings|tokenizer|stats|ivf)")
       throw new IllegalArgumentException("state: bad arguments")
     }
@@ -238,6 +240,33 @@ object Main {
         val gone = graft.ext.StateIO.vacuumStateVersions(spark, dir)
         out.println(if (gone.isEmpty) s"[state] nothing to vacuum in $dir"
           else s"[state] vacuumed ${gone.mkString(", ")} from $dir")
+      case Seq("export", p, dir, dst) =>
+        // tokenizer-pillar only: the export rides the (id, bpe_tokens)
+        // sidecar — other pillars have no token-budget semantics
+        if (pillar(p) != "tokenizer") {
+          out.println(s"export only applies to the tokenizer pillar, " +
+            s"got '$p'"); usage()
+        }
+        val budget = longOpt("budget", usage())
+        val binBudget = longOpt("bin-budget", "2000")
+        val shards = intOpt("shards", "16")
+        // --quality <parquet> supplies (id-col, quality-col); without it
+        // the sidecar's own token counts rank the docs (longest first —
+        // a deterministic, always-available default)
+        val (qualityDf, idCol, qCol) = opts.get("quality") match {
+          case Some(qp) =>
+            (spark.read.parquet(qp), opts.getOrElse("id-col", "id"),
+              opts.getOrElse("quality-col", "q"))
+          case None =>
+            import org.apache.spark.sql.functions.col
+            (graft.ext.Bpe.readDocTokens(spark, dir)
+              .select(col("id"), col("bpe_tokens").cast("double").as("q")),
+              "id", "q")
+        }
+        val n = graft.ext.Bpe.writeShardsFromState(spark, dir, qualityDf,
+          idCol, qCol, budget, binBudget, shards, dst)
+        out.println(s"[state] exported $n rows into $shards hash shards " +
+          s"at $dst (budget=$budget, bin=$binBudget)")
       case Seq("audit", ls, ps, ts) =>
         val divergent = (opts.get("asof-batch"), opts.get("asof-delete")) match {
           case (Some(b), d) =>

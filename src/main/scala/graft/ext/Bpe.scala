@@ -626,6 +626,72 @@ object Bpe {
         .select(col(idCol), col("bpe_tokens")),
       idCol, "bpe_tokens", Seq.empty, idCol, binBudget, numShards)
 
+  private val ExportPendingMarker = "_export_pending"
+  private val ExportMetaFile = "_export_meta"
+
+  /** MATERIALIZE [[exportShardsFromState]] — the step that ends with
+    * bytes on disk: the selection/shard/bin plan lands as
+    * `shard=N`-partitioned parquet under `outDir`, one row per selected
+    * document, optionally joined to a caller-supplied `payload` frame
+    * (the document text / token arrays a trainer actually reads; the
+    * plan itself never touches corpus text). Consumers stream one
+    * `shard=` partition per worker and read bins in `bin` order.
+    *
+    * Replay posture (the pillar discipline applied to the export): the
+    * write is a wholesale deterministic overwrite — a blind re-run with
+    * the same state and parameters lands byte-identical content rather
+    * than duplicating — and the crash window is gated, not silent: an
+    * `_export_pending` marker publishes first and clears only after the
+    * data AND the `_export_meta` parameter record land, so
+    * [[readExportedShards]] fails fast on a half-written export with
+    * the re-run remedy. Returns the number of rows written.
+    *
+    * @param payload optional (idCol, ...) frame joined onto the plan —
+    *        every payload column is carried into the shards */
+  def writeShardsFromState(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      quality: DataFrame, idCol: String, qualityCol: String,
+      budget: Long, binBudget: Long, numShards: Int, outDir: String,
+      payload: Option[DataFrame] = None): Long = {
+    val plan = exportShardsFromState(spark, dir, quality, idCol, qualityCol,
+      budget, binBudget, numShards)
+    val rows = payload match {
+      case Some(p) => plan.join(p, Seq(idCol), "left")
+      case None => plan
+    }
+    val out = Dedup.materialize(
+      rows.select((col(idCol) +: col("bpe_tokens") +: col("bin") +:
+        rows.columns.filterNot(Set(idCol, "bpe_tokens", "bin", "shard"))
+          .map(col).toSeq :+ col("shard")): _*))
+    StateIO.publishSmallFile(spark, outDir, ExportPendingMarker,
+      s"budget=$budget\n")
+    out.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/shards")
+    StateIO.publishSmallFile(spark, outDir, ExportMetaFile,
+      s"budget=$budget\nbin_budget=$binBudget\nnum_shards=$numShards\n" +
+        s"quality_col=$qualityCol\n")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(outDir, ExportPendingMarker),
+      false)
+    out.count()
+  }
+
+  /** Read a [[writeShardsFromState]] export back — fails fast on a
+    * half-written export (marker present or the parameter record
+    * missing), naming the re-run remedy. */
+  def readExportedShards(
+      spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    require(!StateIO.pathExists(spark, s"$outDir/$ExportPendingMarker"),
+      s"export at $outDir is HALF-WRITTEN ($ExportPendingMarker present) " +
+        "— re-run writeShardsFromState (deterministic overwrite) before " +
+        "consuming it")
+    require(StateIO.readSmallFile(spark, outDir, ExportMetaFile).nonEmpty,
+      s"$outDir carries no $ExportMetaFile — not a completed shard " +
+        "export (writeShardsFromState)")
+    spark.read.parquet(s"$outDir/shards")
+  }
+
   /** [[graft.ext.Sampling.temperatureMix]] answered from persisted
     * encoded counts: per-group token totals aggregate the sidecar joined
     * to a caller-supplied (idCol, grpCol) frame — same share math

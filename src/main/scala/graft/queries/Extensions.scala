@@ -3430,6 +3430,38 @@ object Extensions {
       .orderBy("vec_id", "rank")
   }
 
+  /** x157 — SHARD-WRITER MATERIALIZATION ([[Bpe.writeShardsFromState]]):
+    * x154 returns the export PLAN; the capstone a user actually runs
+    * ends with bytes on disk. Same fixture as x154, plus a payload join
+    * (the md5 of the document text standing in for the content column a
+    * trainer reads); the gate READS THE WRITTEN FILES BACK
+    * ([[Bpe.readExportedShards]] — marker-gated) and hash-matches them
+    * against x154's oracle chain, so the `shard=`-partitioned parquet
+    * on disk — not the plan — is what must equal the oracle. */
+  def x157(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x157_state").toFile.getAbsolutePath
+    val state = s"$root/tok"
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") < 150), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(1L))
+    Bpe.appendTokenizerState(docs.filter(col("doc_id") >= 150), state,
+      "doc_id", "text", numMerges = 4, batchTag = Some(2L))
+    Bpe.deleteFromTokenizerState(s, state,
+      docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+      "doc_id", deleteTag = Some(1L))
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("q"))
+    Bpe.writeShardsFromState(s, state, quality, "doc_id", "q",
+      budget = 20000L, binBudget = 2000L, numShards = 4,
+      outDir = s"$root/export",
+      payload = Some(docs.select(col("doc_id"), md5(col("text")).as("text_md5"))))
+    Bpe.readExportedShards(s, s"$root/export")
+      .select(col("doc_id"), col("bpe_tokens"),
+        col("shard").cast("long").as("shard"), col("bin"), col("text_md5"))
+      .orderBy("doc_id")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3683,7 +3715,8 @@ object Extensions {
     "x153_semantic_clusters" -> (x153 _),
     "x154_export_shards" -> (x154 _),
     "x155_ivf_sampled_train" -> (x155 _),
-    "x156_knn_graph_delta" -> (x156 _)
+    "x156_knn_graph_delta" -> (x156 _),
+    "x157_export_write" -> (x157 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7379,6 +7412,34 @@ object Extensions {
          |  FROM scored)
          |SELECT query_id AS vec_id, neighbor_id, rank,
          |  round(cos, 4) AS cos_sim, TRUE AS matches_full_rebuild
-         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // x157: x154's oracle chain (frozen-tokenizer encode, delete-respecting
+    // budget window, md5 shards, integral-divide bins) joined to the
+    // payload md5 — the SQL the WRITTEN FILES must hash-match
+    "x157_export_write" ->
+      s"""WITH ${bpeEncodedCorpusCtes(4, " WHERE doc_id < 150")},
+         |enc AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS bpe_tokens FROM it4),
+         |q AS (
+         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS q
+         |  FROM documents),
+         |c AS (
+         |  SELECT q.doc_id, e.bpe_tokens,
+         |    CAST(sum(e.bpe_tokens) OVER (ORDER BY q.q DESC, q.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q JOIN enc e USING (doc_id) WHERE q.doc_id % 7 <> 3),
+         |sel AS (SELECT doc_id, bpe_tokens FROM c WHERE cum_tokens <= 20000),
+         |sh AS (
+         |  SELECT doc_id, bpe_tokens,
+         |    ${hex15.format("CAST(doc_id AS VARCHAR)")} % 4 AS shard
+         |  FROM sel)
+         |SELECT sh.doc_id, sh.bpe_tokens, sh.shard,
+         |  CAST(COALESCE(SUM(sh.bpe_tokens) OVER (PARTITION BY sh.shard
+         |    ORDER BY sh.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) // 2000 AS bin,
+         |  md5(d.text) AS text_md5
+         |FROM sh JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -102,6 +102,16 @@ class MenuSpec extends SparkSpec {
       .contains("collapsed history <= 1"))
     assert(state("retain", "lsh", ls, "--keep-last", "1")._1
       .contains("already satisfied"))
+    // export materializes the training-set plan as shard= parquet and
+    // reads back marker-gated; the default quality is the sidecar's own
+    // token counts (longest first)
+    assert(state("export", "tokenizer", ts, s"$root/export",
+      "--budget", "1000000", "--shards", "2")._1.contains("exported"))
+    assert(graft.ext.Bpe.readExportedShards(spark, s"$root/export")
+      .count() > 0)
+    // export on a non-tokenizer pillar is a usage error
+    intercept[IllegalArgumentException](
+      state("export", "postings", ps, s"$root/export2", "--budget", "10"))
     // bad input is a usage error, not a silent no-op — and a NON-NUMERIC
     // numeric flag gets the same usage() error, not a NumberFormatException
     intercept[IllegalArgumentException](state("truncate", "postings", ps))

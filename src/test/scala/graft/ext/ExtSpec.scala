@@ -4611,6 +4611,52 @@ class ExtSpec extends SparkSpec {
     assert(eff.select("n_bins").head().getLong(0) == byBin.size.toLong)
   }
 
+  test("writeShardsFromState: written files == plan; payload carried; " +
+      "re-run overwrites; half-written export refuses") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-exportw")
+      .toFile.getAbsolutePath
+    val dir = s"$root/tok"
+    Bpe.appendTokenizerState(docs, dir, "doc_id", "text", numMerges = 3,
+      batchTag = Some(1L))
+    val quality = docs.select(col("doc_id"),
+      length(col("text")).cast("double").as("q"))
+    val plan = Bpe.exportShardsFromState(spark, dir, quality, "doc_id", "q",
+        budget = 9000L, binBudget = 1000L, numShards = 4)
+      .select("doc_id", "bpe_tokens", "shard", "bin")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val n = Bpe.writeShardsFromState(spark, dir, quality, "doc_id", "q",
+      budget = 9000L, binBudget = 1000L, numShards = 4,
+      outDir = s"$root/export",
+      payload = Some(docs.select(col("doc_id"), col("text"))))
+    assert(n == plan.size.toLong)
+    def readBack() = Bpe.readExportedShards(spark, s"$root/export")
+      .select(col("doc_id"), col("bpe_tokens"),
+        col("shard").cast("long"), col("bin"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(readBack() == plan)
+    // payload column landed alongside the plan columns
+    assert(Bpe.readExportedShards(spark, s"$root/export")
+      .filter(col("text").isNull).count() == 0)
+    // a blind re-run overwrites to identical content, never duplicates
+    Bpe.writeShardsFromState(spark, dir, quality, "doc_id", "q",
+      budget = 9000L, binBudget = 1000L, numShards = 4,
+      outDir = s"$root/export",
+      payload = Some(docs.select(col("doc_id"), col("text"))))
+    assert(readBack() == plan)
+    // a half-written export (pending marker) refuses with the remedy
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/export/_export_pending"), "x\n")
+    val e = intercept[IllegalArgumentException](
+      Bpe.readExportedShards(spark, s"$root/export"))
+    assert(e.getMessage.contains("HALF-WRITTEN"), e.getMessage)
+    // ...and a dir with no _export_meta is not an export at all
+    val e2 = intercept[IllegalArgumentException](
+      Bpe.readExportedShards(spark, s"$root/nothing"))
+    assert(e2.getMessage.contains("_export_meta"), e2.getMessage)
+  }
+
   test("fastForward: branch catches up to source head == fresh clone; no-op is stable") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
