@@ -1315,6 +1315,41 @@ object Dedup {
       .select("id_a", "id_b", "hamming", "n_a", "n_b")
   }
 
+  /** Hamming-banded near-dup pairs over a PRECOMPUTED 64-bit signature
+    * column — the [[simhashPairs]] band machinery generalized so any
+    * 64-bit fingerprint (a perceptual image dHash, an external SimHash)
+    * rides the same scale path: the signature splits into four 16-bit
+    * bands, and by pigeonhole any pair within Hamming distance 3 agrees
+    * on at least one whole band — candidates come from an equi-join on
+    * (band, word), never an O(n²) signature comparison, and verify with
+    * one `bit_count(xor)` before the pair distinct. Arithmetic
+    * shift-right sign-extends the top band; the 0xFFFF mask strips it.
+    *
+    * Output: (id_a, id_b, hamming), a < b, distinct, complete for
+    * `maxHamming` ≤ 3. Input ids must be unique (collapse exact
+    * duplicates first if the fingerprint source has them). */
+  def hammingPairs64(
+      sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for Hamming <= 3")
+    val s = sigs.select(col(idCol).as("gid"), col(sigCol).cast("long").as("sig"))
+    val banded = s.select(col("gid"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "word")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.word") === col("b.word") &&
+          col("a.gid") < col("b.gid"))
+      .select(col("a.gid").as("id_a"), col("b.gid").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Eval-set decontamination: flag every corpus document sharing at least
     * one word `n`-gram with the eval set — the standard benchmark-leakage
     * guard of an LLM training pipeline (13-gram overlap in GPT-3's

@@ -131,6 +131,108 @@ object Multimodal {
       }
   }
 
+  /** Decode an image payload to a grayscale grid via the JDK's ImageIO
+    * (PNG / BMP / GIF decode offline with no external libraries; both
+    * PNG and BMP are lossless, so a re-encode round-trips bit-exact —
+    * the property the perceptual-hash gate pins). Gray = (r+g+b)/3,
+    * integer. None for payloads ImageIO cannot decode. */
+  private def decodeGray(
+      payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          g(y * w + x) =
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, g)
+    } catch { case _: java.io.IOException => None }
+
+  /** 64-bit DIFFERENCE HASH (dHash — the standard perceptual image
+    * fingerprint): average-pool the grayscale to a 9×8 grid (block
+    * (bx, by) covers x ∈ [⌊bx·w/9⌋, ⌊(bx+1)·w/9⌋), y likewise over 8
+    * rows) and set bit `by·8+bx` iff block (bx, by) is brighter than
+    * its right neighbor (bx+1, by) — 8 comparisons per row × 8 rows.
+    * Gradient SIGNS survive resizing and lossless re-encoding, which is
+    * what makes equal hashes mean "the same picture" across formats and
+    * resolutions; a visually different image flips many bits, a small
+    * local edit flips the one or two comparisons its blocks touch.
+    *
+    * Mean comparisons are exact integer cross-multiplications
+    * (sumA·cntB > sumB·cntA), never floating division — so the hash is
+    * bit-reproducible on any engine from the same pixels (the x158
+    * oracle re-derives it in SQL). None when the payload does not
+    * decode or is smaller than the 9×8 grid. */
+  def dHash64(payload: Array[Byte]): Option[Long] =
+    decodeGray(payload).flatMap { case (w, h, g) =>
+      if (w < 9 || h < 8) None
+      else {
+        val sums = Array.ofDim[Long](9, 8)
+        val cnts = Array.ofDim[Long](9, 8)
+        var by = 0
+        while (by < 8) {
+          val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+          var bx = 0
+          while (bx < 9) {
+            val x0 = bx * w / 9; val x1 = (bx + 1) * w / 9
+            var s = 0L; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += g(y * w + x); x += 1 }
+              y += 1
+            }
+            sums(bx)(by) = s
+            cnts(bx)(by) = (x1 - x0).toLong * (y1 - y0)
+            bx += 1
+          }
+          by += 1
+        }
+        var hash = 0L
+        by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            if (sums(bx)(by) * cnts(bx + 1)(by) >
+                sums(bx + 1)(by) * cnts(bx)(by))
+              hash |= 1L << (by * 8 + bx)
+            bx += 1
+          }
+          by += 1
+        }
+        Some(hash)
+      }
+    }
+
+  /** One row per payload: (doc_id, ok, phash). `ok = false` marks
+    * payloads that did not decode (or are under 9×8) — phash 0 there,
+    * filter before pairing. Same once-per-partition mapPartitions batch
+    * shape as [[decodeBatch]]; narrow map, no shuffle. */
+  final case class PHash(doc_id: Long, ok: Boolean, phash: Long)
+
+  def perceptualHashBatch(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[PHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        dHash64(bytes) match {
+          case Some(hs) => PHash(id, ok = true, hs)
+          case None => PHash(id, ok = false, 0L)
+        }
+      })
+  }
+
   /** Byte-level feature vector — the feature-extract stage that follows
     * decode in a multimodal pipeline (decode → features → embed). These
     * features are REAL (computed from the payload bytes, no stub): byte

@@ -3462,6 +3462,59 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Deterministic REAL image bytes for the x158 gate: a 9×8 block
+    * pattern keyed by the id's GROUP (g = id % 40) — so ids 40 apart are
+    * the same picture — rendered at an id-dependent resolution (always
+    * multiples of 9×8, so dHash's average pooling recovers the block
+    * values exactly at any size) and encoded through the JDK's own PNG
+    * or BMP writer (both lossless): the decode side must run a real
+    * ImageIO parse to reproduce the oracle's numbers. Ids with
+    * id % 12 == 11 carry one perturbed block — the NEAR-dup plant,
+    * flipping at most the two dHash comparisons that block touches. */
+  private[graft] def syntheticBlockImage(id: Long): Array[Byte] = {
+    val g = (id % 40).toInt
+    val (w, h) = ((id / 40) % 3) match {
+      case 0 => (18, 16)
+      case 1 => (36, 32)
+      case _ => (27, 24)
+    }
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val bx = x * 9 / w; val by = y * 8 / h
+      var v = (g * 37 + bx * 29 + by * 17 + (bx * by * (g + 3)) % 13) % 199
+      if (id % 12 == 11 && bx == 2 && by == 3) v = (v + 100) % 199
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img,
+      if ((id / 40) % 2 == 0) "png" else "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** x158 — IMAGE NEAR-DUP DEDUP via perceptual hashing
+    * ([[Multimodal.dHash64]] + [[Dedup.hammingPairs64]]): the multimodal
+    * twin of x17 — "are these two payloads the same PICTURE?", which
+    * x22/x23's header/byte features cannot answer across a resize or a
+    * re-encode. Each payload is a real PNG/BMP decoded with ImageIO,
+    * average-pooled to 9×8, difference-hashed to 64 bits; pairs come
+    * from the four-16-bit-band pigeonhole join (complete for Hamming
+    * ≤ 3, never O(n²)). Planted: every id ≡ g (mod 40) renders the same
+    * picture at three resolutions and two encodings (Hamming 0), and
+    * id % 12 == 11 carries one edited block (Hamming ≤ 2). The oracle
+    * re-derives the block values, the 64 comparison bits, and the full
+    * pair relation arithmetically — no image library on its side. */
+  def x158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 120).as[Long]
+      .map(id => (id, syntheticBlockImage(id))).toDF("doc_id", "payload")
+    val hashes = Multimodal.perceptualHashBatch(payloads).toDF()
+      .filter(col("ok")).select(col("doc_id"), col("phash"))
+    Dedup.hammingPairs64(hashes, "doc_id", "phash", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3716,7 +3769,8 @@ object Extensions {
     "x154_export_shards" -> (x154 _),
     "x155_ivf_sampled_train" -> (x155 _),
     "x156_knn_graph_delta" -> (x156 _),
-    "x157_export_write" -> (x157 _)
+    "x157_export_write" -> (x157 _),
+    "x158_image_neardup" -> (x158 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7440,6 +7494,39 @@ object Extensions {
          |    ORDER BY sh.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |    0) AS BIGINT) // 2000 AS bin,
          |  md5(d.text) AS text_md5
-         |FROM sh JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM sh JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // x158: the block values, the 64 dHash comparison bits, and the full
+    // Hamming-thresholded pair relation re-derived arithmetically — the
+    // oracle never decodes an image; the engine side must round-trip the
+    // REAL PNG/BMP encode + ImageIO decode + pooling to agree
+    "x158_image_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |base AS (
+        |  SELECT doc_id, bxs.bx, bys.by,
+        |    ((doc_id % 40) * 37 + bxs.bx * 29 + bys.by * 17
+        |      + (bxs.bx * bys.by * ((doc_id % 40) + 3)) % 13) % 199 AS v
+        |  FROM ids,
+        |    (SELECT unnest(range(0, 9)) AS bx) bxs,
+        |    (SELECT unnest(range(0, 8)) AS by) bys),
+        |fx AS (
+        |  SELECT doc_id, bx, by,
+        |    CASE WHEN doc_id % 12 = 11 AND bx = 2 AND by = 3
+        |      THEN (v + 100) % 199 ELSE v END AS v
+        |  FROM base),
+        |bits AS (
+        |  SELECT a.doc_id, a.by * 8 + a.bx AS bit,
+        |    CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bitv
+        |  FROM fx a JOIN fx b
+        |    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+        |  WHERE a.bx < 8),
+        |ham AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(CASE WHEN a.bitv != b.bitv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -4611,6 +4611,43 @@ class ExtSpec extends SparkSpec {
     assert(eff.select("n_bins").head().getLong(0) == byBin.size.toLong)
   }
 
+  test("dHash64: resize- and re-encode-invariant; local edit flips <= 2 " +
+      "bits; undecodable refuses; hammingPairs64 complete vs brute force") {
+    import graft.queries.Extensions.syntheticBlockImage
+    // ids 6, 46, 86 render the SAME picture (group 6) at 18x16 PNG,
+    // 36x32 BMP, 27x24 PNG — the hash must not see the size or format
+    val hs = Seq(6L, 46L, 86L)
+      .map(id => Multimodal.dHash64(syntheticBlockImage(id)).get)
+    assert(hs.distinct.size == 1)
+    // a one-block edit (id 11 vs its group-mate 51) flips at most the
+    // two comparisons that block touches — a near-dup, never a stranger
+    val hEdit = Multimodal.dHash64(syntheticBlockImage(11L)).get
+    val hBase = Multimodal.dHash64(syntheticBlockImage(51L)).get
+    val d = java.lang.Long.bitCount(hEdit ^ hBase)
+    assert(d >= 1 && d <= 2, s"edit distance $d")
+    // different groups differ widely (sanity that the hash has signal)
+    val hOther = Multimodal.dHash64(syntheticBlockImage(7L)).get
+    assert(java.lang.Long.bitCount(hs.head ^ hOther) > 3)
+    // non-images don't decode; the batch marks them instead of throwing
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+    val mixed = Seq((1L, syntheticBlockImage(1L)),
+        (2L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val ph = Multimodal.perceptualHashBatch(mixed).collect()
+    assert(ph.filter(_.ok).map(_.doc_id).toSet == Set(1L))
+    // banded pairs == brute-force pairs at the guaranteed threshold
+    val sigs = (0L until 60L)
+      .map(id => (id, Multimodal.dHash64(syntheticBlockImage(id)).get))
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    val banded = Dedup.hammingPairs64(
+        sigs.toDF("doc_id", "phash"), "doc_id", "phash", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute && brute.nonEmpty)
+  }
+
   test("writeShardsFromState: written files == plan; payload carried; " +
       "re-run overwrites; half-written export refuses") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
