@@ -237,7 +237,10 @@ object Main {
         out.println(s"[state] caught $dst up to $src's head " +
           s"(append=$b, delete=$d)")
       case Seq("vacuum", dir) =>
-        val gone = graft.ext.StateIO.vacuumStateVersions(spark, dir)
+        // --grace-ms: the retention window for in-flight readers that
+        // resolved a table path before a swap (see vacuumStateVersions)
+        val gone = graft.ext.StateIO.vacuumStateVersions(spark, dir,
+          longOpt("grace-ms", "0"))
         out.println(if (gone.isEmpty) s"[state] nothing to vacuum in $dir"
           else s"[state] vacuumed ${gone.mkString(", ")} from $dir")
       case Seq("export", p, dir, dst) =>

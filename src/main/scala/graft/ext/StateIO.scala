@@ -47,6 +47,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pointer write: the full OLD fit (staged version dirs are garbage,
   * reclaimed by [[vacuumStateVersions]]). Crash after: the full NEW
   * fit. There is no in-between and no roll-forward to run.
+  *
+  * The WRITER LEASE rests on the same exclusive-create assumption —
+  * routed through the [[LeaseStore]] seam: the default is Hadoop's
+  * `create(path, false)` (atomic on HDFS/local); S3-class deployments
+  * plug a conditional-PUT (`If-None-Match: *`) store, and the lease
+  * spec proves the acquire admits exactly one of two racing writers
+  * given ONLY that primitive — a store whose plain create is
+  * last-writer-wins gets no exclusivity from the default. Version GC
+  * carries the classic vacuum-reader race (a query that resolved
+  * [[tablePath]] before a swap still scans the superseded dir);
+  * `vacuumStateVersions(graceMs)` is the retention guard.
   */
 private[graft] object StateIO {
 
@@ -187,6 +198,44 @@ private[graft] object StateIO {
     * FS contract: exclusive create must be atomic (true on HDFS and
     * local FS; object stores need an if-none-match PUT — see the
     * object-store posture note in this file's header). */
+  /** The one primitive the writer lease rests on: atomically create
+    * `path` with `content` IFF it does not exist — true on the winner,
+    * false on every loser, never both-true. The SEAM that makes the
+    * lease object-store-portable: Hadoop's `fs.create(path, false)` is
+    * atomic-exclusive on HDFS and local FS ([[HadoopLeaseStore]], the
+    * default), while S3-class stores back it with a conditional PUT
+    * (`If-None-Match: *` — supported by S3/GCS/Azure) through their own
+    * [[LeaseStore]]. A store whose PLAIN create is last-writer-wins
+    * (both racing creates "succeed") MUST NOT route it here unwrapped —
+    * the lease spec proves the contract with a CAS-backed fake exactly
+    * because that substrate exists. */
+  private[graft] trait LeaseStore {
+    def createExclusive(
+        fs: org.apache.hadoop.fs.FileSystem,
+        path: org.apache.hadoop.fs.Path, content: String): Boolean
+  }
+
+  /** Default [[LeaseStore]]: Hadoop exclusive create (atomic on HDFS
+    * and local FS — the tested substrates). */
+  private[graft] object HadoopLeaseStore extends LeaseStore {
+    override def createExclusive(
+        fs: org.apache.hadoop.fs.FileSystem,
+        path: org.apache.hadoop.fs.Path, content: String): Boolean =
+      try {
+        val out = fs.create(path, false)
+        try out.write(
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException => false // lost the create race
+      }
+  }
+
+  /** The active lease primitive — deployments on conditional-PUT object
+    * stores (and the lease specs) swap this. */
+  @volatile private[graft] var leaseStore: LeaseStore = HadoopLeaseStore
+
   private[graft] def withWriterLock[T](
       spark: SparkSession, dir: String,
       leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
@@ -208,7 +257,18 @@ private[graft] object StateIO {
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
         val lines = s.split("\n")
-        Some((lines(0).trim, lines(1).trim.toLong))
+        // a HALF-VISIBLE lock — the winner mid-write on an FS without
+        // atomic create-with-content visibility, or a writer that died
+        // between create and write — parses as a live lease expiring one
+        // window after the file's mtime: racing acquirers refuse NOW
+        // (never crash on the torn read), and a truly dead half-writer
+        // is taken over once the window passes
+        if (lines.length < 2) Some(("mid-write",
+          fs.getFileStatus(lock).getModificationTime + leaseMs))
+        else
+          try Some((lines(0).trim, lines(1).trim.toLong))
+          catch { case _: NumberFormatException => Some(("mid-write",
+            fs.getFileStatus(lock).getModificationTime + leaseMs)) }
       } catch {
         case _: java.io.FileNotFoundException => None
       }
@@ -225,30 +285,30 @@ private[graft] object StateIO {
         case None => ()
       }
       // exclusive create IS the acquisition: on a race, exactly one
-      // create succeeds and the losers loop back into readLease
-      try {
-        val out = fs.create(lock, false)
-        try out.write(
-          s"$token\n${System.currentTimeMillis() + leaseMs}\n"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+      // create succeeds and the losers loop back into readLease. The
+      // create itself goes through the LeaseStore seam — substrates
+      // without an atomic exclusive create (pre-conditional-PUT object
+      // stores) plug their own CAS primitive there
+      if (leaseStore.createExclusive(fs, lock,
+          s"$token\n${System.currentTimeMillis() + leaseMs}\n"))
         acquired = true
-      } catch {
-        case _: java.io.IOException => () // lost the create race; retry
-      }
     }
     if (!acquired) {
       val (owner, exp) = readLease().getOrElse(("unknown", 0L))
       throw new ConcurrentWriter(dir, owner, exp)
     }
     heldLocks.get += key
+    var primary: Throwable = null
     try body
+    catch { case t: Throwable => primary = t; throw t }
     finally {
       heldLocks.get -= key
       // release only OUR lease: if it expired mid-run and a takeover
       // happened, deleting would kill the new writer's lock — leave it
-      // and surface the overrun loudly (the write may have interleaved)
-      readLease() match {
+      // and surface the overrun loudly (the write may have interleaved).
+      // When the BODY already failed, the takeover report attaches as a
+      // suppressed exception instead of masking the original failure.
+      try readLease() match {
         case Some((owner, _)) if owner == token => fs.delete(lock, false)
         case Some((owner, _)) =>
           throw new IllegalStateException(
@@ -256,6 +316,8 @@ private[graft] object StateIO {
               s"by '$owner' — this write may have interleaved with " +
               "theirs; audit the state (StateAudit) before trusting it")
         case None => ()
+      } catch {
+        case t: Throwable if primary != null => primary.addSuppressed(t)
       }
     }
   }
@@ -346,18 +408,34 @@ private[graft] object StateIO {
 
   /** Reclaim version directories no longer named by the manifest — the
     * garbage a crashed versioned swap (staged but never published) or
-    * a completed one (published, GC interrupted) leaves. Safe to run
-    * blindly and concurrently with readers of the LIVE fit; requires
-    * the writer lease so a swap can't stage new dirs mid-vacuum.
-    * Returns the deleted directory names. */
+    * a completed one (published, GC interrupted) leaves. Requires the
+    * writer lease so a swap can't stage new dirs mid-vacuum. Returns
+    * the deleted directory names.
+    *
+    * THE READER RACE (the classic VACUUM-retention window, solved the
+    * Delta way — with a retention period): a long-running query that
+    * resolved [[tablePath]] BEFORE a versioned swap is still scanning
+    * the superseded directory this call deletes. `graceMs > 0` is the
+    * guard: superseded dirs are reclaimed only when the manifest's last
+    * publish is older than the grace — every currently-unreferenced dir
+    * was unreferenced at or before that publish, so nothing this call
+    * deletes was resolvable by any reader that planned within the
+    * window. Size the grace above the longest query you run (the Delta
+    * default posture: hours, not seconds); `graceMs = 0` keeps the old
+    * reclaim-everything behavior for quiesced/offline maintenance. */
   def vacuumStateVersions(
-      spark: SparkSession, dir: String): Seq[String] =
+      spark: SparkSession, dir: String, graceMs: Long = 0L): Seq[String] =
     withWriterLock(spark, dir) {
+      require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
       require(manifestMode(spark, dir),
         s"$dir has no $VersionsFile manifest — nothing versioned to vacuum")
       val live = readManifest(spark, dir)
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val manifestAge = System.currentTimeMillis() - fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(dir, VersionsFile))
+        .getModificationTime
+      if (manifestAge <= graceMs) return Seq.empty // inside the window
       val versioned = "^.*__v\\d{4}$".r
       val liveDirs = live.values.toSet
       // unreferenced __vNNNN dirs (staged-then-crashed, or superseded)
@@ -834,10 +912,13 @@ private[graft] object StateIO {
     }
     publishManifest(spark, dir, current ++ newNames) // THE commit point
     if (crashAfterApplied == tables.size) throw new InjectedCrash(staged)
-    newNames.foreach { case (t, _) =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir,
-        current.getOrElse(t, t)), true)
-    }
+    // the SUPERSEDED directories are deliberately NOT deleted here: a
+    // long-running query that resolved tablePath before the pointer
+    // flip is still scanning them, and an inline delete would yank its
+    // files mid-scan (the classic vacuum-reader race). They are garbage
+    // the moment the pointer lands — reclaimed by vacuumStateVersions,
+    // whose graceMs retention window is what makes the reclaim safe to
+    // schedule against in-flight readers (the Delta VACUUM posture).
   }
 
   /** Single-table convenience over [[swapInTables]] — same commit-marker

@@ -4368,6 +4368,86 @@ class ExtSpec extends SparkSpec {
     assert(Profile.recoverStatsState(spark, dir))
   }
 
+  test("lease seam: a store with NON-ATOMIC create (both racing creates " +
+      "succeed) still admits exactly one writer through the CAS primitive") {
+    val root = java.nio.file.Files.createTempDirectory("graft-leasecas")
+      .toFile.getAbsolutePath
+    val dir = s"$root/stats"
+    val lock = new org.apache.hadoop.fs.Path(dir, "_writer_lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // FIRST, the hazard itself: on this store both writers' PLAIN
+    // creates "succeed" (last-writer-wins overwrite) — the substrate
+    // offers no exclusivity for HadoopLeaseStore to inherit
+    Seq("writer-A", "writer-B").foreach { w =>
+      val out = fs.create(lock, true) // both land without error
+      try out.write(s"$w\n0\n".getBytes("UTF-8")) finally out.close()
+    }
+    fs.delete(lock, false)
+    // the seam: exclusivity comes from the store's conditional PUT
+    // (If-None-Match shape — modeled as putIfAbsent keyed by path); the
+    // loser's bytes never land, exactly like the refused PUT
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val casStore = new StateIO.LeaseStore {
+      override def createExclusive(
+          cfs: org.apache.hadoop.fs.FileSystem,
+          path: org.apache.hadoop.fs.Path, content: String): Boolean =
+        if (!path.toString.contains("graft-leasecas"))
+          StateIO.HadoopLeaseStore.createExclusive(cfs, path, content)
+        else if (!claimed.add(cfs.makeQualified(path).toString)) false
+        else StateIO.HadoopLeaseStore.createExclusive(cfs, path, content)
+    }
+    StateIO.leaseStore = casStore
+    try {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val inBody = new java.util.concurrent.atomic.AtomicInteger
+      val overlap = new java.util.concurrent.atomic.AtomicInteger
+      val winners = new java.util.concurrent.atomic.AtomicInteger
+      val losers = new java.util.concurrent.atomic.AtomicInteger
+      val threads = (1 to 2).map(_ => new Thread(() => {
+        barrier.await()
+        try {
+          StateIO.withWriterLock(spark, dir) {
+            overlap.updateAndGet(m => math.max(m, inBody.incrementAndGet()))
+            Thread.sleep(300)
+            inBody.decrementAndGet()
+          }
+          winners.incrementAndGet()
+        } catch {
+          case _: StateIO.ConcurrentWriter => losers.incrementAndGet()
+        }
+      }))
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(winners.get() == 1 && losers.get() == 1,
+        s"winners=${winners.get()} losers=${losers.get()}")
+      assert(overlap.get() == 1, "bodies must never overlap")
+    } finally StateIO.leaseStore = StateIO.HadoopLeaseStore
+  }
+
+  test("vacuumStateVersions: graceMs keeps a pre-swap reader's superseded " +
+      "dir alive; grace 0 reclaims it") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-vacgrace")
+      .toFile.getAbsolutePath + "/ivf"
+    StateIO.enableManifestCommits(spark, dir)
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 100), dir,
+      k = 4, iters = 1, batchTag = Some(1L))
+    // a long-running reader plans against the CURRENT (plain) cells dir
+    val preResolved = spark.read.parquet(s"$dir/cells")
+    assert(preResolved.count() > 0)
+    // a versioned swap supersedes the plain dir the reader resolved
+    Similarity.reclusterIvfState(spark, dir)
+    // inside the grace window nothing is reclaimed — the reader's scan
+    // still answers
+    assert(StateIO.vacuumStateVersions(spark, dir,
+      graceMs = 3600000L).isEmpty)
+    assert(preResolved.count() > 0)
+    // grace 0 (quiesced maintenance) reclaims the superseded dirs
+    assert(StateIO.vacuumStateVersions(spark, dir).nonEmpty)
+    assert(!StateIO.pathExists(spark, s"$dir/cells"))
+  }
+
   test("writeHistoryFloor: a raise survives a crash at every window (two-slot max)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-floor")
       .toFile.getAbsolutePath
