@@ -144,8 +144,23 @@ object StateScaleEvidence {
         Similarity.semanticClustersFromState(spark, vs, k = 3, minCos = 0.2)
           .count()
       }
+      // incremental maintenance: materialize the graph state once, then
+      // apply ONE small append batch (~2.7% of the corpus, fresh ids) —
+      // the claim under test is delta ∝ batch·occupancy, not corpus
+      val gDir = s"$root/knn_graph"
+      val (tgBuild, _) = time {
+        Similarity.buildKnnGraphState(spark, vs, gDir, k = 3, nProbe = 2)
+      }
+      val deltaBatch = emb.filter(pmod(col("vec_id"), lit(37)) === 5)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+      Similarity.appendIvfState(deltaBatch, vs, k = kCells, iters = 2,
+        batchTag = Some(4L))
+      val (tgDelta, _) = time {
+        Similarity.knnGraphDeltaFromState(spark, vs, gDir, 4L)
+      }
       s""","cells":$kCells,"graph":{"knn":${fmt(tgKnn)},""" +
         s""""mutual":${fmt(tgMutual)},"clusters":${fmt(tgClusters)},""" +
+        s""""build":${fmt(tgBuild)},"delta":${fmt(tgDelta)},""" +
         s""""edges":$knnEdges,"pairs":$mutualPairs,"labeled":$clusterRows}"""
     }
 

@@ -197,6 +197,12 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "export_shards", exprs => exportShards(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "hamming_pairs", exprs => hammingPairs(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "image_phash", exprs => imagePhash(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "knn_graph_state", exprs => knnGraphState(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "substring_dedup", exprs => substringDedup(spark, exprs), "built-in")
@@ -787,6 +793,44 @@ object TableFunctions {
     val shards = if (args.exhausted) 16 else args.int("shards")
     plan(graft.ext.Bpe.exportShardsFromState(spark, dir, quality, id, q,
       budget, binBudget, shards))
+  }
+
+  /** `hamming_pairs(table, id, sig[, max_hamming])` →
+    * [[Dedup.hammingPairs64]]: banded near-dup pairs over any
+    * precomputed 64-bit fingerprint column (complete for distance
+    * ≤ 3). */
+  private def hammingPairs(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "hamming_pairs"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val sig = args.name("sig")
+    val maxHamming = if (args.exhausted) 3 else args.int("max_hamming")
+    plan(Dedup.hammingPairs64(table, id, sig, maxHamming))
+  }
+
+  /** `image_phash(table, id, payload)` →
+    * [[graft.ext.Multimodal.perceptualHashBatch]]: (doc_id, ok, phash)
+    * — the 64-bit perceptual dHash per binary image payload. */
+  private def imagePhash(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "image_phash"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val payload = args.name("payload")
+    plan(graft.ext.Multimodal.perceptualHashBatch(table, id, payload).toDF())
+  }
+
+  /** `knn_graph_state('graphDir')` →
+    * [[Similarity.readKnnGraphState]]: the MAINTAINED kNN graph — a
+    * pure columnar read of the incrementally-updated edges. */
+  private def knnGraphState(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "knn_graph_state"
+    requireArity(f, exprs, min = 1, max = 1)
+    val args = new Args(f, exprs)
+    plan(Similarity.readKnnGraphState(spark, args.name("graph_dir")))
   }
 
   /** `lang_confusion(table, lang, text)` →

@@ -646,6 +646,34 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Similarity.semanticClustersFromState(spark, dir, 3, 0.2, 2))
   }
 
+  test("round-16 TVFs: image_phash, hamming_pairs, knn_graph_state == Scala APIs") {
+    ready()
+    import graft.queries.Extensions.syntheticBlockImage
+    val payloads = (0L until 60L).map(id => (id, syntheticBlockImage(id)))
+      .toDF("doc_id", "payload")
+    payloads.createOrReplaceTempView("tvf_imgs")
+    assertSame(
+      spark.sql("SELECT * FROM image_phash('tvf_imgs', 'doc_id', 'payload')"),
+      graft.ext.Multimodal.perceptualHashBatch(payloads).toDF())
+    val hashes = graft.ext.Multimodal.perceptualHashBatch(payloads).toDF()
+      .filter($"ok").select($"doc_id", $"phash")
+    hashes.createOrReplaceTempView("tvf_phash")
+    assertSame(
+      spark.sql("SELECT * FROM hamming_pairs('tvf_phash', 'doc_id', 'phash', 3)"),
+      graft.ext.Dedup.hammingPairs64(hashes, "doc_id", "phash", 3))
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tvf_knngs").toFile.getAbsolutePath
+    graft.ext.Similarity.appendIvfState(emb, s"$root/ivf", k = 4, iters = 2,
+      batchTag = Some(1L))
+    graft.ext.Similarity.buildKnnGraphState(spark, s"$root/ivf",
+      s"$root/graph", k = 3, nProbe = 2)
+    assertSame(
+      spark.sql(s"SELECT * FROM knn_graph_state('$root/graph')"),
+      graft.ext.Similarity.readKnnGraphState(spark, s"$root/graph"))
+  }
+
   test("round-14 wave-2 TVFs: state_diff, mmr_from_state, capped_mix") {
     ready()
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
