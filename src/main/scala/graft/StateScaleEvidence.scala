@@ -158,9 +158,28 @@ object StateScaleEvidence {
       val (tgDelta, _) = time {
         Similarity.knnGraphDeltaFromState(spark, vs, gDir, 4L)
       }
+      // the SAME delta with a LOCALIZED batch — the steady-state shape a
+      // clustered ingest (one topic, one source) produces: all vectors
+      // land in one cell, so the update touches that cell's probers and
+      // rewrites a handful of home partitions. The hash-spread batch
+      // above is the worst case (every cell dirtied -> cost approaches a
+      // rebuild); this is the ∝ batch·occupancy case
+      val modalCid = spark.read.parquet(s"$vs/cells")
+        .groupBy(col("cid")).count().orderBy(col("count").desc, col("cid"))
+        .head().getInt(0)
+      val localBatch = spark.read.parquet(s"$vs/cells")
+        .filter(col("cid") === modalCid && col("vid") < 1000000000L)
+        .select((col("vid") + 2000000000L).as("vec_id"),
+          col("v").cast("array<float>").as("embedding"))
+      Similarity.appendIvfState(localBatch, vs, k = kCells, iters = 2,
+        batchTag = Some(5L))
+      val (tgDeltaLocal, _) = time {
+        Similarity.knnGraphDeltaFromState(spark, vs, gDir, 5L)
+      }
       s""","cells":$kCells,"graph":{"knn":${fmt(tgKnn)},""" +
         s""""mutual":${fmt(tgMutual)},"clusters":${fmt(tgClusters)},""" +
         s""""build":${fmt(tgBuild)},"delta":${fmt(tgDelta)},""" +
+        s""""delta_local":${fmt(tgDeltaLocal)},""" +
         s""""edges":$knnEdges,"pairs":$mutualPairs,"labeled":$clusterRows}"""
     }
 
