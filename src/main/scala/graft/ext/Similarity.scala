@@ -1027,18 +1027,39 @@ object Similarity {
     val affected = spark.read.parquet(probesPath)
       .filter(col("probe_cid").isin(newCells: _*)) // partition-pruned
       .join(newVids, Seq("vid"), "left_anti")
-    val affCandidates = affected.join(
+    val affCandidates = graft.ext.Dedup.materialize(affected.join(
         newRows.select(col("cid").as("probe_cid"), col("vid").as("nid"),
           col("v").as("nv"), col("cn").as("nn")),
         Seq("probe_cid"))
       .withColumn("cos", cosFrom(col("v"), col("vn"), col("nv"), col("nn")))
-      .select(col("vid"), col("home_cid"), col("nid"), col("cos"))
-    val affectedOwners = graft.ext.Dedup.materialize(
-      affected.select(col("vid"), col("home_cid")).distinct())
+      .select(col("vid"), col("home_cid"), col("nid"), col("cos")))
+    val edgesPath = s"$graphDir/edges"
+    // PRE-FILTER to the owners whose top-k actually CHANGES: an owner is
+    // re-ranked (and its home partition rewritten) only if some new
+    // candidate BEATS its stored worst edge under the (cos desc, nid asc)
+    // rank order — i.e. (cos, -nid) > (worst.cos, -worst.nid) — or it
+    // holds fewer than k edges. For a spread batch over a large corpus
+    // most candidates LOSE, so the rewrite set collapses from "every
+    // touched cell" to "cells with a changed owner". The comparison
+    // reads only narrow (vec_id, cos, neighbor_id) columns — no vectors.
+    // Derived from CURRENT stored edges, so a crash-resume re-derives a
+    // subset (already-merged partitions stop qualifying) and re-runs
+    // stay idempotent: a candidate already sitting in the stored top-k
+    // ties (never beats) its own entry.
+    val worst = spark.read.parquet(edgesPath)
+      .groupBy(col("vec_id").as("vid"))
+      .agg(count(lit(1)).as("graft_n"),
+        min(struct(col("cos").as("c"),
+          (-col("neighbor_id")).as("n"))).as("graft_worst"))
+    val affectedOwners = graft.ext.Dedup.materialize(affCandidates
+      .join(worst, Seq("vid"), "left")
+      .filter(col("graft_n").isNull || col("graft_n") < k ||
+        struct(col("cos").as("c"), (-col("nid")).as("n")) >
+          col("graft_worst"))
+      .select(col("vid"), col("home_cid")).distinct())
     // 3. rewrite only the touched home_cid= partitions
     val homeCells = (affectedOwners.select(col("home_cid").cast("int"))
       .distinct().collect().map(_.getInt(0)).toSeq ++ newCells).distinct
-    val edgesPath = s"$graphDir/edges"
     val oldParts = spark.read.parquet(edgesPath)
       .filter(col("home_cid").isin(homeCells: _*)) // partition-pruned
     val rewrittenVids = affectedOwners.select(col("vid"))
@@ -1049,11 +1070,15 @@ object Similarity {
         col("cos"), col("rank"))
     val w = Window.partitionBy(col("vid"))
       .orderBy(col("cos").desc, col("nid"))
+    // only the CHANGED owners' candidate rows merge — a loser's rows are
+    // already represented by `keep` (its partition, if rewritten at all,
+    // keeps its stored top-k verbatim)
     val affMerged = oldParts.join(affectedOwners.select(col("vid")),
         oldParts("vec_id") === col("vid"), "left_semi")
       .select(col("vec_id").as("vid"), col("home_cid"),
         col("neighbor_id").as("nid"), col("cos"))
-      .unionByName(affCandidates)
+      .unionByName(affCandidates.join(affectedOwners.select(col("vid")),
+        Seq("vid"), "left_semi"))
       .distinct() // re-runs recompute bitwise-identical cos rows
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
