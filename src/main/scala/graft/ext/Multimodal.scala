@@ -233,6 +233,367 @@ object Multimodal {
       })
   }
 
+  // ======================= AUDIO (RIFF/WAVE) =======================
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32u(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def fourCC(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Parsed geometry of a PCM RIFF/WAVE payload — the audio twin of
+    * [[HeaderDecoder.parse]]: (channels, sample_rate, bits, block_align,
+    * data_offset, data_bytes), found by the standard chunk walk (`fmt `
+    * and `data` may be separated by LIST/fact/other chunks; chunk bodies
+    * pad to even length — RIFF spec). `data_bytes` is truncated to whole
+    * frames and to the bytes actually present (a clipped download parses
+    * to its playable prefix rather than refusing). None when the payload
+    * is not a PCM (`wFormatTag = 1`) WAV. */
+  private[graft] def wavParse(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long)] = {
+    if (b.length < 44 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "WAVE")
+      return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    while (i + 8 <= b.length) {
+      val id = fourCC(b, i)
+      val size = le32u(b, i + 4)
+      if (size > Int.MaxValue.toLong) return None
+      val body = i + 8
+      if (id == "fmt ") {
+        if (body + 16 > b.length) return None
+        if (le16(b, body) != 1) return None // PCM only
+        fmt = Some((le16(b, body + 2), le32u(b, body + 4).toInt,
+          le16(b, body + 14), le16(b, body + 12)))
+      } else if (id == "data") {
+        return fmt.collect {
+          case (ch, rate, bits, ba) if ch > 0 && rate > 0 && ba > 0 =>
+            val avail = math.max(0L, math.min(size, (b.length - body).toLong))
+            (ch, rate, bits, ba, body, avail - avail % ba)
+        }
+      }
+      i = body + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  /** Encode interleaved PCM16 samples as a canonical 44-byte-header
+    * RIFF/WAVE payload — the write-side twin of [[wavParse]] (round-trip
+    * pinned in spec; the x159/x160 gates decode REAL WAV bytes produced
+    * here, mirroring x158's PNG/BMP round-trip). `samples.length` must be
+    * a multiple of `channels`. */
+  def packWav(
+      samples: Array[Short], channels: Int, sampleRate: Int): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"${samples.length} samples do not tile $channels channels")
+    require(sampleRate >= 1, s"sampleRate must be >= 1, got $sampleRate")
+    val dataBytes = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Channel-0 PCM16 sample of frame `f` (signed little-endian). */
+  private def pcm16Frame0(b: Array[Byte], dataOff: Int, blockAlign: Int,
+      f: Long): Int = {
+    val off = dataOff + f * blockAlign
+    (b((off + 1).toInt).toInt << 8) | (b(off.toInt) & 0xff)
+  }
+
+  /** Typed audio metadata — header chunk walk only, sample bytes never
+    * touched (the cheap path a 100 TB metadata filter takes before any
+    * decode; keep payloads in their own parquet column so this projection
+    * never reads them for non-WAV filters). `ok = false` marks payloads
+    * that are not PCM WAV. `n_frames` counts per-channel sample frames;
+    * `duration_ms = ⌊n_frames·1000 / sample_rate⌋`. */
+  final case class WavMeta(
+      doc_id: Long,
+      ok: Boolean,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Long)
+
+  def wavMetaBatch(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[WavMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        wavParse(bytes) match {
+          case Some((ch, rate, bits, ba, _, dataBytes)) =>
+            val frames = dataBytes / ba
+            WavMeta(id, ok = true, ch, rate, bits, frames,
+              frames * 1000L / rate)
+          case None => WavMeta(id, ok = false, 0, 0, 0, 0L, 0L)
+        }
+      })
+  }
+
+  /** Full-scan audio features over every PCM16 sample (all channels):
+    * `sum_abs` (exact integer loudness mass — the quality-filter signal)
+    * and `peak_abs` (clipping detector). `ok = false` when the payload is
+    * not PCM16 WAV. Narrow map, no shuffle — the decode → feature stage
+    * of a multimodal pipeline, like [[featureBatch]] for images. */
+  final case class AudioStats(
+      doc_id: Long,
+      ok: Boolean,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      sum_abs: Long,
+      peak_abs: Int)
+
+  def audioStatsBatch(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[AudioStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        wavParse(bytes) match {
+          case Some((ch, rate, bits, ba, off, dataBytes))
+              if bits == 16 && ba == 2 * ch =>
+            val frames = dataBytes / ba
+            var sum = 0L; var peak = 0
+            val nSamples = (dataBytes / 2).toInt
+            var s = 0
+            while (s < nSamples) {
+              val v = (bytes(off + 2 * s + 1).toInt << 8) |
+                (bytes(off + 2 * s) & 0xff)
+              val a = math.abs(v)
+              sum += a
+              if (a > peak) peak = a
+              s += 1
+            }
+            AudioStats(id, ok = true, ch, rate, bits, frames,
+              frames * 1000L / rate, sum, peak)
+          case _ => AudioStats(id, ok = false, 0, 0, 0, 0L, 0L, 0L, 0)
+        }
+      })
+  }
+
+  /** Evenly spaced PCM frame sampling — the audio frame-sample stage
+    * (decode → sample → feature-extract): position `pos ∈ [0, nFrames)`
+    * reads channel-0 of frame `⌊pos·n_frames/nFrames⌋`. Payloads that are
+    * not PCM16 (or hold no frames) emit no rows — filter on
+    * [[wavMetaBatch]]'s `ok` upstream to audit them. Narrow map. */
+  final case class AudioFrame(
+      doc_id: Long, pos: Int, frame_idx: Long, sample: Int)
+
+  def sampleAudioFrames(
+      df: DataFrame,
+      nFrames: Int,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[AudioFrame] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavParse(bytes) match {
+          case Some((ch, _, bits, ba, off, dataBytes))
+              if bits == 16 && ba == 2 * ch && dataBytes >= ba =>
+            val n = dataBytes / ba
+            (0 until nFrames).map { pos =>
+              val f = pos.toLong * n / nFrames
+              AudioFrame(id, pos, f, pcm16Frame0(bytes, off, ba, f))
+            }
+          case _ => Nil
+        }
+      })
+  }
+
+  /** 64-bit ENERGY-GRADIENT fingerprint — the audio twin of [[dHash64]]
+    * (dHash's construction applied to the loudness envelope, as in
+    * Haitsma–Kalker energy-difference audio fingerprinting): the frame
+    * stream splits into 65 equal windows (window `i` covers frames
+    * [⌊i·n/65⌋, ⌊(i+1)·n/65⌋)), `energy_i` = Σ|sample| over the window's
+    * frames (all channels, exact integers), and bit `i` is set iff
+    * `energy_i·cnt_{i+1} > energy_{i+1}·cnt_i` (cross-multiplied in
+    * BigInt — never floating division — so the fingerprint is
+    * bit-reproducible on any engine from the same samples; the x160
+    * oracle re-derives it in SQL). Envelope SIGNS survive resampling and
+    * amplitude-preserving re-encodes, which is what makes equal
+    * fingerprints mean "the same recording" across sample rates; a
+    * locally edited window flips only the two comparisons it touches.
+    * None unless PCM16 with ≥ 65 frames. */
+  def audioFingerprint64(payload: Array[Byte]): Option[Long] =
+    wavParse(payload).flatMap {
+      case (ch, _, bits, ba, off, dataBytes) if bits == 16 && ba == 2 * ch =>
+        val n = dataBytes / ba
+        if (n < 65) None
+        else {
+          val energy = new Array[Long](65)
+          val cnt = new Array[Long](65)
+          var w = 0
+          while (w < 65) {
+            val f0 = w * n / 65; val f1 = (w + 1) * n / 65
+            var e = 0L
+            var f = f0
+            while (f < f1) {
+              var c = 0
+              while (c < ch) {
+                val so = (off + f * ba + 2 * c).toInt
+                e += math.abs((payload(so + 1).toInt << 8) |
+                  (payload(so) & 0xff))
+                c += 1
+              }
+              f += 1
+            }
+            energy(w) = e
+            cnt(w) = f1 - f0
+            w += 1
+          }
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (BigInt(energy(i)) * cnt(i + 1) >
+                BigInt(energy(i + 1)) * cnt(i))
+              hash |= 1L << i
+            i += 1
+          }
+          Some(hash)
+        }
+      case _ => None
+    }
+
+  /** One row per payload: (doc_id, ok, afp) — [[audioFingerprint64]] in
+    * the once-per-partition batch shape. Pair via
+    * [[Dedup.hammingPairs64]], exactly like image phashes. */
+  final case class AudioFp(doc_id: Long, ok: Boolean, afp: Long)
+
+  def audioFingerprintBatch(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[AudioFp] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        audioFingerprint64(bytes) match {
+          case Some(fp) => AudioFp(id, ok = true, fp)
+          case None => AudioFp(id, ok = false, 0L)
+        }
+      })
+  }
+
+  // =================== VIDEO (frame-stream container) ===================
+
+  /** Minimal frame-stream container for video payloads: `GVID` magic,
+    * big-endian u32 frame count, u32 per-frame byte lengths, then the
+    * concatenated frame payloads (each a self-contained image encoding —
+    * PNG/BMP decode offline via ImageIO). A REAL codec (H.264, VP9)
+    * belongs to a [[BinaryDecoder]]-style plug-in this container stands
+    * in for in the offline build; the Spark-side plumbing it exercises —
+    * binary schema, frame sampling, per-frame perceptual hashing, the
+    * near-dup join — is real and gate-tested (x162). */
+  def packVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVID")
+    out.writeInt(frames.length)
+    frames.foreach(f => out.writeInt(f.length))
+    frames.foreach(out.write)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** The container's frames, or None when the payload is not a (complete)
+    * GVID stream. */
+  private[graft] def unpackVideo(b: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (b.length < 8 || fourCC(b, 0) != "GVID") return None
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    in.skipBytes(4)
+    val n = in.readInt()
+    if (n < 0 || b.length < 8L + 4L * n) return None
+    val lens = Array.fill(n)(in.readInt())
+    if (lens.exists(_ < 0) ||
+        8L + 4L * n + lens.map(_.toLong).sum > b.length) return None
+    Some(lens.map { len => val f = new Array[Byte](len); in.readFully(f); f })
+  }
+
+  /** Every `everyK`-th frame (0, k, 2k, …) perceptual-hashed — frame
+    * sampling fused with [[dHash64]] so unsampled frame bytes are never
+    * decoded. `ok = false` rows mark sampled frames that did not decode;
+    * a non-GVID payload emits a single (frame_idx = -1, ok = false) row
+    * so undecodable payloads stay auditable. Narrow map, no shuffle. */
+  final case class VideoFrameHash(
+      doc_id: Long, frame_idx: Int, ok: Boolean, phash: Long)
+
+  def videoFrameHashes(
+      df: DataFrame,
+      everyK: Int = 1,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[VideoFrameHash] = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        unpackVideo(bytes) match {
+          case Some(frames) =>
+            (0 until frames.length by everyK).map { fi =>
+              dHash64(frames(fi)) match {
+                case Some(hs) => VideoFrameHash(id, fi, ok = true, hs)
+                case None => VideoFrameHash(id, fi, ok = false, 0L)
+              }
+            }
+          case None => Seq(VideoFrameHash(id, -1, ok = false, 0L))
+        }
+      })
+  }
+
+  /** Video near-dup pairs from sampled frame hashes: two videos match
+    * when they share at least `minShared` DISTINCT frame perceptual
+    * hashes — the shingle-join pattern ([[Dedup]]'s n-gram posture)
+    * applied to frame fingerprints: distinct (video, phash) → equi-join
+    * on the 64-bit hash → group-count. Cost rides shared-frame
+    * collisions, never O(n²) in videos; a pathological corpus-wide
+    * common frame (a black lead-in) behaves like a stopword shingle —
+    * drop such hashes upstream if they dominate. Input: `ok`-filtered
+    * [[videoFrameHashes]] rows (or any (id, hash) relation). */
+  def videoNearDupPairs(
+      hashes: DataFrame,
+      minShared: Int,
+      idCol: String = "doc_id",
+      hashCol: String = "phash"): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val h = hashes
+      .select(col(idCol).cast("long").as("gid"),
+        col(hashCol).cast("long").as("ph"))
+      .distinct()
+    h.as("a").join(h.as("b"),
+        col("a.ph") === col("b.ph") && col("a.gid") < col("b.gid"))
+      .groupBy(col("a.gid").as("id_a"), col("b.gid").as("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
   /** Byte-level feature vector — the feature-extract stage that follows
     * decode in a multimodal pipeline (decode → features → embed). These
     * features are REAL (computed from the payload bytes, no stub): byte

@@ -1,0 +1,151 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Audio (RIFF/WAVE) + video (GVID frame-stream) multimodal operators:
+  * encode/parse round-trips, exact feature arithmetic, fingerprint
+  * invariances, and the near-dup joins. The oracle-facing behavior is
+  * gated by x159–x162; this spec pins the library contracts those gates
+  * compose. */
+class MultimodalAvSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 65 windows × `w` frames of constant positive amplitude per window —
+    * the envelope construction the x160 gate uses: window `i` of wave
+    * group `g` holds samples of value `amp(g,i)·100`. */
+  private def amp(g: Int, i: Int): Int =
+    (g * 31 + i * 53 + (i * i * (g + 7)) % 29) % 199
+
+  private def wave(g: Int, w: Int, rate: Int,
+      edit: Option[Int] = None): Array[Byte] = {
+    val samples = new Array[Short](65 * w)
+    for (i <- 0 until 65; j <- 0 until w) {
+      val a = edit match {
+        case Some(ei) if ei == i => (amp(g, i) + 97) % 199
+        case _ => amp(g, i)
+      }
+      samples(i * w + j) = (a * 100).toShort
+    }
+    Multimodal.packWav(samples, channels = 1, sampleRate = rate)
+  }
+
+  test("packWav/wavParse round-trip; refusals for non-RIFF and non-PCM") {
+    val b = wave(3, 16, 8000)
+    val Some((ch, rate, bits, ba, off, dataBytes)) = Multimodal.wavParse(b)
+    assert((ch, rate, bits, ba) == (1, 8000, 16, 2))
+    assert(dataBytes == 65L * 16 * 2 && off == 44)
+    // stereo geometry
+    val st = Multimodal.packWav(Array[Short](1, 2, 3, 4), 2, 44100)
+    assert(Multimodal.wavParse(st).get._1 == 2)
+    assert(Multimodal.wavParse(st).get._4 == 4) // block align
+    // refusals
+    assert(Multimodal.wavParse("not audio at all".getBytes).isEmpty)
+    val nonPcm = b.clone(); nonPcm(20) = 3 // wFormatTag = IEEE float
+    assert(Multimodal.wavParse(nonPcm).isEmpty)
+    // a clipped download parses to its playable whole-frame prefix
+    val clipped = java.util.Arrays.copyOf(b, b.length - 3)
+    val Some((_, _, _, _, _, clippedBytes)) = Multimodal.wavParse(clipped)
+    assert(clippedBytes == (b.length - 3 - 44) / 2 * 2)
+  }
+
+  test("wavParse walks past interposed chunks to find fmt/data") {
+    val plain = wave(1, 16, 8000)
+    // splice a LIST chunk (odd-sized body → padded) between fmt and data
+    val head = java.util.Arrays.copyOfRange(plain, 0, 36)
+    val tail = java.util.Arrays.copyOfRange(plain, 36, plain.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(head)
+    bos.write("LIST".getBytes("US-ASCII"))
+    bos.write(Array[Byte](5, 0, 0, 0)) // size 5 LE
+    bos.write("INFOx".getBytes("US-ASCII"))
+    bos.write(0) // even-length pad
+    bos.write(tail)
+    val spliced = bos.toByteArray
+    assert(Multimodal.wavParse(spliced).map(t => (t._1, t._2, t._6)) ==
+      Some((1, 8000, 65L * 16 * 2)))
+  }
+
+  test("audioStatsBatch and sampleAudioFrames are exact") {
+    val payloads = Seq((1L, wave(2, 16, 8000)), (2L, "junk".getBytes()))
+      .toDF("doc_id", "payload")
+    val stats = Multimodal.audioStatsBatch(payloads).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(!stats(2L).ok)
+    val s1 = stats(1L)
+    val expSum = (0 until 65).map(i => amp(2, i).toLong * 100 * 16).sum
+    val expPeak = (0 until 65).map(amp(2, _)).max * 100
+    assert(s1.ok && s1.n_frames == 65 * 16 && s1.duration_ms == 130 &&
+      s1.sum_abs == expSum && s1.peak_abs == expPeak)
+    val frames = Multimodal.sampleAudioFrames(payloads, nFrames = 5)
+      .collect().sortBy(_.pos)
+    assert(frames.map(_.doc_id).toSet == Set(1L)) // junk emits no rows
+    assert(frames.map(_.frame_idx).toSeq ==
+      Seq(0L, 208L, 416L, 624L, 832L)) // ⌊pos·1040/5⌋
+    assert(frames.map(_.sample).toSeq ==
+      Seq(0, 13, 26, 39, 52).map(amp(2, _) * 100))
+  }
+
+  test("audioFingerprint64: window-scale invariant; local edit flips <= 2 " +
+      "bits; refusals") {
+    val f16 = Multimodal.audioFingerprint64(wave(5, 16, 8000)).get
+    val f32 = Multimodal.audioFingerprint64(wave(5, 32, 16000)).get
+    val f24 = Multimodal.audioFingerprint64(wave(5, 24, 12000)).get
+    assert(f16 == f32 && f16 == f24,
+      "same envelope at other rates/lengths must fingerprint identically")
+    val edited = Multimodal.audioFingerprint64(
+      wave(5, 16, 8000, edit = Some(5))).get
+    val ham = java.lang.Long.bitCount(f16 ^ edited)
+    assert(ham >= 1 && ham <= 2, s"one edited window flips 1-2 bits: $ham")
+    assert(Multimodal.audioFingerprint64(
+      wave(6, 16, 8000)) != Multimodal.audioFingerprint64(wave(5, 16, 8000)))
+    // refusals: under 65 frames, and non-WAV
+    val tiny = Multimodal.packWav(Array.fill[Short](64)(100), 1, 8000)
+    assert(Multimodal.audioFingerprint64(tiny).isEmpty)
+    assert(Multimodal.audioFingerprint64("nope".getBytes).isEmpty)
+    // banded pairing over fingerprints mirrors the image path
+    val sigs = Seq((1L, f16), (2L, f32), (3L, edited),
+        (4L, Multimodal.audioFingerprint64(wave(9, 16, 8000)).get))
+      .toDF("doc_id", "afp")
+    val pairs = Dedup.hammingPairs64(sigs, "doc_id", "afp", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      !pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("GVID pack/unpack, frame sampling, and the video near-dup join") {
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val v = (seed * 37 + (x / 2) * 29 + (y / 2) * 17) % 199
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val vidA = Multimodal.packVideo((0 until 6).map(f => png(f)))
+    val vidB = Multimodal.packVideo( // same video, one frame replaced
+      (0 until 6).map(f => png(if (f == 3) 99 else f)))
+    val vidC = Multimodal.packVideo((0 until 6).map(f => png(50 + f)))
+    assert(Multimodal.unpackVideo(vidA).get.length == 6)
+    assert(Multimodal.unpackVideo("GVIDxxxx".getBytes).isEmpty)
+    assert(Multimodal.unpackVideo( // truncated frame bytes refuse
+      java.util.Arrays.copyOf(vidA, vidA.length - 1)).isEmpty)
+    val df = Seq((1L, vidA), (2L, vidB), (3L, vidC), (4L, "junk".getBytes))
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.videoFrameHashes(df, everyK = 2).collect()
+    assert(hashes.filter(_.doc_id == 1L).map(_.frame_idx).sorted.toSeq ==
+      Seq(0, 2, 4), "everyK=2 samples frames 0/2/4")
+    assert(hashes.filter(_.doc_id == 4L).toSeq
+      .map(h => (h.frame_idx, h.ok)) == Seq((-1, false)),
+      "non-GVID payload emits the single audit row")
+    val all = Multimodal.videoFrameHashes(df, everyK = 1).toDF()
+      .filter("ok")
+    val pairs = Multimodal.videoNearDupPairs(all, minShared = 5)
+      .select("id_a", "id_b", "shared_frames")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 5L)),
+      s"A~B share 5 of 6 frames, C shares none: $pairs")
+  }
+}
