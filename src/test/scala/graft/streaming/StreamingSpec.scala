@@ -626,6 +626,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming graph maintenance: streamed graph == whole rebuild; " +
+      "per-batch tagged appends") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_graph_ingest").toString
+    val ivfDir = s"$dir/ivf"; val graphDir = s"$dir/graph"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = GraphStream.graphMaintainIngest(
+      stream.toDS().toDF("vec_id", "embedding"), ivfDir, graphDir,
+      "vec_id", "embedding", checkpointDir = s"$dir/ckpt",
+      k = 4, iters = 2, graphK = 3, nProbe = 2)
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    try {
+      // an EMPTY leading micro-batch must not train or build
+      stream.addData(Seq.empty[(Long, Seq[Float])])
+      q.processAllAvailable()
+      assert(!new java.io.File(s"$graphDir/edges").exists())
+      stream.addData(emb.filter(_._1 < 150).toSeq)
+      q.processAllAvailable()
+      // first data batch trained + built the graph whole
+      assert(new java.io.File(s"$graphDir/edges").exists())
+      stream.addData(emb.filter(t => t._1 >= 150 && t._1 < 300).toSeq)
+      q.processAllAvailable()
+      stream.addData(emb.filter(_._1 >= 300).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the maintained graph IS the from-scratch whole rebuild
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("neighbor_id"), col("rank").cast("int"),
+        round(col("cos"), 9))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val inc = edges(graft.ext.Similarity.readKnnGraphState(spark, graphDir))
+    val full = edges(graft.ext.Similarity.knnGraphFromState(
+      spark, ivfDir, k = 3, nProbe = 2))
+    assert(inc == full && inc.nonEmpty)
+    // each micro-batch landed as its own tagged IVF partition (tag =
+    // batchId + 1; batch 0 was empty so tag 1 holds nothing trained —
+    // the first DATA batch is tag 2)
+    assert(new java.io.File(s"$ivfDir/cells/batch_id=2").exists())
+    assert(new java.io.File(s"$ivfDir/cells/batch_id=4").exists())
+    // watermark advanced to the last applied tag
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$graphDir/_graph_upto")).trim == "4")
+  }
+
   test("extract_blocks generator works from SQL via LATERAL VIEW") {
     graft.functions.ExtractBlocks.register(spark)
     val content = java.nio.file.Files.readString(
