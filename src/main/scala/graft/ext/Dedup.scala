@@ -1350,6 +1350,210 @@ object Dedup {
       .distinct()
   }
 
+  // ========== FINGERPRINT (Hamming) STATE — any modality ==========
+
+  /** The 4 (band, word) columns of a 64-bit fingerprint — the
+    * [[hammingPairs64]] pigeonhole bands, shared by the state paths. */
+  private def bandWords(sig: org.apache.spark.sql.Column) =
+    posexplode(array((0 until 4).map(b =>
+      shiftright(sig, b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("band", "word"))
+
+  /** The stored bucket count of a fingerprint state dir (None = no meta
+    * yet). PATH_NOT_FOUND-only, like every state meta read: any other
+    * failure must crash rather than masquerade as a fresh dir. */
+  private def readFpBuckets(
+      spark: SparkSession, dir: String): Option[Int] =
+    try Some(spark.read.schema("buckets LONG").json(s"$dir/_meta")
+        .head()).map { m =>
+      require(!m.anyNull, s"fingerprint state meta at $dir/_meta is " +
+        "corrupt (missing fields) — rebuild the state or restore _meta")
+      m.getLong(0).toInt
+    }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+      case _: java.util.NoSuchElementException => None // empty dir
+    }
+
+  private def checkFpMeta(spark: SparkSession, dir: String, buckets: Int,
+      writeIfAbsent: Boolean): Unit =
+    readFpBuckets(spark, dir) match {
+      case Some(stored) =>
+        require(stored == buckets,
+          s"fingerprint state at $dir was built with buckets = $stored " +
+            s"but was called with $buckets; a mismatched bucket mapping " +
+            "silently misses pairs (probes prune to the wrong " +
+            "partitions). Use the stored value or rebuild the state.")
+      case None if writeIfAbsent =>
+        import spark.implicits._
+        Seq(buckets.toLong).toDF("buckets")
+          .coalesce(1).write.mode("overwrite").json(s"$dir/_meta")
+      case None => ()
+    }
+
+  /** PERSISTED FINGERPRINT state — the steady-state near-dup substrate
+    * for any 64-bit perceptual signature: image dHash
+    * ([[graft.ext.Multimodal.perceptualHashBatch]]), audio
+    * energy-gradient prints ([[graft.ext.Multimodal.audioFingerprintBatch]]),
+    * video frame hashes, [[simhash64]] — the modality-agnostic twin of
+    * [[appendLshState]] (texts) and
+    * [[graft.ext.Similarity.appendIvfState]] (vectors), closing the same
+    * gap: [[hammingPairs64]] re-bands the whole corpus every call, while
+    * a maintained state bands each fingerprint ONCE ever.
+    *
+    * Layout under `dir`:
+    *   - `sigs` — (id, sig), the corpus record;
+    *   - `bands` — (band, word, id, sig) × 4 per fingerprint,
+    *     partitioned by `bkt = word mod buckets` so an incremental read
+    *     prunes to the probed buckets (the postings-pillar posture:
+    *     query cost rides the QUERY's fingerprints, not the corpus);
+    *   - `tombstones` — deleted ids ([[deleteFromFpState]]).
+    *
+    * Replay/crash posture (the shared pillar discipline): tagged appends
+    * land in their own `batch_id=N` partitions with overwrite; untagged
+    * appends anti-join each table on its own ids so a blind re-run
+    * completes a partial append without duplicating (bands first, sigs
+    * second — a crash between leaves only re-completable gaps, and band
+    * rows carry the sig, so a pair read never returns a half-appended
+    * lie). The bucket count persists to `dir/_meta` on first append and
+    * is validated everywhere after. Ids must be unique across the
+    * state's lifetime. */
+  def appendFpState(
+      sigs: DataFrame, dir: String, idCol: String, sigCol: String,
+      batchTag: Option[Long] = None, buckets: Int = 256): Unit =
+      StateIO.withWriterLock(sigs.sparkSession, dir) {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = sigs.sparkSession
+    StateIO.checkNoCompactRemnants(spark, dir,
+      Seq("sigs", "bands", "tombstones"))
+    StateIO.checkTagAboveFloor(spark, dir, batchTag, "append")
+    checkFpMeta(spark, dir, buckets, writeIfAbsent = true)
+    val rows = materialize(sigs.select(col(idCol).cast("long").as("id"),
+      col(sigCol).cast("long").as("sig")))
+    val bandRows = rows.select(col("id"), col("sig"), bandWords(col("sig")))
+      .withColumn("bkt", pmod(col("word"), lit(buckets.toLong)))
+    batchTag match {
+      case Some(t) =>
+        bandRows.write.mode("overwrite").partitionBy("bkt")
+          .parquet(s"${StateIO.tablePath(spark, dir, "bands")}/batch_id=$t")
+        rows.write.mode("overwrite")
+          .parquet(s"${StateIO.tablePath(spark, dir, "sigs")}/batch_id=$t")
+      case None =>
+        // blind-retry idempotency: each table skips ids it already holds
+        // (PATH_NOT_FOUND-only reads — a transient failure must crash,
+        // not double-append)
+        def alreadyIn(table: String): DataFrame => DataFrame = df =>
+          StateIO.readTableIfExists(spark, dir, table) match {
+            case Some(t) => df.join(t.select(col("id")).distinct(),
+              Seq("id"), "left_anti")
+            case None => df
+          }
+        alreadyIn("bands")(bandRows).write.mode("append")
+          .partitionBy("bkt")
+          .parquet(StateIO.tablePath(spark, dir, "bands"))
+        alreadyIn("sigs")(rows).write.mode("append")
+          .parquet(StateIO.tablePath(spark, dir, "sigs"))
+    }
+  }
+
+  /** [[hammingPairs64]] answered incrementally from an [[appendFpState]]
+    * dir: the batch's fingerprints band fresh (O(batch) compute) and
+    * join ONLY the state partitions their words hash to — a
+    * partition-pruned read (spec-pinned), so per-batch cost rides the
+    * batch's bucket fan-out, never the corpus. Output: (new_id, old_id,
+    * hamming ≤ maxHamming), complete for Hamming ≤ 3 (the 4-band
+    * pigeonhole), old side live (tombstones subtracted).
+    *
+    * `excludeTag` drops the batch's own `batch_id=N` partition under
+    * at-least-once replay (the shared read rule). `asOf = Some((B, D))`
+    * answers against the state after (append B, delete D) — the tagged
+    * partitions double as version history; tagged states only. */
+  def incrementalHammingPairsFromState(
+      spark: SparkSession, dir: String, batch: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 3, excludeTag: Option[Long] = None,
+      asOf: Option[(Long, Long)] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for Hamming <= 3")
+    StateIO.checkNoSwapInProgress(spark, dir)
+    val buckets = readFpBuckets(spark, dir).getOrElse(throw
+      new IllegalArgumentException(s"$dir carries no _meta — not a " +
+        "fingerprint state dir (build one with appendFpState)"))
+    val b = materialize(batch.select(col(idCol).cast("long").as("new_id"),
+      col(sigCol).cast("long").as("nsig")))
+    val bBands = materialize(
+      b.select(col("new_id"), col("nsig"), bandWords(col("nsig"))))
+    // bounded collect: ≤ buckets values — the probe set that prunes the
+    // state read
+    val probed = bBands
+      .select(pmod(col("word"), lit(buckets.toLong)).cast("int").as("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def cutAndExclude(raw: DataFrame, tagCol: String,
+        bound: Option[Long]): DataFrame = {
+      val t = bound match {
+        case Some(bd) => StateIO.asOfCut(raw, tagCol, bd, dir, "bands")
+        case None => raw
+      }
+      excludeTag.filter(_ => t.columns.contains("batch_id") &&
+          tagCol == "batch_id")
+        .map(tag => t.filter(col("batch_id") =!= tag)).getOrElse(t)
+    }
+    val stateBands = cutAndExclude(
+      spark.read.parquet(StateIO.tablePath(spark, dir, "bands")),
+      "batch_id", asOf.map(_._1))
+      .filter(col("bkt").isin(probed: _*)) // partition-pruned
+      .select(col("id"), col("sig"), col("band"), col("word"))
+    val tombs = StateIO.readTableIfExists(spark, dir, "tombstones")
+      .map { tbRaw =>
+        val tb = asOf match {
+          case Some((_, dt)) =>
+            StateIO.asOfCut(tbRaw, "delete_id", dt, dir, "tombstones")
+          case None => tbRaw
+        }
+        tb.select(col("id"))
+      }
+    val live = tombs match {
+      case Some(tb) => stateBands.join(tb, Seq("id"), "left_anti")
+      case None => stateBands
+    }
+    live.join(bBands, Seq("band", "word"))
+      .filter(col("id") =!= col("new_id"))
+      .select(col("new_id"), col("id").as("old_id"),
+        bit_count(col("sig").bitwiseXOR(col("nsig"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** DELETE fingerprints from an [[appendFpState]] dir — the tombstone
+    * path shared by every pillar: O(|ids|) write, reads subtract. A
+    * deleted id must never be re-appended (the lifetime-unique-ids
+    * contract). Tagged deletes land in `delete_id=N` with overwrite;
+    * untagged deletes anti-join existing tombstones so a blind re-run
+    * is a no-op. */
+  def deleteFromFpState(
+      spark: SparkSession, dir: String, ids: DataFrame, idCol: String,
+      deleteTag: Option[Long] = None): Unit =
+      StateIO.withWriterLock(spark, dir) {
+    StateIO.checkNoCompactRemnants(spark, dir,
+      Seq("sigs", "bands", "tombstones"))
+    StateIO.checkTagAboveFloor(spark, dir, deleteTag, "delete")
+    val del = ids.select(col(idCol).cast("long").as("id")).distinct()
+    deleteTag match {
+      case Some(t) =>
+        del.write.mode("overwrite").parquet(
+          s"${StateIO.tablePath(spark, dir, "tombstones")}/delete_id=$t")
+      case None =>
+        val fresh = StateIO.readTableIfExists(spark, dir, "tombstones") match {
+          case Some(tb) => materialize(
+            del.join(tb.select(col("id")), Seq("id"), "left_anti"))
+          case None => del
+        }
+        fresh.write.mode("append")
+          .parquet(StateIO.tablePath(spark, dir, "tombstones"))
+    }
+  }
+
   /** Eval-set decontamination: flag every corpus document sharing at least
     * one word `n`-gram with the eval set — the standard benchmark-leakage
     * guard of an LLM training pipeline (13-gram overlap in GPT-3's

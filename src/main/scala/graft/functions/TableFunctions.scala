@@ -201,6 +201,20 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "image_phash", exprs => imagePhash(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "wav_meta", exprs => wavMeta(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "audio_stats", exprs => audioStats(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "audio_fp", exprs => audioFp(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "audio_frames", exprs => audioFrames(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "video_frame_hashes", exprs => videoFrameHashes(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "video_neardup", exprs => videoNeardup(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fp_state_pairs", exprs => fpStatePairs(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "knn_graph_state", exprs => knnGraphState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
@@ -821,6 +835,105 @@ object TableFunctions {
     val id = args.name("id")
     val payload = args.name("payload")
     plan(graft.ext.Multimodal.perceptualHashBatch(table, id, payload).toDF())
+  }
+
+  /** `wav_meta(table, id, payload)` →
+    * [[graft.ext.Multimodal.wavMetaBatch]]: RIFF/WAVE header metadata
+    * per binary payload — chunk walk only, sample bytes untouched. */
+  private def wavMeta(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "wav_meta"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val payload = args.name("payload")
+    plan(graft.ext.Multimodal.wavMetaBatch(table, id, payload).toDF())
+  }
+
+  /** `audio_stats(table, id, payload)` →
+    * [[graft.ext.Multimodal.audioStatsBatch]]: metadata plus exact
+    * PCM16 loudness mass / peak per payload. */
+  private def audioStats(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "audio_stats"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val payload = args.name("payload")
+    plan(graft.ext.Multimodal.audioStatsBatch(table, id, payload).toDF())
+  }
+
+  /** `audio_fp(table, id, payload)` →
+    * [[graft.ext.Multimodal.audioFingerprintBatch]]: (doc_id, ok, afp)
+    * — the 64-bit energy-gradient fingerprint; pair with
+    * `hamming_pairs`. */
+  private def audioFp(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "audio_fp"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val payload = args.name("payload")
+    plan(graft.ext.Multimodal.audioFingerprintBatch(table, id, payload).toDF())
+  }
+
+  /** `audio_frames(table, id, payload, n)` →
+    * [[graft.ext.Multimodal.sampleAudioFrames]]: n evenly spaced PCM16
+    * channel-0 frame samples per payload. */
+  private def audioFrames(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "audio_frames"
+    requireArity(f, exprs, min = 4, max = 4)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val payload = args.name("payload")
+    val n = args.int("n")
+    plan(graft.ext.Multimodal.sampleAudioFrames(table, n, id, payload).toDF())
+  }
+
+  /** `video_frame_hashes(table, id, payload[, every_k])` →
+    * [[graft.ext.Multimodal.videoFrameHashes]]: every k-th GVID frame
+    * perceptual-hashed (dHash64 of the decoded frame image). */
+  private def videoFrameHashes(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "video_frame_hashes"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val payload = args.name("payload")
+    val everyK = if (args.exhausted) 1 else args.int("every_k")
+    plan(graft.ext.Multimodal.videoFrameHashes(table, everyK, id, payload).toDF())
+  }
+
+  /** `video_neardup(hashes_table, id, hash, min_shared)` →
+    * [[graft.ext.Multimodal.videoNearDupPairs]]: videos sharing ≥
+    * min_shared distinct sampled-frame hashes. */
+  private def videoNeardup(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "video_neardup"
+    requireArity(f, exprs, min = 4, max = 4)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val hash = args.name("hash")
+    val minShared = args.int("min_shared")
+    plan(graft.ext.Multimodal.videoNearDupPairs(table, minShared, id, hash))
+  }
+
+  /** `fp_state_pairs('stateDir', batch_table, id, sig[, max_hamming])` →
+    * [[Dedup.incrementalHammingPairsFromState]]: the batch's live
+    * near-dup pairs against a persisted fingerprint state
+    * (bucket-pruned read). */
+  private def fpStatePairs(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "fp_state_pairs"
+    requireArity(f, exprs, min = 4, max = 5)
+    val args = new Args(f, exprs)
+    val dir = args.name("state_dir")
+    val table = args.table(spark, "batch_table")
+    val id = args.name("id")
+    val sig = args.name("sig")
+    val maxHamming = if (args.exhausted) 3 else args.int("max_hamming")
+    plan(Dedup.incrementalHammingPairsFromState(spark, dir, table, id, sig,
+      maxHamming))
   }
 
   /** `knn_graph_state('graphDir')` →

@@ -3515,6 +3515,188 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic REAL audio bytes for the x159–x161 gates: a 65-window
+    * constant-amplitude envelope keyed by the id's GROUP (g = id % 40) —
+    * ids 40 apart are the same recording — rendered at an id-dependent
+    * (window width, sample rate) and encoded through
+    * [[Multimodal.packWav]] as real RIFF/WAVE bytes, so the read side
+    * must run the real chunk walk + PCM16 scan to reproduce the oracle's
+    * numbers. Window `i` holds `w` mono samples of value `amp(g,i)·100`;
+    * ids with id % 12 == 11 carry one perturbed window (the NEAR-dup
+    * plant — flips at most the two envelope comparisons window 5
+    * touches). */
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
+    val g = (id % 40).toInt
+    val (w, rate) = ((id / 40) % 3) match {
+      case 0 => (16, 8000)
+      case 1 => (32, 16000)
+      case _ => (24, 11025)
+    }
+    val samples = new Array[Short](65 * w)
+    var i = 0
+    while (i < 65) {
+      var a = (g * 31 + i * 53 + (i * i * (g + 7)) % 29) % 199
+      if (id % 12 == 11 && i == 5) a = (a + 97) % 199
+      var j = 0
+      while (j < w) { samples(i * w + j) = (a * 100).toShort; j += 1 }
+      i += 1
+    }
+    Multimodal.packWav(samples, channels = 1, sampleRate = rate)
+  }
+
+  /** x159 — AUDIO METADATA + FEATURES over real WAV bytes
+    * ([[Multimodal.audioStatsBatch]]): the audio member of the
+    * multimodal decode → feature stage (x22/x23 are the image twin).
+    * Each payload is a real RIFF/WAVE encoding; the engine chunk-walks
+    * the header (channels / rate / bits / frames / duration) and scans
+    * every PCM16 sample for exact integer loudness mass and peak. The
+    * oracle re-derives all eight fields arithmetically from the envelope
+    * construction — the packWav encode + wavParse decode must round-trip
+    * bit-exactly to agree. */
+  def x159(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 100).as[Long]
+      .map(id => (id, syntheticWav(id))).toDF("doc_id", "payload")
+    Multimodal.audioStatsBatch(payloads).toDF()
+      .filter(col("ok"))
+      .select(col("doc_id"), col("channels"), col("sample_rate"),
+        col("bits"), col("n_frames"), col("duration_ms"), col("sum_abs"),
+        col("peak_abs"))
+      .orderBy("doc_id")
+  }
+
+  /** x160 — AUDIO NEAR-DUP DEDUP via energy-gradient fingerprinting
+    * ([[Multimodal.audioFingerprint64]] + [[Dedup.hammingPairs64]]): the
+    * audio twin of x158 — "are these two payloads the same RECORDING?"
+    * across sample rates and lengths, which header metadata cannot
+    * answer. Planted: ids ≡ g (mod 40) carry the same envelope at three
+    * (rate, length) renderings (Hamming 0), and id % 12 == 11 carries
+    * one edited window (Hamming ≤ 2). Pairs come from the same
+    * four-16-bit-band pigeonhole join as images — one machinery, every
+    * modality. The oracle re-derives the 64 envelope comparisons and the
+    * pair relation arithmetically, never decoding audio. */
+  def x160(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 120).as[Long]
+      .map(id => (id, syntheticWav(id))).toDF("doc_id", "payload")
+    val sigs = Multimodal.audioFingerprintBatch(payloads).toDF()
+      .filter(col("ok")).select(col("doc_id"), col("afp"))
+    Dedup.hammingPairs64(sigs, "doc_id", "afp", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** x161 — AUDIO FRAME SAMPLING ([[Multimodal.sampleAudioFrames]]): the
+    * evenly-spaced frame-sample stage of a multimodal pipeline (position
+    * `pos` of 5 reads channel-0 of frame ⌊pos·n/5⌋). The sampled frame
+    * indexes and values are pure arithmetic of the envelope construction
+    * — the oracle re-derives both; the engine must land on exactly the
+    * same frames through the real decode. */
+  def x161(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 60).as[Long]
+      .map(id => (id, syntheticWav(id))).toDF("doc_id", "payload")
+    Multimodal.sampleAudioFrames(payloads, nFrames = 5).toDF()
+      .orderBy("doc_id", "pos")
+  }
+
+  /** One deterministic REAL PNG frame for the x162 gate: the x158 block
+    * pattern keyed by an arbitrary `seed`, rendered at the variant's
+    * resolution (all multiples of 9×8, so dHash pooling recovers the
+    * block values exactly). */
+  private def syntheticFramePng(seed: Int, variant: Int): Array[Byte] = {
+    val (w, h) = variant match {
+      case 0 => (18, 16)
+      case 1 => (36, 32)
+      case _ => (27, 24)
+    }
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val bx = x * 9 / w; val by = y * 8 / h
+      val v = (seed * 37 + bx * 29 + by * 17 +
+        (bx * by * (seed + 3)) % 13) % 199
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic GVID payload for x162: 6 real PNG frames keyed by the
+    * id's GROUP (g = id % 30) — ids 30 apart are the same video rendered
+    * at a different resolution. Frame f's pattern seed is g·6+f (unique
+    * per (group, frame)); ids with id % 12 == 11 replace frame 3 with an
+    * out-of-range seed (200+g) — the NEAR-dup plant sharing 5 of 6
+    * frames. */
+  private[graft] def syntheticVideo(id: Long): Array[Byte] = {
+    val g = (id % 30).toInt
+    val r = ((id / 30) % 3).toInt
+    Multimodal.packVideo((0 until 6).map { f =>
+      val seed = if (id % 12 == 11 && f == 3) 200 + g else g * 6 + f
+      syntheticFramePng(seed, r)
+    })
+  }
+
+  /** x163 — INCREMENTAL Hamming near-dup from PERSISTED FINGERPRINT
+    * state ([[Dedup.appendFpState]] +
+    * [[Dedup.incrementalHammingPairsFromState]]): the steady-state twin
+    * x158/x160 need at ingest — the corpus's fingerprints band ONCE ever
+    * into bucket-partitioned state, and a batch's near-dup check reads
+    * only the `bkt=` partitions its own band words hash to (the postings
+    * posture on the Hamming join; spec-pinned pruning). Fixture: the
+    * audio corpus (ids < 60) fingerprints into state, a curation delete
+    * tombstones every id ≡ 7 (mod 10), and the batch (ids 60–119) asks
+    * for its live pairs. The oracle re-derives the envelope bits, the
+    * cross-pair Hamming relation, and the tombstone subtraction
+    * arithmetically. */
+  def x163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x163_state").toFile.getAbsolutePath + "/fp"
+    def fps(lo: Long, hi: Long) = Multimodal.audioFingerprintBatch(
+        t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") >= lo && col("doc_id") < hi).as[Long]
+          .map(id => (id, syntheticWav(id))).toDF("doc_id", "payload"))
+      .toDF().filter(col("ok"))
+      .select(col("doc_id"), col("afp"))
+    Dedup.appendFpState(fps(0, 60), state, "doc_id", "afp",
+      batchTag = Some(1L))
+    Dedup.deleteFromFpState(s, state,
+      t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 60 && pmod(col("doc_id"), lit(10)) === 7),
+      "doc_id", deleteTag = Some(1L))
+    Dedup.incrementalHammingPairsFromState(s, state, fps(60, 120),
+        "doc_id", "afp", maxHamming = 3)
+      .orderBy("new_id", "old_id")
+  }
+
+  /** x162 — VIDEO NEAR-DUP DEDUP via sampled-frame perceptual hashes
+    * ([[Multimodal.videoFrameHashes]] + [[Multimodal.videoNearDupPairs]]):
+    * the video member of the modality family (x158 image / x160 audio) —
+    * two videos match when ≥ 5 of their 6 frames share a dHash, the
+    * shingle-join pattern applied to frame fingerprints (distinct
+    * (video, hash) → 64-bit equi-join → group-count; never O(n²) in
+    * videos). Frames travel in the GVID frame-stream container (a real
+    * codec is the [[Multimodal.BinaryDecoder]]-style plug-in the offline
+    * build stubs); each sampled frame is a REAL PNG decoded with
+    * ImageIO. Planted: ids ≡ g (mod 30) render the same video at three
+    * resolutions (share all 6), id % 12 == 11 replaces one frame
+    * (shares 5). The oracle re-derives the per-frame 64 bits and the
+    * join arithmetically. */
+  def x162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 90).as[Long]
+      .map(id => (id, syntheticVideo(id))).toDF("doc_id", "payload")
+    val hashes = Multimodal.videoFrameHashes(payloads, everyK = 1).toDF()
+      .filter(col("ok")).select(col("doc_id"), col("phash"))
+    Multimodal.videoNearDupPairs(hashes, minShared = 5)
+      .orderBy("id_a", "id_b")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -3770,7 +3952,12 @@ object Extensions {
     "x155_ivf_sampled_train" -> (x155 _),
     "x156_knn_graph_delta" -> (x156 _),
     "x157_export_write" -> (x157 _),
-    "x158_image_neardup" -> (x158 _)
+    "x158_image_neardup" -> (x158 _),
+    "x159_audio_stats" -> (x159 _),
+    "x160_audio_neardup" -> (x160 _),
+    "x161_audio_frames" -> (x161 _),
+    "x162_video_neardup" -> (x162 _),
+    "x163_fp_state_pairs" -> (x163 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7527,6 +7714,159 @@ object Extensions {
         |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // x159: the (window width, sample rate) geometry, the 65 window
+    // amplitudes, and all eight metadata/feature fields re-derived
+    // arithmetically — the oracle never parses audio; the engine side
+    // must round-trip the REAL packWav encode + RIFF chunk walk + full
+    // PCM16 scan to agree
+    "x159_audio_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+        |geo AS (
+        |  SELECT doc_id,
+        |    CASE (doc_id // 40) % 3
+        |      WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 24 END AS w,
+        |    CASE (doc_id // 40) % 3
+        |      WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 11025 END AS rate
+        |  FROM ids),
+        |base AS (
+        |  SELECT doc_id, ws.i,
+        |    ((doc_id % 40) * 31 + ws.i * 53
+        |      + (ws.i * ws.i * ((doc_id % 40) + 7)) % 29) % 199 AS a
+        |  FROM ids, (SELECT unnest(range(0, 65)) AS i) ws),
+        |amps AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 12 = 11 AND i = 5
+        |      THEN (a + 97) % 199 ELSE a END AS a
+        |  FROM base)
+        |SELECT g.doc_id, 1 AS channels, g.rate AS sample_rate, 16 AS bits,
+        |  CAST(65 * g.w AS BIGINT) AS n_frames,
+        |  CAST((65 * g.w * 1000) // g.rate AS BIGINT) AS duration_ms,
+        |  CAST(100 * g.w * sum(a.a) AS BIGINT) AS sum_abs,
+        |  CAST(100 * max(a.a) AS INTEGER) AS peak_abs
+        |FROM geo g JOIN amps a USING (doc_id)
+        |GROUP BY g.doc_id, g.w, g.rate
+        |ORDER BY g.doc_id""".stripMargin,
+
+    // x160: the 64 envelope comparisons (window energies share the same
+    // frame count, so cross-multiplication reduces to amp-vs-amp) and
+    // the Hamming-thresholded pair relation re-derived arithmetically —
+    // x158's structure, audio modality
+    "x160_audio_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |base AS (
+        |  SELECT doc_id, ws.i,
+        |    ((doc_id % 40) * 31 + ws.i * 53
+        |      + (ws.i * ws.i * ((doc_id % 40) + 7)) % 29) % 199 AS a
+        |  FROM ids, (SELECT unnest(range(0, 65)) AS i) ws),
+        |amps AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 12 = 11 AND i = 5
+        |      THEN (a + 97) % 199 ELSE a END AS a
+        |  FROM base),
+        |bits AS (
+        |  SELECT a.doc_id, a.i AS bit,
+        |    CASE WHEN a.a > b.a THEN 1 ELSE 0 END AS bitv
+        |  FROM amps a JOIN amps b
+        |    ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i < 64),
+        |ham AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(CASE WHEN a.bitv != b.bitv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // x161: sampled frame positions ⌊pos·n/5⌋ = 13·w·pos land in window
+    // 13·pos (never the edited window 5), value = amp·100 — both
+    // re-derived arithmetically
+    "x161_audio_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |geo AS (
+        |  SELECT doc_id,
+        |    CASE (doc_id // 40) % 3
+        |      WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 24 END AS w
+        |  FROM ids)
+        |SELECT g.doc_id, ps.pos,
+        |  CAST(13 * g.w * ps.pos AS BIGINT) AS frame_idx,
+        |  CAST(100 * (((g.doc_id % 40) * 31 + (13 * ps.pos) * 53
+        |    + ((13 * ps.pos) * (13 * ps.pos) * ((g.doc_id % 40) + 7)) % 29)
+        |    % 199) AS INTEGER) AS sample
+        |FROM geo g, (SELECT unnest(range(0, 5)) AS pos) ps
+        |ORDER BY g.doc_id, ps.pos""".stripMargin,
+
+    // x162: per-frame block values and dHash comparison bits re-derived
+    // arithmetically (x158's structure per frame), each frame's 64 bits
+    // packed as a bit-string, distinct per video, equi-joined and
+    // group-counted — the same shared-frame relation the engine builds
+    // from real PNG decodes
+    "x162_video_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 90),
+        |seeds AS (
+        |  SELECT doc_id, fs.f,
+        |    CASE WHEN doc_id % 12 = 11 AND fs.f = 3
+        |      THEN 200 + (doc_id % 30)
+        |      ELSE (doc_id % 30) * 6 + fs.f END AS seed
+        |  FROM ids, (SELECT unnest(range(0, 6)) AS f) fs),
+        |px AS (
+        |  SELECT doc_id, f, bxs.bx, bys.by,
+        |    (seed * 37 + bxs.bx * 29 + bys.by * 17
+        |      + (bxs.bx * bys.by * (seed + 3)) % 13) % 199 AS v
+        |  FROM seeds,
+        |    (SELECT unnest(range(0, 9)) AS bx) bxs,
+        |    (SELECT unnest(range(0, 8)) AS by) bys),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.by * 8 + a.bx AS bit,
+        |    CASE WHEN a.v > b.v THEN '1' ELSE '0' END AS bitv
+        |  FROM px a JOIN px b
+        |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.by = b.by
+        |    AND b.bx = a.bx + 1
+        |  WHERE a.bx < 8),
+        |hv AS (
+        |  SELECT doc_id, f, string_agg(bitv, '' ORDER BY bit) AS h
+        |  FROM bits GROUP BY doc_id, f),
+        |dh AS (SELECT DISTINCT doc_id, h FROM hv),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared_frames
+        |  FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_frames FROM pairs
+        |WHERE shared_frames >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    // x163: x160's envelope-bit derivation, restricted to (new ∈ batch,
+    // old ∈ corpus) cross pairs with tombstoned (id ≡ 7 mod 10) corpus
+    // ids subtracted — the relation the state read must reproduce from
+    // its bucket-pruned partitions
+    "x163_fp_state_pairs" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |base AS (
+        |  SELECT doc_id, ws.i,
+        |    ((doc_id % 40) * 31 + ws.i * 53
+        |      + (ws.i * ws.i * ((doc_id % 40) + 7)) % 29) % 199 AS a
+        |  FROM ids, (SELECT unnest(range(0, 65)) AS i) ws),
+        |amps AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 12 = 11 AND i = 5
+        |      THEN (a + 97) % 199 ELSE a END AS a
+        |  FROM base),
+        |bits AS (
+        |  SELECT a.doc_id, a.i AS bit,
+        |    CASE WHEN a.a > b.a THEN 1 ELSE 0 END AS bitv
+        |  FROM amps a JOIN amps b
+        |    ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i < 64),
+        |ham AS (
+        |  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+        |    CAST(sum(CASE WHEN n.bitv != o.bitv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM bits n JOIN bits o ON n.bit = o.bit
+        |    AND n.doc_id >= 60 AND o.doc_id < 60 AND o.doc_id % 10 != 7
+        |  GROUP BY 1, 2)
+        |SELECT new_id, old_id, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY new_id, old_id""".stripMargin
   )
 }

@@ -674,6 +674,55 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Similarity.readKnnGraphState(spark, s"$root/graph"))
   }
 
+  test("round-16 wave-2 TVFs: audio + video ops == Scala APIs") {
+    ready()
+    import graft.queries.Extensions.{syntheticWav, syntheticVideo}
+    val wavs = (0L until 50L).map(id => (id, syntheticWav(id)))
+      .toDF("doc_id", "payload")
+    wavs.createOrReplaceTempView("tvf_wavs")
+    assertSame(
+      spark.sql("SELECT * FROM wav_meta('tvf_wavs', 'doc_id', 'payload')"),
+      graft.ext.Multimodal.wavMetaBatch(wavs).toDF())
+    assertSame(
+      spark.sql("SELECT * FROM audio_stats('tvf_wavs', 'doc_id', 'payload')"),
+      graft.ext.Multimodal.audioStatsBatch(wavs).toDF())
+    assertSame(
+      spark.sql("SELECT * FROM audio_fp('tvf_wavs', 'doc_id', 'payload')"),
+      graft.ext.Multimodal.audioFingerprintBatch(wavs).toDF())
+    assertSame(
+      spark.sql("SELECT * FROM audio_frames('tvf_wavs', 'doc_id', 'payload', 5)"),
+      graft.ext.Multimodal.sampleAudioFrames(wavs, 5).toDF())
+    val vids = (0L until 40L).map(id => (id, syntheticVideo(id)))
+      .toDF("doc_id", "payload")
+    vids.createOrReplaceTempView("tvf_vids")
+    assertSame(
+      spark.sql("SELECT * FROM video_frame_hashes('tvf_vids', 'doc_id', " +
+        "'payload', 2)"),
+      graft.ext.Multimodal.videoFrameHashes(vids, everyK = 2).toDF())
+    val fh = graft.ext.Multimodal.videoFrameHashes(vids).toDF()
+      .filter($"ok").select($"doc_id", $"phash")
+    fh.createOrReplaceTempView("tvf_vfh")
+    assertSame(
+      spark.sql("SELECT * FROM video_neardup('tvf_vfh', 'doc_id', 'phash', 5)"),
+      graft.ext.Multimodal.videoNearDupPairs(fh, minShared = 5))
+    val fpDir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_fps").toFile.getAbsolutePath + "/fp"
+    val corpusFps = graft.ext.Multimodal.audioFingerprintBatch(wavs).toDF()
+      .filter($"ok").select($"doc_id", $"afp")
+    graft.ext.Dedup.appendFpState(corpusFps, fpDir, "doc_id", "afp",
+      batchTag = Some(1L))
+    val batchFps = (50L until 90L).map(id => (id, syntheticWav(id)))
+      .toDF("doc_id", "payload")
+    val batchSigs = graft.ext.Multimodal.audioFingerprintBatch(batchFps)
+      .toDF().filter($"ok").select($"doc_id", $"afp")
+    batchSigs.createOrReplaceTempView("tvf_fp_batch")
+    assertSame(
+      spark.sql(s"SELECT * FROM fp_state_pairs('$fpDir', 'tvf_fp_batch', " +
+        "'doc_id', 'afp', 3)"),
+      graft.ext.Dedup.incrementalHammingPairsFromState(spark, fpDir,
+        batchSigs, "doc_id", "afp", 3))
+  }
+
   test("round-14 wave-2 TVFs: state_diff, mmr_from_state, capped_mix") {
     ready()
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
