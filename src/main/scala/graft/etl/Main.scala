@@ -108,7 +108,8 @@ object Main {
       "tomb_totals", "positions"),
     "tokenizer" -> Seq("merges", "doc_tokens", "tombstones"),
     "stats" -> Seq("stats", "stats_deltas"),
-    "ivf" -> Seq("centroids", "cells", "tombstones"))
+    "ivf" -> Seq("centroids", "cells", "tombstones"),
+    "fp" -> Seq("sigs", "bands", "tombstones"))
 
   /** `state <action> ...` — the OPERATOR surface for the persisted-state
     * lifecycle, so recovering a crashed swap or GC-ing a year of tagged
@@ -127,7 +128,8 @@ object Main {
     * state audit    <lsh> <postings> <tokenizer> [--asof-batch B --asof-delete D]
     * }}}
     *
-    * `pillar` ∈ lsh | postings | tokenizer | stats | ivf. Every action is
+    * `pillar` ∈ lsh | postings | tokenizer | stats | ivf | fp. Every action
+    * is
     * a thin dispatch onto the same public entry points the Scala API
     * exposes — identical refusal messages, identical lease/marker
     * discipline. Results print as tables; `audit` with zero rows prints
@@ -138,7 +140,7 @@ object Main {
     def usage(): Nothing = {
       out.println("usage: state recover|truncate|retain|clone|fastforward|health|" +
         "vacuum|audit|export ... (see scaladoc; pillar = " +
-        "lsh|postings|tokenizer|stats|ivf)")
+        "lsh|postings|tokenizer|stats|ivf|fp)")
       throw new IllegalArgumentException("state: bad arguments")
     }
     def pillar(p: String): String =
@@ -163,6 +165,7 @@ object Main {
           case "tokenizer" => graft.ext.Bpe.recoverTokenizerState(spark, dir)
           case "stats" => graft.ext.Profile.recoverStatsState(spark, dir)
           case "ivf" => graft.ext.Similarity.recoverIvfState(spark, dir)
+          case "fp" => graft.ext.Dedup.recoverFpState(spark, dir)
         }
         out.println(if (rolled) s"[state] rolled a crashed swap forward in $dir"
           else s"[state] $dir is healthy — nothing to recover")
@@ -177,6 +180,7 @@ object Main {
           case "stats" =>
             graft.ext.Profile.truncateStatsHistory(spark, dir, floor)
           case "ivf" => graft.ext.Similarity.truncateIvfHistory(spark, dir, floor)
+          case "fp" => graft.ext.Dedup.truncateFpHistory(spark, dir, floor)
         }
         out.println(s"[state] collapsed history <= $floor in $dir")
       case Seq("clone", p, src, dst) =>
@@ -191,6 +195,7 @@ object Main {
           case "stats" =>
             graft.ext.Profile.cloneStatsState(spark, src, dst, b, d)
           case "ivf" => graft.ext.Similarity.cloneIvfState(spark, src, dst, b, d)
+          case "fp" => graft.ext.Dedup.cloneFpState(spark, src, dst, b, d)
         }
         out.println(s"[state] branched $src at (append=$b, delete=$d) into $dst")
       case Seq("health", p, dir) =>
@@ -215,6 +220,7 @@ object Main {
           case "stats" =>
             graft.ext.Profile.retainStatsHistory(spark, dir, keep)
           case "ivf" => graft.ext.Similarity.retainIvfHistory(spark, dir, keep)
+          case "fp" => graft.ext.Dedup.retainFpHistory(spark, dir, keep)
         }
         out.println(applied match {
           case Some(f) => s"[state] retained last $keep: collapsed " +
@@ -233,6 +239,7 @@ object Main {
             graft.ext.Profile.fastForwardStatsState(spark, src, dst)
           case "ivf" =>
             graft.ext.Similarity.fastForwardIvfState(spark, src, dst)
+          case "fp" => graft.ext.Dedup.fastForwardFpState(spark, src, dst)
         }
         out.println(s"[state] caught $dst up to $src's head " +
           s"(append=$b, delete=$d)")

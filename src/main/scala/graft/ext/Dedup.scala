@@ -1554,6 +1554,79 @@ object Dedup {
     }
   }
 
+  /** The fingerprint pillar's table topology + frozen bucket meta —
+    * shared by the lifecycle wrappers below. `bands` preserves its `bkt`
+    * partition level below the batch tags everywhere (flattening it
+    * would silently turn the pruned probe reads into full scans). */
+  private[ext] val fpStateTables: Seq[StateIO.TruncTable] = Seq(
+    StateIO.TruncTable("sigs", "batch_id"),
+    StateIO.TruncTable("bands", "batch_id",
+      extraPartitionCols = Seq("bkt")),
+    StateIO.TruncTable("tombstones", "delete_id", required = false))
+  private[ext] val fpStateRawCopies: Seq[String] = Seq("_meta")
+
+  /** Compact an [[appendFpState]] dir in place — the shared compaction
+    * engine over the fingerprint pillar's tables, with tombstones
+    * applied PHYSICALLY during the rewrite (sigs/bands drop deleted ids;
+    * the tombstones table is kept, compacted — re-applying to
+    * already-gone rows is a no-op, and the never-reuse-a-deleted-id
+    * contract keeps needing it). Run OFFLINE like every compaction. */
+  def compactFpState(
+      spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Unit =
+      StateIO.withWriterLock(spark, dir) {
+    val tombs = StateIO.readTableIfExists(spark, dir, "tombstones")
+      .map(tb => materialize(tb.select(col("id"))))
+    val dropTombed: DataFrame => DataFrame = df => tombs match {
+      case Some(tb) => df.join(tb, Seq("id"), "left_anti")
+      case None => df
+    }
+    compactStateTables(spark, dir,
+      Seq("sigs" -> true, "bands" -> true, "tombstones" -> true),
+      targetBytes, extraPartitionCols = Seq("bkt"),
+      transforms = Map("sigs" -> dropTombed, "bands" -> dropTombed))
+  }
+
+  /** HISTORY-RETENTION GC for an [[appendFpState]] dir — the shared
+    * [[graft.ext.StateIO.truncateHistory]] core over the fingerprint
+    * pillar (pure tag collapse; tombstones keep subtracting at read
+    * time; still-legal as-of reads return bit-identical pairs). */
+  def truncateFpHistory(
+      spark: SparkSession, dir: String, floor: Long): Unit =
+    StateIO.truncateHistory(spark, dir, floor, fpStateTables)
+
+  /** Complete a crashed multi-table swap in an [[appendFpState]] dir
+    * (see [[recoverLshState]]). */
+  def recoverFpState(spark: SparkSession, dir: String): Boolean =
+    StateIO.recoverSwap(spark, dir)
+
+  /** KEEP-LAST-N retention for an [[appendFpState]] dir — see
+    * [[retainLshHistory]]. */
+  def retainFpHistory(
+      spark: SparkSession, dir: String,
+      keepLastBatches: Int): Option[Long] = {
+    val f = StateIO.retentionFloor(spark, dir, keepLastBatches, Seq("sigs"))
+    f.foreach(truncateFpHistory(spark, dir, _))
+    f
+  }
+
+  /** BRANCH an [[appendFpState]] dir at a version (the shared
+    * [[graft.ext.StateIO.cloneStateAsOf]] core); `_meta` (bucket count)
+    * raw-copies so the clone's probe reads stay bucket-compatible. */
+  def cloneFpState(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      asOfBatch: Long, asOfDelete: Long = 0L): Unit =
+    StateIO.cloneStateAsOf(spark, srcDir, dstDir, asOfBatch, asOfDelete,
+      fpStateTables, rawCopies = fpStateRawCopies)
+
+  /** Catch a [[cloneFpState]] branch up to its source's current head
+    * ([[graft.ext.StateIO.fastForwardState]] over the fingerprint
+    * pillar). Returns the new (batch, delete) head. */
+  def fastForwardFpState(
+      spark: SparkSession, srcDir: String, dstDir: String): (Long, Long) =
+    StateIO.fastForwardState(spark, srcDir, dstDir, fpStateTables,
+      rawCopies = fpStateRawCopies)
+
   /** Eval-set decontamination: flag every corpus document sharing at least
     * one word `n`-gram with the eval set — the standard benchmark-leakage
     * guard of an LLM training pipeline (13-gram overlap in GPT-3's

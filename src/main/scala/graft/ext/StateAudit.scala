@@ -109,6 +109,17 @@ object StateAudit {
       asOfBatch: Long, asOfDelete: Long = 0L): DataFrame =
     liveIds(spark, dir, "doc_tokens", Some((asOfBatch, asOfDelete)))
 
+  /** Live ids of a fingerprint state ([[Dedup.appendFpState]]): the
+    * (id, sig) corpus record minus tombstones — the pair reads'
+    * liveness rule, ids only. */
+  def fpLiveIds(spark: SparkSession, dir: String): DataFrame =
+    liveIds(spark, dir, "sigs", None)
+
+  /** [[fpLiveIds]] as of (append `asOfBatch`, delete `asOfDelete`). */
+  def fpLiveIdsAsOf(spark: SparkSession, dir: String,
+      asOfBatch: Long, asOfDelete: Long = 0L): DataFrame =
+    liveIds(spark, dir, "sigs", Some((asOfBatch, asOfDelete)))
+
   /** What CHANGED between two versions of a state — the diff view over
     * the same tagged history the as-of reads cut: one row per document
     * that is live in exactly one of the two versions, `change` =

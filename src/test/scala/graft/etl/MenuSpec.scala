@@ -122,4 +122,29 @@ class MenuSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       state("truncate", "postings", ps, "--floor", "2.5"))
   }
+
+  test("state subcommand: the fingerprint pillar drives through the same verbs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_menu_fp").toString
+    val fp = s"$root/fp"
+    def sigs(ids: Range) = ids.map(i => (i.toLong, (i % 7).toLong * 1234567L))
+      .toDF("doc_id", "sig")
+    graft.ext.Dedup.appendFpState(sigs(0 until 30), fp, "doc_id", "sig",
+      batchTag = Some(1L))
+    graft.ext.Dedup.appendFpState(sigs(30 until 60), fp, "doc_id", "sig",
+      batchTag = Some(2L))
+    assert(state("recover", "fp", fp)._1.contains("nothing to recover"))
+    assert(state("health", "fp", fp)._1.contains("table=sigs"))
+    assert(state("clone", "fp", fp, s"$fp.branch", "--asof-batch", "1")._1
+      .contains("branched"))
+    assert(spark.read.parquet(s"$fp.branch/sigs").count() == 30)
+    assert(state("fastforward", "fp", fp, s"$fp.branch")._1
+      .contains("caught"))
+    assert(spark.read.parquet(s"$fp.branch/sigs").count() == 60)
+    assert(state("truncate", "fp", fp, "--floor", "2")._1
+      .contains("collapsed history <= 2"))
+    assert(state("retain", "fp", fp, "--keep-last", "1")._1
+      .contains("already satisfied"))
+  }
 }

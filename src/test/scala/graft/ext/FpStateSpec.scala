@@ -133,6 +133,65 @@ class FpStateSpec extends SparkSpec {
     assert(err.getMessage.contains("buckets"))
   }
 
+  test("lifecycle: truncate/retain/clone/fast-forward/compact preserve " +
+      "the pair relation; floors refuse; bkt pruning survives compaction") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fp_life").toFile.getAbsolutePath
+    val dir = s"$root/fp"; val dst = s"$root/branch"
+    Dedup.appendFpState(sigs(0 until 20), dir, "doc_id", "sig",
+      batchTag = Some(1L))
+    Dedup.appendFpState(sigs(20 until 40), dir, "doc_id", "sig",
+      batchTag = Some(2L))
+    Dedup.appendFpState(sigs(40 until 60), dir, "doc_id", "sig",
+      batchTag = Some(3L))
+    Dedup.deleteFromFpState(spark, dir, Seq(5L, 25L).toDF("doc_id"),
+      "doc_id", deleteTag = Some(2L))
+    val probe = sigs(100 until 120)
+    def pairs(d: String, asOf: Option[(Long, Long)] = None) =
+      Dedup.incrementalHammingPairsFromState(spark, d, probe,
+        "doc_id", "sig", asOf = asOf)
+        .as[(Long, Long, Long)].collect().toSet
+    val before = pairs(dir)
+    val at22 = pairs(dir, asOf = Some((2L, 2L)))
+    assert(before.nonEmpty && at22.nonEmpty && at22 != before)
+    assert(!before.exists(p => p._2 == 5L || p._2 == 25L),
+      "tombstoned ids must not pair")
+    // live-id audit view: everything appended minus the tombstones
+    assert(StateAudit.fpLiveIds(spark, dir).as[Long].collect().toSet ==
+      ((0L until 60L).toSet -- Set(5L, 25L)))
+    // truncate to floor 2: plain + still-legal as-of reads identical,
+    // sub-floor as-of refuses by name
+    Dedup.truncateFpHistory(spark, dir, 2L)
+    assert(pairs(dir) == before)
+    assert(pairs(dir, asOf = Some((2L, 2L))) == at22)
+    val err = intercept[IllegalArgumentException] {
+      pairs(dir, asOf = Some((1L, 2L)))
+    }
+    assert(err.getMessage.contains("floor"))
+    // retention already satisfied at keep-last 2 (batches 2,3 remain)
+    assert(Dedup.retainFpHistory(spark, dir, 2).isEmpty)
+    // clone at (2,2): the branch's PLAIN read answers like the source's
+    // as-of; fast-forward then catches it up to the full head
+    Dedup.cloneFpState(spark, dir, dst, asOfBatch = 2L, asOfDelete = 2L)
+    assert(pairs(dst) == at22)
+    assert(Dedup.fastForwardFpState(spark, dir, dst) == ((3L, 2L)))
+    assert(pairs(dst) == before)
+    // compaction applies tombstones physically, keeps the relation and
+    // the bucket-pruned probe read
+    Dedup.compactFpState(spark, dir)
+    assert(pairs(dir) == before)
+    assert(!spark.read.parquet(s"$dir/sigs").select("id").as[Long]
+      .collect().contains(5L), "compaction must drop tombstoned sigs")
+    val plan = graft.Plans.capturePlan(
+      Dedup.incrementalHammingPairsFromState(spark, dir, probe,
+        "doc_id", "sig"))
+    assert(plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString.contains("bkt"),
+      s"compaction flattened the bkt layout:\n$plan")
+    // healthy dir: nothing to recover
+    assert(!Dedup.recoverFpState(spark, dir))
+  }
+
   test("streaming media ingest: near-dups rejected against the corpus, " +
       "survivors append, replay overwrites") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
