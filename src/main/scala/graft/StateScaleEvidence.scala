@@ -132,6 +132,43 @@ object StateScaleEvidence {
       }
     }
 
+    // ---- fingerprint pillar (buckets fixed; the probe read prunes to
+    // the batch's ≤ 4·|batch| buckets, so a small-batch check reads a
+    // bounded SHARE of the bands table — the honest claim is append
+    // O(batch) and probe cost ∝ (probed buckets / buckets) · corpus,
+    // which for streaming-sized batches is a small constant fraction) ----
+    val fs = s"$root/fp"
+    val fpAll = docs.select(col("doc_id"),
+      graft.ext.PortableHash.md5Long(col("text")).as("sig"))
+    val (tfAppend, _) = time {
+      (1 to 3).foreach { b =>
+        graft.ext.Dedup.appendFpState(
+          fpAll.filter(pmod(col("doc_id"), lit(3)) === (b - 1)), fs,
+          "doc_id", "sig", batchTag = Some(b.toLong), buckets = 4096)
+      }
+    }
+    val (tfDelete, _) = time {
+      graft.ext.Dedup.deleteFromFpState(spark, fs,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")),
+        "doc_id", deleteTag = Some(1L))
+    }
+    val fpProbe = fpAll.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 3000000000L).as("doc_id"), col("sig"))
+    val (tfRead, fpPairs) = time {
+      graft.ext.Dedup.incrementalHammingPairsFromState(spark, fs, fpProbe,
+        "doc_id", "sig").count()
+    }
+    val (tfAsof, _) = time {
+      graft.ext.Dedup.incrementalHammingPairsFromState(spark, fs, fpProbe,
+        "doc_id", "sig", asOf = Some((2L, 1L))).count()
+    }
+    val (tfClone, _) = time {
+      graft.ext.Dedup.cloneFpState(spark, fs, s"$root/fp_branch", 2L, 1L)
+    }
+    val (tfTrunc, _) = time {
+      graft.ext.Dedup.truncateFpHistory(spark, fs, floor = 2L)
+    }
+
     val graphJson = if (!withGraph) "" else {
       val (tgKnn, knnEdges) = time {
         Similarity.knnGraphFromState(spark, vs, k = 3, nProbe = 2).count()
@@ -192,7 +229,11 @@ object StateScaleEvidence {
         s""""delete":${fmt(tvDelete)},"read":${fmt(tvRead)},""" +
         s""""read_asof":${fmt(tvAsof)},"clone":${fmt(tvClone)},""" +
         s""""truncate":${fmt(tvTrunc)},""" +
-        s""""append_sampled":${fmt(tvAppendSampled)}}$graphJson}""")
+        s""""append_sampled":${fmt(tvAppendSampled)}},""" +
+        s""""fp":{"append":${fmt(tfAppend)},"delete":${fmt(tfDelete)},""" +
+        s""""read":${fmt(tfRead)},"read_asof":${fmt(tfAsof)},""" +
+        s""""clone":${fmt(tfClone)},"truncate":${fmt(tfTrunc)},""" +
+        s""""probe_pairs":$fpPairs}$graphJson}""")
     spark.stop()
   }
 }

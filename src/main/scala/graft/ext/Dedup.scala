@@ -1350,6 +1350,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Fingerprint near-dup CLUSTERS: [[hammingPairs64]]'s pair relation
+    * closed into connected components (min-id representative — the
+    * [[components]] engine with its threshold-guarded driver union-find
+    * and the iterative min-label path past the bound), singletons
+    * labeled themselves — one (id, rep, cluster_size) row per input
+    * fingerprint. The modality-agnostic collapse stage: group a corpus
+    * of image dHashes / audio prints by "same content", then keep one
+    * exemplar per rep downstream (the x87 argmax pattern). Sizes come
+    * from a groupBy + join, never a corpus-wide window. */
+  def fingerprintClusters(
+      sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val s = sigs.select(col(idCol).cast("long").as("id"),
+      col(sigCol).cast("long").as("sig"))
+    val comp = components(hammingPairs64(s, "id", "sig", maxHamming))
+    val labeled = s.select(col("id"))
+      .join(comp.withColumnRenamed("label", "rep"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    val sizes = labeled.groupBy(col("rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("rep"))
+      .select(col("id"), col("rep"), col("cluster_size"))
+  }
+
   // ========== FINGERPRINT (Hamming) STATE — any modality ==========
 
   /** The 4 (band, word) columns of a 64-bit fingerprint — the

@@ -215,6 +215,8 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "fp_state_pairs", exprs => fpStatePairs(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "fp_clusters", exprs => fpClusters(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "knn_graph_state", exprs => knnGraphState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
@@ -934,6 +936,20 @@ object TableFunctions {
     val maxHamming = if (args.exhausted) 3 else args.int("max_hamming")
     plan(Dedup.incrementalHammingPairsFromState(spark, dir, table, id, sig,
       maxHamming))
+  }
+
+  /** `fp_clusters(table, id, sig[, max_hamming])` →
+    * [[Dedup.fingerprintClusters]]: near-dup clusters over any 64-bit
+    * fingerprint column — (id, rep, cluster_size). */
+  private def fpClusters(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "fp_clusters"
+    requireArity(f, exprs, min = 3, max = 4)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val sig = args.name("sig")
+    val maxHamming = if (args.exhausted) 3 else args.int("max_hamming")
+    plan(Dedup.fingerprintClusters(table, id, sig, maxHamming))
   }
 
   /** `knn_graph_state('graphDir')` →

@@ -3673,6 +3673,26 @@ object Extensions {
       .orderBy("new_id", "old_id")
   }
 
+  /** x164 — FINGERPRINT NEAR-DUP CLUSTERS ([[Dedup.fingerprintClusters]]):
+    * the collapse stage over any perceptual-signature corpus — x160's
+    * pair relation closed into connected components (min-id rep,
+    * singletons labeled themselves, sizes by groupBy+join) so a
+    * modality corpus dedups to one exemplar per cluster, the x19/x87
+    * pattern on fingerprints. The oracle closes the same pair relation
+    * with a recursive CTE (transitive reachability, min reachable id),
+    * x153's recipe. */
+  def x164(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 120).as[Long]
+      .map(id => (id, syntheticWav(id))).toDF("doc_id", "payload")
+    val sigs = Multimodal.audioFingerprintBatch(payloads).toDF()
+      .filter(col("ok")).select(col("doc_id"), col("afp"))
+    Dedup.fingerprintClusters(sigs, "doc_id", "afp", maxHamming = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** x162 — VIDEO NEAR-DUP DEDUP via sampled-frame perceptual hashes
     * ([[Multimodal.videoFrameHashes]] + [[Multimodal.videoNearDupPairs]]):
     * the video member of the modality family (x158 image / x160 audio) —
@@ -3957,7 +3977,8 @@ object Extensions {
     "x160_audio_neardup" -> (x160 _),
     "x161_audio_frames" -> (x161 _),
     "x162_video_neardup" -> (x162 _),
-    "x163_fp_state_pairs" -> (x163 _)
+    "x163_fp_state_pairs" -> (x163 _),
+    "x164_fp_clusters" -> (x164 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7867,6 +7888,50 @@ object Extensions {
         |    AND n.doc_id >= 60 AND o.doc_id < 60 AND o.doc_id % 10 != 7
         |  GROUP BY 1, 2)
         |SELECT new_id, old_id, hamming FROM ham WHERE hamming <= 3
-        |ORDER BY new_id, old_id""".stripMargin
+        |ORDER BY new_id, old_id""".stripMargin,
+
+    // x164: x160's pair relation closed by a recursive CTE (transitive
+    // reachability, min reachable id = rep — x153's recipe), singletons
+    // coalesce to themselves, cluster sizes over the final labels
+    "x164_fp_clusters" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |base AS (
+        |  SELECT doc_id, ws.i,
+        |    ((doc_id % 40) * 31 + ws.i * 53
+        |      + (ws.i * ws.i * ((doc_id % 40) + 7)) % 29) % 199 AS a
+        |  FROM ids, (SELECT unnest(range(0, 65)) AS i) ws),
+        |amps AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 12 = 11 AND i = 5
+        |      THEN (a + 97) % 199 ELSE a END AS a
+        |  FROM base),
+        |bits AS (
+        |  SELECT a.doc_id, a.i AS bit,
+        |    CASE WHEN a.a > b.a THEN 1 ELSE 0 END AS bitv
+        |  FROM amps a JOIN amps b
+        |    ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i < 64),
+        |ham AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN a.bitv != b.bitv THEN 1 ELSE 0 END) <= 3),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM ham
+        |  UNION SELECT id_b, id_a FROM ham),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |  WHERE e.b <> r.a),
+        |rp AS (SELECT a AS id, least(a, min(b)) AS rep
+        |  FROM reach GROUP BY a),
+        |labeled AS (
+        |  SELECT i.doc_id, coalesce(rp.rep, i.doc_id) AS rep
+        |  FROM ids i LEFT JOIN rp ON i.doc_id = rp.id)
+        |SELECT doc_id, rep,
+        |  CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
+        |FROM labeled ORDER BY doc_id""".stripMargin
   )
 }

@@ -721,6 +721,11 @@ class TableFunctionsSpec extends SparkSpec {
         "'doc_id', 'afp', 3)"),
       graft.ext.Dedup.incrementalHammingPairsFromState(spark, fpDir,
         batchSigs, "doc_id", "afp", 3))
+    corpusFps.createOrReplaceTempView("tvf_fp_corpus")
+    assertSame(
+      spark.sql("SELECT * FROM fp_clusters('tvf_fp_corpus', 'doc_id', " +
+        "'afp', 3)"),
+      graft.ext.Dedup.fingerprintClusters(corpusFps, "doc_id", "afp", 3))
   }
 
   test("round-14 wave-2 TVFs: state_diff, mmr_from_state, capped_mix") {
