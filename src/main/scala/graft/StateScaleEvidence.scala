@@ -132,11 +132,13 @@ object StateScaleEvidence {
       }
     }
 
-    // ---- fingerprint pillar (buckets fixed; the probe read prunes to
-    // the batch's ≤ 4·|batch| buckets, so a small-batch check reads a
-    // bounded SHARE of the bands table — the honest claim is append
-    // O(batch) and probe cost ∝ (probed buckets / buckets) · corpus,
-    // which for streaming-sized batches is a small constant fraction) ----
+    // ---- fingerprint pillar (default 256 buckets — the knob trades
+    // probe-read pruning against per-partition-dir overhead: a 4096-dir
+    // layout measured 50 s to WRITE and 13.5 s to LIST-and-read 200
+    // dirs of, at this corpus size, where 256 writes in 5 s; size it up
+    // only when the per-bucket data outgrows the listing overhead. The
+    // honest read claim: append O(batch), probe cost ∝ (probed buckets
+    // / buckets) · corpus) ----
     val fs = s"$root/fp"
     val fpAll = docs.select(col("doc_id"),
       graft.ext.PortableHash.md5Long(col("text")).as("sig"))
@@ -144,7 +146,7 @@ object StateScaleEvidence {
       (1 to 3).foreach { b =>
         graft.ext.Dedup.appendFpState(
           fpAll.filter(pmod(col("doc_id"), lit(3)) === (b - 1)), fs,
-          "doc_id", "sig", batchTag = Some(b.toLong), buckets = 4096)
+          "doc_id", "sig", batchTag = Some(b.toLong))
       }
     }
     val (tfDelete, _) = time {

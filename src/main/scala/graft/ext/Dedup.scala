@@ -1457,9 +1457,16 @@ object Dedup {
       col(sigCol).cast("long").as("sig")))
     val bandRows = rows.select(col("id"), col("sig"), bandWords(col("sig")))
       .withColumn("bkt", pmod(col("word"), lit(buckets.toLong)))
+    // cluster by bucket BEFORE the partitioned write (the compaction
+    // posture): unclustered, every one of P tasks writes a file into
+    // every bucket dir it holds rows for — P·buckets tiny files per
+    // append (measured 144 s for a 5k-row append at 4096 buckets);
+    // clustered, each bucket dir gets whole files and the append is
+    // file-creation-bounded by `buckets`, not P·buckets
+    val bandsOut = bandRows.repartition(col("bkt"))
     batchTag match {
       case Some(t) =>
-        bandRows.write.mode("overwrite").partitionBy("bkt")
+        bandsOut.write.mode("overwrite").partitionBy("bkt")
           .parquet(s"${StateIO.tablePath(spark, dir, "bands")}/batch_id=$t")
         rows.write.mode("overwrite")
           .parquet(s"${StateIO.tablePath(spark, dir, "sigs")}/batch_id=$t")
@@ -1473,8 +1480,8 @@ object Dedup {
               Seq("id"), "left_anti")
             case None => df
           }
-        alreadyIn("bands")(bandRows).write.mode("append")
-          .partitionBy("bkt")
+        alreadyIn("bands")(bandRows).repartition(col("bkt"))
+          .write.mode("append").partitionBy("bkt")
           .parquet(StateIO.tablePath(spark, dir, "bands"))
         alreadyIn("sigs")(rows).write.mode("append")
           .parquet(StateIO.tablePath(spark, dir, "sigs"))

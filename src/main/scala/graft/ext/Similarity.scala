@@ -893,7 +893,10 @@ object Similarity {
       s"building=$upto\n")
     val probes = graft.ext.Dedup.materialize(
       probeTargets(cells, cents, nProbe))
-    probes.write.mode("overwrite").partitionBy("probe_cid")
+    // clustered by the partition column (the compaction posture): each
+    // probe_cid dir gets whole files, not one sliver per writing task
+    probes.repartition(col("probe_cid"))
+      .write.mode("overwrite").partitionBy("probe_cid")
       .parquet(s"$graphDir/probes")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -907,7 +910,8 @@ object Similarity {
         col("nid").as("neighbor_id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-    edges.write.mode("overwrite").partitionBy("home_cid")
+    edges.repartition(col("home_cid"))
+      .write.mode("overwrite").partitionBy("home_cid")
       .parquet(s"$graphDir/edges")
     StateIO.publishSmallFile(spark, graphDir, GraphMetaFile,
       s"k=$k\nn_probe=$nProbe\ndelete_head=$delHead\n")
@@ -1092,7 +1096,7 @@ object Similarity {
     // ---- commit window: reads gate until the re-run completes ----
     StateIO.publishSmallFile(spark, graphDir, GraphPendingMarker,
       s"applying=$newBatchTag\n")
-    updated.write.mode("overwrite")
+    updated.repartition(col("home_cid")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("home_cid").parquet(edgesPath)
     // append the batch's probe rows (anti-joined so a blind re-run
@@ -1101,6 +1105,7 @@ object Similarity {
       .filter(col("probe_cid").isin(probedCells: _*))
       .join(newVids, Seq("vid"), "left_semi").select(col("vid")).distinct()
     newProbes.join(alreadyProbed, Seq("vid"), "left_anti")
+      .repartition(col("probe_cid"))
       .write.mode("append").partitionBy("probe_cid").parquet(probesPath)
     StateIO.publishSmallFile(spark, graphDir, GraphUptoFile,
       s"$newBatchTag\n")
