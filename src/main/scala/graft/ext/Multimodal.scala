@@ -46,7 +46,11 @@ object Multimodal {
     *     (C0–CF minus C4/C8/CC), whose big-endian height/width sit 3/5
     *     bytes past the segment length (ITU T.81 §B.2.2); stops at SOS;
     *   - GIF — `GIF87a`/`GIF89a` signature, then the logical screen
-    *     descriptor's little-endian width/height at offsets 6/8.
+    *     descriptor's little-endian width/height at offsets 6/8;
+    *   - BMP — `BM` magic, then the DIB header at offset 14:
+    *     BITMAPCOREHEADER (size 12) carries little-endian u16 dims at
+    *     18/20, every later header signed-le32 dims at 18/22 (height
+    *     negative = top-down row order — magnitude is the pixel height).
     * Unrecognized payloads fall back to format `bin` with 0×0 dimensions —
     * byte-level stats for them come from [[featureBatch]]. */
   object HeaderDecoder extends BinaryDecoder {
@@ -79,6 +83,17 @@ object Multimodal {
           b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
           (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
         ("gif", le16(b, 6), le16(b, 8))
+      } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+        val dib = u8(b, 14) | (u8(b, 15) << 8) | (u8(b, 16) << 16) |
+          (u8(b, 17) << 24)
+        if (dib == 12) ("bmp", le16(b, 18), le16(b, 20))
+        else {
+          val w = u8(b, 18) | (u8(b, 19) << 8) | (u8(b, 20) << 16) |
+            (u8(b, 21) << 24)
+          val h = u8(b, 22) | (u8(b, 23) << 8) | (u8(b, 24) << 16) |
+            (u8(b, 25) << 24)
+          ("bmp", w, math.abs(h))
+        }
       } else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
         // marker walk; every non-standalone segment carries a 2-byte length
         // that includes itself, so the walk is O(#segments), not O(bytes)
@@ -499,6 +514,59 @@ object Multimodal {
           case None => AudioFp(id, ok = false, 0L)
         }
       })
+  }
+
+  // ================== UNIFIED MEDIA-TYPE DISPATCH ==================
+
+  /** One typed-metadata row for ANY payload — the dispatcher a mixed
+    * media lake filters on before any modality-specific decode:
+    * magic-byte dispatch to the image header parser ([[HeaderDecoder]]),
+    * the WAV chunk walk ([[wavParse]]), or the GVID container header
+    * (frame count + FIRST frame's image header for dimensions — headers
+    * only, no pixel/sample decode anywhere on this path). Fields not
+    * meaningful for a type are 0; unrecognized payloads are `bin`. */
+  final case class MediaTypeMeta(
+      doc_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      sample_rate: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      n_bytes: Long)
+
+  def mediaMeta(id: Long, payload: Array[Byte]): MediaTypeMeta = {
+    val n = payload.length.toLong
+    val (imgFmt, iw, ih) = HeaderDecoder.parse(payload)
+    if (imgFmt != "bin")
+      MediaTypeMeta(id, imgFmt, iw, ih, 0, 0, 1L, 0L, n)
+    else wavParse(payload) match {
+      case Some((ch, rate, _, ba, _, dataBytes)) =>
+        val frames = dataBytes / ba
+        MediaTypeMeta(id, "wav", 0, 0, ch, rate, frames,
+          frames * 1000L / rate, n)
+      case None => unpackVideo(payload) match {
+        case Some(frames) =>
+          val (_, fw, fh) = frames.headOption
+            .map(HeaderDecoder.parse).getOrElse(("bin", 0, 0))
+          MediaTypeMeta(id, "video", fw, fh, 0, 0, frames.length.toLong,
+            0L, n)
+        case None => MediaTypeMeta(id, "bin", 0, 0, 0, 0, 0L, 0L, n)
+      }
+    }
+  }
+
+  /** [[mediaMeta]] in the once-per-partition batch shape. */
+  def mediaMetaBatch(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[MediaTypeMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => mediaMeta(id, bytes) })
   }
 
   // =================== VIDEO (frame-stream container) ===================

@@ -217,6 +217,8 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "fp_clusters", exprs => fpClusters(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "media_meta", exprs => mediaMeta(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "knn_graph_state", exprs => knnGraphState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
@@ -936,6 +938,19 @@ object TableFunctions {
     val maxHamming = if (args.exhausted) 3 else args.int("max_hamming")
     plan(Dedup.incrementalHammingPairsFromState(spark, dir, table, id, sig,
       maxHamming))
+  }
+
+  /** `media_meta(table, id, payload)` →
+    * [[graft.ext.Multimodal.mediaMetaBatch]]: magic-byte dispatch to the
+    * right header parser — one typed-metadata row for ANY payload. */
+  private def mediaMeta(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "media_meta"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val payload = args.name("payload")
+    plan(graft.ext.Multimodal.mediaMetaBatch(table, id, payload).toDF())
   }
 
   /** `fp_clusters(table, id, sig[, max_hamming])` →

@@ -3693,6 +3693,36 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x165 — UNIFIED MEDIA-TYPE DISPATCH ([[Multimodal.mediaMetaBatch]]):
+    * one typed-metadata row per payload of a MIXED media lake — ids
+    * carry a real PNG/BMP image, a real WAV, a GVID video, or junk
+    * bytes by id mod 4, and the dispatcher must classify each by its
+    * magic bytes and parse the right header (image dims / audio
+    * geometry / container frame count + first-frame dims) with no
+    * pixel or sample decode. The oracle re-derives every field from
+    * the fixture arithmetic (payload byte SIZES are deliberately not
+    * in the output — PNG encoder output length is not portable
+    * arithmetic). */
+  def x165(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 120).as[Long]
+      .map { id =>
+        val p = (id % 4) match {
+          case 0 => syntheticBlockImage(id)
+          case 1 => syntheticWav(id)
+          case 2 => syntheticVideo(id)
+          case _ => s"junk payload $id".getBytes("UTF-8")
+        }
+        (id, p)
+      }.toDF("doc_id", "payload")
+    Multimodal.mediaMetaBatch(payloads).toDF()
+      .select(col("doc_id"), col("media_type"), col("width"),
+        col("height"), col("channels"), col("sample_rate"),
+        col("n_frames"), col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** x162 — VIDEO NEAR-DUP DEDUP via sampled-frame perceptual hashes
     * ([[Multimodal.videoFrameHashes]] + [[Multimodal.videoNearDupPairs]]):
     * the video member of the modality family (x158 image / x160 audio) —
@@ -3978,7 +4008,8 @@ object Extensions {
     "x161_audio_frames" -> (x161 _),
     "x162_video_neardup" -> (x162 _),
     "x163_fp_state_pairs" -> (x163 _),
-    "x164_fp_clusters" -> (x164 _)
+    "x164_fp_clusters" -> (x164 _),
+    "x165_media_meta" -> (x165 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7932,6 +7963,50 @@ object Extensions {
         |  FROM ids i LEFT JOIN rp ON i.doc_id = rp.id)
         |SELECT doc_id, rep,
         |  CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
-        |FROM labeled ORDER BY doc_id""".stripMargin
+        |FROM labeled ORDER BY doc_id""".stripMargin,
+
+    // x165: every field of the unified dispatch re-derived from the
+    // fixture arithmetic — image dims by (id//40)%3 and encoder (png/bmp)
+    // by (id//40)%2 (x158's construction), wav geometry by (id//40)%3
+    // (x159's), video = 6 frames at (id//30)%3 dims (x162's), junk = bin
+    "x165_media_meta" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120)
+        |SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN (CASE WHEN (doc_id // 40) % 2 = 0
+        |      THEN 'png' ELSE 'bmp' END)
+        |    WHEN 1 THEN 'wav' WHEN 2 THEN 'video' ELSE 'bin'
+        |    END AS media_type,
+        |  CASE WHEN doc_id % 4 = 0 THEN
+        |      (CASE (doc_id // 40) % 3 WHEN 0 THEN 18 WHEN 1 THEN 36
+        |       ELSE 27 END)
+        |    WHEN doc_id % 4 = 2 THEN
+        |      (CASE (doc_id // 30) % 3 WHEN 0 THEN 18 WHEN 1 THEN 36
+        |       ELSE 27 END)
+        |    ELSE 0 END AS width,
+        |  CASE WHEN doc_id % 4 = 0 THEN
+        |      (CASE (doc_id // 40) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32
+        |       ELSE 24 END)
+        |    WHEN doc_id % 4 = 2 THEN
+        |      (CASE (doc_id // 30) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32
+        |       ELSE 24 END)
+        |    ELSE 0 END AS height,
+        |  CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS channels,
+        |  CASE WHEN doc_id % 4 = 1 THEN
+        |      (CASE (doc_id // 40) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       ELSE 11025 END)
+        |    ELSE 0 END AS sample_rate,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN 1
+        |    WHEN 1 THEN 65 * (CASE (doc_id // 40) % 3 WHEN 0 THEN 16
+        |      WHEN 1 THEN 32 ELSE 24 END)
+        |    WHEN 2 THEN 6 ELSE 0 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN
+        |      (65 * (CASE (doc_id // 40) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32
+        |        ELSE 24 END) * 1000)
+        |      // (CASE (doc_id // 40) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |        ELSE 11025 END)
+        |    ELSE 0 END AS BIGINT) AS duration_ms
+        |FROM ids ORDER BY doc_id""".stripMargin
   )
 }

@@ -112,6 +112,33 @@ class MultimodalAvSpec extends SparkSpec {
       !pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("mediaMeta dispatches by magic bytes; BMP header parse is real") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // real ImageIO BMP bytes parse through the DIB header branch
+    assert(Multimodal.HeaderDecoder.parse(encode("bmp", 18, 16)) ==
+      ("bmp", 18, 16))
+    assert(Multimodal.HeaderDecoder.parse(encode("png", 27, 24)) ==
+      ("png", 27, 24))
+    val img = Multimodal.mediaMeta(1L, encode("bmp", 36, 32))
+    assert((img.media_type, img.width, img.height, img.n_frames) ==
+      ("bmp", 36, 32, 1L))
+    val aud = Multimodal.mediaMeta(2L, wave(3, 16, 8000))
+    assert((aud.media_type, aud.channels, aud.sample_rate, aud.n_frames,
+      aud.duration_ms) == ("wav", 1, 8000, 1040L, 130L))
+    val vid = Multimodal.mediaMeta(3L,
+      Multimodal.packVideo(Seq(encode("png", 18, 16), encode("png", 18, 16))))
+    assert((vid.media_type, vid.width, vid.height, vid.n_frames) ==
+      ("video", 18, 16, 2L))
+    val bin = Multimodal.mediaMeta(4L, "just text".getBytes("UTF-8"))
+    assert((bin.media_type, bin.n_bytes) == ("bin", 9L))
+  }
+
   test("GVID pack/unpack, frame sampling, and the video near-dup join") {
     def png(seed: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(18, 16,

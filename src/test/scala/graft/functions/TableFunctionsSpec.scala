@@ -726,6 +726,18 @@ class TableFunctionsSpec extends SparkSpec {
       spark.sql("SELECT * FROM fp_clusters('tvf_fp_corpus', 'doc_id', " +
         "'afp', 3)"),
       graft.ext.Dedup.fingerprintClusters(corpusFps, "doc_id", "afp", 3))
+    val mixed = (0L until 40L).map { id =>
+      (id, (id % 4) match {
+        case 0 => graft.queries.Extensions.syntheticBlockImage(id)
+        case 1 => syntheticWav(id)
+        case 2 => syntheticVideo(id)
+        case _ => s"junk $id".getBytes("UTF-8")
+      })
+    }.toDF("doc_id", "payload")
+    mixed.createOrReplaceTempView("tvf_mixed")
+    assertSame(
+      spark.sql("SELECT * FROM media_meta('tvf_mixed', 'doc_id', 'payload')"),
+      graft.ext.Multimodal.mediaMetaBatch(mixed).toDF())
   }
 
   test("round-14 wave-2 TVFs: state_diff, mmr_from_state, capped_mix") {
