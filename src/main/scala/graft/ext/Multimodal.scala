@@ -84,16 +84,20 @@ object Multimodal {
           (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
         ("gif", le16(b, 6), le16(b, 8))
       } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+        // DIB header size must be a known BITMAPxHEADER value — 'BM' alone
+        // matches arbitrary binaries; width must be positive (only height
+        // may legally be negative, meaning top-down row order)
         val dib = u8(b, 14) | (u8(b, 15) << 8) | (u8(b, 16) << 16) |
           (u8(b, 17) << 24)
         if (dib == 12) ("bmp", le16(b, 18), le16(b, 20))
-        else {
+        else if (dib == 40 || dib == 52 || dib == 56 || dib == 108 ||
+            dib == 124) {
           val w = u8(b, 18) | (u8(b, 19) << 8) | (u8(b, 20) << 16) |
             (u8(b, 21) << 24)
           val h = u8(b, 22) | (u8(b, 23) << 8) | (u8(b, 24) << 16) |
             (u8(b, 25) << 24)
-          ("bmp", w, math.abs(h))
-        }
+          if (w > 0) ("bmp", w, math.abs(h)) else ("bin", 0, 0)
+        } else ("bin", 0, 0)
       } else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
         // marker walk; every non-standalone segment carries a 2-byte length
         // that includes itself, so the walk is O(#segments), not O(bytes)
@@ -275,8 +279,13 @@ object Multimodal {
     while (i + 8 <= b.length) {
       val id = fourCC(b, i)
       val size = le32u(b, i + 4)
-      if (size > Int.MaxValue.toLong) return None
       val body = i + 8
+      // a declared chunk size that overruns the buffer would advance `i`
+      // past the end (or, near Int.MaxValue, wrap it negative and crash
+      // the fourCC read) — treat as corrupt, not-a-WAV, EXCEPT for the
+      // `data` chunk, which legitimately clips (truncated download) and
+      // returns below before any advance
+      if (id != "data" && size > (b.length - body).toLong) return None
       if (id == "fmt ") {
         if (body + 16 > b.length) return None
         if (le16(b, body) != 1) return None // PCM only

@@ -65,6 +65,54 @@ class MultimodalAvSpec extends SparkSpec {
       Some((1, 8000, 65L * 16 * 2)))
   }
 
+  test("wavParse refuses corrupt chunk sizes instead of crashing") {
+    val plain = wave(1, 16, 8000)
+    // a non-fmt/non-data chunk whose declared size overruns the buffer
+    // (adversarial: near Int.MaxValue, which would wrap the cursor
+    // negative and crash the fourCC read if advanced)
+    val head = java.util.Arrays.copyOfRange(plain, 0, 36)
+    val tail = java.util.Arrays.copyOfRange(plain, 36, plain.length)
+    def spliceList(sizeLe: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(head)
+      bos.write("LIST".getBytes("US-ASCII"))
+      bos.write(sizeLe)
+      bos.write("INFO".getBytes("US-ASCII"))
+      bos.write(tail)
+      bos.toByteArray
+    }
+    // size 0x7ffffff0 — parses to None, never throws
+    assert(Multimodal.wavParse(
+      spliceList(Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f))
+    ).isEmpty)
+    // size just past the remaining bytes — also corrupt, also None
+    assert(Multimodal.wavParse(
+      spliceList(Array[Byte](0xff.toByte, 0xff.toByte, 0, 0))).isEmpty)
+    // a clipped DATA chunk still parses to its playable prefix (the
+    // legitimate overrun the guard must not reject)
+    val clipped = java.util.Arrays.copyOf(plain, plain.length - 10)
+    assert(Multimodal.wavParse(clipped).nonEmpty)
+  }
+
+  test("BMP branch rejects unknown DIB sizes and non-positive widths") {
+    def bm(dib: Int, w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+        .putInt(dib).putInt(w).putInt(h)
+      b.array()
+    }
+    assert(Multimodal.HeaderDecoder.parse(bm(40, 18, 16)) == ("bmp", 18, 16))
+    assert(Multimodal.HeaderDecoder.parse(bm(108, 18, -16)) ==
+      ("bmp", 18, 16), "negative height = top-down rows, magnitude kept")
+    // arbitrary binary starting 'BM' with a junk DIB size is NOT a bmp
+    assert(Multimodal.HeaderDecoder.parse(bm(0x2020, 18, 16)) ==
+      ("bin", 0, 0))
+    // a crafted negative width is corrupt, not a picture
+    assert(Multimodal.HeaderDecoder.parse(bm(40, -18, 16)) == ("bin", 0, 0))
+    assert(Multimodal.HeaderDecoder.parse(bm(40, 0, 16)) == ("bin", 0, 0))
+  }
+
   test("audioStatsBatch and sampleAudioFrames are exact") {
     val payloads = Seq((1L, wave(2, 16, 8000)), (2L, "junk".getBytes()))
       .toDF("doc_id", "payload")
