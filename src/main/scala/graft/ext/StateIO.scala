@@ -144,10 +144,11 @@ private[graft] object StateIO {
     * untangle after the fact. */
   private[graft] val WriterLockFile = "_writer_lock"
 
-  /** Default writer-lease duration. Long enough to cover any single
-    * mutating call at the design scale (appends/compactions are one
-    * distributed job); short enough that a crashed writer's lock is
-    * taken over the same hour, not the same week. */
+  /** Default writer-lease duration. A LIVE writer renews the lease
+    * every third of this window (heartbeat inside [[withWriterLock]]),
+    * so the window no longer bounds how long a mutating call may run —
+    * it bounds how long a CRASHED writer's lock survives before
+    * takeover: the same hour, not the same week. */
   private[graft] val DefaultLeaseMs: Long = 30L * 60L * 1000L
 
   /** Dirs whose writer lock THIS thread currently holds (qualified
@@ -298,10 +299,48 @@ private[graft] object StateIO {
       throw new ConcurrentWriter(dir, owner, exp)
     }
     heldLocks.get += key
+    // HEARTBEAT RENEWAL: a write longer than the lease window used to be
+    // taken over MID-RUN (detected loudly at release, but not prevented) —
+    // exactly what a 100 TB append risks. A live writer now re-publishes
+    // its lease every third of the window, so expiry passes only when the
+    // renewer is genuinely dead (process gone → takeover still wins, as
+    // before). Renewal is fenced: it re-reads the lock first and renews
+    // ONLY while the file still carries our token — if a takeover already
+    // happened (a renewer stalled past the window, e.g. a long GC pause),
+    // it stops silently and the release path reports the overrun as
+    // before. The rewrite is a plain owner PUT, not the exclusive-create
+    // CAS — overwriting a file we verified we own is safe on every
+    // substrate (last-writer-wins is the semantics we want here).
+    val stopRenew = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val renewEvery = math.max(100L, leaseMs / 3)
+    val renewer = new Thread(new Runnable {
+      override def run(): Unit = try {
+        var live = true
+        while (live && !stopRenew.get()) {
+          Thread.sleep(renewEvery)
+          if (!stopRenew.get()) readLease() match {
+            case Some((owner, _)) if owner == token =>
+              try {
+                val out = fs.create(lock, true)
+                try out.write(
+                  s"$token\n${System.currentTimeMillis() + leaseMs}\n"
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                finally out.close()
+              } catch { case _: java.io.IOException => () } // retry next tick
+            case _ => live = false // taken over or released — stop renewing
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-renewer:$dir")
+    renewer.setDaemon(true)
+    renewer.start()
     var primary: Throwable = null
     try body
     catch { case t: Throwable => primary = t; throw t }
     finally {
+      stopRenew.set(true)
+      renewer.interrupt()
+      renewer.join(10000)
       heldLocks.get -= key
       // release only OUR lease: if it expired mid-run and a takeover
       // happened, deleting would kill the new writer's lock — leave it

@@ -4424,6 +4424,68 @@ class ExtSpec extends SparkSpec {
     } finally StateIO.leaseStore = StateIO.HadoopLeaseStore
   }
 
+  test("lease heartbeat: a slow writer renews through multiple windows " +
+      "and is never taken over; a dead writer's lease still expires") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-leasehb")
+      .toFile.getAbsolutePath + "/state"
+    val lock = new org.apache.hadoop.fs.Path(dir, "_writer_lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    // retry torn reads: the renewer's rewrite is create-then-write, so a
+    // read can land between (the production readLease treats that as a
+    // mid-write lease; here we just try again)
+    def expiry(): Long = {
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        val in = fs.open(lock)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            .split("\n")
+          finally in.close()
+        if (lines.length >= 2 && lines(1).trim.nonEmpty)
+          return lines(1).trim.toLong
+        assert(attempts < 100, "lock file never became whole")
+        Thread.sleep(20)
+      }
+      0L
+    }
+    // the writer holds the lock ~3.5 lease windows; without renewal the
+    // lease would expire at t0+400 and a second acquirer would take over
+    val t0 = System.currentTimeMillis()
+    val sawFreshLease = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // no "expired mid-run and was taken over" may surface — a throw here
+    // fails the test
+    StateIO.withWriterLock(spark, dir, leaseMs = 400L) {
+      Thread.sleep(1400)
+      // well past the ORIGINAL expiry: the lock must still be ours with
+      // a renewed (future) expiry, and a second writer (a DIFFERENT
+      // thread — same-thread re-entry is legal by design) must be refused
+      assert(expiry() > t0 + 400L,
+        "heartbeat must have re-published a later expiry")
+      val refusal =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val second = new Thread(() =>
+        try StateIO.withWriterLock(spark, dir, leaseMs = 400L) { () }
+        catch { case t: Throwable => refusal.set(t) })
+      second.start(); second.join(30000)
+      refusal.get() match {
+        case e: StateIO.ConcurrentWriter =>
+          sawFreshLease.set(e.expiresAtMs > System.currentTimeMillis() - 1)
+        case other => fail(s"expected ConcurrentWriter, got $other")
+      }
+    }
+    assert(sawFreshLease.get(), "the refusal must carry the renewed expiry")
+    assert(!fs.exists(lock), "orderly completion still releases")
+    // a genuinely DEAD writer (no renewer alive) is taken over once the
+    // window passes — renewal must not have weakened crash takeover
+    val out = fs.create(lock, true)
+    try out.write(s"dead-host:pid=1:thread=1:z\n${System
+      .currentTimeMillis() - 1000L}\n".getBytes("UTF-8"))
+    finally out.close()
+    StateIO.withWriterLock(spark, dir, leaseMs = 400L) { () }
+    assert(!fs.exists(lock))
+  }
+
   test("vacuumStateVersions: graceMs keeps a pre-swap reader's superseded " +
       "dir alive; grace 0 reclaims it") {
     import graft.Tables
