@@ -1350,6 +1350,79 @@ object Dedup {
       .distinct()
   }
 
+  /** Byte-identical PAYLOAD collapse — the binary twin of the text
+    * path's exact-collapse, and the mandatory first step of every media
+    * near-dup chain at scale: web corpora are full of byte-identical
+    * media (logos, spacer GIFs, silence clips), and k copies of one file
+    * put k identical fingerprints in the same band bucket — O(k²)
+    * verified pairs, the exact blow-up the text side's collapse exists
+    * to prevent — while ALSO paying the decode k times. Collapsed, the
+    * group decodes once, bands once, and pair relations stay REP-level
+    * (linear in k) with membership recoverable algebraically
+    * ([[expandRepPairs]] / [[intraRepPairs]]).
+    *
+    * Returns (members: (id, rid), reps: (rid, payload)) — distinct reps
+    * ⇒ distinct payload bytes, so the downstream fingerprint input meets
+    * [[hammingPairs64]]'s uniqueness precondition by construction. Both
+    * frames are materialized (they feed the band join plus two
+    * expansion join-backs; reps hold one payload per DISTINCT byte
+    * string — far smaller than the corpus a re-scan would decode). */
+  def collapsePayloadsExact(
+      docs: DataFrame, idCol: String,
+      payloadCol: String): (DataFrame, DataFrame) = {
+    // widen narrow inputs before the md5 map (and the decode that
+    // follows on reps): a single small parquet file scans as ONE
+    // partition, serializing the CPU-heavy work on one core; no-op at
+    // cluster width
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val wide =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val kept = wide.select(col(idCol).cast("long").as("id"),
+      col(payloadCol).as("payload"), md5(col(payloadCol)).as("fp"))
+    // first(payload) is deterministic here: every payload under one fp
+    // is byte-identical
+    val reps = kept.groupBy(col("fp"))
+      .agg(min(col("id")).as("rid"), first(col("payload")).as("payload"))
+    val members = kept.select(col("fp"), col("id"))
+      .join(reps.select(col("fp"), col("rid")), "fp")
+      .select(col("id"), col("rid"))
+    (materialize(members), materialize(reps.select(col("rid"), col("payload"))))
+  }
+
+  /** Expand a REP-level pair relation (over [[collapsePayloadsExact]]
+    * representatives) back to member level: every (rep_a, rep_b) pair
+    * becomes all cross-group member pairs, extra columns (hamming,
+    * shared_frames, …) riding through unchanged — byte-identical members
+    * fingerprint identically, so the rep pair's value IS the member
+    * pair's value. Ordering re-normalizes to id_a < id_b (member ids
+    * interleave across groups). Output size = the true member pair
+    * relation — call this only when member-level pairs are genuinely
+    * needed; at 100 TB, consume rep pairs + `members` instead. Pairs
+    * WITHIN a group (Hamming 0 by construction) are [[intraRepPairs]]'s
+    * job — their value columns are modality-defined, not inherited. */
+  def expandRepPairs(repPairs: DataFrame, members: DataFrame): DataFrame = {
+    val extra = repPairs.columns.filterNot(Set("id_a", "id_b")).toSeq
+    val ma = members.select(col("rid").as("id_a"), col("id").as("ma"))
+    val mb = members.select(col("rid").as("id_b"), col("id").as("mb"))
+    repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(Seq(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b")) ++ extra.map(col): _*)
+  }
+
+  /** Member pairs WITHIN each byte-identical group (id_a < id_b), value
+    * columns supplied per group via `repValues (rid, …)` — Hamming 0 for
+    * fingerprints, the group's full distinct-frame count for shingle
+    * joins. Complements [[expandRepPairs]] for the full member relation. */
+  def intraRepPairs(members: DataFrame, repValues: DataFrame): DataFrame = {
+    val a = members.select(col("rid"), col("id").as("ida"))
+    val b = members.select(col("rid"), col("id").as("idb"))
+    a.join(b, "rid").filter(col("ida") < col("idb"))
+      .join(repValues, "rid")
+      .select(Seq(col("ida").as("id_a"), col("idb").as("id_b")) ++
+        repValues.columns.filterNot(_ == "rid").map(col).toSeq: _*)
+  }
+
   /** Fingerprint near-dup CLUSTERS: [[hammingPairs64]]'s pair relation
     * closed into connected components (min-id representative — the
     * [[components]] engine with its threshold-guarded driver union-find

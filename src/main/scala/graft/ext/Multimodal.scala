@@ -525,15 +525,204 @@ object Multimodal {
       })
   }
 
+  // =================== VIDEO (ISO BMFF / MP4 headers) ===================
+
+  private def be32u(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32u(b, i) << 32) | be32u(b, i + 4)
+
+  /** Parsed header geometry of an ISO BMFF (MP4) payload — what a real
+    * corpus's videos actually are (the GVID frame-stream stands in only
+    * for pixel access). HEADER-ONLY, exactly like [[wavParse]]: a box
+    * walk over `ftyp` (major brand) and the `moov` tree — `mvhd`
+    * (timescale + duration, version 0 and 1 layouts), `tkhd` per track
+    * (16.16 fixed-point presentation dims; the first track with a
+    * nonzero width supplies them), and the first `stsd` sample entry's
+    * format fourcc (the codec a curation filter routes on). Media data
+    * (`mdat`) is never touched. Returns (brand, n_tracks, timescale,
+    * duration, width, height, codec); None when the payload is not a
+    * (whole-header) MP4 or any box size overruns its container —
+    * corrupt/adversarial sizes refuse, never crash (the [[wavParse]]
+    * contract). */
+  private[graft] def mp4Parse(
+      b: Array[Byte]): Option[(String, Int, Long, Long, Int, Int, String)] = {
+    if (b.length < 12 || fourCC(b, 4) != "ftyp") return None
+    val brand = fourCC(b, 8)
+    var timescale = 0L; var duration = 0L
+    var w = 0; var h = 0; var nTracks = 0; var codec = ""
+    var sawMoov = false
+    // containers we descend into; leaf boxes parse in place. Depth is
+    // bounded by the fixed moov>trak>mdia>minf>stbl nesting.
+    def walk(start: Int, end: Int): Boolean = {
+      var i = start
+      while (i + 8 <= end) {
+        val size32 = be32u(b, i)
+        var hdr = 8
+        val size: Long =
+          if (size32 == 1L) {
+            if (i + 16 > end) return false
+            hdr = 16; be64(b, i + 8)
+          } else if (size32 == 0L) (end - i).toLong // box runs to the end
+          else size32
+        if (size < hdr || i + size > end) return false // overrun = corrupt
+        val typ = fourCC(b, i + 4)
+        val body = i + hdr
+        val bodyEnd = (i + size).toInt
+        typ match {
+          case "moov" =>
+            sawMoov = true
+            if (!walk(body, bodyEnd)) return false
+          case "trak" =>
+            nTracks += 1
+            if (!walk(body, bodyEnd)) return false
+          case "mdia" | "minf" | "stbl" =>
+            if (!walk(body, bodyEnd)) return false
+          case "mvhd" =>
+            if (body + 1 > bodyEnd) return false
+            if ((b(body) & 0xff) == 1) { // version 1: 64-bit times
+              if (body + 32 > bodyEnd) return false
+              timescale = be32u(b, body + 20)
+              duration = be64(b, body + 24)
+            } else {
+              if (body + 20 > bodyEnd) return false
+              timescale = be32u(b, body + 12)
+              duration = be32u(b, body + 16)
+            }
+          case "tkhd" =>
+            if (body + 1 > bodyEnd) return false
+            val (wo, ho) = if ((b(body) & 0xff) == 1) (88, 92) else (76, 80)
+            if (body + ho + 4 <= bodyEnd && w == 0) {
+              val tw = (be32u(b, body + wo) >> 16).toInt // 16.16 fixed
+              val th = (be32u(b, body + ho) >> 16).toInt
+              if (tw > 0) { w = tw; h = th }
+            }
+          case "stsd" =>
+            // fullbox(4) + entry_count(4), then entry: size(4) + format(4)
+            if (codec.isEmpty && body + 16 <= bodyEnd)
+              codec = fourCC(b, body + 12)
+          case _ => () // mdat, free, skip — never read
+        }
+        i = (i + size).toInt
+      }
+      true
+    }
+    if (!walk(0, b.length) || !sawMoov || timescale <= 0) None
+    else Some((brand, nTracks, timescale, duration, w, h, codec))
+  }
+
+  private def bmffBox(typ: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+
+  /** Synthesize a minimal-box MP4 header — the write-side twin of
+    * [[mp4Parse]] ([[packWav]]'s role for the x167 gate): `ftyp(brand)`
+    * then `moov[mvhd(v0)` + per track `trak[tkhd + mdia[minf[stbl[
+    * stsd(codec)]]]]]`. Real players need sample tables this does not
+    * carry; the HEADER geometry (brands, times, fixed-point dims, codec
+    * fourcc) is bit-faithful to the spec layouts, which is all the
+    * header parser — and a metadata-level curation pipeline — reads. */
+  def packMp4(
+      brand: String, timescale: Int, duration: Long,
+      tracks: Seq[(Int, Int, String)]): Array[Byte] = {
+    require(brand.length == 4, s"brand must be a fourcc, got '$brand'")
+    require(timescale >= 1, s"timescale must be >= 1, got $timescale")
+    require(duration >= 0 && duration <= Int.MaxValue,
+      s"version-0 boxes carry 32-bit durations, got $duration")
+    require(tracks.forall(_._3.length == 4), "codec must be a fourcc")
+    val ftyp = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put(brand.getBytes("US-ASCII")).putInt(0)
+        .put(brand.getBytes("US-ASCII"))
+      bmffBox("ftyp", bb.array())
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // creation / modification
+        .putInt(timescale).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+        .position(36) // 10 reserved bytes
+      bb.putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+        .position(96) // 24 pre_defined bytes
+      bb.putInt(tracks.length + 1) // next_track_ID
+      bmffBox("mvhd", bb.array())
+    }
+    val traks = tracks.zipWithIndex.map { case ((w, h, codec), ti) =>
+      val tkhd = {
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.putInt(7) // version 0, flags: enabled|in-movie|in-preview
+          .putInt(0).putInt(0) // creation / modification
+          .putInt(ti + 1).putInt(0) // track_ID, reserved
+          .putInt(duration.toInt)
+          .position(40) // reserved(8) + layer(2) + alt(2) + vol(2) + res(2)
+        bb.putInt(0x00010000).putInt(0).putInt(0) // unity matrix
+          .putInt(0).putInt(0x00010000).putInt(0)
+          .putInt(0).putInt(0).putInt(0x40000000)
+        bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed-point dims
+        bmffBox("tkhd", bb.array())
+      }
+      val stsd = {
+        val bb = java.nio.ByteBuffer.allocate(24)
+        bb.putInt(0).putInt(1) // fullbox, entry_count = 1
+          .putInt(16).put(codec.getBytes("US-ASCII")) // sample entry
+          .position(20)
+        bb.putShort(0).putShort(1) // reserved tail + data_ref_index
+        bmffBox("stsd", bb.array())
+      }
+      val mdia = bmffBox("mdia", bmffBox("minf", bmffBox("stbl", stsd)))
+      bmffBox("trak", tkhd ++ mdia)
+    }
+    ftyp ++ bmffBox("moov", mvhd ++ traks.flatten)
+  }
+
+  /** Typed MP4 header metadata in the once-per-partition batch shape —
+    * `ok = false` marks payloads that are not (whole-header) MP4.
+    * `duration_ms = ⌊duration·1000 / timescale⌋`. */
+  final case class Mp4Meta(
+      doc_id: Long,
+      ok: Boolean,
+      brand: String,
+      n_tracks: Int,
+      duration_ms: Long,
+      width: Int,
+      height: Int,
+      codec: String)
+
+  def mp4MetaBatch(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[Mp4Meta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        mp4Parse(bytes) match {
+          case Some((brand, nTracks, ts, dur, w, h, codec)) =>
+            Mp4Meta(id, ok = true, brand, nTracks, dur * 1000L / ts, w, h,
+              codec)
+          case None => Mp4Meta(id, ok = false, "", 0, 0L, 0, 0, "")
+        }
+      })
+  }
+
   // ================== UNIFIED MEDIA-TYPE DISPATCH ==================
 
   /** One typed-metadata row for ANY payload — the dispatcher a mixed
     * media lake filters on before any modality-specific decode:
     * magic-byte dispatch to the image header parser ([[HeaderDecoder]]),
-    * the WAV chunk walk ([[wavParse]]), or the GVID container header
-    * (frame count + FIRST frame's image header for dimensions — headers
-    * only, no pixel/sample decode anywhere on this path). Fields not
-    * meaningful for a type are 0; unrecognized payloads are `bin`. */
+    * the WAV chunk walk ([[wavParse]]), the MP4 box walk ([[mp4Parse]] —
+    * presentation dims + mvhd duration; brand/codec detail via
+    * [[mp4MetaBatch]]), or the GVID container header (frame count +
+    * FIRST frame's image header for dimensions — headers only, no
+    * pixel/sample decode anywhere on this path). Fields not meaningful
+    * for a type are 0; unrecognized payloads are `bin`. */
   final case class MediaTypeMeta(
       doc_id: Long,
       media_type: String,
@@ -555,13 +744,17 @@ object Multimodal {
         val frames = dataBytes / ba
         MediaTypeMeta(id, "wav", 0, 0, ch, rate, frames,
           frames * 1000L / rate, n)
-      case None => unpackVideo(payload) match {
-        case Some(frames) =>
-          val (_, fw, fh) = frames.headOption
-            .map(HeaderDecoder.parse).getOrElse(("bin", 0, 0))
-          MediaTypeMeta(id, "video", fw, fh, 0, 0, frames.length.toLong,
-            0L, n)
-        case None => MediaTypeMeta(id, "bin", 0, 0, 0, 0, 0L, 0L, n)
+      case None => mp4Parse(payload) match {
+        case Some((_, _, ts, dur, mw, mh, _)) =>
+          MediaTypeMeta(id, "mp4", mw, mh, 0, 0, 0L, dur * 1000L / ts, n)
+        case None => unpackVideo(payload) match {
+          case Some(frames) =>
+            val (_, fw, fh) = frames.headOption
+              .map(HeaderDecoder.parse).getOrElse(("bin", 0, 0))
+            MediaTypeMeta(id, "video", fw, fh, 0, 0, frames.length.toLong,
+              0L, n)
+          case None => MediaTypeMeta(id, "bin", 0, 0, 0, 0, 0L, 0L, n)
+        }
       }
     }
   }
@@ -650,20 +843,35 @@ object Multimodal {
     * hashes — the shingle-join pattern ([[Dedup]]'s n-gram posture)
     * applied to frame fingerprints: distinct (video, phash) → equi-join
     * on the 64-bit hash → group-count. Cost rides shared-frame
-    * collisions, never O(n²) in videos; a pathological corpus-wide
-    * common frame (a black lead-in) behaves like a stopword shingle —
-    * drop such hashes upstream if they dominate. Input: `ok`-filtered
-    * [[videoFrameHashes]] rows (or any (id, hash) relation). */
+    * collisions, never O(n²) in videos. A pathological corpus-wide
+    * common frame (a black lead-in, a studio logo card) behaves like a
+    * stopword shingle — one hash shared by f videos contributes f²/2
+    * join rows while carrying no discriminating signal; `maxFrameDf`
+    * is the stopword cap (the inverted index's posture): hashes whose
+    * video-document-frequency exceeds it are dropped BEFORE the join,
+    * bounding the blow-up, and true duplicates still pair on their
+    * distinctive frames. Input: `ok`-filtered [[videoFrameHashes]] rows
+    * (or any (id, hash) relation). */
   def videoNearDupPairs(
       hashes: DataFrame,
       minShared: Int,
       idCol: String = "doc_id",
-      hashCol: String = "phash"): DataFrame = {
+      hashCol: String = "phash",
+      maxFrameDf: Int = Int.MaxValue): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val h = hashes
+    require(maxFrameDf >= 1, s"maxFrameDf must be >= 1, got $maxFrameDf")
+    val distinctH = hashes
       .select(col(idCol).cast("long").as("gid"),
         col(hashCol).cast("long").as("ph"))
       .distinct()
+    // document frequency over DISTINCT (video, hash) rows; map-side
+    // partial counts, then a semi-join keeps only sub-cap hashes
+    val h =
+      if (maxFrameDf == Int.MaxValue) distinctH
+      else distinctH.join(
+        distinctH.groupBy(col("ph")).agg(count(lit(1)).as("graft_df"))
+          .filter(col("graft_df") <= maxFrameDf).select(col("ph")),
+        Seq("ph"), "left_semi")
     h.as("a").join(h.as("b"),
         col("a.ph") === col("b.ph") && col("a.gid") < col("b.gid"))
       .groupBy(col("a.gid").as("id_a"), col("b.gid").as("id_b"))

@@ -779,6 +779,41 @@ object Similarity {
   private val GraphPendingMarker = "_graph_pending"
   private val GraphUptoFile = "_graph_upto"
 
+  /** Bucket count for the graph state's slim `homes` index (vid →
+    * home_cid, partitioned by `vb = vid mod this`): the delete path
+    * prunes its "where do the deleted vectors live" lookup to the
+    * deleted ids' buckets instead of scanning a corpus table. 64 keeps
+    * directory listings trivial on any FS while bounding a pruned read
+    * to 1/64 of two long columns per touched bucket. */
+  private val GraphHomeBuckets = 64
+
+  /** Rewrite exactly the `touched` partitions of a partitioned state
+    * table with `df`'s rows (dynamic partition overwrite), DELETING the
+    * directories of touched partitions that end up empty — dynamic
+    * overwrite only replaces partitions PRESENT in the written frame,
+    * so "this partition's rows all died" would otherwise leave the old
+    * files answering reads. Caller holds the writer lock and the
+    * pending marker. */
+  private def overwriteTouchedPartitions(
+      spark: SparkSession, path: String, df: DataFrame,
+      partCols: Seq[String], touched: Seq[Seq[Any]]): Unit = {
+    val out = graft.ext.Dedup.materialize(df)
+    out.repartition(partCols.map(col): _*).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(path)
+    // compare as partition-directory strings so Int/Long renderings of
+    // the same value never miscompare
+    def dirOf(vals: Seq[Any]): String =
+      partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+    val written = out.select(partCols.map(col): _*).distinct()
+      .collect().map(r => dirOf(r.toSeq)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    touched.map(dirOf).filterNot(written).foreach { dir =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, dir), true)
+    }
+  }
+
   /** Per-vector probe targets against the broadcast centroids: one row
     * (vid, v, vn, home_cid, probe_cid) per probed cell — the same
     * map-side sorted-struct slice [[knnGraphFromState]] uses (one
@@ -862,31 +897,55 @@ object Similarity {
     *     (max applied IVF batch tag), and the `_graph_pending` marker
     *     that gates reads while an update is mid-flight.
     *
+    *   - `homes`, partitioned by `batch_id`/`vb = vid mod 64`: the slim
+    *     (vid, home_cid) index the DELETE path prunes its where-do-they-
+    *     live lookup to ([[knnGraphDeleteDeltaFromState]]).
+    *
     * Tagged IVF states only (the delta applies per batch tag). DELETES
-    * are the rebuild trigger: a tombstone landing after the build means
-    * the graph holds edges into (and top-k lists truncated by) a vector
-    * that no longer exists — [[knnGraphDeltaFromState]] refuses on
-    * delete-head drift and this build re-freezes it. Historical graphs
-    * need no state at all ([[knnGraphFromStateAsOf]]). */
+    * increment too: a tombstone landing after the build means the graph
+    * holds edges into (and top-k lists truncated by) a vector that no
+    * longer exists — [[knnGraphDeltaFromState]] refuses on delete-head
+    * drift and [[knnGraphDeleteDeltaFromState]] retracts those edges at
+    * neighborhood cost (this build remains the full re-freeze).
+    * Historical graphs need no state at all
+    * ([[knnGraphFromStateAsOf]]). */
   def buildKnnGraphState(
       spark: SparkSession, ivfDir: String, graphDir: String, k: Int,
-      nProbe: Int = 2): Unit = StateIO.withWriterLock(spark, graphDir) {
+      nProbe: Int = 2): Unit =
+    buildKnnGraphUpTo(spark, ivfDir, graphDir, k, nProbe, upToBatch = None)
+
+  /** [[buildKnnGraphState]] bounded to cells with `batch_id <=
+    * upToBatch` (current tombstones still fully applied) — what the
+    * delta's cost-gate delegation needs: a rebuild that lands the graph
+    * at exactly the requested watermark, so later already-appended IVF
+    * batches are not silently skipped past (the in-order contract). */
+  private[ext] def buildKnnGraphUpTo(
+      spark: SparkSession, ivfDir: String, graphDir: String, k: Int,
+      nProbe: Int,
+      upToBatch: Option[Long]): Unit =
+      StateIO.withWriterLock(spark, graphDir) {
     require(k >= 1, s"knn graph k must be >= 1, got $k")
     require(nProbe >= 1, s"knn graph nProbe must be >= 1, got $nProbe")
-    val rawCells = spark.read.parquet(
+    val allCells = spark.read.parquet(
       StateIO.tablePath(spark, ivfDir, "cells"))
-    require(rawCells.columns.contains("batch_id"),
+    require(allCells.columns.contains("batch_id"),
       s"graph state needs a TAGGED IVF state: $ivfDir/cells has no " +
         "batch_id partition column (the delta applies per batch tag) — " +
         "rebuild the pillar with tagged appends")
+    val rawCells = upToBatch match {
+      case Some(bt) => allCells.filter(col("batch_id") <= bt) // pruned
+      case None => allCells
+    }
     val uptoRow = rawCells.agg(max(col("batch_id")).cast("long")).head()
     require(!uptoRow.isNullAt(0),
       s"IVF state at $ivfDir has no cells — nothing to graph")
-    val upto = uptoRow.getLong(0)
+    val upto = upToBatch.getOrElse(uptoRow.getLong(0))
     val delHead = ivfDeleteHead(spark, ivfDir)
     val cents = spark.read.parquet(
       StateIO.tablePath(spark, ivfDir, "centroids"))
-    val cells = readCellsLive(spark, ivfDir).select("cid", "vid", "v", "cn")
+    val cells = readCellsLive(spark, ivfDir,
+        asOf = upToBatch.map(bt => (bt, delHead)))
+      .select("cid", "vid", "v", "cn")
     // gate reads for the whole (re)build window — a reader must never see
     // new edges beside old probes
     StateIO.publishSmallFile(spark, graphDir, GraphPendingMarker,
@@ -913,6 +972,24 @@ object Similarity {
     edges.repartition(col("home_cid"))
       .write.mode("overwrite").partitionBy("home_cid")
       .parquet(s"$graphDir/edges")
+    // the slim homes index (vid -> home_cid), bucketed by vid so the
+    // DELETE path ([[knnGraphDeleteDeltaFromState]]) finds deleted
+    // vectors' cells with a bucket-pruned read instead of a corpus
+    // scan; sub-partitioned by batch_id so the batch delta's append is
+    // idempotent by partition replace
+    val tombsLive = StateIO.readTableIfExists(spark, ivfDir, "tombstones")
+    val homesRaw = rawCells.select(col("vid"), col("cid").as("home_cid"),
+      col("batch_id"))
+    val homes = tombsLive match {
+      case Some(tb) => homesRaw.join(tb.select(col("vid")), Seq("vid"),
+        "left_anti")
+      case None => homesRaw
+    }
+    homes.withColumn("vb",
+        pmod(col("vid"), lit(GraphHomeBuckets)).cast("int"))
+      .repartition(col("vb"))
+      .write.mode("overwrite").partitionBy("batch_id", "vb")
+      .parquet(s"$graphDir/homes")
     StateIO.publishSmallFile(spark, graphDir, GraphMetaFile,
       s"k=$k\nn_probe=$nProbe\ndelete_head=$delHead\n")
     StateIO.publishSmallFile(spark, graphDir, GraphUptoFile, s"$upto\n")
@@ -952,7 +1029,11 @@ object Similarity {
     * gate. */
   def knnGraphDeltaFromState(
       spark: SparkSession, ivfDir: String, graphDir: String,
-      newBatchTag: Long): Unit = StateIO.withWriterLock(spark, graphDir) {
+      newBatchTag: Long,
+      maxDirtyFraction: Double = 0.5): Unit =
+      StateIO.withWriterLock(spark, graphDir) {
+    require(maxDirtyFraction > 0.0 && maxDirtyFraction <= 1.0,
+      s"maxDirtyFraction must be in (0, 1], got $maxDirtyFraction")
     val (k, nProbe, delHead0) = readGraphMeta(spark, graphDir).getOrElse(
       throw new IllegalArgumentException(
         s"$graphDir carries no $GraphMetaFile — build the graph state " +
@@ -960,8 +1041,9 @@ object Similarity {
     val delHead = ivfDeleteHead(spark, ivfDir)
     require(delHead == delHead0,
       s"IVF tombstones advanced ($delHead0 -> $delHead) since the graph " +
-        s"state at $graphDir was built — a delta cannot retract edges " +
-        "into deleted vectors; rebuild (buildKnnGraphState)")
+        s"state at $graphDir last froze its delete head — apply the " +
+        "delete delta first (knnGraphDeleteDeltaFromState) so retracted " +
+        "edges cannot survive under the new batch")
     val upto = StateIO.readSmallFile(spark, graphDir, GraphUptoFile)
       .map(_.trim.toLong).getOrElse(
         throw new IllegalStateException(
@@ -1006,11 +1088,33 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val probedCells = newProbes.select(col("probe_cid").cast("int"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    // COST GATE: when one batch dirties most cells, the delta
+    // legitimately approaches a full rebuild PLUS delta overhead
+    // (measured 1.3-2.5x the rebuild at high dirty fractions) — the
+    // "cheap" path must not cost more than the expensive one. Above the
+    // threshold, delegate to a rebuild bounded AT THIS TAG (same output
+    // — parity is the x156 gate; the in-order watermark contract holds
+    // because later already-appended batches stay excluded); the lock
+    // is thread-reentrant.
+    val dirtied = (newCells ++ probedCells).distinct.size
+    val totalCells = cents.count()
+    if (dirtied > maxDirtyFraction * totalCells) {
+      buildKnnGraphUpTo(spark, ivfDir, graphDir, k, nProbe,
+        upToBatch = Some(newBatchTag))
+      return
+    }
     val probesPath = s"$graphDir/probes"
     // all sets below anti-join the batch's vids so a crash-resume that
-    // already appended the batch's probe rows derives the SAME sets
-    val probesAtProbed = spark.read.parquet(probesPath)
-      .filter(col("probe_cid").isin(probedCells: _*)) // partition-pruned
+    // already appended the batch's probe rows derives the SAME sets —
+    // and the tombstones, so probe rows orphaned by a crashed delete
+    // delta (see knnGraphDeleteDeltaFromState) stay inert
+    val dropTombs: DataFrame => DataFrame = df => tombs match {
+      case Some(tb) =>
+        df.join(tb.select(col("vid")).distinct(), Seq("vid"), "left_anti")
+      case None => df
+    }
+    val probesAtProbed = dropTombs(spark.read.parquet(probesPath)
+      .filter(col("probe_cid").isin(probedCells: _*))) // partition-pruned
       .join(newVids, Seq("vid"), "left_anti")
     // 1. the batch's own edges: candidates = the probed cells' residents
     //    (own-cell probe rows) plus the batch's rows in those cells
@@ -1028,8 +1132,8 @@ object Similarity {
       .select(col("vid"), col("home_cid"), col("nid"), col("cos"))
     // 2. affected existing owners: anyone probing a cell the batch
     //    landed in — a pruned read of those probe_cid= partitions
-    val affected = spark.read.parquet(probesPath)
-      .filter(col("probe_cid").isin(newCells: _*)) // partition-pruned
+    val affected = dropTombs(spark.read.parquet(probesPath)
+      .filter(col("probe_cid").isin(newCells: _*))) // partition-pruned
       .join(newVids, Seq("vid"), "left_anti")
     val affCandidates = graft.ext.Dedup.materialize(affected.join(
         newRows.select(col("cid").as("probe_cid"), col("vid").as("nid"),
@@ -1107,12 +1211,203 @@ object Similarity {
     newProbes.join(alreadyProbed, Seq("vid"), "left_anti")
       .repartition(col("probe_cid"))
       .write.mode("append").partitionBy("probe_cid").parquet(probesPath)
+    // the batch's homes rows — idempotent by partition replace (dynamic
+    // overwrite touches only this batch's vb dirs)
+    newRows.select(col("vid"), col("cid").as("home_cid"))
+      .withColumn("batch_id", lit(newBatchTag))
+      .withColumn("vb",
+        pmod(col("vid"), lit(GraphHomeBuckets)).cast("int"))
+      .repartition(col("vb"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "vb").parquet(s"$graphDir/homes")
     StateIO.publishSmallFile(spark, graphDir, GraphUptoFile,
       s"$newBatchTag\n")
     val fs = new org.apache.hadoop.fs.Path(graphDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(graphDir, GraphPendingMarker),
       false)
+  }
+
+  /** Catch the persisted graph up to the IVF state's CURRENT delete
+    * head — EDGE RETRACTION, the graph pillar's missing delete-side
+    * increment: a steady-state corpus deletes continuously (takedowns,
+    * dedup-driven removal), and before this every tombstone advance
+    * forced the full n^1.5 rebuild. Cost rides the deleted vectors'
+    * EDGE NEIGHBORHOODS, never the corpus:
+    *
+    *  1. WHERE the deleted vectors live comes from the slim `homes`
+    *     index, pruned to the deleted ids' `vb` buckets — two long
+    *     columns per touched bucket, not a corpus table scan;
+    *  2. the only owners whose top-k can reference a deleted vector are
+    *     those with a probe row in a cell the deleted vectors LIVE in
+    *     (an edge into d exists only if the owner probed d's home cell)
+    *     — a pruned read of those `probe_cid=` partitions; which of
+    *     them actually hold such an edge comes from an edges read
+    *     pruned to THOSE candidates' home partitions;
+    *  3. affected owners re-rank from scratch against their probed
+    *     cells' LIVE residents (a truncated top-k cannot be repaired
+    *     in place — the k+1-th candidate was never stored), deleted
+    *     vectors' own rows drop, and only the touched `home_cid=` /
+    *     `probe_cid=` / `vb=` partitions rewrite — partitions left
+    *     EMPTY by the retraction have their directories removed
+    *     (dynamic overwrite alone would leave the old files).
+    *
+    * Crash/idempotence posture: the `_graph_pending` marker gates reads
+    * publish-first/clear-last; every derived set is a function of the
+    * IVF tombstones above the FROZEN head (meta republishes only after
+    * all rewrites land), so a blind re-run re-derives a subset and
+    * completes. A crash mid-probes-cleanup can orphan probe rows of a
+    * deleted vector in cells whose partition was not yet rewritten;
+    * those are INERT — every consumer (batch delta candidates, resident
+    * sets, this function's own candidate reads) anti-joins the
+    * tombstones — and vanish at the next rebuild. No-op (head already
+    * current) returns after clearing a leftover delete marker.
+    * Parity with the post-delete full rebuild is the x166 gate. */
+  def knnGraphDeleteDeltaFromState(
+      spark: SparkSession, ivfDir: String,
+      graphDir: String): Unit = StateIO.withWriterLock(spark, graphDir) {
+    val (k, nProbe, delHead0) = readGraphMeta(spark, graphDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$graphDir carries no $GraphMetaFile — build the graph state " +
+          "first (buildKnnGraphState)"))
+    val delHead = ivfDeleteHead(spark, ivfDir)
+    require(delHead >= delHead0,
+      s"IVF delete head moved BACKWARD ($delHead0 -> $delHead) under the " +
+        s"graph state at $graphDir — the pillar's history was truncated " +
+        "or swapped out from under it; rebuild (buildKnnGraphState)")
+    val fs = new org.apache.hadoop.fs.Path(graphDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pend = new org.apache.hadoop.fs.Path(graphDir, GraphPendingMarker)
+    if (delHead == delHead0) {
+      // nothing to apply; a re-run whose predecessor crashed between the
+      // meta republish and the marker clear completes the clear here
+      if (StateIO.readSmallFile(spark, graphDir, GraphPendingMarker)
+          .exists(_.startsWith("deleting=")))
+        fs.delete(pend, false)
+      return
+    }
+    val tombs = StateIO.readTableIfExists(spark, ivfDir, "tombstones")
+      .getOrElse(throw new IllegalStateException(
+        s"delete head $delHead with no tombstones table at $ivfDir"))
+    val allTombVids = tombs.select(col("vid")).distinct()
+    val newDeleted = graft.ext.Dedup.materialize(
+      tombs.filter(col("delete_id") > delHead0)
+        .select(col("vid")).distinct())
+    val homesPath = s"$graphDir/homes"
+    val probesPath = s"$graphDir/probes"
+    val edgesPath = s"$graphDir/edges"
+    def republishMeta(): Unit =
+      StateIO.publishSmallFile(spark, graphDir, GraphMetaFile,
+        s"k=$k\nn_probe=$nProbe\ndelete_head=$delHead\n")
+    // 1. the deleted vectors' home cells — bucket-pruned homes read
+    val delBuckets = newDeleted
+      .select(pmod(col("vid"), lit(GraphHomeBuckets)).cast("int").as("vb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val homesAll = spark.read.parquet(homesPath)
+    val delHomes = graft.ext.Dedup.materialize(homesAll
+      .filter(col("vb").isin(delBuckets: _*)) // partition-pruned
+      .join(newDeleted, Seq("vid"), "left_semi")
+      .select(col("vid"), col("home_cid")))
+    val dCells = delHomes.select(col("home_cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (dCells.isEmpty) {
+      // none of the newly deleted ids are in the graph (deleted before
+      // ever being graphed) — only the frozen head advances
+      republishMeta()
+      return
+    }
+    val cents = spark.read.parquet(
+      StateIO.tablePath(spark, ivfDir, "centroids"))
+    val probesAll = spark.read.parquet(probesPath)
+    // 2. the deleted vectors' full probe-cell sets (for probes cleanup):
+    //    vectors come from their own-cell probe rows in the D
+    //    partitions; probing recomputes deterministically against the
+    //    frozen centroids
+    val deletedRows = probesAll
+      .filter(col("probe_cid").isin(dCells: _*)) // partition-pruned
+      .filter(col("home_cid") === col("probe_cid"))
+      .join(newDeleted, Seq("vid"), "left_semi")
+      .select(col("vid"), col("v"), col("vn").as("cn"),
+        col("home_cid").as("cid"))
+    val delProbes = graft.ext.Dedup.materialize(
+      probeTargets(deletedRows, cents, nProbe))
+    val pDel = delProbes.select(col("probe_cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // 3. affected owners: candidates are the probers of D (anti-joined
+    //    against ALL tombstones so crash-orphaned probe rows stay
+    //    inert); which of them hold an edge into a deleted vector comes
+    //    from an edges read pruned to the candidates' homes
+    val candOwners = graft.ext.Dedup.materialize(probesAll
+      .filter(col("probe_cid").isin(dCells: _*)) // partition-pruned
+      .join(allTombVids, Seq("vid"), "left_anti")
+      .select(col("vid"), col("v"), col("vn"), col("home_cid"))
+      .distinct())
+    val hCand = candOwners.select(col("home_cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val edgesAll = spark.read.parquet(edgesPath)
+    val affVids = graft.ext.Dedup.materialize(edgesAll
+      .filter(col("home_cid").isin(hCand: _*)) // partition-pruned
+      .join(newDeleted.select(col("vid").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      .select(col("vec_id").as("vid")).distinct())
+    // 4. re-rank the affected owners from scratch: their probe cells
+    //    recompute against the frozen centroids, residents are those
+    //    cells' LIVE own-cell probe rows
+    val ownerRows = candOwners.join(affVids, Seq("vid"), "left_semi")
+    val ownerProbes = graft.ext.Dedup.materialize(probeTargets(
+      ownerRows.select(col("vid"), col("v"), col("vn").as("cn"),
+        col("home_cid").as("cid")), cents, nProbe))
+    val pOwn = ownerProbes.select(col("probe_cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val residents = probesAll
+      .filter(col("probe_cid").isin(pOwn: _*)) // partition-pruned
+      .filter(col("home_cid") === col("probe_cid"))
+      .join(allTombVids, Seq("vid"), "left_anti")
+      .select(col("probe_cid"), col("vid").as("nid"), col("v").as("nv"),
+        col("vn").as("nn"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val reRanked = residents.join(ownerProbes, Seq("probe_cid"))
+      .filter(col("nid") =!= col("vid"))
+      .withColumn("cos", cosFrom(col("v"), col("vn"), col("nv"), col("nn")))
+      .select(col("vid"), col("home_cid"), col("nid"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vid").as("vec_id"), col("home_cid"),
+        col("nid").as("neighbor_id"), col("cos"), col("rank"))
+    // 5. touched edge partitions: the deleted vectors' homes (their own
+    //    lists die) plus the affected owners' homes (lists re-rank)
+    val hAff = ownerRows.select(col("home_cid").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val touchedEdge = (dCells ++ hAff).distinct
+    val gone = newDeleted.unionByName(affVids.select(col("vid")))
+    val keep = edgesAll
+      .filter(col("home_cid").isin(touchedEdge: _*)) // partition-pruned
+      .join(gone.select(col("vid").as("vec_id")), Seq("vec_id"),
+        "left_anti")
+    // ---- commit window: reads gate until the retraction completes ----
+    StateIO.publishSmallFile(spark, graphDir, GraphPendingMarker,
+      s"deleting=$delHead\n")
+    overwriteTouchedPartitions(spark, edgesPath,
+      keep.unionByName(reRanked), Seq("home_cid"),
+      touchedEdge.map(Seq(_)))
+    // 6. probes: drop the deleted vectors' rows from their probed cells
+    overwriteTouchedPartitions(spark, probesPath,
+      probesAll.filter(col("probe_cid").isin(pDel: _*))
+        .join(newDeleted, Seq("vid"), "left_anti"),
+      Seq("probe_cid"), pDel.map(Seq(_)))
+    // 7. homes: drop the deleted rows from their buckets
+    val touchedHomes = homesAll
+      .filter(col("vb").isin(delBuckets: _*))
+      .join(newDeleted, Seq("vid"), "left_semi")
+      .select(col("batch_id"), col("vb")).distinct()
+      .collect().map(r => Seq(r.get(0), r.get(1))).toSeq
+    overwriteTouchedPartitions(spark, homesPath,
+      homesAll.filter(col("vb").isin(delBuckets: _*))
+        .join(newDeleted, Seq("vid"), "left_anti"),
+      Seq("batch_id", "vb"), touchedHomes)
+    republishMeta()
+    fs.delete(pend, false)
   }
 
   /** The maintained graph relation: (vec_id, neighbor_id, cos, rank) —

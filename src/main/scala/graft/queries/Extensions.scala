@@ -3509,9 +3509,20 @@ object Extensions {
     val payloads = t(s, dir, "documents").select(col("doc_id"))
       .filter(col("doc_id") < 120).as[Long]
       .map(id => (id, syntheticBlockImage(id))).toDF("doc_id", "payload")
-    val hashes = Multimodal.perceptualHashBatch(payloads).toDF()
+    // byte-identical collapse FIRST (Dedup.collapsePayloadsExact): reps
+    // decode + band once; members expand back algebraically. This
+    // fixture has no byte-identical plants (every rendering differs), so
+    // the member relation equals the rep relation — x168 gates the
+    // planted-identical case where the collapse is load-bearing.
+    val (members, reps) =
+      Dedup.collapsePayloadsExact(payloads, "doc_id", "payload")
+    val hashes = Multimodal.perceptualHashBatch(reps, "rid").toDF()
       .filter(col("ok")).select(col("doc_id"), col("phash"))
-    Dedup.hammingPairs64(hashes, "doc_id", "phash", maxHamming = 3)
+    val repPairs =
+      Dedup.hammingPairs64(hashes, "doc_id", "phash", maxHamming = 3)
+    Dedup.expandRepPairs(repPairs, members)
+      .unionByName(Dedup.intraRepPairs(members,
+        reps.select(col("rid"), lit(0L).as("hamming"))))
       .orderBy("id_a", "id_b")
   }
 
@@ -3581,9 +3592,17 @@ object Extensions {
     val payloads = t(s, dir, "documents").select(col("doc_id"))
       .filter(col("doc_id") < 120).as[Long]
       .map(id => (id, syntheticWav(id))).toDF("doc_id", "payload")
-    val sigs = Multimodal.audioFingerprintBatch(payloads).toDF()
+    // same collapsed chain as x158 (no byte-identical plants here —
+    // x168 gates those); reps fingerprint + band once
+    val (members, reps) =
+      Dedup.collapsePayloadsExact(payloads, "doc_id", "payload")
+    val sigs = Multimodal.audioFingerprintBatch(reps, "rid").toDF()
       .filter(col("ok")).select(col("doc_id"), col("afp"))
-    Dedup.hammingPairs64(sigs, "doc_id", "afp", maxHamming = 3)
+    val repPairs =
+      Dedup.hammingPairs64(sigs, "doc_id", "afp", maxHamming = 3)
+    Dedup.expandRepPairs(repPairs, members)
+      .unionByName(Dedup.intraRepPairs(members,
+        reps.select(col("rid"), lit(0L).as("hamming"))))
       .orderBy("id_a", "id_b")
   }
 
@@ -3741,9 +3760,196 @@ object Extensions {
     val payloads = t(s, dir, "documents").select(col("doc_id"))
       .filter(col("doc_id") < 90).as[Long]
       .map(id => (id, syntheticVideo(id))).toDF("doc_id", "payload")
+    // byte-identical videos collapse BEFORE frame hashing (one decode +
+    // one shingle row set per distinct byte string); intra-group pairs
+    // share the group's full distinct-frame count by construction
+    val (members, reps) =
+      Dedup.collapsePayloadsExact(payloads, "doc_id", "payload")
+    val hashes = Multimodal.videoFrameHashes(reps, everyK = 1,
+        idCol = "rid").toDF()
+      .filter(col("ok")).select(col("doc_id"), col("phash"))
+    val repPairs = Multimodal.videoNearDupPairs(hashes, minShared = 5)
+    val groupShared = hashes.groupBy(col("doc_id").as("rid"))
+      .agg(countDistinct(col("phash")).as("shared_frames"))
+      .filter(col("shared_frames") >= 5)
+    Dedup.expandRepPairs(repPairs, members)
+      .unionByName(Dedup.intraRepPairs(members, groupShared))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** x166 — DELETE-AWARE kNN-graph maintenance
+    * ([[Similarity.knnGraphDeleteDeltaFromState]]): the graph pillar's
+    * missing delete-side increment — a steady-state corpus deletes
+    * continuously (takedowns, dedup-driven removal), and before this
+    * every tombstone advance forced the full n^1.5 rebuild. Fixture:
+    * build on batch 1, delta batch 2, then DELETE every vec_id ≡ 4
+    * (mod 9) and retract: affected owners are found through the
+    * bucket-pruned `homes` index + the deleted cells' probe partitions
+    * and re-rank against live residents only; the result must BE the
+    * post-delete full rebuild — engine-checked with a two-way exceptAll
+    * (pinned TRUE) and hash-gated against x156's oracle chain with the
+    * deleted ids removed from queries and candidates. */
+  def x166(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x166_state").toFile.getAbsolutePath
+    val state = s"$root/ivf"; val graph = s"$root/graph"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 375), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.buildKnnGraphState(s, state, graph, k = 3, nProbe = 2)
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 375), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.knnGraphDeltaFromState(s, state, graph, 2L)
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.knnGraphDeleteDeltaFromState(s, state, graph)
+    val inc = Dedup.materialize(Similarity.readKnnGraphState(s, graph))
+    val full = Dedup.materialize(
+      Similarity.knnGraphFromState(s, state, k = 3, nProbe = 2))
+    val matches = full.exceptAll(inc).head(1).isEmpty &&
+      inc.exceptAll(full).head(1).isEmpty
+    inc
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos_sim"))
+      .withColumn("matches_full_rebuild", lit(matches))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Deterministic MP4 header bytes for the x167 gate: brand/codec/
+    * timescale/duration/dims/track-count all id-derived arithmetic,
+    * encoded through [[Multimodal.packMp4]] as real ISO BMFF boxes —
+    * the parse side must run the real box walk (fixed-point dims,
+    * version-0 mvhd arithmetic) to reproduce the oracle's numbers.
+    * Track 1 carries the video geometry; extra tracks are audio. */
+  private[graft] def syntheticMp4(id: Long): Array[Byte] = {
+    val brands = Seq("isom", "mp42", "M4V ")
+    val codecs = Seq("avc1", "hvc1", "vp09")
+    val ts = 600 + (id % 5).toInt * 400
+    val dur = 1000L + (id % 23) * 777L
+    val w = 160 + (id % 7).toInt * 80
+    val h = 120 + (id % 4).toInt * 60
+    val extraTracks = (id % 3).toInt
+    Multimodal.packMp4(brands((id % 3).toInt), ts, dur,
+      (w, h, codecs((id % 3).toInt)) +:
+        Seq.fill(extraTracks)((0, 0, "mp4a")))
+  }
+
+  /** x167 — MP4 (ISO BMFF) HEADER METADATA ([[Multimodal.mp4Parse]] +
+    * the [[Multimodal.mediaMeta]] dispatcher row): what a real corpus's
+    * videos actually are — the GVID container (x162) stands in only for
+    * pixel access. Each payload is a real minimal-box MP4 (`ftyp` +
+    * `moov[mvhd, trak[tkhd, …stsd]]`); the engine box-walks brand,
+    * track count, version-0 mvhd duration arithmetic, 16.16 fixed-point
+    * presentation dims, and the first sample entry's codec fourcc —
+    * headers only, no sample data. Ids ≡ 4 (mod 5) are junk bytes the
+    * dispatcher must refuse as `bin`. The oracle re-derives every field
+    * from the fixture arithmetic. */
+  def x167(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 120).as[Long]
+      .map { id =>
+        val p =
+          if (id % 5 == 4) s"junk payload $id".getBytes("UTF-8")
+          else syntheticMp4(id)
+        (id, p)
+      }.toDF("doc_id", "payload")
+    val dispatch = Multimodal.mediaMetaBatch(payloads).toDF()
+      .select(col("doc_id"), col("media_type"))
+    Multimodal.mp4MetaBatch(payloads).toDF()
+      .join(dispatch, "doc_id")
+      .select(col("doc_id"), col("media_type"), col("brand"),
+        col("n_tracks"), col("duration_ms"), col("width"), col("height"),
+        col("codec"))
+      .orderBy("doc_id")
+  }
+
+  /** x168 — EXACT-COLLAPSE media near-dup
+    * ([[Dedup.collapsePayloadsExact]] + [[Dedup.hammingPairs64]] +
+    * [[Dedup.expandRepPairs]]/[[Dedup.intraRepPairs]]): the planted
+    * byte-identical case x158/x160/x162's fixtures do not carry —
+    * ids ≡ r (mod 48) are the SAME WAV bytes (web corpora: logos,
+    * spacers, silence), so k copies of one file would put k rows in
+    * every band bucket (O(k²) verified pairs) and decode k times.
+    * Collapsed, the group fingerprints once and the emitted relation is
+    * REP-level — pair counts linear in k — with group sizes alongside;
+    * the member-level relation recovered algebraically is engine-checked
+    * equal (two-way exceptAll, pinned TRUE) against the raw
+    * uncollapsed join at this fixture scale. The oracle re-derives the
+    * rep envelopes, the rep pair relation, and the group sizes
+    * arithmetically. */
+  def x168(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 120).as[Long]
+      .map(id => (id, syntheticWav(id % 48))).toDF("doc_id", "payload")
+    val (members, reps) =
+      Dedup.collapsePayloadsExact(payloads, "doc_id", "payload")
+    val sigs = Multimodal.audioFingerprintBatch(reps, "rid").toDF()
+      .filter(col("ok")).select(col("doc_id"), col("afp"))
+    val repPairs =
+      Dedup.hammingPairs64(sigs, "doc_id", "afp", maxHamming = 3)
+    // fixture-scale parity: the collapsed+expanded member relation must
+    // equal the raw uncollapsed banded join
+    val rawSigs = Multimodal.audioFingerprintBatch(payloads).toDF()
+      .filter(col("ok")).select(col("doc_id"), col("afp"))
+    val raw = Dedup.materialize(
+      Dedup.hammingPairs64(rawSigs, "doc_id", "afp", maxHamming = 3))
+    val expanded = Dedup.materialize(Dedup.expandRepPairs(repPairs, members)
+      .unionByName(Dedup.intraRepPairs(members,
+        reps.select(col("rid"), lit(0L).as("hamming")))))
+    val matches = raw.exceptAll(expanded).head(1).isEmpty &&
+      expanded.exceptAll(raw).head(1).isEmpty
+    val sizes = members.groupBy(col("rid")).agg(count(lit(1)).as("n"))
+    repPairs
+      .join(sizes.select(col("rid").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("rid").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"), col("n_a"),
+        col("n_b"))
+      .withColumn("collapsed_matches_raw", lit(matches))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Deterministic GVID payload for the x169 gate: x162's 6 group-keyed
+    * frames PLUS two corpus-wide lead-in frames (seeds 300/301 — the
+    * black-intro/logo-card hazard) at positions 0/1. The lead-ins render
+    * at each video's own resolution but dHash identically (the block
+    * pattern pools exactly at every 9×8 multiple), so every video shares
+    * them with every other. */
+  private[graft] def syntheticVideoLeadIn(id: Long): Array[Byte] = {
+    val g = (id % 30).toInt
+    val r = ((id / 30) % 3).toInt
+    Multimodal.packVideo((0 until 8).map { f =>
+      val seed =
+        if (f == 0) 300
+        else if (f == 1) 301
+        else if (id % 12 == 11 && f == 5) 200 + g
+        else g * 6 + (f - 2)
+      syntheticFramePng(seed, r)
+    })
+  }
+
+  /** x169 — HOT-FRAME CAP for video near-dup
+    * ([[Multimodal.videoNearDupPairs]] `maxFrameDf`): a corpus-wide
+    * common frame (black lead-in, studio logo) is a stopword shingle —
+    * one hash shared by f videos contributes f²/2 join rows and no
+    * signal. The cap drops hashes whose video-document-frequency
+    * exceeds it BEFORE the join (the inverted index's stopword
+    * posture), so pair counts stay bounded by real shared content and
+    * true-dup recall is unchanged: with the two planted lead-ins
+    * dropped (df = 90 > 10), the surviving relation is exactly x162's —
+    * group pairs share their 6 distinctive frames, edit plants 5. The
+    * oracle re-derives the per-frame hashes, the document frequencies,
+    * the cap, and the thresholded join arithmetically. */
+  def x169(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 90).as[Long]
+      .map(id => (id, syntheticVideoLeadIn(id))).toDF("doc_id", "payload")
     val hashes = Multimodal.videoFrameHashes(payloads, everyK = 1).toDF()
       .filter(col("ok")).select(col("doc_id"), col("phash"))
-    Multimodal.videoNearDupPairs(hashes, minShared = 5)
+    Multimodal.videoNearDupPairs(hashes, minShared = 5, maxFrameDf = 10)
       .orderBy("id_a", "id_b")
   }
 
@@ -4009,7 +4215,11 @@ object Extensions {
     "x162_video_neardup" -> (x162 _),
     "x163_fp_state_pairs" -> (x163 _),
     "x164_fp_clusters" -> (x164 _),
-    "x165_media_meta" -> (x165 _)
+    "x165_media_meta" -> (x165 _),
+    "x166_knn_graph_delete" -> (x166 _),
+    "x167_mp4_meta" -> (x167 _),
+    "x168_media_collapse" -> (x168 _),
+    "x169_video_hotframe" -> (x169 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -7707,6 +7917,31 @@ object Extensions {
          |  round(cos, 4) AS cos_sim, TRUE AS matches_full_rebuild
          |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
+    // x166: x156's oracle chain (k-means trained on batch 1, probes over
+    // the live corpus) with the deleted ids (vec_id ≡ 4 mod 9) removed
+    // from BOTH the query set and the candidate set — the post-delete
+    // rebuild the retraction must reproduce; parity engine-observed,
+    // pinned TRUE
+    "x166_knn_graph_delete" ->
+      s"""WITH $annEmbCte,
+         |b1 AS (SELECT vec_id, v FROM e WHERE vec_id < 375),
+         |${kmeansTrainCtes(src = "b1", probeWhere = "e.vec_id % 9 <> 4")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id AND af.vid % 9 <> 4),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id AS vec_id, neighbor_id, rank,
+         |  round(cos, 4) AS cos_sim, TRUE AS matches_full_rebuild
+         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
     // x157: x154's oracle chain (frozen-tokenizer encode, delete-respecting
     // budget window, md5 shards, integral-divide bins) joined to the
     // payload md5 — the SQL the WRITTEN FILES must hash-match
@@ -7885,6 +8120,116 @@ object Extensions {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(count(*) AS BIGINT) AS shared_frames
         |  FROM dh a JOIN dh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_frames FROM pairs
+        |WHERE shared_frames >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    // x167: every MP4 header field re-derived from the fixture
+    // arithmetic — brand/codec by id mod 3, version-0 mvhd duration_ms
+    // as integral (duration·1000)/timescale, track count, junk rows
+    // refused as bin with zeroed fields
+    "x167_mp4_meta" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 4 THEN 'bin' ELSE 'mp4' END AS media_type,
+        |  CASE WHEN doc_id % 5 = 4 THEN '' ELSE
+        |    CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+        |      ELSE 'M4V ' END END AS brand,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+        |    ELSE 1 + doc_id % 3 END AS INTEGER) AS n_tracks,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+        |    ELSE ((1000 + (doc_id % 23) * 777) * 1000)
+        |      // (600 + (doc_id % 5) * 400) END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+        |    ELSE 160 + (doc_id % 7) * 80 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+        |    ELSE 120 + (doc_id % 4) * 60 END AS INTEGER) AS height,
+        |  CASE WHEN doc_id % 5 = 4 THEN '' ELSE
+        |    CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+        |      ELSE 'vp09' END END AS codec
+        |FROM ids ORDER BY doc_id""".stripMargin,
+
+    // x168: reps are doc_id % 48 (min member id IS the residue), their
+    // envelopes re-derived as in x160, the REP-level pair relation
+    // thresholded at Hamming 3, group sizes counted over the planted
+    // byte-identical members; the collapsed-vs-raw member parity is
+    // engine-observed, pinned TRUE
+    "x168_media_collapse" ->
+      """WITH reps AS (
+        |  SELECT DISTINCT doc_id % 48 AS rid FROM documents
+        |  WHERE doc_id < 120),
+        |base AS (
+        |  SELECT rid, ws.i,
+        |    ((rid % 40) * 31 + ws.i * 53
+        |      + (ws.i * ws.i * ((rid % 40) + 7)) % 29) % 199 AS a
+        |  FROM reps, (SELECT unnest(range(0, 65)) AS i) ws),
+        |amps AS (
+        |  SELECT rid, i,
+        |    CASE WHEN rid % 12 = 11 AND i = 5
+        |      THEN (a + 97) % 199 ELSE a END AS a
+        |  FROM base),
+        |bits AS (
+        |  SELECT a.rid, a.i AS bit,
+        |    CASE WHEN a.a > b.a THEN 1 ELSE 0 END AS bitv
+        |  FROM amps a JOIN amps b
+        |    ON a.rid = b.rid AND b.i = a.i + 1
+        |  WHERE a.i < 64),
+        |ham AS (
+        |  SELECT a.rid AS id_a, b.rid AS id_b,
+        |    CAST(sum(CASE WHEN a.bitv != b.bitv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.rid < b.rid
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT doc_id % 48 AS rid, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id < 120 GROUP BY 1)
+        |SELECT h.id_a, h.id_b, h.hamming, sa.n AS n_a, sb.n AS n_b,
+        |  TRUE AS collapsed_matches_raw
+        |FROM ham h
+        |JOIN sizes sa ON sa.rid = h.id_a
+        |JOIN sizes sb ON sb.rid = h.id_b
+        |WHERE h.hamming <= 3 ORDER BY h.id_a, h.id_b""".stripMargin,
+
+    // x169: x162's per-frame hash derivation over 8 frames (two
+    // corpus-wide lead-in seeds at positions 0/1), then the document
+    // frequency of each hash, the df <= 10 stopword cap, and the
+    // thresholded shingle join — all arithmetic
+    "x169_video_hotframe" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 90),
+        |seeds AS (
+        |  SELECT doc_id, fs.f,
+        |    CASE WHEN fs.f = 0 THEN 300
+        |      WHEN fs.f = 1 THEN 301
+        |      WHEN doc_id % 12 = 11 AND fs.f = 5
+        |        THEN 200 + (doc_id % 30)
+        |      ELSE (doc_id % 30) * 6 + (fs.f - 2) END AS seed
+        |  FROM ids, (SELECT unnest(range(0, 8)) AS f) fs),
+        |px AS (
+        |  SELECT doc_id, f, bxs.bx, bys.by,
+        |    (seed * 37 + bxs.bx * 29 + bys.by * 17
+        |      + (bxs.bx * bys.by * (seed + 3)) % 13) % 199 AS v
+        |  FROM seeds,
+        |    (SELECT unnest(range(0, 9)) AS bx) bxs,
+        |    (SELECT unnest(range(0, 8)) AS by) bys),
+        |bits AS (
+        |  SELECT a.doc_id, a.f, a.by * 8 + a.bx AS bit,
+        |    CASE WHEN a.v > b.v THEN '1' ELSE '0' END AS bitv
+        |  FROM px a JOIN px b
+        |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.by = b.by
+        |    AND b.bx = a.bx + 1
+        |  WHERE a.bx < 8),
+        |hv AS (
+        |  SELECT doc_id, f, string_agg(bitv, '' ORDER BY bit) AS h
+        |  FROM bits GROUP BY doc_id, f),
+        |dh AS (SELECT DISTINCT doc_id, h FROM hv),
+        |df AS (SELECT h, count(*) AS n FROM dh GROUP BY h),
+        |kept AS (
+        |  SELECT dh.doc_id, dh.h FROM dh JOIN df USING (h)
+        |  WHERE df.n <= 10),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared_frames
+        |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, shared_frames FROM pairs
         |WHERE shared_frames >= 5 ORDER BY id_a, id_b""".stripMargin,

@@ -33,10 +33,11 @@ import graft.ext.{Similarity, StateIO}
   * no-skipped-batches refusal wants (tags are `batchId + 1`, keeping
   * tag 0 free as "before any batch" for as-of reads).
   *
-  * DELETES are the rebuild trigger, as everywhere in the graph family:
-  * a tombstone landing between micro-batches makes the next delta
-  * refuse on delete-head drift — run [[Similarity.buildKnnGraphState]]
-  * to re-freeze, and the stream resumes delta-ing from there. */
+  * DELETES increment in-stream: a tombstone landing between
+  * micro-batches is retracted by [[Similarity.knnGraphDeleteDeltaFromState]]
+  * (edge retraction at neighborhood cost) before the next batch delta
+  * applies — a no-op when the delete head has not moved — so delete
+  * traffic never forces the full rebuild onto the ingest path. */
 object GraphStream {
 
   def graphMaintainIngest(
@@ -67,8 +68,13 @@ object GraphStream {
           if (!StateIO.pathExists(spark, s"$graphDir/_graph_meta"))
             Similarity.buildKnnGraphState(spark, ivfDir, graphDir,
               k = graphK, nProbe = nProbe)
-          else
+          else {
+            // retract any tombstones that landed since the last batch
+            // (no-op when the delete head is current), then apply the
+            // batch — the delta refuses on drift otherwise
+            Similarity.knnGraphDeleteDeltaFromState(spark, ivfDir, graphDir)
             Similarity.knnGraphDeltaFromState(spark, ivfDir, graphDir, tag)
+          }
         }
         ()
       }

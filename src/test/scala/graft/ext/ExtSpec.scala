@@ -2278,12 +2278,17 @@ class ExtSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](
       Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L))
     assert(e1.getMessage.contains("in order"), e1.getMessage)
-    Similarity.knnGraphDeltaFromState(spark, ivf, g, 2L)
+    // maxDirtyFraction = 1.0 forces the TRUE incremental path (these
+    // small-fixture batches dirty most of the 8 cells, so the default
+    // cost gate would delegate to the rebuild and mask delta bugs)
+    Similarity.knnGraphDeltaFromState(spark, ivf, g, 2L,
+      maxDirtyFraction = 1.0)
     // mid-history parity: the graph at watermark 2 IS the as-of(2) graph
     assert(inc() == Similarity
       .knnGraphFromStateAsOf(spark, ivf, k = 3, asOfBatch = 2L, nProbe = 2)
       .as[(Long, Long, Double, Int)].collect().toSet)
-    Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L)
+    Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L,
+      maxDirtyFraction = 1.0)
     assert(inc() == full())
     // a blind re-run of the applied tag is an idempotent no-op; a tag
     // below the watermark refuses
@@ -2300,16 +2305,52 @@ class ExtSpec extends SparkSpec {
     assert(e3.getMessage.contains("unfinished"), e3.getMessage)
     Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L)
     assert(inc() == full())
-    // delete drift refuses the delta (edges into dead vectors cannot be
-    // retracted incrementally); a rebuild re-freezes the delete head
+    // delete drift refuses the BATCH delta; the DELETE delta retracts
+    // the dead vectors' edges at neighborhood cost and re-freezes the
+    // head — the graph must equal a post-delete full rebuild
     Similarity.deleteFromIvfState(spark, ivf,
       emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
       "vec_id", deleteTag = Some(1L))
     val e4 = intercept[IllegalArgumentException](
       Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L))
     assert(e4.getMessage.contains("tombstones advanced"), e4.getMessage)
-    Similarity.buildKnnGraphState(spark, ivf, g, k = 3, nProbe = 2)
+    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g)
     assert(inc() == full() && inc().nonEmpty)
+    // a blind re-run (head already current) is a no-op, and it clears a
+    // leftover delete marker from a crash between meta and marker-clear
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$g/_graph_pending"), "deleting=1\n")
+    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g)
+    assert(!new java.io.File(s"$g/_graph_pending").exists())
+    assert(inc() == full())
+    // no trace of the deleted ids anywhere in the graph state
+    val deadProbe = spark.read.parquet(s"$g/probes")
+      .filter(pmod(col("vid"), lit(9)) === 4).count()
+    val deadHome = spark.read.parquet(s"$g/homes")
+      .filter(pmod(col("vid"), lit(9)) === 4).count()
+    val deadEdge = spark.read.parquet(s"$g/edges")
+      .filter(pmod(col("vec_id"), lit(9)) === 4 ||
+        pmod(col("neighbor_id"), lit(9)) === 4).count()
+    assert((deadProbe, deadHome, deadEdge) == (0L, 0L, 0L),
+      s"stale deleted rows: probes=$deadProbe homes=$deadHome edges=$deadEdge")
+    // a SECOND delete wave also increments (head 1 -> 2)
+    Similarity.deleteFromIvfState(spark, ivf,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 5).select(col("vec_id")),
+      "vec_id", deleteTag = Some(2L))
+    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g)
+    assert(inc() == full() && inc().nonEmpty)
+    // the batch delta composes after the retraction: a fresh append
+    // applies against the re-frozen head (default cost gate — the
+    // spread batch delegates to the bounded rebuild, same output)
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 0), ivf,
+      k = 8, iters = 2, batchTag = Some(4L))
+    Similarity.knnGraphDeltaFromState(spark, ivf, g, 4L)
+    assert(inc() == full())
+    // deleting ids that were never graphed only advances the head
+    Similarity.deleteFromIvfState(spark, ivf,
+      emb.limit(0).select(col("vec_id")), "vec_id", deleteTag = Some(3L))
+    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g)
+    assert(inc() == full())
   }
 
   test("appendIvfState: empty first batch does not train/brick the state") {

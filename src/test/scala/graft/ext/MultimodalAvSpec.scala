@@ -9,6 +9,7 @@ import graft.SparkSpec
   * compose. */
 class MultimodalAvSpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions.{col, lit}
 
   /** 65 windows × `w` frames of constant positive amplitude per window —
     * the envelope construction the x160 gate uses: window `i` of wave
@@ -185,6 +186,114 @@ class MultimodalAvSpec extends SparkSpec {
       ("video", 18, 16, 2L))
     val bin = Multimodal.mediaMeta(4L, "just text".getBytes("UTF-8"))
     assert((bin.media_type, bin.n_bytes) == ("bin", 9L))
+  }
+
+  test("packMp4/mp4Parse round-trip; corrupt box sizes refuse, not crash") {
+    val b = Multimodal.packMp4("isom", timescale = 1000, duration = 4500,
+      tracks = Seq((640, 360, "avc1"), (0, 0, "mp4a")))
+    val Some((brand, nTracks, ts, dur, w, h, codec)) = Multimodal.mp4Parse(b)
+    assert((brand, nTracks, ts, dur) == ("isom", 2, 1000L, 4500L))
+    assert((w, h) == (640, 360), "first nonzero-width track supplies dims")
+    assert(codec == "avc1", "first stsd sample entry supplies the codec")
+    // audio-only file: no video track, dims stay 0
+    val audio = Multimodal.packMp4("M4A ", 44100, 441000,
+      Seq((0, 0, "mp4a")))
+    assert(Multimodal.mp4Parse(audio).get._5 == 0)
+    assert(Multimodal.mp4Parse(audio).get._7 == "mp4a")
+    // refusals: not BMFF, and a box size overrunning its container
+    assert(Multimodal.mp4Parse("not a movie".getBytes).isEmpty)
+    assert(Multimodal.mp4Parse(java.util.Arrays.copyOf(b, 40)).isEmpty)
+    val corrupt = b.clone()
+    // blow up the moov box's declared size (it starts right after the
+    // 20-byte ftyp): 0x7fffffff overruns the buffer
+    corrupt(20) = 0x7f.toByte; corrupt(21) = 0xff.toByte
+    corrupt(22) = 0xff.toByte; corrupt(23) = 0xff.toByte
+    assert(Multimodal.mp4Parse(corrupt).isEmpty)
+    // dispatcher routes mp4 with duration arithmetic
+    val m = Multimodal.mediaMeta(9L, b)
+    assert((m.media_type, m.width, m.height, m.duration_ms) ==
+      ("mp4", 640, 360, 4500L))
+  }
+
+  test("collapsePayloadsExact + expand/intra recover the member pair " +
+      "relation with rep-level (linear) band work") {
+    // 4 distinct recordings; recording 0 planted 3× byte-identical,
+    // recording 1 planted 2×; 2 is a near-dup (edit) of 0; 3 unrelated
+    val p0 = wave(5, 16, 8000)
+    val docs = Seq(
+      10L -> p0, 40L -> p0.clone(), 70L -> p0.clone(),
+      20L -> wave(6, 16, 8000), 50L -> wave(6, 16, 8000),
+      30L -> wave(5, 16, 8000, edit = Some(5)),
+      60L -> wave(9, 16, 8000)
+    ).toDF("doc_id", "payload")
+    val (members, reps) = Dedup.collapsePayloadsExact(docs, "doc_id", "payload")
+    assert(reps.count() == 4, "4 distinct byte strings -> 4 reps")
+    assert(members.count() == 7)
+    val sigs = Multimodal.audioFingerprintBatch(reps, "rid").toDF()
+      .filter(col("ok")).select(col("doc_id"), col("afp"))
+    val repPairs = Dedup.hammingPairs64(sigs, "doc_id", "afp", maxHamming = 3)
+    // rep-level pair count is independent of the plant multiplicity
+    assert(repPairs.count() == 1, "only (10, 30) pairs at rep level")
+    val full = Dedup.expandRepPairs(repPairs, members)
+      .unionByName(Dedup.intraRepPairs(members,
+        reps.select(col("rid"), lit(0L).as("hamming"))))
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    // member level: the 0-group triangle (3), the 1-group pair (1), and
+    // the near-dup edges from each 0-copy to the edit (3)
+    assert(full == Set((10L, 40L, 0L), (10L, 70L, 0L), (40L, 70L, 0L),
+      (20L, 50L, 0L),
+      (10L, 30L, full.find(p => p._1 == 10L && p._2 == 30L).get._3),
+      (30L, 40L, full.find(p => p._1 == 30L && p._2 == 40L).get._3),
+      (30L, 70L, full.find(p => p._1 == 30L && p._2 == 70L).get._3)))
+    // the expanded cross pairs carry the rep pair's hamming
+    val crossHams = full.filter(p => Set(30L).contains(p._1) ||
+      Set(30L).contains(p._2)).map(_._3)
+    assert(crossHams.size == 1 || crossHams.forall(_ == crossHams.head))
+  }
+
+  test("videoNearDupPairs maxFrameDf drops corpus-wide hot frames " +
+      "without losing true-dup recall") {
+    // the x162 block pattern: NONLINEAR in the seed, so distinct seeds
+    // produce distinct dHashes (a plain gradient is dHash-invariant
+    // across seeds — every row comparison sees the same sign)
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val bx = x * 9 / 18; val by = y * 8 / 16
+        val v = (seed * 37 + bx * 29 + by * 17 +
+          (bx * by * (seed + 3)) % 13) % 199
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // every video opens with the same 3 lead-in frames (the black-intro
+    // hazard); videos 1/2 are true dups (share all 4 real frames),
+    // 3..8 are pairwise unrelated (modulo incidental 1-2 frame hash
+    // collisions, which sit below the minShared=3 threshold)
+    def vid(reals: Seq[Int]): Array[Byte] =
+      Multimodal.packVideo(Seq(png(900), png(901), png(902)) ++
+        reals.map(png))
+    val df = (Seq(
+      1L -> vid(Seq(10, 11, 12, 13)), 2L -> vid(Seq(10, 11, 12, 13))) ++
+      (3L to 8L).map(i => i -> vid(Seq(20 + i.toInt * 4, 21 + i.toInt * 4,
+        22 + i.toInt * 4, 23 + i.toInt * 4))))
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.videoFrameHashes(df, everyK = 1).toDF()
+      .filter(col("ok")).select(col("doc_id"), col("phash"))
+    // uncapped: the lead-ins alone pair EVERY video with every other —
+    // 28 quadratic junk pairs
+    val uncapped = Multimodal.videoNearDupPairs(hashes, minShared = 3)
+    assert(uncapped.count() == 28)
+    // capped: lead-in hashes (df=8) drop; only the true dup survives,
+    // with shared_frames counted over its distinctive frames
+    val capped = Multimodal.videoNearDupPairs(hashes, minShared = 3,
+      maxFrameDf = 4)
+    assert(capped.select("id_a", "id_b", "shared_frames")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 2L, 4L)))
   }
 
   test("GVID pack/unpack, frame sampling, and the video near-dup join") {
