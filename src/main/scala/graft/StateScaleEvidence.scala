@@ -215,10 +215,32 @@ object StateScaleEvidence {
       val (tgDeltaLocal, _) = time {
         Similarity.knnGraphDeltaFromState(spark, vs, gDir, 5L)
       }
+      // delete-side increment (edge retraction): a LOCALIZED retraction
+      // (the tag-5 batch — one cell's residents, the takedown/dedup
+      // steady state) and a small SPREAD one (~0.1% of the corpus). The
+      // claim under test is cost ∝ the deleted vectors' edge
+      // neighborhoods — the homes lookup prunes to the deleted ids'
+      // buckets, candidates to the deleted cells' probe partitions —
+      // never a corpus rescan (delete tags sit above the truncation
+      // floor set earlier)
+      Similarity.deleteFromIvfState(spark, vs,
+        localBatch.select(col("vec_id")), "vec_id", deleteTag = Some(11L))
+      val (tgDeleteLocal, _) = time {
+        Similarity.knnGraphDeleteDeltaFromState(spark, vs, gDir)
+      }
+      Similarity.deleteFromIvfState(spark, vs,
+        emb.filter(pmod(col("vec_id"), lit(997)) === 3)
+          .select(col("vec_id")),
+        "vec_id", deleteTag = Some(12L))
+      val (tgDeleteSpread, _) = time {
+        Similarity.knnGraphDeleteDeltaFromState(spark, vs, gDir)
+      }
       s""","cells":$kCells,"graph":{"knn":${fmt(tgKnn)},""" +
         s""""mutual":${fmt(tgMutual)},"clusters":${fmt(tgClusters)},""" +
         s""""build":${fmt(tgBuild)},"delta":${fmt(tgDelta)},""" +
         s""""delta_local":${fmt(tgDeltaLocal)},""" +
+        s""""delete_delta_local":${fmt(tgDeleteLocal)},""" +
+        s""""delete_delta_spread":${fmt(tgDeleteSpread)},""" +
         s""""edges":$knnEdges,"pairs":$mutualPairs,"labeled":$clusterRows}"""
     }
 

@@ -651,10 +651,18 @@ class StreamingSpec extends SparkSpec {
       assert(new java.io.File(s"$graphDir/edges").exists())
       stream.addData(emb.filter(t => t._1 >= 150 && t._1 < 300).toSeq)
       q.processAllAvailable()
+      // a DELETE wave lands between micro-batches (a takedown, a dedup
+      // removal): the next micro-batch must retract its edges in-stream
+      // (delete delta, then batch delta) — not refuse, not rebuild
+      graft.ext.Similarity.deleteFromIvfState(spark, ivfDir,
+        emb.filter(t => t._1 < 300 && t._1 % 11 == 3).map(_._1).toSeq
+          .toDF("vec_id"),
+        "vec_id", deleteTag = Some(1L))
       stream.addData(emb.filter(_._1 >= 300).toSeq)
       q.processAllAvailable()
     } finally q.stop()
-    // the maintained graph IS the from-scratch whole rebuild
+    // the maintained graph IS the from-scratch whole rebuild (which
+    // reads live cells — the post-delete truth)
     def edges(df: org.apache.spark.sql.DataFrame) = df
       .select(col("vec_id"), col("neighbor_id"), col("rank").cast("int"),
         round(col("cos"), 9))
@@ -663,6 +671,9 @@ class StreamingSpec extends SparkSpec {
     val full = edges(graft.ext.Similarity.knnGraphFromState(
       spark, ivfDir, k = 3, nProbe = 2))
     assert(inc == full && inc.nonEmpty)
+    // no edge touches a deleted id in either direction
+    assert(!inc.exists(e => (e._1 < 300 && e._1 % 11 == 3) ||
+      (e._2 < 300 && e._2 % 11 == 3)))
     // each micro-batch landed as its own tagged IVF partition (tag =
     // batchId + 1; batch 0 was empty so tag 1 holds nothing trained —
     // the first DATA batch is tag 2)
