@@ -219,6 +219,8 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "media_meta", exprs => mediaMeta(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "mp4_meta", exprs => mp4Meta(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "knn_graph_state", exprs => knnGraphState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
@@ -909,18 +911,36 @@ object TableFunctions {
     plan(graft.ext.Multimodal.videoFrameHashes(table, everyK, id, payload).toDF())
   }
 
-  /** `video_neardup(hashes_table, id, hash, min_shared)` →
-    * [[graft.ext.Multimodal.videoNearDupPairs]]: videos sharing ≥
-    * min_shared distinct sampled-frame hashes. */
+  /** `video_neardup(hashes_table, id, hash, min_shared[, max_frame_df])`
+    * → [[graft.ext.Multimodal.videoNearDupPairs]]: videos sharing ≥
+    * min_shared distinct sampled-frame hashes; the optional df cap
+    * drops corpus-wide hot frames (stopword posture) before the join. */
   private def videoNeardup(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
     val f = "video_neardup"
-    requireArity(f, exprs, min = 4, max = 4)
+    requireArity(f, exprs, min = 4, max = 5)
     val args = new Args(f, exprs)
     val table = args.table(spark, "table")
     val id = args.name("id")
     val hash = args.name("hash")
     val minShared = args.int("min_shared")
-    plan(graft.ext.Multimodal.videoNearDupPairs(table, minShared, id, hash))
+    val maxFrameDf =
+      if (args.exhausted) Int.MaxValue else args.int("max_frame_df")
+    plan(graft.ext.Multimodal.videoNearDupPairs(table, minShared, id, hash,
+      maxFrameDf))
+  }
+
+  /** `mp4_meta(table, id, payload)` →
+    * [[graft.ext.Multimodal.mp4MetaBatch]]: ISO BMFF header metadata
+    * (brand, tracks, duration, fixed-point dims, codec fourcc) per
+    * binary payload — box walk only, sample data untouched. */
+  private def mp4Meta(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "mp4_meta"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val payload = args.name("payload")
+    plan(graft.ext.Multimodal.mp4MetaBatch(table, id, payload).toDF())
   }
 
   /** `fp_state_pairs('stateDir', batch_table, id, sig[, max_hamming])` →

@@ -738,6 +738,19 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql("SELECT * FROM media_meta('tvf_mixed', 'doc_id', 'payload')"),
       graft.ext.Multimodal.mediaMetaBatch(mixed).toDF())
+    // the optional hot-frame cap rides through the TVF surface
+    assertSame(
+      spark.sql(
+        "SELECT * FROM video_neardup('tvf_vfh', 'doc_id', 'phash', 5, 8)"),
+      graft.ext.Multimodal.videoNearDupPairs(fh, minShared = 5,
+        maxFrameDf = 8))
+    val mp4s = (0L until 40L)
+      .map(id => (id, graft.queries.Extensions.syntheticMp4(id)))
+      .toDF("doc_id", "payload")
+    mp4s.createOrReplaceTempView("tvf_mp4s")
+    assertSame(
+      spark.sql("SELECT * FROM mp4_meta('tvf_mp4s', 'doc_id', 'payload')"),
+      graft.ext.Multimodal.mp4MetaBatch(mp4s).toDF())
   }
 
   test("round-14 wave-2 TVFs: state_diff, mmr_from_state, capped_mix") {
