@@ -712,6 +712,146 @@ object Multimodal {
       })
   }
 
+  // ========================= AUDIO (MP3) =========================
+
+  /** MPEG-1/2/2.5 Layer III bitrate tables (kbps), by bitrate_index
+    * 1–14 (0 = "free" and 15 = invalid both refuse — a free-bitrate
+    * stream needs frame-sync scanning, not header arithmetic). */
+  private val Mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** Sample-rate tables by version: index 0–2 (3 is reserved). */
+  private val Mp3SampleRateV1 = Array(44100, 48000, 32000)
+  private val Mp3SampleRateV2 = Array(22050, 24000, 16000)
+  private val Mp3SampleRateV25 = Array(11025, 12000, 8000)
+
+  /** Parsed header geometry of an MP3 (MPEG audio Layer III) payload —
+    * with WAV ([[wavParse]]) and MP4 ([[mp4Parse]]) this covers what a
+    * real crawl's audio actually is. HEADER-ONLY: an optional ID3v2 tag
+    * is SKIPPED via its syncsafe size (never read), then the first
+    * frame header's 4 bytes decode version / bitrate / sample rate /
+    * channel mode from the spec tables; frame count and duration are
+    * the CBR estimate ⌊payload / frame_len⌋ (the standard header-level
+    * answer — exact VBR duration needs a full frame walk a metadata
+    * filter should never pay). Returns (version, bitrate_kbps,
+    * sample_rate, channels, frames, duration_ms); None for anything
+    * that is not a whole-frame Layer III stream — reserved version/
+    * rate bits, free bitrate, Layer I/II, a tag with no audio after
+    * it, torn syncsafe bytes — corrupt/adversarial payloads refuse,
+    * never crash (the [[wavParse]] contract). */
+  private[graft] def mp3Parse(
+      b: Array[Byte]): Option[(String, Int, Int, Int, Long, Long)] = {
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // syncsafe u28: four bytes, high bit clear on each (else torn tag)
+      if (((b(6) | b(7) | b(8) | b(9)) & 0x80) != 0) return None
+      val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + tagSize
+      if (off < 0 || off > b.length) return None // tag overruns payload
+    }
+    if (off + 4 > b.length) return None
+    if ((b(off) & 0xff) != 0xff || (b(off + 1) & 0xe0) != 0xe0) return None
+    val versionBits = (b(off + 1) >> 3) & 3
+    val layerBits = (b(off + 1) >> 1) & 3
+    if (versionBits == 1 || layerBits != 1) return None // reserved / not L3
+    val brIdx = (b(off + 2) >> 4) & 0xf
+    val srIdx = (b(off + 2) >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val padding = (b(off + 2) >> 1) & 1
+    val channels = if (((b(off + 3) >> 6) & 3) == 3) 1 else 2
+    val (version, bitrate, sampleRate, spf) = versionBits match {
+      case 3 => ("1", Mp3BitrateV1L3(brIdx), Mp3SampleRateV1(srIdx), 1152)
+      case 2 => ("2", Mp3BitrateV2L3(brIdx), Mp3SampleRateV2(srIdx), 576)
+      case _ => ("2.5", Mp3BitrateV2L3(brIdx), Mp3SampleRateV25(srIdx), 576)
+    }
+    val frameBytes = spf / 8 * bitrate * 1000 / sampleRate + padding
+    val frames = ((b.length - off) / frameBytes).toLong
+    if (frames < 1) return None // clipped before one whole frame
+    Some((version, bitrate, sampleRate, channels, frames,
+      frames * spf * 1000L / sampleRate))
+  }
+
+  /** Synthesize a CBR Layer III stream — [[mp3Parse]]'s write-side twin
+    * ([[packWav]]'s role, for the x172 gate): an optional zero-padded
+    * ID3v2.4 tag with a bit-faithful syncsafe size, then `nFrames`
+    * frames each opening with a spec-layout header (padding bit clear)
+    * and filled to the exact CBR frame length. The fill is not decodable
+    * audio — the header fields and frame arithmetic, which is all the
+    * parser and a metadata-level filter read, are bit-faithful. */
+  def packMp3(
+      version: String, bitrateIdx: Int, srIdx: Int, mono: Boolean,
+      nFrames: Int, id3Bytes: Int = 0): Array[Byte] = {
+    val versionBits = version match {
+      case "1" => 3
+      case "2" => 2
+      case "2.5" => 0
+      case v => throw new IllegalArgumentException(
+        s"version must be 1, 2 or 2.5, got '$v'")
+    }
+    require(bitrateIdx >= 1 && bitrateIdx <= 14,
+      s"bitrate index must be in 1..14, got $bitrateIdx")
+    require(srIdx >= 0 && srIdx <= 2,
+      s"sample-rate index must be in 0..2, got $srIdx")
+    require(nFrames >= 1, s"need at least one frame, got $nFrames")
+    require(id3Bytes >= 0 && id3Bytes < (1 << 28),
+      s"ID3v2 size must fit a syncsafe u28, got $id3Bytes")
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      bos.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      bos.write(Array[Byte](((id3Bytes >> 21) & 0x7f).toByte,
+        ((id3Bytes >> 14) & 0x7f).toByte, ((id3Bytes >> 7) & 0x7f).toByte,
+        (id3Bytes & 0x7f).toByte))
+      bos.write(new Array[Byte](id3Bytes))
+    }
+    val (bitrate, sampleRate, spf) = versionBits match {
+      case 3 => (Mp3BitrateV1L3(bitrateIdx), Mp3SampleRateV1(srIdx), 1152)
+      case 2 => (Mp3BitrateV2L3(bitrateIdx), Mp3SampleRateV2(srIdx), 576)
+      case _ => (Mp3BitrateV2L3(bitrateIdx), Mp3SampleRateV25(srIdx), 576)
+    }
+    val frameBytes = spf / 8 * bitrate * 1000 / sampleRate
+    val header = Array[Byte](0xff.toByte,
+      (0xe0 | (versionBits << 3) | (1 << 1) | 1).toByte, // L3, no CRC
+      ((bitrateIdx << 4) | (srIdx << 2)).toByte, // padding 0, private 0
+      (if (mono) 0xc0 else 0x00).toByte)
+    val frame = new Array[Byte](frameBytes)
+    System.arraycopy(header, 0, frame, 0, 4)
+    java.util.Arrays.fill(frame, 4, frameBytes, 0x55.toByte)
+    (1 to nFrames).foreach(_ => bos.write(frame))
+    bos.toByteArray
+  }
+
+  /** Typed MP3 header metadata in the once-per-partition batch shape —
+    * `ok = false` marks payloads that are not whole-frame Layer III. */
+  final case class Mp3Meta(
+      doc_id: Long,
+      ok: Boolean,
+      version: String,
+      bitrate_kbps: Int,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long)
+
+  def mp3MetaBatch(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[Mp3Meta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        mp3Parse(bytes) match {
+          case Some((ver, br, sr, ch, frames, durMs)) =>
+            Mp3Meta(id, ok = true, ver, br, sr, ch, frames, durMs)
+          case None => Mp3Meta(id, ok = false, "", 0, 0, 0, 0L, 0L)
+        }
+      })
+  }
+
   // ================== UNIFIED MEDIA-TYPE DISPATCH ==================
 
   /** One typed-metadata row for ANY payload — the dispatcher a mixed
@@ -719,7 +859,9 @@ object Multimodal {
     * magic-byte dispatch to the image header parser ([[HeaderDecoder]]),
     * the WAV chunk walk ([[wavParse]]), the MP4 box walk ([[mp4Parse]] —
     * presentation dims + mvhd duration; brand/codec detail via
-    * [[mp4MetaBatch]]), or the GVID container header (frame count +
+    * [[mp4MetaBatch]]), the MP3 frame-header decode ([[mp3Parse]] —
+    * channels / sample rate / CBR frame count and duration), or the
+    * GVID container header (frame count +
     * FIRST frame's image header for dimensions — headers only, no
     * pixel/sample decode anywhere on this path). Fields not meaningful
     * for a type are 0; unrecognized payloads are `bin`. */
@@ -747,13 +889,17 @@ object Multimodal {
       case None => mp4Parse(payload) match {
         case Some((_, _, ts, dur, mw, mh, _)) =>
           MediaTypeMeta(id, "mp4", mw, mh, 0, 0, 0L, dur * 1000L / ts, n)
-        case None => unpackVideo(payload) match {
-          case Some(frames) =>
-            val (_, fw, fh) = frames.headOption
-              .map(HeaderDecoder.parse).getOrElse(("bin", 0, 0))
-            MediaTypeMeta(id, "video", fw, fh, 0, 0, frames.length.toLong,
-              0L, n)
-          case None => MediaTypeMeta(id, "bin", 0, 0, 0, 0, 0L, 0L, n)
+        case None => mp3Parse(payload) match {
+          case Some((_, _, sr, ch, frames, durMs)) =>
+            MediaTypeMeta(id, "mp3", 0, 0, ch, sr, frames, durMs, n)
+          case None => unpackVideo(payload) match {
+            case Some(frames) =>
+              val (_, fw, fh) = frames.headOption
+                .map(HeaderDecoder.parse).getOrElse(("bin", 0, 0))
+              MediaTypeMeta(id, "video", fw, fh, 0, 0, frames.length.toLong,
+                0L, n)
+            case None => MediaTypeMeta(id, "bin", 0, 0, 0, 0, 0L, 0L, n)
+          }
         }
       }
     }

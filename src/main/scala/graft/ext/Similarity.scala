@@ -773,6 +773,115 @@ object Similarity {
         count(lit(1)).over(Window.partitionBy(col("rep"))))
   }
 
+  // ---------- graph centrality / quality propagation (PageRank) ----------
+
+  /** PAGERANK-STYLE QUALITY PROPAGATION over a directed edge relation —
+    * the curation primitive behind link-graph quality weighting
+    * (CommonCrawl-style domain ranking) and seed-bootstrapped corpus
+    * scoring: with a `teleport` distribution concentrated on a trusted
+    * seed set (personalized PageRank), every node inherits quality from
+    * how reachable it is from the seeds through the similarity / link
+    * graph. Reference scope check: the reference engine has no graph
+    * operators at all; this extends its curation surface the same way
+    * the dedup/ANN pillars do.
+    *
+    * Fixed `iters` power-iteration rounds — deterministic by
+    * construction (an oracle re-derives every round arithmetically;
+    * convergence-threshold stopping would make the output depend on
+    * float comparison order across engines):
+    *
+    *   pr_0(v)   = tp(v)
+    *   pr_i+1(v) = (1−d)·tp(v) + d·(Σ_{u→v} pr_i(u)/outdeg(u) + D_i·tp(v))
+    *
+    * with `tp` the normalized teleport vector (uniform 1/N when none is
+    * given) and D_i the dangling mass — score sitting on nodes with no
+    * out-edges, redistributed by tp (the standard remedy) so total mass
+    * stays 1 every round. Edges into or out of nodes OUTSIDE `nodes`
+    * are dropped first (tombstoned vectors neither donate nor receive).
+    *
+    * Scale shape, per round: one join of the score vector (n rows)
+    * against the out-weighted edge list on the source key — the edge
+    * list is out-weighted and repartitioned by `src` ONCE before the
+    * loop, so every round's join reuses that layout — one
+    * map-side-combined sum by destination, and a 1-row scalar broadcast
+    * for the dangling mass (nothing corpus-wide ever sits on the
+    * driver). Each round's score frame is materialized
+    * (checkpoint/localCheckpoint) so lineage stays FLAT across rounds —
+    * the standard iterative-algorithm posture on Spark; without it the
+    * plan re-derives round 1 inside round i. Total cost
+    * iters · O(|E| + |V|), never quadratic. */
+  def pageRank(
+      edges: DataFrame, nodes: DataFrame, iters: Int,
+      damping: Double = 0.85,
+      teleport: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1, s"pageRank iters must be >= 1, got $iters")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"pageRank damping must be in [0, 1], got $damping")
+    val vids = Dedup.materialize(nodes.select(col("vid")).distinct())
+    val nN = vids.count()
+    require(nN > 0, "pageRank needs a non-empty node set")
+    val tp = teleport match {
+      case Some(t) =>
+        // normalize over the node set (1-row scalar broadcast); weight
+        // landing on unknown nodes is dropped BEFORE the sum so the
+        // distribution still adds to 1 over live nodes
+        val w = vids.join(
+            t.select(col("vid"), col("tp").cast("double").as("graft_w")),
+            Seq("vid"), "left")
+          .select(col("vid"), coalesce(col("graft_w"), lit(0.0)).as("graft_w"))
+        val tot = w.agg(sum(col("graft_w")).as("graft_tot"))
+        Dedup.materialize(w.crossJoin(broadcast(tot))
+          .select(col("vid"), (col("graft_w") / col("graft_tot")).as("tp")))
+      case None =>
+        Dedup.materialize(vids.withColumn("tp", lit(1.0 / nN)))
+    }
+    val e = edges.select(col("src"), col("dst"))
+      .join(vids.select(col("vid").as("src")), Seq("src"))
+      .join(vids.select(col("vid").as("dst")), Seq("dst"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("graft_od"))
+    val wEdges = Dedup.materialize(
+      e.join(outdeg, Seq("src"))
+        .select(col("src"), col("dst"), (lit(1.0) / col("graft_od")).as("w"))
+        .repartition(col("src")))
+    val sources = Dedup.materialize(
+      wEdges.select(col("src").as("vid")).distinct())
+    var scores = tp.select(col("vid"), col("tp").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = scores.join(wEdges, scores("vid") === wEdges("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") * col("w")).as("graft_in"))
+      val dangling = scores.join(sources, Seq("vid"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("graft_dm"))
+      scores = Dedup.materialize(
+        tp.join(contrib, tp("vid") === contrib("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(tp("vid"),
+            (lit(1.0 - damping) * col("tp") + lit(damping) *
+              (coalesce(col("graft_in"), lit(0.0)) +
+                col("graft_dm") * col("tp"))).as("pr")))
+    }
+    scores
+  }
+
+  /** [[pageRank]] over the kNN graph derived from a persisted IVF
+    * state: nodes = the LIVE vectors (isolated vectors still hold
+    * teleport mass), edges = [[knnGraphFromState]]'s top-k relation —
+    * semantic centrality: a vector many others count among their
+    * nearest neighbors (a dense-region exemplar, or with a seeded
+    * `teleport` a vector semantically close to the trusted set) scores
+    * high; hub-artifact one-directional edges donate only 1/outdeg.
+    * Cost: the n^1.5-enveloped graph build plus iters · O(n·k). */
+  def pageRankFromState(
+      spark: SparkSession, dir: String, k: Int, iters: Int,
+      damping: Double = 0.85, nProbe: Int = 2,
+      teleport: Option[DataFrame] = None): DataFrame = {
+    val edges = knnGraphCore(spark, dir, k, nProbe, asOf = None)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val nodes = readCellsLive(spark, dir, asOf = None).select(col("vid"))
+    pageRank(edges, nodes, iters, damping, teleport)
+      .select(col("vid").as("vec_id"), col("pr"))
+  }
+
   // ------------- persisted kNN-graph state (incremental twin) -------------
 
   private val GraphMetaFile = "_graph_meta"

@@ -221,6 +221,10 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "mp4_meta", exprs => mp4Meta(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "mp3_meta", exprs => mp3Meta(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
+      "page_rank", exprs => pageRank(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "knn_graph_state", exprs => knnGraphState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
@@ -995,6 +999,46 @@ object TableFunctions {
     requireArity(f, exprs, min = 1, max = 1)
     val args = new Args(f, exprs)
     plan(Similarity.readKnnGraphState(spark, args.name("graph_dir")))
+  }
+
+  /** `page_rank('ivfDir', k, iters[, damping[, seeds, id, weight]])` →
+    * [[Similarity.pageRankFromState]]: PageRank-style quality
+    * propagation over the kNN graph of a persisted IVF state — with a
+    * seed table, personalized (teleport ∝ seed weight). */
+  private def pageRank(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "page_rank"
+    requireArity(f, exprs, min = 3, max = 7)
+    val args = new Args(f, exprs)
+    val dir = args.name("ivf_dir")
+    val k = args.int("k")
+    val iters = args.int("iters")
+    val damping = if (args.exhausted) 0.85 else args.double("damping")
+    val teleport =
+      if (args.exhausted) None
+      else {
+        val seeds = args.table(spark, "seeds")
+        val id = args.name("id")
+        val weight = args.name("weight")
+        Some(seeds.select(org.apache.spark.sql.functions.col(id).as("vid"),
+          org.apache.spark.sql.functions.col(weight).as("tp")))
+      }
+    plan(Similarity.pageRankFromState(spark, dir, k, iters, damping,
+      teleport = teleport))
+  }
+
+  /** `mp3_meta(table, id, payload)` →
+    * [[graft.ext.Multimodal.mp3MetaBatch]]: MPEG Layer III header
+    * metadata (version, bitrate, sample rate, channels, CBR frame
+    * count/duration) per binary payload — ID3v2 skipped by its
+    * syncsafe size, sample bytes never read. */
+  private def mp3Meta(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "mp3_meta"
+    requireArity(f, exprs, min = 3, max = 3)
+    val args = new Args(f, exprs)
+    val table = args.table(spark, "table")
+    val id = args.name("id")
+    val payload = args.name("payload")
+    plan(graft.ext.Multimodal.mp3MetaBatch(table, id, payload).toDF())
   }
 
   /** `lang_confusion(table, lang, text)` →

@@ -3953,6 +3953,108 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
+  /** x170 — PAGERANK SEMANTIC CENTRALITY over the kNN graph
+    * ([[Similarity.pageRankFromState]]): the link-analysis curation
+    * primitive (CommonCrawl-style graph quality weighting) applied to
+    * the semantic graph — a vector many others count among their
+    * nearest neighbors is a dense-region exemplar; donors split their
+    * mass 1/outdeg, so hub artifacts donate little. Fixture: x150's IVF
+    * chain (train k=8, delete vec_id ≡ 4 mod 9), top-3 graph, FIVE
+    * power-iteration rounds at d = 0.85 with uniform teleport and
+    * dangling mass redistributed — deterministic by construction, so
+    * the oracle re-derives every round as an unrolled CTE over the
+    * x150 edge relation. */
+  def x170(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x170_state").toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, state, k = 8, iters = 2,
+      batchTag = Some(1L))
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.pageRankFromState(s, state, k = 3, iters = 5)
+      .select(col("vec_id"), round(col("pr"), 7).as("pr"))
+      .orderBy("vec_id")
+  }
+
+  /** x171 — SEEDED QUALITY PROPAGATION (personalized PageRank,
+    * [[Similarity.pageRankFromState]] with a `teleport` vector): the
+    * quality-bootstrapping move — teleport mass rides a TRUSTED SEED
+    * SET (here vec_id < 50, weight vec_id mod 5 + 1; think
+    * Wikipedia-seeded crawl scoring), so every vector's score is its
+    * seed-reachability through the semantic graph; vectors the seeds
+    * cannot reach in 5 rounds score exactly 0. Seed weight landing on
+    * DELETED vectors is dropped before normalization (the distribution
+    * sums to 1 over live nodes). Same graph and round arithmetic as
+    * x170. */
+  def x171(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x171_state").toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, state, k = 8, iters = 2,
+      batchTag = Some(1L))
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    val seeds = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("vid"),
+        (pmod(col("vec_id"), lit(5)) + 1).cast("double").as("tp"))
+    Similarity.pageRankFromState(s, state, k = 3, iters = 5,
+        teleport = Some(seeds))
+      .select(col("vec_id"), round(col("pr"), 7).as("pr"))
+      .orderBy("vec_id")
+  }
+
+  /** Deterministic MP3 bytes for the x172 gate: version / bitrate index
+    * / sample-rate index / mode / frame count / ID3v2 size all
+    * id-derived, encoded through [[Multimodal.packMp3]] as a real CBR
+    * Layer III stream (spec-layout frame headers, bit-faithful syncsafe
+    * tag size) — the parse side must skip the tag by its syncsafe
+    * arithmetic and decode the header tables to reproduce the oracle's
+    * numbers. */
+  private[graft] def syntheticMp3(id: Long): Array[Byte] = {
+    val versions = Seq("1", "2", "2.5")
+    Multimodal.packMp3(
+      versions((id % 3).toInt),
+      bitrateIdx = 1 + (id % 14).toInt,
+      srIdx = ((id % 5) % 3).toInt,
+      mono = id % 2 == 1,
+      nFrames = 8 + (id % 21).toInt,
+      id3Bytes = if (id % 4 == 0) 0 else 50 + (id % 3).toInt * 37)
+  }
+
+  /** x172 — MP3 HEADER METADATA ([[Multimodal.mp3Parse]] + the
+    * [[Multimodal.mediaMeta]] dispatcher row): with WAV (x159) and MP4
+    * (x167) this covers what a real crawl's audio actually is. Each
+    * payload is a real CBR Layer III stream behind an optional ID3v2
+    * tag; the engine skips the tag via its syncsafe size, decodes
+    * version / bitrate / sample-rate / channel-mode from the spec
+    * tables, and derives the CBR frame count and duration — headers
+    * only, sample bytes never read. Ids ≡ 4 (mod 5) are junk the
+    * dispatcher must refuse as `bin`. The oracle re-derives every field
+    * from the fixture arithmetic with the bitrate/sample-rate tables as
+    * VALUES relations. */
+  def x172(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 120).as[Long]
+      .map { id =>
+        val p =
+          if (id % 5 == 4) s"not an mp3 $id".getBytes("UTF-8")
+          else syntheticMp3(id)
+        (id, p)
+      }.toDF("doc_id", "payload")
+    val dispatch = Multimodal.mediaMetaBatch(payloads).toDF()
+      .select(col("doc_id"), col("media_type"))
+    Multimodal.mp3MetaBatch(payloads).toDF()
+      .join(dispatch, "doc_id")
+      .select(col("doc_id"), col("media_type"), col("version"),
+        col("bitrate_kbps"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -4219,7 +4321,10 @@ object Extensions {
     "x166_knn_graph_delete" -> (x166 _),
     "x167_mp4_meta" -> (x167 _),
     "x168_media_collapse" -> (x168 _),
-    "x169_video_hotframe" -> (x169 _)
+    "x169_video_hotframe" -> (x169 _),
+    "x170_pagerank" -> (x170 _),
+    "x171_seeded_pagerank" -> (x171 _),
+    "x172_mp3_meta" -> (x172 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -4712,6 +4817,35 @@ object Extensions {
     """e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings)""".stripMargin
+
+  /** Unrolled power-iteration CTEs for the x170/x171 PageRank oracles —
+    * the fixed-round recurrence [[graft.ext.Similarity.pageRank]] runs,
+    * re-derived in SQL (deterministic: no convergence test, identical
+    * float ops — pr·(1/outdeg), not pr/outdeg). Expects upstream CTEs
+    * `g(src, dst)` (the edge relation over live nodes) and
+    * `tp(vid, tp)` (the normalized teleport distribution over live
+    * nodes); yields `pr<iters>(vid, pr)`. */
+  private def pageRankCtes(iters: Int, damping: Double): String = {
+    val oneMinusD = 1.0 - damping
+    val rounds = (1 to iters).map { i =>
+      val p = s"pr${i - 1}"
+      s"""dm$i AS (
+         |  SELECT COALESCE(sum(p.pr), 0) AS dm FROM $p p
+         |  LEFT JOIN od ON p.vid = od.src WHERE od.src IS NULL),
+         |in$i AS (
+         |  SELECT g.dst AS vid, sum(p.pr * (1.0 / od.odeg)) AS m
+         |  FROM $p p JOIN g ON p.vid = g.src JOIN od ON g.src = od.src
+         |  GROUP BY g.dst),
+         |pr$i AS (
+         |  SELECT t.vid,
+         |    $oneMinusD * t.tp
+         |      + $damping * (COALESCE(i.m, 0) + dm$i.dm * t.tp) AS pr
+         |  FROM tp t LEFT JOIN in$i i ON t.vid = i.vid, dm$i)""".stripMargin
+    }
+    s"""od AS (SELECT src, count(*) AS odeg FROM g GROUP BY src),
+       |pr0 AS (SELECT vid, tp AS pr FROM tp),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
 
   /** k-means training CTE chain (seeds = 8 lowest ids, 2 Lloyd steps,
     * 6-dp means). `src` names the TRAINING corpus CTE (default the whole
@@ -8233,6 +8367,123 @@ object Extensions {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, shared_frames FROM pairs
         |WHERE shared_frames >= 5 ORDER BY id_a, id_b""".stripMargin,
+
+    // x170: x150's kNN-graph chain (trained k-means, probed cells,
+    // top-3 edges over live vectors), then five unrolled PageRank
+    // rounds — uniform teleport, dangling mass redistributed by tp
+    "x170_pagerank" ->
+      s"""WITH $annEmbCte,
+         |${kmeansTrainCtes(probeWhere = "e.vec_id % 9 <> 4")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id AND af.vid % 9 <> 4),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |g AS (SELECT query_id AS src, neighbor_id AS dst
+         |  FROM ranked WHERE rank <= 3),
+         |nodes AS (SELECT vec_id AS vid FROM e WHERE vec_id % 9 <> 4),
+         |n AS (SELECT count(*) AS cnt FROM nodes),
+         |tp AS (SELECT vid, 1.0 / cnt AS tp FROM nodes, n),
+         |${pageRankCtes(5, 0.85)}
+         |SELECT vid AS vec_id, round(pr, 7) AS pr FROM pr5
+         |ORDER BY vec_id""".stripMargin,
+
+    // x171: the same graph and rounds with teleport ∝ seed weight
+    // (vec_id < 50, weight vec_id % 5 + 1) — weight on deleted seeds
+    // dropped BEFORE the normalizing sum, exactly the engine contract
+    "x171_seeded_pagerank" ->
+      s"""WITH $annEmbCte,
+         |${kmeansTrainCtes(probeWhere = "e.vec_id % 9 <> 4")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id AND af.vid % 9 <> 4),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |g AS (SELECT query_id AS src, neighbor_id AS dst
+         |  FROM ranked WHERE rank <= 3),
+         |nodes AS (SELECT vec_id AS vid FROM e WHERE vec_id % 9 <> 4),
+         |seeds AS (
+         |  SELECT vid, CAST(vid % 5 + 1 AS DOUBLE) AS w
+         |  FROM nodes WHERE vid < 50),
+         |tot AS (SELECT sum(w) AS t FROM seeds),
+         |tp AS (
+         |  SELECT n.vid, COALESCE(s.w, 0) / tot.t AS tp
+         |  FROM nodes n LEFT JOIN seeds s USING (vid), tot),
+         |${pageRankCtes(5, 0.85)}
+         |SELECT vid AS vec_id, round(pr, 7) AS pr FROM pr5
+         |ORDER BY vec_id""".stripMargin,
+
+    // x172: every MP3 header field re-derived from the fixture
+    // arithmetic — the Layer III bitrate/sample-rate tables as VALUES
+    // relations keyed by the id-derived version and indexes, CBR frame
+    // bytes (spf/8 · kbps · 1000 // sr, padding 0), duration
+    // frames · spf · 1000 // sr; ids ≡ 4 (mod 5) are junk → bin
+    "x172_mp3_meta" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+        |params AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2'
+        |      ELSE '2.5' END AS ver,
+        |    1 + doc_id % 14 AS bri,
+        |    (doc_id % 5) % 3 AS sri,
+        |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS ch,
+        |    8 + doc_id % 21 AS frames
+        |  FROM ids),
+        |brt AS (
+        |  SELECT * FROM (VALUES
+        |    ('1', 1, 32), ('1', 2, 40), ('1', 3, 48), ('1', 4, 56),
+        |    ('1', 5, 64), ('1', 6, 80), ('1', 7, 96), ('1', 8, 112),
+        |    ('1', 9, 128), ('1', 10, 160), ('1', 11, 192), ('1', 12, 224),
+        |    ('1', 13, 256), ('1', 14, 320),
+        |    ('2', 1, 8), ('2', 2, 16), ('2', 3, 24), ('2', 4, 32),
+        |    ('2', 5, 40), ('2', 6, 48), ('2', 7, 56), ('2', 8, 64),
+        |    ('2', 9, 80), ('2', 10, 96), ('2', 11, 112), ('2', 12, 128),
+        |    ('2', 13, 144), ('2', 14, 160),
+        |    ('2.5', 1, 8), ('2.5', 2, 16), ('2.5', 3, 24), ('2.5', 4, 32),
+        |    ('2.5', 5, 40), ('2.5', 6, 48), ('2.5', 7, 56), ('2.5', 8, 64),
+        |    ('2.5', 9, 80), ('2.5', 10, 96), ('2.5', 11, 112),
+        |    ('2.5', 12, 128), ('2.5', 13, 144), ('2.5', 14, 160)
+        |  ) t(ver, bri, kbps)),
+        |srt AS (
+        |  SELECT * FROM (VALUES
+        |    ('1', 0, 44100), ('1', 1, 48000), ('1', 2, 32000),
+        |    ('2', 0, 22050), ('2', 1, 24000), ('2', 2, 16000),
+        |    ('2.5', 0, 11025), ('2.5', 1, 12000), ('2.5', 2, 8000)
+        |  ) t(ver, sri, sr)),
+        |meta AS (
+        |  SELECT p.doc_id, p.ver, brt.kbps, srt.sr, p.ch, p.frames,
+        |    CASE WHEN p.ver = '1' THEN 1152 ELSE 576 END AS spf
+        |  FROM params p
+        |  JOIN brt ON brt.ver = p.ver AND brt.bri = p.bri
+        |  JOIN srt ON srt.ver = p.ver AND srt.sri = p.sri)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 4 THEN 'bin' ELSE 'mp3' END AS media_type,
+        |  CASE WHEN doc_id % 5 = 4 THEN '' ELSE ver END AS version,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE kbps END
+        |    AS INTEGER) AS bitrate_kbps,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE sr END
+        |    AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE ch END
+        |    AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE frames END
+        |    AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+        |    ELSE frames * spf * 1000 // sr END AS BIGINT) AS duration_ms
+        |FROM meta ORDER BY doc_id""".stripMargin,
 
     // x163: x160's envelope-bit derivation, restricted to (new ∈ batch,
     // old ∈ corpus) cross pairs with tombstoned (id ≡ 7 mod 10) corpus

@@ -5110,4 +5110,70 @@ class ExtSpec extends SparkSpec {
         .toSeq
     assert(read(s"$root/branch") == read(src))
   }
+
+  test("pageRank: ring graph stays uniform; mass conserved; lineage-flat " +
+      "rounds") {
+    // a directed ring is vertex-transitive: every round reproduces the
+    // uniform distribution EXACTLY (in-mass = the single predecessor's
+    // pr/1), so any deviation is an arithmetic bug, not convergence noise
+    val n = 12
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val nodes = (0 until n).map(_.toLong).toDF("vid")
+    val pr = Similarity.pageRank(edges, nodes, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == n)
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12, pr))
+  }
+
+  test("pageRank: dangling mass redistributes (total stays 1); edges to " +
+      "unknown nodes drop; isolated nodes keep teleport-only mass") {
+    // a -> b, b dangling, c isolated; plus an edge into a node OUTSIDE
+    // the universe which must not leak mass
+    val edges = Seq((1L, 2L), (1L, 99L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("vid")
+    val pr = Similarity.pageRank(edges, nodes, iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12, pr) // mass conserved
+    // 2 receives 1's whole out-mass (the 99-edge dropped, so outdeg = 1)
+    assert(pr(2L) > pr(1L) && pr(2L) > pr(3L), pr)
+    // 1 and 3 are both teleport-fed with in-degree 0: equal by symmetry
+    assert(math.abs(pr(1L) - pr(3L)) < 1e-12, pr)
+  }
+
+  test("pageRank: personalized teleport zeroes unreachable nodes and " +
+      "drops seed weight on unknown ids before normalizing") {
+    // seeds: 1 (w=3) and 42 (w=5, NOT in the node set - dropped). Node 3
+    // has no in-edges and no seed weight: exactly 0 through every round.
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("vid")
+    val seeds = Seq((1L, 3.0), (42L, 5.0)).toDF("vid", "tp")
+    val pr = Similarity.pageRank(edges, nodes, iters = 5,
+        teleport = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(3L) == 0.0, pr)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12, pr)
+    // all mass oscillates inside the 2-cycle (a 2-cycle has period-2
+    // dynamics, so the split depends on iteration parity — no ordering
+    // assert), and every cycle member holds a strictly positive share
+    assert(pr(1L) > 0.0 && pr(2L) > 0.0, pr)
+  }
+
+  test("pageRankFromState: tombstoned vectors neither score nor donate") {
+    val emb = (0 until 24).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_state").toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, dir, k = 4, iters = 2,
+      batchTag = Some(1L))
+    Similarity.deleteFromIvfState(spark, dir,
+      Seq(3L, 9L).toDF("vec_id"), "vec_id", deleteTag = Some(1L))
+    val pr = Similarity.pageRankFromState(spark, dir, k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!pr.contains(3L) && !pr.contains(9L), pr.keySet)
+    assert(pr.size == 22)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.values.sum)
+  }
 }

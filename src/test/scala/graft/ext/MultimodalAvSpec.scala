@@ -332,4 +332,43 @@ class MultimodalAvSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 5L)),
       s"A~B share 5 of 6 frames, C shares none: $pairs")
   }
+
+  test("packMp3/mp3Parse round-trip across versions; ID3v2 skipped by " +
+      "syncsafe size; corrupt payloads refuse, not crash") {
+    // V1 44.1 kHz stereo, no tag: 128 kbps frame = 144*128000/44100 = 417
+    val v1 = Multimodal.packMp3("1", bitrateIdx = 9, srIdx = 0,
+      mono = false, nFrames = 12)
+    assert(Multimodal.mp3Parse(v1).contains(
+      ("1", 128, 44100, 2, 12L, 12L * 1152 * 1000 / 44100)))
+    // V2 16 kHz mono behind a 300-byte ID3v2 tag (spf 576, table V2)
+    val v2 = Multimodal.packMp3("2", bitrateIdx = 4, srIdx = 2,
+      mono = true, nFrames = 7, id3Bytes = 300)
+    assert(Multimodal.mp3Parse(v2).contains(
+      ("2", 32, 16000, 1, 7L, 7L * 576 * 1000 / 16000)))
+    // V2.5 8 kHz: the low-rate tail of the table
+    val v25 = Multimodal.packMp3("2.5", bitrateIdx = 1, srIdx = 2,
+      mono = true, nFrames = 3)
+    assert(Multimodal.mp3Parse(v25).contains(
+      ("2.5", 8, 8000, 1, 3L, 3L * 576 * 1000 / 8000)))
+    // refusals: junk, clipped before one whole frame, a tag overrunning
+    // the payload, a torn (non-syncsafe) tag size byte, Layer II bits,
+    // free bitrate, reserved sample-rate index
+    assert(Multimodal.mp3Parse("not audio".getBytes).isEmpty)
+    assert(Multimodal.mp3Parse(java.util.Arrays.copyOf(v1, 100)).isEmpty)
+    assert(Multimodal.mp3Parse(java.util.Arrays.copyOf(v2, 200)).isEmpty,
+      "tag declares 300 body bytes but payload clips at 200")
+    val torn = v2.clone(); torn(6) = 0x80.toByte
+    assert(Multimodal.mp3Parse(torn).isEmpty)
+    val l2 = v1.clone(); l2(1) = (l2(1) & ~0x06 | 0x04).toByte
+    assert(Multimodal.mp3Parse(l2).isEmpty)
+    val free = v1.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(Multimodal.mp3Parse(free).isEmpty)
+    val badSr = v1.clone(); badSr(2) = (badSr(2) | 0x0c).toByte
+    assert(Multimodal.mp3Parse(badSr).isEmpty)
+    // dispatcher routes both tagged and untagged mp3
+    val m = Multimodal.mediaMeta(5L, v2)
+    assert((m.media_type, m.channels, m.sample_rate, m.n_frames) ==
+      ("mp3", 1, 16000, 7L))
+    assert(Multimodal.mediaMeta(6L, v1).media_type == "mp3")
+  }
 }

@@ -807,4 +807,33 @@ class TableFunctionsSpec extends SparkSpec {
       "SELECT * FROM asof_join('no_such_view', 'tvf_bad', 'k', 'ts', 'ts')")
       .collect())
   }
+
+  test("round-17 TVFs: mp3_meta, page_rank (uniform + seeded)") {
+    ready()
+    val mp3s = (0L until 40L).map { id =>
+      (id, if (id % 5 == 4) s"junk $id".getBytes("UTF-8")
+        else graft.queries.Extensions.syntheticMp3(id))
+    }.toDF("doc_id", "payload")
+    mp3s.createOrReplaceTempView("tvf_mp3s")
+    assertSame(
+      spark.sql("SELECT * FROM mp3_meta('tvf_mp3s', 'doc_id', 'payload')"),
+      graft.ext.Multimodal.mp3MetaBatch(mp3s).toDF())
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter($"vec_id" < 120)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_pr").toFile.getAbsolutePath + "/ivf"
+    graft.ext.Similarity.appendIvfState(emb, dir, k = 4, iters = 2,
+      batchTag = Some(1L))
+    assertSame(
+      spark.sql(s"SELECT * FROM page_rank('$dir', 3, 4)"),
+      graft.ext.Similarity.pageRankFromState(spark, dir, k = 3, iters = 4))
+    val seeds = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("vid"), ($"vec_id" % 3 + 1).cast("double").as("w"))
+    seeds.createOrReplaceTempView("tvf_pr_seeds")
+    assertSame(
+      spark.sql(s"SELECT * FROM page_rank('$dir', 3, 4, 0.9, " +
+        "'tvf_pr_seeds', 'vid', 'w')"),
+      graft.ext.Similarity.pageRankFromState(spark, dir, k = 3, iters = 4,
+        damping = 0.9, teleport = Some(seeds.select($"vid", $"w".as("tp")))))
+  }
 }
