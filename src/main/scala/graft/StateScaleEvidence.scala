@@ -183,6 +183,12 @@ object StateScaleEvidence {
         Similarity.semanticClustersFromState(spark, vs, k = 3, minCos = 0.2)
           .count()
       }
+      // PageRank rides the same graph build plus iters bounded rounds of
+      // O(|E| + |V|) joins — the claim is graph-build-shaped growth, with
+      // the per-round cost linear in edges
+      val (tgPagerank, _) = time {
+        Similarity.pageRankFromState(spark, vs, k = 3, iters = 5).count()
+      }
       // incremental maintenance: materialize the graph state once, then
       // apply ONE small append batch (~2.7% of the corpus, fresh ids) —
       // the claim under test is delta ∝ batch·occupancy, not corpus
@@ -237,6 +243,7 @@ object StateScaleEvidence {
       }
       s""","cells":$kCells,"graph":{"knn":${fmt(tgKnn)},""" +
         s""""mutual":${fmt(tgMutual)},"clusters":${fmt(tgClusters)},""" +
+        s""""pagerank":${fmt(tgPagerank)},""" +
         s""""build":${fmt(tgBuild)},"delta":${fmt(tgDelta)},""" +
         s""""delta_local":${fmt(tgDeltaLocal)},""" +
         s""""delete_delta_local":${fmt(tgDeleteLocal)},""" +

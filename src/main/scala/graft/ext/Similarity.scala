@@ -882,6 +882,25 @@ object Similarity {
       .select(col("vid").as("vec_id"), col("pr"))
   }
 
+  /** [[pageRank]] over the PERSISTED kNN-graph state
+    * ([[buildKnnGraphState]] + deltas) — the steady-state posture: the
+    * maintained edge relation is read AS-IS, so refreshing scores after
+    * an ingest batch costs that batch's delta plus iters · O(|E|) —
+    * never the n^1.5 graph rebuild [[pageRankFromState]] pays per call.
+    * Nodes come from the slim `homes` index (live vids — build and both
+    * deltas maintain it), so isolated live vectors still hold teleport
+    * mass. */
+  def pageRankFromGraphState(
+      spark: SparkSession, graphDir: String, iters: Int,
+      damping: Double = 0.85,
+      teleport: Option[DataFrame] = None): DataFrame = {
+    val edges = readKnnGraphState(spark, graphDir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val nodes = spark.read.parquet(s"$graphDir/homes").select(col("vid"))
+    pageRank(edges, nodes, iters, damping, teleport)
+      .select(col("vid").as("vec_id"), col("pr"))
+  }
+
   // ------------- persisted kNN-graph state (incremental twin) -------------
 
   private val GraphMetaFile = "_graph_meta"

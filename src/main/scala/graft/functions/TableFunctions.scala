@@ -225,6 +225,8 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "page_rank", exprs => pageRank(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "page_rank_state", exprs => pageRankState(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "knn_graph_state", exprs => knnGraphState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
@@ -1023,6 +1025,30 @@ object TableFunctions {
           org.apache.spark.sql.functions.col(weight).as("tp")))
       }
     plan(Similarity.pageRankFromState(spark, dir, k, iters, damping,
+      teleport = teleport))
+  }
+
+  /** `page_rank_state('graphDir', iters[, damping[, seeds, id, weight]])`
+    * → [[Similarity.pageRankFromGraphState]]: PageRank over the
+    * PERSISTED (delta-maintained) kNN-graph state — no per-call graph
+    * rebuild. */
+  private def pageRankState(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "page_rank_state"
+    requireArity(f, exprs, min = 2, max = 6)
+    val args = new Args(f, exprs)
+    val dir = args.name("graph_dir")
+    val iters = args.int("iters")
+    val damping = if (args.exhausted) 0.85 else args.double("damping")
+    val teleport =
+      if (args.exhausted) None
+      else {
+        val seeds = args.table(spark, "seeds")
+        val id = args.name("id")
+        val weight = args.name("weight")
+        Some(seeds.select(org.apache.spark.sql.functions.col(id).as("vid"),
+          org.apache.spark.sql.functions.col(weight).as("tp")))
+      }
+    plan(Similarity.pageRankFromGraphState(spark, dir, iters, damping,
       teleport = teleport))
   }
 

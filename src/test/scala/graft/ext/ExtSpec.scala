@@ -5160,6 +5160,43 @@ class ExtSpec extends SparkSpec {
     assert(pr(1L) > 0.0 && pr(2L) > 0.0, pr)
   }
 
+  test("pageRankFromGraphState == rebuild-based scores through build, " +
+      "batch delta, and delete delta") {
+    val emb = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 5 + d * 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pr_graph").toFile.getAbsolutePath
+    val ivf = s"$root/ivf"; val g = s"$root/graph"
+    Similarity.appendIvfState(emb.filter($"vec_id" < 20), ivf, k = 4,
+      iters = 2, batchTag = Some(1L))
+    Similarity.buildKnnGraphState(spark, ivf, g, k = 3, nProbe = 2)
+    def both(): (Map[Long, BigDecimal], Map[Long, BigDecimal]) = {
+      // 12-dp rounding: the two paths sum identical edge sets but with
+      // different physical partitionings, so per-dst float sums may
+      // differ in the last ulp — the VALUES are equal, the bits may not be
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          BigDecimal(r.getDouble(1)).setScale(12,
+            BigDecimal.RoundingMode.HALF_UP)).toMap
+      (toMap(Similarity.pageRankFromGraphState(spark, g, iters = 4)),
+        toMap(Similarity.pageRankFromState(spark, ivf, k = 3, iters = 4)))
+    }
+    val (s1, r1) = both()
+    assert(s1 == r1, "fresh build: persisted-graph PR == rebuild PR")
+    Similarity.appendIvfState(emb.filter($"vec_id" >= 20), ivf, k = 4,
+      iters = 2, batchTag = Some(2L))
+    Similarity.knnGraphDeltaFromState(spark, ivf, g, 2L)
+    val (s2, r2) = both()
+    assert(s2 == r2, "after batch delta")
+    Similarity.deleteFromIvfState(spark, ivf,
+      Seq(2L, 21L).toDF("vec_id"), "vec_id", deleteTag = Some(1L))
+    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g)
+    val (s3, r3) = both()
+    assert(s3 == r3, "after delete delta")
+    assert(!s3.contains(2L) && !s3.contains(21L))
+  }
+
   test("pageRankFromState: tombstoned vectors neither score nor donate") {
     val emb = (0 until 24).map(i =>
       (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat)))

@@ -835,5 +835,12 @@ class TableFunctionsSpec extends SparkSpec {
         "'tvf_pr_seeds', 'vid', 'w')"),
       graft.ext.Similarity.pageRankFromState(spark, dir, k = 3, iters = 4,
         damping = 0.9, teleport = Some(seeds.select($"vid", $"w".as("tp")))))
+    val gDir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_prg").toFile.getAbsolutePath + "/g"
+    graft.ext.Similarity.buildKnnGraphState(spark, dir, gDir, k = 3,
+      nProbe = 2)
+    assertSame(
+      spark.sql(s"SELECT * FROM page_rank_state('$gDir', 4)"),
+      graft.ext.Similarity.pageRankFromGraphState(spark, gDir, iters = 4))
   }
 }
