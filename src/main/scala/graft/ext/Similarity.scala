@@ -773,6 +773,48 @@ object Similarity {
         count(lit(1)).over(Window.partitionBy(col("rep"))))
   }
 
+  /** SEMANTIC DECONTAMINATION from the persisted IVF state — the
+    * embedding-level third rail beside the n-gram (x37/x38) and bloom
+    * (x56) methods: an n-gram scan cannot see a PARAPHRASED eval item
+    * leaking into the training corpus, but its embedding still lands
+    * next to the eval item's. One row per contaminated LIVE corpus
+    * vector: (idCol, eval_id of the closest contaminating eval item,
+    * max_cos ≥ `minCos`) — the drop-list a curation pass anti-joins,
+    * with the attribution a leakage audit wants. Eval ids live in their
+    * own namespace (no self-exclusion by id equality — an eval item
+    * that IS a corpus vector should flag it; that is the leak).
+    *
+    * Scale shape: the eval set is small by construction (a benchmark
+    * suite), so its probe targets BROADCAST; the corpus-side read is
+    * the probed cells' residents only (never a corpus scan at probe
+    * time — the ivfTopKFromState posture), and the per-vector argmax is
+    * a window over candidate mass bounded by |eval| · nProbe ·
+    * occupancy, never corpus². */
+  def semanticContaminated(
+      spark: SparkSession, dir: String, evalSet: DataFrame,
+      minCos: Double, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      evalIdCol: String = "eval_id"): DataFrame = {
+    require(minCos > 0.0 && minCos <= 1.0,
+      s"minCos must be in (0, 1], got $minCos")
+    checkQueryDim(spark, dir, evalSet, vecCol)
+    val cents = spark.read.parquet(StateIO.tablePath(spark, dir, "centroids"))
+    val cells = readCellsLive(spark, dir, asOf = None)
+      .select("cid", "vid", "v", "cn")
+    val probes = probeCells(
+      evalSet.select(col(evalIdCol).as(idCol), col(vecCol)),
+      cents, nProbe, idCol, vecCol)
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("cos").desc, col("query_id"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .withColumn("cos", cosFrom(col("qv"), col("qn"), col("v"), col("cn")))
+      .filter(col("cos") >= minCos)
+      .withColumn("graft_rk", row_number().over(w))
+      .filter(col("graft_rk") === 1)
+      .select(col("vid").as(idCol), col("query_id").as(evalIdCol),
+        col("cos").as("max_cos"))
+  }
+
   // ---------- graph centrality / quality propagation (PageRank) ----------
 
   /** PAGERANK-STYLE QUALITY PROPAGATION over a directed edge relation —

@@ -227,6 +227,8 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "page_rank_state", exprs => pageRankState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "semantic_decontam", exprs => semanticDecontam(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "knn_graph_state", exprs => knnGraphState(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "ann_state_pairs", exprs => annStatePairs(spark, exprs), "built-in")
@@ -1026,6 +1028,25 @@ object TableFunctions {
       }
     plan(Similarity.pageRankFromState(spark, dir, k, iters, damping,
       teleport = teleport))
+  }
+
+  /** `semantic_decontam('ivfDir', eval_table, eval_id, vec, min_cos[,
+    * n_probe])` → [[Similarity.semanticContaminated]]: the drop-list of
+    * corpus vectors an eval suite semantically contaminates (cos ≥
+    * min_cos through the probed IVF state), with closest-eval
+    * attribution. */
+  private def semanticDecontam(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "semantic_decontam"
+    requireArity(f, exprs, min = 5, max = 6)
+    val args = new Args(f, exprs)
+    val dir = args.name("ivf_dir")
+    val evalSet = args.table(spark, "eval_table")
+    val evalId = args.name("eval_id")
+    val vec = args.name("vec")
+    val minCos = args.double("min_cos")
+    val nProbe = if (args.exhausted) 2 else args.int("n_probe")
+    plan(Similarity.semanticContaminated(spark, dir, evalSet, minCos,
+      nProbe, vecCol = vec, evalIdCol = evalId))
   }
 
   /** `page_rank_state('graphDir', iters[, damping[, seeds, id, weight]])`

@@ -4055,6 +4055,34 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** x173 — SEMANTIC DECONTAMINATION ([[Similarity.semanticContaminated]]):
+    * the embedding-level third rail beside the n-gram (x37/x38) and
+    * bloom (x56) methods — an n-gram scan cannot see a PARAPHRASED eval
+    * item leaking into training data, but its embedding still lands next
+    * to the eval item's. Fixture: the x150 IVF chain (train k=8, delete
+    * vec_id ≡ 4 mod 9), eval suite = the raw vectors of vec_id < 15
+    * re-keyed +5000 (planted exact leakage — every live one of them
+    * must flag its corpus copy at cos 1), threshold 0.95, probed cells
+    * only. One row per contaminated LIVE corpus vector with the closest
+    * contaminating eval id — the drop-list a curation pass anti-joins,
+    * with attribution. Tombstoned vectors never flag. */
+  def x173(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x173_state").toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, state, k = 8, iters = 2,
+      batchTag = Some(1L))
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    val evalSet = emb.filter(col("vec_id") < 15)
+      .select((col("vec_id") + 5000).as("eval_id"), col("embedding"))
+    Similarity.semanticContaminated(s, state, evalSet, minCos = 0.95)
+      .select(col("vec_id"), col("eval_id"),
+        round(col("max_cos"), 4).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -4324,7 +4352,8 @@ object Extensions {
     "x169_video_hotframe" -> (x169 _),
     "x170_pagerank" -> (x170 _),
     "x171_seeded_pagerank" -> (x171 _),
-    "x172_mp3_meta" -> (x172 _)
+    "x172_mp3_meta" -> (x172 _),
+    "x173_semantic_decontam" -> (x173 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -8484,6 +8513,27 @@ object Extensions {
         |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0
         |    ELSE frames * spf * 1000 // sr END AS BIGINT) AS duration_ms
         |FROM meta ORDER BY doc_id""".stripMargin,
+
+    // x173: the x150 trained chain with eval queries = vec_id < 15
+    // re-keyed +5000; per-corpus-vector argmax over the probed scored
+    // relation, thresholded at 0.95, tombstoned (≡ 4 mod 9) vids excluded
+    "x173_semantic_decontam" ->
+      s"""WITH $annEmbCte,
+         |${kmeansTrainCtes(probeWhere = "e.vec_id < 15")},
+         |scored AS (
+         |  SELECT af.vid, p.query_id + 5000 AS eval_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid % 9 <> 4),
+         |flagged AS (
+         |  SELECT vid, eval_id, cos,
+         |    row_number() OVER (PARTITION BY vid
+         |      ORDER BY cos DESC, eval_id) AS rk
+         |  FROM scored WHERE cos >= 0.95)
+         |SELECT vid AS vec_id, eval_id, round(cos, 4) AS max_cos
+         |FROM flagged WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     // x163: x160's envelope-bit derivation, restricted to (new ∈ batch,
     // old ∈ corpus) cross pairs with tombstoned (id ≡ 7 mod 10) corpus

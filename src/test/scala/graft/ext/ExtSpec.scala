@@ -5111,6 +5111,32 @@ class ExtSpec extends SparkSpec {
     assert(read(s"$root/branch") == read(src))
   }
 
+  test("semanticContaminated: flags exact leaks through the probed state, " +
+      "tombstoned vectors never flag, attribution is the cos-argmax") {
+    // vectors repeat with period 7 in i, so vector 5 == vector 12: one
+    // eval item that IS vector 5 must flag both copies at cos 1
+    val base = (0 until 18).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 3 + d) % 7 + 1).toFloat)))
+    val emb = base.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_decontam").toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, dir, k = 3, iters = 2,
+      batchTag = Some(1L))
+    val evalSet = Seq((900L, base(5)._2), (901L, Array(1f, 0f, 0f, 0f)))
+      .toDF("eval_id", "embedding")
+    def flagged() = Similarity
+      .semanticContaminated(spark, dir, evalSet, minCos = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val f1 = flagged()
+    assert(f1.map(_._1) == Seq(5L, 12L), f1)
+    assert(f1.forall(t => t._2 == 900L && math.abs(t._3 - 1.0) < 1e-9), f1)
+    // tombstoning one copy removes it from the drop-list
+    Similarity.deleteFromIvfState(spark, dir, Seq(12L).toDF("vec_id"),
+      "vec_id", deleteTag = Some(1L))
+    assert(flagged().map(_._1) == Seq(5L))
+  }
+
   test("pageRank: ring graph stays uniform; mass conserved; lineage-flat " +
       "rounds") {
     // a directed ring is vertex-transitive: every round reproduces the

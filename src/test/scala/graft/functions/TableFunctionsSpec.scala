@@ -842,5 +842,13 @@ class TableFunctionsSpec extends SparkSpec {
     assertSame(
       spark.sql(s"SELECT * FROM page_rank_state('$gDir', 4)"),
       graft.ext.Similarity.pageRankFromGraphState(spark, gDir, iters = 4))
+    val evalSet = emb.filter($"vec_id" < 6)
+      .select(($"vec_id" + 900).as("eval_id"), $"embedding")
+    evalSet.createOrReplaceTempView("tvf_eval")
+    assertSame(
+      spark.sql(s"SELECT * FROM semantic_decontam('$dir', 'tvf_eval', " +
+        "'eval_id', 'embedding', 0.9)"),
+      graft.ext.Similarity.semanticContaminated(spark, dir, evalSet,
+        minCos = 0.9))
   }
 }
