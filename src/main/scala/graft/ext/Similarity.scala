@@ -1432,10 +1432,19 @@ object Similarity {
     * sets, this function's own candidate reads) anti-joins the
     * tombstones — and vanish at the next rebuild. No-op (head already
     * current) returns after clearing a leftover delete marker.
-    * Parity with the post-delete full rebuild is the x166 gate. */
+    * Parity with the post-delete full rebuild is the x166 gate.
+    *
+    * `maxDirtyFraction` is the cost gate ([[knnGraphDeltaFromState]]'s
+    * posture, delete side): when the deleted vectors live in more than
+    * that fraction of all cells, the retraction delegates to a rebuild
+    * bounded at the graph's current batch watermark — same output,
+    * never more than one rebuild's cost. */
   def knnGraphDeleteDeltaFromState(
-      spark: SparkSession, ivfDir: String,
-      graphDir: String): Unit = StateIO.withWriterLock(spark, graphDir) {
+      spark: SparkSession, ivfDir: String, graphDir: String,
+      maxDirtyFraction: Double = 0.5): Unit =
+      StateIO.withWriterLock(spark, graphDir) {
+    require(maxDirtyFraction > 0.0 && maxDirtyFraction <= 1.0,
+      s"maxDirtyFraction must be in (0, 1], got $maxDirtyFraction")
     val (k, nProbe, delHead0) = readGraphMeta(spark, graphDir).getOrElse(
       throw new IllegalArgumentException(
         s"$graphDir carries no $GraphMetaFile — build the graph state " +
@@ -1488,6 +1497,23 @@ object Similarity {
     }
     val cents = spark.read.parquet(
       StateIO.tablePath(spark, ivfDir, "centroids"))
+    // COST GATE — the batch delta's maxDirtyFraction posture, delete
+    // side: when the deleted vectors live in most cells, the
+    // retraction's many pruned reads and per-partition rewrites
+    // legitimately approach (and past this point exceed) one rebuild
+    // pass — measured ≈ rebuild cost with ~1/3 of cells dirtied
+    // (SCALE.md round-17 envelope). Delegate to a rebuild bounded AT
+    // THE GRAPH'S CURRENT BATCH WATERMARK so IVF batches not yet
+    // applied stay unapplied (the in-order contract); current
+    // tombstones apply fully — same output, parity pinned by x166's
+    // retraction-vs-rebuild equality. The lock is thread-reentrant.
+    if (dCells.size > maxDirtyFraction * cents.count()) {
+      val upto = StateIO.readSmallFile(spark, graphDir, GraphUptoFile)
+        .map(_.trim.toLong)
+      buildKnnGraphUpTo(spark, ivfDir, graphDir, k, nProbe,
+        upToBatch = upto)
+      return
+    }
     val probesAll = spark.read.parquet(probesPath)
     // 2. the deleted vectors' full probe-cell sets (for probes cleanup):
     //    vectors come from their own-cell probe rows in the D

@@ -3803,7 +3803,12 @@ object Extensions {
     Similarity.deleteFromIvfState(s, state,
       emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
       "vec_id", deleteTag = Some(1L))
-    Similarity.knnGraphDeleteDeltaFromState(s, state, graph)
+    // maxDirtyFraction = 1.0 forces the RETRACTION path — the fixture's
+    // hash-spread delete dirties every cell, and the gate exists to pin
+    // the retraction arithmetic itself (the delegated-rebuild branch is
+    // trivially equal to the rebuild it compares against)
+    Similarity.knnGraphDeleteDeltaFromState(s, state, graph,
+      maxDirtyFraction = 1.0)
     val inc = Dedup.materialize(Similarity.readKnnGraphState(s, graph))
     val full = Dedup.materialize(
       Similarity.knnGraphFromState(s, state, k = 3, nProbe = 2))

@@ -2314,7 +2314,11 @@ class ExtSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException](
       Similarity.knnGraphDeltaFromState(spark, ivf, g, 3L))
     assert(e4.getMessage.contains("tombstones advanced"), e4.getMessage)
-    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g)
+    // force the RETRACTION path (the hash-spread delete dirties most
+    // cells, which the default cost gate would delegate to a rebuild) —
+    // the no-trace assertions below pin the retraction's own rewrites
+    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g,
+      maxDirtyFraction = 1.0)
     assert(inc() == full() && inc().nonEmpty)
     // a blind re-run (head already current) is a no-op, and it clears a
     // leftover delete marker from a crash between meta and marker-clear
@@ -2333,7 +2337,10 @@ class ExtSpec extends SparkSpec {
         pmod(col("neighbor_id"), lit(9)) === 4).count()
     assert((deadProbe, deadHome, deadEdge) == (0L, 0L, 0L),
       s"stale deleted rows: probes=$deadProbe homes=$deadHome edges=$deadEdge")
-    // a SECOND delete wave also increments (head 1 -> 2)
+    // a SECOND delete wave also increments (head 1 -> 2) — on the
+    // DEFAULT cost gate this spread delete dirties most cells and
+    // delegates to the watermark-bounded rebuild: same output, and the
+    // delegation must respect the frozen batch watermark
     Similarity.deleteFromIvfState(spark, ivf,
       emb.filter(pmod(col("vec_id"), lit(9)) === 5).select(col("vec_id")),
       "vec_id", deleteTag = Some(2L))
