@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation — the composed pipeline a real
@@ -53,6 +53,66 @@ object Curate {
       Dedup.contaminatedDocs(deduped, evalDocs, idCol, textCol, contamN)
     deduped
       .join(contaminated.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col("lang_pred"), col("quality_score"),
+        col("n_words").as("tokens"))
+  }
+
+  /** [[curate]] with ALL THREE decontamination rails composed — the
+    * full-decontam curation plan a frontier-model data job runs:
+    *
+    *   - the exact word-`contamN`-gram rail ([[Dedup.contaminatedDocs]],
+    *     GPT-3-style n = 13) — verbatim eval leakage;
+    *   - the Bloom-prefiltered `bloomN`-gram rail
+    *     ([[Dedup.contaminatedDocsBloom]], default n = 10 — a second,
+    *     stricter gram width whose drop set is NOT a subset of the
+    *     first) — the memory-bounded shape for eval suites too large to
+    *     broadcast as a gram set;
+    *   - the SEMANTIC rail ([[Similarity.semanticContaminated]]) —
+    *     paraphrased leakage no n-gram scan can see, answered from the
+    *     persisted IVF state at `ivfDir` (probed-cell reads only).
+    *
+    * Scale shape: the RAW corpus is scanned once (annotate → filter →
+    * exact dedup, all pushed before any shuffle-bearing stage, exactly
+    * [[curate]]); both gram rails then run over the MATERIALIZED
+    * surviving fraction, and the semantic rail never touches corpus
+    * text at all — it rides the ANN state the pipeline already
+    * maintains, probing only the eval vectors' cells. The three drop
+    * lists are slim id sets unioned into ONE anti-join, so composing
+    * the rails costs two gram passes over survivors plus a state probe
+    * — never three corpus scans.
+    *
+    * `evalVecs` carries `(eval_id, embedding)` in its own id namespace
+    * (re-key eval ids out of the corpus range — an eval item that IS a
+    * corpus vector must flag it; that is the leak). Output schema =
+    * [[curate]]'s (idCol, lang_pred, quality_score, tokens). */
+  def curateFull(
+      spark: SparkSession, docs: DataFrame, evalDocs: DataFrame,
+      ivfDir: String, evalVecs: DataFrame, idCol: String, textCol: String,
+      lang: String = "en", minScore: Double = 0.6,
+      contamN: Int = 13, bloomN: Int = 10,
+      minCos: Double = 0.95, nProbe: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val annotated = docs.select(
+        (Seq(col(idCol), t) ++
+          TextAnalysis.langScores(t) ++ TextAnalysis.qualityColumns(t)): _*)
+      .withColumn("lang_pred", TextAnalysis.predictedLang)
+    val kept = annotated
+      .filter(col("lang_pred") === lang && col("quality_score") >= minScore)
+    val deduped = Dedup.materialize(Dedup.exact(kept, idCol, textCol))
+    val ngramDrops =
+      Dedup.contaminatedDocs(deduped, evalDocs, idCol, textCol, contamN)
+        .select(col(idCol))
+    val bloomDrops =
+      Dedup.contaminatedDocsBloom(deduped, evalDocs, idCol, textCol, bloomN)
+        .select(col(idCol))
+    val semanticDrops =
+      Similarity.semanticContaminated(spark, ivfDir, evalVecs, minCos,
+          nProbe)
+        .select(col("vec_id").as(idCol))
+    val drops = ngramDrops.unionByName(bloomDrops)
+      .unionByName(semanticDrops).distinct()
+    deduped
+      .join(drops, Seq(idCol), "left_anti")
       .select(col(idCol), col("lang_pred"), col("quality_score"),
         col("n_words").as("tokens"))
   }

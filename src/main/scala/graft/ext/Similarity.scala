@@ -864,16 +864,25 @@ object Similarity {
     require(nN > 0, "pageRank needs a non-empty node set")
     val tp = teleport match {
       case Some(t) =>
-        // normalize over the node set (1-row scalar broadcast); weight
-        // landing on unknown nodes is dropped BEFORE the sum so the
-        // distribution still adds to 1 over live nodes
+        // normalize over the node set; weight landing on unknown nodes
+        // is dropped BEFORE the sum so the distribution still adds to 1
+        // over live nodes. The normalizer must be checked: an all-
+        // unknown/deleted (or all-zero) seed set would otherwise divide
+        // 0.0/0.0 = NaN and silently produce all-NaN scores
         val w = vids.join(
             t.select(col("vid"), col("tp").cast("double").as("graft_w")),
             Seq("vid"), "left")
           .select(col("vid"), coalesce(col("graft_w"), lit(0.0)).as("graft_w"))
-        val tot = w.agg(sum(col("graft_w")).as("graft_tot"))
-        Dedup.materialize(w.crossJoin(broadcast(tot))
-          .select(col("vid"), (col("graft_w") / col("graft_tot")).as("tp")))
+        val r = w.agg(sum(col("graft_w")), min(col("graft_w"))).head()
+        val (tot, mn) = (r.getDouble(0), r.getDouble(1))
+        require(mn >= 0.0,
+          s"pageRank teleport weights must be >= 0 (found $mn)")
+        require(tot > 0.0,
+          "pageRank teleport puts zero mass on live nodes — every seeded " +
+            "vid is unknown/deleted or carries weight 0; seed at least " +
+            "one live node with positive weight")
+        Dedup.materialize(
+          w.select(col("vid"), (col("graft_w") / lit(tot)).as("tp")))
       case None =>
         Dedup.materialize(vids.withColumn("tp", lit(1.0 / nN)))
     }
@@ -1023,13 +1032,21 @@ object Similarity {
         if (m.isNullAt(0)) 0L else m.getLong(0)
     }
 
-  private def readGraphMeta(
-      spark: SparkSession, graphDir: String): Option[(Int, Int, Long)] =
+  /** (k, nProbe, frozen delete head, total IVF cell count). `n_cells`
+    * is persisted at build time so the deltas' maxDirtyFraction gates
+    * cost ZERO actions (round 17 paid a `cents.count()` job per call —
+    * the x156 +25% sf0.1 residual); absent on pre-round-18 graph
+    * states, where callers fall back to counting. The count is stable
+    * between rebuilds: IVF appends assign into the frozen centroid
+    * set, and a recluster invalidates the graph wholesale anyway. */
+  private def readGraphMeta(spark: SparkSession,
+      graphDir: String): Option[(Int, Int, Long, Option[Long])] =
     StateIO.readSmallFile(spark, graphDir, GraphMetaFile).map { body =>
       val kv = body.split("\n").map(_.trim).filter(_.contains('='))
         .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }
         .toMap
-      try ((kv("k").toInt, kv("n_probe").toInt, kv("delete_head").toLong))
+      try ((kv("k").toInt, kv("n_probe").toInt, kv("delete_head").toLong,
+        kv.get("n_cells").map(_.toLong)))
       catch {
         case e @ (_: NoSuchElementException | _: NumberFormatException) =>
           throw new IllegalStateException(
@@ -1161,7 +1178,8 @@ object Similarity {
       .write.mode("overwrite").partitionBy("batch_id", "vb")
       .parquet(s"$graphDir/homes")
     StateIO.publishSmallFile(spark, graphDir, GraphMetaFile,
-      s"k=$k\nn_probe=$nProbe\ndelete_head=$delHead\n")
+      s"k=$k\nn_probe=$nProbe\ndelete_head=$delHead\n" +
+        s"n_cells=${cents.count()}\n")
     StateIO.publishSmallFile(spark, graphDir, GraphUptoFile, s"$upto\n")
     val fs = new org.apache.hadoop.fs.Path(graphDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1204,10 +1222,11 @@ object Similarity {
       StateIO.withWriterLock(spark, graphDir) {
     require(maxDirtyFraction > 0.0 && maxDirtyFraction <= 1.0,
       s"maxDirtyFraction must be in (0, 1], got $maxDirtyFraction")
-    val (k, nProbe, delHead0) = readGraphMeta(spark, graphDir).getOrElse(
-      throw new IllegalArgumentException(
-        s"$graphDir carries no $GraphMetaFile — build the graph state " +
-          "first (buildKnnGraphState)"))
+    val (k, nProbe, delHead0, nCells0) =
+      readGraphMeta(spark, graphDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"$graphDir carries no $GraphMetaFile — build the graph state " +
+            "first (buildKnnGraphState)"))
     val delHead = ivfDeleteHead(spark, ivfDir)
     require(delHead == delHead0,
       s"IVF tombstones advanced ($delHead0 -> $delHead) since the graph " +
@@ -1266,8 +1285,12 @@ object Similarity {
     // — parity is the x156 gate; the in-order watermark contract holds
     // because later already-appended batches stay excluded); the lock
     // is thread-reentrant.
+    // dirtied derives from the already-collected cell-id sets and the
+    // total from the persisted meta — the gate costs zero extra actions
+    // (pre-round-18 states without n_cells pay the one count once; the
+    // next rebuild persists it)
     val dirtied = (newCells ++ probedCells).distinct.size
-    val totalCells = cents.count()
+    val totalCells = nCells0.getOrElse(cents.count())
     if (dirtied > maxDirtyFraction * totalCells) {
       buildKnnGraphUpTo(spark, ivfDir, graphDir, k, nProbe,
         upToBatch = Some(newBatchTag))
@@ -1445,10 +1468,11 @@ object Similarity {
       StateIO.withWriterLock(spark, graphDir) {
     require(maxDirtyFraction > 0.0 && maxDirtyFraction <= 1.0,
       s"maxDirtyFraction must be in (0, 1], got $maxDirtyFraction")
-    val (k, nProbe, delHead0) = readGraphMeta(spark, graphDir).getOrElse(
-      throw new IllegalArgumentException(
-        s"$graphDir carries no $GraphMetaFile — build the graph state " +
-          "first (buildKnnGraphState)"))
+    val (k, nProbe, delHead0, nCells0) =
+      readGraphMeta(spark, graphDir).getOrElse(
+        throw new IllegalArgumentException(
+          s"$graphDir carries no $GraphMetaFile — build the graph state " +
+            "first (buildKnnGraphState)"))
     val delHead = ivfDeleteHead(spark, ivfDir)
     require(delHead >= delHead0,
       s"IVF delete head moved BACKWARD ($delHead0 -> $delHead) under the " +
@@ -1459,10 +1483,24 @@ object Similarity {
     val pend = new org.apache.hadoop.fs.Path(graphDir, GraphPendingMarker)
     if (delHead == delHead0) {
       // nothing to apply; a re-run whose predecessor crashed between the
-      // meta republish and the marker clear completes the clear here
-      if (StateIO.readSmallFile(spark, graphDir, GraphPendingMarker)
-          .exists(_.startsWith("deleting=")))
-        fs.delete(pend, false)
+      // meta republish and the marker clear completes the clear here.
+      // Two completed-but-uncleared shapes are safe to clear under the
+      // held lock: our own "deleting=" marker, and a "building=" marker
+      // whose target watermark the _graph_upto file already carries —
+      // the cost-gate's delegated rebuild republishes meta (hence the
+      // no-op branch) and upto BEFORE its marker clear, so a matching
+      // upto proves every table write landed. A MISMATCHED "building="
+      // (crashed mid-build) and any "applying=" stay: the batch delta's
+      // re-run owns their completion.
+      StateIO.readSmallFile(spark, graphDir, GraphPendingMarker)
+        .foreach { m =>
+          val done = m.startsWith("deleting=") ||
+            (m.startsWith("building=") &&
+              StateIO.readSmallFile(spark, graphDir, GraphUptoFile)
+                .map(_.trim)
+                .contains(m.stripPrefix("building=").trim))
+          if (done) fs.delete(pend, false)
+        }
       return
     }
     val tombs = StateIO.readTableIfExists(spark, ivfDir, "tombstones")
@@ -1477,7 +1515,8 @@ object Similarity {
     val edgesPath = s"$graphDir/edges"
     def republishMeta(): Unit =
       StateIO.publishSmallFile(spark, graphDir, GraphMetaFile,
-        s"k=$k\nn_probe=$nProbe\ndelete_head=$delHead\n")
+        s"k=$k\nn_probe=$nProbe\ndelete_head=$delHead\n" +
+          nCells0.map(n => s"n_cells=$n\n").getOrElse(""))
     // 1. the deleted vectors' home cells — bucket-pruned homes read
     val delBuckets = newDeleted
       .select(pmod(col("vid"), lit(GraphHomeBuckets)).cast("int").as("vb"))
@@ -1507,11 +1546,17 @@ object Similarity {
     // applied stay unapplied (the in-order contract); current
     // tombstones apply fully — same output, parity pinned by x166's
     // retraction-vs-rebuild equality. The lock is thread-reentrant.
-    if (dCells.size > maxDirtyFraction * cents.count()) {
+    if (dCells.size > maxDirtyFraction * nCells0.getOrElse(cents.count())) {
+      // the rebuild must be bounded at the graph's CURRENT watermark —
+      // a missing _graph_upto (half-built state) must refuse exactly
+      // like the batch delta does, not silently rebuild over ALL IVF
+      // batches and fast-forward past unapplied appends
       val upto = StateIO.readSmallFile(spark, graphDir, GraphUptoFile)
-        .map(_.trim.toLong)
+        .map(_.trim.toLong).getOrElse(throw new IllegalStateException(
+          s"$graphDir has $GraphMetaFile but no $GraphUptoFile — a " +
+            "half-built graph state; rebuild (buildKnnGraphState)"))
       buildKnnGraphUpTo(spark, ivfDir, graphDir, k, nProbe,
-        upToBatch = upto)
+        upToBatch = Some(upto))
       return
     }
     val probesAll = spark.read.parquet(probesPath)

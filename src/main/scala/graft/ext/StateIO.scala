@@ -214,7 +214,107 @@ private[graft] object StateIO {
     def createExclusive(
         fs: org.apache.hadoop.fs.FileSystem,
         path: org.apache.hadoop.fs.Path, content: String): Boolean
+
+    /** Conditionally REPLACE (or, with `content = None`, delete) the
+      * lease at `path` IFF its current owner token equals
+      * `expectedOwner` — the compare-and-swap every post-acquisition
+      * lease mutation (heartbeat renewal, orderly release, stale
+      * takeover's delete) routes through. `Right(())` on success;
+      * `Left(actual)` when the compare failed — `Left(None)` means the
+      * file is gone, `Left(Some(owner))` names the owner observed
+      * (the sentinel `"mid-write"` for a half-visible file).
+      *
+      * Why a CAS and not a plain overwrite: the round-17 renewal was
+      * check-then-act (read owner, then `create(path, true)` + write).
+      * That had two real races: (a) the truncate-then-write pair let a
+      * concurrent release read a TORN file and throw a spurious
+      * takeover (observed failing under full-suite load); (b) a
+      * renewer that stalled past the lease window (long GC), got taken
+      * over, and then woke would clobber the NEW writer's lock with a
+      * stale lease — the exact interleaving the fencing comment
+      * claimed to prevent.
+      *
+      * Default implementation (below): the read-compare-publish runs
+      * under a sibling exclusive-create MUTEX file (`<path>.cas`), so
+      * two conditional mutations never interleave, and the publish is
+      * tmp + OVERWRITE-rename ([[publishSmallFile]] discipline), so a
+      * torn lock file can never be OBSERVED. Residual window on the
+      * default substrate: a holder that stalls inside the mutex longer
+      * than [[CasMutexStaleMs]] can have the mutex stolen (crash
+      * recovery) and then complete its publish — seconds-scale, vs the
+      * whole lease window before. Object stores override with a true
+      * conditional PUT (`If-Match` on the read ETag), which closes it
+      * exactly. Throws [[java.io.IOException]] when the mutex stays
+      * busy past a bounded wait — callers treat that as transient
+      * (renewal retries next tick; release retries in its loop). */
+    def replaceIfOwner(
+        fs: org.apache.hadoop.fs.FileSystem,
+        path: org.apache.hadoop.fs.Path, expectedOwner: String,
+        content: Option[String]): Either[Option[String], Unit] = {
+      val mx = new org.apache.hadoop.fs.Path(
+        path.getParent, path.getName + CasMutexSuffix)
+      val deadline = System.currentTimeMillis() + CasMutexWaitMs
+      var held = false
+      while (!held) {
+        if (createExclusive(fs, mx, "cas")) held = true
+        else {
+          val stale =
+            try fs.getFileStatus(mx).getModificationTime <
+              System.currentTimeMillis() - CasMutexStaleMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(mx, false) // crashed holder — steal
+          else if (System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(
+              s"lease CAS mutex $mx busy past ${CasMutexWaitMs}ms")
+          else Thread.sleep(50)
+        }
+      }
+      try {
+        val cur: Option[String] =
+          try {
+            val in = fs.open(path)
+            val s =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            val lines = s.split("\n")
+            if (lines.length >= 2 &&
+                scala.util.Try(lines(1).trim.toLong).isSuccess)
+              Some(lines(0).trim)
+            else Some("mid-write")
+          } catch {
+            case _: java.io.FileNotFoundException => None
+          }
+        cur match {
+          case Some(o) if o == expectedOwner =>
+            content match {
+              case Some(c) =>
+                val tmp = new org.apache.hadoop.fs.Path(
+                  path.getParent, path.getName + "__renew_tmp")
+                fs.delete(tmp, false)
+                val out = fs.create(tmp, true)
+                try out.write(
+                  c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                finally out.close()
+                org.apache.hadoop.fs.FileContext
+                  .getFileContext(path.toUri, fs.getConf)
+                  .rename(tmp, path,
+                    org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+              case None => fs.delete(path, false)
+            }
+            Right(())
+          case other => Left(other)
+        }
+      } finally fs.delete(mx, false)
+    }
   }
+
+  /** Sibling-mutex suffix for the default [[LeaseStore.replaceIfOwner]]
+    * (see its doc). */
+  private[graft] val CasMutexSuffix = ".cas"
+  /** A CAS mutex older than this is a crashed holder's remnant — stolen. */
+  private[graft] val CasMutexStaleMs = 10000L
+  /** Bounded wait for a busy CAS mutex before reporting transient. */
+  private[graft] val CasMutexWaitMs = 5000L
 
   /** Default [[LeaseStore]]: Hadoop exclusive create (atomic on HDFS
     * and local FS — the tested substrates). */
@@ -281,8 +381,16 @@ private[graft] object StateIO {
         case Some((owner, exp))
             if exp > System.currentTimeMillis() =>
           throw new ConcurrentWriter(dir, owner, exp)
-        case Some(_) =>
-          fs.delete(lock, false) // stale — take over
+        case Some((owner, _)) =>
+          // stale — CONDITIONAL takeover through the CAS seam: an
+          // unconditional delete could kill a lease published between
+          // our read and our delete (a racing acquirer's fresh create,
+          // a heartbeat renewal we raced); the conditional delete only
+          // removes the exact stale lease we read, and the exclusive
+          // create below still decides the winner between racing
+          // takeovers
+          try leaseStore.replaceIfOwner(fs, lock, owner, None)
+          catch { case _: java.io.IOException => () } // mutex busy — loop re-reads
         case None => ()
       }
       // exclusive create IS the acquisition: on a race, exactly one
@@ -304,13 +412,13 @@ private[graft] object StateIO {
     // exactly what a 100 TB append risks. A live writer now re-publishes
     // its lease every third of the window, so expiry passes only when the
     // renewer is genuinely dead (process gone → takeover still wins, as
-    // before). Renewal is fenced: it re-reads the lock first and renews
-    // ONLY while the file still carries our token — if a takeover already
-    // happened (a renewer stalled past the window, e.g. a long GC pause),
-    // it stops silently and the release path reports the overrun as
-    // before. The rewrite is a plain owner PUT, not the exclusive-create
-    // CAS — overwriting a file we verified we own is safe on every
-    // substrate (last-writer-wins is the semantics we want here).
+    // before). Renewal is a conditional replace through the LeaseStore
+    // CAS seam ([[LeaseStore.replaceIfOwner]]): the compare and the
+    // publish are one atomic step, so (a) a concurrent reader can never
+    // observe a torn lock file (the round-17 truncate-then-write race
+    // that threw spurious takeovers at release), and (b) a renewer that
+    // stalled past the window (long GC), got taken over, and then woke
+    // is REFUSED — it can no longer clobber the new writer's lock.
     val stopRenew = new java.util.concurrent.atomic.AtomicBoolean(false)
     val renewEvery = math.max(100L, leaseMs / 3)
     val renewer = new Thread(new Runnable {
@@ -318,16 +426,14 @@ private[graft] object StateIO {
         var live = true
         while (live && !stopRenew.get()) {
           Thread.sleep(renewEvery)
-          if (!stopRenew.get()) readLease() match {
-            case Some((owner, _)) if owner == token =>
-              try {
-                val out = fs.create(lock, true)
-                try out.write(
-                  s"$token\n${System.currentTimeMillis() + leaseMs}\n"
-                    .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                finally out.close()
-              } catch { case _: java.io.IOException => () } // retry next tick
-            case _ => live = false // taken over or released — stop renewing
+          if (!stopRenew.get()) {
+            try leaseStore.replaceIfOwner(fs, lock, token,
+              Some(s"$token\n${System.currentTimeMillis() + leaseMs}\n")) match {
+              case Right(()) => ()
+              case Left(_) => live = false // taken over or released — stop; release reports
+            } catch {
+              case _: java.io.IOException => () // transient (mutex busy) — retry next tick
+            }
           }
         }
       } catch { case _: InterruptedException => () }
@@ -345,16 +451,35 @@ private[graft] object StateIO {
       // release only OUR lease: if it expired mid-run and a takeover
       // happened, deleting would kill the new writer's lock — leave it
       // and surface the overrun loudly (the write may have interleaved).
-      // When the BODY already failed, the takeover report attaches as a
+      // The delete is the same conditional replace the renewer uses, so
+      // it can never race a renewal or a takeover; a "mid-write" owner
+      // (someone else's create caught half-visible) is retried briefly
+      // before concluding takeover — our own publishes are atomic, so
+      // a PERSISTENT mid-write really is a foreign writer. When the
+      // BODY already failed, the takeover report attaches as a
       // suppressed exception instead of masking the original failure.
-      try readLease() match {
-        case Some((owner, _)) if owner == token => fs.delete(lock, false)
-        case Some((owner, _)) =>
-          throw new IllegalStateException(
-            s"writer lease on $dir expired mid-run and was taken over " +
-              s"by '$owner' — this write may have interleaved with " +
-              "theirs; audit the state (StateAudit) before trusting it")
-        case None => ()
+      try {
+        var done = false
+        var attempts = 0
+        while (!done) {
+          attempts += 1
+          (try leaseStore.replaceIfOwner(fs, lock, token, None)
+           catch {
+             case _: java.io.IOException if attempts < 10 =>
+               Left(Some("mid-write")) // mutex busy — same retry path
+           }) match {
+            case Right(()) => done = true
+            case Left(None) => done = true // gone — nothing left to release
+            case Left(Some("mid-write")) if attempts < 10 =>
+              Thread.sleep(100) // half-visible foreign create — re-read
+            case Left(Some(owner)) =>
+              throw new IllegalStateException(
+                s"writer lease on $dir expired mid-run and was taken " +
+                  s"over by '$owner' — this write may have interleaved " +
+                  "with theirs; audit the state (StateAudit) before " +
+                  "trusting it")
+          }
+        }
       } catch {
         case t: Throwable if primary != null => primary.addSuppressed(t)
       }

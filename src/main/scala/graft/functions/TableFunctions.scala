@@ -101,6 +101,8 @@ object TableFunctions {
     reg.createOrReplaceTempFunction(
       "curate", exprs => curate(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
+      "curate_full", exprs => curateFull(spark, exprs), "built-in")
+    reg.createOrReplaceTempFunction(
       "search_all", exprs => searchAll(spark, exprs), "built-in")
     reg.createOrReplaceTempFunction(
       "inverted_index", exprs => invertedIndex(spark, exprs), "built-in")
@@ -1011,7 +1013,7 @@ object TableFunctions {
     * seed table, personalized (teleport ∝ seed weight). */
   private def pageRank(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
     val f = "page_rank"
-    requireArity(f, exprs, min = 3, max = 7)
+    requireArityIn(f, exprs, allowed = Seq(3, 4, 7)) // seed triple all-or-nothing
     val args = new Args(f, exprs)
     val dir = args.name("ivf_dir")
     val k = args.int("k")
@@ -1055,7 +1057,7 @@ object TableFunctions {
     * rebuild. */
   private def pageRankState(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
     val f = "page_rank_state"
-    requireArity(f, exprs, min = 2, max = 6)
+    requireArityIn(f, exprs, allowed = Seq(2, 3, 6)) // seed triple all-or-nothing
     val args = new Args(f, exprs)
     val dir = args.name("graph_dir")
     val iters = args.int("iters")
@@ -1288,6 +1290,26 @@ object TableFunctions {
     val minScore = if (args.exhausted) 0.6 else args.double("min_score")
     val n = if (args.exhausted) 13 else args.int("n")
     plan(Curate.curate(corpus, evalDocs, id, text, lang, minScore, n))
+  }
+
+  /** `curate_full(corpus, eval, 'id', 'text', 'ivf_dir', eval_vecs[,
+    * min_cos])` → [[Curate.curateFull]]: the curation plan with all
+    * three decontamination rails composed — exact 13-gram, Bloom
+    * 10-gram, and semantic over the persisted IVF state at `ivf_dir`
+    * (eval_vecs carries (eval_id, embedding)). */
+  private def curateFull(spark: SparkSession, exprs: Seq[Expression]): LogicalPlan = {
+    val f = "curate_full"
+    requireArity(f, exprs, min = 6, max = 7)
+    val args = new Args(f, exprs)
+    val corpus = args.table(spark, "corpus")
+    val evalDocs = args.table(spark, "eval")
+    val id = args.name("id")
+    val text = args.name("text")
+    val ivfDir = args.name("ivf_dir")
+    val evalVecs = args.table(spark, "eval_vecs")
+    val minCos = if (args.exhausted) 0.95 else args.double("min_cos")
+    plan(Curate.curateFull(spark, corpus, evalDocs, ivfDir, evalVecs,
+      id, text, minCos = minCos))
   }
 
   /** `search_all(table, id, text, terms)` → [[Index.searchAll]]:
@@ -1675,6 +1697,22 @@ object TableFunctions {
     * resolves it in the same pass as the enclosing statement, so attribute
     * ids stay consistent even when one TVF appears twice in a query. */
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  /** Exact allowed arities — for signatures whose optional tail is an
+    * all-or-nothing group (e.g. a seed (table, id, weight) triple): a
+    * min/max range would admit a PARTIAL group and then throw a raw
+    * IndexOutOfBounds from the argument reader instead of a named
+    * arity error. */
+  private def requireArityIn(
+      f: String, exprs: Seq[Expression], allowed: Seq[Int]): Unit =
+    if (!allowed.contains(exprs.size))
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$f`",
+          "expectedNum" -> allowed.mkString(" or "),
+          "actualNum" -> exprs.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
 
   private def requireArity(
       f: String, exprs: Seq[Expression], min: Int, max: Int): Unit =

@@ -4088,6 +4088,66 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** x174 — FULL-DECONTAM CURATION CAPSTONE ([[Curate.curateFull]]): the
+    * three decontamination rails this library carries — exact 13-gram
+    * (x37/x38), Bloom-prefiltered 10-gram (x56's shape at a second gram
+    * width), and SEMANTIC over the persisted IVF state (x173) — composed
+    * into ONE declared curation plan: raw corpus scanned once (annotate →
+    * filter → exact dedup), both gram rails over the materialized
+    * survivors, the semantic rail answered from probed IVF cells, drop
+    * lists unioned into one anti-join. Eval set = every 37th doc; eval
+    * VECTORS = the same ids' embeddings re-keyed +5000 (planted exact
+    * leakage — the semantic rail must knock out each eval item's own
+    * corpus copy even where the gram rails' self-knockout already did,
+    * plus any paraphrase-close neighbor at cos ≥ 0.95). The oracle
+    * re-derives all three rails: the x43 CTE chain, the 10-gram variant,
+    * and the full k-means/probe/cosine chain. */
+  def x174(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_x174_state").toFile.getAbsolutePath + "/ivf"
+    Similarity.appendIvfState(emb, state, k = 8, iters = 2,
+      batchTag = Some(1L))
+    val evalVecs = emb.filter(col("vec_id") % 37 === 0)
+      .select((col("vec_id") + 5000).as("eval_id"), col("embedding"))
+    Curate.curateFull(s, docs, docs.filter(col("doc_id") % 37 === 0),
+        state, evalVecs, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** x175 — PAGERANK OVER THE MAINTAINED GRAPH STATE
+    * ([[Similarity.pageRankFromGraphState]]): the steady-state scoring
+    * posture under the DuckDB oracle — x170 gates PageRank over a graph
+    * built fresh per call; this gates it over the DELTA-MAINTAINED edge
+    * relation after the full lifecycle x166 pins (build on batch 1 →
+    * ingest delta batch 2 → tombstone every vec_id ≡ 4 mod 9 → delete
+    * retraction), so a score refresh costs the batch delta plus the
+    * bounded rounds, never the per-call n^1.5 rebuild. Nodes come from
+    * the maintained `homes` index (isolated live vectors keep teleport
+    * mass). The oracle re-derives the post-lifecycle graph directly
+    * (the x166 relation) and unrolls the five rounds. */
+  def x175(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x175_state").toFile.getAbsolutePath
+    val state = s"$root/ivf"; val graph = s"$root/graph"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 375), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.buildKnnGraphState(s, state, graph, k = 3, nProbe = 2)
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 375), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.knnGraphDeltaFromState(s, state, graph, 2L)
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.knnGraphDeleteDeltaFromState(s, state, graph,
+      maxDirtyFraction = 1.0)
+    Similarity.pageRankFromGraphState(s, graph, iters = 5)
+      .select(col("vec_id"), round(col("pr"), 7).as("pr"))
+      .orderBy("vec_id")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -4358,7 +4418,9 @@ object Extensions {
     "x170_pagerank" -> (x170 _),
     "x171_seeded_pagerank" -> (x171 _),
     "x172_mp3_meta" -> (x172 _),
-    "x173_semantic_decontam" -> (x173 _)
+    "x173_semantic_decontam" -> (x173 _),
+    "x174_curate_full" -> (x174 _),
+    "x175_pagerank_graph_state" -> (x175 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -8539,6 +8601,76 @@ object Extensions {
          |  FROM scored WHERE cos >= 0.95)
          |SELECT vid AS vec_id, eval_id, round(cos, 4) AS max_cos
          |FROM flagged WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // x174: all three decontamination rails re-derived — the x43 chain
+    // (13-gram `contam` over survivors `u`), the 10-gram Bloom rail's
+    // exact relation (the Bloom is a prefilter; its semi-join output IS
+    // the exact gram relation), and the semantic rail's full
+    // k-means/probe/cosine chain (eval probes = every 37th vector) —
+    // unioned into one drop set anti-joined from the survivors
+    "x174_curate_full" ->
+      s"""WITH $curateOracleCtes,
+         |evg10 AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 8, 1)),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+         |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9])))) AS gram
+         |  FROM evt),
+         |ug10 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(t) - 8, 1)),
+         |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4],
+         |      t[i+5], t[i+6], t[i+7], t[i+8], t[i+9])))) AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM u)),
+         |contamb AS (
+         |  SELECT DISTINCT ug10.doc_id FROM ug10 JOIN evg10 USING (gram)),
+         |$annEmbCte,
+         |${kmeansTrainCtes(probeWhere = "e.vec_id % 37 = 0")},
+         |semscored AS (
+         |  SELECT af.vid,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)),
+         |contams AS (
+         |  SELECT DISTINCT vid AS doc_id FROM semscored WHERE cos >= 0.95),
+         |drops AS (
+         |  SELECT doc_id FROM contam UNION SELECT doc_id FROM contamb
+         |  UNION SELECT doc_id FROM contams)
+         |SELECT u.doc_id, u.lang_pred, u.quality_score,
+         |  u.n_words AS tokens
+         |FROM u LEFT JOIN drops d ON u.doc_id = d.doc_id
+         |WHERE d.doc_id IS NULL ORDER BY u.doc_id""".stripMargin,
+
+    // x175: the x166 post-lifecycle graph relation (centroids trained on
+    // batch 1, all live vectors assigned, deleted ids ≡ 4 mod 9 out of
+    // both sides) as `g`, uniform teleport over live nodes, five
+    // unrolled power-iteration rounds — the maintained-state scores must
+    // equal the rebuild-derived chain
+    "x175_pagerank_graph_state" ->
+      s"""WITH $annEmbCte,
+         |b1 AS (SELECT vec_id, v FROM e WHERE vec_id < 375),
+         |${kmeansTrainCtes(src = "b1", probeWhere = "e.vec_id % 9 <> 4")},
+         |scored AS (
+         |  SELECT p.query_id, af.vid AS neighbor_id,
+         |    list_dot_product(p.qv, af.v)
+         |      / (sqrt(list_dot_product(p.qv, p.qv))
+         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+         |  FROM probes p JOIN af USING (cid)
+         |  WHERE af.vid != p.query_id AND af.vid % 9 <> 4),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |g AS (SELECT query_id AS src, neighbor_id AS dst
+         |  FROM ranked WHERE rank <= 3),
+         |nodes AS (SELECT vec_id AS vid FROM e WHERE vec_id % 9 <> 4),
+         |n AS (SELECT count(*) AS cnt FROM nodes),
+         |tp AS (SELECT vid, 1.0 / cnt AS tp FROM nodes, n),
+         |${pageRankCtes(5, 0.85)}
+         |SELECT vid AS vec_id, round(pr, 7) AS pr FROM pr5
+         |ORDER BY vec_id""".stripMargin,
 
     // x163: x160's envelope-bit derivation, restricted to (new ∈ batch,
     // old ∈ corpus) cross pairs with tombstoned (id ≡ 7 mod 10) corpus

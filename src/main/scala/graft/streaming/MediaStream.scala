@@ -79,4 +79,37 @@ object MediaStream {
         ()
       }
       .start()
+
+  /** Streaming MEDIA METADATA ingest — the extraction twin of
+    * [[fingerprintDedupIngest]], completing the modality story for a
+    * crawl pipeline: the dedup ingest decides WHICH payloads survive,
+    * this one lands WHAT they are. Each micro-batch runs the
+    * header-only type dispatcher ([[graft.ext.Multimodal.mediaMeta]]:
+    * png/jpeg/gif/bmp/wav/mp4/mp3/gvid; unrecognized = `bin`) and
+    * appends one typed [[graft.ext.Multimodal.MediaTypeMeta]] row per
+    * payload into `metaDir`'s `batch_id=N` partition.
+    *
+    * Replay safety (foreachBatch is at-least-once): the rows are a PURE
+    * function of the payload bytes, and each batch lands as a tagged
+    * partition OVERWRITE — a replayed batch recomputes identical rows
+    * in place, never duplicates. Sample bytes are never read (headers
+    * only), so per-batch cost is the parse map plus one columnar
+    * write; the table reads back with `spark.read.parquet(metaDir)`
+    * partition-pruned by `batch_id` for per-ingest audits. */
+  def metadataIngest(
+      batches: DataFrame,
+      metaDir: String,
+      idCol: String,
+      payloadCol: String,
+      checkpointDir: String): StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Multimodal.mediaMetaBatch(batch, idCol, payloadCol)
+          .toDF()
+          .write.mode("overwrite")
+          .parquet(s"$metaDir/batch_id=$batchId")
+        ()
+      }
+      .start()
 }

@@ -4534,6 +4534,173 @@ class ExtSpec extends SparkSpec {
     assert(!fs.exists(lock))
   }
 
+  test("lease release: a transiently half-visible (mid-write) lock is " +
+      "retried and released cleanly, not reported as takeover") {
+    // the deterministic injection of the round-17 failure: the release
+    // read landing on a torn lock file. Renewal publishes atomically
+    // now, so the tear is injected by hand (a foreign half-visible
+    // create / slow-FS view); the release loop must retry past it and
+    // find its own token once the file is whole again
+    val dir = java.nio.file.Files.createTempDirectory("graft-leasetorn")
+      .toFile.getAbsolutePath + "/state"
+    val lock = new org.apache.hadoop.fs.Path(dir, "_writer_lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    StateIO.withWriterLock(spark, dir, leaseMs = 60000L) {
+      val in = fs.open(lock)
+      val full =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val torn = fs.create(lock, true)
+      try torn.write(full.split("\n")(0).getBytes("UTF-8")) // owner, no expiry
+      finally torn.close()
+      val repair = new Thread(() => {
+        Thread.sleep(400)
+        val out = fs.create(lock, true)
+        try out.write(full.getBytes("UTF-8")) finally out.close()
+      })
+      repair.setDaemon(true)
+      repair.start()
+    } // must NOT throw the spurious "taken over by 'mid-write'"
+    assert(!fs.exists(lock),
+      "release must retry past the mid-write view and delete its lease")
+  }
+
+  test("lease renewal: a renewer that stalls past the window and wakes " +
+      "after takeover is refused through the CAS seam — the new writer's " +
+      "lock survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-leasestall")
+      .toFile.getAbsolutePath + "/state"
+    val lock = new org.apache.hadoop.fs.Path(dir, "_writer_lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    def ownerLine(): String = {
+      val in = fs.open(lock)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\n")(0).trim
+      finally in.close()
+    }
+    val stallGate = new java.util.concurrent.CountDownLatch(1)
+    val takenOver = new java.util.concurrent.CountDownLatch(1)
+    val refused = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val clobbered = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the stall is injected at the seam: the first writer's RENEWAL
+    // (content defined) blocks — the modeled long GC pause — until the
+    // takeover completed; conditional deletes (takeover, release) pass
+    // straight through to the real store
+    val store = new StateIO.LeaseStore {
+      override def createExclusive(
+          cfs: org.apache.hadoop.fs.FileSystem,
+          path: org.apache.hadoop.fs.Path, content: String): Boolean =
+        StateIO.HadoopLeaseStore.createExclusive(cfs, path, content)
+      override def replaceIfOwner(
+          cfs: org.apache.hadoop.fs.FileSystem,
+          path: org.apache.hadoop.fs.Path, expectedOwner: String,
+          content: Option[String]): Either[Option[String], Unit] = {
+        val mine = path.toString.contains("graft-leasestall")
+        if (mine && content.isDefined && takenOver.getCount > 0)
+          stallGate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        val r = super.replaceIfOwner(cfs, path, expectedOwner, content)
+        if (mine && content.isDefined) {
+          if (r.isLeft) refused.set(true)
+          else if (takenOver.getCount == 0) clobbered.set(true)
+        }
+        r
+      }
+    }
+    StateIO.leaseStore = store
+    try {
+      val w1Err =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val w1Started = new java.util.concurrent.CountDownLatch(1)
+      val bodyDone = new java.util.concurrent.CountDownLatch(1)
+      val w1 = new Thread(() =>
+        try StateIO.withWriterLock(spark, dir, leaseMs = 300L) {
+          w1Started.countDown()
+          bodyDone.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        } catch { case t: Throwable => w1Err.set(t) })
+      w1.start()
+      assert(w1Started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      val owner1 = ownerLine()
+      // the renewer's ~100ms tick blocks on the gate; the lease expires
+      // un-renewed at ~300ms
+      Thread.sleep(600)
+      val w2Holding = new java.util.concurrent.CountDownLatch(1)
+      val w2Release = new java.util.concurrent.CountDownLatch(1)
+      val w2 = new Thread(() =>
+        StateIO.withWriterLock(spark, dir, leaseMs = 60000L) {
+          w2Holding.countDown()
+          w2Release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        })
+      w2.start()
+      assert(w2Holding.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "the second writer must take over the expired lease")
+      val owner2 = ownerLine()
+      assert(owner2 != owner1)
+      takenOver.countDown()
+      stallGate.countDown() // the stalled renewer wakes NOW — post-takeover
+      val deadline = System.currentTimeMillis() + 10000L
+      while (!refused.get() && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(refused.get(), "the woken renewer's renewal must be refused")
+      assert(!clobbered.get())
+      assert(ownerLine() == owner2,
+        "the new writer's lock must survive the woken renewer")
+      // the first writer's orderly release reports the takeover loudly
+      // and must not delete the new writer's lock
+      bodyDone.countDown()
+      w1.join(30000)
+      w1Err.get() match {
+        case e: IllegalStateException =>
+          assert(e.getMessage.contains("taken over"))
+        case other => fail(s"expected the takeover report, got $other")
+      }
+      assert(ownerLine() == owner2,
+        "release must be conditional — the survivor's lock stays")
+      w2Release.countDown()
+      w2.join(30000)
+      assert(!fs.exists(lock))
+    } finally StateIO.leaseStore = StateIO.HadoopLeaseStore
+  }
+
+  test("lease heartbeat publishes atomically: a concurrent poller never " +
+      "observes a torn lock file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-leaseatomic")
+      .toFile.getAbsolutePath + "/state"
+    val lock = new org.apache.hadoop.fs.Path(dir, "_writer_lock")
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    val torn = new java.util.concurrent.atomic.AtomicInteger
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val poller = new Thread(() =>
+      while (!stop.get()) {
+        try {
+          val in = fs.open(lock)
+          val s =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          reads.incrementAndGet()
+          val lines = s.split("\n")
+          if (!(lines.length >= 2 &&
+              scala.util.Try(lines(1).trim.toLong).isSuccess))
+            torn.incrementAndGet()
+        } catch { case _: java.io.FileNotFoundException => () }
+        Thread.sleep(2)
+      })
+    poller.setDaemon(true)
+    StateIO.withWriterLock(spark, dir, leaseMs = 300L) {
+      poller.start() // after the initial create — polls across ~12 renewals
+      Thread.sleep(1200)
+    }
+    stop.set(true)
+    poller.join(5000)
+    // Hadoop local-FS open/read costs ~30ms, so ~35 samples land across
+    // the 1200ms / ~12-renewal window — plenty to catch a non-atomic
+    // truncate-then-write (the old renewal tore on nearly every publish)
+    assert(reads.get() > 10, s"poller must have sampled (got ${reads.get()})")
+    assert(torn.get() == 0,
+      s"observed ${torn.get()} torn reads of ${reads.get()} — renewal " +
+        "publication must be atomic")
+  }
+
   test("vacuumStateVersions: graceMs keeps a pre-swap reader's superseded " +
       "dir alive; grace 0 reclaims it") {
     import graft.Tables
@@ -5191,6 +5358,89 @@ class ExtSpec extends SparkSpec {
     // dynamics, so the split depends on iteration parity — no ordering
     // assert), and every cycle member holds a strictly positive share
     assert(pr(1L) > 0.0 && pr(2L) > 0.0, pr)
+  }
+
+  test("pageRank: a teleport set with zero live mass fails fast by name " +
+      "(never all-NaN scores); negative weights refuse") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("vid")
+    // every seed unknown → normalizer would be 0.0/0.0 = NaN silently
+    val dead = Seq((42L, 5.0), (43L, 1.0)).toDF("vid", "tp")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.pageRank(edges, nodes, iters = 2, teleport = Some(dead)))
+    assert(e1.getMessage.contains("zero mass"), e1.getMessage)
+    // known seeds but all-zero weight — same degenerate normalizer
+    val zeroes = Seq((1L, 0.0), (2L, 0.0)).toDF("vid", "tp")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.pageRank(edges, nodes, iters = 2, teleport = Some(zeroes)))
+    assert(e2.getMessage.contains("zero mass"), e2.getMessage)
+    val neg = Seq((1L, 2.0), (2L, -1.0)).toDF("vid", "tp")
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.pageRank(edges, nodes, iters = 2, teleport = Some(neg)))
+    assert(e3.getMessage.contains(">= 0"), e3.getMessage)
+  }
+
+  test("graph delete delta: the no-op branch completes a crashed " +
+      "delegated rebuild's marker clear — but never a half-done build's " +
+      "or a batch delta's") {
+    val emb = (0 until 24).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 5 + d * 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_noopclr").toFile.getAbsolutePath
+    val ivf = s"$root/ivf"; val g = s"$root/graph"
+    Similarity.appendIvfState(emb, ivf, k = 4, iters = 2,
+      batchTag = Some(1L))
+    Similarity.buildKnnGraphState(spark, ivf, g, k = 3, nProbe = 2)
+    val before = Similarity.readKnnGraphState(spark, g).collect().toSet
+    val upto = StateIO.readSmallFile(spark, g, "_graph_upto").get.trim
+    // the ADVICE-medium crash window: a delete-side cost-gate delegation
+    // finished every write (meta republished at the current head, upto
+    // republished) and crashed before clearing its "building=" marker —
+    // a blind delete-delta re-run sees head == frozen head (no-op) and
+    // must complete the clear, or every read fails until a manual rebuild
+    StateIO.publishSmallFile(spark, g, "_graph_pending", s"building=$upto\n")
+    intercept[IllegalArgumentException](
+      Similarity.readKnnGraphState(spark, g)) // gated while pending
+    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g)
+    assert(Similarity.readKnnGraphState(spark, g).collect().toSet == before,
+      "the completed rebuild's leftover marker must clear on the no-op path")
+    // a MISMATCHED building marker is a crash MID-build (tables half
+    // written) — the no-op path must leave it for the owning re-run
+    StateIO.publishSmallFile(spark, g, "_graph_pending",
+      s"building=${upto.toLong + 7}\n")
+    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g)
+    intercept[IllegalArgumentException](Similarity.readKnnGraphState(spark, g))
+    // an applying= marker belongs to a crashed BATCH delta — same refusal
+    StateIO.publishSmallFile(spark, g, "_graph_pending", "applying=2\n")
+    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g)
+    intercept[IllegalArgumentException](Similarity.readKnnGraphState(spark, g))
+    val fs = new org.apache.hadoop.fs.Path(g)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(g, "_graph_pending"), false)
+  }
+
+  test("graph delete delta: cost-gate delegation REFUSES a state missing " +
+      "_graph_upto instead of silently rebuilding past unapplied batches") {
+    val emb = (0 until 24).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 5 + d * 7) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nouptodel").toFile.getAbsolutePath
+    val ivf = s"$root/ivf"; val g = s"$root/graph"
+    Similarity.appendIvfState(emb, ivf, k = 4, iters = 2,
+      batchTag = Some(1L))
+    Similarity.buildKnnGraphState(spark, ivf, g, k = 3, nProbe = 2)
+    Similarity.deleteFromIvfState(spark, ivf, Seq(3L, 9L).toDF("vec_id"),
+      "vec_id", deleteTag = Some(1L))
+    val fs = new org.apache.hadoop.fs.Path(g)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(g, "_graph_upto"), false)
+    // a tiny threshold forces the delegation branch with any dirty cell
+    val e = intercept[IllegalStateException](
+      Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g,
+        maxDirtyFraction = 1e-6))
+    assert(e.getMessage.contains("_graph_upto"), e.getMessage)
   }
 
   test("pageRankFromGraphState == rebuild-based scores through build, " +

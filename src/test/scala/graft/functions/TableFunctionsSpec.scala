@@ -146,6 +146,45 @@ class TableFunctionsSpec extends SparkSpec {
       graft.ext.Index.invertedIndex(docs, "doc_id", "text", minDf = 2L))
   }
 
+  test("page_rank / page_rank_state: a PARTIAL seed triple is a named " +
+      "arity error, not an index crash") {
+    ready()
+    // 5 and 6 args to page_rank (seed triple incomplete) must name the
+    // allowed arities; same for 4 and 5 args to page_rank_state
+    Seq(
+      "SELECT * FROM page_rank('d', 3, 4, 0.85, 'tbl')",
+      "SELECT * FROM page_rank('d', 3, 4, 0.85, 'tbl', 'vid')",
+      "SELECT * FROM page_rank_state('d', 4, 0.85, 'tbl')",
+      "SELECT * FROM page_rank_state('d', 4, 0.85, 'tbl', 'vid')"
+    ).foreach { q =>
+      val e = intercept[AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.contains("page_rank"), s"$q -> ${e.getMessage}")
+      assert(!e.getMessage.contains("IndexOutOfBounds"), e.getMessage)
+    }
+  }
+
+  test("curate_full TVF == Curate.curateFull (three-rail decontamination)") {
+    ready()
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tvf_cf").toFile.getAbsolutePath + "/ivf"
+    graft.ext.Similarity.appendIvfState(emb, dir, k = 4, iters = 2,
+      batchTag = Some(1L))
+    val evalDocs = docs.filter($"doc_id" % 37 === 0)
+    val evalVecs = emb.filter($"vec_id" % 37 === 0)
+      .select(($"vec_id" + 5000).as("eval_id"), $"embedding")
+    docs.createOrReplaceTempView("tvf_cf_docs")
+    evalDocs.createOrReplaceTempView("tvf_cf_eval")
+    evalVecs.createOrReplaceTempView("tvf_cf_evecs")
+    assertSame(
+      spark.sql(s"""SELECT * FROM curate_full('tvf_cf_docs',
+        |  'tvf_cf_eval', 'doc_id', 'text', '$dir', 'tvf_cf_evecs',
+        |  0.95)""".stripMargin),
+      graft.ext.Curate.curateFull(spark, docs, evalDocs, dir, evalVecs,
+        "doc_id", "text"))
+  }
+
   test("semantic_dedup / token_budget / contamination_score / dup_ngram_coverage TVFs == Scala APIs") {
     ready()
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")

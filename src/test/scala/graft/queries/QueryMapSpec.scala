@@ -28,7 +28,7 @@ class QueryMapSpec extends AnyFunSuite {
     assert(shared.isEmpty, s"shared keys: $shared")
   }
 
-  test("corpus shape matches the documented inventory (q01-q28, x01-x169, e01-e03)") {
+  test("corpus shape matches the documented inventory (q01-q28, x01-x175, e01-e03)") {
     val q = graft.SparkEntry.queries.keySet
     def series(prefix: String, n: Int): Set[String] =
       (1 to n).map(i => f"$prefix$i%02d_").toSet
@@ -36,8 +36,8 @@ class QueryMapSpec extends AnyFunSuite {
     def prefixes(of: Set[String]): Set[String] =
       of.map(s => s.takeWhile(_ != '_') + "_")
     assert(prefixes(q.filter(_.startsWith("q"))) == series("q", 28))
-    assert(prefixes(q.filter(_.startsWith("x"))) == series("x", 173))
+    assert(prefixes(q.filter(_.startsWith("x"))) == series("x", 175))
     assert(prefixes(q.filter(_.startsWith("e"))) == series("e", 3))
-    assert(q.size == 204) // the SparkEntry scaladoc's number — keep in sync
+    assert(q.size == 206) // the SparkEntry scaladoc's number — keep in sync
   }
 }

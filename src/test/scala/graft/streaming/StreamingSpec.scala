@@ -594,6 +594,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media metadata ingest: streamed table == batch dispatcher; " +
+      "replay overwrites in place") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_media_meta").toString
+    implicit val sqlCtx = spark.sqlContext
+    // mixed crawl shape: MP3s, MP4s, and junk the dispatcher must type
+    // as `bin` — all synthesized by the x167/x172 fixture arithmetic
+    def payload(id: Long): Array[Byte] =
+      if (id % 5 == 4) s"junk $id".getBytes("UTF-8")
+      else if (id % 2 == 0) graft.queries.Extensions.syntheticMp3(id)
+      else graft.queries.Extensions.syntheticMp4(id)
+    val b0 = (0L until 8L).map(id => (id, payload(id)))
+    val b1 = (8L until 14L).map(id => (id, payload(id)))
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = MediaStream.metadataIngest(
+      stream.toDS().toDF("doc_id", "payload"), s"$dir/meta",
+      "doc_id", "payload", s"$dir/ckpt")
+    def streamedRows: Set[org.apache.spark.sql.Row] =
+      spark.read.parquet(s"$dir/meta").drop("batch_id").collect().toSet
+    try {
+      stream.addData(b0); q.processAllAvailable()
+      stream.addData(b1); q.processAllAvailable()
+      val batchRows = graft.ext.Multimodal.mediaMetaBatch(
+        (b0 ++ b1).toDF("doc_id", "payload")).toDF().collect().toSet
+      assert(streamedRows == batchRows,
+        "streamed metadata must equal the batch dispatcher over the union")
+      // every modality actually landed (junk rows typed, not dropped)
+      val types = spark.read.parquet(s"$dir/meta")
+        .select("media_type").as[String].collect().toSet
+      assert(types == Set("mp3", "mp4", "bin"), types)
+    } finally q.stop()
+    // at-least-once replay: re-landing batch 1's partition recomputes
+    // identical rows in place — no duplicates, no drift
+    val before = streamedRows
+    graft.ext.Multimodal.mediaMetaBatch(b1.toDF("doc_id", "payload"))
+      .toDF().write.mode("overwrite").parquet(s"$dir/meta/batch_id=1")
+    assert(streamedRows == before, "replayed partition must be idempotent")
+  }
+
   test("stateless text-pipeline ops run unchanged on a stream == batch results") {
     // quality scoring, language ID, split assignment and token counting are
     // pure column expressions — the SAME operator code must work under
