@@ -4687,15 +4687,20 @@ class ExtSpec extends SparkSpec {
       })
     poller.setDaemon(true)
     StateIO.withWriterLock(spark, dir, leaseMs = 300L) {
-      poller.start() // after the initial create — polls across ~12 renewals
-      Thread.sleep(1200)
+      poller.start() // after the initial create
+      // hold until the poller has a real sample (~30ms per Hadoop local
+      // read unloaded, slower under parallel-suite load) — renewals keep
+      // landing every ~100ms the whole time, so more wall = more
+      // publishes sampled, never fewer
+      val deadline = System.currentTimeMillis() + 15000L
+      while (reads.get() < 30 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
     }
     stop.set(true)
     poller.join(5000)
-    // Hadoop local-FS open/read costs ~30ms, so ~35 samples land across
-    // the 1200ms / ~12-renewal window — plenty to catch a non-atomic
-    // truncate-then-write (the old renewal tore on nearly every publish)
-    assert(reads.get() > 10, s"poller must have sampled (got ${reads.get()})")
+    // a non-atomic truncate-then-write renewal tears on nearly every
+    // publish — 30 samples across ≥ a dozen renewals catches it
+    assert(reads.get() >= 30, s"poller must have sampled (got ${reads.get()})")
     assert(torn.get() == 0,
       s"observed ${torn.get()} torn reads of ${reads.get()} — renewal " +
         "publication must be atomic")
