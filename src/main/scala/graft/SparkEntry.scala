@@ -17,8 +17,8 @@ object SparkEntry {
     graft.queries.Relational.q15(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator: SURVEY §2.10 relational corpus
-    * (q01–q28), LLM-pipeline extension operators (x01–x175), and the
-    * pipeline end-to-end entries (e01–e03) — 206 queries total (count
+    * (q01–q28), LLM-pipeline extension operators (x01–x176), and the
+    * pipeline end-to-end entries (e01–e03) — 207 queries total (count
     * pinned by QueryMapSpec so this doc cannot drift). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.StrictMap.disjointUnion(

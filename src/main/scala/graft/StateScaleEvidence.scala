@@ -241,6 +241,16 @@ object StateScaleEvidence {
       val (tgDeleteSpread, _) = time {
         Similarity.knnGraphDeleteDeltaFromState(spark, vs, gDir)
       }
+      // layout compaction after the delta/retraction waves above (each
+      // batch delta appended a file set per touched probe partition):
+      // the claim is one clustered rewrite of the three tables — cost
+      // ∝ state size, and the post-compact read is not slower
+      val (tgCompact, _) = time {
+        Similarity.compactGraphState(spark, gDir)
+      }
+      val (tgReadCompacted, _) = time {
+        Similarity.readKnnGraphState(spark, gDir).count()
+      }
       s""","cells":$kCells,"graph":{"knn":${fmt(tgKnn)},""" +
         s""""mutual":${fmt(tgMutual)},"clusters":${fmt(tgClusters)},""" +
         s""""pagerank":${fmt(tgPagerank)},""" +
@@ -248,6 +258,8 @@ object StateScaleEvidence {
         s""""delta_local":${fmt(tgDeltaLocal)},""" +
         s""""delete_delta_local":${fmt(tgDeleteLocal)},""" +
         s""""delete_delta_spread":${fmt(tgDeleteSpread)},""" +
+        s""""compact":${fmt(tgCompact)},""" +
+        s""""read_compacted":${fmt(tgReadCompacted)},""" +
         s""""edges":$knnEdges,"pairs":$mutualPairs,"labeled":$clusterRows}"""
     }
 

@@ -957,6 +957,9 @@ object Similarity {
   private val GraphMetaFile = "_graph_meta"
   private val GraphPendingMarker = "_graph_pending"
   private val GraphUptoFile = "_graph_upto"
+  /** The graph state's tables, in [[compactGraphState]]'s rewrite order
+    * — also the remnant-check list every graph mutation runs at entry. */
+  private val GraphTables = Seq("probes", "edges", "homes")
 
   /** Bucket count for the graph state's slim `homes` index (vid →
     * home_cid, partitioned by `vb = vid mod this`): the delete path
@@ -1183,6 +1186,15 @@ object Similarity {
     StateIO.publishSmallFile(spark, graphDir, GraphUptoFile, s"$upto\n")
     val fs = new org.apache.hadoop.fs.Path(graphDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // a full rebuild re-derives every table from the IVF state, so any
+    // compaction-crash remnants are moot — clear them here (the build is
+    // the documented escape hatch; it must not itself refuse on them)
+    GraphTables.foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(graphDir,
+        s"${t}__compact_tmp"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(graphDir,
+        s"${t}__compact_bak"), true)
+    }
     fs.delete(new org.apache.hadoop.fs.Path(graphDir, GraphPendingMarker),
       false)
   }
@@ -1222,6 +1234,7 @@ object Similarity {
       StateIO.withWriterLock(spark, graphDir) {
     require(maxDirtyFraction > 0.0 && maxDirtyFraction <= 1.0,
       s"maxDirtyFraction must be in (0, 1], got $maxDirtyFraction")
+    StateIO.checkNoCompactRemnants(spark, graphDir, GraphTables)
     val (k, nProbe, delHead0, nCells0) =
       readGraphMeta(spark, graphDir).getOrElse(
         throw new IllegalArgumentException(
@@ -1468,6 +1481,7 @@ object Similarity {
       StateIO.withWriterLock(spark, graphDir) {
     require(maxDirtyFraction > 0.0 && maxDirtyFraction <= 1.0,
       s"maxDirtyFraction must be in (0, 1], got $maxDirtyFraction")
+    StateIO.checkNoCompactRemnants(spark, graphDir, GraphTables)
     val (k, nProbe, delHead0, nCells0) =
       readGraphMeta(spark, graphDir).getOrElse(
         throw new IllegalArgumentException(
@@ -1663,6 +1677,62 @@ object Similarity {
         "(build one with buildKnnGraphState)")
     spark.read.parquet(s"$graphDir/edges")
       .select(col("vec_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** LAYOUT COMPACTION for a persisted kNN-graph state — zero semantic
+    * change, pure file-layout maintenance, the graph twin of
+    * [[compactIvfState]]. Why the graph dir fragments: every
+    * [[knnGraphDeltaFromState]] APPENDS the batch's probe rows into the
+    * touched `probe_cid=` partitions (one file set per delta per
+    * partition), so after B steady-state ingest batches a probe
+    * partition holds up to B small files and the delta's own
+    * partition-pruned reads pay B× the open/seek cost — the classic
+    * small-files death at 100 TB. `edges` and `homes` partitions are
+    * rewritten whole by the deltas, but their file sizes track the
+    * original write's parallelism, so they re-cluster to `targetBytes`
+    * here too.
+    *
+    * What this deliberately does NOT do: collapse the `homes` table's
+    * `batch_id` levels. A blind re-run of the watermark batch delta
+    * (the documented crash-recovery path) dynamic-overwrites that
+    * batch's `(batch_id, vb)` partitions assuming they hold EXACTLY
+    * that batch's rows — any collapse would make the re-run drop or
+    * duplicate earlier batches' rows. History collapse is
+    * [[truncateIvfHistory]]-then-rebuild's job; this verb only rewrites
+    * file layout inside the partition shape the deltas rely on.
+    *
+    * Crash posture rides [[Dedup.compactStateTables]]' swap protocol:
+    * each table rewrites to a `__compact_tmp` sibling and swaps in with
+    * two renames around a `__compact_bak`; a crash mid-swap leaves the
+    * bak for the fail-fast remnant check every graph mutation runs at
+    * entry ([[StateIO.checkNoCompactRemnants]]), and a reader landing
+    * between table swaps sees old and new layouts of the SAME relation
+    * (no pending marker needed — nothing semantic changes). Refuses on
+    * a `_graph_pending` marker: a crashed delta owns its own completion
+    * and compacting its half-written tables would freeze the wrong
+    * layout. */
+  def compactGraphState(
+      spark: SparkSession, graphDir: String,
+      targetBytes: Long = 128L << 20): Unit =
+      StateIO.withWriterLock(spark, graphDir) {
+    require(readGraphMeta(spark, graphDir).nonEmpty,
+      s"$graphDir carries no $GraphMetaFile — not a graph state dir " +
+        "(build one with buildKnnGraphState)")
+    checkNoGraphPending(spark, graphDir)
+    StateIO.checkNoCompactRemnants(spark, graphDir, GraphTables)
+    // one call per table: each carries the OTHER tables' partition
+    // columns as data columns (probes holds home_cid beside probe_cid),
+    // so a shared extraPartitionCols list would silently re-partition
+    // them by both and double the directory count instead of halving it
+    graft.ext.Dedup.compactStateTables(spark, graphDir,
+      Seq("probes" -> false), targetBytes,
+      extraPartitionCols = Seq("probe_cid"))
+    graft.ext.Dedup.compactStateTables(spark, graphDir,
+      Seq("edges" -> false), targetBytes,
+      extraPartitionCols = Seq("home_cid"))
+    graft.ext.Dedup.compactStateTables(spark, graphDir,
+      Seq("homes" -> false), targetBytes,
+      extraPartitionCols = Seq("vb")) // batch_id joins via the shared list
   }
 
   /** MAXIMAL MARGINAL RELEVANCE diversified top-k from the persisted

@@ -4148,6 +4148,40 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** x176 — GRAPH-STATE LAYOUT COMPACTION IS A SEMANTIC NO-OP
+    * ([[Similarity.compactGraphState]]): x175's full lifecycle (build →
+    * ingest delta → tombstone → delete retraction) with a compaction
+    * after EACH maintenance verb — the steady-state file-layout GC a
+    * long-lived graph needs (every batch delta appends one file set per
+    * touched probe partition; B batches = B× the open cost on every
+    * pruned read). The scores must equal x175's exactly — same oracle
+    * chain — proving the swap-protocol rewrite changes bytes-on-disk
+    * layout and nothing else, and that the deltas compose across a
+    * compaction boundary (the delete retraction here reads
+    * compacted probes/homes). */
+  def x176(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x176_state").toFile.getAbsolutePath
+    val state = s"$root/ivf"; val graph = s"$root/graph"
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 375), state,
+      k = 8, iters = 2, batchTag = Some(1L))
+    Similarity.buildKnnGraphState(s, state, graph, k = 3, nProbe = 2)
+    Similarity.appendIvfState(emb.filter(col("vec_id") >= 375), state,
+      k = 8, iters = 2, batchTag = Some(2L))
+    Similarity.knnGraphDeltaFromState(s, state, graph, 2L)
+    Similarity.compactGraphState(s, graph)
+    Similarity.deleteFromIvfState(s, state,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.knnGraphDeleteDeltaFromState(s, state, graph,
+      maxDirtyFraction = 1.0)
+    Similarity.compactGraphState(s, graph)
+    Similarity.pageRankFromGraphState(s, graph, iters = 5)
+      .select(col("vec_id"), round(col("pr"), 7).as("pr"))
+      .orderBy("vec_id")
+  }
+
   def x114(s: SparkSession, dir: String): DataFrame = {
     val emb = driftedEmb(s, dir)
     val state = java.nio.file.Files
@@ -4420,7 +4454,8 @@ object Extensions {
     "x172_mp3_meta" -> (x172 _),
     "x173_semantic_decontam" -> (x173 _),
     "x174_curate_full" -> (x174 _),
-    "x175_pagerank_graph_state" -> (x175 _)
+    "x175_pagerank_graph_state" -> (x175 _),
+    "x176_graph_compact" -> (x176 _)
   )
 
   /** Shared DuckDB CTE chain for the curation pipeline (x43/x45): quality +
@@ -5166,6 +5201,35 @@ object Extensions {
        |rp AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a)
        |$finalSelect""".stripMargin
   }
+
+  /** The x175/x176 oracle chain — shared because x176 (compaction after
+    * each maintenance verb) is a declared semantic no-op over x175's
+    * lifecycle: same post-lifecycle graph, same five unrolled PageRank
+    * rounds. */
+  private def graphLifecyclePageRankOracle: String =
+    s"""WITH $annEmbCte,
+       |b1 AS (SELECT vec_id, v FROM e WHERE vec_id < 375),
+       |${kmeansTrainCtes(src = "b1", probeWhere = "e.vec_id % 9 <> 4")},
+       |scored AS (
+       |  SELECT p.query_id, af.vid AS neighbor_id,
+       |    list_dot_product(p.qv, af.v)
+       |      / (sqrt(list_dot_product(p.qv, p.qv))
+       |         * sqrt(list_dot_product(af.v, af.v))) AS cos
+       |  FROM probes p JOIN af USING (cid)
+       |  WHERE af.vid != p.query_id AND af.vid % 9 <> 4),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |g AS (SELECT query_id AS src, neighbor_id AS dst
+       |  FROM ranked WHERE rank <= 3),
+       |nodes AS (SELECT vec_id AS vid FROM e WHERE vec_id % 9 <> 4),
+       |n AS (SELECT count(*) AS cnt FROM nodes),
+       |tp AS (SELECT vid, 1.0 / cnt AS tp FROM nodes, n),
+       |${pageRankCtes(5, 0.85)}
+       |SELECT vid AS vec_id, round(pr, 7) AS pr FROM pr5
+       |ORDER BY vec_id""".stripMargin
 
   val oracleSql: Map[String, String] = StrictMap(
     "e01_pipeline" ->
@@ -8642,35 +8706,18 @@ object Extensions {
          |FROM u LEFT JOIN drops d ON u.doc_id = d.doc_id
          |WHERE d.doc_id IS NULL ORDER BY u.doc_id""".stripMargin,
 
-    // x175: the x166 post-lifecycle graph relation (centroids trained on
-    // batch 1, all live vectors assigned, deleted ids ≡ 4 mod 9 out of
-    // both sides) as `g`, uniform teleport over live nodes, five
-    // unrolled power-iteration rounds — the maintained-state scores must
-    // equal the rebuild-derived chain
-    "x175_pagerank_graph_state" ->
-      s"""WITH $annEmbCte,
-         |b1 AS (SELECT vec_id, v FROM e WHERE vec_id < 375),
-         |${kmeansTrainCtes(src = "b1", probeWhere = "e.vec_id % 9 <> 4")},
-         |scored AS (
-         |  SELECT p.query_id, af.vid AS neighbor_id,
-         |    list_dot_product(p.qv, af.v)
-         |      / (sqrt(list_dot_product(p.qv, p.qv))
-         |         * sqrt(list_dot_product(af.v, af.v))) AS cos
-         |  FROM probes p JOIN af USING (cid)
-         |  WHERE af.vid != p.query_id AND af.vid % 9 <> 4),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, neighbor_id) AS rank
-         |  FROM scored),
-         |g AS (SELECT query_id AS src, neighbor_id AS dst
-         |  FROM ranked WHERE rank <= 3),
-         |nodes AS (SELECT vec_id AS vid FROM e WHERE vec_id % 9 <> 4),
-         |n AS (SELECT count(*) AS cnt FROM nodes),
-         |tp AS (SELECT vid, 1.0 / cnt AS tp FROM nodes, n),
-         |${pageRankCtes(5, 0.85)}
-         |SELECT vid AS vec_id, round(pr, 7) AS pr FROM pr5
-         |ORDER BY vec_id""".stripMargin,
+    // x175 + x176: the x166 post-lifecycle graph relation (centroids
+    // trained on batch 1, all live vectors assigned, deleted ids ≡ 4
+    // mod 9 out of both sides) as `g`, uniform teleport over live nodes,
+    // five unrolled power-iteration rounds — the maintained-state scores
+    // must equal the rebuild-derived chain (x175), and stay equal across
+    // layout compactions (x176)
+    "x175_pagerank_graph_state" -> graphLifecyclePageRankOracle,
+
+    // x176: byte-layout compaction is a semantic no-op, so the oracle is
+    // x175's chain VERBATIM — the gate is that the Spark side, with a
+    // compaction after each maintenance verb, still hash-matches it
+    "x176_graph_compact" -> graphLifecyclePageRankOracle,
 
     // x163: x160's envelope-bit derivation, restricted to (new ∈ batch,
     // old ∈ corpus) cross pairs with tombstoned (id ≡ 7 mod 10) corpus

@@ -2360,6 +2360,88 @@ class ExtSpec extends SparkSpec {
     assert(inc() == full())
   }
 
+  test("compactGraphState: relation identical, probes defragmented, " +
+      "deltas compose across the boundary, remnant/pending refusals") {
+    import graft.Tables
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft_knn_compact")
+      .toFile.getAbsolutePath
+    val ivf = s"$root/ivf"; val g = s"$root/graph"
+    // compact before build refuses with the build remedy
+    Similarity.appendIvfState(emb.filter(col("vec_id") < 200), ivf,
+      k = 8, iters = 2, batchTag = Some(1L))
+    val e0 = intercept[IllegalArgumentException](
+      Similarity.compactGraphState(spark, g))
+    assert(e0.getMessage.contains("buildKnnGraphState"), e0.getMessage)
+    Similarity.buildKnnGraphState(spark, ivf, g, k = 3, nProbe = 2)
+    // three steady-state ingest batches, each appending probe-row file
+    // sets into the touched probe_cid partitions — the fragmentation
+    // a compaction exists to undo
+    Seq((200, 300), (300, 400), (400, 10000)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        Similarity.appendIvfState(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi), ivf,
+          k = 8, iters = 2, batchTag = Some(i + 2L))
+        Similarity.knnGraphDeltaFromState(spark, ivf, g, i + 2L,
+          maxDirtyFraction = 1.0)
+    }
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    def edges() = Similarity.readKnnGraphState(spark, g)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    def pr() = Similarity.pageRankFromGraphState(spark, g, iters = 3)
+      .as[(Long, Double)].collect().toSet
+    val (edges0, pr0) = (edges(), pr())
+    val filesBefore = parquetFiles(s"$g/probes")
+    // a pending marker (crashed delta) refuses the compaction — the
+    // delta's own re-run owns completion
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$g/_graph_pending"), "applying=4\n")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.compactGraphState(spark, g))
+    assert(e1.getMessage.contains("unfinished"), e1.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$g/_graph_pending"))
+    Similarity.compactGraphState(spark, g)
+    val filesAfter = parquetFiles(s"$g/probes")
+    assert(filesAfter < filesBefore,
+      s"probes must defragment: $filesBefore -> $filesAfter files")
+    assert(edges() == edges0 && pr() == pr0,
+      "compaction must be a semantic no-op")
+    // idempotent: a second compaction is harmless
+    Similarity.compactGraphState(spark, g)
+    assert(edges() == edges0)
+    // the deltas compose across the compaction boundary: a delete
+    // retraction over compacted probes/homes still equals the rebuild
+    Similarity.deleteFromIvfState(spark, ivf,
+      emb.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      "vec_id", deleteTag = Some(1L))
+    Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g,
+      maxDirtyFraction = 1.0)
+    assert(edges() ==
+      Similarity.knnGraphFromState(spark, ivf, k = 3, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet)
+    // a crashed-swap remnant refuses every graph mutation by name...
+    val bak = java.nio.file.Paths.get(s"$g/probes__compact_bak")
+    java.nio.file.Files.createDirectory(bak)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.knnGraphDeleteDeltaFromState(spark, ivf, g))
+    assert(e2.getMessage.contains("compaction crashed"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.compactGraphState(spark, g))
+    assert(e3.getMessage.contains("crashed mid-swap"), e3.getMessage)
+    // ...and the full rebuild is the escape hatch: it re-derives every
+    // table from the IVF state and clears the remnant
+    Similarity.buildKnnGraphState(spark, ivf, g, k = 3, nProbe = 2)
+    assert(!java.nio.file.Files.exists(bak))
+    assert(edges() ==
+      Similarity.knnGraphFromState(spark, ivf, k = 3, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet)
+  }
+
   test("appendIvfState: empty first batch does not train/brick the state") {
     import graft.Tables
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")

@@ -36,8 +36,8 @@ class QueryMapSpec extends AnyFunSuite {
     def prefixes(of: Set[String]): Set[String] =
       of.map(s => s.takeWhile(_ != '_') + "_")
     assert(prefixes(q.filter(_.startsWith("q"))) == series("q", 28))
-    assert(prefixes(q.filter(_.startsWith("x"))) == series("x", 175))
+    assert(prefixes(q.filter(_.startsWith("x"))) == series("x", 176))
     assert(prefixes(q.filter(_.startsWith("e"))) == series("e", 3))
-    assert(q.size == 206) // the SparkEntry scaladoc's number — keep in sync
+    assert(q.size == 207) // the SparkEntry scaladoc's number — keep in sync
   }
 }
