@@ -251,6 +251,7 @@ private[graft] object StateIO {
         fs: org.apache.hadoop.fs.FileSystem,
         path: org.apache.hadoop.fs.Path, expectedOwner: String,
         content: Option[String]): Either[Option[String], Unit] = {
+      val raw = lockFs(fs)
       val mx = new org.apache.hadoop.fs.Path(
         path.getParent, path.getName + CasMutexSuffix)
       val deadline = System.currentTimeMillis() + CasMutexWaitMs
@@ -272,7 +273,7 @@ private[graft] object StateIO {
       try {
         val cur: Option[String] =
           try {
-            val in = fs.open(path)
+            val in = raw.open(path)
             val s =
               try scala.io.Source.fromInputStream(in, "UTF-8").mkString
               finally in.close()
@@ -290,15 +291,29 @@ private[graft] object StateIO {
               case Some(c) =>
                 val tmp = new org.apache.hadoop.fs.Path(
                   path.getParent, path.getName + "__renew_tmp")
-                fs.delete(tmp, false)
-                val out = fs.create(tmp, true)
+                raw.delete(tmp, false)
+                val out = raw.create(tmp, true)
                 try out.write(
                   c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
                 finally out.close()
-                org.apache.hadoop.fs.FileContext
-                  .getFileContext(path.toUri, fs.getConf)
-                  .rename(tmp, path,
-                    org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+                // atomic REPLACE of the lock: on the raw local FS this is
+                // rename(2) — the destination always holds either the old
+                // or the new content, never nothing and never a tear. The
+                // checksummed wrapper CANNOT provide that (it renames the
+                // file and its .crc sidecar as two ops — a reader between
+                // them gets a ChecksumException), which is why every lock
+                // mutation goes through lockFs. Non-local substrates keep
+                // the FileContext OVERWRITE rename (atomic on HDFS).
+                if (raw ne fs)
+                  raw.rename(tmp, path)
+                else
+                  org.apache.hadoop.fs.FileContext
+                    .getFileContext(path.toUri, fs.getConf)
+                    .rename(tmp, path,
+                      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+              // delete through the CHECKSUMMED fs so a .crc sidecar left
+              // by a foreign checksummed create (a dead writer's lock) is
+              // removed with its file
               case None => fs.delete(path, false)
             }
             Right(())
@@ -306,6 +321,19 @@ private[graft] object StateIO {
         }
       } finally fs.delete(mx, false)
     }
+  }
+
+  /** Lock-file I/O bypasses the checksummed local-FS wrapper: ChecksumFS
+    * keeps a `.crc` sidecar per file and renames/creates the pair as TWO
+    * operations, so no atomic replace of a lock file is possible through
+    * it (a reader between the two sees a ChecksumException — observed in
+    * the heartbeat spec). The raw local FS gives rename(2) = atomic
+    * replace; checksums buy nothing for a ~100-byte lease file. Non-local
+    * substrates pass through unchanged. */
+  private[graft] def lockFs(fs: org.apache.hadoop.fs.FileSystem)
+      : org.apache.hadoop.fs.FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
   }
 
   /** Sibling-mutex suffix for the default [[LeaseStore.replaceIfOwner]]
@@ -323,7 +351,9 @@ private[graft] object StateIO {
         fs: org.apache.hadoop.fs.FileSystem,
         path: org.apache.hadoop.fs.Path, content: String): Boolean =
       try {
-        val out = fs.create(path, false)
+        // raw FS (see [[lockFs]]): a checksummed create writes a .crc
+        // sidecar whose later atomic replacement is impossible
+        val out = lockFs(fs).create(path, false)
         try out.write(
           content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
@@ -371,7 +401,20 @@ private[graft] object StateIO {
           catch { case _: NumberFormatException => Some(("mid-write",
             fs.getFileStatus(lock).getModificationTime + leaseMs)) }
       } catch {
-        case _: java.io.FileNotFoundException => None
+        case _: java.io.FileNotFoundException =>
+          // the default CAS publish is tmp + OVERWRITE-rename, and the
+          // local-FS rename is delete-then-rename: a reader can land in
+          // the gap where the lock file is briefly ABSENT mid-renewal.
+          // The CAS mutex brackets every mutation, so "file missing but
+          // mutex present" means a replace is in flight — treat it as a
+          // live mid-write lease (refuse now), never as a free lock: an
+          // exclusive create in that gap would be silently clobbered by
+          // the in-flight rename, yielding two writers.
+          val mx = new org.apache.hadoop.fs.Path(
+            lock.getParent, lock.getName + CasMutexSuffix)
+          try Some(("mid-write",
+            fs.getFileStatus(mx).getModificationTime + leaseMs))
+          catch { case _: java.io.FileNotFoundException => None }
       }
     var acquired = false
     var attempts = 0

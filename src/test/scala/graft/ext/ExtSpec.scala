@@ -4567,11 +4567,19 @@ class ExtSpec extends SparkSpec {
       var attempts = 0
       while (true) {
         attempts += 1
-        val in = fs.open(lock)
+        // the renewal publish is tmp + OVERWRITE-rename; on the local FS
+        // that rename is delete-then-rename, so a raw read can land in a
+        // gap where the file is briefly ABSENT (not just torn) — retry
+        // both shapes (production readers treat the gap as mid-write)
         val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            .split("\n")
-          finally in.close()
+          try {
+            val in = fs.open(lock)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              .split("\n")
+            finally in.close()
+          } catch {
+            case _: java.io.FileNotFoundException => Array.empty[String]
+          }
         if (lines.length >= 2 && lines(1).trim.nonEmpty)
           return lines(1).trim.toLong
         assert(attempts < 100, "lock file never became whole")
