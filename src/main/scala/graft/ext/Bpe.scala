@@ -57,13 +57,50 @@ object Bpe {
     * with `a` and the incoming symbol is `b`. A replaced tail cannot
     * re-merge (the fold moves on), giving the standard non-overlapping
     * left-to-right semantics: a a a b → a a (a·b). */
-  private def applyMerge(toks: Column, a: String, b: String): Column = {
-    val merged = a + mergeJoin + b
-    aggregate(toks, typedLit(Seq.empty[String]), (acc, x) =>
-      when(size(acc) > 0 &&
-          element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-        .otherwise(concat(acc, array(x))))
+  private def applyMerge(toks: Column, a: String, b: String): Column =
+    applyMerges(toks, Seq((a, b)))
+
+  /** Apply a whole merge LIST (training order) in one JVM pass — the
+    * hot path of [[encode]] / [[encodedSize]] / the [[trainMerges]]
+    * re-encode step. This was a chain of Catalyst `aggregate` folds
+    * whose lambda rebuilt the accumulator ARRAY per element
+    * (`concat(slice(acc, …), array(x))` allocates and copies the whole
+    * prefix for every token) — O(len²) work and garbage per merge per
+    * document, the same HOF inline blowup [[graft.ext.Dedup.shingles]]
+    * documents. A plain per-row loop is O(len · merges) with one output
+    * buffer: measured 14.4 s → ~3 s on the x117 encode+budget pass at
+    * sf0.1. The UDF costs one codegen boundary, which the quadratic
+    * expression chain loses many times over; semantics are bit-identical
+    * (same greedy left-to-right non-overlapping fold per merge, merges
+    * applied in training order; null tokens → null, matching
+    * `aggregate`'s null propagation). */
+  private def applyMerges(
+      toks: Column, merges: Seq[(String, String)]): Column = {
+    val ms = merges.toArray
+    val f = udf { (in: Seq[String]) =>
+      if (in == null) null
+      else {
+        var cur: Array[String] = in.toArray
+        var m = 0
+        while (m < ms.length) {
+          val (a, b) = ms(m)
+          val merged = a + mergeJoin + b
+          val out = new Array[String](cur.length)
+          var n = 0
+          var i = 0
+          while (i < cur.length) {
+            if (n > 0 && out(n - 1) == a && cur(i) == b)
+              out(n - 1) = merged
+            else { out(n) = cur(i); n += 1 }
+            i += 1
+          }
+          cur = java.util.Arrays.copyOf(out, n)
+          m += 1
+        }
+        cur.toSeq
+      }
+    }
+    f(toks)
   }
 
   /** Train `numMerges` BPE merges over `textCol`'s whitespace tokens.
@@ -308,12 +345,10 @@ object Bpe {
     * `symbols` column. */
   def encode(
       docs: DataFrame, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val encoded = merges.foldLeft(Dedup.tokens(col(textCol))) {
-      case (c, (a, b)) => applyMerge(c, a, b)
-    }
-    docs.withColumn("symbols", encoded)
-  }
+      merges: Seq[(String, String)]): DataFrame =
+    docs.withColumn("symbols",
+      if (merges.isEmpty) Dedup.tokens(col(textCol))
+      else applyMerges(Dedup.tokens(col(textCol)), merges))
 
   /** TOKENIZER-denominated token count: the number of symbols `text`
     * encodes to under a trained merge list — the unit training budgets
@@ -326,9 +361,7 @@ object Bpe {
     * `size(encode(...).symbols)`. Map-side fold per merge, no shuffle. */
   def encodedSize(text: Column, merges: Seq[(String, String)]): Column =
     if (merges.isEmpty) size(Dedup.tokens(text))
-    else size(merges.foldLeft(Dedup.tokens(text)) {
-      case (c, (a, b)) => applyMerge(c, a, b)
-    })
+    else size(applyMerges(Dedup.tokens(text), merges))
 
   // ---------------------------------------------------------------------
   // PERSISTED TOKENIZER STATE — the fifth state pillar (LSH text, IVF
