@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Inverted index construction + conjunctive term search — the retrieval
@@ -207,13 +208,33 @@ object Index {
       .agg(aggregate(
         sort_array(collect_list(struct(col("term"), col("score")))),
         lit(0.0), (acc, x) => acc + x.getField("score")).as("score"))
-    val pruned = Ordinals.approxTopKPrune(
-      perDoc.withColumn("graft_neg", -col("score"))
-        .withColumn("graft_one", lit(0)),
-      "graft_one", "graft_neg", k)
-    Ordinals.perKeyOrdinal(pruned, "graft_one", Seq("graft_neg", idCol))
-      .filter(col("ordinal") < k)
-      .select(col(idCol), col("score"), (col("ordinal") + 1L).as("rank"))
+    if (k <= 10000) {
+      // small-k fast path (every declared caller asks k ≈ 10): a global
+      // orderBy+limit plans as TakeOrderedAndProject — each task keeps a
+      // k-row priority queue and one k-row merge finishes, no full sort,
+      // no corpus-wide range exchange. This replaces the sketch-prune +
+      // two-phase ordinal pass (an `.rdd` round trip costing 3 jobs and
+      // an external-row conversion per query — measured ~1 s per bm25
+      // read at sf0.1). Ties break identically: (score desc, id asc) is
+      // the same total order the ordinal ranked by.
+      val order = Seq(col("score").desc, col(idCol).asc)
+      perDoc.orderBy(order: _*).limit(k)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(order: _*)).cast("long") - 1L)
+        .filter(col("rank") < k)
+        .select(col(idCol), col("score"), (col("rank") + 1L).as("rank"))
+    } else {
+      // huge-k path (top-k of a meaningful corpus fraction): a k-row
+      // heap per task stops paying for itself — keep the lossless
+      // sketch prune + skew-free two-phase ordinal
+      val pruned = Ordinals.approxTopKPrune(
+        perDoc.withColumn("graft_neg", -col("score"))
+          .withColumn("graft_one", lit(0)),
+        "graft_one", "graft_neg", k)
+      Ordinals.perKeyOrdinal(pruned, "graft_one", Seq("graft_neg", idCol))
+        .filter(col("ordinal") < k)
+        .select(col(idCol), col("score"), (col("ordinal") + 1L).as("rank"))
+    }
   }
 
   /** Scala twin of [[PortableHash.md5Long]] for DRIVER-side term-bucket
@@ -274,17 +295,24 @@ object Index {
         .withColumn("bucket",
           pmod(PortableHash.md5Long(col("term")), lit(buckets.toLong))
             .cast("int"))
+      // clustered by the partition column before the partitioned write
+      // (the graph tables' posture): without it every one of the
+      // shuffle-partition write tasks splits its rows across all
+      // `buckets` dirs — up to tasks × buckets sliver files per batch,
+      // paid again by every pruned read's file opens (guide §6
+      // small-file tax). One exchange of narrow rows buys whole files
+      // per bucket dir.
       batchTag match {
-        case Some(t) => posRows.write.mode("overwrite").partitionBy("bucket")
+        case Some(t) => posRows.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"${StateIO.tablePath(spark, dir, "positions")}/batch_id=$t")
-        case None => posRows.write.mode("append").partitionBy("bucket")
+        case None => posRows.repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket")
           .parquet(StateIO.tablePath(spark, dir, "positions"))
       }
     }
     val toks = batch.select(col(idCol).as("id"),
       filter(Dedup.tokens(col(textCol)), _ =!= "").as("graft_toks"))
-    val totals = toks.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(size(col("graft_toks"))), lit(0L)).as("sum_dl"))
     // narrow per-doc sidecar (id, dl) — 16 bytes/doc: what makes DELETES
     // exact and cheap ([[deleteFromPostingsState]] derives its totals
     // correction here instead of scanning every postings bucket), and the
@@ -302,12 +330,27 @@ object Index {
           .cast("int"))
     batchTag match {
       case Some(t) =>
-        tf.write.mode("overwrite").partitionBy("bucket")
+        tf.repartition(col("bucket")).write.mode("overwrite")
+          .partitionBy("bucket")
           .parquet(s"${StateIO.tablePath(spark, dir, "postings")}/batch_id=$t")
-        docRows.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "docs")}/batch_id=$t")
-        totals.write.mode("overwrite").parquet(s"${StateIO.tablePath(spark, dir, "totals")}/batch_id=$t")
+        val docsPart = s"${StateIO.tablePath(spark, dir, "docs")}/batch_id=$t"
+        docRows.write.mode("overwrite").parquet(docsPart)
+        // derive the 1-row totals from the JUST-WRITTEN 16-byte/doc
+        // sidecar instead of a third full tokenization pass over the
+        // batch (totals and docRows and tf each re-derived `toks` —
+        // three corpus-text scans per append; the sidecar read-back is
+        // two slim columns and yields identical integers by
+        // construction: n_docs = count(docs), sum_dl = Σ dl)
+        spark.read.parquet(docsPart)
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+          .write.mode("overwrite")
+          .parquet(s"${StateIO.tablePath(spark, dir, "totals")}/batch_id=$t")
       case None =>
-        tf.write.mode("append").partitionBy("bucket")
+        val totals = toks.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(col("graft_toks"))), lit(0L)).as("sum_dl"))
+        tf.repartition(col("bucket")).write.mode("append")
+          .partitionBy("bucket")
           .parquet(StateIO.tablePath(spark, dir, "postings"))
         docRows.write.mode("append").parquet(StateIO.tablePath(spark, dir, "docs"))
         totals.write.mode("append").parquet(StateIO.tablePath(spark, dir, "totals"))
@@ -528,8 +571,11 @@ object Index {
     require(post.columns.contains("batch_id"),
       s"history truncation needs a TAGGED state: $dir/postings has no " +
         "batch_id partition column")
-    val maxBatch =
-      post.agg(max(col("batch_id")).cast("long")).head().getLong(0)
+    // max over the batch_id PARTITION column — dir listing, zero jobs
+    val maxBatch = StateIO.partitionTagMax(spark, dir, "postings",
+      "batch_id").getOrElse(throw new IllegalStateException(
+        s"$dir/postings carries a batch_id column but no batch_id= " +
+          "partition directories"))
     require(floor >= 1L && floor <= maxBatch,
       s"floor $floor out of range for $dir: tagged batches reach $maxBatch")
     val docs = spark.read.parquet(StateIO.tablePath(spark, dir, "docs"))

