@@ -1031,8 +1031,10 @@ object Similarity {
           s"IVF state at $ivfDir carries UNTAGGED tombstones — the graph " +
             "state cannot track delete drift without version identity; " +
             "rebuild the pillar with tagged deletes")
-        val m = tb.agg(max(col("delete_id")).cast("long")).head()
-        if (m.isNullAt(0)) 0L else m.getLong(0)
+        // max over the delete_id PARTITION column — answered from the
+        // dir listing, zero jobs (StateIO.partitionTagMax)
+        StateIO.partitionTagMax(spark, ivfDir, "tombstones", "delete_id")
+          .getOrElse(0L)
     }
 
   /** (k, nProbe, frozen delete head, total IVF cell count). `n_cells`
@@ -1126,10 +1128,14 @@ object Similarity {
       case Some(bt) => allCells.filter(col("batch_id") <= bt) // pruned
       case None => allCells
     }
-    val uptoRow = rawCells.agg(max(col("batch_id")).cast("long")).head()
-    require(!uptoRow.isNullAt(0),
+    // head batch from the partition listing — zero jobs where this was
+    // a scan-shaped max over the batch_id partition column
+    val cellTags = StateIO.partitionTagValues(spark, ivfDir, "cells",
+        "batch_id").getOrElse(Nil)
+      .filter(tag => upToBatch.forall(tag <= _))
+    require(cellTags.nonEmpty,
       s"IVF state at $ivfDir has no cells — nothing to graph")
-    val upto = upToBatch.getOrElse(uptoRow.getLong(0))
+    val upto = upToBatch.getOrElse(cellTags.max)
     val delHead = ivfDeleteHead(spark, ivfDir)
     val cents = spark.read.parquet(
       StateIO.tablePath(spark, ivfDir, "centroids"))
@@ -1360,7 +1366,17 @@ object Similarity {
     // subset (already-merged partitions stop qualifying) and re-runs
     // stay idempotent: a candidate already sitting in the stored top-k
     // ties (never beats) its own entry.
+    // pruned to the candidate owners' home partitions: an owner's whole
+    // edge list lives in its own home_cid= partition, so the worst-edge
+    // aggregate needs only those directories — unpruned this was the one
+    // full edges-table scan in the delta path (corpus-sized at scale,
+    // where everything else reads O(batch·occupancy) partitions). The
+    // extra collect is bounded by the cell count like every other
+    // cell-id set here.
+    val candHomes = affCandidates.select(col("home_cid").cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     val worst = spark.read.parquet(edgesPath)
+      .filter(col("home_cid").isin(candHomes: _*)) // partition-pruned
       .groupBy(col("vec_id").as("vid"))
       .agg(count(lit(1)).as("graft_n"),
         min(struct(col("cos").as("c"),
@@ -1536,11 +1552,13 @@ object Similarity {
       .select(pmod(col("vid"), lit(GraphHomeBuckets)).cast("int").as("vb"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val homesAll = spark.read.parquet(homesPath)
-    val delHomes = graft.ext.Dedup.materialize(homesAll
+    // one bounded collect straight off the pruned read — no checkpoint:
+    // the relation is consumed exactly once, so materializing it first
+    // only added a job
+    val dCells = homesAll
       .filter(col("vb").isin(delBuckets: _*)) // partition-pruned
       .join(newDeleted, Seq("vid"), "left_semi")
-      .select(col("vid"), col("home_cid")))
-    val dCells = delHomes.select(col("home_cid").cast("int")).distinct()
+      .select(col("home_cid").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (dCells.isEmpty) {
       // none of the newly deleted ids are in the graph (deleted before
@@ -1584,9 +1602,10 @@ object Similarity {
       .join(newDeleted, Seq("vid"), "left_semi")
       .select(col("vid"), col("v"), col("vn").as("cn"),
         col("home_cid").as("cid"))
-    val delProbes = graft.ext.Dedup.materialize(
-      probeTargets(deletedRows, cents, nProbe))
-    val pDel = delProbes.select(col("probe_cid").cast("int")).distinct()
+    // collected once, pre-overwrite — no checkpoint needed (the probes
+    // rewrite at step 6 filters by this collected list, not the plan)
+    val pDel = probeTargets(deletedRows, cents, nProbe)
+      .select(col("probe_cid").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq
     // 3. affected owners: candidates are the probers of D (anti-joined
     //    against ALL tombstones so crash-orphaned probe rows stay

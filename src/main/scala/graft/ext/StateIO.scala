@@ -864,8 +864,12 @@ private[graft] object StateIO {
     require(batchTags.nonEmpty,
       s"history truncation at $dir: no batch-tagged table to bound the " +
         "floor against")
-    val maxBatch = batchTags.head._2
-      .agg(max(col("batch_id")).cast("long")).head().getLong(0)
+    // max over a partition column — answered from the dir listing
+    // (zero jobs, zero footer reads; see [[partitionTagValues]])
+    val maxBatch = partitionTagMax(spark, dir, batchTags.head._1.name,
+      "batch_id").getOrElse(throw new IllegalStateException(
+        s"history truncation at $dir: ${batchTags.head._1.name} carries " +
+          "a batch_id column but no batch_id= partition directories"))
     require(floor >= 1L && floor <= maxBatch,
       s"floor $floor out of range for $dir: tagged batches reach $maxBatch")
     def collapse(df: DataFrame, tagCol: String): DataFrame = {
@@ -939,30 +943,69 @@ private[graft] object StateIO {
     require(!pathExists(spark, dstDir),
       s"clone destination $dstDir already exists — a clone never " +
         "overwrites; remove it or pick a fresh path")
+    val hconf = spark.sessionState.newHadoopConf()
     tables.foreach { t =>
       val df = readTableIfExists(spark, srcDir, t.name)
       require(df.isDefined || !t.required,
         s"clone: required table $srcDir/${t.name} does not exist")
       df.foreach { d =>
         val bound = if (t.tagCol == "batch_id") asOfBatch else asOfDelete
-        val cutTag = asOfCut(d, t.tagCol, bound, srcDir, t.name)
-        // batch-attributed corrections: only rows inside the batch cut
-        // belong to this version (null = unattributed, applies wholly)
-        val cut =
-          if (cutTag.columns.contains("src_batch"))
-            cutTag.filter(org.apache.spark.sql.functions.col("src_batch")
+        if (!d.columns.contains("src_batch")) {
+          // PURE partition-level cut (every table except the
+          // batch-attributed corrections below): "tag <= bound" selects
+          // whole `tagCol=N` directories, so the clone is a FILE copy
+          // of the selected partitions — no decode, no shuffle, no
+          // re-encode of corpus-sized tables to reproduce rows the
+          // source already holds, and on object stores a server-side
+          // copy. Validations mirror [[asOfCut]] exactly (tagged-only,
+          // floor refusal), and the empty-cut skip rule is unchanged
+          // (an optional table with nothing selected lands no dir).
+          require(d.columns.contains(t.tagCol),
+            s"as-of reads need a TAGGED state: $srcDir/${t.name} has " +
+              s"no ${t.tagCol} partition column (untagged appends/" +
+              "deletes carry no version identity) — rebuild with " +
+              "tagged appends/deletes to snapshot")
+          val floor = readHistoryFloor(spark, srcDir)
+          require(bound >= floor,
+            s"as-of bound $bound on $srcDir/${t.name} is below the " +
+              s"history floor $floor — versions at or below the floor " +
+              "were collapsed by history truncation and can no longer " +
+              "be separated; only bounds >= the floor are answerable")
+          val tags = partitionTagValues(spark, srcDir, t.name, t.tagCol)
+            .getOrElse(Nil).filter(_ <= bound).distinct.sorted
+          if (!(!t.required && tags.isEmpty)) {
+            val srcTable = new org.apache.hadoop.fs.Path(
+              tablePath(spark, srcDir, t.name))
+            val fs = srcTable.getFileSystem(hconf)
+            val dstTable = new org.apache.hadoop.fs.Path(dstDir, t.name)
+            fs.mkdirs(dstTable)
+            tags.foreach { tag =>
+              val part = s"${t.tagCol}=$tag"
+              require(org.apache.hadoop.fs.FileUtil.copy(fs,
+                new org.apache.hadoop.fs.Path(srcTable, part), fs,
+                new org.apache.hadoop.fs.Path(dstTable, part),
+                false, hconf),
+                s"clone: cannot copy $srcTable/$part into $dstTable")
+            }
+          }
+        } else {
+          val cutTag = asOfCut(d, t.tagCol, bound, srcDir, t.name)
+          // batch-attributed corrections: only rows inside the batch cut
+          // belong to this version (null = unattributed, applies wholly)
+          // — a ROW-level filter, so this table keeps the Spark rewrite
+          val cut = cutTag
+            .filter(org.apache.spark.sql.functions.col("src_batch")
               .isNull || org.apache.spark.sql.functions.col("src_batch")
               <= asOfBatch)
-          else cutTag
-        val skip = !t.required && cut.isEmpty
-        if (!skip)
-          clusterForWrite(cut, t.tagCol +: t.extraPartitionCols)
-            .write.mode("errorifexists")
-            .partitionBy((t.tagCol +: t.extraPartitionCols): _*)
-            .parquet(s"$dstDir/${t.name}")
+          val skip = !t.required && cut.isEmpty
+          if (!skip)
+            clusterForWrite(cut, t.tagCol +: t.extraPartitionCols)
+              .write.mode("errorifexists")
+              .partitionBy((t.tagCol +: t.extraPartitionCols): _*)
+              .parquet(s"$dstDir/${t.name}")
+        }
       }
     }
-    val hconf = spark.sessionState.newHadoopConf()
     rawCopies.foreach { name =>
       // resolve through the source's manifest (a compacted `merges`
       // may live in a version dir); the clone lands under the PLAIN
@@ -1229,15 +1272,11 @@ private[graft] object StateIO {
       batchTables: Seq[String]): Option[Long] = {
     require(keepLastBatches >= 1,
       s"retention must keep at least the head batch, got $keepLastBatches")
-    import org.apache.spark.sql.functions.{col, max}
+    // per-table max over the batch_id PARTITION column — the dir
+    // listing answers it with zero jobs (see [[partitionTagValues]];
+    // untagged tables yield no batch_id= dirs → None, as before)
     val maxes = batchTables.flatMap { t =>
-      readTableIfExists(spark, dir, t).flatMap { d =>
-        if (!d.columns.contains("batch_id")) None
-        else {
-          val m = d.agg(max(col("batch_id")).cast("long")).head()
-          if (m.isNullAt(0)) None else Some(m.getLong(0))
-        }
-      }
+      partitionTagMax(spark, dir, t, "batch_id")
     }
     if (maxes.isEmpty) return None // nothing tagged, nothing to retain
     val target = maxes.max - keepLastBatches
@@ -1264,6 +1303,42 @@ private[graft] object StateIO {
 
   private[graft] final case class BranchInfo(
       src: String, batch: Long, delete: Long)
+
+  /** Tag values present in a TAGGED state table, answered from the
+    * partition DIRECTORY names under the resolved table path — zero
+    * Spark jobs where `df.agg(max(tagCol))` planned a full scan (a
+    * max over a PARTITION column needs only the directory listing; the
+    * metadata-only optimizer rule that would do this is disabled by
+    * default for empty-partition reasons that do not apply here: a
+    * tagged write creates exactly one non-empty dir per tag, and the
+    * dir's presence is precisely the version identity the replay /
+    * divergence / retention logic reasons about). At scale the scan
+    * this replaces costs one footer read per file of a corpus-sized
+    * table per call — the listing is one RPC. Returns None when the
+    * table does not exist; Some(Nil) when it exists untagged (no
+    * `tagCol=` dirs). */
+  private[graft] def partitionTagValues(
+      spark: SparkSession, dir: String, table: String,
+      tagCol: String): Option[Seq[Long]] = {
+    val p = new org.apache.hadoop.fs.Path(tablePath(spark, dir, table))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(tagCol + "="))
+      .flatMap(n =>
+        scala.util.Try(n.drop(tagCol.length + 1).toLong).toOption))
+  }
+
+  /** Max tag of a tagged table from the partition listing (see
+    * [[partitionTagValues]]); None when the table is missing or has no
+    * tag partitions. */
+  private[graft] def partitionTagMax(
+      spark: SparkSession, dir: String, table: String,
+      tagCol: String): Option[Long] =
+    partitionTagValues(spark, dir, table, tagCol).filter(_.nonEmpty)
+      .map(_.max)
 
   private[graft] def qualifyDir(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -1473,29 +1548,24 @@ private[graft] object StateIO {
     // branch has its OWN history — two histories cannot interleave
     // under one tag sequence. Skipped on a re-run: the marker gated
     // every write, so tags past the cut are our own half-applied copy.
+    // tag maxima over PARTITION columns — dir listings, zero jobs per
+    // table where this paid one scan job each (see [[partitionTagValues]];
+    // untagged tables yield no tag dirs and are skipped, exactly like
+    // the former columns-contains guard — checkNoUntaggedRows below
+    // still refuses untagged local rows by name)
     if (!resuming) tables.foreach { t =>
-      readTableIfExists(spark, dstDir, t.name).foreach { d =>
-        if (d.columns.contains(t.tagCol)) {
-          val cut = if (t.tagCol == "batch_id") b0 else d0
-          val m = d.agg(max(col(t.tagCol)).cast("long")).head()
-          val maxTag = if (m.isNullAt(0)) 0L else m.getLong(0)
-          require(maxTag <= cut,
-            s"branch $dstDir DIVERGED: $dstDir/${t.name} carries " +
-              s"${t.tagCol}=$maxTag past the branch cut $cut (local " +
-              "writes after the clone) — fast-forward would interleave " +
-              "two histories; re-clone to branch from the source again")
-        }
+      partitionTagMax(spark, dstDir, t.name, t.tagCol).foreach { maxTag =>
+        val cut = if (t.tagCol == "batch_id") b0 else d0
+        require(maxTag <= cut,
+          s"branch $dstDir DIVERGED: $dstDir/${t.name} carries " +
+            s"${t.tagCol}=$maxTag past the branch cut $cut (local " +
+            "writes after the clone) — fast-forward would interleave " +
+            "two histories; re-clone to branch from the source again")
       }
     }
     def headTag(dir: String, tagCol: String): Long = {
       val maxes = tables.filter(_.tagCol == tagCol).flatMap { t =>
-        readTableIfExists(spark, dir, t.name).flatMap { d =>
-          if (!d.columns.contains(tagCol)) None
-          else {
-            val m = d.agg(max(col(tagCol)).cast("long")).head()
-            if (m.isNullAt(0)) None else Some(m.getLong(0))
-          }
-        }
+        partitionTagMax(spark, dir, t.name, tagCol)
       }
       if (maxes.isEmpty) 0L else maxes.max
     }
@@ -1551,9 +1621,11 @@ private[graft] object StateIO {
         require(d.columns.contains("batch_id"),
           s"fast-forward needs a TAGGED source: $srcDir/${t.name} has " +
             "no batch_id partition column")
-        val tags = d.filter(col("batch_id") > b0 && col("batch_id") <= b1)
-          .select(col("batch_id").cast("long")).distinct()
-          .collect().map(_.getLong(0)).sorted
+        // the missing-tag list from the partition listing (zero jobs);
+        // the per-tag copy below still reads only that tag's partition
+        val tags = partitionTagValues(spark, srcDir, t.name, "batch_id")
+          .getOrElse(Nil).filter(tag => tag > b0 && tag <= b1)
+          .distinct.sorted
         tags.foreach { tag =>
           val part = d.filter(col("batch_id") === tag).drop("batch_id")
           val w = clusterForWrite(part, t.extraPartitionCols)
