@@ -35,6 +35,11 @@ object ProfileQuery {
     val fn = SparkEntry.queries(name)
     // warm-up (JIT, codegen, footer caches) — profile the steady state
     fn(spark, sfDir).queryExecution.toRdd.count()
+    // GC + settle between passes (the Bench discipline): without it the
+    // profiled pass is billed the warm-up's async checkpoint/cache
+    // eviction — observed 3-4x inflation on materialize-heavy queries
+    System.gc()
+    Thread.sleep(500)
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]()

@@ -2175,7 +2175,17 @@ object Dedup {
   private def dupGramHits(
       docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"),
+    // widen narrow inputs before the CPU-heavy gram explode + md5 map
+    // (the [[collapseExact]] posture): a single small parquet file scans
+    // as 1-2 partitions, which would serialize the per-token DP on a
+    // couple of cores. No-op at scale (inputs already at least as wide
+    // as the cluster), and the downstream gfp aggregate / id window are
+    // order-independent, so rows out are identical.
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val wide =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val grams = wide.select(col(idCol).as("id"),
         posexplode(positionalGrams(col(textCol), minLen))
           .as(Seq("start", "gram")))
       .select(col("id"), col("start"), md5(col("gram")).as("gfp"))

@@ -415,12 +415,17 @@ object Index {
     // append wrote (appends add to both equally; deletes touch neither;
     // compaction keeps tombstoned sidecar rows precisely so corrections
     // stay derivable) — a shortfall means pre-sidecar batches: rebuild.
-    val docCount = docRows.count()
-    val totRow = spark.read.parquet(StateIO.tablePath(spark, dir, "totals"))
-      .agg(coalesce(sum(col("n_docs")), lit(0L))).head()
-    require(docCount == totRow.getLong(0),
+    // one action for both guard aggregates (they fed two separate jobs;
+    // a cross join of two 1-row aggregates runs both scans in one job)
+    val guard = docRows.agg(count(lit(1)).as("graft_dc"))
+      .crossJoin(
+        spark.read.parquet(StateIO.tablePath(spark, dir, "totals"))
+          .agg(coalesce(sum(col("n_docs")), lit(0L)).as("graft_nd")))
+      .head()
+    val (docCount, totN) = (guard.getLong(0), guard.getLong(1))
+    require(docCount == totN,
       s"postings state at $dir has a docs sidecar covering $docCount docs " +
-        s"but totals count ${totRow.getLong(0)} — some batches predate the " +
+        s"but totals count $totN — some batches predate the " +
         "sidecar, so their deletes would skip the totals correction and " +
         "silently inflate BM25 N/avgdl; rebuild the state with the " +
         "current appendPostingsState")

@@ -297,19 +297,35 @@ object Similarity {
   def kmeansCentroids(
       corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val seed = vecs.orderBy(col("vid")).limit(k)
       .select(col("vid").cast("int").as("cid"),
         transform(col("v"), _.cast("double")).as("c"))
-    (1 to iters).foldLeft(seed) { (cents, _) =>
-      assignToCentroids(vecs, cents)
+    // DRIVER-BOUNDED Lloyd loop: each step's output is k centroid rows
+    // (k · dim doubles — the same bounded-collect budget the cell-id
+    // sets use), so collect them and feed the next assignment a LITERAL
+    // local relation. Lazily folding the steps instead (the old shape)
+    // builds one deeply nested plan whose every level hides a broadcast
+    // subquery job and whose analysis/codegen cost grows with iters —
+    // all to recompute rows the driver could hold in a few KB. The
+    // collected doubles are re-broadcast bit-identically, so the
+    // assignment math is unchanged.
+    def localize(df: DataFrame): DataFrame =
+      df.select(col("cid").cast("int"), col("c").cast("array<double>"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toSeq.toDF("cid", "c")
+    (1 to iters).foldLeft(localize(seed)) { (cents, _) =>
+      localize(assignToCentroids(vecs, cents)
         .select(col("cid"), posexplode(col("v").cast("array<double>"))
           .as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(round(avg(col("x")), 6).as("m"))
         .groupBy(col("cid"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          _.getField("m")).as("c"))
+          _.getField("m")).as("c")))
     }
   }
 
